@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** The engine's scalar-function surface: every cleansing / normalization
+  * expression of the reference system re-expressed as a `Column => Column`
+  * combinator over codegen'd Spark built-ins, plus the text-pipeline
+  * primitives (shingling, MinHash, SimHash, fingerprints, cosine) the
+  * extended engine adds for large-scale corpus work.
+  *
+  * Function numbering (F1…F13) follows SURVEY.md §2.7, which maps each one
+  * to its reference call site. Everything here is a pure expression — no
+  * Scala/Python UDFs — so the whole surface stays inside whole-stage
+  * codegen and Catalyst can constant-fold / push down through it.
+  */
+object GraftFunctions {
+
+  // --------------------------------------------------------------------
+  // Reference cleansing functions (SURVEY §2.7)
+  // --------------------------------------------------------------------
+
+  /** F1 — document-number hygiene: strip spaces, newlines and slashes.
+    * (ref `src/import_xml_history.py:26-33`: `BY/  /14/440 /JM0H3` → `BY14440JM0H3`) */
+  def cleanDocNo(c: Column): Column = regexp_replace(c, "[ \\n/]", "")
+
+  /** F2 — waybill-key hygiene: remove whitespace/slash/dash, uppercase.
+    * (ref `src/batch_train.py:85-86`) */
+  def cleanWaybill(c: Column): Column = upper(regexp_replace(c, "[\\s/-]", ""))
+
+  /** F3 — bill-of-lading link key: `<mawb>_<hawb>` after F2 hygiene.
+    * (ref `src/batch_train.py:87`) */
+  def linkKey(mawb: Column, hawb: Column): Column =
+    concat_ws("_", cleanWaybill(mawb), cleanWaybill(hawb))
+
+  /** NFKC compatibility normalization (full-width → half-width). Custom
+    * Catalyst expression — see [[NfkcNormalize]]. */
+  def nfkcNormalize(c: Column): Column =
+    GraftBridge.column(NfkcNormalize(GraftBridge.expression(c)))
+
+  /** F4 — the reference's flagship text normalizer
+    * (ref `src/batch_train.py:21-52`): NFKC → uppercase → keep only the last
+    * `/`-separated segment → non-word punctuation to space (Unicode-aware,
+    * CJK letters preserved) → collapse whitespace → trim. */
+  def normalizeText(c: Column): Column = {
+    val seg = element_at(split(upper(nfkcNormalize(c)), "/"), -1)
+    trim(regexp_replace(regexp_replace(seg, "[^\\p{L}\\p{N}_\\s]", " "), "\\s+", " "))
+  }
+
+  /** F5 — ISO-8601 date truncation: `2025-03-22T00:00:00+08:00` → date.
+    * (ref `src/import_xml_history.py:66-71`) */
+  def isoDate(c: Column): Column = to_date(substring_index(c, "T", 1))
+
+  /** F6 — numeric coercion with 0-default, pandas `errors='coerce'` twin.
+    * (ref `src/import_xml_history.py:78-82`) ANSI-safe via try_cast. */
+  def numOrZero(c: Column): Column =
+    coalesce(c.try_cast("double"), lit(0.0))
+
+  /** F7 — guarded derived unit price: `round(total/qty, 4)` iff qty > 0.
+    * (ref `src/import_xml_history.py:94-98`) */
+  def unitPrice(total: Column, qty: Column): Column =
+    when(qty > 0, round(total / qty, 4)).otherwise(lit(0.0))
+
+  /** F9 — stringify + strip (pandas `.astype(str).str.strip()`). */
+  def strTrim(c: Column): Column = trim(c.cast("string"))
+
+  /** F10 — alphanumeric gate (MAWB validation, ref `process_excel_order.py:65`). */
+  def isAlnum(c: Column): Column = c.rlike("^[A-Za-z0-9]+$")
+
+  /** F13 — null-sentinel rejection: 'nan'/'none'/'' are not values.
+    * (ref `process_excel_order.py:45,56`) */
+  def isRealValue(c: Column): Column =
+    c.isNotNull && !lower(trim(c)).isin("nan", "none", "")
+
+  // --------------------------------------------------------------------
+  // Exact-at-any-scale money arithmetic
+  // --------------------------------------------------------------------
+
+  /** Money as integer cents. Summing doubles is order-dependent, and at
+    * 1000-executor scale the combine order is nondeterministic — integer
+    * cents make every money aggregate bit-exact and reproducible. */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // --------------------------------------------------------------------
+  // Text-corpus primitives (dedup / quality / fingerprinting)
+  // --------------------------------------------------------------------
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Word k-shingles: overlapping k-grams of the token stream, the unit of
+    * MinHash / Jaccard document similarity. Empty array when < k tokens. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash value: min over shingles of a seeded 64-bit hash. Seeding
+    * is done by prepending the seed to the hashed tuple, so each of the n
+    * signature positions is an independent permutation approximation. */
+  def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+
+  /** Full n-position MinHash signature as array<long>. */
+  def minhashSignature(shingleCol: Column, n: Int): Column =
+    array((0 until n).map(seed => minhash(shingleCol, seed)): _*)
+
+  /** LSH band hashes: split an n-hash signature into `bands` bands of
+    * n/bands rows each; two documents collide in a band iff that slice of
+    * their signatures is identical. Emits array<struct<band:int,bucket:long>>
+    * ready to explode into a bucket-join. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(lit(b), array_join(
+          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+            h => h.cast("string")), ",")).as("bucket"))
+    }: _*)
+
+  /** 64-bit SimHash bit aggregates: for bit position i, +1 if set in the
+    * token hash else -1; caller sums per document and takes sign. Returns
+    * the per-token array<int> of 64 signed bit contributions. (shiftright
+    * via call_function: the Scala API only takes literal shift amounts.) */
+  def simhashBits(tokenHash: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => when(call_function("shiftright", tokenHash, i.cast("int"))
+        .bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1)))
+
+  /** Deterministic document fingerprint (content hash of normalized text). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  /** Cosine similarity of two float-vector columns, double-precision,
+    * sequential accumulation. Custom codegen'd expression — see
+    * [[CosineSimilarity]]. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Builtin-composed cosine (higher-order functions) — the fallback path
+    * kept for plans that must stay expressible without the custom
+    * expression; ~3-5× slower than [[cosineSim]] (no codegen). */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = aggregate(ad, lit(0.0), (s, x) => s + x * x)
+    val nb = aggregate(bd, lit(0.0), (s, x) => s + x * x)
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+}

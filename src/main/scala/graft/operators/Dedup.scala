@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Corpus deduplication operators for the extended (training-data pipeline)
+  * surface: exact, MinHash+LSH, SimHash, exact n-gram Jaccard, and
+  * embedding-cosine near-duplicate detection.
+  *
+  * All variants are pure DataFrame plans (no driver-side loops, no UDFs in
+  * the per-row hot path) so they scale with executor count; the pair-finding
+  * variants all use *blocking joins* (bucket / shingle / sign-bucket) so no
+  * O(n²) cross product ever materializes.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint: one row per
+    * duplicated fingerprint with the keeper id (min), the duplicate count,
+    * and the ids removed. Scale: single hash aggregation on a 128-bit key —
+    * the canonical first pass of any 100 TB dedup. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"), min(idCol).as("keeper_id"))
+      .where(col("n_dups") > 1)
+
+  /** Distinct word-`k`-shingle sets per document (the Jaccard universe). */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(shingles(col(textCol), k)).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** Exact pairwise word-k-gram Jaccard ≥ `minJaccard`, via a lossless
+    * shingle-blocking join: any pair with Jaccard > 0 shares ≥ 1 shingle, so
+    * joining on exploded shingles generates every qualifying candidate
+    * exactly once per shared shingle; the group-count IS the intersection
+    * size. Output: (id_a < id_b, intersection, size_a, size_b, jaccard).
+    *
+    * Scale: explode → self-equi-join on the shingle — shuffles by shingle
+    * hash, so hot (stop-phrase) shingles are the skew risk; production runs
+    * cap shingle document-frequency first (see `maxShingleDf`), which AQE
+    * skew-split backstops. No cross product at any point. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, minJaccard: Double,
+                        maxShingleDf: Option[Int] = None): DataFrame = {
+    val withSets = docShingles(docs, idCol, textCol, k)
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = withSets.select(col("doc"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val filtered = maxShingleDf match {
+      case Some(maxDf) =>
+        val hot = exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+        exploded.join(hot, Seq("shingle"), "left_anti")
+      case None => exploded
+    }
+    val l = filtered.select(col("shingle"), col("doc").as("id_a"), col("n_sh").as("size_a"))
+    val r = filtered.select(col("shingle"), col("doc").as("id_b"), col("n_sh").as("size_b"))
+    l.join(r, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("intersection"))
+      .withColumn("union_size", col("size_a") + col("size_b") - col("intersection"))
+      .withColumn("jaccard", col("intersection") / col("union_size"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "intersection", "size_a", "size_b")
+  }
+
+  /** MinHash + LSH near-duplicate pairs: n-hash signatures split into
+    * `bands`, candidate pairs from band-bucket collisions, then an EXACT
+    * Jaccard confirmation on the candidates (so precision is 1; recall is
+    * the standard 1-(1-j^r)^b curve of the banding scheme).
+    *
+    * Scale: signatures are computed scan-side in one pass (no shuffle);
+    * candidates come from a groupBy on (band, bucket) — data moved is
+    * #docs × #bands tiny rows, never the corpus text; only confirmed
+    * candidates rejoin their shingle sets. This is the shape that survives
+    * 100 TB: the only join keyed on raw content is over candidate ids. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, numHashes: Int, bands: Int,
+                      minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val withSets = docShingles(docs, idCol, textCol, k)
+    val sig = withSets.select(col("doc"), col("sh"),
+      lshBands(minhashSignature(col("sh"), numHashes), bands, rows).as("bb"))
+    val buckets = sig.select(col("doc"), explode(col("bb")).as("b"))
+      .select(col("doc"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val l = buckets.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val r = buckets.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = withSets.select(col("doc"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size",
+        size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
+      .withColumn("jaccard", col("intersection") / col("union_size"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "intersection")
+  }
+
+  /** 64-bit SimHash per document, computed entirely row-local (tokens →
+    * seeded 64-bit hash → signed bit votes folded with higher-order
+    * functions → sign bits packed into a long). Zero shuffles for the
+    * fingerprint itself. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, simhashBits(xxhash64(t)), (a, b) => a + b))
+    val packed = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (s, x) => s.bitwiseOR(x))
+    docs.select(col(idCol).as("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
+    * using the standard pigeonhole blocking: split the 64-bit fingerprint
+    * into `maxHamming + 1` chunks — any pair within distance d agrees on at
+    * least one chunk — and join per chunk. Only candidate pairs pay the
+    * XOR + popcount check. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val fps = simhash(docs, idCol, textCol)
+    val blocked = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.chunk").as("chunk"), col("b.key").as("key"))
+    val l = blocked.select(col("chunk"), col("key"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val r = blocked.select(col("chunk"), col("key"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ `minCosine`. Blocking by
+    * sign-bit bucket (random-hyperplane LSH along fixed coordinate planes)
+    * keeps the self-join from going quadratic; `exact = true` skips blocking
+    * (test-scale ground truth). */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, exact: Boolean = false,
+                     signDims: Int = 4): DataFrame = {
+    val base = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val (l, r) =
+      if (exact) {
+        (base.select(col("vid").as("id_a"), col("v").as("v_a")),
+          base.select(col("vid").as("id_b"), col("v").as("v_b")))
+      } else {
+        val bucketed = base.withColumn("bucket", Similarity.signBucket(col("v"), signDims))
+        (bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a")),
+          bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b")))
+      }
+    val joined = if (exact) l.crossJoin(r) else l.join(r, Seq("bucket"))
+    joined.where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
+      .where(col("cos") >= minCosine)
+      .select("id_a", "id_b")
+  }
+}

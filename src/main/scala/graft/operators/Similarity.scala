@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers: brute-force cosine top-k (the exact baseline — a broadcast
+  * join of the query set against the corpus, one scan, no corpus shuffle),
+  * and a sign-bucket LSH variant (random-hyperplane buckets along fixed
+  * coordinate planes) that prunes the candidate set for scale.
+  */
+object Similarity {
+
+  /** Deterministic coarse bucket: the sign bits of the first `dims`
+    * components packed into an int — a fixed-hyperplane LSH code. At 100 TB
+    * this is the partition key: the corpus is written bucketed by this code
+    * so a query touches only its own bucket's files (partition pruning). */
+  def signBucket(vec: Column, dims: Int): Column =
+    (0 until dims).map { d =>
+      when(element_at(vec, d + 1) > 0f, lit(1 << d)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-`k` cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast); the corpus is scanned exactly once. The
+    * per-query ranking window partitions by query id, so the shuffle volume
+    * is |queries| × |corpus| score rows — for big query sets switch to the
+    * bucketed variant below. Ties break by neighbor id (deterministic). */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Bucketed ANN: queries search only their own sign bucket. Same output
+    * shape as [[knnBruteForce]]; recall < 1 by construction (standard LSH
+    * trade) but the scanned fraction drops ~2^dims-fold. */
+  def knnBucketed(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  signDims: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      signBucket(col(vecCol), signDims).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      signBucket(col(vecCol), signDims).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}
