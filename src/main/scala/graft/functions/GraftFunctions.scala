@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CosineSimilarity, NfkcNormalize}
 
 /** The engine's scalar-function surface: every cleansing / normalization
   * expression of the reference system re-expressed as a `Column => Column`

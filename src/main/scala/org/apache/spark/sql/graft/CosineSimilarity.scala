@@ -1,4 +1,4 @@
-package graft.functions
+package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}

@@ -1,4 +1,4 @@
-package graft.functions
+package org.apache.spark.sql.graft
 
 import java.text.Normalizer
 
