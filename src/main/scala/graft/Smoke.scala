@@ -16,11 +16,7 @@ import graft.functions.GraftFunctions._
 object Smoke {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

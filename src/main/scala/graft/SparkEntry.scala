@@ -1,13 +1,731 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, GroupedMode, LinkAlign, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract: one named query per implemented operator of SURVEY.md §2
+  * plus the extended (LLM-data-pipeline) surface, each with a DuckDB-oracle
+  * ANSI-SQL twin where the semantics are SQL-expressible (hash-based ops
+  * like MinHash/SimHash/xxhash fingerprints get rows-only checks and are
+  * instead pinned by ScalaTest suites).
+  *
+  * Column names are aliased identically in the Spark plan and the oracle SQL
+  * (the driver sorts columns by name and hashes values). Derived integers
+  * are cast to long on both sides; timestamps are emitted as formatted
+  * strings; money sums use integer micro/cent units — double-sum ordering is
+  * nondeterministic at cluster scale, integer sums are exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
+    * reference's end-to-end "knowledge extraction" pipeline (E3,
+    * ref `src/batch_train.py:54-176`) re-expressed on the test star schema. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    e3KnowledgeBase(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // E3 — the reference's analytical spine (link → gate → align → vote)
+  // ====================================================================
+
+  /** Manifest-side analog: 'F'-linestatus items play `table_a_raw` rows;
+    * part names play the informal goods descriptions. */
+  private def e3SideA(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").where(col("l_linestatus") === "F")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(
+        linkKey(concat(lit("m-"), col("l_orderkey").cast("string")),
+          concat(lit("h/"), col("l_orderkey").cast("string"))).as("link_key"),
+        col("l_linenumber").as("a_ln"), col("l_partkey").as("a_pk"),
+        col("l_suppkey").as("a_sk"),
+        col("p_name").as("desc_raw"))
+
+  /** Declaration-side analog: 'A'-returnflag items play `table_b_history`;
+    * brand/type play the official description + tariff code. */
+  private def e3SideB(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").where(col("l_returnflag") === "A")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(
+        linkKey(concat(lit("m-"), col("l_orderkey").cast("string")),
+          concat(lit("h/"), col("l_orderkey").cast("string"))).as("link_key"),
+        col("l_linenumber").as("b_ln"), col("l_partkey").as("b_pk"),
+        col("l_suppkey").as("b_sk"),
+        col("p_brand").as("official_description"), col("p_type").as("ccc_code"))
+
+  private def e3KnowledgeBase(s: SparkSession, dir: String): DataFrame = {
+    val aligned = LinkAlign.alignByOrdinal(
+      e3SideA(s, dir), e3SideB(s, dir), "link_key",
+      Seq(col("a_ln"), col("a_pk"), col("a_sk")),
+      Seq(col("b_ln"), col("b_pk"), col("b_sk")))
+    val pairs = aligned.select(
+      normalizeText(col("desc_raw")).as("original_description"),
+      col("official_description"), col("ccc_code"))
+    GroupedMode.modeBy(pairs, Seq("original_description"),
+      Seq("official_description", "ccc_code"), "frequency")
+  }
+
+  /** DuckDB twin of [[graft.functions.GraftFunctions.normalizeText]] for
+    * ASCII inputs (NFKC is the identity on ASCII; the non-ASCII path is
+    * pinned by ScalaTest instead). */
+  private def normSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(" +
+      s"list_extract(string_split(upper($expr), '/'), -1), " +
+      s"'[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private def linkKeySql(mawb: String, hawb: String): String =
+    s"upper(regexp_replace($mawb, '[\\s/-]', '', 'g')) || '_' || " +
+      s"upper(regexp_replace($hawb, '[\\s/-]', '', 'g'))"
+
+  private val e3KeySql =
+    linkKeySql("'m-' || CAST(l_orderkey AS VARCHAR)",
+      "'h/' || CAST(l_orderkey AS VARCHAR)")
+
+  private val e3Sql: String =
+    s"""WITH a AS (
+       |  SELECT $e3KeySql AS link_key, p_name AS desc_raw,
+       |         row_number() OVER (PARTITION BY l_orderkey
+       |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_linestatus = 'F'
+       |), b AS (
+       |  SELECT $e3KeySql AS link_key, p_brand AS official_description,
+       |         p_type AS ccc_code,
+       |         row_number() OVER (PARTITION BY l_orderkey
+       |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_returnflag = 'A'
+       |), ca AS (SELECT link_key, count(*) AS c FROM a GROUP BY 1),
+       |cb AS (SELECT link_key, count(*) AS c FROM b GROUP BY 1),
+       |valid AS (SELECT ca.link_key FROM ca JOIN cb USING (link_key)
+       |          WHERE ca.c = cb.c),
+       |pairs AS (
+       |  SELECT ${normSql("a.desc_raw")} AS original_description,
+       |         b.official_description, b.ccc_code
+       |  FROM a JOIN valid USING (link_key)
+       |         JOIN b ON a.link_key = b.link_key AND a.rn = b.rn
+       |), votes AS (
+       |  SELECT original_description, official_description, ccc_code,
+       |         count(*) AS frequency
+       |  FROM pairs GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY original_description
+       |    ORDER BY frequency DESC, official_description, ccc_code) AS rn
+       |  FROM votes)
+       |SELECT original_description, official_description, ccc_code, frequency
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  // ====================================================================
+  // Query registry
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- scans / projections / filters ----------
+    "s7_scan_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .where(col("l_quantity") > 30 && col("l_returnflag") === "A")),
+
+    "s11_lineage" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(input_file_name(), "([^/]+)\\.parquet", 1)
+          .as("source_stem"))),
+
+    "p_null_gate" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .where(col("o_custkey").isNotNull && col("o_orderstatus").isNotNull &&
+          trim(col("o_orderstatus")) =!= "")),
+
+    // ---------- aggregations ----------
+    "a1_group_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"))),
+
+    "a2_vote_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_votes"))),
+
+    "a3_grouped_mode" -> ((s, dir) =>
+      GroupedMode.modeBy(t(s, dir, "documents"), Seq("source"), Seq("lang"),
+        "frequency")),
+
+    "a4_scalar_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))),
+
+    "a5_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("running_n"))
+    }),
+
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+        count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", col("sum_qty") / col("n_rows"))),
+
+    // ---------- joins ----------
+    "j1j2_count_match" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      LinkAlign.countMatchedKeys(
+        li.where(col("l_linestatus") === "F"),
+        li.where(col("l_returnflag") === "A"), "l_orderkey")
+    }),
+
+    "j3_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val valid = LinkAlign.countMatchedKeys(
+        li.where(col("l_linestatus") === "F"),
+        li.where(col("l_returnflag") === "A"), "l_orderkey")
+      li.join(valid, Seq("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    "j4_ordinal_align" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.where(col("l_linestatus") === "F").select(
+        col("l_orderkey"), col("l_quantity").as("qty_a"),
+        col("l_extendedprice").as("price_a"),
+        col("l_linenumber").as("a_ln"), col("l_partkey").as("a_pk"),
+        col("l_suppkey").as("a_sk"))
+      val b = li.where(col("l_returnflag") === "A").select(
+        col("l_orderkey"), col("l_quantity").as("qty_b"),
+        col("l_extendedprice").as("price_b"),
+        col("l_linenumber").as("b_ln"), col("l_partkey").as("b_pk"),
+        col("l_suppkey").as("b_sk"))
+      LinkAlign.alignByOrdinal(a, b, "l_orderkey",
+        Seq(col("a_ln"), col("a_pk"), col("a_sk")),
+        Seq(col("b_ln"), col("b_pk"), col("b_sk")))
+        .select("l_orderkey", "qty_a", "price_a", "qty_b", "price_b")
+    }),
+
+    "j_anti_orphans" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"),
+          "left_anti")
+        .select("o_orderkey", "o_orderstatus")),
+
+    "e3_knowledge_base" -> ((s, dir) => e3KnowledgeBase(s, dir)),
+
+    // ---------- windows ----------
+    "w1_item_seq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        row_number().over(Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_partkey", "l_suppkey"))
+          .cast("long").as("item_seq"))
+    }),
+
+    "w2_cumcount" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")))
+          .cast("long").as("seq"))
+    }),
+
+    "w3_ffill" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val gappy = when(col("l_returnflag") === "N", lit(null))
+        .otherwise(col("l_extendedprice"))
+      li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        ffill(gappy, Seq(col("l_orderkey")),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+          .as("filled_price"))
+    }),
+
+    // ---------- sorts / limits / set ops ----------
+    "o1_topk_sort" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "o3_limit_probe" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey")
+        .orderBy(col("o_orderkey").asc).limit(1)),
+
+    "o4_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.where(col("o_orderstatus") === "O").select("o_orderkey", "o_orderstatus")
+        .unionByName(
+          o.where(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderstatus"))
+    }),
+
+    "set_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+        .intersect(
+          t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+            .distinct())),
+
+    // ---------- scalar functions ----------
+    "f_clean_keys" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        cleanDocNo(concat(lit("BY/  /"), col("l_orderkey").cast("string"),
+          lit(" /"), col("l_partkey").cast("string"))).as("doc_no"),
+        cleanWaybill(concat(lit("mw-"), col("l_orderkey").cast("string"),
+          lit(" /x"))).as("waybill"),
+        linkKey(concat(lit("M"), col("l_orderkey").cast("string")),
+          concat(lit("h/"), col("l_suppkey").cast("string"))).as("link_key"),
+        lit("TWD").as("currency"), lit("PENDING").as("processing_status"))),
+
+    "f_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        normalizeText(col("text")).as("norm_text"))),
+
+    "f_iso_date" -> ((s, dir) => {
+      val iso = date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss+08:00")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        date_format(isoDate(iso), "yyyy-MM-dd").as("ship_date"))
+    }),
+
+    "f_num_coerce_json" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        numOrZero(get_json_object(col("props"), "$.k")).as("k_value"),
+        numOrZero(col("event_type")).as("not_a_number"))),
+
+    // Rounding mode itself (bround, Python-parity) is pinned by ScalaTest;
+    // the oracle compares floor-scaled integers because DuckDB's float-path
+    // round() and Spark's BigDecimal round() disagree in the last ulp.
+    "f_unit_price" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        when(col("l_quantity") > 0,
+          floor(col("l_extendedprice") / col("l_quantity") * 10000))
+          .otherwise(lit(0L)).as("unit_price_e4"))),
+
+    "f_validate" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        strTrim(col("c_name")).as("name_trim"),
+        isAlnum(col("c_name")).as("name_alnum"),
+        isRealValue(col("c_mktsegment")).as("seg_real"))),
+
+    // ---------- events: JSON + event-time windows ----------
+    "events_hourly_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000000)).as("value_micros"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"), col("n_events"), col("value_micros"))),
+
+    // ---------- dedup ----------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(
+        t(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("text")),
+        "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, minJaccard = 0.8)),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, numHashes = 32, bands = 8, minJaccard = 0.8)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.4)),
+
+    // ---------- similarity search ----------
+    "knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    "knn_bucketed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnBucketed(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // ---------- text analysis ----------
+    "text_language_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_alpha").cast("long").as("n_alpha"),
+          col("n_punct").cast("long").as("n_punct"),
+          col("n_stopwords").cast("long").as("n_stopwords"),
+          col("mean_token_len"), col("quality_ok"))),
+
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))),
+
+    "text_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---------- multimodal plumbing (stub codec; see Multimodal) ----------
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeAssets(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF()),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", n = 3, frameBytes = 16))
+  )
+
+  // ====================================================================
+  // DuckDB oracle twins (ANSI SQL over the same parquet tables). Keys
+  // absent here (minhash/simhash/fingerprints/multimodal) use hash
+  // functions or stub codecs with no DuckDB equivalent — they get the
+  // driver's rows-only check plus ScalaTest pinning.
+  // ====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "s7_scan_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'""".stripMargin,
+
+    "s11_lineage" ->
+      "SELECT doc_id, 'documents' AS source_stem FROM documents",
+
+    "p_null_gate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  AND trim(o_orderstatus) <> ''""".stripMargin,
+
+    "a1_group_count" ->
+      "SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1",
+
+    "a2_vote_count" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_votes
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "a3_grouped_mode" ->
+      """WITH votes AS (
+        |  SELECT source, lang, count(*) AS frequency
+        |  FROM documents GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY frequency DESC, lang) AS rn FROM votes)
+        |SELECT source, lang, frequency FROM ranked WHERE rn = 1""".stripMargin,
+
+    "a4_scalar_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+
+    "a5_running_total" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "j1j2_count_match" ->
+      """WITH ca AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |            WHERE l_linestatus = 'F' GROUP BY 1),
+        |     cb AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |            WHERE l_returnflag = 'A' GROUP BY 1)
+        |SELECT ca.l_orderkey FROM ca JOIN cb USING (l_orderkey)
+        |WHERE ca.c = cb.c""".stripMargin,
+
+    "j3_semi_join" ->
+      """WITH ca AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |            WHERE l_linestatus = 'F' GROUP BY 1),
+        |     cb AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |            WHERE l_returnflag = 'A' GROUP BY 1),
+        |     valid AS (SELECT ca.l_orderkey FROM ca JOIN cb USING (l_orderkey)
+        |               WHERE ca.c = cb.c)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM valid)""".stripMargin,
+
+    "j4_ordinal_align" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_quantity AS qty_a, l_extendedprice AS price_a,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM lineitem WHERE l_linestatus = 'F'
+        |), b AS (
+        |  SELECT l_orderkey, l_quantity AS qty_b, l_extendedprice AS price_b,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |), ca AS (SELECT l_orderkey, count(*) AS c FROM a GROUP BY 1),
+        |cb AS (SELECT l_orderkey, count(*) AS c FROM b GROUP BY 1),
+        |valid AS (SELECT ca.l_orderkey FROM ca JOIN cb USING (l_orderkey)
+        |          WHERE ca.c = cb.c)
+        |SELECT a.l_orderkey, a.qty_a, a.price_a, b.qty_b, b.price_b
+        |FROM a JOIN valid USING (l_orderkey)
+        |       JOIN b ON a.l_orderkey = b.l_orderkey AND a.rn = b.rn""".stripMargin,
+
+    "j_anti_orphans" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "e3_knowledge_base" -> e3Sql,
+
+    "w1_item_seq" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS item_seq
+        |FROM lineitem""".stripMargin,
+
+    "w2_cumcount" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |FROM events""".stripMargin,
+
+    "w3_ffill" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  last_value(CASE WHEN l_returnflag = 'N' THEN NULL
+        |                  ELSE l_extendedprice END IGNORE NULLS)
+        |    OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber, l_partkey, l_suppkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_price
+        |FROM lineitem""".stripMargin,
+
+    "o1_topk_sort" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "o3_limit_probe" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1",
+
+    "o4_union_all" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT DISTINCT c_custkey AS custkey FROM customer""".stripMargin,
+
+    "f_clean_keys" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  regexp_replace('BY/  /' || CAST(l_orderkey AS VARCHAR) || ' /'
+         |    || CAST(l_partkey AS VARCHAR), '[ \\n/]', '', 'g') AS doc_no,
+         |  upper(regexp_replace('mw-' || CAST(l_orderkey AS VARCHAR) || ' /x',
+         |    '[\\s/-]', '', 'g')) AS waybill,
+         |  ${linkKeySql("'M' || CAST(l_orderkey AS VARCHAR)",
+             "'h/' || CAST(l_suppkey AS VARCHAR)")} AS link_key,
+         |  'TWD' AS currency, 'PENDING' AS processing_status
+         |FROM lineitem""".stripMargin,
+
+    "f_normalize_text" ->
+      s"SELECT doc_id, ${normSql("text")} AS norm_text FROM documents",
+
+    "f_iso_date" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  split_part(strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S+08:00'), 'T', 1)
+        |    AS ship_date
+        |FROM lineitem""".stripMargin,
+
+    "f_num_coerce_json" ->
+      """SELECT event_id,
+        |  coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+        |    AS k_value,
+        |  coalesce(TRY_CAST(event_type AS DOUBLE), 0.0) AS not_a_number
+        |FROM events""".stripMargin,
+
+    "f_unit_price" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CASE WHEN l_quantity > 0
+        |       THEN CAST(floor(l_extendedprice / l_quantity * 10000) AS BIGINT)
+        |       ELSE 0 END AS unit_price_e4
+        |FROM lineitem""".stripMargin,
+
+    "f_validate" ->
+      """SELECT c_custkey, trim(c_name) AS name_trim,
+        |  regexp_matches(c_name, '^[A-Za-z0-9]+$') AS name_alnum,
+        |  (c_mktsegment IS NOT NULL AND
+        |   NOT lower(trim(c_mktsegment)) IN ('nan', 'none', '')) AS seg_real
+        |FROM customer""".stripMargin,
+
+    "events_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micros
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         md5(${normSql("substring(text, 1, 40)")}) AS fp
+         |  FROM documents)
+         |SELECT fp, count(*) AS n_dups, min(doc_id) AS keeper_id
+         |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 1),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+        |  FROM ex a JOIN ex b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b
+        |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+        |           JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(intersection AS DOUBLE)
+        |      / (sa.n + sb.n - intersection) >= 0.8""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b USING (bucket)
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "knn_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+        |      FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "text_language_id" -> {
+      val markers = TextAnalysis.markers
+      val scoreCols = markers.map { case (lang, ws) =>
+        ws.map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", s") AS score_$lang")
+      }.mkString(",\n  ")
+      val best = markers.map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = markers.map { case (l, _) =>
+        s"WHEN $best > 0 AND score_$l = $best THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id,
+         |  $scoreCols
+         |  FROM tk)
+         |SELECT doc_id, ${markers.map { case (l, _) => s"score_$l" }.mkString(", ")},
+         |  $pred AS lang_pred
+         |FROM scored""".stripMargin
+    },
+
+    "text_quality" -> {
+      val enStop = TextAnalysis.markers.toMap.apply("en")
+      // n_stopwords counts HITS over the token stream (with repeats), so the
+      // oracle filters the full list, not the distinct set
+      s"""WITH tk AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS BIGINT)
+         |      AS n_alpha,
+         |    CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |      AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(toks,
+         |      x -> x IN (${enStop.map(w => s"'$w'").mkString(", ")})))
+         |      AS BIGINT) AS n_stopwords
+         |  FROM tk)
+         |SELECT doc_id, n_chars, n_tokens, n_alpha, n_punct, n_stopwords,
+         |  CAST(n_alpha AS DOUBLE) / n_tokens AS mean_token_len,
+         |  (n_tokens >= 10 AND CAST(n_alpha AS DOUBLE) / n_tokens >= 2.0
+         |   AND n_punct * 5 <= n_chars) AS quality_ok
+         |FROM m""".stripMargin
+    },
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{CosineSimilarity, NfkcNormalize}
 
@@ -58,9 +59,11 @@ object GraftFunctions {
     coalesce(c.try_cast("double"), lit(0.0))
 
   /** F7 — guarded derived unit price: `round(total/qty, 4)` iff qty > 0.
-    * (ref `src/import_xml_history.py:94-98`) */
+    * (ref `src/import_xml_history.py:94-98`) `bround` (HALF_EVEN), because
+    * the reference's Python `round` is banker's rounding — `round()`
+    * (HALF_UP) would differ on exact .xxxx5 midpoints. */
   def unitPrice(total: Column, qty: Column): Column =
-    when(qty > 0, round(total / qty, 4)).otherwise(lit(0.0))
+    when(qty > 0, bround(total / qty, 4)).otherwise(lit(0.0))
 
   /** F9 — stringify + strip (pandas `.astype(str).str.strip()`). */
   def strTrim(c: Column): Column = trim(c.cast("string"))
@@ -72,6 +75,17 @@ object GraftFunctions {
     * (ref `process_excel_order.py:45,56`) */
   def isRealValue(c: Column): Column =
     c.isNotNull && !lower(trim(c)).isin("nan", "none", "")
+
+  /** W3 — forward-fill (pandas `ffill`, ref `process_excel_order.py:94,146`):
+    * last non-null value of `c` at or before the current row, per partition,
+    * in `order` order. The one reference operator needing an explicit window
+    * frame. Partitioned — never a single global window — so it scales: the
+    * reference's use is per-file (merged header cells), and the partition
+    * key is the file/bill, keeping each frame bounded. */
+  def ffill(c: Column, partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
+    last(c, ignoreNulls = true).over(
+      Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   // --------------------------------------------------------------------
   // Exact-at-any-scale money arithmetic
@@ -106,9 +120,21 @@ object GraftFunctions {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
 
-  /** Full n-position MinHash signature as array<long>. */
+  /** Full n-position MinHash signature as array<long>, folded SHINGLE-major:
+    * one pass over the shingle array, each shingle contributing its n seeded
+    * hashes via element-wise min. The seed-major formulation
+    * (`transform(seeds, _ => array_min(transform(shingles, ...)))`) puts the
+    * shingle expression inside the per-seed lambda — if Catalyst collapses
+    * the shingle-producing projection into it, the whole tokenize+shingle
+    * pipeline re-executes once PER SEED per row (measured 30x slowdown at
+    * n=32). Here the shingle column is the aggregate input, evaluated
+    * exactly once per row no matter what gets inlined. */
   def minhashSignature(shingleCol: Column, n: Int): Column =
-    array((0 until n).map(seed => minhash(shingleCol, seed)): _*)
+    aggregate(shingleCol,
+      array_repeat(lit(Long.MaxValue), n),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(n - 1)), seed => xxhash64(seed, s)),
+        (a, b) => least(a, b)))
 
   /** LSH band hashes: split an n-hash signature into `bands` bands of
     * n/bands rows each; two documents collide in a band iff that slice of

@@ -30,11 +30,18 @@ object Similarity {
     * is |queries| × |corpus| score rows — for big query sets switch to the
     * bucketed variant below. Ties break by neighbor id (deterministic). */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame,
-                    idCol: String, vecCol: String, k: Int): DataFrame = {
+                    idCol: String, vecCol: String, k: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+    val joined = c.crossJoin(broadcast(q))
+    // Self-exclusion is opt-out: correct for self-search (corpus == queries);
+    // when corpus and queries are distinct datasets whose ids merely collide,
+    // pass excludeSelf = false so legitimate neighbors aren't dropped.
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val scored = kept.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,14 +54,16 @@ object Similarity {
     * trade) but the scanned fraction drops ~2^dims-fold. */
   def knnBucketed(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  signDims: Int = 4): DataFrame = {
+                  signDims: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       signBucket(col(vecCol), signDims).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       signBucket(col(vecCol), signDims).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+    val joined = c.join(broadcast(q), "bucket")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val scored = kept.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -77,11 +77,14 @@ object TextAnalysis {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
 
   /** Content fingerprints: MD5 of normalized text (exact-dup key) plus a
-    * 64-bit polynomial rolling hash over the token stream (shift-invariant
-    * content signature), both row-local. */
+    * 64-bit chained rolling hash over the token stream (order-sensitive
+    * content signature), both row-local. The rolling fold re-hashes the
+    * accumulator with each token (`h = xxhash64(h, token)`) instead of a
+    * polynomial multiply — same signature properties, no long overflow
+    * under ANSI mode. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rolling = aggregate(tokens(col(textCol)), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+      (acc, t) => xxhash64(acc, t))
     docs.select(
       col(idCol),
       fingerprint(col(textCol)).as("md5_fp"),
