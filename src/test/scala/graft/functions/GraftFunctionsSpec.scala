@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+
+/** Expression-table tests pinning the Python↔JVM semantic deltas called out
+  * in SURVEY §7 (NFKC, Unicode \w, coerce-to-zero, banker's rounding). */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private def eval1(in: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(in).toDF("s").select(f($"s").cast("string")).first().getString(0)
+  }
+
+  test("NFKC: full-width -> half-width, circled digits, CJK preserved") {
+    assert(eval1("Ｐｏｌｏ衫", nfkcNormalize) === "Polo衫")
+    assert(eval1("①②③", nfkcNormalize) === "123")
+    assert(eval1("ＵＳＢ", nfkcNormalize) === "USB")
+    assert(eval1("plain", nfkcNormalize) === "plain")
+  }
+
+  test("normalizeText: the reference pipeline (golden from training.log:21)") {
+    // NFKC + upper + last /-segment + punct->space + collapse + trim
+    assert(eval1("USB风扇", normalizeText) === "USB风扇")
+    assert(eval1("ｕｓｂ风扇", normalizeText) === "USB风扇")
+    assert(eval1("brand/model/usb fan!!", normalizeText) === "USB FAN")
+    assert(eval1("  a,b..c  ", normalizeText) === "A B C")
+    assert(eval1("中文，標點。測試", normalizeText) === "中文 標點 測試") // CJK kept, \w Unicode-aware
+  }
+
+  test("cleanDocNo: golden from import_xml_history.py docstring") {
+    assert(eval1("BY/  /14/440 /JM0H3", cleanDocNo) === "BY14440JM0H3")
+  }
+
+  test("cleanWaybill + linkKey hygiene") {
+    assert(eval1("ab- c/d", cleanWaybill) === "ABCD")
+    import spark.implicits._
+    val lk = Seq(("m w-1", "h/2")).toDF("m", "h")
+      .select(linkKey($"m", $"h")).first().getString(0)
+    assert(lk === "MW1_H2")
+  }
+
+  test("numOrZero: pandas errors='coerce' twin") {
+    for ((in, want) <- Seq("12.5" -> 12.5, "abc" -> 0.0, "" -> 0.0,
+        " 7 " -> 7.0, "1e2" -> 100.0))
+      assert(eval1(in, c => numOrZero(c)).toDouble === want, s"input '$in'")
+  }
+
+  test("unitPrice: banker's rounding (Python round parity) and qty<=0 guard") {
+    import spark.implicits._
+    def up(total: Double, qty: Double): Double =
+      Seq((total, qty)).toDF("t", "q")
+        .select(unitPrice($"t", $"q")).first().getDouble(0)
+    assert(up(10.0, 4.0) === 2.5)
+    assert(up(0.000125, 1.0) === 0.0001) // .00012|5 -> even -> down (HALF_UP would give 0.0001 too? no: 0.00013)
+    assert(up(0.000375, 1.0) === 0.0004) // .00037|5 -> even -> up
+    assert(up(5.0, 0.0) === 0.0)
+    assert(up(5.0, -1.0) === 0.0)
+  }
+
+  test("isoDate truncates ISO-8601 with timezone") {
+    assert(eval1("2025-03-22T00:00:00+08:00", c => isoDate(c)) === "2025-03-22")
+  }
+
+  test("isRealValue rejects nan/none/blank sentinels") {
+    import spark.implicits._
+    val got = Seq("x", "nan", "NaN", "none", "", "  ", "0")
+      .toDF("s").select(isRealValue($"s")).collect().map(_.getBoolean(0))
+    assert(got === Array(true, false, false, false, false, false, true))
+  }
+
+  test("shingles: overlapping k-grams, empty when too short") {
+    import spark.implicits._
+    val got = Seq("a b c d").toDF("s")
+      .select(shingles($"s", 2)).first().getSeq[String](0)
+    assert(got === Seq("a b", "b c", "c d"))
+    val short = Seq("only").toDF("s")
+      .select(shingles($"s", 2)).first().getSeq[String](0)
+    assert(short === Seq.empty)
+  }
+
+  test("minhashSignature: n independent positions, equal sets -> equal sigs") {
+    import spark.implicits._
+    val df = Seq("w1 w2 w3 w4 w5", "w3 w2 w1 w4 w5", "totally different words here")
+      .toDF("s").select(minhashSignature(array_distinct(shingles($"s", 1)), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length === 16)
+    assert(sigs(0) === sigs(1)) // same token SET (k=1 shingles)
+    assert(sigs(0) !== sigs(2))
+  }
+}

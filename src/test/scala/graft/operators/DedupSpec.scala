@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Pins the dedup family against each other: blocked variants must agree
+  * with (or be bounded by) the exact variants on the planted near-dups in
+  * the driver's documents table. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables(spark, sfDir, "documents").cache()
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact groups: duplicated prefixes found, keeper is min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val prefixed = docs.select($"doc_id", substring($"text", 1, 40).as("text"))
+    val groups = Dedup.exactGroups(prefixed, "doc_id", "text")
+    assert(groups.count() > 0)
+    assert(groups.where($"n_dups" < 2).count() === 0L)
+    assert(groups.where($"keeper_id".isNull).count() === 0L)
+  }
+
+  test("minhash LSH pairs == exact ngram-jaccard pairs at j>=0.8 (high-sim regime)") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.8))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 32, 8, 0.8))
+    assert(exact.nonEmpty) // the driver plants near-duplicates
+    // LSH confirms candidates with exact jaccard -> precision 1
+    assert(lsh.subsetOf(exact))
+    // banding (r=4, b=8) at j>=0.8: collision prob >= 1-(1-0.8^4)^8 ~ 0.985;
+    // on these planted ~0.99 dups recall should be total
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs collide at hamming 0; pairs are within threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    assert(pairs.where($"hamming" > 3).count() === 0L)
+    // self-check: duplicate the corpus with shifted ids; each doc must pair
+    // with its clone at hamming 0
+    val shifted = docs.select(($"doc_id" + 10000).as("doc_id"), $"text")
+    val both = docs.select("doc_id", "text").unionByName(shifted)
+    val clonePairs = Dedup.simhashPairs(both, "doc_id", "text", maxHamming = 0)
+    val found = pairSet(clonePairs.select($"id_a", $"id_b"))
+    val expected = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 10000)).toSet
+    assert(expected.subsetOf(found))
+  }
+
+  test("simhash blocking survives the width-64 edge (maxHamming=0 mask)") {
+    import org.apache.spark.sql.functions._
+    // regression for (1L << 64) - 1 == 0: with maxHamming=0 all keys were 0
+    // -> quadratic join; now the mask is -1L and only true duplicates pair
+    val tiny = docs.limit(50)
+    val pairs = Dedup.simhashPairs(tiny, "doc_id", "text", maxHamming = 0)
+    assert(pairs.where(col("hamming") =!= 0).count() === 0L)
+  }
+
+  test("embedding pairs: bucketed results are a subset of exact, above threshold") {
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val exact = pairSet(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3,
+      exact = true))
+    val blocked = pairSet(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3))
+    assert(blocked.subsetOf(exact))
+    assert(blocked.nonEmpty)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = graft.Tables(spark, sfDir, "embeddings").cache()
+
+  test("brute-force kNN: k rows per query, ranks dense from 1, no self matches") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val knn = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3).cache()
+    assert(knn.count() === 5L * 3)
+    val perQ = knn.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .where($"n" =!= 3 || $"lo" =!= 1 || $"hi" =!= 3).count()
+    assert(perQ === 0L)
+    assert(knn.where($"query_id" === $"neighbor_id").count() === 0L)
+  }
+
+  test("bucketed kNN returns only same-bucket neighbors, ranked consistently with brute force") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 5)
+    val brute = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 100)
+      .withColumnRenamed("rank", "brute_rank")
+    val bucketed = Similarity.knnBucketed(emb, q, "vec_id", "embedding", 3)
+    // every bucketed neighbor appears in the brute ranking, and relative
+    // order within a query is preserved (bucketing prunes, never reorders)
+    val joined = bucketed.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.count() === bucketed.count())
+    val inversions = joined.as[(Long, Long, Long, Long)] // q, n, rank, brute_rank
+      .collect().groupBy(_._1).values.map { rows =>
+        val sorted = rows.sortBy(_._3).map(_._4)
+        sorted.zip(sorted.tail).count { case (a, b) => a > b }
+      }.sum
+    assert(inversions === 0)
+  }
+
+  test("excludeSelf=false keeps id-colliding neighbors across distinct datasets") {
+    import spark.implicits._
+    val corpus = emb.limit(10)
+    val queries = emb.limit(10) // same ids, conceptually a different dataset
+    val kept = Similarity.knnBruteForce(corpus, queries, "vec_id", "embedding",
+      3, excludeSelf = false)
+    // the identical vector (cos=1) must now rank first for each query
+    val selfTop = kept.where($"rank" === 1 && $"query_id" === $"neighbor_id")
+    assert(selfTop.count() === 10L)
+  }
+}

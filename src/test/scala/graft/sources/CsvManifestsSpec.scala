@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CsvManifestsSpec extends SparkSpec {
+
+  private def fixture(name: String): String =
+    new java.io.File(s"src/test/resources/manifests/$name").getAbsolutePath
+
+  test("old format: named columns, header offset 3, ffill, filename-stem MAWB") {
+    import spark.implicits._
+    val df = CsvManifests.readManifest(spark, fixture("old_format.csv")).cache()
+    assert(df.count() === 3L)
+    // A1 is '主提單號碼:' (fails the alnum gate) -> MAWB from filename stem
+    assert(df.select("mawb_no").distinct().as[String].collect() ===
+      Array("old_format"))
+    // merged-cell ffill: the blank second row inherits HAWB001
+    val byItem = df.orderBy("hawb_no", "item_no")
+      .select("hawb_no", "item_no", "description_original", "qty")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(byItem === Array(
+      ("HAWB001", 1, "USB风扇", 10.0),
+      ("HAWB001", 2, "手機殼", 20.0),
+      ("HAWB002", 1, "紙袋", 5.0)))
+    assert(df.where($"currency" =!= "TWD" || $"processing_status" =!= "PENDING")
+      .count() === 0L)
+  }
+
+  test("new format: positional columns, header offset 2, cumcount item_no, A1 MAWB") {
+    import spark.implicits._
+    val df = CsvManifests.readManifest(spark, fixture("new_format.csv")).cache()
+    assert(df.count() === 3L)
+    assert(df.select("mawb_no").distinct().as[String].collect() ===
+      Array("IPC250403408EX"))
+    val rows = df.orderBy("hawb_no", "item_no")
+      .select("hawb_no", "item_no", "description_original", "qty", "unit_price",
+        "total_amount")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows === Array(
+      ("HAWB100", 1, "Toy, red", 3.0, 1.5, 4.5), // quoted comma survives
+      ("HAWB100", 2, "Pen", 2.0, 1.0, 2.0), // blank hawb ffilled, cumcount 2
+      ("HAWB200", 1, "Bag", 1.0, 9.9, 9.9)))
+  }
+
+  test("readAll unions both formats") {
+    val dir = new java.io.File("src/test/resources/manifests").getAbsolutePath
+    val all = CsvManifests.readAll(spark, dir)
+    assert(all.count() === 6L)
+    assert(all.columns.length === 15)
+  }
+
+  test("csv line splitter handles quotes and escaped quotes") {
+    assert(CsvManifests.splitCsvLine("""a,"b,c",d""") === Seq("a", "b,c", "d"))
+    assert(CsvManifests.splitCsvLine("a,\"say \"\"hi\"\"\",c") ===
+      Seq("a", "say \"hi\"", "c"))
+    assert(CsvManifests.splitCsvLine("a,,c") === Seq("a", "", "c"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sinks").toString
+
+  test("append sink accumulates batches") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Sinks.append(Seq(1, 2).toDF("v"), dir)
+    Sinks.append(Seq(3).toDF("v"), dir)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted === Array(1, 2, 3))
+  }
+
+  test("snapshot overwrite: first write takes no backup, second backs up old") {
+    import spark.implicits._
+    val root = tmp()
+    val target = s"$root/kb"
+    var t = 1700000000000L
+    val clock = () => { t += 1000; t }
+    val b1 = Sinks.snapshotOverwrite(spark, Seq("a").toDF("v"), target, root, clock)
+    assert(b1.isEmpty) // no previous snapshot
+    val b2 = Sinks.snapshotOverwrite(spark, Seq("b", "c").toDF("v"), target, root, clock)
+    assert(b2.isDefined && b2.get.contains("backup_"))
+    // target holds the new snapshot, backup holds the old
+    assert(spark.read.parquet(target).as[String].collect().sorted === Array("b", "c"))
+    assert(spark.read.parquet(b2.get).as[String].collect() === Array("a"))
+    // no staging leftovers
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.contains("staging"))
+    assert(leftovers.isEmpty)
+  }
+
+  test("streaming drain: AvailableNow drains the dir, archives inputs, is idempotent") {
+    val root = tmp()
+    val src = s"$root/inbox"; val out = s"$root/out"
+    val archive = s"$root/archive"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def drop(z: String): Unit = Files.copy(
+      java.nio.file.Paths.get(s"/root/reference/uploads/xml_history/processed/$z"),
+      java.nio.file.Paths.get(s"$src/$z"))
+    drop("IPC250403407EX.zip")
+    Sinks.drainDeclarations(spark, src, out, archive, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() === 2649L) // golden, import_xml.log
+    // second drain with a new file: processes only the new file (checkpoint)
+    // and archives the PREVIOUS batch's input (deferred cleanSource — the
+    // cleaner runs when a later batch executes)
+    drop("IPC250403408EX.zip")
+    Sinks.drainDeclarations(spark, src, out, archive, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() === 2649L + 2306L)
+    Thread.sleep(2000) // cleaner is async
+    def find(f: java.io.File): Seq[String] =
+      if (f.isFile) Seq(f.getName)
+      else Option(f.listFiles()).toSeq.flatten.flatMap(find)
+    assert(find(new java.io.File(archive)) === Seq("IPC250403407EX.zip"))
+    assert(new java.io.File(src).list().toSeq === Seq("IPC250403408EX.zip"))
+    // third drain, nothing new: no duplicate rows
+    Sinks.drainDeclarations(spark, src, out, archive, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() === 2649L + 2306L)
+    // per-(file, hawb) sequencing survived the streaming path
+    val bad = spark.read.parquet(out)
+      .groupBy("data_source_file", "hawb_no")
+      .agg(count(lit(1)).as("n"), max("item_sequence").as("hi"))
+      .where(col("hi") =!= col("n")).count()
+    assert(bad === 0L)
+  }
+}

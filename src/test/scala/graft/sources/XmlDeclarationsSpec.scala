@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden-count e2e tests for the zip/XML declaration reader against the
+  * reference's real production inputs; expected row counts come from the
+  * reference's own run logs (`import_xml.log:30264-30281`). */
+class XmlDeclarationsSpec extends SparkSpec {
+
+  private val processedDir = "/root/reference/uploads/xml_history/processed"
+
+  private lazy val processed =
+    XmlDeclarations.read(spark, processedDir).cache()
+
+  test("golden row counts per production zip (import_xml.log)") {
+    val counts = processed
+      .withColumn("zip", split(col("data_source_file"), "::").getItem(0))
+      .groupBy("zip").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("25040104EX.zip") === 8072L)
+    assert(counts("IPC250403408EX.zip") === 2306L)
+    assert(counts("IPC250403409EX.zip") === 3032L)
+    assert(counts("IPC250403407EX.zip") === 2649L)
+  }
+
+  test("item_sequence is a 1-based dense per-(file, hawb) sequence") {
+    import spark.implicits._
+    val bad = processed
+      .groupBy("data_source_file", "hawb_no")
+      .agg(count(lit(1)).as("n"), min("item_sequence").as("lo"),
+        max("item_sequence").as("hi"))
+      .where($"lo" =!= 1 || $"hi" =!= $"n")
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("cleansing: doc numbers have no spaces/slashes, dates are truncated") {
+    import spark.implicits._
+    assert(processed.where($"dcl_doc_no".rlike("[ \n/]")).count() === 0L)
+    // IMPORT_DATE like 2025-03-22T00:00:00+08:00 -> DATE 2025-03-22
+    assert(processed.where($"import_date".isNull).count() === 0L)
+    val d = processed.select(date_format($"import_date", "yyyy-MM-dd"))
+      .first().getString(0)
+    assert(d.matches("""\d{4}-\d{2}-\d{2}"""))
+  }
+
+  test("unit price is round(item_total/qty, 4) guarded by qty > 0") {
+    import spark.implicits._
+    val bad = processed
+      .where($"qty" > 0 &&
+        abs($"unit_price_calculated" - bround($"item_total_amount" / $"qty", 4))
+          > 1e-9)
+      .count()
+    assert(bad === 0L)
+    val zeroQty = processed.where($"qty" <= 0 && $"unit_price_calculated" =!= 0.0)
+    assert(zeroQty.count() === 0L)
+  }
+
+  test("zip junk members are skipped, lineage is zip::member") {
+    import spark.implicits._
+    val srcs = processed.select("data_source_file").distinct()
+    assert(srcs.where($"data_source_file".contains("__MACOSX")).count() === 0L)
+    assert(srcs.where(!$"data_source_file".contains("::")).count() === 0L)
+  }
+}
