@@ -114,6 +114,20 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct word-k-shingle HASHES: like [[shingles]] but each k-gram is
+    * hashed structurally (`xxhash64` over the token slice) instead of
+    * joined into a string — no per-shingle string building, long join keys
+    * instead of text, ~2x cheaper on the dedup hot path. Use when shingle
+    * identity (not content) is all that matters. */
+  def shingleHashes(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => xxhash64(slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** One MinHash value: min over shingles of a seeded 64-bit hash. Seeding
     * is done by prepending the seed to the hashed tuple, so each of the n
     * signature positions is an independent permutation approximation. */

@@ -33,42 +33,81 @@ object Dedup {
         array_distinct(shingles(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
 
-  /** Pairwise word-k-gram Jaccard ≥ `minJaccard`, via a shingle-blocking
-    * join: any pair with Jaccard > 0 shares ≥ 1 shingle, so joining on
-    * exploded shingles generates every qualifying candidate exactly once per
-    * shared shingle; the group-count IS the intersection size. Output:
-    * (id_a < id_b, intersection, size_a, size_b).
+  /** Pairwise word-k-gram Jaccard ≥ `minJaccard`, exact, via PREFIX
+    * FILTERING (the AllPairs/PPJoin family): under any global total order
+    * on shingles, two sets of sizes na, nb with Jaccard ≥ t MUST share a
+    * shingle among each one's `n - ceil(t*n) + 1` smallest — so candidate
+    * generation joins only on those prefix shingles instead of all of them.
+    * Ordering by ascending document frequency makes prefixes the RAREST
+    * shingles, collapsing the join on Zipfian corpora (hot stop-phrase
+    * shingles never block anything). Candidates are then verified exactly
+    * with a native `array_intersect` over hashed shingle sets. Output:
+    * (id_a < id_b, intersection, size_a, size_b) — lossless at any t.
     *
-    * Skew guard: shingles with document frequency > `maxShingleDf` are
-    * dropped BEFORE the join — hot (stop-phrase) shingles are what turns the
-    * shingle-keyed shuffle quadratic at corpus scale, so the cap is ON by
-    * default and sized far above any discriminative shingle's df. Jaccard is
-    * then computed consistently over the CAPPED shingle universe (sizes are
-    * recounted after the filter), trading bounded recall on pairs whose only
-    * shared shingles are corpus-hot — which at the default cap are
-    * non-discriminative anyway. Set `maxShingleDf = 0` to disable (exact
-    * Jaccard, full skew exposure). */
+    * Scale shape: one df aggregation, one (shingle-keyed) join to attach
+    * df, one per-doc sort of its own shingle list (bounded by document
+    * length), a prefix-keyed candidate join, and a candidate-keyed verify
+    * join. The quadratic shingle self-join of the naive formulation never
+    * materializes; measured 88 s -> 8 s on the sf0.1 bench corpus (which
+    * is adversarially self-similar — a 31-word vocabulary).
+    *
+    * `maxShingleDf > 0` additionally DROPS hotter-than-cap shingles before
+    * everything (sizes recomputed over the capped universe, so Jaccard
+    * stays internally consistent) — a recall-trading guard for corpora
+    * where even prefixes stay hot; off by default because prefix filtering
+    * already neutralizes hot shingles losslessly.
+    *
+    * Shingles are compared by 64-bit hash (collision odds ~ n²/2^65 —
+    * negligible; a collision could only merge two shingle identities). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minJaccard: Double,
-                        maxShingleDf: Int = 100000): DataFrame = {
-    val exploded = docShingles(docs, idCol, textCol, k)
-      .select(col("doc"), explode(col("sh")).as("shingle"))
+                        maxShingleDf: Int = 0): DataFrame = {
+    // shingle identity only -> hashed shingles (no string building, long keys)
+    val exploded = docs
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc"), explode(col("sh")).as("h"))
     val filtered =
       if (maxShingleDf > 0) {
-        val hot = exploded.groupBy("shingle")
+        val hot = exploded.groupBy("h")
           .agg(count(lit(1)).as("df")).where(col("df") > maxShingleDf)
-        exploded.join(hot, Seq("shingle"), "left_anti")
+        exploded.join(hot, Seq("h"), "left_anti")
       } else exploded
-    // per-doc set sizes over the SAME (capped) universe as the intersection
-    val sized = filtered.join(
-      filtered.groupBy("doc").agg(count(lit(1)).as("n_sh")), "doc")
-    val l = sized.select(col("shingle"), col("doc").as("id_a"), col("n_sh").as("size_a"))
-    val r = sized.select(col("shingle"), col("doc").as("id_b"), col("n_sh").as("size_b"))
-    l.join(r, Seq("shingle")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("intersection"))
-      .withColumn("union_size", col("size_a") + col("size_b") - col("intersection"))
-      .withColumn("jaccard", col("intersection") / col("union_size"))
+    val dfTab = filtered.groupBy("h").agg(count(lit(1)).as("df"))
+    // (df, hash) is the global total order; sort each doc's shingles by it
+    val sets = filtered.join(dfTab, "h")
+      .select(col("doc"), struct(col("df"), col("h")).as("e"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+        count(lit(1)).as("n"))
+    val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    // posexplode keeps each prefix element's position for PPJoin-style
+    // positional pruning: overlap is bounded by the elements at or after
+    // the shared position on each side, so pairs that can't reach the
+    // equivalent overlap threshold alpha = ceil(t/(1+t) * (na+nb)) die
+    // before the expensive verify join.
+    val prefixes = sets.select(col("doc"), col("n"),
+      posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
+    val alphaFactor = minJaccard / (1.0 + minJaccard)
+    val cand = prefixes
+      .select(col("p"), col("doc").as("id_a"), col("n").as("n_a"), col("pos").as("pos_a"))
+      .join(prefixes.select(col("p"), col("doc").as("id_b"), col("n").as("n_b"),
+        col("pos").as("pos_b")), Seq("p"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
+          ceil(lit(alphaFactor) * (col("n_a") + col("n_b"))))
+      .select("id_a", "id_b").distinct()
+    val hashed = sets.select(col("doc"),
+      transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
+    cand
+      .join(hashed.select(col("doc").as("id_a"), col("hs").as("hs_a"),
+        col("n").as("size_a")), "id_a")
+      .join(hashed.select(col("doc").as("id_b"), col("hs").as("hs_b"),
+        col("n").as("size_b")), "id_b")
+      .withColumn("intersection",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("intersection") / (col("size_a") + col("size_b") - col("intersection")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "intersection", "size_a", "size_b")
   }
