@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` stream (the extension
+  * surface beyond the reference's batch-only pipelines — SURVEY §2.9): a
+  * watermarked tumbling-window aggregate and a custom-state sessionizer.
+  *
+  * Both are written against unbounded streams: watermarks bound state, the
+  * session store is keyed by user (state per key, dropped on timeout), and
+  * nothing buffers the stream globally — the shapes that survive a
+  * 1000-executor deployment reading a firehose.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts per event type with a 1-hour watermark — the
+    * streaming twin of the batch `events_hourly_window` query (same output
+    * schema, so batch results oracle the streaming results). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000000)).as("value_micros"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("value_micros"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long,
+                     duration_sec: Double)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: a session ends
+    * when a user is idle for `gapSec`. Emits one row per closed session;
+    * open sessions close on event-time timeout (watermark-driven), so state
+    * size is bounded by the active-user set. */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val longEnc = Encoders.scalaLong
+
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+        (s.last - s.start) / 1000.0)
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSec * 1000 =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions: the properties that keep these operators viable
+  * at cluster scale, pinned as tests so a regression in plan quality fails
+  * CI rather than surfacing as a 100x slowdown in production. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("s7: filter and projection reach the parquet scan") {
+    val plan = formatted(SparkEntry.queries("s7_scan_pushdown")(spark, sfDir))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,A)"), plan)
+    // column pruning: only the 4 projected + 2 filter columns are read
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("normalize pipeline (incl. custom NFKC expression) stays in whole-stage codegen") {
+    // '*'-prefixed nodes are inside a WholeStageCodegen stage
+    val plan = formatted(SparkEntry.queries("f_normalize_text")(spark, sfDir))
+    assert(plan.contains("* Project"), plan)
+    val simple = SparkEntry.queries("f_normalize_text")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(simple.contains("*("), simple)
+  }
+
+  test("no query plans an unguarded cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("knn broadcasts the query side, never shuffles the corpus for the join") {
+    val plan = formatted(SparkEntry.queries("knn_brute")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("e3 flagship plans adaptively (AQE on for skew/broadcast decisions)") {
+    val plan = formatted(SparkEntry.entry(spark))
+    assert(plan.contains("AdaptiveSparkPlan"), plan)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming hourly counts over the real events table match the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"ts", $"event_type", $"value").cache()
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(events.as[(Timestamp, String, Double)].collect().toIndexedSeq)
+    val q = EventStreams.hourlyCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streaming = spark.table("hourly")
+    val batch = EventStreams.hourlyCounts(events) // same plan, batch input
+    assert(streaming.count() === batch.count())
+    assert(streaming.except(batch).count() === 0L)
+    assert(batch.except(streaming).count() === 0L)
+  }
+
+  test("sessionization: gap splits sessions, counts and bounds are right") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L // avoid the epoch-0 watermark edge
+    def ev(id: Long, sec: Long, user: Long) =
+      EventStreams.Event(id, new Timestamp((base + sec) * 1000), user, "click", 1.0)
+
+    val stream = MemoryStream[EventStreams.Event]
+    // user 1: events at +0s,+10s,+20s then a 100s gap, then +130s
+    // user 2: single event
+    stream.addData(ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1),
+      ev(4, 130, 1), ev(5, 50, 2))
+    // advance event time far enough that every session times out
+    stream.addData(ev(99, 100000, 9))
+
+    val q = EventStreams.sessionize(stream.toDS(), gapSec = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sessions")
+      .select("user_id", "n_events", "duration_sec")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._2))
+    // user 1 splits into (3 events, 20s) + (1 event, 0s); user 2 one session
+    assert(got.contains((1L, 3L, 20.0)))
+    assert(got.contains((1L, 1L, 0.0)))
+    assert(got.contains((2L, 1L, 0.0)))
+  }
+}
