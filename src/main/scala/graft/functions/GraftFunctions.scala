@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, NfkcNormalize}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, NfkcNormalize, ShingleHashes}
 
 /** The engine's scalar-function surface: every cleansing / normalization
   * expression of the reference system re-expressed as a `Column => Column`
@@ -115,18 +115,14 @@ object GraftFunctions {
   }
 
   /** Distinct word-k-shingle HASHES: like [[shingles]] but each k-gram is
-    * hashed structurally (`xxhash64` over the token slice) instead of
-    * joined into a string — no per-shingle string building, long join keys
-    * instead of text, ~2x cheaper on the dedup hot path. Use when shingle
-    * identity (not content) is all that matters. */
-  def shingleHashes(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - lit(k)),
-        i => xxhash64(slice(toks, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<long>"))
-  }
+    * a 64-bit hash instead of a joined string — no per-shingle string
+    * building, long join keys instead of text. Custom codegen-called
+    * expression ([[org.apache.spark.sql.graft.ShingleHashes]]); this stage
+    * fronts every dedup operator. Use when shingle identity (not content)
+    * is all that matters. */
+  def shingleHashes(c: Column, k: Int): Column =
+    GraftBridge.column(
+      ShingleHashes(GraftBridge.expression(tokens(c)), k))
 
   /** One MinHash value: min over shingles of a seeded 64-bit hash. Seeding
     * is done by prepending the seed to the hashed tuple, so each of the n
@@ -134,16 +130,22 @@ object GraftFunctions {
   def minhash(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
 
-  /** Full n-position MinHash signature as array<long>, folded SHINGLE-major:
-    * one pass over the shingle array, each shingle contributing its n seeded
-    * hashes via element-wise min. The seed-major formulation
-    * (`transform(seeds, _ => array_min(transform(shingles, ...)))`) puts the
-    * shingle expression inside the per-seed lambda — if Catalyst collapses
-    * the shingle-producing projection into it, the whole tokenize+shingle
-    * pipeline re-executes once PER SEED per row (measured 30x slowdown at
-    * n=32). Here the shingle column is the aggregate input, evaluated
-    * exactly once per row no matter what gets inlined. */
+  /** Full n-position MinHash signature of HASHED shingles (see
+    * [[shingleHashes]]) as array<long> — a custom codegen'd Catalyst
+    * expression ([[org.apache.spark.sql.graft.MinHashSignature]]): one
+    * primitive long loop per row. The signature pass is numHashes×|set|
+    * hash evals per document and dominates LSH dedup at corpus scale, so it
+    * must not run as interpreted higher-order functions (those cost ~10x
+    * here and allocate per shingle). */
   def minhashSignature(shingleCol: Column, n: Int): Column =
+    GraftBridge.column(
+      MinHashSignature(GraftBridge.expression(shingleCol), n))
+
+  /** Interpreted HOF formulation of [[minhashSignature]], shingle-major so
+    * projection collapsing can't multiply the shingle computation — kept as
+    * the cross-check twin for the custom expression (pinned equal by test).
+    */
+  def minhashSignatureHof(shingleCol: Column, n: Int): Column =
     aggregate(shingleCol,
       array_repeat(lit(Long.MaxValue), n),
       (acc, s) => zip_with(acc,

@@ -26,13 +26,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(idCol).as("keeper_id"))
       .where(col("n_dups") > 1)
 
-  /** Distinct word-`k`-shingle sets per document (the Jaccard universe). */
-  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-        array_distinct(shingles(col(textCol), k)).as("sh"))
-      .where(size(col("sh")) > 0)
-
   /** Pairwise word-k-gram Jaccard ≥ `minJaccard`, exact, via PREFIX
     * FILTERING (the AllPairs/PPJoin family): under any global total order
     * on shingles, two sets of sizes na, nb with Jaccard ≥ t MUST share a
@@ -89,14 +82,22 @@ object Dedup {
     val prefixes = sets.select(col("doc"), col("n"),
       posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
     val alphaFactor = minJaccard / (1.0 + minJaccard)
-    val cand = prefixes
-      .select(col("p"), col("doc").as("id_a"), col("n").as("n_a"), col("pos").as("pos_a"))
-      .join(prefixes.select(col("p"), col("doc").as("id_b"), col("n").as("n_b"),
-        col("pos").as("pos_b")), Seq("p"))
-      .where(col("id_a") < col("id_b") &&
-        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >=
-          ceil(lit(alphaFactor) * (col("n_a") + col("n_b"))))
-      .select("id_a", "id_b").distinct()
+    // Pairs are generated WITHIN each prefix bucket (groupBy + collect +
+    // double explode) rather than by self-joining the prefix table — a
+    // self-join would recompute the whole scan->shingle->sort lineage for
+    // both sides (aliased subplans don't share exchanges), which measured
+    // ~2x the entire pipeline cost. One aggregation, one lineage.
+    val bucketed = prefixes
+      .groupBy("p")
+      .agg(collect_list(struct(col("doc"), col("n"), col("pos"))).as("ms"))
+      .where(size(col("ms")) > 1)
+    val cand = bucketed
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc") < col("b.doc") &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+          ceil(lit(alphaFactor) * (col("a.n") + col("b.n"))))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
     val hashed = sets.select(col("doc"),
       transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
     cand
@@ -127,25 +128,39 @@ object Dedup {
                       minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val withSets = docShingles(docs, idCol, textCol, k)
+    // shingle identity only -> hashed shingles: signatures minhash the
+    // 64-bit shingle hashes and the exact-confirm join intersects long
+    // arrays, so no shingle string is ever built or shuffled
+    val withSets = docs
+      .select(col(idCol).as("doc"), shingleHashes(col(textCol), k).as("sh"))
+      .where(size(col("sh")) > 0)
     // Materialize the signature ONCE before banding: lshBands slices the
     // signature `bands` times, and feeding it the raw minhash expression
     // would duplicate the whole numHashes-fold computation per band
     // (measured 30x slowdown on the bench before this split).
-    val sig = withSets.select(col("doc"),
+    val sig = withSets.select(col("doc"), col("sh"),
       minhashSignature(col("sh"), numHashes).as("sig"))
+    // The shingle set rides along INTO the buckets so the exact-confirm
+    // step intersects arrays already present in the pair row — the
+    // alternative (join candidate ids back to a sets table) re-runs the
+    // scan->shingle lineage once per join side, which measured as the
+    // dominant cost. Pairs are generated within buckets via one
+    // aggregation (a self-join would also double the lineage). Shuffle
+    // trade: sets travel once per band; at high band counts on huge
+    // corpora, flip back to id-only buckets + a persisted sets table.
     val buckets = sig
-      .select(col("doc"), explode(lshBands(col("sig"), bands, rows)).as("b"))
-      .select(col("doc"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val l = buckets.select(col("band"), col("bucket"), col("doc").as("id_a"))
-    val r = buckets.select(col("band"), col("bucket"), col("doc").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sets = withSets.select(col("doc"), col("sh"))
-    candidates
-      .join(sets.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(struct(col("doc"), col("sh")).as("ds"),
+        explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("ds"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    buckets
+      .groupBy("band", "bucket").agg(collect_list(col("ds")).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size",
         size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
@@ -197,13 +212,16 @@ object Dedup {
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.chunk").as("chunk"), col("b.key").as("key"))
-    val l = blocked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val r = blocked.select(col("chunk"), col("key"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // pairs within blocks via one aggregation (see ngramJaccardPairs note)
+    blocked
+      .groupBy("chunk", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -84,10 +84,19 @@ class GraftFunctionsSpec extends SparkSpec {
   test("minhashSignature: n independent positions, equal sets -> equal sigs") {
     import spark.implicits._
     val df = Seq("w1 w2 w3 w4 w5", "w3 w2 w1 w4 w5", "totally different words here")
-      .toDF("s").select(minhashSignature(array_distinct(shingles($"s", 1)), 16).as("sig"))
+      .toDF("s").select(minhashSignature(shingleHashes($"s", 1), 16).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs(0).length === 16)
     assert(sigs(0) === sigs(1)) // same token SET (k=1 shingles)
     assert(sigs(0) !== sigs(2))
+  }
+
+  test("codegen'd MinHashSignature expression == interpreted HOF formulation") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val both = docs.select(
+      minhashSignature(shingleHashes($"text", 2), 32).as("fast"),
+      minhashSignatureHof(shingleHashes($"text", 2), 32).as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0L)
   }
 }
