@@ -14,6 +14,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the alphabetically-first query doesn't absorb
+    // first-run compilation cost (~4s of noise on a sub-second query)
+    Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -32,7 +37,20 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    // Ingestion throughput on the reference's own production zips, the
+    // direct comparison point to BASELINE.md's headline 1,457 rows/s
+    // (zip->XML ingest, import_xml.log:30277-30281).
+    val ingest =
+      try {
+        val dir = "/root/reference/uploads/xml_history/processed"
+        if (new java.io.File(dir).isDirectory) {
+          val t0 = System.nanoTime()
+          val rows = graft.sources.XmlDeclarations.read(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          f""","xml_ingest_rows":$rows,"xml_ingest_sec":$sec%.3f,"xml_ingest_rows_per_sec":${rows / sec}%.0f,"baseline_rows_per_sec":1457"""
+        } else ""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"n_failed":${results.size - ok.size}$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
