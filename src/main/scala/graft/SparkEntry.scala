@@ -214,6 +214,19 @@ object SparkEntry {
           "left_anti")
         .select("o_orderkey", "o_orderstatus")),
 
+    "j_outer_counts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"),
+          "left_outer")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_items"))),
+
+    "set_except" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey").as("okey")).distinct()
+        .except(
+          t(s, dir, "orders").where(col("o_orderstatus") === "O")
+            .select(col("o_orderkey").as("okey")).distinct())),
+
     "e3_knowledge_base" -> ((s, dir) => e3KnowledgeBase(s, dir)),
 
     // ---------- windows ----------
@@ -502,6 +515,17 @@ object SparkEntry {
     "j_anti_orphans" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "j_outer_counts" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "set_except" ->
+      """SELECT DISTINCT l_orderkey AS okey FROM lineitem
+        |EXCEPT
+        |SELECT DISTINCT o_orderkey AS okey FROM orders
+        |WHERE o_orderstatus = 'O'""".stripMargin,
 
     "e3_knowledge_base" -> e3Sql,
 
