@@ -345,6 +345,27 @@ object SparkEntry {
             .as("hour_start"),
           col("event_type"), col("n_events"), col("value_micros"))),
 
+    // Gap-based sessionization in batch (lag -> new-session flag -> running
+    // sum as session id) — the SQL-expressible twin of the streaming
+    // EventStreams.sessionize; 1800s gap.
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // ---------- dedup ----------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(
@@ -615,6 +636,31 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
         |    AS value_micros
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR
+        |      CAST(floor(epoch(ts)) AS BIGINT)
+        |        - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH f AS (

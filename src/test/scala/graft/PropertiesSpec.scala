@@ -1,0 +1,83 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{GroupedMode, LinkAlign}
+
+/** Property-based pinning (SURVEY §5.3): ScalaCheck generators produce the
+  * inputs (several deterministic seeds per property), Spark evaluates each
+  * sample in one bulk job, and the property is checked against a
+  * straight-Scala model. */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val weirdString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.listOf(Gen.oneOf("Ｐ", "ｏ", "衫", "风", "扇", "/", ",", "。", " ", "a",
+      "B", "3", "　", "①")).map(_.mkString),
+    Gen.asciiPrintableStr)
+
+  test("normalizeText is idempotent on arbitrary (incl. full-width/CJK) strings") {
+    import spark.implicits._
+    val samples = (1L to 4L).flatMap(s =>
+      sample(Gen.listOfN(150, weirdString), s))
+    val df = samples.toDF("s")
+      .select(normalizeText($"s").as("n1"),
+        normalizeText(normalizeText($"s")).as("n2"))
+    assert(df.where($"n1" =!= $"n2").count() === 0L)
+  }
+
+  test("modeBy winner frequency >= every other candidate's; ties -> smallest value") {
+    import spark.implicits._
+    for (seed <- 1L to 8L) {
+      val votes = sample(
+        Gen.listOfN(120, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 4))), seed)
+      val got = GroupedMode.modeBy(votes.toDF("g", "v"), Seq("g"), Seq("v"))
+        .as[(Int, Int, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val expected = votes.groupBy(_._1).map { case (g, vs) =>
+        val counts = vs.groupBy(_._2).view.mapValues(_.size.toLong)
+        val maxC = counts.values.max
+        g -> (counts.filter(_._2 == maxC).keys.min, maxC)
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("alignByOrdinal emits exactly sum of per-key counts over count-matched keys") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val gl = Gen.listOfN(80, Gen.zip(Gen.choose(0, 8), Gen.choose(0, 100)))
+      val la = sample(gl, seed)
+      val lb = sample(gl, seed + 100)
+      val a = la.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+        .toDF("k", "oa", "va")
+      val b = lb.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+        .toDF("k", "ob", "vb")
+      val aligned = LinkAlign.alignByOrdinal(a, b, "k",
+        Seq(col("oa")), Seq(col("ob"))).count()
+      val ca = la.groupBy(_._1).view.mapValues(_.size)
+      val cb = lb.groupBy(_._1).view.mapValues(_.size)
+      val expected = ca.collect {
+        case (k, n) if cb.get(k).contains(n) => n.toLong
+      }.sum
+      assert(aligned === expected, s"seed $seed")
+    }
+  }
+
+  test("numOrZero is total: any string maps to a non-null double") {
+    import spark.implicits._
+    val samples = (10L to 13L).flatMap(s =>
+      sample(Gen.listOfN(150, weirdString), s))
+    val df = samples.toDF("s").select(numOrZero($"s").as("d"))
+    assert(df.where($"d".isNull).count() === 0L)
+  }
+}

@@ -30,6 +30,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.except(streaming).count() === 0L)
   }
 
+  test("streaming sessionize's closed sessions agree with the batch sessionize query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val stream = MemoryStream[EventStreams.Event]
+    stream.addData(events.as[EventStreams.Event].collect().toIndexedSeq)
+    val q = EventStreams.sessionize(stream.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_cmp")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_cmp").select(
+      $"user_id",
+      date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      $"n_events").as[(Long, String, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("events_sessionize")(spark, sfDir)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // every watermark-closed streaming session is a batch session;
+    // only the stream-tail sessions (not yet closed) may be missing
+    assert(streamed.subsetOf(batch))
+    assert((batch -- streamed).size < batch.size / 10) // tail only
+  }
+
   test("sessionization: gap splits sessions, counts and bounds are right") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
