@@ -56,21 +56,30 @@ object CsvManifests {
     out.result()
   }
 
-  /** Distributed line scan with per-file line ordinals. */
+  /** Distributed line scan with per-file line ordinals. CSV files split by
+    * line; `.xlsx` files extract the first worksheet's cell grid (see
+    * [[Xlsx]]) — both formats produce the same RawLine shape, so the whole
+    * manifest pipeline downstream is format-agnostic. */
   def readLines(spark: SparkSession, path: String): Dataset[RawLine] = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{csv,CSV}")
+      .option("pathGlobFilter", "*.{csv,CSV,xlsx,XLSX}")
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .split("\r\n|\r|\n", -1).toIndexedSeq
-          .zipWithIndex
-          .filter(_._1.nonEmpty)
-          .map { case (l, i) => RawLine(name, i.toLong, splitCsvLine(l)) }
+        if (name.toLowerCase.endsWith(".xlsx"))
+          Xlsx.grid(bytes).collect {
+            case (ln, cells) if cells.exists(_.nonEmpty) =>
+              RawLine(name, ln, cells)
+          }
+        else
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\r\n|\r|\n", -1).toIndexedSeq
+            .zipWithIndex
+            .filter(_._1.nonEmpty)
+            .map { case (l, i) => RawLine(name, i.toLong, splitCsvLine(l)) }
       }
   }
 
@@ -215,9 +224,12 @@ object CsvManifests {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".csv"))
+      .filter { s =>
+        val n = s.getPath.getName.toLowerCase
+        s.isFile && (n.endsWith(".csv") || n.endsWith(".xlsx"))
+      }
       .map(_.getPath.toString)
-    require(files.nonEmpty, s"no .csv manifests in $dir")
+    require(files.nonEmpty, s"no .csv/.xlsx manifests in $dir")
     files.map(readManifest(spark, _)).reduce(_ unionByName _)
   }
 }

@@ -45,11 +45,48 @@ class CsvManifestsSpec extends SparkSpec {
       ("HAWB200", 1, "Bag", 1.0, 9.9, 9.9)))
   }
 
-  test("readAll unions both formats") {
+  test("xlsx old format: shared strings, Chinese headers, merged-cell ffill") {
+    import spark.implicits._
+    val df = CsvManifests.readManifest(spark, fixture("old_format.xlsx")).cache()
+    assert(df.select("mawb_no").distinct().as[String].collect() ===
+      Array("old_format")) // A1 fails alnum gate -> filename stem
+    val rows = df.orderBy("hawb_no", "item_no")
+      .select("hawb_no", "item_no", "description_original", "qty")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(rows === Array(
+      ("XHAWB01", 1, "USB风扇", 10.0),
+      ("XHAWB01", 2, "手機殼", 20.0), // blank merged cell ffilled
+      ("XHAWB02", 1, "紙袋", 5.0)))
+  }
+
+  test("xlsx new format: inline strings, positional columns, cumcount") {
+    import spark.implicits._
+    val df = CsvManifests.readManifest(spark, fixture("new_format.xlsx")).cache()
+    assert(df.select("mawb_no").distinct().as[String].collect() ===
+      Array("XLSX250403408EX")) // valid A1 MAWB
+    val rows = df.orderBy("hawb_no", "item_no")
+      .select("hawb_no", "item_no", "description_original", "qty", "unit_price")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows === Array(
+      ("XHAWB100", 1, "Toy, red", 3.0, 1.5),
+      ("XHAWB100", 2, "Pen", 2.0, 1.0),
+      ("XHAWB200", 1, "Bag", 1.0, 9.9)))
+  }
+
+  test("xlsx cell reference parsing") {
+    assert(Xlsx.colIndex("A1") === 0)
+    assert(Xlsx.colIndex("O3") === 14)
+    assert(Xlsx.colIndex("AA10") === 26)
+    assert(Xlsx.colIndex("BC7") === 54)
+  }
+
+  test("readAll unions csv and xlsx, both formats") {
     val dir = new java.io.File("src/test/resources/manifests").getAbsolutePath
     val all = CsvManifests.readAll(spark, dir)
-    assert(all.count() === 6L)
+    assert(all.count() === 12L) // 4 files x 3 rows
     assert(all.columns.length === 15)
+    assert(all.select("data_source_file").distinct().count() === 4L)
   }
 
   test("csv line splitter handles quotes and escaped quotes") {
