@@ -33,20 +33,31 @@ object LinkAlign {
     ca.join(cb, key).where(col("cnt_a") === col("cnt_b")).select(key)
   }
 
-  /** Full alignment: restrict both sides to count-matched keys (J3), rank
-    * within key by each side's declared order (W1/W2), pair by (key, rank)
-    * (J4). Column sets of `a` and `b` must be disjoint apart from `key`.
-    */
+  /** Full alignment: restrict both sides to count-matched keys (J1-J3),
+    * rank within key by each side's declared order (W1/W2), pair by
+    * (key, rank) (J4). Column sets of `a` and `b` must be disjoint apart
+    * from `key`.
+    *
+    * The count gate is folded INTO each side's ranking window: `count(*)
+    * over (partition by key)` shares the window's hash partitioning, so the
+    * per-key counts cost no extra shuffle or scan, and the gate becomes a
+    * post-join filter `cnt_a = cnt_b`. Equivalent to semi-joining against a
+    * separately-computed count-matched key set — the inner (key, rank) join
+    * already limits pairs to min(cnt_a, cnt_b), and the filter kills every
+    * pair of a mismatched key — but the separate formulation materialized
+    * the valid-key subplan TWICE (once per semi-join side), re-scanning
+    * both inputs; this shape scans each input exactly once. */
   def alignByOrdinal(
       a: DataFrame, b: DataFrame, key: String,
       orderA: Seq[Column], orderB: Seq[Column]): DataFrame = {
-    val valid = countMatchedKeys(a, b, key)
-    val av = a.join(valid, Seq(key), "left_semi")
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(key).orderBy(orderA: _*)))
-    val bv = b.join(valid, Seq(key), "left_semi")
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(key).orderBy(orderB: _*)))
-    av.join(bv, Seq(key, "_rn")).drop("_rn")
+    def rank(df: DataFrame, order: Seq[Column], cnt: String): DataFrame = {
+      val part = Window.partitionBy(key)
+      df.withColumn("_rn", row_number().over(part.orderBy(order: _*)))
+        .withColumn(cnt, count(lit(1)).over(part))
+    }
+    rank(a, orderA, "_cnt_a")
+      .join(rank(b, orderB, "_cnt_b"), Seq(key, "_rn"))
+      .where(col("_cnt_a") === col("_cnt_b"))
+      .drop("_rn", "_cnt_a", "_cnt_b")
   }
 }
