@@ -49,6 +49,41 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Materialize the corpus PARTITIONED BY sign bucket — the at-rest layout
+    * for ANN at scale: a query's candidate set lives in one partition
+    * directory, so the scan prunes to ~1/2^dims of the files before any
+    * row is read (see [[knnPrePartitioned]]). */
+  def writeBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, signDims: Int = 4): Unit =
+    corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), signDims).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** ANN over a [[writeBucketed]] layout: the bucket predicate becomes a
+    * PartitionFilter — only the query buckets' files are touched. The
+    * query-side bucket set is computed driver-side (queries are the small,
+    * broadcast side by construction). Output shape of [[knnBruteForce]]. */
+  def knnPrePartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, signDims: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      signBucket(col(vecCol), signDims).as("bucket"))
+    val queryBuckets = q.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .where(col("bucket").isin(queryBuckets: _*)) // partition pruning
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Bucketed ANN: queries search only their own sign bucket. Same output
     * shape as [[knnBruteForce]]; recall < 1 by construction (standard LSH
     * trade) but the scanned fraction drops ~2^dims-fold. */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Pins the at-scale layout mechanics: partition pruning on the bucketed
+  * ANN corpus, and result-identity of the salted skew join. */
+class ScaleLayoutSpec extends SparkSpec {
+
+  test("bucketed ANN layout: queries prune partitions and match the in-memory bucketed kNN") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = Files.createTempDirectory("ann").toString + "/corpus"
+    Similarity.writeBucketed(emb, "vec_id", "embedding", path)
+    val queries = emb.where($"vec_id" < 5)
+
+    val fromLayout = Similarity.knnPrePartitioned(spark, path, queries,
+      "vec_id", "embedding", k = 3)
+    // the scan must prune: PartitionFilters carries the bucket predicate
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), plan)
+
+    val inMemory = Similarity.knnBucketed(emb, queries, "vec_id", "embedding",
+      k = 3)
+    val a = fromLayout.as[(Long, Int, Long)].collect().toSet
+    val b = inMemory.as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("salted join: identical results to the plain join, salt spreads a hot key") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val part = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = li.join(part, "l_partkey")
+    val salted = SkewJoin.saltedJoin(li, part, "l_partkey", saltBuckets = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0L)
+    assert(plain.except(salted).count() === 0L)
+    // a hot key's rows actually land in multiple salt shards
+    val spread = li.withColumn("_salt",
+      pmod(xxhash64(li.columns.map(col): _*), lit(8L)).cast("int"))
+      .groupBy("l_partkey").agg(countDistinct("_salt").as("n_shards"))
+      .agg(max("n_shards")).first().getLong(0)
+    assert(spread > 1L)
+  }
+}
