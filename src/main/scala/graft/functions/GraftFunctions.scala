@@ -165,15 +165,6 @@ object GraftFunctions {
             h => h.cast("string")), ",")).as("bucket"))
     }: _*)
 
-  /** 64-bit SimHash bit aggregates: for bit position i, +1 if set in the
-    * token hash else -1; caller sums per document and takes sign. Returns
-    * the per-token array<int> of 64 signed bit contributions. (shiftright
-    * via call_function: the Scala API only takes literal shift amounts.) */
-  def simhashBits(tokenHash: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => when(call_function("shiftright", tokenHash, i.cast("int"))
-        .bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1)))
-
   /** Deterministic document fingerprint (content hash of normalized text). */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 

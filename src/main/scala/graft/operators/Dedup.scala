@@ -169,23 +169,17 @@ object Dedup {
       .select("id_a", "id_b", "intersection")
   }
 
-  /** 64-bit SimHash per document, computed entirely row-local (tokens →
-    * seeded 64-bit hash → signed bit votes folded with higher-order
-    * functions → sign bits packed into a long). Zero shuffles for the
-    * fingerprint itself. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, simhashBits(xxhash64(t)), (a, b) => a + b))
-    val packed = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int")))
-          .otherwise(lit(0L))),
-      lit(0L), (s, x) => s.bitwiseOR(x))
-    docs.select(col(idCol).as("doc_id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per document, computed entirely row-local as a custom
+    * codegen'd expression ([[org.apache.spark.sql.graft.SimHash64]]):
+    * tokens → per-token 64-bit hash → signed bit votes → sign bits packed
+    * into a long, in one primitive loop. Zero shuffles for the fingerprint
+    * itself. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.SimHash64(
+          org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol)))))
+        .as("simhash"))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
     * using the standard pigeonhole blocking: split the 64-bit fingerprint
