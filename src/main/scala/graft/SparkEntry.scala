@@ -173,6 +173,29 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
         .withColumn("avg_qty", col("sum_qty") / col("n_rows"))),
 
+    "a_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey"), col("l_partkey")).as("n_sp_pairs"))),
+
+    "a_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_base_cents"))),
+
+    "w_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        lag(col("l_extendedprice"), 1).over(w).as("prev_price"),
+        lead(col("l_extendedprice"), 1).over(w).as("next_price"))
+    }),
+
     // ---------- joins ----------
     "j1j2_count_match" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -213,6 +236,23 @@ object SparkEntry {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"),
           "left_anti")
         .select("o_orderkey", "o_orderstatus")),
+
+    // As-of join: each click enriched with the user's most recent prior
+    // purchase (time + value), null when none — oracled by DuckDB's native
+    // ASOF LEFT JOIN.
+    "j_asof_backward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          floor(col("value") * 1000000).as("purchase_value_micros"))
+      graft.operators.AsofJoin.asofBackward(
+        clicks, purchases, "user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+          col("purchase_value_micros"))
+    }),
 
     "j_outer_counts" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -496,6 +536,26 @@ object SparkEntry {
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
+    "a_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS n_sp_pairs
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "w_lag_lead" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  lag(l_extendedprice, 1) OVER w AS prev_price,
+        |  lead(l_extendedprice, 1) OVER w AS next_price
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_suppkey)""".stripMargin,
+
     "j1j2_count_match" ->
       """WITH ca AS (SELECT l_orderkey, count(*) AS c FROM lineitem
         |            WHERE l_linestatus = 'F' GROUP BY 1),
@@ -536,6 +596,16 @@ object SparkEntry {
     "j_anti_orphans" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "j_asof_backward" ->
+      """SELECT a.event_id, a.user_id,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  CAST(floor(b.value * 1000000) AS BIGINT) AS purchase_value_micros
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
 
     "j_outer_counts" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items

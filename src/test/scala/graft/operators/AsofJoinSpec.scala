@@ -1,0 +1,37 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+
+  test("backward as-of: latest prior right row, equal-ts matches, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(5)), // before any right row -> null
+      (2L, "u1", ts(10)), // exactly at right ts 10 -> matches q10
+      (3L, "u1", ts(25)), // after 10 and 20 -> latest is q20
+      (4L, "u2", ts(50)) // other key -> u2's own row only
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(10), "q10"),
+      ("u1", ts(20), "q20"),
+      ("u2", ts(40), "q40")
+    ).toDF("k", "rt", "quote")
+    val got = AsofJoin.asofBackward(left, right, "k", "t", "rt")
+      .select("id", "quote").as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, null), (2L, "q10"), (3L, "q20"), (4L, "q40")))
+  }
+
+  test("column collision is rejected") {
+    import spark.implicits._
+    val l = Seq((1L, "u", ts(0))).toDF("id", "k", "t")
+    val r = Seq(("u", ts(0), 1L)).toDF("k", "rt", "id")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, r, "k", "t", "rt")
+    }
+  }
+}
