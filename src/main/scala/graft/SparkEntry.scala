@@ -254,6 +254,22 @@ object SparkEntry {
           col("purchase_value_micros"))
     }),
 
+    // Range join: clicks within +/-5 min of a same-user purchase, via the
+    // bucketed interval join (oracled by a plain BETWEEN join in DuckDB).
+    "j_range_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 300 SECONDS")).as("w_start"),
+          (col("ts") + expr("INTERVAL 300 SECONDS")).as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        clicks, purchases, "user_id", "ts", "w_start", "w_end",
+        bucketSec = 600)
+        .select("event_id", "user_id", "purchase_id")
+    }),
+
     "j_outer_counts" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"),
@@ -606,6 +622,16 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                WHERE event_type = 'purchase') b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
+
+    "j_range_interval" ->
+      """SELECT a.event_id, a.user_id, b.event_id AS purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |JOIN (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND a.ts BETWEEN b.ts - INTERVAL 300 SECOND
+        |               AND b.ts + INTERVAL 300 SECOND""".stripMargin,
 
     "j_outer_counts" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items
