@@ -822,7 +822,9 @@ object SparkEntry {
         |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
         |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
         |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+        |q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |        unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |                xor(bucket, 4), xor(bucket, 8)]) AS bucket
         |      FROM e WHERE vec_id < 20),
         |scored AS (
         |  SELECT q.query_id, e.vec_id AS neighbor_id,
