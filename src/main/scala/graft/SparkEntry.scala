@@ -793,9 +793,14 @@ object SparkEntry {
         |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
         |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
         |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM e a JOIN e b USING (bucket)
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, embedding,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        |  FROM e)
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM p a JOIN p b USING (bucket)
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,

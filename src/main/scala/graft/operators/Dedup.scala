@@ -220,25 +220,40 @@ object Dedup {
       .distinct()
   }
 
-  /** Embedding near-duplicates: pairs with cosine ≥ `minCosine`. Blocking by
-    * sign-bit bucket (random-hyperplane LSH along fixed coordinate planes)
-    * keeps the self-join from going quadratic; `exact = true` skips blocking
-    * (test-scale ground truth). */
+  /** Embedding near-duplicates: pairs with cosine ≥ `minCosine`. Blocking
+    * by sign-bit bucket with Hamming-1 multi-probe (each vector lands in
+    * its own bucket and probes the dims adjacent ones) keeps the self-join
+    * from going quadratic while recovering pairs that straddle one
+    * hyperplane; pairs meeting in several buckets are deduped before the
+    * cosine check. `exact = true` skips blocking (test-scale ground truth).
+    */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, exact: Boolean = false,
                      signDims: Int = 4): DataFrame = {
     val base = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
-    val (l, r) =
+    val candidates =
       if (exact) {
-        (base.select(col("vid").as("id_a"), col("v").as("v_a")),
-          base.select(col("vid").as("id_b"), col("v").as("v_b")))
+        base.select(col("vid").as("id_a"), col("v").as("v_a"))
+          .crossJoin(base.select(col("vid").as("id_b"), col("v").as("v_b")))
+          .where(col("id_a") < col("id_b"))
       } else {
-        val bucketed = base.withColumn("bucket", Similarity.signBucket(col("v"), signDims))
-        (bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a")),
-          bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b")))
+        // own bucket exact + multi-probe union, within-bucket pairing (one
+        // lineage, see ngramJaccardPairs note), pair-level dedup
+        val probed = base.select(col("vid"), col("v"),
+          explode(Similarity.probeBuckets(col("v"), signDims,
+            multiProbe = true)).as("bucket"))
+        probed
+          .groupBy("bucket")
+          .agg(collect_list(struct(col("vid"), col("v"))).as("ms"))
+          .where(size(col("ms")) > 1)
+          .select(explode(col("ms")).as("a"), col("ms"))
+          .select(col("a"), explode(col("ms")).as("b"))
+          .where(col("a.vid") < col("b.vid"))
+          .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+            col("a.v").as("v_a"), col("b.v").as("v_b"))
+          .dropDuplicates("id_a", "id_b")
       }
-    val joined = if (exact) l.crossJoin(r) else l.join(r, Seq("bucket"))
-    joined.where(col("id_a") < col("id_b"))
+    candidates
       .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
       .where(col("cos") >= minCosine)
       .select("id_a", "id_b")
