@@ -799,8 +799,8 @@ object SparkEntry {
         |    unnest([bucket, xor(bucket, 1), xor(bucket, 2),
         |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
         |  FROM e)
-        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM p a JOIN p b USING (bucket)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM p a JOIN e b USING (bucket)
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,

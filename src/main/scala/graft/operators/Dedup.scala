@@ -237,21 +237,26 @@ object Dedup {
           .crossJoin(base.select(col("vid").as("id_b"), col("v").as("v_b")))
           .where(col("id_a") < col("id_b"))
       } else {
-        // own bucket exact + multi-probe union, within-bucket pairing (one
-        // lineage, see ngramJaccardPairs note), pair-level dedup
-        val probed = base.select(col("vid"), col("v"),
+        // ASYMMETRIC multi-probe: only the left side probes its Hamming-1
+        // buckets, the right side sits in its own bucket — a pair qualifies
+        // iff its buckets are within Hamming distance 1, and each ordered
+        // pair is generated at most once (the probed row meets the other's
+        // single own-bucket row in exactly one bucket), so no dedup pass.
+        // Probing BOTH sides doubles the effective radius and, at 4 sign
+        // dims, covers ~70% of all pairs — measured 11x slower for the
+        // extra (mostly below-threshold) candidates. The embedding lineage
+        // is a bare scan, so the two-sided join beats carrying fat vector
+        // arrays through a collect_list.
+        val probed = base.select(
           explode(Similarity.probeBuckets(col("v"), signDims,
-            multiProbe = true)).as("bucket"))
-        probed
-          .groupBy("bucket")
-          .agg(collect_list(struct(col("vid"), col("v"))).as("ms"))
-          .where(size(col("ms")) > 1)
-          .select(explode(col("ms")).as("a"), col("ms"))
-          .select(col("a"), explode(col("ms")).as("b"))
-          .where(col("a.vid") < col("b.vid"))
-          .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-            col("a.v").as("v_a"), col("b.v").as("v_b"))
-          .dropDuplicates("id_a", "id_b")
+            multiProbe = true)).as("bucket"),
+          col("vid").as("id_a"), col("v").as("v_a"))
+        val own = base.select(
+          Similarity.signBucket(col("v"), signDims).as("bucket"),
+          col("vid").as("id_b"), col("v").as("v_b"))
+        probed.join(own, Seq("bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "v_a", "v_b")
       }
     candidates
       .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
