@@ -178,6 +178,13 @@ object SparkEntry {
         .agg(count_distinct(col("l_partkey")).as("n_parts"),
           count_distinct(col("l_suppkey"), col("l_partkey")).as("n_sp_pairs"))),
 
+    // HLL sketch cardinality — rows-only for the driver (sketch estimates
+    // are engine-specific); the 2% relative-error bound vs exact distinct
+    // is pinned by ScalaTest instead.
+    "a_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
     "a_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

@@ -91,6 +91,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sigs(0) !== sigs(2))
   }
 
+  test("fingerprints: md5 tracks normalized content, rolling hash is order-sensitive") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "ALPHA  beta,,gamma"), (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(1) === fp(4)) // identical text -> identical fingerprints
+    assert(fp(1)._1 === fp(3)._1) // md5 over NORMALIZED text: punctuation/case collapse
+    assert(fp(1)._2 !== fp(2)._2) // rolling hash: token order matters
+  }
+
   test("codegen'd MinHashSignature expression == interpreted HOF formulation") {
     import spark.implicits._
     val docs = graft.Tables(spark, sfDir, "documents")

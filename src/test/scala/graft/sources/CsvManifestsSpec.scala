@@ -89,6 +89,17 @@ class CsvManifestsSpec extends SparkSpec {
     assert(all.select("data_source_file").distinct().count() === 4L)
   }
 
+  test("neither-format file is rejected with a diagnostic (P7 dispatch)") {
+    val bad = java.nio.file.Files.createTempDirectory("badmanifest")
+      .resolve("weird.csv")
+    java.nio.file.Files.writeString(bad, "just,three,cols\nno,header,here\n")
+    val e = intercept[IllegalArgumentException] {
+      CsvManifests.readManifest(spark, bad.toString)
+    }
+    assert(e.getMessage.contains("weird.csv"))
+    assert(e.getMessage.contains("neither"))
+  }
+
   test("csv line splitter handles quotes and escaped quotes") {
     assert(CsvManifests.splitCsvLine("""a,"b,c",d""") === Seq("a", "b,c", "d"))
     assert(CsvManifests.splitCsvLine("a,\"say \"\"hi\"\"\",c") ===
