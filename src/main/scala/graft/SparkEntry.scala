@@ -166,6 +166,30 @@ object SparkEntry {
         count(lit(1)).over(w).as("running_n"))
     }),
 
+    // Exact decimal money aggregation — the correctness upgrade over the
+    // reference's float money noted in SURVEY §1.2: DECIMAL sums are
+    // combine-order-independent, so they need no integer-cents workaround.
+    "q1_pricing_decimal" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("sum_disc_price"))),
+
+    // Data-quality audit over lineitem: every rule in one aggregation pass
+    "dq_lineitem_report" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      report(t(s, dir, "lineitem"), Seq(
+        Complete("l_orderkey"),
+        Complete("l_returnflag"),
+        InRange("l_quantity", 1, 50),
+        InRange("l_discount", 0, 0.1),
+        Satisfies("price_positive", col("l_extendedprice") > 0),
+        Satisfies("flag_domain",
+          col("l_returnflag").isin("A", "N", "R"))))
+    }),
+
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
         sum(col("l_quantity")).as("sum_qty"),
@@ -549,6 +573,35 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
         |FROM events""".stripMargin,
+
+    "q1_pricing_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4))) AS sum_disc_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "dq_lineitem_report" -> {
+      def row(rule: String, cond: String) =
+        s"""SELECT '$rule' AS rule,
+           |  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  count(*) AS n_rows FROM lineitem""".stripMargin
+      Seq(
+        row("complete(l_orderkey)",
+          "l_orderkey IS NULL OR trim(CAST(l_orderkey AS VARCHAR)) = ''"),
+        row("complete(l_returnflag)",
+          "l_returnflag IS NULL OR trim(l_returnflag) = ''"),
+        row("in_range(l_quantity,1.0,50.0)",
+          "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"),
+        row("in_range(l_discount,0.0,0.1)",
+          "l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1"),
+        row("price_positive", "NOT coalesce(l_extendedprice > 0, false)"),
+        row("flag_domain",
+          "NOT coalesce(l_returnflag IN ('A','N','R'), false)")
+      ).mkString("\nUNION ALL\n")
+    },
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality report over a table — the pre-training audit
+  * pass of a data pipeline (completeness, uniqueness, domain/range
+  * conformance), computed as ONE aggregation pass regardless of how many
+  * rules are declared: every rule compiles to a conditional-count
+  * expression in a single `agg`, so adding rules never adds scans or
+  * shuffles. Output is long format (rule, n_violations, n_rows) so reports
+  * from many tables union cleanly.
+  */
+object DataQuality {
+
+  sealed trait Rule { def name: String; def violation: Column }
+
+  /** Column must be non-null (and non-blank for strings). */
+  case class Complete(colName: String) extends Rule {
+    val name = s"complete($colName)"
+    def violation: Column =
+      col(colName).isNull || trim(col(colName).cast("string")) === ""
+  }
+
+  /** Predicate must hold on every row. */
+  case class Satisfies(name: String, predicate: Column) extends Rule {
+    def violation: Column = !coalesce(predicate, lit(false))
+  }
+
+  /** Value must fall in [lo, hi]. */
+  case class InRange(colName: String, lo: Double, hi: Double) extends Rule {
+    val name = s"in_range($colName,$lo,$hi)"
+    def violation: Column =
+      col(colName).isNull || col(colName) < lo || col(colName) > hi
+  }
+
+  /** Report: one row per rule with its violation count. */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(when(r.violation, 1L).otherwise(0L))
+        .as(s"_v_${rules.indexOf(r)}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(lit(r.name), col(s"_v_$i"))
+    }
+    wide.select(col("n_rows"),
+      explode(map(pairs: _*)).as(Seq("rule", "n_violations")))
+      .select("rule", "n_violations", "n_rows")
+  }
+
+  /** Uniqueness is the one check needing its own aggregation (a distinct
+    * count can't ride in the conditional-count pass): number of key tuples
+    * occurring more than once. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") > 1)
+}

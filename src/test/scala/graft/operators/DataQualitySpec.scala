@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataQualitySpec extends SparkSpec {
+
+  import DataQuality._
+
+  test("report counts violations per rule in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0), (2L, null, 5.0), (3L, "  ", -1.0), (4L, "d", 200.0))
+      .toDF("id", "name", "amount")
+    val rep = report(df, Seq(
+      Complete("name"),
+      InRange("amount", 0, 100),
+      Satisfies("id_positive", $"id" > 0)))
+      .as[(String, Long, Long)].collect()
+    assert(rep.forall(_._3 === 4L)) // n_rows on every rule row
+    val got = rep.map(r => r._1 -> r._2).toMap
+    assert(got("complete(name)") === 2L) // null + blank
+    assert(got("in_range(amount,0.0,100.0)") === 2L) // -1 and 200
+    assert(got("id_positive") === 0L)
+  }
+
+  test("duplicateKeys finds multi-occurring key tuples") {
+    import spark.implicits._
+    val df = Seq((1, "x"), (1, "x"), (2, "y"), (1, "z")).toDF("k1", "k2")
+    val dups = duplicateKeys(df, Seq("k1", "k2"))
+      .as[(Int, String, Long)].collect()
+    assert(dups === Array((1, "x", 2L)))
+  }
+}
