@@ -316,6 +316,55 @@ object SparkEntry {
 
     "e3_knowledge_base" -> ((s, dir) => e3KnowledgeBase(s, dir)),
 
+    // ---------- TPC-H-shaped analytics (decimal-exact revenue) ----------
+    "tpch_q3_shipping_priority" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(sum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "tpch_q5_nation_revenue" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(rev).as("revenue"))
+    }),
+
+    "tpch_q10_returned_items" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ---------- windows ----------
     "w1_item_seq" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -705,6 +754,51 @@ object SparkEntry {
         |WHERE o_orderstatus = 'O'""".stripMargin,
 
     "e3_knowledge_base" -> e3Sql,
+
+    "tpch_q3_shipping_priority" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  o_orderpriority, sum($rev) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    },
+
+    "tpch_q5_nation_revenue" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""SELECT n_name, sum($rev) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1""".stripMargin
+    },
+
+    "tpch_q10_returned_items" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""SELECT c_custkey, c_name, n_name, sum($rev) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+    },
 
     "w1_item_seq" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
