@@ -58,6 +58,23 @@ class XmlDeclarationsSpec extends SparkSpec {
     assert(zeroQty.count() === 0L)
   }
 
+  test("standalone (non-zip) xml: blank-HAWB drop, coercions, per-hawb sequence") {
+    import spark.implicits._
+    val dir = new java.io.File("src/test/resources/xml").getAbsolutePath
+    val rows = XmlDeclarations.read(spark, dir)
+      .orderBy("hawb_no", "item_sequence")
+      .select("data_source_file", "hawb_no", "item_sequence", "dcl_doc_no",
+        "qty", "unit_price_calculated")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows === Array(
+      // blank-HAWB row dropped; HB001 sequences 1,2 in document order
+      ("standalone.xml", "HB001", 1, "BY14001TEST1", 2.0, 50.0),
+      ("standalone.xml", "HB001", 2, "BY2", 0.0, 0.0), // qty coerced to 0
+      ("standalone.xml", "HB002", 1, "", 0.0, 0.0))) // qty=0 -> unit price 0
+  }
+
   test("zip junk members are skipped, lineage is zip::member") {
     import spark.implicits._
     val srcs = processed.select("data_source_file").distinct()
