@@ -565,6 +565,13 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Deterministic hash-based train/valid/test split (rows-only: xxhash64
+    // has no DuckDB twin; determinism/disjointness pinned by SamplingSpec)
+    "sample_splits" -> ((s, dir) =>
+      graft.operators.Sampling.split(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+        .select("doc_id", "split")),
+
     // ---------- multimodal plumbing (stub codec; see Multimodal) ----------
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeAssets(

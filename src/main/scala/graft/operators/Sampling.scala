@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, retry-safe sampling and splitting for training-data
+  * pipelines. `rand()`-based sampling (including `df.sample`/`sampleBy`)
+  * is nondeterministic under task retries and partition re-planning — at
+  * cluster scale the same pipeline can emit different corpora run to run.
+  * Everything here derives membership from a HASH of the row's stable id
+  * (+ a salt), so membership is a pure function of the data: reproducible
+  * across runs, engines, retries and repartitioning, and a row keeps its
+  * assignment when the corpus grows. */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from (id, salt). */
+  private def bucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(xxhash64(lit(salt), id), lit(buckets.toLong)).cast("int")
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = "sample"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.where(bucket(col(idCol), salt, 1000000) < (fraction * 1000000).toInt)
+  }
+
+  /** Disjoint named splits covering every row: `weights` are relative
+    * (e.g. train -> 98, valid -> 1, test -> 1). Adds a `split` column. */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Int)],
+            salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val total = weights.map(_._2).sum
+    val b = bucket(col(idCol), salt, total)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    val expr = weights.zip(cuts).foldRight(lit(null).cast("string")) {
+      case (((name, _), cut), els) => when(b < cut, name).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum deterministic downsampling: each stratum value keeps its
+    * own fraction (class rebalancing). Strata absent from `fractions` are
+    * kept whole. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       salt: String = "strata"): DataFrame = {
+    val b = bucket(col(idCol), salt, 1000000)
+    val keep = fractions.foldLeft(lit(true)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, b < (f * 1000000).toInt).otherwise(acc)
+    }
+    df.where(keep)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir, "documents").cache()
+
+  test("hash sampling is deterministic and near the requested fraction") {
+    import spark.implicits._
+    val a = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .as[Long].collect().sorted
+    val b = Sampling.sampleByHash(docs, "doc_id", 0.3).select("doc_id")
+      .as[Long].collect().sorted
+    assert(a === b) // bit-identical across runs
+    val frac = a.length.toDouble / docs.count()
+    assert(math.abs(frac - 0.3) < 0.08, s"got $frac")
+    // growing the fraction only ADDS rows (nested samples)
+    val bigger = Sampling.sampleByHash(docs, "doc_id", 0.5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a.toSet.subsetOf(bigger))
+  }
+
+  test("split: disjoint, exhaustive, stable, near the weights") {
+    import spark.implicits._
+    val s = Sampling.split(docs, "doc_id",
+      Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+    val bySplit = s.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "valid", "test")) // exhaustive
+    assert(bySplit.values.sum === docs.count()) // disjoint cover
+    assert(bySplit("train") > bySplit("valid") * 4)
+    // a document's split never changes when the corpus grows
+    val half = Sampling.split(docs.limit(200), "doc_id",
+      Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = s.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, sp) => full(id) === sp })
+  }
+
+  test("stratified sampling keeps unlisted strata whole and downsamples listed ones") {
+    import spark.implicits._
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.2))
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for (l <- before.keys if l != "en")
+      assert(after(l) === before(l), s"stratum $l must be untouched")
+    val enFrac = after("en").toDouble / before("en")
+    assert(enFrac < 0.4 && enFrac > 0.05, s"en kept $enFrac")
+  }
+}
