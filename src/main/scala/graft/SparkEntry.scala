@@ -1016,14 +1016,17 @@ object SparkEntry {
       }.mkString("CASE ", " ", " ELSE 'und' END")
       s"""WITH tk AS (
          |  SELECT doc_id,
-         |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+         |    CAST(length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS BIGINT)
+         |      AS n_han
          |  FROM documents
          |), scored AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, n_han,
          |  $scoreCols
          |  FROM tk)
          |SELECT doc_id, ${markers.map { case (l, _) => s"score_$l" }.mkString(", ")},
-         |  $pred AS lang_pred
+         |  n_han,
+         |  CASE WHEN n_han >= 3 THEN 'zh' ELSE $pred END AS lang_pred
          |FROM scored""".stripMargin
     },
 

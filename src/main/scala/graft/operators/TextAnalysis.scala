@@ -25,22 +25,32 @@ object TextAnalysis {
     words.map(w => when(array_contains(toks, w), 1).otherwise(0))
       .reduce(_ + _)
 
-  /** Predicted language per document: argmax of marker-hit scores with a
-    * fixed precedence order for ties, "und" (undetermined) when no marker
-    * hits at all. Output: id, predicted lang, per-language scores. */
+  /** Minimum Han-script characters for a zh call — CJK text isn't
+    * whitespace-segmented, so marker tokens can't see it; script detection
+    * covers it instead. */
+  private val hanThreshold = 3
+
+  /** Predicted language per document: Han-script character detection for
+    * zh (dominant when present), else argmax of marker-hit scores with a
+    * fixed precedence order for ties, "und" (undetermined) when nothing
+    * hits. Output: id, per-language scores, n_han, predicted lang. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = array_distinct(tokens(col(textCol)))
     val scored = docs.select(
-      col(idCol) +: markers.map { case (lang, ws) =>
+      (col(idCol) +: markers.map { case (lang, ws) =>
         score(toks, ws).as(s"score_$lang")
-      }: _*)
+      }) :+
+        // Java regex spells the script class \p{IsHan} (RE2/DuckDB: \p{Han})
+        length(regexp_replace(col(textCol), "[^\\p{IsHan}]", ""))
+          .cast("long").as("n_han"): _*)
     val best = markers.map { case (lang, _) => col(s"score_$lang") }
       .reduce((a, b) => greatest(a, b))
     // first language (in declared precedence) achieving the max score
-    val pred = markers.foldRight(lit("und")) { case ((lang, _), els) =>
+    val markerPred = markers.foldRight(lit("und")) { case ((lang, _), els) =>
       when(best > 0 && col(s"score_$lang") === best, lang).otherwise(els)
     }
-    scored.withColumn("lang_pred", pred)
+    scored.withColumn("lang_pred",
+      when(col("n_han") >= hanThreshold, "zh").otherwise(markerPred))
   }
 
   /** Quality metrics: char/token counts, alpha and punctuation counts,
