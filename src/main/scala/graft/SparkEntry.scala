@@ -572,6 +572,21 @@ object SparkEntry {
         Seq("train" -> 8, "valid" -> 1, "test" -> 1))
         .select("doc_id", "split")),
 
+    // Percentile stats per language (exact interpolated median/p90) and a
+    // fixed-width length histogram — corpus profiling for token budgeting
+    "text_length_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+        percentile(col("n_chars"), lit(0.9)).as("p90_chars"))),
+
+    "text_length_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 50) * 50).as("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // ---------- multimodal plumbing (stub codec; see Multimodal) ----------
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeAssets(
@@ -1056,6 +1071,18 @@ object SparkEntry {
          |   AND n_punct * 5 <= n_chars) AS quality_ok
          |FROM m""".stripMargin
     },
+
+    "text_length_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin_lo,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,
