@@ -365,6 +365,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tpch_q18_large_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("total_qty"))
+    }),
+
     // ---------- windows ----------
     "w1_item_seq" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -821,6 +834,15 @@ object SparkEntry {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
     },
+
+    "tpch_q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b
+        |  ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "w1_item_seq" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

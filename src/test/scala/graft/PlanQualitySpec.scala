@@ -48,4 +48,14 @@ class PlanQualitySpec extends SparkSpec {
     val plan = formatted(SparkEntry.entry(spark))
     assert(plan.contains("AdaptiveSparkPlan"), plan)
   }
+
+  test("e3 scans each side once: bounded scan and shuffle counts") {
+    // Pins the count-gate folding (alignByOrdinal): the old shape scanned
+    // lineitem 6x and planned 9 exchanges; regressions reappear here.
+    val plan = formatted(SparkEntry.queries("e3_knowledge_base")(spark, sfDir))
+    val scans = plan.linesIterator.count(_.trim.startsWith("Location: InMemoryFileIndex"))
+    assert(scans <= 4, s"expected <=4 file scans (2 lineitem + 2 part), got $scans")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 6, s"expected <=6 shuffles, got $exchanges")
+  }
 }
