@@ -21,7 +21,14 @@ object AsofJoin {
 
   /** Left as-of-backward join. Column names of `left` and `right` must be
     * disjoint apart from `key`; every non-key right column (including
-    * `rightTs`) is attached, null where no right row precedes. */
+    * `rightTs`) is attached, null where no right row precedes.
+    *
+    * The right payload travels as ONE struct column and the forward fill
+    * fills that struct — never the payload columns independently — so every
+    * emitted left row carries fields from exactly one right row even when
+    * right payload values are null (filling columns independently would
+    * stitch the newest non-null value of each field across different right
+    * rows, diverging from as-of semantics). */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String): DataFrame = {
     val rightPayload = right.columns.filterNot(_ == key).toSeq
@@ -29,25 +36,27 @@ object AsofJoin {
     val overlap = leftCols.toSet.intersect(rightPayload.toSet)
     require(overlap.isEmpty, s"column collision: $overlap")
 
-    val rightTypes = right.schema.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
+    val rpType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(_.name == key))
 
-    val lFull = rightPayload.foldLeft(
-      left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1)))(
-      (df, c) => df.withColumn(c, lit(null).cast(rightTypes(c))))
-    val rFull = leftCols.filterNot(_ == key).foldLeft(
-      right.withColumn("_ts", col(rightTs)).withColumn("_side", lit(0)))(
-      (df, c) => df.withColumn(c, lit(null).cast(leftTypes(c))))
-
-    val unioned = lFull.select((leftCols ++ rightPayload ++ Seq("_ts", "_side"))
-        .map(col): _*)
-      .unionByName(rFull.select(
-        (leftCols ++ rightPayload ++ Seq("_ts", "_side")).map(col): _*))
+    val lFull = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(rpType).as("_rp"),
+        col(leftTs).as("_ts"), lit(1).as("_side")): _*)
+    val rFull = right.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(leftTypes(c)).as(c)) ++ Seq(
+        struct(rightPayload.map(col): _*).cast(rpType).as("_rp"),
+        col(rightTs).as("_ts"), lit(0).as("_side")): _*)
 
     val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.where(col("_side") === 1).drop("_ts", "_side")
+    lFull.unionByName(rFull)
+      .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("_rp").getField(c).as(c)): _*)
   }
 }

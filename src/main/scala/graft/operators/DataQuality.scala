@@ -37,9 +37,13 @@ object DataQuality {
   /** Report: one row per rule with its violation count. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be distinct: " +
+        rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", "))
     val aggs = count(lit(1)).as("n_rows") +:
-      rules.map(r => sum(when(r.violation, 1L).otherwise(0L))
-        .as(s"_v_${rules.indexOf(r)}"))
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violation, 1L).otherwise(0L)).as(s"_v_$i")
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val pairs = rules.zipWithIndex.flatMap { case (r, i) =>
       Seq(lit(r.name), col(s"_v_$i"))

@@ -8,28 +8,41 @@ import graft.functions.GraftFunctions._
 
 /** Shipper-manifest ingestion (SURVEY §2.1 S4-S6, §2.2 P4-P7, §2.5 W2/W3):
   * Excel/CSV files in two auto-detected layouts → `table_a_raw` rows
-  * (ref `src/process_excel_order.py`). The CSV path carries the full
+  * (ref `src/process_excel_order.py`). `.xlsx` decodes via the JDK-only
+  * [[Xlsx]] reader, legacy `.xls` via [[Biff]]; CSV carries the same
   * operator surface (header offset, A1 probe, positional mapping,
-  * forward-fill, cumcount); true `.xlsx` decoding is a reader concern the
-  * environment has no codec for.
+  * forward-fill, cumcount).
   *
-  * Architecture: files are read distributed (`binaryFile` + a flatMap CSV
-  * line parser that carries an explicit per-file line ordinal — Spark has
-  * no implicit row order, so W2/W3 need the ordinal column). Format
-  * dispatch (old named-column layout vs new positional layout, ref
-  * `:195-227`) is driver-side control flow over the first 4 header lines
-  * only — a metadata read, not a data scan. All row-level work (ffill,
-  * cumcount, cleansing, filters) is Column expressions over the
-  * distributed lines.
+  * Architecture: ONE distributed pass for any number of files. A
+  * `binaryFile` scan hands each file to an executor task; the task builds
+  * the cell grid (CSV line split / xlsx / xls), sniffs the header lines
+  * file-locally (the reference's two-strategy dispatch, ref `:195-227`),
+  * and emits format-tagged [[ManifestLine]] rows. Ingesting N files is one
+  * job over one plan — no per-file driver round-trips, no N-way plan
+  * union. All row-level work after extraction (ffill, cumcount, cleansing,
+  * filters) is Column expressions, partitioned per file so no global
+  * ordering exists anywhere.
   *
-  * Manifest files are small (thousands of rows); cluster scale comes from
-  * ingesting MANY of them — `readAll` unions per-file plans, and every
-  * window is partitioned by (file, ...) so no global ordering exists
-  * anywhere.
+  * Files that match neither layout become `format = "error"` rows (message
+  * in the description field): `readAll` drops them — the reference's
+  * per-file error isolation (ref `:268-271` logs and continues) — and
+  * [[rejects]] surfaces them for auditing; the single-file [[readManifest]]
+  * throws instead.
   */
 object CsvManifests {
 
   case class RawLine(src_file: String, line_no: Long, cells: Seq[String])
+
+  /** One extracted manifest line before cleansing: raw trimmed cell values
+    * tagged with the detected layout. A fixed shape for both layouts keeps
+    * the downstream plan single-branch. */
+  case class ManifestLine(
+      src_file: String, line_no: Long, format: String, mawb_no: String,
+      hawb_cell: String, item_no_cell: String, description_cell: String,
+      qty_cell: String, qty_unit_cell: String, net_weight_cell: String,
+      unit_price_cell: String, total_cell: String,
+      consignee_name_cell: String, consignee_id_cell: String,
+      consignee_phone_cell: String)
 
   /** Quote-aware CSV line split (RFC-4180 commas/quotes; embedded newlines
     * in quoted fields are out of scope for these fixtures). */
@@ -56,39 +69,37 @@ object CsvManifests {
     out.result()
   }
 
-  /** Distributed line scan with per-file line ordinals. CSV files split by
-    * line; `.xlsx` files extract the first worksheet's cell grid (see
-    * [[Xlsx]]) — both formats produce the same RawLine shape, so the whole
-    * manifest pipeline downstream is format-agnostic. */
+  /** File bytes → (0-based line ordinal, cells) grid, dispatched on
+    * extension — runs inside the executor task. */
+  private[sources] def gridOf(name: String, bytes: Array[Byte])
+      : Seq[(Long, IndexedSeq[String])] = {
+    val lower = name.toLowerCase
+    if (lower.endsWith(".xlsx"))
+      Xlsx.grid(bytes).filter(_._2.exists(_.nonEmpty))
+    else if (lower.endsWith(".xls"))
+      Biff.grid(bytes).filter(_._2.exists(_.nonEmpty))
+    else
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\r\n|\r|\n", -1).toIndexedSeq
+        .zipWithIndex
+        .filter(_._1.nonEmpty)
+        .map { case (l, i) => (i.toLong, splitCsvLine(l).toIndexedSeq) }
+  }
+
+  /** Distributed line scan with per-file line ordinals — the raw-grid view
+    * (S5), shared by all three physical formats. */
   def readLines(spark: SparkSession, path: String): Dataset[RawLine] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{csv,CSV,xlsx,XLSX}")
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        if (name.toLowerCase.endsWith(".xlsx"))
-          Xlsx.grid(bytes).collect {
-            case (ln, cells) if cells.exists(_.nonEmpty) =>
-              RawLine(name, ln, cells)
-          }
-        else
-          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-            .split("\r\n|\r|\n", -1).toIndexedSeq
-            .zipWithIndex
-            .filter(_._1.nonEmpty)
-            .map { case (l, i) => RawLine(name, i.toLong, splitCsvLine(l)) }
-      }
+    manifestFiles(spark, path).flatMap { case (p, bytes) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      gridOf(name, bytes).map { case (ln, cells) => RawLine(name, ln, cells) }
+    }
   }
 
   /** Old-format required named columns after F8 header hygiene
     * (ref `process_excel_order.py:88-91`). */
   private val oldRequired = Seq("分提單號碼", "貨物編號", "货物名称", "數量",
     "單價金額", "發票總金額")
-  private val oldOptional = Seq("數量單位", "淨重", "進口人英文名稱",
-    "進口人統一編號", "進口人電話")
 
   /** F8 — header-name hygiene: strip + drop embedded newlines
     * (ref `:86,203`). */
@@ -103,133 +114,142 @@ object CsvManifests {
     else fileName.replaceAll("\\.[^.]*$", "")
   }
 
-  private def cell(idx: Int): Column =
-    when(size(col("cells")) > idx, trim(element_at(col("cells"), idx + 1)))
-      .otherwise(lit(null).cast("string"))
-
-  private def realOrNull(c: Column): Column = when(isRealValue(c), c)
-
-  /** One manifest file → `table_a_raw` rows. Tries the old named-column
-    * layout (header on line index 3); if its required columns are missing,
-    * falls back to the new positional layout (header on line index 2,
-    * ≥15 columns) — the reference's two-strategy dispatch (ref `:195-227`).
-    */
-  def readManifest(spark: SparkSession, file: String): DataFrame = {
-    val lines = readLines(spark, file).toDF()
-    val fileName = file.substring(file.lastIndexOf('/') + 1)
-    // driver-side metadata probe: first lines only (A1 cell + both header
-    // candidates) — mirrors the reference's header sniffing
-    val head = lines.where(col("line_no") <= 3)
-      .orderBy("line_no").collect()
-      .map(r => r.getLong(1) -> r.getSeq[String](2)).toMap
+  /** File-local format dispatch + cell extraction — pure, executor-side.
+    * Tries the old named-column layout (header on line index 3); if its
+    * required columns are missing, falls back to the new positional layout
+    * (header on line index 2, ≥15 columns); neither → one error row. */
+  private[sources] def parseManifest(fileName: String,
+      grid: Seq[(Long, IndexedSeq[String])]): Seq[ManifestLine] = {
+    def cellAt(cells: IndexedSeq[String], i: Int): String =
+      if (i >= 0 && cells.length > i) cells(i).trim else null
+    val head = grid.filter(_._1 <= 3).toMap
     val a1 = head.get(0L).flatMap(_.headOption).getOrElse("")
     val mawb = mawbOf(fileName, a1)
-
     val oldHeader = head.get(3L).map(_.map(cleanName))
-    val oldOk = oldHeader.exists(h => oldRequired.forall(h.contains))
-    if (oldOk) oldFormat(lines, oldHeader.get, mawb)
-    else {
-      val newHeader = head.get(2L)
-      require(newHeader.exists(_.length >= 15), // P6 arity gate, ref :128
-        s"$fileName: neither old-format named columns nor >=15-column " +
-          "new-format header found")
-      newFormat(lines, mawb)
+    if (oldHeader.exists(h => oldRequired.forall(h.contains))) {
+      val idx = oldHeader.get.zipWithIndex.toMap
+      def named(cells: IndexedSeq[String], n: String): String =
+        cellAt(cells, idx.getOrElse(n, -1))
+      grid.collect { case (ln, cells) if ln > 3 =>
+        ManifestLine(fileName, ln, "old", mawb,
+          hawb_cell = named(cells, "分提單號碼"),
+          item_no_cell = named(cells, "貨物編號"),
+          description_cell = named(cells, "货物名称"),
+          qty_cell = named(cells, "數量"),
+          qty_unit_cell = named(cells, "數量單位"),
+          net_weight_cell = named(cells, "淨重"),
+          unit_price_cell = named(cells, "單價金額"),
+          total_cell = named(cells, "發票總金額"),
+          consignee_name_cell = named(cells, "進口人英文名稱"),
+          consignee_id_cell = named(cells, "進口人統一編號"),
+          consignee_phone_cell = named(cells, "進口人電話"))
+      }
+    } else if (head.get(2L).exists(_.length >= 15)) { // P6 arity gate, ref :128
+      grid.collect { case (ln, cells) if ln > 2 && cells.length >= 15 =>
+        ManifestLine(fileName, ln, "new", mawb,
+          hawb_cell = cellAt(cells, 0), // A
+          item_no_cell = null, // new format has no item-no column (W2 cumcount)
+          description_cell = cellAt(cells, 3), // D
+          qty_cell = cellAt(cells, 9), // J
+          qty_unit_cell = cellAt(cells, 10), // K
+          net_weight_cell = null,
+          unit_price_cell = cellAt(cells, 13), // N
+          total_cell = cellAt(cells, 14), // O
+          consignee_name_cell = null, consignee_id_cell = null,
+          consignee_phone_cell = null)
+      }
+    } else Seq(ManifestLine(fileName, -1L, "error", mawb,
+      null, null,
+      s"$fileName: neither old-format named columns nor >=15-column " +
+        "new-format header found",
+      null, null, null, null, null, null, null, null))
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String)
+      : Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{csv,CSV,xls,XLS,xlsx,XLSX}")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+  }
+
+  /** The one distributed pass: scan → per-file grid + dispatch + extract. */
+  private def parsedLines(spark: SparkSession, path: String)
+      : Dataset[ManifestLine] = {
+    import spark.implicits._
+    manifestFiles(spark, path).flatMap { case (p, bytes) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      parseManifest(name, gridOf(name, bytes))
     }
   }
 
-  /** Old layout: named Chinese columns, header line index 3
-    * (ref `:80-120,198-200`). */
-  private def oldFormat(lines: DataFrame, header: Seq[String],
-                        mawb: String): DataFrame = {
-    val idx = header.zipWithIndex.toMap
-    def named(n: String): Column = cell(idx(n))
-    def namedOpt(n: String): Column =
-      idx.get(n).map(i => realOrNull(cell(i)))
-        .getOrElse(lit(null).cast("string"))
-    val data = lines.where(col("line_no") > 3)
-    data.select(
-      col("src_file"), col("line_no"),
-      // W3: merged HAWB cells arrive blank under a previous value (ref :94)
-      ffill(realOrNull(named("分提單號碼")), Seq(col("src_file")),
-        Seq(col("line_no"))).as("hawb_no"),
-      named("貨物編號").as("item_no_raw"),
-      named("货物名称").as("description_original"),
-      named("數量").as("qty_raw"),
-      namedOpt("數量單位").as("qty_unit"),
-      namedOpt("淨重").as("net_weight_raw"),
-      named("單價金額").as("unit_price_raw"),
-      named("發票總金額").as("total_raw"),
-      namedOpt("進口人英文名稱").as("consignee_name"),
-      namedOpt("進口人統一編號").as("consignee_id"),
-      namedOpt("進口人電話").as("consignee_phone"))
-      .where(isRealValue(col("hawb_no")) && isRealValue(col("item_no_raw"))) // P4, ref :95
-      .select(
-        lit(mawb).as("mawb_no"),
-        col("hawb_no"),
-        numOrZero(col("item_no_raw")).cast("int").as("item_no"),
-        col("description_original"),
-        numOrZero(col("qty_raw")).as("qty"),
-        col("qty_unit"),
-        numOrZero(col("net_weight_raw")).as("net_weight"),
-        numOrZero(col("unit_price_raw")).as("unit_price"),
-        numOrZero(col("total_raw")).as("total_amount"),
-        lit("TWD").as("currency"), // F12, ref :110
-        col("consignee_name"), col("consignee_id"), col("consignee_phone"),
-        lit("PENDING").as("processing_status"),
-        col("src_file").as("data_source_file"))
-  }
+  private def realOrNull(c: Column): Column = when(isRealValue(c), c)
 
-  /** New layout: positional columns A/D/J/K/N/O, header line index 2,
-    * no item-number column — item_no is a per-HAWB cumcount
-    * (ref `:122-174,216-218`). */
-  private def newFormat(lines: DataFrame, mawb: String): DataFrame = {
-    val data = lines.where(col("line_no") > 2 && size(col("cells")) >= 15)
-    val extracted = data.select(
-      col("src_file"), col("line_no"),
-      realOrNull(cell(0)).as("hawb_raw"), // A
-      cell(3).as("description_original"), // D
-      cell(9).as("qty_raw"), // J
-      realOrNull(cell(10)).as("qty_unit"), // K
-      cell(13).as("unit_price_raw"), // N
-      cell(14).as("total_raw")) // O
-    val filled = extracted.withColumn("hawb_no", // W3, ref :146
-      ffill(col("hawb_raw"), Seq(col("src_file")), Seq(col("line_no"))))
+  /** Extracted lines → `table_a_raw` rows: ffill merged HAWB cells (W3,
+    * ref `:94,146`), per-layout row filters (P4, ref `:95,149`), cumcount
+    * item numbers for the positional layout (W2, ref `:156`), numeric
+    * coercion and literal enrichment. One branch-free plan for any mix of
+    * layouts; every window partitions by file. */
+  private def finalize(parsed: DataFrame): DataFrame = {
+    val isOld = col("format") === "old"
+    val filled = parsed
+      .where(col("format") =!= "error")
+      .withColumn("hawb_no", // W3: merged HAWB cells arrive blank (ref :94)
+        ffill(realOrNull(col("hawb_cell")), Seq(col("src_file")),
+          Seq(col("line_no"))))
       .where(isRealValue(col("hawb_no")) &&
-        isRealValue(col("description_original"))) // P4, ref :149
-    filled
-      .withColumn("item_no", // W2 cumcount + 1, ref :156
-        row_number().over(Window.partitionBy("src_file", "hawb_no")
-          .orderBy("line_no")))
-      .select(
-        lit(mawb).as("mawb_no"),
-        col("hawb_no"),
-        col("item_no"),
-        col("description_original"),
-        numOrZero(col("qty_raw")).as("qty"),
-        col("qty_unit"),
-        lit(null).cast("double").as("net_weight"),
-        numOrZero(col("unit_price_raw")).as("unit_price"),
-        numOrZero(col("total_raw")).as("total_amount"),
-        lit("TWD").as("currency"),
-        lit(null).cast("string").as("consignee_name"),
-        lit(null).cast("string").as("consignee_id"),
-        lit(null).cast("string").as("consignee_phone"),
-        lit("PENDING").as("processing_status"),
-        col("src_file").as("data_source_file"))
+        when(isOld, isRealValue(col("item_no_cell")))
+          .otherwise(isRealValue(col("description_cell"))))
+    filled.select(
+      col("mawb_no"),
+      col("hawb_no"),
+      when(isOld, numOrZero(col("item_no_cell")).cast("int"))
+        .otherwise(row_number().over( // W2 cumcount + 1, ref :156
+          Window.partitionBy("src_file", "hawb_no").orderBy("line_no")))
+        .as("item_no"),
+      col("description_cell").as("description_original"),
+      numOrZero(col("qty_cell")).as("qty"),
+      realOrNull(col("qty_unit_cell")).as("qty_unit"),
+      when(isOld, numOrZero(realOrNull(col("net_weight_cell"))))
+        .otherwise(lit(null).cast("double")).as("net_weight"),
+      numOrZero(col("unit_price_cell")).as("unit_price"),
+      numOrZero(col("total_cell")).as("total_amount"),
+      lit("TWD").as("currency"), // F12, ref :110
+      realOrNull(col("consignee_name_cell")).as("consignee_name"),
+      realOrNull(col("consignee_id_cell")).as("consignee_id"),
+      realOrNull(col("consignee_phone_cell")).as("consignee_phone"),
+      lit("PENDING").as("processing_status"),
+      col("src_file").as("data_source_file"))
   }
 
-  /** Ingest every manifest in a directory: per-file format dispatch
-    * (driver-side metadata), unioned distributed plans (O4). */
+  /** One manifest file → `table_a_raw` rows. Throws (P7 diagnostic) when
+    * the file matches neither layout. */
+  def readManifest(spark: SparkSession, file: String): DataFrame = {
+    import spark.implicits._
+    val parsed = parsedLines(spark, file)
+    val errs = parsed.where(col("format") === "error")
+      .select("description_cell").as[String].collect()
+    require(errs.isEmpty, errs.mkString("; "))
+    finalize(parsed.toDF())
+  }
+
+  /** Ingest every manifest in a directory as ONE distributed job: per-file
+    * format dispatch happens inside the scan tasks, so N files is one scan
+    * and one plan (no driver round-trips, no N-way union). Files matching
+    * neither layout are skipped (see [[rejects]]). */
   def readAll(spark: SparkSession, dir: String): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter { s =>
-        val n = s.getPath.getName.toLowerCase
-        s.isFile && (n.endsWith(".csv") || n.endsWith(".xlsx"))
-      }
-      .map(_.getPath.toString)
-    require(files.nonEmpty, s"no .csv/.xlsx manifests in $dir")
-    files.map(readManifest(spark, _)).reduce(_ unionByName _)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      s"no such manifest directory: $dir")
+    finalize(parsedLines(spark, dir).toDF())
   }
+
+  /** Audit view of files rejected by the format dispatch: (file, reason). */
+  def rejects(spark: SparkSession, dir: String): DataFrame =
+    parsedLines(spark, dir).toDF()
+      .where(col("format") === "error")
+      .select(col("src_file"), col("description_cell").as("reason"))
 }

@@ -113,27 +113,79 @@ object Xlsx {
     rows.result()
   }
 
+  /** First `<sheet>` element's relationship id from `xl/workbook.xml` —
+    * workbook sheet order, not part-name order. */
+  private def firstSheetRelId(in: InputStream): Option[String] = {
+    val r = factory.createXMLStreamReader(noClose(in))
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet") {
+        var i = 0
+        while (i < r.getAttributeCount) {
+          if (r.getAttributeLocalName(i) == "id") // r:id
+            return Some(r.getAttributeValue(i))
+          i += 1
+        }
+      }
+    }
+    None
+  }
+
+  /** `rId` → part name (relative targets resolved against `xl/`) from
+    * `xl/_rels/workbook.xml.rels`. */
+  private def relTarget(in: InputStream, rid: String): Option[String] = {
+    val r = factory.createXMLStreamReader(noClose(in))
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship" &&
+          Option(r.getAttributeValue(null, "Id")).contains(rid)) {
+        return Option(r.getAttributeValue(null, "Target")).map { t =>
+          if (t.startsWith("/")) t.substring(1)
+          else if (t.startsWith("xl/")) t
+          else s"xl/$t"
+        }
+      }
+    }
+    None
+  }
+
   /** Extract the first worksheet of an xlsx payload as
     * (0-based line ordinal, cells) — the same shape as the CSV line reader,
-    * so both formats share the manifest pipeline. */
+    * so both formats share the manifest pipeline. "First" is resolved via
+    * `xl/workbook.xml` sheet order + the workbook rels (part names are NOT
+    * guaranteed to be `sheet1.xml`); when either part is absent the
+    * lexicographically-first worksheet member is used. */
   def grid(content: Array[Byte]): Seq[(Long, IndexedSeq[String])] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(content))
     var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheet: Option[Array[Byte]] = None
+    var workbook: Option[Array[Byte]] = None
+    var rels: Option[Array[Byte]] = None
+    val sheets = scala.collection.mutable.Map.empty[String, Array[Byte]]
     try {
       var e = zis.getNextEntry
       while (e != null) {
         e.getName match {
           case "xl/sharedStrings.xml" =>
             shared = parseSharedStrings(zis)
-          case n if n.matches("xl/worksheets/sheet1\\.xml") =>
-            sheet = Some(zis.readAllBytes())
+          case "xl/workbook.xml" =>
+            workbook = Some(zis.readAllBytes())
+          case "xl/_rels/workbook.xml.rels" =>
+            rels = Some(zis.readAllBytes())
+          case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+            sheets(n) = zis.readAllBytes()
           case _ =>
         }
         e = zis.getNextEntry
       }
     } finally zis.close()
-    sheet match {
+    val resolved: Option[Array[Byte]] = (for {
+      wb <- workbook
+      rl <- rels
+      rid <- firstSheetRelId(new ByteArrayInputStream(wb))
+      part <- relTarget(new ByteArrayInputStream(rl), rid)
+      bytes <- sheets.get(part)
+    } yield bytes).orElse(sheets.toSeq.sortBy(_._1).headOption.map(_._2))
+    resolved match {
       case None => Seq.empty
       case Some(bytes) =>
         parseSheet(new ByteArrayInputStream(bytes), shared)

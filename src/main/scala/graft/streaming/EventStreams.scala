@@ -70,7 +70,11 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapSec * 1000 =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // in-watermark late arrivals (t < s.last across batches)
+                  // extend the session BACKWARD too, keeping start/duration
+                  // consistent with the batch twin
+                  cur = Some(SessionState(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed += close(userId, s)
                   cur = Some(SessionState(t, t, 1))

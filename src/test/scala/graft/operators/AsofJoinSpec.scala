@@ -26,6 +26,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Array((1L, null), (2L, "q10"), (3L, "q20"), (4L, "q40")))
   }
 
+  test("null right payload values stay null — no field mixing across right rows") {
+    import spark.implicits._
+    // newest right row has a null price; the older row's price must NOT
+    // leak into the match (the per-column-ffill bug)
+    val left = Seq((1L, "u1", ts(30))).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(10), Option(9.99), "old"),
+      ("u1", ts(20), Option.empty[Double], "new")
+    ).toDF("k", "rt", "price", "tag")
+    val got = AsofJoin.asofBackward(left, right, "k", "t", "rt")
+      .select("id", "price", "tag").as[(Long, Option[Double], String)]
+      .collect()
+    assert(got === Array((1L, None, "new"))) // all fields from the ts(20) row
+  }
+
   test("column collision is rejected") {
     import spark.implicits._
     val l = Seq((1L, "u", ts(0))).toDF("id", "k", "t")

@@ -25,6 +25,20 @@ class DataQualitySpec extends SparkSpec {
     assert(got("id_positive") === 0L)
   }
 
+  test("identical rules can't alias each other's counters: duplicate names rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      report(df, Seq(Complete("name"), Complete("name")))
+    }
+    assert(e.getMessage.contains("complete(name)"))
+    // same-shape rules with distinct names still run in one pass
+    val ok = report(df, Seq(
+      Satisfies("id_pos", $"id" > 0), Satisfies("id_small", $"id" < 100)))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ok === Map("id_pos" -> 0L, "id_small" -> 0L))
+  }
+
   test("duplicateKeys finds multi-occurring key tuples") {
     import spark.implicits._
     val df = Seq((1, "x"), (1, "x"), (2, "y"), (1, "z")).toDF("k1", "k2")

@@ -74,6 +74,31 @@ class CsvManifestsSpec extends SparkSpec {
       ("XHAWB200", 1, "Bag", 1.0, 9.9)))
   }
 
+  test("xlsx first sheet resolves via workbook.xml/rels, not the part name") {
+    // sheet part is named sheet99.xml; only the workbook+rels route finds it
+    val buf = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(buf)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="1" r:id="rId7"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId7" Type="t" Target="worksheets/sheet99.xml"/></Relationships>""".stripMargin)
+    entry("xl/worksheets/sheet99.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>hello</t></is></c>
+        |<c r="B1"><v>42</v></c></row></sheetData></worksheet>""".stripMargin)
+    z.close()
+    val grid = Xlsx.grid(buf.toByteArray)
+    assert(grid === Seq((0L, IndexedSeq("hello", "42"))))
+  }
+
   test("xlsx cell reference parsing") {
     assert(Xlsx.colIndex("A1") === 0)
     assert(Xlsx.colIndex("O3") === 14)
@@ -98,6 +123,55 @@ class CsvManifestsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("weird.csv"))
     assert(e.getMessage.contains("neither"))
+  }
+
+  test("readAll over many files is ONE distributed scan, no per-file plans") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = java.nio.file.Files.createTempDirectory("manymanifests")
+    val src = new java.io.File("src/test/resources/manifests")
+    for (f <- src.listFiles(); i <- 1 to 3)
+      java.nio.file.Files.copy(f.toPath,
+        dir.resolve(s"copy${i}_${f.getName}"))
+    val all = CsvManifests.readAll(spark, dir.toString)
+    val plan = all.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = plan.linesIterator.count(_.trim.startsWith("Location: InMemoryFileIndex"))
+    assert(scans === 1, s"expected exactly 1 scan for 12 files, got $scans:\n$plan")
+    assert(all.count() === 36L) // 12 files x 3 rows
+    assert(all.select("data_source_file").distinct().count() === 12L)
+  }
+
+  test("readAll skips neither-format files; rejects() surfaces them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mixedmanifests")
+    java.nio.file.Files.copy(
+      new java.io.File(fixture("old_format.csv")).toPath,
+      dir.resolve("good.csv"))
+    java.nio.file.Files.writeString(dir.resolve("weird.csv"),
+      "just,three,cols\nno,header,here\n")
+    val all = CsvManifests.readAll(spark, dir.toString)
+    assert(all.count() === 3L) // only the good file's rows
+    val rej = CsvManifests.rejects(spark, dir.toString)
+      .as[(String, String)].collect()
+    assert(rej.length === 1)
+    assert(rej.head._1 === "weird.csv" && rej.head._2.contains("neither"))
+  }
+
+  test(".xls BIFF8 manifests match their .csv twins row-for-row (both CFB layouts)") {
+    // old_format: small stream -> CFB mini-stream path
+    // new_format: padded stream -> regular FAT path
+    for ((base, pad) <- Seq("old_format" -> false, "new_format" -> true)) {
+      val csvPath = fixture(s"$base.csv")
+      val grid = CsvManifests.gridOf(s"$base.csv",
+        java.nio.file.Files.readAllBytes(new java.io.File(csvPath).toPath))
+      val dir = java.nio.file.Files.createTempDirectory(s"xls_$base")
+      val xls = dir.resolve(s"$base.xls") // same stem -> same MAWB fallback
+      BiffFixture.write(xls, grid, pad)
+      val fromCsv = CsvManifests.readManifest(spark, csvPath)
+        .drop("data_source_file").orderBy("hawb_no", "item_no").collect()
+      val fromXls = CsvManifests.readManifest(spark, xls.toString)
+        .drop("data_source_file").orderBy("hawb_no", "item_no").collect()
+      assert(fromXls === fromCsv, s"$base: .xls rows diverge from .csv twin")
+    }
   }
 
   test("csv line splitter handles quotes and escaped quotes") {

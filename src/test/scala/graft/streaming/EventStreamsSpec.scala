@@ -55,6 +55,34 @@ class EventStreamsSpec extends SparkSpec {
     assert((batch -- streamed).size < batch.size / 10) // tail only
   }
 
+  test("in-watermark late events extend an open session backward (start/duration right)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def ev(id: Long, sec: Long, user: Long) =
+      EventStreams.Event(id, new Timestamp((base + sec) * 1000), user, "click", 1.0)
+
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapSec = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 100, 1)) // batch 1: opens session at +100s
+      q.processAllAvailable()
+      stream.addData(ev(2, 80, 1)) // batch 2: LATE, within gap + watermark
+      q.processAllAvailable()
+      stream.addData(ev(99, 100000, 9)) // advance event time -> timeout
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_sessions")
+      .where($"user_id" === 1L)
+      .select("n_events", "duration_sec")
+      .as[(Long, Double)].collect()
+    // late event lowered session_start to +80s: 2 events over 20s
+    assert(got === Array((2L, 20.0)))
+  }
+
   test("sessionization: gap splits sessions, counts and bounds are right") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
