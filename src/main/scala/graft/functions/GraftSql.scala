@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{ElementAt, Expression, Literal, Lower, RegExpReplace, StringSplit, StringTrim, Upper}
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, NfkcNormalize, ShingleHashes, SimHash64}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-text registration for the engine's custom Catalyst expressions
+  * (SURVEY §2.8): after `GraftSql.register(spark)` they are callable from
+  * `spark.sql(...)` by name, not just through the Scala DSL —
+  *
+  *   - `nfkc_normalize(str)` — NFKC compatibility normalization (F4)
+  *   - `graft_normalize_text(str)` — the reference's full normalizer
+  *   - `cosine_sim(vecA, vecB)` — float-vector cosine similarity
+  *   - `shingle_hashes(str, k)` — distinct word-k-shingle 64-bit hashes
+  *   - `minhash_signature(hashes, n)` — n-permutation MinHash signature
+  *   - `simhash64(tokens)` — 64-bit SimHash of a token array
+  *
+  * Integer parameters (`k`, `n`) must be integer LITERALS: they are
+  * structural (codegen'd loop bounds), not per-row data.
+  */
+object GraftSql {
+
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
+
+  /** All (name, builder) pairs — one place so register() and docs agree. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "nfkc_normalize" -> { es =>
+      arity("nfkc_normalize", es, 1); NfkcNormalize(es.head)
+    },
+    "graft_normalize_text" -> { es =>
+      arity("graft_normalize_text", es, 1)
+      // raw Catalyst mirror of GraftFunctions.normalizeText — a registry
+      // builder must return resolved expressions, not Column nodes
+      val seg = ElementAt(
+        StringSplit(Upper(NfkcNormalize(es.head)), Literal("/"), Literal(-1)),
+        Literal(-1))
+      StringTrim(RegExpReplace(
+        RegExpReplace(seg, Literal("[^\\p{L}\\p{N}_\\s]"), Literal(" ")),
+        Literal("\\s+"), Literal(" ")))
+    },
+    "cosine_sim" -> { es =>
+      arity("cosine_sim", es, 2); CosineSimilarity(es.head, es(1))
+    },
+    "shingle_hashes" -> { es =>
+      arity("shingle_hashes", es, 2)
+      // text in, like the DSL: tokenize (lower + whitespace split) inline
+      val toks = StringSplit(Lower(StringTrim(es.head)),
+        Literal("\\s+"), Literal(-1))
+      ShingleHashes(toks, intLit(es(1), "shingle_hashes", 1))
+    },
+    "minhash_signature" -> { es =>
+      arity("minhash_signature", es, 2)
+      MinHashSignature(es.head, intLit(es(1), "minhash_signature", 1))
+    },
+    "simhash64" -> { es =>
+      arity("simhash64", es, 1); SimHash64(es.head)
+    })
+
+  /** Register every custom function in the session's FunctionRegistry as a
+    * temp function (session-scoped, like CREATE TEMPORARY FUNCTION). */
+  def register(spark: SparkSession): Unit = {
+    val registry = GraftBridge.registry(spark)
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+
+  /** Same functions via [[org.apache.spark.sql.SparkSessionExtensions]] —
+    * for deployments that configure `spark.sql.extensions=graft.functions
+    * .GraftExtensions` instead of calling [[register]] per session. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftSql", name),
+        b))
+    }
+}
+
+/** `spark.sql.extensions` entry point (instantiated by Spark). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftSql.injectInto(ext)
+}

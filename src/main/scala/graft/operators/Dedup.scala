@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -26,6 +26,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(idCol).as("keeper_id"))
       .where(col("n_dups") > 1)
 
+  /** Exact-first collapse, shared by every pair generator below: group
+    * docs by `key` (the full sorted shingle set, or the simhash value —
+    * whatever makes two docs trivially duplicates), keep one representative
+    * per distinct key for the blocking stage, and remember the member ids
+    * for expansion. A million identical crawl copies — the NORMAL hot case
+    * of web-scale dedup — contribute ONE row to every block instead of a
+    * million, killing the hot-bucket OOM by construction. Buffers hold ids
+    * only, never content. */
+  private def collapseBy(docs: DataFrame, keyCol: Column): DataFrame =
+    docs.groupBy(keyCol.as("key"))
+      .agg(collect_list(col("doc")).as("ids"), min(col("doc")).as("rep"),
+        count(lit(1)).as("n_same"))
+
+  /** All intra-group pairs of collapsed groups (trivial duplicates), with
+    * `extra` named columns attached (e.g. intersection = set size,
+    * hamming = 0). Pair expansion is the OUTPUT contract's cost — it
+    * streams from a per-group explode, no aggregation buffer ever holds a
+    * cluster's content. */
+  private def intraPairs(groups: DataFrame,
+                         extra: Seq[(String, Column)]): DataFrame = {
+    val names = extra.map(_._1).map(col)
+    groups.where(col("n_same") > 1)
+      .select(col("ids") +: extra.map { case (n, c) => c.as(n) }: _*)
+      .select(col("ids") +: explode(col("ids")).as("id_a") +: names: _*)
+      .select(col("id_a") +: explode(col("ids")).as("id_b") +: names: _*)
+      .where(col("id_a") < col("id_b"))
+  }
+
+  /** Drop blocks with more than `maxBucket` DISTINCT members before pair
+    * generation (recall-trading guard against pathological boilerplate
+    * clusters that survive exact collapsing), counting what was dropped in
+    * an observed metric so the loss is visible, never silent. */
+  private def capBuckets(grouped: DataFrame, maxBucket: Int,
+                         metric: String): DataFrame =
+    grouped
+      .observe(metric,
+        sum(when(size(col("ms")) > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+      .where(size(col("ms")) <= maxBucket)
+
   /** Pairwise word-k-gram Jaccard ≥ `minJaccard`, exact, via PREFIX
     * FILTERING (the AllPairs/PPJoin family): under any global total order
     * on shingles, two sets of sizes na, nb with Jaccard ≥ t MUST share a
@@ -35,7 +75,9 @@ object Dedup {
     * shingles, collapsing the join on Zipfian corpora (hot stop-phrase
     * shingles never block anything). Candidates are then verified exactly
     * with a native `array_intersect` over hashed shingle sets. Output:
-    * (id_a < id_b, intersection, size_a, size_b) — lossless at any t.
+    * (id_a < id_b, intersection, size_a, size_b) — lossless at any t
+    * unless a prefix bucket exceeds `maxBucket` DISTINCT sets (dropped,
+    * counted in the `ngram_prefix_buckets` observed metric).
     *
     * Scale shape: one df aggregation, one (shingle-keyed) join to attach
     * df, one per-doc sort of its own shingle list (bounded by document
@@ -54,12 +96,18 @@ object Dedup {
     * negligible; a collision could only merge two shingle identities). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minJaccard: Double,
-                        maxShingleDf: Int = 0): DataFrame = {
-    // shingle identity only -> hashed shingles (no string building, long keys)
-    val exploded = docs
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), k).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc"), explode(col("sh")).as("h"))
+                        maxShingleDf: Int = 0,
+                        maxBucket: Int = 10000): DataFrame = {
+    // shingle identity only -> hashed shingles (no string building, long
+    // keys); exact-identical sets collapse to one representative before
+    // anything else (df, prefixes, buckets all see distinct sets only)
+    val withSets = docs
+      .select(col(idCol).as("doc"),
+        sort_array(shingleHashes(col(textCol), k)).as("sh0"))
+      .where(size(col("sh0")) > 0)
+    val groups = collapseBy(withSets, col("sh0"))
+    val exploded = groups
+      .select(col("rep").as("doc"), explode(col("key")).as("h"))
     val filtered =
       if (maxShingleDf > 0) {
         val hot = exploded.groupBy("h")
@@ -87,10 +135,12 @@ object Dedup {
     // self-join would recompute the whole scan->shingle->sort lineage for
     // both sides (aliased subplans don't share exchanges), which measured
     // ~2x the entire pipeline cost. One aggregation, one lineage.
-    val bucketed = prefixes
-      .groupBy("p")
-      .agg(collect_list(struct(col("doc"), col("n"), col("pos"))).as("ms"))
-      .where(size(col("ms")) > 1)
+    val bucketed = capBuckets(
+      prefixes
+        .groupBy("p")
+        .agg(collect_list(struct(col("doc"), col("n"), col("pos"))).as("ms"))
+        .where(size(col("ms")) > 1),
+      maxBucket, "ngram_prefix_buckets")
     val cand = bucketed
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -100,7 +150,7 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
     val hashed = sets.select(col("doc"),
       transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
-    cand
+    val repPairs = cand
       .join(hashed.select(col("doc").as("id_a"), col("hs").as("hs_a"),
         col("n").as("size_a")), "id_a")
       .join(hashed.select(col("doc").as("id_b"), col("hs").as("hs_b"),
@@ -111,6 +161,24 @@ object Dedup {
         col("intersection") / (col("size_a") + col("size_b") - col("intersection")))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "intersection", "size_a", "size_b")
+    // expand representative pairs back to member pairs (sizes follow their
+    // doc across the id reorder), add the trivial intra-group pairs
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("id_a"), col("m").as("ma")), "id_a")
+      .join(memb.select(col("rep").as("id_b"), col("m").as("mb")), "id_b")
+      .select(when(col("ma") <= col("mb"),
+          struct(col("ma").as("id_a"), col("mb").as("id_b"),
+            col("intersection"), col("size_a"), col("size_b")))
+        .otherwise(
+          struct(col("mb").as("id_a"), col("ma").as("id_b"),
+            col("intersection"), col("size_b").as("size_a"),
+            col("size_a").as("size_b"))).as("p"))
+      .select("p.*")
+    val n = size(col("key")).cast("long")
+    val intra = intraPairs(groups, Seq(
+      "intersection" -> n, "size_a" -> n, "size_b" -> n))
+    cross.unionByName(intra)
   }
 
   /** MinHash + LSH near-duplicate pairs: n-hash signatures split into
@@ -118,43 +186,50 @@ object Dedup {
     * Jaccard confirmation on the candidates (so precision is 1; recall is
     * the standard 1-(1-j^r)^b curve of the banding scheme).
     *
-    * Scale: signatures are computed scan-side in one pass (no shuffle);
-    * candidates come from a groupBy on (band, bucket) — data moved is
-    * #docs × #bands tiny rows, never the corpus text; only confirmed
-    * candidates rejoin their shingle sets. This is the shape that survives
-    * 100 TB: the only join keyed on raw content is over candidate ids. */
+    * Scale: exact duplicates collapse to one representative per distinct
+    * shingle set BEFORE banding (identical copies — the normal hot case of
+    * web-scale dedup — never inflate a bucket), signatures are computed
+    * scan-side in one pass, candidates come from a groupBy on
+    * (band, bucket) with a `maxBucket` cap on distinct-set bucket size,
+    * and representative pairs expand back to member pairs through slim
+    * id-only joins, so the doc-level output is unchanged. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, bands: Int,
-                      minJaccard: Double): DataFrame = {
+                      minJaccard: Double,
+                      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // shingle identity only -> hashed shingles: signatures minhash the
     // 64-bit shingle hashes and the exact-confirm join intersects long
-    // arrays, so no shingle string is ever built or shuffled
+    // arrays, so no shingle string is ever built or shuffled. Identical
+    // sets collapse to one representative BEFORE banding (see collapseBy).
     val withSets = docs
-      .select(col(idCol).as("doc"), shingleHashes(col(textCol), k).as("sh"))
+      .select(col(idCol).as("doc"),
+        sort_array(shingleHashes(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
+    val groups = collapseBy(withSets, col("sh"))
     // Materialize the signature ONCE before banding: lshBands slices the
     // signature `bands` times, and feeding it the raw minhash expression
     // would duplicate the whole numHashes-fold computation per band
     // (measured 30x slowdown on the bench before this split).
-    val sig = withSets.select(col("doc"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = groups.select(col("rep").as("doc"), col("key").as("sh"),
+      minhashSignature(col("key"), numHashes).as("sig"))
     // The shingle set rides along INTO the buckets so the exact-confirm
     // step intersects arrays already present in the pair row — the
     // alternative (join candidate ids back to a sets table) re-runs the
     // scan->shingle lineage once per join side, which measured as the
     // dominant cost. Pairs are generated within buckets via one
     // aggregation (a self-join would also double the lineage). Shuffle
-    // trade: sets travel once per band; at high band counts on huge
-    // corpora, flip back to id-only buckets + a persisted sets table.
+    // trade: sets travel once per band, one row per DISTINCT set.
     val buckets = sig
       .select(struct(col("doc"), col("sh")).as("ds"),
         explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("ds"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    buckets
-      .groupBy("band", "bucket").agg(collect_list(col("ds")).as("ms"))
-      .where(size(col("ms")) > 1)
+    val repPairs = capBuckets(
+      buckets
+        .groupBy("band", "bucket").agg(collect_list(col("ds")).as("ms"))
+        .where(size(col("ms")) > 1),
+      maxBucket, "minhash_lsh_buckets")
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.doc") < col("b.doc"))
@@ -167,6 +242,14 @@ object Dedup {
       .withColumn("jaccard", col("intersection") / col("union_size"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "intersection")
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("id_a"), col("m").as("ma")), "id_a")
+      .join(memb.select(col("rep").as("id_b"), col("m").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("intersection"))
+    val intra = intraPairs(groups, Seq("intersection" -> size(col("key"))))
+    cross.unionByName(intra)
   }
 
   /** 64-bit SimHash per document, computed entirely row-local as a custom
@@ -187,30 +270,38 @@ object Dedup {
     * least one chunk — and join per chunk. Only candidate pairs pay the
     * XOR + popcount check. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
     val chunks = maxHamming + 1
     // Chunk boundaries cover all 64 bits even when chunks doesn't divide 64
     // (last chunks get the remainder); width == 64 (maxHamming = 0) needs
     // mask -1L since (1L << 64) - 1 overflows to 0 and would degenerate the
     // blocked join into an all-pairs cross product.
     val bounds = (0 to chunks).map(c => c * 64 / chunks)
+    // equal fingerprints collapse to one representative before blocking:
+    // they'd land together in EVERY chunk block (the hot-bucket case), and
+    // they are pairs by definition (hamming 0 <= any threshold)
     val fps = simhash(docs, idCol, textCol)
-    val blocked = fps.select(col("doc_id"), col("simhash"),
+      .select(col("doc_id").as("doc"), col("simhash"))
+    val groups = collapseBy(fps, col("simhash"))
+    val blocked = groups.select(col("rep").as("doc_id"),
+      col("key").as("simhash"),
       explode(array((0 until chunks).map { c =>
         val lo = bounds(c)
         val w = bounds(c + 1) - lo
         val mask = if (w >= 64) -1L else (1L << w) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), lo)
-            .bitwiseAND(lit(mask)).as("key"))
+          shiftright(col("key"), lo)
+            .bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
-        col("b.chunk").as("chunk"), col("b.key").as("key"))
+        col("b.chunk").as("chunk"), col("b.ckey").as("ckey"))
     // pairs within blocks via one aggregation (see ngramJaccardPairs note)
-    blocked
-      .groupBy("chunk", "key")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-      .where(size(col("ms")) > 1)
+    val repPairs = capBuckets(
+      blocked
+        .groupBy("chunk", "ckey")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+        .where(size(col("ms")) > 1),
+      maxBucket, "simhash_buckets")
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -218,6 +309,14 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("id_a"), col("m").as("ma")), "id_a")
+      .join(memb.select(col("rep").as("id_b"), col("m").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    val intra = intraPairs(groups, Seq("hamming" -> lit(0)))
+    cross.unionByName(intra)
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ `minCosine`. Blocking

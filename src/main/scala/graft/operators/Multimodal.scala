@@ -8,36 +8,68 @@ import org.apache.spark.sql.functions._
   * compute (decode, resize, feature-extract, frame-sample) runs as a
   * partition-mapped batch function over the binary payloads.
   *
-  * The actual codec step is STUBBED — no image/audio libraries ship in this
-  * environment — with a deterministic fake that derives "decoded" metadata
-  * from the bytes. Everything around it (schema, batching, partition shape,
-  * the typed-Dataset signature a real decoder drops into) is real and
-  * tested. At cluster scale the input would be `spark.read.format
-  * ("binaryFile")` over an object store with `maxPartitionBytes` tuned so a
-  * partition's payloads fit executor memory, and the decode function below
-  * is the `mapPartitions` body each executor runs.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — header-only dimension reads, no
+  * full raster decode); payloads no installed codec claims fall back to a
+  * deterministic stub so audio/video bytes still flow through the same
+  * plumbing with honest `format = "unknown"` metadata. At cluster scale
+  * the input would be `spark.read.format("binaryFile")` over an object
+  * store with `maxPartitionBytes` tuned so a partition's payloads fit
+  * executor memory, and the decode function below is the `mapPartitions`
+  * body each executor runs.
   */
 object Multimodal {
 
-  /** A decoded-asset record: what a real image decode would return. */
+  /** A decoded-asset record. */
   case class AssetMeta(asset_id: Long, n_bytes: Int, format: String,
                        width: Int, height: Int, checksum: String)
 
-  /** STUB decode: deterministic fake dimensions from the payload. A real
-    * deployment replaces the body with an actual codec (e.g. TwelveMonkeys
-    * ImageIO) — the signature and the mapPartitions plumbing are the
-    * contract. */
-  def decodeStub(assetId: Long, bytes: Array[Byte]): AssetMeta = {
-    val n = bytes.length
+  private def crc32(bytes: Array[Byte]): java.util.zip.CRC32 = {
     val crc = new java.util.zip.CRC32
     crc.update(bytes)
+    crc
+  }
+
+  /** Fallback for payloads no installed ImageIO codec recognizes:
+    * deterministic pseudo-dimensions from the checksum, format flagged
+    * `unknown` so downstream filters can separate real decodes. */
+  def decodeStub(assetId: Long, bytes: Array[Byte]): AssetMeta = {
+    val crc = crc32(bytes)
     AssetMeta(
       asset_id = assetId,
-      n_bytes = n,
-      format = if (n % 2 == 0) "png" else "jpeg",
+      n_bytes = bytes.length,
+      format = "unknown",
       width = 64 + (crc.getValue % 1024).toInt,
       height = 64 + ((crc.getValue >> 10) % 1024).toInt,
       checksum = java.lang.Long.toHexString(crc.getValue))
+  }
+
+  /** Real JDK-only image decode: probe the payload with the registered
+    * ImageIO readers and read true dimensions from the header (no raster
+    * decode — `getWidth/getHeight(0)` parse metadata only, so a 50 MB JPEG
+    * costs a few KB of reads). Unknown formats → [[decodeStub]]. */
+  def decodeOne(assetId: Long, bytes: Array[Byte]): AssetMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(assetId, bytes)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          AssetMeta(
+            asset_id = assetId,
+            n_bytes = bytes.length,
+            format = r.getFormatName.toLowerCase,
+            width = r.getWidth(0),
+            height = r.getHeight(0),
+            checksum = java.lang.Long.toHexString(crc32(bytes).getValue))
+        } catch {
+          case _: java.io.IOException => decodeStub(assetId, bytes) // truncated/corrupt
+        } finally r.dispose()
+      }
+    } finally iis.close()
   }
 
   /** Partition-mapped decode over (id, payload) rows — one JVM-side batch
@@ -48,7 +80,7 @@ object Multimodal {
     implicit val enc = Encoders.product[AssetMeta]
     assets.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
 
   /** Frame-sample stub: slice `n` evenly spaced windows of `frameBytes`

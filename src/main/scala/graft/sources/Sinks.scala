@@ -10,40 +10,85 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * S9's reference semantics is a single MySQL transaction doing
   * backup-CTAS + TRUNCATE + INSERT (ref `src/batch_train.py:154-176`).
   * Spark has no cross-table transaction; the closest safe protocol is
-  * staging-dir + rename: the new snapshot becomes visible atomically at the
-  * directory rename (per-filesystem atomicity — true on HDFS, best-effort
-  * on object stores, documented delta). A crash mid-protocol leaves the old
-  * snapshot intact plus an orphaned staging dir — at-least-once, never
-  * torn. */
+  * all-renames: write the new snapshot to a staging dir, rename the old
+  * target to the backup path (metadata-only — no second read+write of the
+  * data), rename staging in. Directory renames are atomic per-filesystem
+  * (true on HDFS, best-effort on object stores, documented delta). A crash
+  * at any step leaves a recoverable state: before the backup rename the
+  * old target is untouched; between the two renames the target is briefly
+  * absent but BOTH the old data (backup) and new data (staging) are intact
+  * on disk, and [[Sinks.recover]] — run automatically at the start of every
+  * `snapshotOverwrite` — rolls the swap forward. Single-writer protocol,
+  * like the reference's one-process pipelines. */
 object Sinks {
 
   /** S8 — append sink (ref `to_sql(..., if_exists='append')`). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  private def fsOf(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingsOf(fs: org.apache.hadoop.fs.FileSystem,
+                         target: String): Seq[Path] = {
+    val parent = new Path(target).getParent
+    val prefix = new Path(target).getName + ".staging-"
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).toSeq
+  }
+
+  /** Recover-on-open for [[snapshotOverwrite]]: a crash between the two
+    * renames leaves the target absent with the new snapshot still in a
+    * staging dir — roll the swap forward (newest staging wins). When the
+    * target exists, orphaned stagings are aborted writes; drop them. */
+  def recover(spark: SparkSession, target: String): Unit = {
+    val fs = fsOf(spark)
+    val targetPath = new Path(target)
+    val stagings = stagingsOf(fs, target)
+    if (!fs.exists(targetPath) && stagings.nonEmpty) {
+      val newest = stagings.maxBy(_.getName)
+      if (!fs.rename(newest, targetPath))
+        throw new java.io.IOException(s"recover: rename $newest -> $target failed")
+    }
+    stagingsOf(fs, target).foreach(fs.delete(_, true))
+  }
+
   /** S9 — snapshot-versioned overwrite: if the target exists and is
-    * non-empty, first copy it to `<backupRoot>/backup_<ts>`, then replace
-    * the target via staging dir + atomic rename. Returns the backup path,
-    * if one was taken. */
+    * non-empty, it survives as `<backupRoot>/backup_<ts>` (the reference's
+    * timestamped backup tables) via a metadata-only rename, and the new
+    * snapshot replaces it via staging dir + rename. Returns the backup
+    * path, if one was taken. See the object doc for the crash protocol;
+    * `crashPoint` is a test hook fired between protocol steps. */
   def snapshotOverwrite(spark: SparkSession, df: DataFrame, target: String,
                         backupRoot: String,
-                        clock: () => Long = () => System.currentTimeMillis())
+                        clock: () => Long = () => System.currentTimeMillis(),
+                        crashPoint: String => Unit = _ => ())
       : Option[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark)
     val targetPath = new Path(target)
-    val backup: Option[String] =
-      if (fs.exists(targetPath) &&
-          !spark.read.parquet(target).isEmpty) { // A4 non-empty gate, ref :157-158
-        val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-          .format(new java.util.Date(clock()))
-        val b = s"$backupRoot/backup_$ts"
-        spark.read.parquet(target).write.mode("errorifexists").parquet(b)
-        Some(b)
-      } else None
+    recover(spark, target)
+    val oldNonEmpty = fs.exists(targetPath) &&
+      !spark.read.parquet(target).isEmpty // A4 non-empty gate, ref :157-158
+    // stage FIRST: df may itself read from the current target
     val staging = new Path(target + ".staging-" + clock())
     df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(targetPath)) fs.delete(targetPath, true)
+    crashPoint("staged")
+    val backup: Option[String] =
+      if (oldNonEmpty) {
+        val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date(clock()))
+        val b = new Path(s"$backupRoot/backup_$ts")
+        val parent = b.getParent
+        if (parent != null) fs.mkdirs(parent)
+        if (!fs.rename(targetPath, b)) // metadata-only, never a data copy
+          throw new java.io.IOException(s"rename $target -> $b failed")
+        Some(b.toString)
+      } else {
+        if (fs.exists(targetPath)) fs.delete(targetPath, true) // empty dir
+        None
+      }
+    crashPoint("backed-up")
     if (!fs.rename(staging, targetPath))
       throw new java.io.IOException(s"rename $staging -> $target failed")
     backup

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftSqlSpec extends SparkSpec {
+
+  test("custom expressions are SQL-callable after registration") {
+    import spark.implicits._
+    GraftSql.register(spark)
+    GraftSql.register(spark) // idempotent (createOrReplace)
+
+    assert(spark.sql("SELECT nfkc_normalize('Ｐｏｌｏ衫') AS v")
+      .as[String].head() === "Polo衫")
+    // the full reference normalizer: NFKC, upper, last /-segment,
+    // punctuation strip (CJK preserved), whitespace collapse
+    assert(spark.sql("SELECT graft_normalize_text('bag/ＵＳＢ风扇!!') AS v")
+      .as[String].head() === "USB风扇")
+    assert(spark.sql(
+      "SELECT cosine_sim(CAST(array(3.0, 4.0) AS array<float>), " +
+        "CAST(array(3.0, 4.0) AS array<float>)) AS v")
+      .as[Double].head() === 1.0)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c', 2)) AS v")
+      .as[Int].head() === 2)
+    assert(spark.sql(
+      "SELECT size(minhash_signature(shingle_hashes('a b c', 2), 16)) AS v")
+      .as[Int].head() === 16)
+    // SQL call equals the Scala DSL result
+    val viaSql = spark.sql(
+      "SELECT simhash64(split('hello world', ' ')) AS v").as[Long].head()
+    val viaDsl = Seq("hello world").toDF("text")
+      .select(org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.SimHash64(
+          org.apache.spark.sql.GraftBridge.expression(
+            GraftFunctions.tokens(org.apache.spark.sql.functions.col("text")))))
+        .as("v")).as[Long].head()
+    assert(viaSql === viaDsl)
+  }
+
+  test("SQL graft_normalize_text equals the DSL normalizeText on real documents") {
+    import spark.implicits._
+    GraftSql.register(spark)
+    val docs = graft.Tables(spark, sfDir, "documents").limit(200).cache()
+    docs.createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql("SELECT graft_normalize_text(text) AS v FROM docs_sqlfn")
+    val viaDsl = docs.select(GraftFunctions.normalizeText($"text").as("v"))
+    assert(viaSql.except(viaDsl).count() === 0L)
+    assert(viaDsl.except(viaSql).count() === 0L)
+  }
+
+  test("structural int parameters must be literals") {
+    GraftSql.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', id) FROM range(3)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -36,6 +36,47 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("1k-identical-doc cluster: collapsed before banding, pairs still complete") {
+    import spark.implicits._
+    val cluster = (0L until 1000L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta"))
+    val nearDup = (5000L, "alpha beta gamma delta epsilon eta") // j = 4/6
+    val far = (6000L, "totally different words here entirely")
+    val df = (cluster :+ nearDup :+ far).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 2, 32, 16,
+      minJaccard = 0.5).cache()
+    // all C(1000,2) intra-cluster pairs + the near-dup against every member
+    // (banding at j=0.667, r=2,b=16: collision prob 1-(1-0.44)^16 ~ 0.9999,
+    // deterministic given the fixed hash seeds); the far doc pairs with
+    // nothing
+    val n = pairs.count()
+    assert(n === 499500L + 1000L, s"got $n pairs")
+    // intra pairs carry intersection = set size (5 bigram shingles)
+    assert(pairs.where($"id_a" === 0L && $"id_b" === 1L)
+      .select("intersection").as[Int].head() === 5)
+    // no pair touches the far doc
+    assert(pairs.where($"id_a" === 6000L || $"id_b" === 6000L).count() === 0L)
+  }
+
+  test("maxBucket cap drops oversized blocks (cross pairs) but never intra-group pairs") {
+    import spark.implicits._
+    val cluster = (0L until 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta"))
+    val nearDup = (5000L, "alpha beta gamma delta epsilon eta")
+    val df = (cluster :+ nearDup).toDF("doc_id", "text")
+    // maxBucket=1 kills every band bucket (pairs need >=2 members), so the
+    // near-dup drops; the exact cluster's pairs come from the collapse path
+    val capped = Dedup.minhashLshPairs(df, "doc_id", "text", 2, 32, 8,
+      minJaccard = 0.5, maxBucket = 1)
+    assert(capped.count() === 100L * 99L / 2)
+    assert(capped.where($"id_a" === 5000L || $"id_b" === 5000L).count() === 0L)
+    // simhash: same contract
+    val cappedSim = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = 1)
+    assert(cappedSim.count() === 100L * 99L / 2)
+    assert(cappedSim.where($"hamming" =!= 0).count() === 0L)
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are within threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -20,6 +20,30 @@ class MultimodalSpec extends SparkSpec {
     assert(a.filter(m => m.width < 64 || m.height < 64).count() === 0L)
   }
 
+  test("real PNG/JPEG payloads decode to their true dimensions and format") {
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes(320, 200, "png")),
+      (2L, imageBytes(17, 123, "jpg")),
+      (3L, "not an image at all".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeAssets(rows, "doc_id", "payload")
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(got(1L).format === "png" &&
+      got(1L).width === 320 && got(1L).height === 200)
+    assert(got(2L).format === "jpeg" &&
+      got(2L).width === 17 && got(2L).height === 123)
+    assert(got(3L).format === "unknown") // stub fallback, honest flag
+  }
+
   test("frame sampling: n frames per asset, fixed size, in-bounds offsets") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(assets, "doc_id", "payload", n = 3,

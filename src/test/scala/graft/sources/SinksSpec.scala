@@ -38,6 +38,55 @@ class SinksSpec extends SparkSpec {
     assert(leftovers.isEmpty)
   }
 
+  test("snapshot overwrite: crash at ANY protocol step loses no snapshot") {
+    import spark.implicits._
+    class Boom extends RuntimeException("injected crash")
+    def crashAt(p: String): String => Unit =
+      q => if (q == p) throw new Boom
+
+    // -- crash after staging, before the backup rename: old target intact
+    val root1 = tmp()
+    val t1 = s"$root1/kb"
+    Sinks.snapshotOverwrite(spark, Seq("a").toDF("v"), t1, root1)
+    intercept[Boom] {
+      Sinks.snapshotOverwrite(spark, Seq("b").toDF("v"), t1, root1,
+        crashPoint = crashAt("staged"))
+    }
+    assert(spark.read.parquet(t1).as[String].collect() === Array("a"))
+    // retry succeeds and cleans the orphaned staging
+    Sinks.snapshotOverwrite(spark, Seq("b").toDF("v"), t1, root1)
+    assert(spark.read.parquet(t1).as[String].collect() === Array("b"))
+    assert(!new java.io.File(root1).listFiles().map(_.getName)
+      .exists(_.contains("staging")))
+
+    // -- crash between the two renames: old is in the backup, new in
+    //    staging; recover() rolls the swap forward, nothing lost
+    val root2 = tmp()
+    val t2 = s"$root2/kb"
+    Sinks.snapshotOverwrite(spark, Seq("v1").toDF("v"), t2, root2)
+    intercept[Boom] {
+      Sinks.snapshotOverwrite(spark, Seq("v2").toDF("v"), t2, root2,
+        crashPoint = crashAt("backed-up"))
+    }
+    val backups = new java.io.File(root2).listFiles()
+      .filter(_.getName.startsWith("backup_")).map(_.toString)
+    assert(backups.length === 1) // old snapshot survived the crash
+    assert(spark.read.parquet(backups.head).as[String].collect() === Array("v1"))
+    Sinks.recover(spark, t2) // recover-on-open
+    assert(spark.read.parquet(t2).as[String].collect() === Array("v2"))
+
+    // -- the backup is a rename, not a copy: same physical parquet files
+    val root3 = tmp()
+    val t3 = s"$root3/kb"
+    Sinks.snapshotOverwrite(spark, Seq("x").toDF("v"), t3, root3)
+    val before = new java.io.File(t3).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val b3 = Sinks.snapshotOverwrite(spark, Seq("y").toDF("v"), t3, root3)
+    val after = new java.io.File(b3.get).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === before) // identical file names + mtimes -> moved, not rewritten
+  }
+
   test("streaming drain: AvailableNow drains the dir, archives inputs, is idempotent") {
     val root = tmp()
     val src = s"$root/inbox"; val out = s"$root/out"
