@@ -5,13 +5,17 @@ package graft
   *
   * Methodology: results are written to the `noop` sink, not `count()`ed — a
   * bare count lets Catalyst prune every column and would benchmark the scan,
-  * not the compute (normalize/minhash/cosine would be optimized away). A
-  * failed query reports -1.0 so it can never masquerade as a fast run, and
-  * the failure is printed to stderr. */
+  * not the compute (normalize/minhash/cosine would be optimized away). Each
+  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * MEDIAN, so one GC pause or compilation hiccup can't masquerade as a
+  * regression and per-query numbers are comparable across rounds. A failed
+  * query reports -1.0 so it can never masquerade as a fast run, and the
+  * failure is printed to stderr. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
@@ -21,8 +25,8 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val sec =
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
@@ -31,6 +35,10 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               -1.0
           }
+        }
+        val sec =
+          if (times.exists(_ < 0)) -1.0
+          else times.sorted.apply(reps / 2) // median
         name -> sec
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -216,6 +216,17 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("sum_base_cents"))),
 
+    // Duty-amount aggregation: the tax/rate analytics the extended
+    // BID_HEAD columns (XmlDeclarations: tax_base x duty rate -> duty)
+    // enable, exercised on the harness star schema; integer cents keep the
+    // money sum combine-order-exact
+    "a_duty_amount" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(floor(col("l_extendedprice") * col("l_tax") * 100))
+          .as("duty_cents"),
+          count(lit(1)).as("n_items"))),
+
     "w_lag_lead" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_orderkey")
@@ -707,6 +718,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_base_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a_duty_amount" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_tax * 100) AS BIGINT))
+        |    AS BIGINT) AS duty_cents,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "w_lag_lead" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

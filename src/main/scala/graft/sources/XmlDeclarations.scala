@@ -40,7 +40,10 @@ import graft.functions.GraftFunctions._
   */
 object XmlDeclarations {
 
-  /** One raw BID_HEAD extraction: untyped strings + document ordinal. */
+  /** One raw BID_HEAD extraction: untyped strings + document ordinal.
+    * Covers the reference's 17 read fields plus the 18 declared-but-unread
+    * extended fields (SURVEY §1.3 — tax amounts, exchange rates, document
+    * dates/types, broker metadata) that declarations analytics wants. */
   case class RawBid(
       data_source_file: String, ordinal: Int,
       dcl_doc_no: String, mawb_no: String, hawb_no: String, flight_no: String,
@@ -48,13 +51,25 @@ object XmlDeclarations {
       qty_raw: String, qty_unit: String, item_total_raw: String,
       hawb_total_raw: String, duty_rate: String, consignee_id: String,
       consignee_name: String, consignee_phone: String, shipper_name: String,
-      export_port: String)
+      export_port: String,
+      // extended fields (raw)
+      auto_seq_raw: String, seq_no_raw: String, dcl_doc_type: String,
+      dcl_doc_no_5: String, dcl_date_raw: String, doc_date_raw: String,
+      cnee_code: String, tax_amt1_raw: String, tax_amt3_raw: String,
+      tax_amt4_raw: String, tot_tax_amt_raw: String, tax_base_raw: String,
+      currency: String, ex_rate_raw: String, hawb_ex_rate_raw: String,
+      coloader: String, cnee_c_name: String, broker_box_no: String)
 
   private val fields = Set(
     "DCL_DOC_NO", "MAWB", "HAWB_NO", "FLY_NO", "IMPORT_DATE", "DESCRIPTION",
     "CLASSIFY_NO", "QTY", "QTY_UM", "PAY_TAX_AMT", "FOB_AMT_TWD",
     "IMPORT_DUTY_RATE", "CNEE_BAN_ID", "CNEE_E_NAME", "OTHER_ITEN_2",
-    "SHPR_E_NAME", "FROM_CODE")
+    "SHPR_E_NAME", "FROM_CODE",
+    // extended (SURVEY §1.3 unread-but-present set)
+    "AUTO_SEQ", "SEQ_NO", "DCL_DOC_TYPE", "DCL_DOC_NO_5", "DCL_DATE",
+    "DOC_DATE", "CNEE_CODE", "TAX_AMT1", "TAX_AMT3", "TAX_AMT4",
+    "TOT_TAX_AMT", "TAX_BASE", "CURRENCY", "EX_RATE", "HAWB_EX_RATE",
+    "COLOADER", "CNEE_C_NAME", "BROKER_BOX_NO")
 
   /** Pull-parse one XML document, emitting BID_HEAD field maps in document
     * order. The embedded XSD also *mentions* BID_HEAD (as
@@ -101,7 +116,16 @@ object XmlDeclarations {
       item_total_raw = g("PAY_TAX_AMT"), hawb_total_raw = g("FOB_AMT_TWD"),
       duty_rate = g("IMPORT_DUTY_RATE"), consignee_id = g("CNEE_BAN_ID"),
       consignee_name = g("CNEE_E_NAME"), consignee_phone = g("OTHER_ITEN_2"),
-      shipper_name = g("SHPR_E_NAME"), export_port = g("FROM_CODE"))
+      shipper_name = g("SHPR_E_NAME"), export_port = g("FROM_CODE"),
+      auto_seq_raw = g("AUTO_SEQ"), seq_no_raw = g("SEQ_NO"),
+      dcl_doc_type = g("DCL_DOC_TYPE"), dcl_doc_no_5 = g("DCL_DOC_NO_5"),
+      dcl_date_raw = g("DCL_DATE"), doc_date_raw = g("DOC_DATE"),
+      cnee_code = g("CNEE_CODE"), tax_amt1_raw = g("TAX_AMT1"),
+      tax_amt3_raw = g("TAX_AMT3"), tax_amt4_raw = g("TAX_AMT4"),
+      tot_tax_amt_raw = g("TOT_TAX_AMT"), tax_base_raw = g("TAX_BASE"),
+      currency = g("CURRENCY"), ex_rate_raw = g("EX_RATE"),
+      hawb_ex_rate_raw = g("HAWB_EX_RATE"), coloader = g("COLOADER"),
+      cnee_c_name = g("CNEE_C_NAME"), broker_box_no = g("BROKER_BOX_NO"))
   }
 
   /** Parse one ingested file (xml or zip of xmls) into raw rows. Zip
@@ -179,7 +203,28 @@ object XmlDeclarations {
           numOrZero(col("qty_raw"))).as("unit_price_calculated"), // F7, ref :94-98
         col("duty_rate"),
         col("consignee_id"), col("consignee_name"), col("consignee_phone"),
-        col("shipper_name"), col("export_port"))
+        col("shipper_name"), col("export_port"),
+        // extended fields, typed: ids/sequences and exchange rates coerce
+        // to NULL on absence (0 would be fictional); money amounts follow
+        // the reference's F6 coerce-to-zero convention
+        col("auto_seq_raw").try_cast("long").as("auto_seq"),
+        col("seq_no_raw").try_cast("double").as("seq_no"),
+        strTrim(col("dcl_doc_type")).as("dcl_doc_type"),
+        strTrim(col("dcl_doc_no_5")).as("dcl_doc_no_5"),
+        isoDate(col("dcl_date_raw")).as("dcl_date"),
+        isoDate(col("doc_date_raw")).as("doc_date"),
+        strTrim(col("cnee_code")).as("cnee_code"),
+        numOrZero(col("tax_amt1_raw")).as("tax_amt1"),
+        numOrZero(col("tax_amt3_raw")).as("tax_amt3"),
+        numOrZero(col("tax_amt4_raw")).as("tax_amt4"),
+        numOrZero(col("tot_tax_amt_raw")).as("tot_tax_amt"),
+        numOrZero(col("tax_base_raw")).as("tax_base"),
+        strTrim(col("currency")).as("currency"),
+        col("ex_rate_raw").try_cast("double").as("ex_rate"),
+        col("hawb_ex_rate_raw").try_cast("double").as("hawb_ex_rate"),
+        strTrim(col("coloader")).as("coloader"),
+        strTrim(col("cnee_c_name")).as("cnee_c_name"),
+        strTrim(col("broker_box_no")).as("broker_box_no"))
   }
 
   /** Streaming variant of the drop-directory scan (S10): same parse over a

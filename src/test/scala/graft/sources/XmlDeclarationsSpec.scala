@@ -36,6 +36,27 @@ class XmlDeclarationsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("extended BID_HEAD fields: typed golden values from a production member") {
+    import spark.implicits._
+    val got = processed.where(
+      $"data_source_file" === "IPC250403407EX.zip::KEVIN_1767768378072.xml" &&
+        $"hawb_no" === "HY01117453" && $"item_sequence" === 1)
+      .select($"auto_seq", $"seq_no", $"dcl_doc_type", $"dcl_doc_no_5",
+        date_format($"dcl_date", "yyyy-MM-dd"),
+        date_format($"doc_date", "yyyy-MM-dd"),
+        $"tax_amt1", $"tax_amt3", $"tax_amt4", $"tot_tax_amt", $"tax_base",
+        $"currency", $"ex_rate", $"hawb_ex_rate", $"broker_box_no")
+      .as[(Long, Double, String, String, String, String, Double, Double,
+        Double, Double, Double, String, Option[Double], Double, String)]
+      .collect()
+    assert(got === Array((6552014L, 1.0, "X3", "FYR3P", "2025-04-03",
+      "2025-04-03", 61.0, 0.0 /* absent -> F6 zero */, 124.0, 185.0, 2485.0,
+      "TWD", None /* absent rate -> null, never 0 */, 1.0, "472")))
+    // corpus-level: the tax fields are really populated, not all-default
+    assert(processed.where($"tot_tax_amt" > 0).count() > 0L)
+    assert(processed.where($"auto_seq".isNull).count() === 0L)
+  }
+
   test("cleansing: doc numbers have no spaces/slashes, dates are truncated") {
     import spark.implicits._
     assert(processed.where($"dcl_doc_no".rlike("[ \n/]")).count() === 0L)
