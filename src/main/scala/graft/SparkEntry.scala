@@ -566,6 +566,17 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned
+    // codebook has no SQL replay; recall vs brute force is pinned by
+    // SimilaritySpec instead
+    "knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // ---------- text analysis ----------
     "text_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),

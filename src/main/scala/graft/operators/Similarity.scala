@@ -85,6 +85,57 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer tier that scales past
+    * fixed-hyperplane LSH: a k-means codebook of `nlist` centroids (cosine
+    * metric, trained on a sample) partitions the corpus into cells; each
+    * query probes only its `nprobe` nearest cells. Candidate fraction is
+    * ~nprobe/nlist and, unlike sign buckets, cells track the DATA
+    * distribution, so recall holds on clustered embeddings.
+    *
+    * Scale shape: training fits on a driver-bounded sample; assignment is a
+    * scan-side model transform (centroids broadcast inside the model); the
+    * candidate join is corpus ⋈ broadcast(query-probes) keyed on the cell —
+    * the corpus is never shuffled. At rest, write the corpus partitioned by
+    * cell (as [[writeBucketed]] does for sign buckets) and the probe
+    * predicate prunes partitions before any row is read. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             nlist: Int = 16, nprobe: Int = 4,
+             trainFraction: Double = 1.0, seed: Long = 42L,
+             excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import corpus.sparkSession.implicits._
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("_fv", array_to_vector(col("c_vec")))
+    val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine").setFeaturesCol("_fv")
+      .setPredictionCol("cell").fit(train)
+    val assigned = model.transform(c0)
+      .select(col("neighbor_id"), col("c_vec"), col("cell"))
+    val cent = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_csim").desc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    kept.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** A query's probe set: its own sign bucket plus, with `multiProbe`,
     * every Hamming-1 neighbor bucket — standard multi-probe LSH. A near
     * neighbor differing in ONE hyperplane sign is recovered at the cost of

@@ -30,6 +30,16 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("value_micros"))
 
+  /** Exactly-once event dedup on an unbounded stream: drop re-deliveries
+    * of the same event id arriving within the watermark horizon. State is
+    * bounded — `dropDuplicatesWithinWatermark` evicts ids once the
+    * watermark passes them — so an at-least-once upstream (like the
+    * reference's crash-window re-imports, `import_xml_history.py:205-211`)
+    * becomes exactly-once into the sink without unbounded id memory. */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(idCol)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -55,6 +55,28 @@ class EventStreamsSpec extends SparkSpec {
     assert((batch -- streamed).size < batch.size / 10) // tail only
   }
 
+  test("streaming dedup: re-delivered events within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def ev(id: Long, sec: Long) =
+      EventStreams.Event(id, new Timestamp((base + sec) * 1000), 1L, "click", 1.0)
+
+    val stream = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, 0), ev(2, 10), ev(1, 0)) // dup in-batch
+      q.processAllAvailable()
+      stream.addData(ev(2, 10), ev(3, 20)) // re-delivery across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("deduped").select("event_id")
+      .as[Long].collect().sorted
+    assert(got === Array(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("in-watermark late events extend an open session backward (start/duration right)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
