@@ -361,6 +361,47 @@ object SparkEntry {
         .agg(sum(rev).as("revenue"))
     }),
 
+    // Q7-shaped bilateral trade volume: two nation roles on one dimension
+    // table, year bucketing, decimal-exact revenue; the nation lookups are
+    // broadcast (tiny dims), the fact-side joins shuffle on their keys
+    "tpch_q7_volume" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1")) &&
+          year(col("l_shipdate")).between(1996, 1997))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).as("revenue"))
+    }),
+
+    // Q14-shaped promo share: numerator and denominator emitted as exact
+    // decimal columns (a double ratio would be combine-order-dependent)
+    "tpch_q14_promo" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("l_shipdate") >= "1996-09-01" &&
+          col("l_shipdate") < "1996-10-01")
+        .agg(sum(when(col("p_type") === "PROMO", rev)).as("promo_revenue"),
+          sum(rev).as("total_revenue"))
+    }),
+
     "tpch_q10_returned_items" -> ((s, dir) => {
       val rev = (col("l_extendedprice").cast("decimal(18,2)") *
         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
@@ -848,6 +889,38 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY 1""".stripMargin
+    },
+
+    "tpch_q7_volume" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""WITH flows AS (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS BIGINT) AS l_year, $rev AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND year(l_shipdate) BETWEEN 1996 AND 1997)
+         |SELECT supp_nation, cust_nation, l_year, sum(rev) AS revenue
+         |FROM flows GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "tpch_q14_promo" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""SELECT sum(CASE WHEN p_type = 'PROMO' THEN $rev END)
+         |    AS promo_revenue,
+         |  sum($rev) AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
     },
 
     "tpch_q10_returned_items" -> {

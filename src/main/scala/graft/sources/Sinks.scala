@@ -54,6 +54,14 @@ object Sinks {
     stagingsOf(fs, target).foreach(fs.delete(_, true))
   }
 
+  /** Open a snapshot table with recover-on-open: completes any interrupted
+    * swap (see [[recover]]) before reading, so a reader arriving after a
+    * mid-swap crash sees the committed new snapshot, never an absent dir. */
+  def readSnapshot(spark: SparkSession, target: String): DataFrame = {
+    recover(spark, target)
+    spark.read.parquet(target)
+  }
+
   /** S9 — snapshot-versioned overwrite: if the target exists and is
     * non-empty, it survives as `<backupRoot>/backup_<ts>` (the reference's
     * timestamped backup tables) via a metadata-only rename, and the new

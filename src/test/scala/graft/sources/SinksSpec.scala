@@ -72,8 +72,8 @@ class SinksSpec extends SparkSpec {
       .filter(_.getName.startsWith("backup_")).map(_.toString)
     assert(backups.length === 1) // old snapshot survived the crash
     assert(spark.read.parquet(backups.head).as[String].collect() === Array("v1"))
-    Sinks.recover(spark, t2) // recover-on-open
-    assert(spark.read.parquet(t2).as[String].collect() === Array("v2"))
+    // recover-on-open: the reader itself completes the interrupted swap
+    assert(Sinks.readSnapshot(spark, t2).as[String].collect() === Array("v2"))
 
     // -- the backup is a rename, not a copy: same physical parquet files
     val root3 = tmp()
