@@ -33,7 +33,15 @@ object Dedup {
     * for expansion. A million identical crawl copies — the NORMAL hot case
     * of web-scale dedup — contribute ONE row to every block instead of a
     * million, killing the hot-bucket OOM by construction. Buffers hold ids
-    * only, never content. */
+    * only, never content.
+    *
+    * Plan note: the collapsed table feeds several consumers (signature,
+    * member expansion, intra pairs), and per-branch column pruning
+    * specializes each one's aggregate, so Catalyst does NOT reuse the
+    * exchange — each consumer re-aggregates from the scan. Cheap at bench
+    * scale (measured faster than the pre-collapse shape); at true corpus
+    * scale, persist the collapsed table once and pass it through
+    * [[minhashLshPairsFromGroups]] instead. */
   private def collapseBy(docs: DataFrame, keyCol: Column): DataFrame =
     docs.groupBy(keyCol.as("key"))
       .agg(collect_list(col("doc")).as("ids"), min(col("doc")).as("rep"),
@@ -196,18 +204,33 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, numHashes: Int, bands: Int,
                       minJaccard: Double,
-                      maxBucket: Int = 10000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
+                      maxBucket: Int = 10000): DataFrame =
+    minhashLshPairsFromGroups(shingleGroups(docs, idCol, textCol, k),
+      numHashes, bands, minJaccard, maxBucket)
+
+  /** The exact-collapse table (key = sorted distinct shingle-hash set,
+    * ids = members, rep = min id, n_same = |ids|): the materialization
+    * point for corpus-scale dedup — persist this once (one scan + one
+    * aggregation) and feed it to [[minhashLshPairsFromGroups]]. */
+  def shingleGroups(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
     // shingle identity only -> hashed shingles: signatures minhash the
     // 64-bit shingle hashes and the exact-confirm join intersects long
-    // arrays, so no shingle string is ever built or shuffled. Identical
-    // sets collapse to one representative BEFORE banding (see collapseBy).
+    // arrays, so no shingle string is ever built or shuffled
     val withSets = docs
       .select(col(idCol).as("doc"),
         sort_array(shingleHashes(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
-    val groups = collapseBy(withSets, col("sh"))
+    collapseBy(withSets, col("sh"))
+  }
+
+  /** [[minhashLshPairs]] over a pre-collapsed (possibly persisted)
+    * [[shingleGroups]] table. */
+  def minhashLshPairsFromGroups(groups: DataFrame, numHashes: Int,
+                                bands: Int, minJaccard: Double,
+                                maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
     // Materialize the signature ONCE before banding: lshBands slices the
     // signature `bands` times, and feeding it the raw minhash expression
     // would duplicate the whole numHashes-fold computation per band
