@@ -216,6 +216,29 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("sum_base_cents"))),
 
+    // Full grouping-sets lattice (rollup's big sibling): all 2^2 grouping
+    // combinations in one pass
+    "a_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_base_cents"))),
+
+    // Distribution ranking windows: quartile bucket + relative rank —
+    // percent_rank is (rank-1)/(n-1) in both engines, bit-identical
+    "w_ntile_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+    }),
+
     // Duty-amount aggregation: the tax/rate analytics the extended
     // BID_HEAD columns (XmlDeclarations: tax_base x duty rate -> duty)
     // enable, exercised on the harness star schema; integer cents keep the
@@ -770,6 +793,21 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_base_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "w_ntile_quartiles" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM lineitem
+        |WHERE l_quantity >= 45
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
 
     "a_duty_amount" ->
       """SELECT l_returnflag,
