@@ -411,6 +411,24 @@ object SparkEntry {
         .agg(sum(rev).as("revenue"))
     }),
 
+    // Q6-shaped revenue-change forecast: tight scan-side filter + scalar
+    // aggregate — the pushdown showcase (every predicate reaches the scan)
+    "tpch_q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1996 &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100))
+          .as("revenue_cents"), count(lit(1)).as("n_rows"))),
+
+    // Q13-shaped order-count distribution: left outer join keeps customers
+    // with zero orders, double aggregation folds to a histogram
+    "tpch_q13_custdist" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))),
+
     // Q14-shaped promo share: numerator and denominator emitted as exact
     // decimal columns (a double ratio would be combine-order-dependent)
     "tpch_q14_promo" -> ((s, dir) => {
@@ -948,6 +966,21 @@ object SparkEntry {
          |SELECT supp_nation, cust_nation, l_year, sum(rev) AS revenue
          |FROM flows GROUP BY 1, 2, 3""".stripMargin
     },
+
+    "tpch_q6_forecast" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "tpch_q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""".stripMargin,
 
     "tpch_q14_promo" -> {
       val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
