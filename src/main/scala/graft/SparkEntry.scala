@@ -663,6 +663,16 @@ object SparkEntry {
     "text_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
 
+    // trained char-n-gram profile classifier — rows-only (the learned
+    // profile has no SQL replay; held-out accuracy pinned by
+    // TextAnalysisSpec on a real multilingual fixture)
+    "text_language_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val profiles = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
+      TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles)
+        .select("doc_id", "lang_profile")
+    }),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"),

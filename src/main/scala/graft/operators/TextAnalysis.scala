@@ -53,6 +53,71 @@ object TextAnalysis {
       when(col("n_han") >= hanThreshold, "zh").otherwise(markerPred))
   }
 
+  /** Character n-grams of lengths 1..n over lowercased, space-padded text —
+    * the classic langid feature mix (Cavnar–Trenkle): short grams carry
+    * the signal for unsegmented scripts (CJK) and small samples, longer
+    * grams disambiguate related Latin languages. */
+  private def charNgrams(c: Column, n: Int): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    flatten(array((1 to n).map { k =>
+      when(length(padded) >= k,
+        transform(sequence(lit(1), length(padded) - k + 1),
+          i => padded.substr(i, lit(k))))
+        .otherwise(array().cast("array<string>"))
+    }: _*))
+  }
+
+  /** Fit per-language character-n-gram profiles from a LABELED sample:
+    * top-`topK` grams per language with their log relative frequency.
+    * Distributed fit — one explode + two aggregations; the result is tiny
+    * (topK × #languages rows) and meant to be broadcast/persisted. */
+  def fitLanguageProfiles(docs: DataFrame, textCol: String, langCol: String,
+                          n: Int = 3, topK: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(langCol).as("lang"),
+        explode(charNgrams(col(textCol), n)).as("g"))
+      .where(trim(col("g")) =!= "") // pure-space grams match anything
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)
+    val top = counts.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= topK).drop("_rn")
+    val totals = top.groupBy("lang").agg(sum("cnt").as("tot"))
+    top.join(totals, "lang")
+      .select(col("lang"), col("g"), log(col("cnt") / col("tot")).as("logp"))
+  }
+
+  /** Classify documents against fitted [[fitLanguageProfiles]] profiles:
+    * per (doc, language), the sum of matched grams' log-probs plus a
+    * floor penalty per unmatched gram; argmax wins (exact score ties break
+    * toward the lexicographically greater language name — deterministic).
+    * Docs whose grams match no profile at all → "und". The profile
+    * table is broadcast; the corpus is scanned once and shuffled only on
+    * the doc id for the scoring aggregation. */
+  def classifyLanguage(docs: DataFrame, idCol: String, textCol: String,
+                       profiles: DataFrame, n: Int = 3,
+                       floorLogp: Double = -12.0): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"),
+      explode(charNgrams(col(textCol), n)).as("g"))
+    val nGrams = grams.groupBy("_id").agg(count(lit(1)).as("n_grams"))
+    val best = grams.join(broadcast(profiles), "g")
+      .groupBy(col("_id"), col("lang"))
+      .agg(sum("logp").as("logp_sum"), count(lit(1)).as("n_match"))
+      .join(nGrams, "_id")
+      .withColumn("score",
+        col("logp_sum") + (col("n_grams") - col("n_match")) * lit(floorLogp))
+      .groupBy("_id")
+      .agg(max_by(struct(col("lang"), col("score")),
+        struct(col("score"), col("lang"))).as("b"))
+      .select(col("_id"), col("b.lang").as("lang_profile"),
+        col("b.score").as("lang_score"))
+    docs.select(col(idCol).as("_id")).distinct()
+      .join(best, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("lang_profile"), lit("und")).as("lang_profile"),
+        col("lang_score"))
+  }
+
   /** Quality metrics: char/token counts, alpha and punctuation counts,
     * stopword hits, and a keep/drop flag from fixed thresholds — the shape
     * of a C4/Gopher-style quality filter, all scan-side. */

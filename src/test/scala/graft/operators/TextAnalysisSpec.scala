@@ -19,6 +19,72 @@ class TextAnalysisSpec extends SparkSpec {
       5L -> "de"))
   }
 
+  test("profile language-id: fit char-trigram profiles, classify held-out docs") {
+    // NOTE: the driver's synthetic documents table shares one vocabulary
+    // across lang labels (language is NOT inferable from its text), so
+    // this trains/tests on a real multilingual fixture instead.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      ("en", "the weather is nice and the children play in the garden with friends"),
+      ("en", "she walks to the market and buys bread with cheese every morning"),
+      ("en", "a good book is the best friend one can have on a long journey"),
+      ("en", "music fills the room while everyone is dancing and singing together"),
+      ("en", "coffee tastes better in the morning when the house is quiet"),
+      ("en", "many students read their books at the library in the afternoon"),
+      ("de", "der hund läuft schnell durch den garten und die kinder lachen laut"),
+      ("de", "die sonne scheint heute und wir gehen zusammen in den park spazieren"),
+      ("de", "das wetter ist schön und der himmel über der stadt ist ganz blau"),
+      ("de", "ich trinke morgens gerne kaffee und lese dabei die zeitung im garten"),
+      ("de", "viele studenten lesen bücher in der bibliothek am nachmittag"),
+      ("de", "am abend kochen wir zusammen und sprechen über den langen tag"),
+      ("fr", "le chat dort sur la table et le chien joue dans le jardin"),
+      ("fr", "nous allons au marché pour acheter du pain et du fromage frais"),
+      ("fr", "la mer est belle aujourd'hui et les enfants jouent sur la plage"),
+      ("fr", "elle lit un livre intéressant pendant que le train traverse la campagne"),
+      ("fr", "beaucoup d'étudiants lisent des livres à la bibliothèque l'après-midi"),
+      ("fr", "le soir nous cuisinons ensemble et parlons de notre longue journée"),
+      ("es", "el perro corre por el parque y los niños juegan con la pelota"),
+      ("es", "la casa tiene un jardín grande con flores y árboles muy bonitos"),
+      ("es", "vamos al mercado para comprar pan y queso para la cena de hoy"),
+      ("es", "ella escribe una carta a su amiga mientras bebe café en la cocina"),
+      ("es", "muchos estudiantes leen sus libros en la biblioteca por la tarde"),
+      ("es", "por la noche cocinamos juntos y hablamos del largo día de trabajo"),
+      ("zh", "今天天气很好我们一起去公园散步看花"),
+      ("zh", "他喜欢在早上喝茶然后读报纸学习新闻"),
+      ("zh", "孩子们在学校里认真学习老师很高兴"),
+      ("zh", "我们坐火车去北京看朋友吃很多好吃的东西"),
+      ("zh", "晚上我们一起做饭聊天说今天发生的事情"),
+      ("zh", "很多学生下午在图书馆里看书学习知识"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val held = Seq(
+      (100L, "en", "the old man sits by the river and watches the boats sail away"),
+      (101L, "en", "they travel across the country visiting cities and meeting people"),
+      (102L, "de", "die frau kauft brot und käse auf dem markt in der alten stadt"),
+      (103L, "de", "der zug fährt heute nicht und wir warten lange auf dem bahnhof"),
+      (104L, "fr", "le soleil brille sur la ville et les gens marchent dans la rue"),
+      (105L, "fr", "ils préparent le dîner ensemble et parlent de leur journée de travail"),
+      (106L, "es", "el sol brilla sobre la ciudad y la gente camina por la calle"),
+      (107L, "es", "los estudiantes leen libros en la biblioteca durante la tarde"),
+      (108L, "zh", "明天我要去市场买菜回家做饭给家人吃"),
+      (109L, "zh", "她在图书馆里看书写字准备明天的考试"),
+      (110L, "und", "@@@@~~~~^^^^||||")) // matches no profile gram
+      .toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.fitLanguageProfiles(corpus, "text", "lang")
+    val pred = TextAnalysis.classifyLanguage(held, "doc_id", "text", profiles)
+      .join(held.select($"doc_id", $"lang"), "doc_id")
+    val wrong = pred.where($"lang_profile" =!= $"lang")
+      .select("doc_id", "lang", "lang_profile").collect()
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+    // and it runs shape-complete over the driver corpus (one row per doc)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val p2 = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
+    assert(TextAnalysis.classifyLanguage(docs, "doc_id", "text", p2).count()
+      === docs.count())
+  }
+
   test("qualityScore flags short/punctuation-heavy docs") {
     import spark.implicits._
     val docs = Seq(
