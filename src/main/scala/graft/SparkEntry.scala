@@ -663,6 +663,11 @@ object SparkEntry {
     "text_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
 
+    // TF-IDF top terms — rows-only (double scores are combine-order
+    // sensitive; ranking semantics pinned by TextAnalysisSpec)
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 5)),
+
     // trained char-n-gram profile classifier — rows-only (the learned
     // profile has no SQL replay; held-out accuracy pinned by
     // TextAnalysisSpec on a real multilingual fixture)

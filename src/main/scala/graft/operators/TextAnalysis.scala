@@ -53,19 +53,17 @@ object TextAnalysis {
       when(col("n_han") >= hanThreshold, "zh").otherwise(markerPred))
   }
 
-  /** Character n-grams of lengths 1..n over lowercased, space-padded text —
-    * the classic langid feature mix (Cavnar–Trenkle): short grams carry
-    * the signal for unsegmented scripts (CJK) and small samples, longer
-    * grams disambiguate related Latin languages. */
-  private def charNgrams(c: Column, n: Int): Column = {
-    val padded = concat(lit(" "), lower(c), lit(" "))
-    flatten(array((1 to n).map { k =>
-      when(length(padded) >= k,
-        transform(sequence(lit(1), length(padded) - k + 1),
-          i => padded.substr(i, lit(k))))
-        .otherwise(array().cast("array<string>"))
-    }: _*))
-  }
+  /** Per-document (gram, count) pairs for character n-grams of lengths
+    * 1..n — the classic langid feature mix (Cavnar–Trenkle): short grams
+    * carry the signal for unsegmented scripts (CJK) and small samples,
+    * longer grams disambiguate related Latin languages. Codegen'd custom
+    * expression ([[org.apache.spark.sql.graft.CharNgramCounts]]); counts
+    * ride in the row, so downstream plans explode distinct grams, never
+    * one row per occurrence. */
+  private def gramCounts(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CharNgramCounts(
+        org.apache.spark.sql.GraftBridge.expression(c), n))
 
   /** Fit per-language character-n-gram profiles from a LABELED sample:
     * top-`topK` grams per language with their log relative frequency.
@@ -76,9 +74,9 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(col(langCol).as("lang"),
-        explode(charNgrams(col(textCol), n)).as("g"))
-      .where(trim(col("g")) =!= "") // pure-space grams match anything
-      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        explode(gramCounts(col(textCol), n)).as("e"))
+      .select(col("lang"), col("e.g").as("g"), col("e.cnt").as("c0"))
+      .groupBy("lang", "g").agg(sum("c0").as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g").asc)
     val top = counts.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= topK).drop("_rn")
@@ -97,12 +95,16 @@ object TextAnalysis {
   def classifyLanguage(docs: DataFrame, idCol: String, textCol: String,
                        profiles: DataFrame, n: Int = 3,
                        floorLogp: Double = -12.0): DataFrame = {
+    // (doc, gram, count) comes pre-aggregated out of the expression: the
+    // join and every shuffle see distinct grams per doc, not occurrences
     val grams = docs.select(col(idCol).as("_id"),
-      explode(charNgrams(col(textCol), n)).as("g"))
-    val nGrams = grams.groupBy("_id").agg(count(lit(1)).as("n_grams"))
+      explode(gramCounts(col(textCol), n)).as("e"))
+      .select(col("_id"), col("e.g").as("g"), col("e.cnt").as("cnt"))
+    val nGrams = grams.groupBy("_id").agg(sum("cnt").as("n_grams"))
     val best = grams.join(broadcast(profiles), "g")
       .groupBy(col("_id"), col("lang"))
-      .agg(sum("logp").as("logp_sum"), count(lit(1)).as("n_match"))
+      .agg(sum(col("logp") * col("cnt")).as("logp_sum"),
+        sum("cnt").as("n_match"))
       .join(nGrams, "_id")
       .withColumn("score",
         col("logp_sum") + (col("n_grams") - col("n_match")) * lit(floorLogp))
@@ -116,6 +118,33 @@ object TextAnalysis {
       .select(col("_id").as(idCol),
         coalesce(col("lang_profile"), lit("und")).as("lang_profile"),
         col("lang_score"))
+  }
+
+  /** Per-document top-`k` distinctive terms by TF-IDF (smoothed idf
+    * `ln((N+1)/(df+1))`): one tokenize pass, a (doc, term) aggregation, a
+    * term-keyed document-frequency join, and a per-doc ranking window —
+    * the corpus stays tokenized (never raw text) through every shuffle,
+    * and the scalar corpus size rides as a broadcast, so the shape holds
+    * at any N. Ties break by term (deterministic). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfTab, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf"))
   }
 
   /** Quality metrics: char/token counts, alpha and punctuation counts,

@@ -85,6 +85,26 @@ class TextAnalysisSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("topTerms: rare repeated terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the zebra zebra zebra runs the the savanna"),
+      (2L, "the lion sleeps the the whole day long"),
+      (3L, "the river flows the the whole year round")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // "the" is in every doc (idf ~ 0) — never a top term despite max tf
+    assert(top(1L).head === "zebra")
+    assert(!top.values.flatten.toSet.contains("the"))
+    // rank is dense 1..k per doc
+    val perDoc = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).as[(Long, Long)]
+      .collect().toMap
+    assert(perDoc.values.forall(_ === 2L))
+  }
+
   test("qualityScore flags short/punctuation-heavy docs") {
     import spark.implicits._
     val docs = Seq(
