@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `shingle_hashes(str, k)` — distinct word-k-shingle 64-bit hashes
   *   - `minhash_signature(hashes, n)` — n-permutation MinHash signature
   *   - `simhash64(tokens)` — 64-bit SimHash of a token array
+  *   - `char_ngram_counts(str, n)` — per-row (char-gram, count) pairs, 1..n
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
   * structural (codegen'd loop bounds), not per-row data.
@@ -62,6 +63,11 @@ object GraftSql {
     },
     "simhash64" -> { es =>
       arity("simhash64", es, 1); SimHash64(es.head)
+    },
+    "char_ngram_counts" -> { es =>
+      arity("char_ngram_counts", es, 2)
+      org.apache.spark.sql.graft.CharNgramCounts(es.head,
+        intLit(es(1), "char_ngram_counts", 1))
     })
 
   /** Register every custom function in the session's FunctionRegistry as a

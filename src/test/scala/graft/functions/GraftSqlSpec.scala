@@ -24,6 +24,9 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT size(minhash_signature(shingle_hashes('a b c', 2), 16)) AS v")
       .as[Int].head() === 16)
+    assert(spark.sql(
+      "SELECT size(char_ngram_counts('ab', 2)) AS v") // " a","ab","b ","a","b"
+      .as[Int].head() === 5)
     // SQL call equals the Scala DSL result
     val viaSql = spark.sql(
       "SELECT simhash64(split('hello world', ' ')) AS v").as[Long].head()
