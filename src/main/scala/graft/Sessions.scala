@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Shared session factory for the engine's mains: one place for the confs
-  * that affect correctness/scale so Verify, Bench and Smoke can't drift. */
+  * that affect correctness/scale so Verify, Bench and Smoke can't drift.
+  * Injects the custom-function SQL surface (GraftSql) so every engine
+  * session can call nfkc_normalize etc. from SQL text. */
 object Sessions {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(graft.functions.GraftSql.injectInto _)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -49,6 +49,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("AdaptiveSparkPlan"), plan)
   }
 
+  test("q6: tight predicates reach the parquet scan") {
+    val plan = formatted(SparkEntry.queries("tpch_q6_forecast")(spark, sfDir))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("LessThan(l_quantity,24.0)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.02)"), plan)
+  }
+
+  test("q7: tiny nation dimensions are broadcast, never shuffled") {
+    val plan = formatted(SparkEntry.queries("tpch_q7_volume")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("e3 scans each side once: bounded scan and shuffle counts") {
     // Pins the count-gate folding (alignByOrdinal): the old shape scanned
     // lineitem 6x and planned 9 exchanges; regressions reappear here.

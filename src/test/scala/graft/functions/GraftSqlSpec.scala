@@ -4,6 +4,13 @@ import graft.SparkSpec
 
 class GraftSqlSpec extends SparkSpec {
 
+  test("engine sessions have the functions without explicit registration") {
+    // Sessions.builder injects GraftSql via SparkSessionExtensions — the
+    // shared test session must already resolve the names from SQL text
+    import spark.implicits._
+    assert(spark.sql("SELECT nfkc_normalize('Ａ') AS v").as[String].head() === "A")
+  }
+
   test("custom expressions are SQL-callable after registration") {
     import spark.implicits._
     GraftSql.register(spark)
