@@ -41,6 +41,14 @@ object Pipelines {
     CsvManifests.rejects(spark, dir)
   }
 
+  /** Pipeline A, streaming form: the drop-directory loop upgraded to an
+    * exactly-once checkpointed drain, like [[importDeclarations]] — use
+    * this for the recurring ingest; [[importManifests]] for one-shot
+    * backfills with an inline rejects report. */
+  def importManifestsStream(spark: SparkSession, inbox: String, target: String,
+                            archiveDir: String, checkpoint: String): StreamingQuery =
+    Sinks.drainManifests(spark, inbox, target, archiveDir, checkpoint)
+
   /** Pipeline C: learn the informal→official description mapping
     * (ref `batch_train.py:54-176`): project + null-gate both tables (P1/P2
     * — pushed into the scans), link on cleaned bill-of-lading keys,

@@ -252,4 +252,38 @@ object CsvManifests {
     parsedLines(spark, dir).toDF()
       .where(col("format") === "error")
       .select(col("src_file"), col("description_cell").as("reason"))
+
+  /** Streaming variant of the manifest scan (the reference's Pipeline A is
+    * ALSO a drop-directory loop, ref `process_excel_order.py:249-262`):
+    * same per-file dispatch over a file stream, inputs archived by the
+    * source. Finalization (ffill/cumcount windows) isn't stream-plannable
+    * — run [[finalizeBatch]] per micro-batch; windows partition by file
+    * and a file is never split across batches, so batch-at-a-time is
+    * semantically exact. */
+  def readStreamParsed(spark: SparkSession, dir: String,
+                       archiveDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binaryFileSchema = StructType(Seq( // the binaryFile source's fixed schema
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.{csv,CSV,xls,XLS,xlsx,XLSX}")
+      .option("maxFilesPerTrigger", "64")
+    archiveDir.foreach { a =>
+      reader.option("cleanSource", "archive").option("sourceArchiveDir", a)
+    }
+    reader.load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        parseManifest(name, gridOf(name, bytes))
+      }
+      .toDF()
+  }
+
+  /** Per-micro-batch finalization for the streaming drain. */
+  def finalizeBatch(parsed: DataFrame): DataFrame = finalize(parsed)
 }

@@ -129,4 +129,20 @@ object Sinks {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** S10 twin for Pipeline A: drain the manifest drop directory
+    * (.csv/.xlsx/.xls) into the raw-orders table, exactly-once, archiving
+    * processed files (ref `process_excel_order.py:249-262`'s loop). Files
+    * matching neither layout are skipped, as in the batch path. */
+  def drainManifests(spark: SparkSession, srcDir: String, target: String,
+                     archiveDir: String, checkpoint: String): StreamingQuery = {
+    CsvManifests.readStreamParsed(spark, srcDir, Some(archiveDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(CsvManifests.finalizeBatch(batch), target)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -87,6 +87,25 @@ class SinksSpec extends SparkSpec {
     assert(after === before) // identical file names + mtimes -> moved, not rewritten
   }
 
+  test("manifest drain: streams all three formats, matches the batch reader, idempotent") {
+    val root = tmp()
+    val src = s"$root/inbox"; val out = s"$root/raw"
+    val archive = s"$root/archive"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val fixtures = new java.io.File("src/test/resources/manifests")
+    for (f <- fixtures.listFiles())
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/${f.getName}"))
+    Sinks.drainManifests(spark, src, out, archive, ckpt).awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 12L) // 4 files x 3 rows, same as readAll
+    val batch = CsvManifests.readAll(spark, fixtures.getAbsolutePath)
+    assert(got.except(batch).count() === 0L)
+    assert(batch.except(got).count() === 0L)
+    // nothing new -> no duplicates (checkpointed exactly-once)
+    Sinks.drainManifests(spark, src, out, archive, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() === 12L)
+  }
+
   test("streaming drain: AvailableNow drains the dir, archives inputs, is idempotent") {
     val root = tmp()
     val src = s"$root/inbox"; val out = s"$root/out"
