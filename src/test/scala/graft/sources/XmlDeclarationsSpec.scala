@@ -57,6 +57,31 @@ class XmlDeclarationsSpec extends SparkSpec {
     assert(processed.where($"auto_seq".isNull).count() === 0L)
   }
 
+  test("DataSourceV2 customs-xml: format/SQL surfaces match the flatMap reader, prune columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.ExplainMode
+    val raw = XmlDeclarations.readRaw(spark, processedDir).toDF().cache()
+    val viaV2 = spark.read.format("customs-xml").load(processedDir)
+    assert(viaV2.schema === XmlDeclarationsSource.rawSchema)
+    assert(viaV2.count() === raw.count())
+    // same rows, not just same count
+    assert(viaV2.except(raw).count() === 0L)
+    assert(raw.except(viaV2).count() === 0L)
+    // cleanse composes on top -> the typed table
+    assert(XmlDeclarations.cleanse(viaV2).count() === processed.count())
+    // required-column pushdown reaches the scan: the BatchScan leaf emits
+    // ONLY the selected column (DSv2 explain has no ReadSchema line)
+    val leaf = viaV2.select("hawb_no").queryExecution.executedPlan
+      .collectLeaves().head
+    assert(leaf.schema.fieldNames.toSeq === Seq("hawb_no"),
+      leaf.schema.treeString)
+    // pure-SQL surface via the registered short name
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW decl_v2 " +
+      s"USING `customs-xml` OPTIONS (path '$processedDir')")
+    assert(spark.sql("SELECT count(*) FROM decl_v2").as[Long].head()
+      === raw.count())
+  }
+
   test("cleansing: doc numbers have no spaces/slashes, dates are truncated") {
     import spark.implicits._
     assert(processed.where($"dcl_doc_no".rlike("[ \n/]")).count() === 0L)
