@@ -136,6 +136,63 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Materialize the corpus PARTITIONED BY IVF cell — the at-rest layout
+    * of the k-means tier (see [[knnIvf]]): `<path>/data` partitioned by
+    * cell, `<path>/centroids` as a tiny parquet codebook. Queries against
+    * this layout touch only their probe cells' files. */
+  def writeIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               path: String, nlist: Int = 16,
+               trainFraction: Double = 1.0, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import corpus.sparkSession.implicits._
+    val c0 = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_fv", array_to_vector(col(vecCol)))
+    val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine").setFeaturesCol("_fv")
+      .setPredictionCol("cell").fit(train)
+    model.transform(c0).select(col(idCol), col(vecCol), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+    model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN over a [[writeIvf]] layout: probe cells become a PartitionFilter —
+    * only those cells' files are read. Output shape of [[knnBruteForce]]. */
+  def knnIvfPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 4,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_csim").desc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "q_vec", "cell")
+    // query-side cells, driver-collected (queries are small by contract)
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(probeCells: _*)) // partition pruning
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cell"))
+    val joined = c.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    kept.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** A query's probe set: its own sign bucket plus, with `multiProbe`,
     * every Hamming-1 neighbor bucket — standard multi-probe LSH. A near
     * neighbor differing in ONE hyperplane sign is recovered at the cost of

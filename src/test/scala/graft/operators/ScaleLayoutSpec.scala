@@ -31,6 +31,25 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("IVF layout: probe cells prune partitions, results match the in-memory IVF") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val path = Files.createTempDirectory("ivf").toString + "/corpus"
+    Similarity.writeIvf(emb, "vec_id", "embedding", path)
+    val queries = emb.where($"vec_id" < 5)
+
+    val fromLayout = Similarity.knnIvfPartitioned(spark, path, queries,
+      "vec_id", "embedding", k = 3)
+    val plan = fromLayout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+
+    val inMemory = Similarity.knnIvf(emb, queries, "vec_id", "embedding", k = 3)
+    val a = fromLayout.as[(Long, Long, Long)].collect().toSet
+    val b = inMemory.as[(Long, Long, Long)].collect().toSet
+    assert(a === b) // same seeded codebook -> identical neighbors
+    assert(a.nonEmpty)
+  }
+
   test("salted join: identical results to the plain join, salt spreads a hot key") {
     import spark.implicits._
     val li = Tables(spark, sfDir, "lineitem")
