@@ -175,13 +175,23 @@ object CsvManifests {
       .as[(String, Array[Byte])]
   }
 
-  /** The one distributed pass: scan → per-file grid + dispatch + extract. */
+  /** The one distributed pass: scan → per-file grid + dispatch + extract.
+    * A file whose BYTES can't be decoded (corrupt zip/CFB container,
+    * malformed XML part) becomes an error row instead of failing the task —
+    * per-file isolation, like the reference's try/except around each file
+    * (ref `process_excel_order.py:268-271`). */
   private def parsedLines(spark: SparkSession, path: String)
       : Dataset[ManifestLine] = {
     import spark.implicits._
     manifestFiles(spark, path).flatMap { case (p, bytes) =>
       val name = p.substring(p.lastIndexOf('/') + 1)
-      parseManifest(name, gridOf(name, bytes))
+      try parseManifest(name, gridOf(name, bytes))
+      catch {
+        case e: Exception =>
+          Seq(ManifestLine(name, -1L, "error", mawbOf(name, ""),
+            null, null, s"$name: unreadable (${e.getMessage})",
+            null, null, null, null, null, null, null, null))
+      }
     }
   }
 

@@ -174,6 +174,25 @@ class CsvManifestsSpec extends SparkSpec {
     }
   }
 
+  test("corrupt binary files are isolated as rejects, never task failures") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corruptmanifests")
+    java.nio.file.Files.copy(
+      new java.io.File(fixture("old_format.csv")).toPath,
+      dir.resolve("good.csv"))
+    // garbage bytes under both binary extensions
+    java.nio.file.Files.write(dir.resolve("junk.xls"),
+      Array.tabulate[Byte](600)(i => (i * 7).toByte))
+    java.nio.file.Files.write(dir.resolve("junk.xlsx"),
+      "this is not a zip archive".getBytes)
+    val all = CsvManifests.readAll(spark, dir.toString)
+    assert(all.count() === 3L) // only the good file
+    val rej = CsvManifests.rejects(spark, dir.toString)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(rej.map(_._1).toSeq === Seq("junk.xls", "junk.xlsx"))
+    assert(rej.exists(_._2.contains("unreadable")))
+  }
+
   test("csv line splitter handles quotes and escaped quotes") {
     assert(CsvManifests.splitCsvLine("""a,"b,c",d""") === Seq("a", "b,c", "d"))
     assert(CsvManifests.splitCsvLine("a,\"say \"\"hi\"\"\",c") ===
