@@ -17,16 +17,17 @@ import graft.sources.{CsvManifests, Sinks, XmlDeclarations}
   *  - [[train]]              ≙ `python src/batch_train.py` (E3)
   *
   * Each upgrades the reference's semantics where Spark can: E1's
-  * import-then-move loop becomes an exactly-once checkpointed drain, E2's
-  * per-file loop becomes one distributed scan with a rejects audit, E3's
-  * cross-table MySQL transaction becomes the crash-safe rename-based
-  * snapshot protocol. */
+  * import-then-move loop becomes a checkpointed drain (no reprocessing
+  * after a batch commits; see [[Sinks.drainDeclarations]] for the crash
+  * window both designs share), E2's per-file loop becomes one distributed
+  * scan with a rejects audit, E3's cross-table MySQL transaction becomes
+  * the crash-safe rename-based snapshot protocol. */
 object Pipelines {
 
   /** Pipeline B: drain the declaration inbox (xml/zip drop directory) into
-    * the history table exactly-once; processed inputs are archived by the
-    * source (ref `import_xml_history.py:165-218`). Blocks until the
-    * backlog is drained when the caller awaits the returned query. */
+    * the history table; processed inputs are archived by the source
+    * (ref `import_xml_history.py:165-218`). Blocks until the backlog is
+    * drained when the caller awaits the returned query. */
   def importDeclarations(spark: SparkSession, inbox: String, target: String,
                          archiveDir: String, checkpoint: String): StreamingQuery =
     Sinks.drainDeclarations(spark, inbox, target, archiveDir, checkpoint)
@@ -37,14 +38,25 @@ object Pipelines {
     * (file, reason) — the reference logs and skips them
     * (ref `process_excel_order.py:268-271`). */
   def importManifests(spark: SparkSession, dir: String, target: String): DataFrame = {
-    Sinks.append(CsvManifests.readAll(spark, dir), target)
-    CsvManifests.rejects(spark, dir)
+    import spark.implicits._
+    CsvManifests.requireManifestDir(spark, dir)
+    // one decode pass serves both outputs: re-deriving rejects from a
+    // second scan would re-read and re-decode every file
+    val parsed = CsvManifests.parsedLines(spark, dir).cache()
+    try {
+      Sinks.append(CsvManifests.finalizeBatch(parsed.toDF()), target)
+      parsed.toDF()
+        .where(col("format") === "error")
+        .select(col("src_file"), col("description_cell").as("reason"))
+        .as[(String, String)].collect().toSeq // file-level: small
+        .toDF("src_file", "reason")
+    } finally parsed.unpersist()
   }
 
-  /** Pipeline A, streaming form: the drop-directory loop upgraded to an
-    * exactly-once checkpointed drain, like [[importDeclarations]] — use
-    * this for the recurring ingest; [[importManifests]] for one-shot
-    * backfills with an inline rejects report. */
+  /** Pipeline A, streaming form: the drop-directory loop upgraded to a
+    * checkpointed drain, like [[importDeclarations]] — use this for the
+    * recurring ingest; [[importManifests]] for one-shot backfills with an
+    * inline rejects report. */
   def importManifestsStream(spark: SparkSession, inbox: String, target: String,
                             archiveDir: String, checkpoint: String): StreamingQuery =
     Sinks.drainManifests(spark, inbox, target, archiveDir, checkpoint)

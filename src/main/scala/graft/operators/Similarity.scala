@@ -107,6 +107,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import corpus.sparkSession.implicits._
     val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      // zero vectors have no cosine direction: k-means with the cosine
+      // measure throws on them, and they can never rank as a neighbor
+      .where(exists(col("c_vec"), x => x =!= lit(0.0f)))
       .withColumn("_fv", array_to_vector(col("c_vec")))
     val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
@@ -147,6 +150,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import corpus.sparkSession.implicits._
     val c0 = corpus.select(col(idCol), col(vecCol))
+      .where(exists(col(vecCol), x => x =!= lit(0.0f))) // see knnIvf note
       .withColumn("_fv", array_to_vector(col(vecCol)))
     val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)

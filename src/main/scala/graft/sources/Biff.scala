@@ -163,14 +163,17 @@ object Biff {
       val sb = new java.lang.StringBuilder(cch)
       var remaining = cch
       var compressed = (grbit & 0x01) == 0
-      var started = false
       while (remaining > 0) {
-        if (started && atBoundary) { // continuation restates the flag byte
+        // ANY record boundary inside the character data restates the flag
+        // byte — including a split landing exactly after the cch/flags
+        // header, before the first character (a between-strings split
+        // never triggers this: reading the next header moves the cursor
+        // off the boundary first)
+        if (atBoundary) {
           grbit = u8()
           compressed = (grbit & 0x01) == 0
         }
         sb.append(if (compressed) u8().toChar else u16().toChar)
-        started = true
         remaining -= 1
       }
       skip(4 * cRun + cbExt)

@@ -180,7 +180,7 @@ object CsvManifests {
     * malformed XML part) becomes an error row instead of failing the task —
     * per-file isolation, like the reference's try/except around each file
     * (ref `process_excel_order.py:268-271`). */
-  private def parsedLines(spark: SparkSession, path: String)
+  private[graft] def parsedLines(spark: SparkSession, path: String)
       : Dataset[ManifestLine] = {
     import spark.implicits._
     manifestFiles(spark, path).flatMap { case (p, bytes) =>
@@ -249,11 +249,22 @@ object CsvManifests {
     * format dispatch happens inside the scan tasks, so N files is one scan
     * and one plan (no driver round-trips, no N-way union). Files matching
     * neither layout are skipped (see [[rejects]]). */
-  def readAll(spark: SparkSession, dir: String): DataFrame = {
+  /** One driver metadata call — a misconfigured one-shot ingest must fail
+    * loudly, not silently import nothing. (Streaming drains skip this: a
+    * watched drop directory legitimately starts empty.) */
+  private[graft] def requireManifestDir(spark: SparkSession, dir: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(dir)),
-      s"no such manifest directory: $dir")
+    val exts = Set("csv", "xls", "xlsx")
+    val any = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && exts.contains(n.substring(n.lastIndexOf('.') + 1).toLowerCase)
+    }
+    require(any, s"no .csv/.xls/.xlsx manifests in $dir")
+  }
+
+  def readAll(spark: SparkSession, dir: String): DataFrame = {
+    requireManifestDir(spark, dir)
     finalize(parsedLines(spark, dir).toDF())
   }
 
@@ -289,7 +300,16 @@ object CsvManifests {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
-        parseManifest(name, gridOf(name, bytes))
+        // same per-file isolation as the batch path: a corrupt container
+        // must become a reject row, not a poison pill that kills the
+        // stream on every restart
+        try parseManifest(name, gridOf(name, bytes))
+        catch {
+          case e: Exception =>
+            Seq(ManifestLine(name, -1L, "error", mawbOf(name, ""),
+              null, null, s"$name: unreadable (${e.getMessage})",
+              null, null, null, null, null, null, null, null))
+        }
       }
       .toDF()
   }

@@ -40,14 +40,18 @@ object Sinks {
 
   /** Recover-on-open for [[snapshotOverwrite]]: a crash between the two
     * renames leaves the target absent with the new snapshot still in a
-    * staging dir — roll the swap forward (newest staging wins). When the
-    * target exists, orphaned stagings are aborted writes; drop them. */
+    * staging dir — roll the swap forward (newest COMMITTED staging wins;
+    * committed = the write finished, witnessed by the `_SUCCESS` marker
+    * the parquet committer drops). A torn staging — crash mid-write — is
+    * never promoted, only deleted; when the target exists, orphaned
+    * stagings are aborted writes and are dropped too. */
   def recover(spark: SparkSession, target: String): Unit = {
     val fs = fsOf(spark)
     val targetPath = new Path(target)
-    val stagings = stagingsOf(fs, target)
-    if (!fs.exists(targetPath) && stagings.nonEmpty) {
-      val newest = stagings.maxBy(_.getName)
+    val committed = stagingsOf(fs, target)
+      .filter(s => fs.exists(new Path(s, "_SUCCESS")))
+    if (!fs.exists(targetPath) && committed.nonEmpty) {
+      val newest = committed.maxBy(_.getName)
       if (!fs.rename(newest, targetPath))
         throw new java.io.IOException(s"recover: rename $newest -> $target failed")
     }
@@ -103,10 +107,18 @@ object Sinks {
   }
 
   /** S10 — drop-directory drain: Structured Streaming file source with
-    * `cleanSource=archive` (the exactly-once upgrade of the reference's
-    * import-then-`shutil.move` loop, ref `import_xml_history.py:205-211`)
-    * and `Trigger.AvailableNow` (process the backlog, then stop — exactly
-    * the reference's "run the script, drain the directory" semantics).
+    * `cleanSource=archive` and `Trigger.AvailableNow` (process the
+    * backlog, then stop — exactly the reference's "run the script, drain
+    * the directory" loop, ref `import_xml_history.py:205-211`).
+    *
+    * Delivery: the checkpoint guarantees no file is REPROCESSED after its
+    * batch commits, but the sink is a plain parquet append, so a hard
+    * crash inside the window between the append and the offset commit
+    * re-appends that batch on restart — at-least-once across crashes,
+    * exactly-once in every run that completes. The reference's
+    * import-then-move loop has the same crash window (move after write);
+    * a transactional target (e.g. [[Jdbc.append]] with an upsert key, or
+    * per-batch overwrite subdirs keyed on `batchId`) upgrades it.
     *
     * Archival-timing delta vs the reference (observed, pinned by test):
     * Spark's source cleaner archives a batch's files when a LATER batch or
@@ -131,9 +143,10 @@ object Sinks {
   }
 
   /** S10 twin for Pipeline A: drain the manifest drop directory
-    * (.csv/.xlsx/.xls) into the raw-orders table, exactly-once, archiving
-    * processed files (ref `process_excel_order.py:249-262`'s loop). Files
-    * matching neither layout are skipped, as in the batch path. */
+    * (.csv/.xlsx/.xls) into the raw-orders table, archiving processed
+    * files (ref `process_excel_order.py:249-262`'s loop; same delivery
+    * semantics as [[drainDeclarations]] — see its doc). Files matching
+    * neither layout are skipped, as in the batch path. */
   def drainManifests(spark: SparkSession, srcDir: String, target: String,
                      archiveDir: String, checkpoint: String): StreamingQuery = {
     CsvManifests.readStreamParsed(spark, srcDir, Some(archiveDir))

@@ -73,6 +73,11 @@ object XmlDeclarationsSource {
     override def build(): Scan = new DeclScan(path, required)
   }
 
+  /** The session's Hadoop configuration (spark.hadoop.*, credentials,
+    * default FS) — a bare `new Configuration()` would drop all of it. */
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   private class DeclScan(path: String, required: StructType)
       extends Scan with Batch {
     override def readSchema(): StructType = required
@@ -80,7 +85,7 @@ object XmlDeclarationsSource {
 
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(sessionHadoopConf())
       val files =
         if (fs.getFileStatus(p).isFile) Array(p)
         else fs.listStatus(p).filter(_.isFile).map(_.getPath)
@@ -90,22 +95,29 @@ object XmlDeclarationsSource {
       }
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // readers run on executors: ship the conf entries, not the session
+      val confMap = sessionHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toMap
       new DeclReaderFactory(
-        required.fieldNames.map(rawSchema.fieldIndex))
+        required.fieldNames.map(rawSchema.fieldIndex), confMap)
+    }
   }
 
   private case class DeclPartition(file: String) extends InputPartition
 
   /** `projection(i)` = RawBid field ordinal of output column i. */
-  private class DeclReaderFactory(projection: Array[Int])
+  private class DeclReaderFactory(projection: Array[Int],
+                                  confMap: Map[String, String])
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[DeclPartition].file
       new PartitionReader[InternalRow] {
         private val rows: Iterator[XmlDeclarations.RawBid] = {
+          val conf = new Configuration(false)
+          confMap.foreach { case (k, v) => conf.set(k, v) }
           val p = new Path(file)
-          val fs = p.getFileSystem(new Configuration())
+          val fs = p.getFileSystem(conf)
           val in = fs.open(p)
           val bytes =
             try in.readAllBytes()

@@ -75,6 +75,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0)
   }
 
+  test("IVF survives zero-norm vectors (no cosine k-means crash, never a neighbor)") {
+    import spark.implicits._
+    val dims = emb.select(size($"embedding")).first().getInt(0)
+    val zero = Seq((99999L, Seq.fill(dims)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val withZero = emb.unionByName(zero)
+    val q = withZero.where($"vec_id" < 5)
+    val knn = Similarity.knnIvf(withZero, q, "vec_id", "embedding", 3)
+    assert(knn.where($"neighbor_id" === 99999L).count() === 0L)
+    assert(knn.count() > 0L)
+  }
+
   test("excludeSelf=false keeps id-colliding neighbors across distinct datasets") {
     import spark.implicits._
     val corpus = emb.limit(10)

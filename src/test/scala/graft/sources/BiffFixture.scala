@@ -21,9 +21,12 @@ object BiffFixture {
     u16(id) ++ u16(data.length) ++ data
 
   /** Write `grid` as a one-sheet .xls. `pad` forces the workbook stream
-    * above the 4096-byte mini-stream cutoff (regular FAT layout). */
+    * above the 4096-byte mini-stream cutoff (regular FAT layout);
+    * `contSplitAtStart` places the forced SST CONTINUE split immediately
+    * after a string's cch/flags header (before its first character) —
+    * the other legal split position readers must survive. */
   def write(path: java.nio.file.Path, grid: Seq[(Long, Seq[String])],
-            pad: Boolean): Unit = {
+            pad: Boolean, contSplitAtStart: Boolean = false): Unit = {
     val cells = for ((ln, cs) <- grid; (v, c) <- cs.zipWithIndex if v.nonEmpty)
       yield (ln.toInt, c, v)
     // a cell is numeric only if the double roundtrips its text exactly —
@@ -67,7 +70,9 @@ object BiffFixture {
       val lastChars = strings.lastOption.map(_.length * 2).getOrElse(0)
       if (lastChars >= 4) {
         val charsStart = all.length - lastChars
-        val cut = charsStart + ((lastChars / 2) & ~1) // even: utf16 chars
+        val cut = // even offsets: utf16 chars
+          if (contSplitAtStart) charsStart
+          else charsStart + ((lastChars / 2) & ~1)
         Seq(0x00FC -> all.take(cut),
           0x003C -> (Array(0x01.toByte) ++ all.drop(cut))) // CONTINUE, utf16
       } else Seq(0x00FC -> all)

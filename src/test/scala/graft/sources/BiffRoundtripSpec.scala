@@ -36,7 +36,9 @@ class BiffRoundtripSpec extends AnyFunSuite {
       val g = sample(grid, seed)
       val dir = java.nio.file.Files.createTempDirectory(s"biff_prop_$seed")
       val path = dir.resolve("t.xls")
-      BiffFixture.write(path, g, pad)
+      // alternate the CONTINUE split position: mid-character-data and
+      // immediately-after-header are both legal and both must roundtrip
+      BiffFixture.write(path, g, pad, contSplitAtStart = seed % 2 == 0)
       val got = Biff.grid(java.nio.file.Files.readAllBytes(path))
         .flatMap { case (ln, cs) => cs.zipWithIndex.collect {
           case (v, c) if v.nonEmpty => (ln, c) -> v } }.toMap

@@ -193,6 +193,15 @@ class CsvManifestsSpec extends SparkSpec {
     assert(rej.exists(_._2.contains("unreadable")))
   }
 
+  test("readAll on a directory with no manifest files fails loudly") {
+    val empty = java.nio.file.Files.createTempDirectory("nomanifests")
+    java.nio.file.Files.writeString(empty.resolve("readme.txt"), "nothing here")
+    val e = intercept[IllegalArgumentException] {
+      CsvManifests.readAll(spark, empty.toString)
+    }
+    assert(e.getMessage.contains("no .csv/.xls/.xlsx manifests"))
+  }
+
   test("csv line splitter handles quotes and escaped quotes") {
     assert(CsvManifests.splitCsvLine("""a,"b,c",d""") === Seq("a", "b,c", "d"))
     assert(CsvManifests.splitCsvLine("a,\"say \"\"hi\"\"\",c") ===

@@ -75,6 +75,16 @@ class SinksSpec extends SparkSpec {
     // recover-on-open: the reader itself completes the interrupted swap
     assert(Sinks.readSnapshot(spark, t2).as[String].collect() === Array("v2"))
 
+    // -- a TORN staging (crash mid-write: no _SUCCESS) is never promoted
+    val root4 = tmp()
+    val t4 = s"$root4/kb"
+    val torn = new java.io.File(s"$t4.staging-123")
+    torn.mkdirs()
+    Files.writeString(torn.toPath.resolve("part-00000.parquet"), "garbage")
+    Sinks.recover(spark, t4)
+    assert(!new java.io.File(t4).exists()) // not promoted...
+    assert(!torn.exists()) // ...and cleaned up
+
     // -- the backup is a rename, not a copy: same physical parquet files
     val root3 = tmp()
     val t3 = s"$root3/kb"
@@ -95,6 +105,9 @@ class SinksSpec extends SparkSpec {
     val fixtures = new java.io.File("src/test/resources/manifests")
     for (f <- fixtures.listFiles())
       Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/${f.getName}"))
+    // a corrupt binary file must not poison the stream (reject, not crash)
+    Files.write(java.nio.file.Paths.get(s"$src/junk.xls"),
+      Array.tabulate[Byte](600)(i => (i * 7).toByte))
     Sinks.drainManifests(spark, src, out, archive, ckpt).awaitTermination()
     val got = spark.read.parquet(out)
     assert(got.count() === 12L) // 4 files x 3 rows, same as readAll
