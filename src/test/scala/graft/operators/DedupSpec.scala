@@ -77,6 +77,17 @@ class DedupSpec extends SparkSpec {
     assert(cappedSim.where($"hamming" =!= 0).count() === 0L)
   }
 
+  test("two-step API: pairs from a parquet-persisted groups table match the one-call path") {
+    val oneCall = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text", 2, 32, 8, 0.8))
+    val path = java.nio.file.Files.createTempDirectory("groups").toString + "/g"
+    Dedup.shingleGroups(docs, "doc_id", "text", 2)
+      .write.parquet(path) // the corpus-scale materialization point
+    val twoStep = pairSet(Dedup.minhashLshPairsFromGroups(
+      spark.read.parquet(path), 32, 8, 0.8))
+    assert(twoStep === oneCall)
+    assert(twoStep.nonEmpty)
+  }
+
   test("simhash: identical docs collide at hamming 0; pairs are within threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
