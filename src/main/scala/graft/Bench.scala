@@ -7,15 +7,57 @@ package graft
   * bare count lets Catalyst prune every column and would benchmark the scan,
   * not the compute (normalize/minhash/cosine would be optimized away). Each
   * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-  * MEDIAN, so one GC pause or compilation hiccup can't masquerade as a
-  * regression and per-query numbers are comparable across rounds. A failed
-  * query reports -1.0 so it can never masquerade as a fast run, and the
-  * failure is printed to stderr. */
+  * MEDIAN plus the p25/p75 rep times (`queries_lo` / `queries_hi`), so one
+  * GC pause or compilation hiccup can't masquerade as a regression, spread
+  * is visible for triage, and per-query numbers are comparable across
+  * rounds. A failed query reports -1.0 so it can never masquerade as a fast
+  * run, and the failure is printed to stderr.
+  *
+  * Regression tracking: when a previous round's bench JSON is present
+  * (SPARK_GRAFT_BENCH_PREV=<file>, or the highest BENCH_r*.json in the
+  * working directory), any query slower than 1.5x its previous median (and
+  * by more than 0.3s absolute, so sub-second jitter can't trip it) is
+  * reported in a `regressions` field and on stderr.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=<name,name,...> restricts the run to a subset —
+  * the triage loop for exactly such regressions. */
 object Bench {
+
+  /** Median and the p25/p75 order statistics of the rep times. */
+  private def stats(times: Seq[Double]): (Double, Double, Double) = {
+    val s = times.sorted
+    val n = s.length
+    (s(n / 2), s(((n - 1) * 0.25).toInt), s(math.ceil((n - 1) * 0.75).toInt))
+  }
+
+  /** Pull the per-query medians out of a previous bench artifact. The file
+    * may be the raw JSON line or the driver's wrapper (JSON embedded in a
+    * "tail" string with escaped quotes) — a regex over both shapes keeps
+    * this dependency-free. */
+  private[graft] def previousMedians(text: String): Map[String, Double] = {
+    val unescaped = text.replace("\\\"", "\"")
+    val qBlock = "\"queries\":\\{([^}]*)\\}".r
+    qBlock.findFirstMatchIn(unescaped).map { m =>
+      val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+      pair.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  private def previousBenchFile(): Option[java.io.File] =
+    sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)).orElse {
+      val cwd = new java.io.File(".")
+      Option(cwd.listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName).lastOption
+    }.filter(_.isFile)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
@@ -23,8 +65,10 @@ object Bench {
     Tables(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
-    val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results: Seq[(String, (Double, Double, Double))] =
+      selected.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try {
@@ -36,29 +80,50 @@ object Bench {
               -1.0
           }
         }
-        val sec =
-          if (times.exists(_ < 0)) -1.0
-          else times.sorted.apply(reps / 2) // median
-        name -> sec
+        val st =
+          if (times.exists(_ < 0)) (-1.0, -1.0, -1.0)
+          else stats(times)
+        name -> st
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def jmap(f: ((String, (Double, Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f"${f((k, v))}%.3f" }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._2._1)
+    val lo = jmap(_._2._2)
+    val hi = jmap(_._2._3)
+    val ok = results.filter(_._2._1 >= 0)
+    val total = ok.map(_._2._1).sum
+    // Flag regressions vs the previous round's medians (1.5x and >0.3s).
+    val prev = previousBenchFile()
+      .map(f => previousMedians(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      .getOrElse(Map.empty)
+    val regressions = ok.flatMap { case (name, (med, _, _)) =>
+      prev.get(name).filter(p => p > 0 && med > 1.5 * p && med - p > 0.3)
+        .map(p => (name, p, med))
+    }
+    regressions.foreach { case (name, p, cur) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: $p%.3fs -> $cur%.3fs (${cur / p}%.1fx)")
+    }
+    val regs = regressions
+      .map { case (n, p, c) => "\"" + n + "\":[" + f"$p%.3f,$c%.3f]" }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
     // Ingestion throughput on the reference's own production zips, the
     // direct comparison point to BASELINE.md's headline 1,457 rows/s
     // (zip->XML ingest, import_xml.log:30277-30281).
     val ingest =
       try {
         val dir = "/root/reference/uploads/xml_history/processed"
-        if (new java.io.File(dir).isDirectory) {
+        if (only.isEmpty && new java.io.File(dir).isDirectory) {
           val t0 = System.nanoTime()
           val rows = graft.sources.XmlDeclarations.read(spark, dir).count()
           val sec = (System.nanoTime() - t0) / 1e9
           f""","xml_ingest_rows":$rows,"xml_ingest_sec":$sec%.3f,"xml_ingest_rows_per_sec":${rows / sec}%.0f,"baseline_rows_per_sec":1457"""
         } else ""
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"n_failed":${results.size - ok.size}$ingest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_lo":$lo,"queries_hi":$hi,"regressions":$regs,"n_failed":${results.size - ok.size}$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

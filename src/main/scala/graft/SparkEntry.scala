@@ -650,10 +650,27 @@ object SparkEntry {
 
     // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned
     // codebook has no SQL replay; recall vs brute force is pinned by
-    // SimilaritySpec instead
+    // SimilaritySpec instead. Codebook training is driver-side over a
+    // bounded sample (never a distributed fit), so the query costs one
+    // corpus scan plus the broadcast probe join.
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvf(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
+    // IVF over the PERSISTED at-rest layout — the pattern to copy at
+    // corpus scale: the cell-partitioned corpus + parquet codebook are
+    // built once per dataset (ivfLayoutFor caches per key) and every
+    // query pays only the partition-pruned probe-cell read. Pruning is
+    // pinned by ScaleLayoutSpec; rows-only for the driver (learned cells
+    // have no SQL replay).
+    "knn_ivf_at_rest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = Similarity.ivfLayoutFor(emb, "vec_id", "embedding", key = dir)
+      Similarity.knnIvfPartitioned(s, path, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))

@@ -85,41 +85,145 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Spherical k-means codebook, trained DRIVER-SIDE on a bounded sample:
+    * at most `maxTrainVectors` corpus vectors are collected (unit-
+    * normalized; zero vectors excluded — they have no cosine direction),
+    * seeded k-means++ picks the initial centroids, and Lloyd iterations
+    * run locally (cosine on unit vectors = dot product). The codebook is
+    * nlist × dims floats — kilobytes — so training never touches the
+    * cluster: a 100 TB corpus costs one bounded-`limit` scan regardless of
+    * size, where a distributed fit would be maxIter full corpus passes.
+    * (The same shape FAISS uses: IVF codebooks train on a small sample.)
+    * Deterministic for a given (corpus order, seed). For corpora whose
+    * leading partitions are unrepresentative, pre-shuffle or pre-sample
+    * the frame passed here — `limit` takes the first rows it sees. */
+  def trainCodebook(corpus: DataFrame, vecCol: String, nlist: Int,
+                    maxTrainVectors: Int = 100000, seed: Long = 42L,
+                    maxIter: Int = 10): Seq[Seq[Float]] = {
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .limit(maxTrainVectors)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    require(sample.nonEmpty, "IVF codebook: no non-zero training vectors")
+    val k = math.min(nlist, sample.length)
+    val dims = sample.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ init: each next centroid drawn with probability ∝ squared
+    // cosine distance to the nearest already-chosen one
+    val centroids = Array.ofDim[Array[Double]](k)
+    centroids(0) = sample(rnd.nextInt(sample.length)).clone()
+    val bestSim = Array.fill(sample.length)(-1.0)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < sample.length) {
+        val s = dot(sample(i), centroids(c - 1))
+        if (s > bestSim(i)) bestSim(i) = s
+        i += 1
+      }
+      val weights = bestSim.map(s => { val d = 1.0 - s; d * d })
+      val total = weights.sum
+      val target = rnd.nextDouble() * total
+      var acc = 0.0; var pick = sample.length - 1; var j = 0
+      while (j < sample.length && pick == sample.length - 1) {
+        acc += weights(j)
+        if (acc >= target) pick = j
+        j += 1
+      }
+      centroids(c) = sample(pick).clone()
+    }
+    // Lloyd: assign to argmax dot (first index on ties, matching
+    // [[assignCell]]), mean, re-normalize; empty cell re-seeds from the
+    // point farthest from every current centroid
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      val worst = Array.fill(sample.length)(2.0) // max over centroids, tracked for re-seed
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bs = dot(sample(i), centroids(0))
+        var c = 1
+        while (c < k) {
+          val s = dot(sample(i), centroids(c))
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        worst(i) = bs
+        counts(best) += 1
+        val sum = sums(best)
+        var d = 0
+        while (d < dims) { sum(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      for (c <- 0 until k) {
+        if (counts(c) == 0) {
+          centroids(c) = sample(worst.indices.minBy(worst)).clone()
+        } else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          centroids(c) = if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }
+    }
+    centroids.toSeq.map(_.toSeq.map(_.toFloat))
+  }
+
+  /** Map-side IVF cell assignment: argmax cosine against the (literal,
+    * kilobyte-sized) codebook — evaluated inside the scan, zero shuffles,
+    * first index wins ties (the same rule as the probe ranking).
+    * Deliberately LAMBDA-FREE (greatest over (score, -index) structs, not a
+    * transform(...) HOF): an alias whose child contains lambda variables
+    * poisons constraint propagation — the inferred join-side filter
+    * mis-computes its references and binds against columns that don't
+    * exist there. One struct comparison per centroid, all codegen'd. */
+  def assignCell(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineSim(vec, typedLit(c)).as("s"), lit(-i).as("ni"))
+    }
+    if (scored.length == 1) lit(0)
+    else (-greatest(scored: _*).getField("ni")).cast("int")
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer tier that scales past
     * fixed-hyperplane LSH: a k-means codebook of `nlist` centroids (cosine
-    * metric, trained on a sample) partitions the corpus into cells; each
-    * query probes only its `nprobe` nearest cells. Candidate fraction is
-    * ~nprobe/nlist and, unlike sign buckets, cells track the DATA
-    * distribution, so recall holds on clustered embeddings.
+    * metric, trained on a bounded sample — see [[trainCodebook]])
+    * partitions the corpus into cells; each query probes only its `nprobe`
+    * nearest cells. Candidate fraction is ~nprobe/nlist and, unlike sign
+    * buckets, cells track the DATA distribution, so recall holds on
+    * clustered embeddings.
     *
-    * Scale shape: training fits on a driver-bounded sample; assignment is a
-    * scan-side model transform (centroids broadcast inside the model); the
-    * candidate join is corpus ⋈ broadcast(query-probes) keyed on the cell —
-    * the corpus is never shuffled. At rest, write the corpus partitioned by
-    * cell (as [[writeBucketed]] does for sign buckets) and the probe
-    * predicate prunes partitions before any row is read. */
+    * Scale shape: training collects ≤ `maxTrainVectors` vectors to the
+    * driver (bounded regardless of corpus size); assignment is a scan-side
+    * argmax against the literal codebook; the candidate join is corpus ⋈
+    * broadcast(query-probes) keyed on the cell — the corpus is never
+    * shuffled and never scanned for training beyond the bounded sample. At
+    * rest, write the corpus partitioned by cell ([[writeIvf]]) and the
+    * probe predicate prunes partitions before any row is read. */
   def knnIvf(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              nlist: Int = 16, nprobe: Int = 4,
-             trainFraction: Double = 1.0, seed: Long = 42L,
+             maxTrainVectors: Int = 100000, seed: Long = 42L,
              excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import corpus.sparkSession.implicits._
-    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      // zero vectors have no cosine direction: k-means with the cosine
-      // measure throws on them, and they can never rank as a neighbor
+    val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
+      maxTrainVectors, seed)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      // zero vectors have no cosine direction and can never rank as a
+      // neighbor (cos = 0 against everything)
       .where(exists(col("c_vec"), x => x =!= lit(0.0f)))
-      .withColumn("_fv", array_to_vector(col("c_vec")))
-    val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine").setFeaturesCol("_fv")
-      .setPredictionCol("cell").fit(train)
-    val assigned = model.transform(c0)
-      .select(col("neighbor_id"), col("c_vec"), col("cell"))
-    val cent = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "centroid")
+      .withColumn("cell", assignCell(col("c_vec"), cents))
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
@@ -145,24 +249,41 @@ object Similarity {
     * this layout touch only their probe cells' files. */
   def writeIvf(corpus: DataFrame, idCol: String, vecCol: String,
                path: String, nlist: Int = 16,
-               trainFraction: Double = 1.0, seed: Long = 42L): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+               maxTrainVectors: Int = 100000, seed: Long = 42L): Unit = {
     import corpus.sparkSession.implicits._
-    val c0 = corpus.select(col(idCol), col(vecCol))
+    val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
+      maxTrainVectors, seed)
+    corpus.select(col(idCol), col(vecCol))
       .where(exists(col(vecCol), x => x =!= lit(0.0f))) // see knnIvf note
-      .withColumn("_fv", array_to_vector(col(vecCol)))
-    val train = if (trainFraction >= 1.0) c0 else c0.sample(trainFraction, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine").setFeaturesCol("_fv")
-      .setPredictionCol("cell").fit(train)
-    model.transform(c0).select(col(idCol), col(vecCol), col("cell"))
+      .withColumn("cell", assignCell(col(vecCol), cents))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
-    model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "centroid")
+    cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** Per-JVM registry of built IVF layouts, keyed by caller-chosen dataset
+    * key: [[ivfLayoutFor]] builds a layout at most once per key — the
+    * "index once, query many" usage every at-rest ANN deployment has. */
+  private val ivfLayouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[writeIvf]] layout for `corpus` under dataset key `key`,
+    * building it (once per key per JVM) into `baseDir` on first use.
+    * Returns the layout path for [[knnIvfPartitioned]]. This is the
+    * pattern to copy at scale: the codebook and the cell-partitioned
+    * corpus are persisted artifacts, and queries only ever pay the
+    * partition-pruned probe read — never a re-train. */
+  def ivfLayoutFor(corpus: DataFrame, idCol: String, vecCol: String,
+                   key: String, nlist: Int = 16,
+                   baseDir: String =
+                     sys.props("java.io.tmpdir") + "/graft-ivf"): String =
+    ivfLayouts.computeIfAbsent(key, { _ =>
+      val safe = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val path = s"$baseDir/$safe"
+      writeIvf(corpus, idCol, vecCol, path, nlist)
+      path
+    })
 
   /** ANN over a [[writeIvf]] layout: probe cells become a PartitionFilter —
     * only those cells' files are read. Output shape of [[knnBruteForce]]. */
