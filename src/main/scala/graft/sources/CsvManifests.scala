@@ -15,7 +15,7 @@ import graft.functions.GraftFunctions._
   *
   * Architecture: ONE distributed pass for any number of files. A
   * `binaryFile` scan hands each file to an executor task; the task builds
-  * the cell grid (CSV line split / xlsx / xls), sniffs the header lines
+  * the cell grid (RFC-4180 CSV record scan / xlsx / xls), sniffs the header lines
   * file-locally (the reference's two-strategy dispatch, ref `:195-227`),
   * and emits format-tagged [[ManifestLine]] rows. Ingesting N files is one
   * job over one plan — no per-file driver round-trips, no N-way plan
@@ -44,32 +44,60 @@ object CsvManifests {
       consignee_name_cell: String, consignee_id_cell: String,
       consignee_phone_cell: String)
 
-  /** Quote-aware CSV line split (RFC-4180 commas/quotes; embedded newlines
-    * in quoted fields are out of scope for these fixtures). */
-  private[sources] def splitCsvLine(line: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Quote-aware single-line CSV split (kept for callers that already have
+    * line-framed input; [[csvRecords]] is the whole-buffer scanner that
+    * also handles newlines inside quoted fields). */
+  private[sources] def splitCsvLine(line: String): Seq[String] =
+    csvRecords(line).headOption.map(_._2.toSeq).getOrElse(Seq(""))
+
+  /** Whole-buffer RFC-4180 scanner: one pass over the text, tracking quote
+    * state, so a quoted field may contain commas, escaped quotes ("") AND
+    * embedded line breaks — pandas `read_csv` parity (the reference parses
+    * manifests with it, ref `process_excel_order.py:197,216`). Returns
+    * (0-based RECORD ordinal, cells); for files without embedded newlines a
+    * record is exactly a physical line, so ordinals are unchanged. Records
+    * with no characters at all (empty lines) are skipped, ordinals
+    * preserved — same rule the per-line splitter applied. */
+  private[sources] def csvRecords(text: String): Seq[(Long, IndexedSeq[String])] = {
+    val out = Seq.newBuilder[(Long, IndexedSeq[String])]
+    var cells = IndexedSeq.newBuilder[String]
     val cur = new StringBuilder
     var inQ = false
+    var sawChar = false // any char consumed in the current record
+    var nCells = 0
+    var rec = 0L
     var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
+    def endCell(): Unit = { cells += cur.result(); cur.clear(); nCells += 1 }
+    def endRecord(): Unit = {
+      endCell()
+      if (sawChar) out += ((rec, cells.result()))
+      cells = IndexedSeq.newBuilder[String]
+      nCells = 0; sawChar = false
+      rec += 1
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
       if (inQ) {
         if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') { cur += '"'; i += 1 }
           else inQ = false
-        } else cur += c
+        } else cur += c // includes \r / \n: embedded line break
       } else c match {
-        case '"' => inQ = true
-        case ',' => out += cur.result(); cur.clear()
-        case _ => cur += c
+        case '"' => inQ = true; sawChar = true
+        case ',' => endCell(); sawChar = true
+        case '\r' =>
+          if (i + 1 < text.length && text.charAt(i + 1) == '\n') i += 1
+          endRecord()
+        case '\n' => endRecord()
+        case _ => cur += c; sawChar = true
       }
       i += 1
     }
-    out += cur.result()
+    if (sawChar || nCells > 0 || cur.nonEmpty) endRecord() // trailing record, no newline
     out.result()
   }
 
-  /** File bytes → (0-based line ordinal, cells) grid, dispatched on
+  /** File bytes → (0-based record ordinal, cells) grid, dispatched on
     * extension — runs inside the executor task. */
   private[sources] def gridOf(name: String, bytes: Array[Byte])
       : Seq[(Long, IndexedSeq[String])] = {
@@ -79,11 +107,7 @@ object CsvManifests {
     else if (lower.endsWith(".xls"))
       Biff.grid(bytes).filter(_._2.exists(_.nonEmpty))
     else
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split("\r\n|\r|\n", -1).toIndexedSeq
-        .zipWithIndex
-        .filter(_._1.nonEmpty)
-        .map { case (l, i) => (i.toLong, splitCsvLine(l).toIndexedSeq) }
+      csvRecords(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Distributed line scan with per-file line ordinals — the raw-grid view

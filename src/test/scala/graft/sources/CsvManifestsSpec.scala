@@ -208,4 +208,37 @@ class CsvManifestsSpec extends SparkSpec {
       Seq("a", "say \"hi\"", "c"))
     assert(CsvManifests.splitCsvLine("a,,c") === Seq("a", "", "c"))
   }
+
+  test("csv scanner: embedded newlines in quoted fields stay one record (RFC 4180)") {
+    // record framing: quoted \n and \r\n are field content, not separators
+    assert(CsvManifests.csvRecords("a,\"line1\nline2\",c\r\nd,e,f") === Seq(
+      (0L, IndexedSeq("a", "line1\nline2", "c")),
+      (1L, IndexedSeq("d", "e", "f"))))
+    // empty physical lines are skipped but keep their record ordinal
+    assert(CsvManifests.csvRecords("a,b\n\nc,d") === Seq(
+      (0L, IndexedSeq("a", "b")), (2L, IndexedSeq("c", "d"))))
+    // trailing record without a final newline; escaped quotes across a break
+    assert(CsvManifests.csvRecords("\"say \"\"hi\"\"\nbye\",x") === Seq(
+      (0L, IndexedSeq("say \"hi\"\nbye", "x"))))
+    // CRLF inside quotes is preserved verbatim
+    assert(CsvManifests.csvRecords("\"a\r\nb\",c\n") === Seq(
+      (0L, IndexedSeq("a\r\nb", "c"))))
+  }
+
+  test("manifest with a line break inside a quoted description parses as one row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("multiline")
+    val csv = dir.resolve("MULTI123.csv")
+    java.nio.file.Files.writeString(csv,
+      "MULTI123,,,,,,,,,,,,,,\n" +
+        "junk,,,,,,,,,,,,,,\n" +
+        "A,B,C,DESC,E,F,G,H,I,QTY,UNIT,L,M,PRICE,TOTAL\n" +
+        "HAWB900,,,\"Toy,\nred line 2\",,,,,,3,PCE,,,1.5,4.5\n" +
+        "HAWB901,,,Plain,,,,,,1,PCE,,,2.0,2.0\n")
+    val df = CsvManifests.readManifest(spark, csv.toString).cache()
+    assert(df.count() === 2L) // the pandas-parity check: NOT three mangled rows
+    val multi = df.where($"hawb_no" === "HAWB900")
+      .select("description_original", "qty").as[(String, Double)].collect()
+    assert(multi === Array(("Toy,\nred line 2", 3.0)))
+  }
 }
