@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A decoded-asset record. */
+  /** A decoded-asset record. Images fill width/height; audio fills
+    * sample_rate/channels/duration_ms (0 where the modality doesn't apply,
+    * -1 for an audio duration the header doesn't state). */
   case class AssetMeta(asset_id: Long, n_bytes: Int, format: String,
-                       width: Int, height: Int, checksum: String)
+                       width: Int, height: Int,
+                       sample_rate: Int, channels: Int, duration_ms: Long,
+                       checksum: String)
 
   private def crc32(bytes: Array[Byte]): java.util.zip.CRC32 = {
     val crc = new java.util.zip.CRC32
@@ -30,7 +34,8 @@ object Multimodal {
     crc
   }
 
-  /** Fallback for payloads no installed ImageIO codec recognizes:
+  /** Fallback for payloads neither ImageIO nor the sampled-audio readers
+    * recognize (true video stays here — the JDK ships no video codec):
     * deterministic pseudo-dimensions from the checksum, format flagged
     * `unknown` so downstream filters can separate real decodes. */
   def decodeStub(assetId: Long, bytes: Array[Byte]): AssetMeta = {
@@ -41,19 +46,51 @@ object Multimodal {
       format = "unknown",
       width = 64 + (crc.getValue % 1024).toInt,
       height = 64 + ((crc.getValue >> 10) % 1024).toInt,
+      sample_rate = 0, channels = 0, duration_ms = 0L,
       checksum = java.lang.Long.toHexString(crc.getValue))
   }
 
-  /** Real JDK-only image decode: probe the payload with the registered
+  /** Real JDK-only audio header decode (WAV/AIFF/AU via
+    * `javax.sound.sampled`): container type, sample rate, channel count
+    * and duration from the declared frame length — header metadata only,
+    * the PCM payload is never decoded. None when no installed reader
+    * claims the payload. */
+  def decodeAudio(assetId: Long, bytes: Array[Byte]): Option[AssetMeta] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength
+      val durationMs =
+        if (frames >= 0 && fmt.getFrameRate > 0)
+          math.round(frames * 1000.0 / fmt.getFrameRate)
+        else -1L // header doesn't state a length
+      Some(AssetMeta(
+        asset_id = assetId,
+        n_bytes = bytes.length,
+        format = aff.getType.toString.toLowerCase, // wave / aiff / au
+        width = 0, height = 0,
+        sample_rate = math.round(fmt.getSampleRate),
+        channels = fmt.getChannels,
+        duration_ms = durationMs,
+        checksum = java.lang.Long.toHexString(crc32(bytes).getValue)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None // truncated/corrupt container
+    }
+
+  /** Real JDK-only media decode: probe the payload with the registered
     * ImageIO readers and read true dimensions from the header (no raster
     * decode — `getWidth/getHeight(0)` parse metadata only, so a 50 MB JPEG
-    * costs a few KB of reads). Unknown formats → [[decodeStub]]. */
+    * costs a few KB of reads); payloads no image codec claims are probed
+    * as audio ([[decodeAudio]]); anything left → [[decodeStub]]. */
   def decodeOne(assetId: Long, bytes: Array[Byte]): AssetMeta = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) decodeStub(assetId, bytes)
+      if (!readers.hasNext)
+        decodeAudio(assetId, bytes).getOrElse(decodeStub(assetId, bytes))
       else {
         val r = readers.next()
         try {
@@ -64,6 +101,7 @@ object Multimodal {
             format = r.getFormatName.toLowerCase,
             width = r.getWidth(0),
             height = r.getHeight(0),
+            sample_rate = 0, channels = 0, duration_ms = 0L,
             checksum = java.lang.Long.toHexString(crc32(bytes).getValue))
         } catch {
           case _: java.io.IOException => decodeStub(assetId, bytes) // truncated/corrupt

@@ -44,6 +44,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).format === "unknown") // stub fallback, honest flag
   }
 
+  test("WAV/AIFF payloads decode to true sample rate, channels and duration") {
+    import spark.implicits._
+    def audioBytes(tpe: javax.sound.sampled.AudioFileFormat.Type,
+                   rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream
+      AudioSystem.write(ais, tpe, out)
+      out.toByteArray
+    }
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE,
+      8000f, 1, 4000) // 0.5 s mono
+    val aiff = audioBytes(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+      44100f, 2, 44100) // 1.0 s stereo
+    val rows = Seq((1L, wav), (2L, aiff), (3L, "not audio".getBytes))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAssets(rows, "doc_id", "payload")
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(got(1L).format === "wave" && got(1L).sample_rate === 8000 &&
+      got(1L).channels === 1 && got(1L).duration_ms === 500L)
+    assert(got(2L).format === "aiff" && got(2L).sample_rate === 44100 &&
+      got(2L).channels === 2 && got(2L).duration_ms === 1000L)
+    assert(got(3L).format === "unknown") // stub fallback, honest flag
+    // modality cross-fields stay zeroed
+    assert(got(1L).width === 0 && got(1L).height === 0)
+  }
+
   test("frame sampling: n frames per asset, fixed size, in-bounds offsets") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(assets, "doc_id", "payload", n = 3,
