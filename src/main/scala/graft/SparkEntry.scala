@@ -342,6 +342,27 @@ object SparkEntry {
         .groupBy("o_orderkey")
         .agg(count(col("l_orderkey")).as("n_items"))),
 
+    // Full outer: both sides filtered differently so each contributes
+    // unmatched keys; integer aggregates (see duckdb-parity notes)
+    "j_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .groupBy(coalesce(col("o_orderkey"), col("l_orderkey")).as("okey"))
+        .agg(max(col("o_custkey")).as("custkey"),
+          count(col("l_quantity")).as("n_big_items"),
+          sum(floor(col("l_quantity"))).cast("long").as("qty_units"))
+    }),
+
+    "j_right_outer" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "right_outer")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_heavy_items"))),
+
     "set_except" -> ((s, dir) =>
       t(s, dir, "lineitem").select(col("l_orderkey").as("okey")).distinct()
         .except(
@@ -680,10 +701,14 @@ object SparkEntry {
     "text_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
 
-    // TF-IDF top terms — rows-only (double scores are combine-order
-    // sensitive; ranking semantics pinned by TextAnalysisSpec)
+    // TF-IDF top terms — the registry emits the integer tf/df inputs
+    // instead of the double tfidf (combine-order sensitive), so the DuckDB
+    // oracle compares hash-exactly; ranking semantics additionally pinned
+    // by TextAnalysisSpec
     "text_top_terms" -> ((s, dir) =>
-      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 5)),
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 5)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"))),
 
     // trained char-n-gram profile classifier — rows-only (the learned
     // profile has no SQL replay; held-out accuracy pinned by
@@ -938,6 +963,26 @@ object SparkEntry {
     "j_outer_counts" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items
         |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // floor(l_quantity) sums are integer-valued doubles in DuckDB (exact
+    // under reordering), cast back to BIGINT to match Spark's long sum
+    "j_full_outer" ->
+      """SELECT coalesce(o.o_orderkey, l.l_orderkey) AS okey,
+        |  max(o.o_custkey) AS custkey,
+        |  count(l.l_quantity) AS n_big_items,
+        |  CAST(sum(floor(l.l_quantity)) AS BIGINT) AS qty_units
+        |FROM (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderstatus = 'O') o
+        |FULL OUTER JOIN (SELECT l_orderkey, l_quantity FROM lineitem
+        |      WHERE l_quantity > 45) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "j_right_outer" ->
+      """SELECT o_orderkey, count(l.l_orderkey) AS n_heavy_items
+        |FROM (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) l
+        |RIGHT JOIN orders ON l.l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
 
     "set_except" ->
@@ -1317,6 +1362,28 @@ object SparkEntry {
         |    AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |    AS BIGINT) AS n_bpe_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ranking replay: order by the same tf*ln((N+1)/(df+1)) key with the
+    // same term tie-break, but OUTPUT only integers (tf, df) so the
+    // comparison is hash-exact with no double in the result
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE length(term) > 0 GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfx.df + 1.0)) DESC,
+        |        tf.term ASC) AS rank
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |) WHERE rank <= 5""".stripMargin
   )
 }

@@ -105,15 +105,21 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minJaccard: Double,
                         maxShingleDf: Int = 0,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000): DataFrame =
     // shingle identity only -> hashed shingles (no string building, long
     // keys); exact-identical sets collapse to one representative before
     // anything else (df, prefixes, buckets all see distinct sets only)
-    val withSets = docs
-      .select(col(idCol).as("doc"),
-        sort_array(shingleHashes(col(textCol), k)).as("sh0"))
-      .where(size(col("sh0")) > 0)
-    val groups = collapseBy(withSets, col("sh0"))
+    ngramJaccardPairsFromGroups(shingleGroups(docs, idCol, textCol, k),
+      minJaccard, maxShingleDf, maxBucket)
+
+  /** [[ngramJaccardPairs]] over a pre-collapsed (possibly persisted)
+    * [[shingleGroups]] table — the corpus-scale two-step: persist the
+    * collapse once (one scan + one aggregation) and run BOTH dedup
+    * families (this and [[minhashLshPairsFromGroups]]) from the same
+    * table, instead of re-collapsing inside each operator. */
+  def ngramJaccardPairsFromGroups(groups: DataFrame, minJaccard: Double,
+                                  maxShingleDf: Int = 0,
+                                  maxBucket: Int = 10000): DataFrame = {
     val exploded = groups
       .select(col("rep").as("doc"), explode(col("key")).as("h"))
     val filtered =

@@ -125,7 +125,9 @@ object TextAnalysis {
     * term-keyed document-frequency join, and a per-doc ranking window —
     * the corpus stays tokenized (never raw text) through every shuffle,
     * and the scalar corpus size rides as a broadcast, so the shape holds
-    * at any N. Ties break by term (deterministic). */
+    * at any N. Ties break by term (deterministic). Output carries the
+    * integer tf/df inputs alongside the double tfidf so exact (hash-level)
+    * cross-engine comparison can use the integers. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -144,7 +146,7 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
-        col("term"), col("tfidf"))
+        col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Quality metrics: char/token counts, alpha and punctuation counts,

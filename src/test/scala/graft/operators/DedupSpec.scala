@@ -86,6 +86,13 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(path), 32, 8, 0.8))
     assert(twoStep === oneCall)
     assert(twoStep.nonEmpty)
+    // the SAME persisted table serves the exact ngram-Jaccard family too
+    val jacOneCall = pairSet(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.8))
+    val jacTwoStep = pairSet(Dedup.ngramJaccardPairsFromGroups(
+      spark.read.parquet(path), 0.8))
+    assert(jacTwoStep === jacOneCall)
+    assert(jacTwoStep.nonEmpty)
   }
 
   test("simhash: identical docs collide at hamming 0; pairs are within threshold") {

@@ -92,6 +92,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "the lion sleeps the the whole day long"),
       (3L, "the river flows the the whole year round")).toDF("doc_id", "text")
     val top = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .select("doc_id", "rank", "term", "tfidf")
       .as[(Long, Long, String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     // "the" is in every doc (idf ~ 0) — never a top term despite max tf
