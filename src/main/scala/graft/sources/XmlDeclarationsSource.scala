@@ -83,16 +83,46 @@ object XmlDeclarationsSource {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
+    /** Recursive listing + size-weighted packing: files are the work unit
+      * (a zip can't split), sorted descending and first-fit packed into
+      * bins of `spark.sql.files.maxPartitionBytes`, charging
+      * `spark.sql.files.openCostInBytes` per file — the same policy the
+      * built-in file sources apply, so ten thousand small declaration
+      * files become a bounded number of partitions instead of ten
+      * thousand single-file tasks. */
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
       val fs = p.getFileSystem(sessionHadoopConf())
-      val files =
-        if (fs.getFileStatus(p).isFile) Array(p)
-        else fs.listStatus(p).filter(_.isFile).map(_.getPath)
-      files.collect {
-        case f if f.getName.toLowerCase.matches(".*\\.(xml|zip)") =>
-          DeclPartition(f.toString): InputPartition
+      val status = fs.getFileStatus(p)
+      val files: Seq[(String, Long)] =
+        if (status.isFile) Seq(p.toString -> status.getLen)
+        else {
+          val it = fs.listFiles(p, true) // recursive
+          val buf = Seq.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val s = it.next()
+            if (s.isFile) buf += (s.getPath.toString -> s.getLen)
+          }
+          buf.result()
+        }
+      val matched = files.filter { case (f, _) =>
+        f.substring(f.lastIndexOf('/') + 1).toLowerCase.matches(".*\\.(xml|zip)")
       }
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val target = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val bins = Seq.newBuilder[Seq[String]]
+      var bin = List.empty[String]
+      var binBytes = 0L
+      for ((f, len) <- matched.sortBy(-_._2)) {
+        val cost = len + openCost
+        if (bin.nonEmpty && binBytes + cost > target) {
+          bins += bin.reverse; bin = Nil; binBytes = 0L
+        }
+        bin ::= f; binBytes += cost
+      }
+      if (bin.nonEmpty) bins += bin.reverse
+      bins.result().map(DeclPartition(_): InputPartition).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -104,25 +134,29 @@ object XmlDeclarationsSource {
     }
   }
 
-  private case class DeclPartition(file: String) extends InputPartition
+  private case class DeclPartition(files: Seq[String]) extends InputPartition
 
   /** `projection(i)` = RawBid field ordinal of output column i. */
   private class DeclReaderFactory(projection: Array[Int],
                                   confMap: Map[String, String])
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val file = partition.asInstanceOf[DeclPartition].file
+      val files = partition.asInstanceOf[DeclPartition].files
       new PartitionReader[InternalRow] {
+        // files stream one at a time: only the file being parsed is in
+        // memory, however many were packed into this partition
         private val rows: Iterator[XmlDeclarations.RawBid] = {
           val conf = new Configuration(false)
           confMap.foreach { case (k, v) => conf.set(k, v) }
-          val p = new Path(file)
-          val fs = p.getFileSystem(conf)
-          val in = fs.open(p)
-          val bytes =
-            try in.readAllBytes()
-            finally in.close()
-          XmlDeclarations.parseFile(file, bytes).iterator
+          files.iterator.flatMap { file =>
+            val p = new Path(file)
+            val fs = p.getFileSystem(conf)
+            val in = fs.open(p)
+            val bytes =
+              try in.readAllBytes()
+              finally in.close()
+            XmlDeclarations.parseFile(file, bytes)
+          }
         }
         private var current: InternalRow = _
         override def next(): Boolean =

@@ -82,6 +82,20 @@ class XmlDeclarationsSpec extends SparkSpec {
       === raw.count())
   }
 
+  test("DSv2 packs many small files into bounded size-weighted partitions, listing recursively") {
+    val src = new java.io.File("src/test/resources/xml/standalone.xml").toPath
+    val dir = java.nio.file.Files.createTempDirectory("manyxml")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    for (i <- 1 to 15) java.nio.file.Files.copy(src, dir.resolve(s"a$i.xml"))
+    for (i <- 1 to 5) java.nio.file.Files.copy(src, sub.resolve(s"b$i.xml"))
+    val perFile = spark.read.format("customs-xml").load(src.toString).count()
+    val df = spark.read.format("customs-xml").load(dir.toString)
+    assert(df.count() === 20 * perFile) // nested subdirectory files included
+    // 20 x (966 B + 4 MB open cost) ~ 80 MB < the 128 MB target -> ONE
+    // packed task, not twenty single-file tasks
+    assert(df.rdd.getNumPartitions === 1)
+  }
+
   test("cleansing: doc numbers have no spaces/slashes, dates are truncated") {
     import spark.implicits._
     assert(processed.where($"dcl_doc_no".rlike("[ \n/]")).count() === 0L)
