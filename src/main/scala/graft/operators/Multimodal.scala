@@ -50,6 +50,21 @@ object Multimodal {
       checksum = java.lang.Long.toHexString(crc.getValue))
   }
 
+  /** Magic-byte sniff for the three container types the JDK's sampled-audio
+    * readers handle — all declare themselves in the first 12 bytes (WAV:
+    * "RIFF"…"WAVE", AIFF: "FORM"…"AIFF"/"AIFC", AU: ".snd"). Gating
+    * [[decodeAudio]] on this keeps non-audio payloads off the
+    * exception-per-provider probe path inside `AudioSystem`, which is pure
+    * overhead when most of a corpus is some other modality. */
+  private[operators] def looksLikeAudio(b: Array[Byte]): Boolean = {
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + s.length &&
+        s.indices.forall(j => b(off + j) == s.charAt(j).toByte)
+    (ascii(0, "RIFF") && ascii(8, "WAVE")) ||
+      (ascii(0, "FORM") && (ascii(8, "AIFF") || ascii(8, "AIFC"))) ||
+      ascii(0, ".snd")
+  }
+
   /** Real JDK-only audio header decode (WAV/AIFF/AU via
     * `javax.sound.sampled`): container type, sample rate, channel count
     * and duration from the declared frame length — header metadata only,
@@ -89,8 +104,11 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext)
-        decodeAudio(assetId, bytes).getOrElse(decodeStub(assetId, bytes))
+      if (!readers.hasNext) {
+        if (looksLikeAudio(bytes))
+          decodeAudio(assetId, bytes).getOrElse(decodeStub(assetId, bytes))
+        else decodeStub(assetId, bytes)
+      }
       else {
         val r = readers.next()
         try {
