@@ -492,6 +492,194 @@ object SparkEntry {
           col("total_qty"))
     }),
 
+    // Q4-shaped priority report: EXISTS over returned lineitems -> left-semi
+    // join (never materializes the match multiplicity), then a tiny agg
+    "tpch_q4_priority_exists" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))),
+
+    // Q8-shaped market share: one nation's supplier revenue share per order
+    // year inside a region. Share is emitted as exact decimal numerator /
+    // denominator (a double division would not be oracle-comparable)
+    "tpch_q8_market_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val custNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(custNation, col("c_nationkey") === col("cn_key"))
+        .join(t(s, dir, "region"), col("cn_region") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("sn_key"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(zero))
+            .as("nation_rev"),
+          sum(rev).as("total_rev"))
+    }),
+
+    // Q9-shaped profit by supplier nation and year; the testdata has no
+    // partsupp, so retail price x quantity stands in for supply cost —
+    // the plan shape (filtered part dim joined into the fact, two more
+    // broadcast dims, two-key agg) is the point
+    "tpch_q9_profit_proxy" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val cost = (col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((rev - cost).cast("decimal(28,4)")).as("profit_proxy"))
+    }),
+
+    // Q12-shaped late-shipment report: ship lag over a join, conditional
+    // (pivot-style) counts per line status
+    "tpch_q12_late_lines" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .groupBy("l_linestatus")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // Q15-shaped top supplier: revenue ranking with a scalar-subquery max,
+    // expressed as a broadcast join against the 1-row global max (no
+    // unpartitioned window — that would single-thread the ranking at scale)
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val bysupp = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1996)
+        .groupBy("l_suppkey")
+        .agg(sum(rev).as("total_revenue"))
+      val mx = bysupp.agg(max(col("total_revenue")).as("mx"))
+      bysupp.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q16-shaped supplier count per part attribute, with the NOT IN
+    // "complaints" exclusion as a null-safe anti-join
+    "tpch_q16_supplier_cnt" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").where(col("s_acctbal") < -900)
+        .select(col("s_suppkey").as("bad_key"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_brand") =!= "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q17-shaped small-quantity revenue: the correlated per-part average is
+    // re-expressed as one grouped agg joined back to the fact, and the
+    // `qty < 0.2 * avg(qty)` threshold as exact integer-decimal cross
+    // multiplication (5 * cnt * qty < sum) — double division would put the
+    // comparison one ulp from the oracle
+    "tpch_q17_small_qty" -> ((s, dir) => {
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("agg_pk"))
+        .agg(sum(qd).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_brand") === "Brand#2"),
+          col("l_partkey") === col("p_partkey"))
+        .join(per, col("l_partkey") === col("agg_pk"))
+        .where(qd * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue_cents"), count(lit(1)).as("n_rows"))
+    }),
+
+    // Q19-shaped disjunctive predicate scan: three (brand, size, quantity)
+    // conjunctions OR-ed over the li x part join; revenue in exact cents
+    "tpch_q19_disjunctive" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(floor(col("l_extendedprice") *
+            (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"), count(lit(1)).as("n_rows"))),
+
+    // Q20-shaped semi-join chain: suppliers who moved > 50 units of red
+    // parts — agg-with-having feeding a left-semi into the dimension
+    "tpch_q20_semi_chain" -> ((s, dir) => {
+      val qualifying = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").where(col("p_name").startsWith("red")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("red_qty"))
+        .where(col("red_qty") > 50)
+      t(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // Q21-shaped waiting-supplier report: EXISTS (another supplier on the
+    // order) AND NOT EXISTS (another supplier who also returned) — a
+    // left-semi then left-anti self-join pair on the fact table
+    "tpch_q21_waiting" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val r1 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk"))
+      val others = li.select(col("l_orderkey").as("o2_ok"),
+        col("l_suppkey").as("o2_sk"))
+      val othersR = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_ok"), col("l_suppkey").as("o3_sk"))
+      r1.join(others,
+          col("r_ok") === col("o2_ok") && col("r_sk") =!= col("o2_sk"),
+          "left_semi")
+        .join(othersR,
+          col("r_ok") === col("o3_ok") && col("r_sk") =!= col("o3_sk"),
+          "left_anti")
+        .join(t(s, dir, "supplier"), col("r_sk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // Q22-shaped idle customers: above-average balance (scalar subquery as
+    // a broadcast 1-row cross join, threshold cross-multiplied to exact
+    // decimals) with no URGENT orders (anti-join; every synthetic customer
+    // has SOME order, so the classic no-orders predicate would be vacuous),
+    // reported per segment
+    "tpch_q22_idle_customers" -> ((s, dir) => {
+      val cd = col("c_acctbal").cast("decimal(18,2)")
+      val pos = t(s, dir, "customer").where(cd > 0)
+        .agg(sum(cd).as("sum_bal"), count(lit(1)).as("cnt_bal"))
+      t(s, dir, "customer")
+        .crossJoin(broadcast(pos))
+        .where(cd * col("cnt_bal") > col("sum_bal"))
+        .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          sum((cd * 100).cast("long")).as("total_bal_cents"))
+    }),
+
     // ---------- windows ----------
     "w1_item_seq" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -768,11 +956,15 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload").toDF()),
 
+    // Frames are emitted hex-encoded: deterministic byte slicing IS
+    // DuckDB-replayable, but DuckDB 1.0 has no BLOB substring — both sides
+    // slice and compare the hex transcription instead
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         t(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload", n = 3, frameBytes = 16))
+        "doc_id", "payload", n = 3, frameBytes = 16)
+        .withColumn("frame_hex", hex(col("frame"))).drop("frame"))
   )
 
   // ====================================================================
@@ -1094,6 +1286,150 @@ object SparkEntry {
         |  ON o_orderkey = b.l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    "tpch_q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q8_market_share" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  sum(CASE WHEN n1.n_name = 'NATION_3' THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(28,4)) END) AS nation_rev,
+         |  sum($rev) AS total_rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1""".stripMargin
+    },
+
+    "tpch_q9_profit_proxy" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      val cost = "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * " +
+        "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))"
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  sum(CAST($rev - $cost AS DECIMAL(28,4))) AS profit_proxy
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "tpch_q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE),
+        |                CAST(l_shipdate AS DATE)) > 60
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q15_top_supplier" -> {
+      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
+        "AS DECIMAL(28,4))"
+      s"""WITH r AS (
+         |  SELECT l_suppkey, sum($rev) AS total_revenue
+         |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM r JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM r)""".stripMargin
+    },
+
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < -900)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "tpch_q17_small_qty" ->
+      """WITH per AS (
+        |  SELECT l_partkey AS agg_pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS cnt_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN per ON l_partkey = agg_pk
+        |WHERE p_brand = 'Brand#2'
+        |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty""".stripMargin,
+
+    "tpch_q19_disjunctive" ->
+      """SELECT
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS revenue_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q20_semi_chain" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)""".stripMargin,
+
+    "tpch_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    "tpch_q22_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+        |    count(*) AS cnt_bal
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS total_bal_cents
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
     "w1_item_seq" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  row_number() OVER (PARTITION BY l_orderkey
@@ -1384,6 +1720,27 @@ object SparkEntry {
         |      ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfx.df + 1.0)) DESC,
         |        tf.term ASC) AS rank
         |  FROM tf JOIN dfx USING (term) CROSS JOIN n
-        |) WHERE rank <= 5""".stripMargin
+        |) WHERE rank <= 5""".stripMargin,
+
+    // Frame sampling is deterministic byte slicing, so DuckDB can replay it
+    // over the hex transcription (v1.0 has no BLOB substring; hex() is
+    // uppercase on both engines). floor() mirrors Spark's truncating int
+    // cast — DuckDB's plain double->int cast rounds. Byte offset p maps to
+    // hex offset 2(p-1)+1, 16 bytes to 32 hex chars.
+    "mm_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents
+        |), f AS (
+        |  SELECT doc_id, payload,
+        |    CAST(octet_length(payload) AS INT) AS n_bytes,
+        |    UNNEST([0, 1, 2]) AS frame_no
+        |  FROM b)
+        |SELECT doc_id, n_bytes, frame_no,
+        |  CAST(floor(frame_no * greatest(n_bytes - 16, 1) / 3) AS INT) + 1
+        |    AS "offset",
+        |  substring(hex(payload),
+        |    CAST(floor(frame_no * greatest(n_bytes - 16, 1) / 3) AS INT) * 2
+        |      + 1, 32) AS frame_hex
+        |FROM f""".stripMargin
   )
 }
