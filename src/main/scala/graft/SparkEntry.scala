@@ -502,13 +502,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))),
 
     // Q8-shaped market share: one nation's supplier revenue share per order
-    // year inside a region. Share is emitted as exact decimal numerator /
-    // denominator (a double division would not be oracle-comparable)
+    // year inside a region. Share is emitted as an exact integer numerator /
+    // denominator in revenue ten-thousandths (decimal sums widen to
+    // DECIMAL(38,4)/HUGEINT differently across engines; a BIGINT sum of
+    // exact per-row integers is hash-comparable everywhere)
     "tpch_q8_market_share" -> ((s, dir) => {
-      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      val revE4 = ((col("l_extendedprice").cast("decimal(18,2)") *
         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
-          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
-      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(18,4)") *
+        lit(10000)).cast("long")
       val suppNation = t(s, dir, "nation")
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
       val custNation = t(s, dir, "nation")
@@ -523,9 +525,9 @@ object SparkEntry {
         .where(col("r_name") === "ASIA")
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(zero))
-            .as("nation_rev"),
-          sum(rev).as("total_rev"))
+          sum(when(col("supp_nation") === "NATION_3", revE4).otherwise(0L))
+            .as("nation_rev_e4"),
+          sum(revE4).as("total_rev_e4"))
     }),
 
     // Q9-shaped profit by supplier nation and year; the testdata has no
@@ -533,11 +535,14 @@ object SparkEntry {
     // the plan shape (filtered part dim joined into the fact, two more
     // broadcast dims, two-key agg) is the point
     "tpch_q9_profit_proxy" -> ((s, dir) => {
+      // profit emitted in exact ten-thousandths (BIGINT) — see q8 note
       val rev = (col("l_extendedprice").cast("decimal(18,2)") *
         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
           col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
       val cost = (col("p_retailprice").cast("decimal(18,2)") *
         col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")
+      val profitE4 = ((rev - cost).cast("decimal(18,4)") * lit(10000))
+        .cast("long")
       t(s, dir, "lineitem")
         .join(t(s, dir, "part").where(col("p_name").contains("red")),
           col("l_partkey") === col("p_partkey"))
@@ -545,7 +550,7 @@ object SparkEntry {
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(sum((rev - cost).cast("decimal(28,4)")).as("profit_proxy"))
+        .agg(sum(profitE4).as("profit_proxy_e4"))
     }),
 
     // Q12-shaped late-shipment report: ship lag over a join, conditional
@@ -898,14 +903,16 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), col("term"),
           col("tf"), col("df"))),
 
-    // trained char-n-gram profile classifier — rows-only (the learned
-    // profile has no SQL replay; held-out accuracy pinned by
-    // TextAnalysisSpec on a real multilingual fixture)
+    // trained char-n-gram profile classifier — oracled hash-exactly: the
+    // fit quantizes log-probs to integer micro-nats (logp_q) and scoring
+    // is a BIGINT sum, so DuckDB replays fit + classify end-to-end
+    // (pad/lower/substr n-grams, top-300 per lang, integer argmax);
+    // held-out accuracy additionally pinned by TextAnalysisSpec
     "text_language_profile" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val profiles = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
       TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles)
-        .select("doc_id", "lang_profile")
+        .select("doc_id", "lang_profile", "lang_score_q")
     }),
 
     "text_quality" -> ((s, dir) =>
@@ -1294,13 +1301,13 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "tpch_q8_market_share" -> {
-      val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      val revE4 = "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
-        "AS DECIMAL(28,4))"
+        "AS DECIMAL(18,4)) * 10000 AS BIGINT)"
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         |  sum(CASE WHEN n1.n_name = 'NATION_3' THEN $rev
-         |           ELSE CAST(0 AS DECIMAL(28,4)) END) AS nation_rev,
-         |  sum($rev) AS total_rev
+         |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN $revE4
+         |           ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+         |  CAST(sum($revE4) AS BIGINT) AS total_rev_e4
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -1319,7 +1326,8 @@ object SparkEntry {
       val cost = "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * " +
         "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))"
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         |  sum(CAST($rev - $cost AS DECIMAL(28,4))) AS profit_proxy
+         |  CAST(sum(CAST(CAST($rev - $cost AS DECIMAL(18,4)) * 10000
+         |       AS BIGINT)) AS BIGINT) AS profit_proxy_e4
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -1331,10 +1339,10 @@ object SparkEntry {
 
     "tpch_q12_late_lines" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE date_diff('day', CAST(o_orderdate AS DATE),
@@ -1370,7 +1378,8 @@ object SparkEntry {
         |    count(*) AS cnt_qty
         |  FROM lineitem GROUP BY 1)
         |SELECT
-        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1380,8 +1389,8 @@ object SparkEntry {
 
     "tpch_q19_disjunctive" ->
       """SELECT
-        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-        |      AS BIGINT)) AS revenue_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1422,8 +1431,8 @@ object SparkEntry {
         |    count(*) AS cnt_bal
         |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
         |SELECT c_mktsegment, count(*) AS n_custs,
-        |  sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |    AS total_bal_cents
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS total_bal_cents
         |FROM customer, pos
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -1721,6 +1730,65 @@ object SparkEntry {
         |        tf.term ASC) AS rank
         |  FROM tf JOIN dfx USING (term) CROSS JOIN n
         |) WHERE rank <= 5""".stripMargin,
+
+    // full fit+classify replay of the char-n-gram language classifier:
+    // space-padded lowercase code-point n-grams (k=1..3), top-300 grams
+    // per language, log-probs quantized to integer micro-nats, BIGINT
+    // argmax with ties toward the lexicographically greater language —
+    // every compared value is integer/string, so the hash is exact
+    "text_language_profile" ->
+      """WITH padded AS (
+        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+        |), grams AS (
+        |  -- all code-point n-grams k=1..3 over the padded text; all-space
+        |  -- grams are skipped (they'd match any profile) — same rule as
+        |  -- the engine's char_ngram_counts expression. list_transform
+        |  -- sidesteps DuckDB 1.0's lateral-generate_series limitation.
+        |  SELECT doc_id, lang, g, count(*) AS cnt
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(flatten([
+        |      list_transform(generate_series(1, len(p)),     i -> substr(p, i, 1)),
+        |      list_transform(generate_series(1, len(p) - 1), i -> substr(p, i, 2)),
+        |      list_transform(generate_series(1, len(p) - 2), i -> substr(p, i, 3))
+        |    ])) AS g
+        |    FROM padded
+        |  )
+        |  WHERE trim(g) <> ''
+        |  GROUP BY 1, 2, 3
+        |), langcnt AS (
+        |  SELECT lang, g, sum(cnt) AS cnt FROM grams GROUP BY 1, 2
+        |), topg AS (
+        |  SELECT lang, g, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, g ASC) AS rn
+        |  FROM langcnt
+        |), prof0 AS (SELECT lang, g, cnt FROM topg WHERE rn <= 300
+        |), tot AS (SELECT lang, sum(cnt) AS tot FROM prof0 GROUP BY 1
+        |), prof AS (
+        |  SELECT p.lang, p.g,
+        |    CAST(round(ln(p.cnt / t.tot) * 1000000) AS BIGINT) AS logp_q
+        |  FROM prof0 p JOIN tot t USING (lang)
+        |), ngrams AS (
+        |  SELECT doc_id, sum(cnt) AS n_grams FROM grams GROUP BY 1
+        |), matched AS (
+        |  SELECT g2.doc_id, prof.lang,
+        |    sum(prof.logp_q * g2.cnt) AS logp_sum_q,
+        |    sum(g2.cnt) AS n_match
+        |  FROM grams g2 JOIN prof USING (g)
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT m.doc_id, m.lang,
+        |    m.logp_sum_q + (n.n_grams - m.n_match) * (-12000000) AS score_q
+        |  FROM matched m JOIN ngrams n USING (doc_id)
+        |), best AS (
+        |  SELECT doc_id, lang, score_q, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_q DESC, lang DESC) AS rn
+        |  FROM scored
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(b.lang, 'und') AS lang_profile,
+        |  CAST(b.score_q AS BIGINT) AS lang_score_q
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
 
     // Frame sampling is deterministic byte slicing, so DuckDB can replay it
     // over the hex transcription (v1.0 has no BLOB substring; hex() is

@@ -94,14 +94,35 @@ object Similarity {
     * cluster: a 100 TB corpus costs one bounded-`limit` scan regardless of
     * size, where a distributed fit would be maxIter full corpus passes.
     * (The same shape FAISS uses: IVF codebooks train on a small sample.)
-    * Deterministic for a given (corpus order, seed). For corpora whose
-    * leading partitions are unrepresentative, pre-shuffle or pre-sample
-    * the frame passed here — `limit` takes the first rows it sees. */
+    *
+    * The sample is drawn by a deterministic hash of the VECTOR itself
+    * (xxhash64 over the array, salted with `seed`), not `limit` — the
+    * first rows a scan yields are one shard of a sorted corpus, and a
+    * codebook trained on one shard mis-centers every other cell. Hash
+    * membership is a pure function of the data: the same vectors train
+    * the codebook whatever the partition order, across retries and
+    * repartitioning (same property as [[Sampling.sampleByHash]]). Cost:
+    * one column-pruned count to size the keep-fraction, then one filtered
+    * scan — both bounded-output, so a 100 TB corpus still never ships more
+    * than `maxTrainVectors` vectors to the driver. */
   def trainCodebook(corpus: DataFrame, vecCol: String, nlist: Int,
                     maxTrainVectors: Int = 100000, seed: Long = 42L,
                     maxIter: Int = 10): Seq[Seq[Float]] = {
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+    val h = xxhash64(lit(s"ivf-train-$seed"), col(vecCol))
+    val nonZero = corpus.select(col(vecCol))
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+    val n = nonZero.count()
+    val frac = if (n <= maxTrainVectors) 1.0
+      else maxTrainVectors.toDouble / n
+    val picked =
+      if (frac >= 1.0) nonZero
+      else nonZero.where(pmod(h, lit(1000000L)) < (frac * 1000000).toLong)
+    // sort the (already ≤~maxTrainVectors-row) sample by its hash before
+    // collecting: the training set AND its order are then pure functions of
+    // the data — k-means++ seeds by index, so an order change would change
+    // the codebook — and the trailing hard cap trims deterministically
+    val sample: Array[Array[Double]] = picked
+      .orderBy(h, col(vecCol))
       .limit(maxTrainVectors)
       .collect()
       .map { r =>

@@ -68,7 +68,15 @@ object TextAnalysis {
   /** Fit per-language character-n-gram profiles from a LABELED sample:
     * top-`topK` grams per language with their log relative frequency.
     * Distributed fit — one explode + two aggregations; the result is tiny
-    * (topK × #languages rows) and meant to be broadcast/persisted. */
+    * (topK × #languages rows) and meant to be broadcast/persisted.
+    *
+    * Alongside the double `logp`, emits `logp_q` = round(logp × 1e6) as a
+    * BIGINT (micro-nats). Scoring in integer micro-nats makes the whole
+    * classifier combine-order-free and cross-engine hash-exact: a double
+    * log-prob SUM depends on float combine order, but an integer sum does
+    * not, and the 1e-6 quantization is far below any real decision margin
+    * (ulp-level ln() differences between libms shift the rounded value
+    * only when ln lands within ~1e-10 of a quantization boundary). */
   def fitLanguageProfiles(docs: DataFrame, textCol: String, langCol: String,
                           n: Int = 3, topK: Int = 300): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -82,7 +90,9 @@ object TextAnalysis {
       .where(col("_rn") <= topK).drop("_rn")
     val totals = top.groupBy("lang").agg(sum("cnt").as("tot"))
     top.join(totals, "lang")
-      .select(col("lang"), col("g"), log(col("cnt") / col("tot")).as("logp"))
+      .select(col("lang"), col("g"), log(col("cnt") / col("tot")).as("logp"),
+        round(log(col("cnt") / col("tot")) * lit(1e6))
+          .cast("long").as("logp_q"))
   }
 
   /** Classify documents against fitted [[fitLanguageProfiles]] profiles:
@@ -91,10 +101,16 @@ object TextAnalysis {
     * toward the lexicographically greater language name — deterministic).
     * Docs whose grams match no profile at all → "und". The profile
     * table is broadcast; the corpus is scanned once and shuffled only on
-    * the doc id for the scoring aggregation. */
+    * the doc id for the scoring aggregation.
+    *
+    * Scoring runs entirely in integer micro-nats (`logp_q`, see the fit):
+    * `lang_score_q` is an exact BIGINT, independent of float combine
+    * order, so the whole classifier is replayable hash-exactly by an
+    * ANSI-SQL oracle. `floorLogp` is quantized the same way. */
   def classifyLanguage(docs: DataFrame, idCol: String, textCol: String,
                        profiles: DataFrame, n: Int = 3,
                        floorLogp: Double = -12.0): DataFrame = {
+    val floorQ = math.round(floorLogp * 1e6)
     // (doc, gram, count) comes pre-aggregated out of the expression: the
     // join and every shuffle see distinct grams per doc, not occurrences
     val grams = docs.select(col(idCol).as("_id"),
@@ -103,21 +119,21 @@ object TextAnalysis {
     val nGrams = grams.groupBy("_id").agg(sum("cnt").as("n_grams"))
     val best = grams.join(broadcast(profiles), "g")
       .groupBy(col("_id"), col("lang"))
-      .agg(sum(col("logp") * col("cnt")).as("logp_sum"),
+      .agg(sum(col("logp_q") * col("cnt")).as("logp_sum_q"),
         sum("cnt").as("n_match"))
       .join(nGrams, "_id")
-      .withColumn("score",
-        col("logp_sum") + (col("n_grams") - col("n_match")) * lit(floorLogp))
+      .withColumn("score_q",
+        col("logp_sum_q") + (col("n_grams") - col("n_match")) * lit(floorQ))
       .groupBy("_id")
-      .agg(max_by(struct(col("lang"), col("score")),
-        struct(col("score"), col("lang"))).as("b"))
+      .agg(max_by(struct(col("lang"), col("score_q")),
+        struct(col("score_q"), col("lang"))).as("b"))
       .select(col("_id"), col("b.lang").as("lang_profile"),
-        col("b.score").as("lang_score"))
+        col("b.score_q").as("lang_score_q"))
     docs.select(col(idCol).as("_id")).distinct()
       .join(best, Seq("_id"), "left_outer")
       .select(col("_id").as(idCol),
         coalesce(col("lang_profile"), lit("und")).as("lang_profile"),
-        col("lang_score"))
+        col("lang_score_q"))
   }
 
   /** Per-document top-`k` distinctive terms by TF-IDF (smoothed idf

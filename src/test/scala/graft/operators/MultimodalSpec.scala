@@ -74,6 +74,40 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L).width === 0 && got(1L).height === 0)
   }
 
+  test("AU payloads decode; truncated/misdeclared containers fall back via the magic-byte gate") {
+    import spark.implicits._
+    def audioBytes(tpe: javax.sound.sampled.AudioFileFormat.Type,
+                   rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, channels, true, true) // AU is big-endian
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream
+      AudioSystem.write(ais, tpe, out)
+      out.toByteArray
+    }
+    val au = audioBytes(javax.sound.sampled.AudioFileFormat.Type.AU,
+      16000f, 1, 8000) // 0.5 s mono
+    // all three container magics pass the gate; non-audio strings don't
+    assert(Multimodal.looksLikeAudio(au))
+    assert(!Multimodal.looksLikeAudio("RIFFxxxxJUNK".getBytes)) // RIFF but not WAVE
+    assert(!Multimodal.looksLikeAudio("FORMxxxxTEXT".getBytes)) // FORM but not AIFF
+    assert(!Multimodal.looksLikeAudio(Array[Byte]()))           // shorter than any magic
+    val truncated = au.take(20) // valid ".snd" magic, header cut short
+    assert(Multimodal.looksLikeAudio(truncated))
+    val rows = Seq((1L, au), (2L, truncated), (3L, "RIFFxxxxJUNK".getBytes))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAssets(rows, "doc_id", "payload")
+      .collect().map(m => m.asset_id -> m).toMap
+    assert(got(1L).format === "au" && got(1L).sample_rate === 16000 &&
+      got(1L).channels === 1 && got(1L).duration_ms === 500L)
+    // truncated container: gate passes, decode fails cleanly -> stub, and
+    // the corrupt payload never poisons its neighbors (1L still decoded)
+    assert(got(2L).format === "unknown")
+    assert(got(3L).format === "unknown")
+  }
+
   test("frame sampling: n frames per asset, fixed size, in-bounds offsets") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(assets, "doc_id", "payload", n = 3,

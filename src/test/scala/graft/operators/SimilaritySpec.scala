@@ -75,6 +75,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0)
   }
 
+  test("codebook training is order-independent: clustered corpus order trains the same codebook") {
+    import spark.implicits._
+    // A corpus sorted so its leading rows are ONE cluster (ordered by
+    // label, the generator's cluster id) — the regression this pins:
+    // `limit`-based sampling would train the codebook on that shard alone.
+    val clustered = emb.orderBy($"label", $"vec_id")
+    val shuffled = emb.orderBy(xxhash64($"vec_id"))
+    val sampleCap = 200 // << corpus size, so the sampler actually selects
+    val a = Similarity.trainCodebook(clustered.select($"embedding"),
+      "embedding", nlist = 16, maxTrainVectors = sampleCap)
+    val b = Similarity.trainCodebook(shuffled.select($"embedding"),
+      "embedding", nlist = 16, maxTrainVectors = sampleCap)
+    // hash-membership sampling: identical training set either way, hence
+    // bit-identical centroids (same seed, same local k-means)
+    assert(a === b)
+    // and recall through the full IVF path holds the pinned floor even
+    // when the corpus arrives clustered
+    val q = emb.where($"vec_id" < 50)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.knnIvf(clustered, q, "vec_id", "embedding", 3,
+        maxTrainVectors = sampleCap)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"clustered-order IVF recall@3 = $recall%.3f (train sample = $sampleCap)")
+    assert(recall >= 0.5 && recall <= 1.0)
+  }
+
   test("IVF survives zero-norm vectors (no cosine k-means crash, never a neighbor)") {
     import spark.implicits._
     val dims = emb.select(size($"embedding")).first().getInt(0)

@@ -2,9 +2,19 @@
 """Local twin of the driver's correctness gate: compare graft.Verify parquet
 dumps against SparkEntry.oracleSql run in DuckDB over the same tables.
 
-Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir> [--allow-stale]
+
+Freshness guard (the round-4 lesson: a checker that races its own inputs
+reports green on stale artifacts): the checker REFUSES to run when
+  (a) oracle_sql.json is missing or older than any query dump — Verify
+      writes it last, so that means a Verify run is still in flight; or
+  (b) any artifact predates the newest source edit under src/main/scala —
+      the dump does not reflect the code being shipped.
+Pass --allow-stale to downgrade the refusal to a loud warning. The output
+JSON embeds the git SHA and every mtime so "what was actually checked" is
+reconstructible after the fact.
 """
-import sys, os, json, math
+import sys, os, json, math, time, subprocess
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,8 +38,90 @@ def rowset(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def newest_mtime(root, suffix):
+    newest, newest_path = 0.0, None
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(suffix):
+                m = os.path.getmtime(os.path.join(dirpath, f))
+                if m > newest:
+                    newest, newest_path = m, os.path.join(dirpath, f)
+    return newest, newest_path
+
+
+def dump_mtime(d):
+    """Newest file inside one query dump dir (parquet part + _SUCCESS)."""
+    newest = 0.0
+    for dirpath, _, files in os.walk(d):
+        for f in files:
+            newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+    return newest
+
+
+def freshness(out_dir, repo_root):
+    oracle_path = os.path.join(out_dir, "oracle_sql.json")
+    problems = []
+    meta = {"checked_at": time.strftime("%Y-%m-%dT%H:%M:%S%z")}
+    try:
+        meta["git_sha"] = subprocess.run(
+            ["git", "-C", repo_root, "rev-parse", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        meta["git_dirty"] = bool(subprocess.run(
+            ["git", "-C", repo_root, "status", "--porcelain",
+             "--", "src", "tools"],
+            capture_output=True, text=True).stdout.strip())
+    except OSError:
+        meta["git_sha"] = None
+
+    if not os.path.exists(oracle_path):
+        problems.append("oracle_sql.json missing — Verify did not finish")
+        return meta, problems
+    oracle_m = os.path.getmtime(oracle_path)
+    meta["oracle_sql_mtime"] = oracle_m
+
+    src_m, src_p = newest_mtime(os.path.join(repo_root, "src", "main"), ".scala")
+    meta["src_newest_mtime"] = src_m
+    meta["src_newest_file"] = src_p
+
+    dump_ms = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if os.path.isdir(d):
+            dump_ms[name] = dump_mtime(d)
+    meta["dump_mtimes"] = dump_ms
+
+    # (a) Verify writes oracle_sql.json LAST: any dump newer than it means
+    # a concurrent/interrupted Verify run — exactly the round-4 race.
+    late = [n for n, m in dump_ms.items() if m > oracle_m + 1.0]
+    if late:
+        problems.append(
+            f"{len(late)} dump(s) newer than oracle_sql.json "
+            f"(Verify still running / interrupted?): {late[:5]}")
+    # (b) artifacts must postdate the code they claim to verify.
+    if src_m and oracle_m < src_m:
+        problems.append(
+            f"oracle_sql.json ({time.ctime(oracle_m)}) predates newest "
+            f"source edit {src_p} ({time.ctime(src_m)}) — rerun Verify")
+    stale = [n for n, m in dump_ms.items() if src_m and m < src_m]
+    if stale:
+        problems.append(
+            f"{len(stale)} dump(s) predate newest source edit: {stale[:5]}")
+    return meta, problems
+
+
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    allow_stale = "--allow-stale" in sys.argv
+    out_dir, sf_dir = args[0], args[1]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    meta, problems = freshness(out_dir, repo_root)
+    for p in problems:
+        print(f"{'WARNING' if allow_stale else 'REFUSING'}: STALE — {p}")
+    if problems and not allow_stale:
+        print("(pass --allow-stale to check anyway)")
+        sys.exit(2)
+
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -89,8 +181,14 @@ def main():
     for name in sorted(missing):
         bad += 1
         print(f"✗ NO-OUTPUT {name} (query failed in Verify)")
-    print(f"\n{ok} match, {bad} bad, {rows_only} rows-only")
-    json.dump(results, open("/tmp/correctness_local.json", "w"), indent=1, default=str)
+    print(f"\n{ok} match, {bad} bad, {rows_only} rows-only  "
+          f"[sha {str(meta.get('git_sha'))[:9]}"
+          f"{' DIRTY' if meta.get('git_dirty') else ''}"
+          f"{' STALE' if problems else ''}]")
+    payload = {"meta": meta, "stale_problems": problems, "results": results}
+    for dest in ("/tmp/correctness_local.json",
+                 os.path.join(out_dir, "correctness_check.json")):
+        json.dump(payload, open(dest, "w"), indent=1, default=str)
     sys.exit(1 if bad else 0)
 
 
