@@ -65,6 +65,33 @@ object GraftFunctions {
   def unitPrice(total: Column, qty: Column): Column =
     when(qty > 0, bround(total / qty, 4)).otherwise(lit(0.0))
 
+  /** The engine's money decimal: DECIMAL(18,4) covers every amount in the
+    * reference's data (TWD line totals < 1e9) with exact 4-dp arithmetic. */
+  val MoneyType = "decimal(18,4)"
+
+  /** F6, decimal money variant: coercion straight from the RAW string to
+    * DECIMAL(18,4) — casting the already-parsed double would inherit its
+    * binary representation error, so decimal mode re-reads the source text.
+    * (SURVEY §1.3 flags the reference's float money as the documented
+    * correctness delta; this is the exact-arithmetic upgrade.) */
+  def numOrZeroDec(c: Column): Column =
+    coalesce(c.try_cast(MoneyType),
+      lit(java.math.BigDecimal.ZERO).cast(MoneyType))
+
+  /** F7, decimal money variant: exact decimal division over the RAW
+    * strings, banker's-rounded to 4 dp like the double path (Python
+    * `round` parity). Operands widen to DECIMAL(28,10) first — rounding
+    * them to the 4-dp money scale BEFORE the division would corrupt the
+    * quotient's own 4-dp rounding. */
+  def unitPriceDec(totalRaw: Column, qtyRaw: Column): Column = {
+    val t = coalesce(totalRaw.try_cast("decimal(28,10)"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,10)"))
+    val q = coalesce(qtyRaw.try_cast("decimal(28,10)"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,10)"))
+    when(q > 0, bround(t / q, 4).cast(MoneyType))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast(MoneyType))
+  }
+
   /** F9 — stringify + strip (pandas `.astype(str).str.strip()`). */
   def strTrim(c: Column): Column = trim(c.cast("string"))
 

@@ -226,7 +226,13 @@ object CsvManifests {
     * item numbers for the positional layout (W2, ref `:156`), numeric
     * coercion and literal enrichment. One branch-free plan for any mix of
     * layouts; every window partitions by file. */
-  private def finalize(parsed: DataFrame): DataFrame = {
+  private def finalize(parsed: DataFrame,
+                       decimalMoney: Boolean = false): DataFrame = {
+    // money (unit price / invoice total) coerces from the raw CELL STRING:
+    // decimal mode must never route through the double (see GraftFunctions
+    // .numOrZeroDec). qty/net_weight stay double — quantities, not money.
+    val money: Column => Column =
+      if (decimalMoney) numOrZeroDec else numOrZero
     val isOld = col("format") === "old"
     val filled = parsed
       .where(col("format") =!= "error")
@@ -248,8 +254,8 @@ object CsvManifests {
       realOrNull(col("qty_unit_cell")).as("qty_unit"),
       when(isOld, numOrZero(realOrNull(col("net_weight_cell"))))
         .otherwise(lit(null).cast("double")).as("net_weight"),
-      numOrZero(col("unit_price_cell")).as("unit_price"),
-      numOrZero(col("total_cell")).as("total_amount"),
+      money(col("unit_price_cell")).as("unit_price"),
+      money(col("total_cell")).as("total_amount"),
       lit("TWD").as("currency"), // F12, ref :110
       realOrNull(col("consignee_name_cell")).as("consignee_name"),
       realOrNull(col("consignee_id_cell")).as("consignee_id"),
@@ -290,6 +296,14 @@ object CsvManifests {
   def readAll(spark: SparkSession, dir: String): DataFrame = {
     requireManifestDir(spark, dir)
     finalize(parsedLines(spark, dir).toDF())
+  }
+
+  /** [[readAll]] with money columns (unit_price, total_amount) as exact
+    * DECIMAL(18,4) — the SURVEY §1.3 correctness upgrade over the
+    * reference's float money; default path stays double for bit-parity. */
+  def readAllDecimal(spark: SparkSession, dir: String): DataFrame = {
+    requireManifestDir(spark, dir)
+    finalize(parsedLines(spark, dir).toDF(), decimalMoney = true)
   }
 
   /** Audit view of files rejected by the format dispatch: (file, reason). */

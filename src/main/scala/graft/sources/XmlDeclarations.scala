@@ -5,7 +5,7 @@ import java.util.zip.ZipInputStream
 
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -177,9 +177,26 @@ object XmlDeclarations {
   def read(spark: SparkSession, dir: String): DataFrame =
     cleanse(readRaw(spark, dir).toDF())
 
+  /** [[read]] with money columns as exact DECIMAL(18,4) instead of the
+    * reference's floats — see [[cleanse]]'s `decimalMoney`. */
+  def readDecimal(spark: SparkSession, dir: String): DataFrame =
+    cleanse(readRaw(spark, dir).toDF(), decimalMoney = true)
+
   /** The cleansing/sequencing plan, separated so tests and the streaming
-    * variant share it. Expects RawBid-shaped input. */
-  def cleanse(raw: DataFrame): DataFrame = {
+    * variant share it. Expects RawBid-shaped input.
+    *
+    * `decimalMoney = true` switches every money column (item/hawb totals,
+    * derived unit price, tax amounts) to DECIMAL(18,4), coerced straight
+    * from the raw source strings (never via the double) so the arithmetic
+    * is exact — the correctness upgrade SURVEY §1.3 documents over the
+    * reference's float money. Default stays double for reference
+    * bit-parity; goldens pin the two variants against each other. */
+  def cleanse(raw: DataFrame, decimalMoney: Boolean = false): DataFrame = {
+    val money: Column => Column =
+      if (decimalMoney) numOrZeroDec else numOrZero
+    val unitP: (Column, Column) => Column =
+      if (decimalMoney) (t, q) => unitPriceDec(t, q)
+      else (t, q) => unitPrice(numOrZero(t), numOrZero(q))
     val seqW = Window.partitionBy("data_source_file", "hawb_no")
       .orderBy("ordinal")
     raw
@@ -197,10 +214,10 @@ object XmlDeclarations {
         col("ccc_code"),
         numOrZero(col("qty_raw")).as("qty"), // F6, ref :78-82
         col("qty_unit"),
-        numOrZero(col("item_total_raw")).as("item_total_amount"),
-        numOrZero(col("hawb_total_raw")).as("hawb_total_amount"),
-        unitPrice(numOrZero(col("item_total_raw")),
-          numOrZero(col("qty_raw"))).as("unit_price_calculated"), // F7, ref :94-98
+        money(col("item_total_raw")).as("item_total_amount"),
+        money(col("hawb_total_raw")).as("hawb_total_amount"),
+        unitP(col("item_total_raw"),
+          col("qty_raw")).as("unit_price_calculated"), // F7, ref :94-98
         col("duty_rate"),
         col("consignee_id"), col("consignee_name"), col("consignee_phone"),
         col("shipper_name"), col("export_port"),
@@ -214,11 +231,11 @@ object XmlDeclarations {
         isoDate(col("dcl_date_raw")).as("dcl_date"),
         isoDate(col("doc_date_raw")).as("doc_date"),
         strTrim(col("cnee_code")).as("cnee_code"),
-        numOrZero(col("tax_amt1_raw")).as("tax_amt1"),
-        numOrZero(col("tax_amt3_raw")).as("tax_amt3"),
-        numOrZero(col("tax_amt4_raw")).as("tax_amt4"),
-        numOrZero(col("tot_tax_amt_raw")).as("tot_tax_amt"),
-        numOrZero(col("tax_base_raw")).as("tax_base"),
+        money(col("tax_amt1_raw")).as("tax_amt1"),
+        money(col("tax_amt3_raw")).as("tax_amt3"),
+        money(col("tax_amt4_raw")).as("tax_amt4"),
+        money(col("tot_tax_amt_raw")).as("tot_tax_amt"),
+        money(col("tax_base_raw")).as("tax_base"),
         strTrim(col("currency")).as("currency"),
         col("ex_rate_raw").try_cast("double").as("ex_rate"),
         col("hawb_ex_rate_raw").try_cast("double").as("hawb_ex_rate"),
