@@ -784,6 +784,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 2, minJaccard = 0.8)),
 
+    // transitive closure of the near-dup pair list: hash-min label
+    // propagation (distributed rounds = component diameter); cluster id =
+    // min doc id in the component — oracled via a recursive-CTE
+    // reachability replay over the same pair SQL
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 2, minJaccard = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("doc").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster_id"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 2, numHashes = 32, bands = 8, minJaccard = 0.8)),
@@ -865,6 +877,15 @@ object SparkEntry {
       TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles)
         .select("doc_id", "lang_profile", "lang_score_q")
     }),
+
+    // Gopher-style repetition stats: row-local array expressions, zero
+    // shuffles; integer metrics + boolean flag -> hash-exact oracle
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // PII detect + redact: portable regexes, counts + scrubbed text
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(t(s, dir, "documents"), "doc_id", "text")),
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")

@@ -60,6 +60,30 @@ private[graft] object SparkEntryOracles {
        |SELECT original_description, official_description, ccc_code, frequency
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** Word-2-gram Jaccard ≥ 0.8 near-dup pair list as reusable CTEs —
+    * shared by `dedup_ngram_jaccard` (the pairs themselves) and
+    * `dedup_clusters` (their transitive closure). */
+  private val jaccardCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 1),
+      |    i -> t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE len(t) >= 2
+      |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+      |  FROM ex a JOIN ex b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b
+      |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+      |             JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE CAST(intersection AS DOUBLE)
+      |        / (sa.n + sb.n - intersection) >= 0.8)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "s7_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
@@ -639,24 +663,28 @@ private[graft] object SparkEntryOracles {
          |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 1),
-        |    i -> t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 2
-        |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
-        |  FROM ex a JOIN ex b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, intersection, sa.n AS size_a, sb.n AS size_b
-        |FROM inter JOIN sizes sa ON id_a = sa.doc_id
-        |           JOIN sizes sb ON id_b = sb.doc_id
-        |WHERE CAST(intersection AS DOUBLE)
-        |      / (sa.n + sb.n - intersection) >= 0.8""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT id_a, id_b, intersection, size_a, size_b
+         |FROM pairs""".stripMargin,
+
+    // transitive closure of the same pair list: recursive reachability
+    // (anchor = edges both ways + identity), cluster = min reachable id —
+    // the SQL twin of the engine's hash-min label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY 1""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (
@@ -809,6 +837,53 @@ private[graft] object SparkEntryOracles {
         |        tf.term ASC) AS rank
         |  FROM tf JOIN dfx USING (term) CROSS JOIN n
         |) WHERE rank <= 5""".stripMargin,
+
+    // Gopher-style repetition stats: duplicate-line and top-bigram
+    // multiplicity as integers, thresholds via integer cross-multiply —
+    // every compared value is integer/boolean, hash-exact
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, chr(10)),
+        |      x -> trim(x) <> ''), x -> trim(x)) AS lines,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lines,
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1),
+        |                i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE [] END AS bigrams
+        |  FROM base
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+        |    CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(list_aggregate(list_transform(list_distinct(bigrams),
+        |      g -> len(list_filter(bigrams, x -> x = g))), 'max'), 0)
+        |      AS BIGINT) AS top_bigram_count
+        |  FROM bg)
+        |SELECT doc_id, n_lines, n_distinct_lines, n_bigrams, top_bigram_count,
+        |  (n_lines > 0 AND (n_lines - n_distinct_lines) * 10 > n_lines * 3)
+        |  OR (n_bigrams > 0 AND top_bigram_count * 10 > n_bigrams * 2)
+        |    AS repetitive
+        |FROM m""".stripMargin,
+
+    // PII detect + redact: same regexes (Java/RE2-portable subset), same
+    // email-before-phone order; 'g' = replace all, matching Spark
+    "text_pii_scrub" -> {
+      val e = TextAnalysis.emailRe
+      val p = TextAnalysis.phoneRe
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$e', '<EMAIL>', 'g'), '$p'))
+         |    AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+         |    '$p', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin
+    },
 
     // full fit+classify replay of the char-n-gram language classifier:
     // space-padded lowercase code-point n-grams (k=1..3), top-300 grams

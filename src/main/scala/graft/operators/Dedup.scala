@@ -391,4 +391,51 @@ object Dedup {
       .where(col("cos") >= minCosine)
       .select("id_a", "id_b")
   }
+
+  /** Connected components over an undirected near-duplicate pair list —
+    * the step every dedup family needs between "pairs found" and "one
+    * representative kept": transitively-linked documents form ONE cluster
+    * (a~b, b~c ⇒ {a,b,c}), labeled by the cluster's minimum id.
+    *
+    * Algorithm: hash-min label propagation — every node starts as its own
+    * label; each round, a node adopts the minimum label among itself and
+    * its neighbors; fixpoint when no label changes. Each round is one
+    * (edge ⋈ label) shuffle + a min-aggregation — the standard scalable
+    * shape (no driver-side graph, no quadratic closure). Rounds needed =
+    * component diameter, which for near-dup clusters is small (dup groups
+    * are dense); for long-chain graphs a pointer-jumping variant would cut
+    * rounds to O(log d), not needed here. The iteration is a driver LOOP
+    * but each step is fully distributed; `maxIter` bounds pathological
+    * chains, erring toward over-segmentation, never corruption.
+    *
+    * Output: (doc, cluster) for every id in `pairs` — singleton documents
+    * never enter a pair list, so they are implicitly their own cluster. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("u"), col("label").as("l_u")), "u")
+        .groupBy(col("v").as("node")).agg(min(col("l_u")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .where(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc"), col("label").as("cluster"))
+  }
 }

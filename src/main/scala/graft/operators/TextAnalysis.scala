@@ -188,6 +188,44 @@ object TextAnalysis {
           col("n_punct") * 5 <= col("n_chars"))
   }
 
+  /** Repetition-based quality stats (the Gopher-rules shape): per document,
+    * how much of it is duplicated lines and how much is one bigram repeated
+    * over and over — the two classic signatures of boilerplate and spam in
+    * web-scale training corpora.
+    *
+    * Everything is computed ROW-LOCALLY with array expressions — no explode,
+    * no shuffle: the whole pass is a scan-side filter at any corpus size
+    * (per-doc cost is O(distinct-bigrams × tokens), bounded by document
+    * length, not corpus size). All emitted metrics are integers plus a
+    * boolean, so the cross-engine comparison is hash-exact; the fractional
+    * thresholds are evaluated by integer cross-multiplication
+    * (dup_line_frac > 0.30 ⇔ 10·dup > 3·lines).
+    *
+    * `repetitive` = duplicate-line fraction > 0.30 OR top-bigram fraction
+    * > 0.20 (Gopher's rep-removal band). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = transform(
+      filter(split(col(textCol), "\n"), l => trim(l) =!= ""), l => trim(l))
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(array_distinct(lines)).cast("long").as("n_distinct_lines"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      coalesce(array_max(transform(array_distinct(bigrams),
+          g => size(filter(bigrams, x => x === g)))), lit(0))
+        .cast("long").as("top_bigram_count"))
+      .withColumn("repetitive",
+        (col("n_lines") > 0 &&
+          (col("n_lines") - col("n_distinct_lines")) * 10 > col("n_lines") * 3) ||
+        (col("n_bigrams") > 0 &&
+          col("top_bigram_count") * 10 > col("n_bigrams") * 2))
+  }
+
   /** Token counts under two tokenizers: plain whitespace and a BPE-ish
     * regex (letter runs / digit runs / single punctuation marks), the
     * standard pre-tokenization used to estimate LLM token budgets. */
@@ -197,6 +235,27 @@ object TextAnalysis {
       size(tokens(col(textCol))).as("n_ws_tokens"),
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+
+  /** PII pass for training corpora: detect and redact email addresses and
+    * phone-shaped digit runs, emitting match counts alongside the scrubbed
+    * text. Row-local regexes (codegen'd `regexp_*`), zero shuffles — a
+    * scan-side rewrite at any corpus size. The patterns stay inside the
+    * portable intersection of Java and RE2 regex dialects so an ANSI-SQL
+    * oracle replays the pass byte-for-byte; emails are redacted before
+    * phones so digits inside an address are never double-counted. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9\\- ]{6,}[0-9]"
+
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), emailRe, "<EMAIL>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(deEmailed, lit(phoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(deEmailed, phoneRe, "<PHONE>").as("redacted"))
+  }
 
   /** Content fingerprints: MD5 of normalized text (exact-dup key) plus a
     * 64-bit chained rolling hash over the token stream (order-sensitive

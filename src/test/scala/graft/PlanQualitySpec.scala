@@ -70,4 +70,12 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 6, s"expected <=6 shuffles, got $exchanges")
   }
+
+  test("repetition stats and PII scrub are pure scan-side passes: zero exchanges") {
+    for (name <- Seq("text_repetition", "text_pii_scrub")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("Exchange"),
+        s"$name should be a shuffle-free scan-side pass:\n$plan")
+    }
+  }
 }

@@ -128,4 +128,28 @@ class DedupSpec extends SparkSpec {
     assert(blocked.subsetOf(exact))
     assert(blocked.nonEmpty)
   }
+
+  test("connected components: chains merge transitively, labels are component minima") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain), {10,11}, and 20-21-22 via a hub
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components agree with per-pair transitive closure on the real corpus") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 2, minJaccard = 0.8).cache()
+    val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc got a label; both ends of every pair share one;
+    // every label is the minimum of its own cluster
+    val ends = pairSet(pairs)
+    assert(ends.forall { case (a, b) => clusters(a) == clusters(b) })
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.min)
+    assert(byCluster.forall { case (label, minDoc) => label == minDoc })
+  }
 }

@@ -119,4 +119,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === false) // too few tokens
     assert(got(3L) === false) // punctuation-dominated
   }
+
+  test("repetitionStats flags duplicated lines and run-on bigrams, passes clean prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one clean line\nanother different line\na third distinct line"),
+      (2L, "buy now\nbuy now\nbuy now\nbuy now\nunique closing line"),
+      (3L, "spam spam spam spam spam spam spam spam"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) === ((3L, 3L, 9L, 1L, false)))
+    // 5 lines, 2 distinct -> dup fraction 3/5 > 0.3; also "buy now" x4 of
+    // 8 bigrams (the cross-line "now buy" bigrams count too)
+    assert(got(2L)._1 === 5L && got(2L)._2 === 2L && got(2L)._5 === true)
+    // one bigram repeated 7/7 times
+    assert(got(3L) === ((1L, 1L, 7L, 7L, true)))
+    assert(got(4L)._5 === false) // empty doc: nothing to repeat
+  }
+
+  test("piiScrub counts and redacts emails then phones, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or call +886 2 2345 6789 now"),
+      (2L, "two mails: a@b.io c@d.org and digits 123 that are no phone"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 1L)
+    assert(got(1L)._2 === 1L)
+    assert(got(1L)._3 === "contact <EMAIL> or call <PHONE> now")
+    assert(got(2L) === ((2L, 0L, "two mails: <EMAIL> <EMAIL> and digits 123 that are no phone")))
+    assert(got(3L) === ((0L, 0L, "nothing sensitive here")))
+  }
 }
