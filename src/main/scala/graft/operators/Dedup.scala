@@ -432,7 +432,10 @@ object Dedup {
         .join(labels.select(col("node"), col("label").as("old")), "node")
         .where(col("label") < col("old")).count()
       labels.unpersist()
-      labels = next
+      // truncate lineage every few rounds: each iteration otherwise nests
+      // the previous plan, and a deep component would grow the logical
+      // plan (and its analysis time) linearly with the round count
+      labels = if (it % 5 == 4) next.localCheckpoint(true) else next
       it += 1
     }
     edges.unpersist()

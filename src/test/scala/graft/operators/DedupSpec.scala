@@ -140,6 +140,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components converge on a long chain (exercises lineage truncation)") {
+    import spark.implicits._
+    // a 30-node path graph: diameter 29 -> needs many propagation rounds
+    // and crosses the every-5-rounds localCheckpoint boundary repeatedly
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 30)
+    assert(got.values.toSet === Set(1L)) // one component, min-labeled
+  }
+
   test("connected components agree with per-pair transitive closure on the real corpus") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       k = 2, minJaccard = 0.8).cache()

@@ -175,9 +175,17 @@ def main():
             for k in ("spark_only", "oracle_only"):
                 if e.get(k):
                     print(f"    {k}: {e[k][0]}")
-    # queries that produced no parquet at all (failed in Verify)
+    # queries that produced no parquet at all (failed in Verify); under a
+    # SPARK_GRAFT_VERIFY_ONLY run the dump is a deliberate subset — only
+    # the requested names count as missing
     dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-    missing = set(oracle) - dumped
+    only_path = os.path.join(out_dir, "verify_only.txt")
+    expected = set(oracle)
+    if os.path.exists(only_path):
+        requested = set(open(only_path).read().split())
+        expected &= requested
+        print(f"  (subset run: {len(requested)} requested)")
+    missing = expected - dumped
     for name in sorted(missing):
         bad += 1
         print(f"✗ NO-OUTPUT {name} (query failed in Verify)")
