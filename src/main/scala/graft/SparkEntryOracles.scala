@@ -855,15 +855,21 @@ private[graft] object SparkEntryOracles {
         |                i -> t[i+1] || ' ' || t[i+2])
         |         ELSE [] END AS bigrams
         |  FROM base
+        |), mult AS (
+        |  -- max multiplicity among a doc's bigrams (declarative twin of
+        |  -- the engine's sorted-run fold)
+        |  SELECT doc_id, max(c) AS top FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bigrams) AS g FROM bg)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
         |), m AS (
-        |  SELECT doc_id,
+        |  SELECT bg.doc_id,
         |    CAST(len(lines) AS BIGINT) AS n_lines,
         |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
         |    CAST(len(bigrams) AS BIGINT) AS n_bigrams,
-        |    CAST(coalesce(list_aggregate(list_transform(list_distinct(bigrams),
-        |      g -> len(list_filter(bigrams, x -> x = g))), 'max'), 0)
-        |      AS BIGINT) AS top_bigram_count
-        |  FROM bg)
+        |    CAST(coalesce(mult.top, 0) AS BIGINT) AS top_bigram_count
+        |  FROM bg LEFT JOIN mult ON bg.doc_id = mult.doc_id)
         |SELECT doc_id, n_lines, n_distinct_lines, n_bigrams, top_bigram_count,
         |  (n_lines > 0 AND (n_lines - n_distinct_lines) * 10 > n_lines * 3)
         |  OR (n_bigrams > 0 AND top_bigram_count * 10 > n_bigrams * 2)

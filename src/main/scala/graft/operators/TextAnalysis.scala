@@ -194,12 +194,14 @@ object TextAnalysis {
     * web-scale training corpora.
     *
     * Everything is computed ROW-LOCALLY with array expressions — no explode,
-    * no shuffle: the whole pass is a scan-side filter at any corpus size
-    * (per-doc cost is O(distinct-bigrams × tokens), bounded by document
-    * length, not corpus size). All emitted metrics are integers plus a
-    * boolean, so the cross-engine comparison is hash-exact; the fractional
-    * thresholds are evaluated by integer cross-multiplication
-    * (dup_line_frac > 0.30 ⇔ 10·dup > 3·lines).
+    * no shuffle: the whole pass is a scan-side filter at any corpus size.
+    * The top-bigram multiplicity is the longest equal-run of the SORTED
+    * bigram array (one O(n log n) sort + one linear fold per document) —
+    * the naive per-distinct-value count is O(n²) in document length and
+    * measured 400+ s over the sf0.1 corpus vs sub-second for this shape.
+    * All emitted metrics are integers plus a boolean, so the cross-engine
+    * comparison is hash-exact; the fractional thresholds are evaluated by
+    * integer cross-multiplication (dup_line_frac > 0.30 ⇔ 10·dup > 3·lines).
     *
     * `repetitive` = duplicate-line fraction > 0.30 OR top-bigram fraction
     * > 0.20 (Gopher's rep-removal band). */
@@ -211,14 +213,24 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // longest equal-run over the sorted array == max multiplicity; the
+    // accumulator carries (previous value, current run, best run)
+    val topBigram = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     docs.select(
       col(idCol),
       size(lines).cast("long").as("n_lines"),
       size(array_distinct(lines)).cast("long").as("n_distinct_lines"),
       size(bigrams).cast("long").as("n_bigrams"),
-      coalesce(array_max(transform(array_distinct(bigrams),
-          g => size(filter(bigrams, x => x === g)))), lit(0))
-        .cast("long").as("top_bigram_count"))
+      topBigram.cast("long").as("top_bigram_count"))
       .withColumn("repetitive",
         (col("n_lines") > 0 &&
           (col("n_lines") - col("n_distinct_lines")) * 10 > col("n_lines") * 3) ||
