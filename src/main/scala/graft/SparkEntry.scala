@@ -323,6 +323,36 @@ object SparkEntry {
     "e3_knowledge_base" -> ((s, dir) => e3KnowledgeBase(s, dir)),
 
     // ---------- TPC-H-shaped analytics (decimal-exact revenue) ----------
+    // Q2-shaped min-cost supplier: the testdata has no partsupp table, so
+    // supply cost is proxied by the cheapest single lineitem (exact cents)
+    // per (part, supplier) within a region; the classic correlated-min is
+    // a window MIN over part — one shuffle, then a broadcast part probe
+    "tpch_q2_min_cost_supplier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val cost = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .agg(min(cents).as("cost_cents"))
+      cost
+        .withColumn("_mn",
+          min(col("cost_cents")).over(Window.partitionBy(col("l_partkey"))))
+        .where(col("cost_cents") === col("_mn"))
+        .join(t(s, dir, "part")
+          .where(col("p_size") === 15 && col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .select(
+          (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("acctbal_cents"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+          col("cost_cents"))
+    }),
+
     "tpch_q3_shipping_priority" -> ((s, dir) => {
       val rev = (col("l_extendedprice").cast("decimal(18,2)") *
         (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
@@ -428,6 +458,28 @@ object SparkEntry {
         .agg(sum(rev).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // Q11-shaped important stock: per-part value (exact ten-thousandths)
+    // held by one nation's suppliers, kept when above 1/1000 of that
+    // nation's grand total — the scalar total rides a broadcast cross
+    // join, the threshold is integer cross-multiplication
+    "tpch_q11_important_value" -> ((s, dir) => {
+      val valE4 = ((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,4)") *
+        lit(10000)).cast("long")
+      val held = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation").where(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), valE4.as("v"))
+      val perPart = held.groupBy("l_partkey").agg(sum(col("v")).as("value_e4"))
+      // grand total = sum of the per-part sums: re-aggregate the (small)
+      // aggregate instead of scanning the fact join twice
+      perPart
+        .crossJoin(broadcast(perPart.agg(sum(col("value_e4")).as("_total_e4"))))
+        .where(col("value_e4") * 1000 > col("_total_e4"))
+        .select(col("l_partkey"), col("value_e4"))
     }),
 
     "tpch_q18_large_orders" -> ((s, dir) => {
@@ -912,6 +964,41 @@ object SparkEntry {
       graft.operators.Sampling.split(t(s, dir, "documents"), "doc_id",
         Seq("train" -> 8, "valid" -> 1, "test" -> 1))
         .select("doc_id", "split")),
+
+    // Benchmark decontamination: corpus docs sharing word 4-grams with a
+    // held-out benchmark bucket (deterministic doc_id % 50 split). The
+    // benchmark gram set broadcasts; corpus grams probe it map-side
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contamination(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", 4)
+    }),
+
+    // Same pass over 64-bit shingle hashes — the at-scale form (rows-only:
+    // xxhash64 keys; agreement with `decontaminate` pinned by spec)
+    "decontaminate_hashed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationHashed(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", 4)
+    }),
+
+    // Corpus curation funnel: quality -> repetition -> pii -> langid in
+    // one scan, per-stage retention accounting (all-BIGINT, hash-exact)
+    "text_funnel" -> ((s, dir) =>
+      TextAnalysis.curationFunnel(t(s, dir, "documents"),
+        "doc_id", "text", "lang")),
+
+    // Token-budget batch packing plan: 2000-token batches per source
+    // stream in doc_id order (exclusive running total / budget)
+    "pack_batches" -> ((s, dir) =>
+      graft.operators.Sampling.packBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", 2000L)),
 
     // Percentile stats per language (exact interpolated median/p90) and a
     // fixed-width length histogram — corpus profiling for token budgeting

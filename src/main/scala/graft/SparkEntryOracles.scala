@@ -295,6 +295,43 @@ private[graft] object SparkEntryOracles {
 
     "e3_knowledge_base" -> e3Sql,
 
+    "tpch_q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cost_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), m AS (
+        |  SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS mn
+        |  FROM cost)
+        |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS acctbal_cents,
+        |  s_name, n_name, p_partkey, p_brand, cost_cents
+        |FROM m JOIN part ON l_partkey = p_partkey
+        |WHERE cost_cents = mn AND p_size = 15 AND p_type = 'STANDARD'""".stripMargin,
+
+    "tpch_q11_important_value" ->
+      """WITH held AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |), pp AS (
+        |  SELECT l_partkey, CAST(sum(v) AS BIGINT) AS value_e4
+        |  FROM held GROUP BY 1)
+        |SELECT l_partkey, value_e4 FROM pp
+        |WHERE value_e4 * 1000 > (SELECT CAST(sum(value_e4) AS BIGINT) FROM pp)"""
+        .stripMargin,
+
     "tpch_q3_shipping_priority" -> {
       val rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
         "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
@@ -878,6 +915,123 @@ private[graft] object SparkEntryOracles {
 
     // PII detect + redact: same regexes (Java/RE2-portable subset), same
     // email-before-phone order; 'g' = replace all, matching Spark
+    // word-4-gram overlap against the doc_id % 50 = 7 benchmark bucket;
+    // slice bounds mirror GraftFunctions.shingles (i in 0..len-4, join " ")
+    "decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+        |    THEN list_transform(generate_series(0, len(t) - 4),
+        |           i -> list_aggregate(t[i+1:i+4], 'string_agg', ' '))
+        |    ELSE [] END) AS gram
+        |  FROM base
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct_hits
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 50 <> 7
+        |GROUP BY 1""".stripMargin,
+
+    // curation funnel: SQL twins of the four decision columns (quality,
+    // repetition, pii, langid — same formulas as their report oracles),
+    // first-fail attribution, then a 4-row literal funnel expansion
+    "text_funnel" -> {
+      val markers = TextAnalysis.markers
+      val scoreCols = markers.map { case (lang, ws) =>
+        ws.map(w => s"(CASE WHEN list_contains(dtoks, '$w') THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", s") AS score_$lang")
+      }.mkString(",\n  ")
+      val best = markers.map { case (l, _) => s"score_$l" }
+        .mkString("greatest(", ", ", ")")
+      val pred = markers.map { case (l, _) =>
+        s"WHEN $best > 0 AND score_$l = $best THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val e = TextAnalysis.emailRe
+      val p = TextAnalysis.phoneRe
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS t,
+         |    list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS dtoks,
+         |    list_transform(list_filter(string_split(text, chr(10)),
+         |      x -> trim(x) <> ''), x -> trim(x)) AS lines
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |         THEN list_transform(range(len(t) - 1),
+         |                i -> t[i+1] || ' ' || t[i+2])
+         |         ELSE [] END AS bigrams
+         |  FROM base
+         |), mult AS (
+         |  SELECT doc_id, max(c) AS top FROM (
+         |    SELECT doc_id, g, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(bigrams) AS g FROM bg)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), scored AS (
+         |  SELECT doc_id,
+         |  $scoreCols
+         |  FROM base
+         |), ff AS (
+         |  SELECT b.doc_id,
+         |    CASE
+         |      WHEN NOT (len(b.t) >= 10
+         |        AND CAST(length(regexp_replace(b.text, '[^\\p{L}]', '', 'g'))
+         |              AS DOUBLE) / len(b.t) >= 2.0
+         |        AND length(regexp_replace(b.text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |              * 5 <= length(b.text)) THEN 0
+         |      WHEN (len(b.lines) > 0
+         |          AND (len(b.lines) - len(list_distinct(b.lines))) * 10
+         |              > len(b.lines) * 3)
+         |        OR (len(bg.bigrams) > 0
+         |          AND coalesce(mult.top, 0) * 10 > len(bg.bigrams) * 2) THEN 1
+         |      WHEN len(regexp_extract_all(b.text, '$e'))
+         |        + len(regexp_extract_all(
+         |            regexp_replace(b.text, '$e', '<EMAIL>', 'g'), '$p'))
+         |        <> 0 THEN 2
+         |      WHEN (CASE WHEN length(regexp_replace(b.text, '[^\\p{Han}]',
+         |              '', 'g')) >= 3 THEN 'zh' ELSE $pred END) <> b.lang THEN 3
+         |      ELSE 4 END AS ff
+         |  FROM base b
+         |  JOIN bg ON b.doc_id = bg.doc_id
+         |  LEFT JOIN mult ON b.doc_id = mult.doc_id
+         |  JOIN scored ON b.doc_id = scored.doc_id
+         |), agg AS (
+         |  SELECT count(*) AS n_total,
+         |    sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) AS d0,
+         |    sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS d1,
+         |    sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS d2,
+         |    sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS d3
+         |  FROM ff)
+         |SELECT CAST(1 AS BIGINT) AS stage_no, 'quality' AS stage,
+         |  CAST(n_total AS BIGINT) AS n_in, CAST(d0 AS BIGINT) AS n_dropped,
+         |  CAST(n_total - d0 AS BIGINT) AS n_out FROM agg
+         |UNION ALL SELECT 2, 'repetition', CAST(n_total - d0 AS BIGINT),
+         |  CAST(d1 AS BIGINT), CAST(n_total - d0 - d1 AS BIGINT) FROM agg
+         |UNION ALL SELECT 3, 'pii', CAST(n_total - d0 - d1 AS BIGINT),
+         |  CAST(d2 AS BIGINT), CAST(n_total - d0 - d1 - d2 AS BIGINT) FROM agg
+         |UNION ALL SELECT 4, 'langid', CAST(n_total - d0 - d1 - d2 AS BIGINT),
+         |  CAST(d3 AS BIGINT), CAST(n_total - d0 - d1 - d2 - d3 AS BIGINT)
+         |  FROM agg""".stripMargin
+    },
+
+    "pack_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+        |    AS BIGINT) AS batch_id
+        |FROM d""".stripMargin,
+
     "text_pii_scrub" -> {
       val e = TextAnalysis.emailRe
       val p = TextAnalysis.phoneRe

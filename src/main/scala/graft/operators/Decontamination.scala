@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{shingleHashes, shingles}
+
+/** Benchmark decontamination for training corpora: find corpus documents
+  * that share word n-grams with a held-out benchmark / evaluation set so
+  * they can be dropped before training — the standard n-gram-overlap
+  * decontamination pass of LLM data pipelines. The reference has no
+  * counterpart (no media or corpus tooling at all); this is extension
+  * surface for the 100 TB training-data use case.
+  *
+  * Scale shape: the benchmark side is tiny relative to the corpus (eval
+  * sets are megabytes against terabytes), so its distinct gram set is
+  * BROADCAST; the corpus side explodes its grams and probes the broadcast
+  * hash table MAP-SIDE — the exploded corpus rows are transient scan-side
+  * work that never shuffles, and only the (rare) hits aggregate by doc.
+  */
+object Decontamination {
+
+  /** Corpus documents sharing at least one word `n`-gram with `benchmark`,
+    * with per-document hit counts: `n_hits` (gram occurrences, with
+    * multiplicity) and `n_distinct_hits` (distinct gram strings). String
+    * grams keep the pass oracle-replayable in ANSI SQL; at corpus scale
+    * prefer [[contaminationHashed]], which ships 64-bit keys instead of
+    * joined strings. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val bench = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("gram")).as("n_distinct_hits"))
+  }
+
+  /** Same contract at the 64-bit-hash level: grams travel as xxhash64
+    * shingle hashes (codegen'd [[org.apache.spark.sql.graft.ShingleHashes]],
+    * per-doc distinct), so the broadcast table and the probe keys are
+    * longs, not sentence-length strings. Emits `(id, n_distinct_hits)` —
+    * equal to [[contamination]]'s `n_distinct_hits` up to 64-bit hash
+    * collisions (equality is spec-pinned on the test corpus). */
+  def contaminationHashed(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int): DataFrame = {
+    val bench = benchmark
+      .select(explode(shingleHashes(col(textCol), n)).as("gh")).distinct()
+    corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_hits"))
+  }
+}

@@ -50,4 +50,27 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Token-budget batch packing PLAN: within each `partCol` stream, docs in
+    * `idCol` order are assigned to consecutive batches of ~`budget` tokens
+    * — `batch_id = floor(exclusive-running-token-total / budget)`, i.e. a
+    * batch closes once the docs before the current one fill the budget.
+    * Deterministic (pure function of the data, like everything here) and a
+    * plan, not a copy: downstream writers repartition on
+    * (`partCol`, `batch_id`) to materialize the packs.
+    *
+    * Scale shape: ONE shuffle (hash by `partCol`), then a sorted window
+    * scan per stream — the same cost as any per-group running total. The
+    * sequential dependency is per stream, so parallelism = number of
+    * streams (at 100 TB pack per source shard, not per corpus). */
+  def packBatches(df: DataFrame, idCol: String, partCol: String,
+                  tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(col(tokensCol)).over(w), lit(0L))
+    df.withColumn("batch_id",
+      floor(cumBefore / lit(budget)).cast("long"))
+  }
 }

@@ -283,4 +283,108 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("md5_fp"),
       rolling.as("rolling_fp"))
   }
+
+  // ---- decision columns shared with the curation funnel ----------------
+  // Each mirrors its report operator's published decision EXACTLY (the
+  // agreement is spec-pinned), so the funnel is one scan over the corpus
+  // instead of a join of four report outputs.
+
+  /** [[qualityScore]]'s `quality_ok` as a single column. */
+  private[operators] def qualityOkCol(t: Column): Column = {
+    val toks = tokens(t)
+    val nAlpha = length(regexp_replace(t, "[^\\p{L}]", ""))
+    val nPunct = length(regexp_replace(t, "[\\p{L}\\p{N}\\s]", ""))
+    size(toks) >= 10 && nAlpha.cast("double") / size(toks) >= 2.0 &&
+      nPunct * 5 <= length(t)
+  }
+
+  /** [[repetitionStats]]'s `repetitive` as a single column. */
+  private[operators] def repetitiveCol(t: Column): Column = {
+    val lines = transform(
+      filter(split(t, "\n"), l => trim(l) =!= ""), l => trim(l))
+    val toks = tokens(t)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    (size(lines) > 0 &&
+      (size(lines) - size(array_distinct(lines))) * 10 > size(lines) * 3) ||
+      (size(bigrams) > 0 && topBigram * 10 > size(bigrams) * 2)
+  }
+
+  /** [[piiScrub]]'s total match count as a single column. */
+  private[operators] def piiHitsCol(t: Column): Column =
+    size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long") +
+      size(regexp_extract_all(regexp_replace(t, emailRe, "<EMAIL>"),
+        lit(phoneRe), lit(0))).cast("long")
+
+  /** [[languageId]]'s `lang_pred` as a single column. */
+  private[operators] def langPredCol(t: Column): Column = {
+    val toksD = array_distinct(tokens(t))
+    val scores = markers.map { case (lang, ws) => lang -> score(toksD, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val markerPred = scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(best > 0 && sc === best, lang).otherwise(els)
+    }
+    val nHan = length(regexp_replace(t, "[^\\p{IsHan}]", ""))
+    when(nHan >= hanThreshold, "zh").otherwise(markerPred)
+  }
+
+  /** Corpus curation FUNNEL: the composite keep/drop pipeline every
+    * training-data team runs, with per-stage retention accounting. Stages
+    * in order — a document is charged to the FIRST stage it fails:
+    *
+    *   1. quality     — [[qualityScore]]'s `quality_ok`
+    *   2. repetition  — not [[repetitionStats]]-`repetitive`
+    *   3. pii         — zero email/phone matches ([[piiScrub]])
+    *   4. langid      — [[languageId]] prediction agrees with the corpus's
+    *                    declared language column
+    *
+    * Output: one row per stage — (stage_no, stage, n_in, n_dropped,
+    * n_out), with n_in(k) = n_out(k-1); all counts BIGINT so the
+    * cross-engine compare is hash-exact.
+    *
+    * Scale shape: all four signals are row-local expressions computed in
+    * ONE pass over the corpus (no joins of report outputs), followed by a
+    * single-row global aggregate and a literal 4-row expansion — the whole
+    * funnel is a scan plus kilobytes. */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String): DataFrame = {
+    val t = col(textCol)
+    val stages: Seq[(String, Column)] = Seq(
+      "quality" -> qualityOkCol(t),
+      "repetition" -> !repetitiveCol(t),
+      "pii" -> (piiHitsCol(t) === 0L),
+      "langid" -> (langPredCol(t) === col(langCol)))
+    val n = stages.size
+    // index of the first failing stage, `n` when the doc survives them all
+    val firstFail = stages.zipWithIndex.foldRight(lit(n)) {
+      case (((_, pass), i), els) => when(!pass, lit(i)).otherwise(els)
+    }
+    val agged = docs.agg(
+      count(lit(1)).as("n_total"),
+      stages.indices.map(i =>
+        sum(when(firstFail === i, 1L).otherwise(0L)).as(s"_d$i")): _*)
+    // cumulative drops before stage i give n_in; a literal inline table
+    // expands the single aggregate row into the 4 funnel rows
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val before = (0 until i).map(j => col(s"_d$j"))
+        .foldLeft(lit(0L))(_ + _)
+      val nIn = col("n_total") - before
+      struct(lit(i + 1).cast("long").as("stage_no"), lit(name).as("stage"),
+        nIn.as("n_in"), col(s"_d$i").as("n_dropped"),
+        (nIn - col(s"_d$i")).as("n_out"))
+    }
+    agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
+  }
 }

@@ -78,4 +78,22 @@ class PlanQualitySpec extends SparkSpec {
         s"$name should be a shuffle-free scan-side pass:\n$plan")
     }
   }
+
+  test("decontamination broadcasts the benchmark grams, never sort-merges") {
+    for (name <- Seq("decontaminate", "decontaminate_hashed")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name must probe a broadcast benchmark gram set:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name must not shuffle the exploded corpus:\n$plan")
+    }
+  }
+
+  test("curation funnel is one corpus scan, no joins of report outputs") {
+    val plan = formatted(SparkEntry.queries("text_funnel")(spark, sfDir))
+    val scans = plan.linesIterator
+      .count(_.trim.startsWith("Location: InMemoryFileIndex"))
+    assert(scans === 1, s"funnel must be a single documents scan, got $scans")
+    assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
+  }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.{SparkSpec, Tables}
 
 class SamplingSpec extends SparkSpec {
@@ -48,5 +50,34 @@ class SamplingSpec extends SparkSpec {
       assert(after(l) === before(l), s"stratum $l must be untouched")
     val enFrac = after("en").toDouble / before("en")
     assert(enFrac < 0.4 && enFrac > 0.05, s"en kept $enFrac")
+  }
+
+  test("packBatches assigns consecutive token-budget batches per stream") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 12L),
+      ("b", 1L, 9L), ("b", 2L, 2L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = Sampling.packBatches(df, "doc_id", "source", "n_tokens", 10L)
+      .select("source", "doc_id", "batch_id")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, b) => (s, d) -> b }.toMap
+    // stream a: exclusive cumsum 0,5,10,15 -> batches 0,0,1,1
+    assert(got(("a", 1L)) === 0L)
+    assert(got(("a", 2L)) === 0L)
+    assert(got(("a", 3L)) === 1L)
+    assert(got(("a", 4L)) === 1L)
+    // stream b restarts its own budget: 0,9 -> 0,0
+    assert(got(("b", 1L)) === 0L)
+    assert(got(("b", 2L)) === 0L)
+    // batches are monotone in doc order and never skip an id
+    val perStream = Sampling.packBatches(docs.select(col("doc_id"),
+        col("source"), col("n_chars").as("n_tokens")),
+      "doc_id", "source", "n_tokens", 5000L)
+      .select("source", "batch_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    perStream.foreach { case (s, ids) =>
+      assert(ids === (0L until ids.size).toSet, s"stream $s gapped: $ids")
+    }
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -154,5 +156,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 === "contact <EMAIL> or call <PHONE> now")
     assert(got(2L) === ((2L, 0L, "two mails: <EMAIL> <EMAIL> and digits 123 that are no phone")))
     assert(got(3L) === ((0L, 0L, "nothing sensitive here")))
+  }
+
+  test("curationFunnel chains stages and agrees with the report operators") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents").cache()
+    val funnel = TextAnalysis.curationFunnel(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(funnel.map(_._2).toSeq ===
+      Seq("quality", "repetition", "pii", "langid"))
+    val total = docs.count()
+    assert(funnel.head._3 === total) // stage 1 sees the whole corpus
+    funnel.foreach { case (_, st, nIn, nDrop, nOut) =>
+      assert(nIn - nDrop === nOut, s"stage $st must balance")
+    }
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 === b._3, s"n_out(${a._2}) must feed n_in(${b._2})")
+    }
+    // first-stage drops must equal the quality report's failures exactly
+    val qualityFails = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(!col("quality_ok")).count()
+    assert(funnel.head._4 === qualityFails)
+    // survivors of stage 2 = docs passing quality AND not repetitive
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("repetitive"))
+    val bothOk = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(col("quality_ok")).select("doc_id")
+      .join(rep.where(!col("repetitive")), "doc_id").count()
+    assert(funnel(1)._5 === bothOk)
   }
 }
