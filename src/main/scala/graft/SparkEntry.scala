@@ -965,6 +965,22 @@ object SparkEntry {
         Seq("train" -> 8, "valid" -> 1, "test" -> 1))
         .select("doc_id", "split")),
 
+    // Product analytics over events: conversion funnel and cohort
+    // retention, both one-shuffle groupBy(user) shapes (no per-stage
+    // self-joins); oracles replay them as the textbook join chains
+    "events_user_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "view", "click", "purchase")),
+
+    "events_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retention(t(s, dir, "events"),
+        "user_id", "ts")),
+
+    // Per-(label, dim) centroid accumulators in exact integer millionths
+    "emb_label_centroids" -> ((s, dir) =>
+      graft.operators.Embeddings.labelCentroids(t(s, dir, "embeddings"),
+        "label", "embedding")),
+
     // Benchmark decontamination: corpus docs sharing word 4-grams with a
     // held-out benchmark bucket (deterministic doc_id % 50 split). The
     // benchmark gram set broadcasts; corpus grams probe it map-side

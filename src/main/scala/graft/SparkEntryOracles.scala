@@ -915,6 +915,56 @@ private[graft] object SparkEntryOracles {
 
     // PII detect + redact: same regexes (Java/RE2-portable subset), same
     // email-before-phone order; 'g' = replace all, matching Spark
+    // funnel twin: the textbook per-stage min(ts > prev) self-join chain,
+    // left-joined so users who never reach a stage keep NULLs
+    "events_user_funnel" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id, v.t1 AS first_view, c.t2 AS first_click_after,
+        |  p.t3 AS first_purchase_after
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS offs
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort, CAST(offs AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // centroid accumulators: quantize each float component to integer
+    // millionths BEFORE summing (order-independent, hash-exact); pos is
+    // 0-based to match posexplode; the product is computed in DOUBLE on
+    // both sides (float widens exactly — float×int promotion differs)
+    "emb_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> {'pos': i - 1,
+        |          'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS u
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(u.pos AS BIGINT) AS pos,
+        |  CAST(sum(u.q) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     // word-4-gram overlap against the doc_id % 50 = 7 benchmark bucket;
     // slice bounds mirror GraftFunctions.shingles (i in 0..len-4, join " ")
     "decontaminate" ->

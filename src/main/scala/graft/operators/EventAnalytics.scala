@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch event-sequence analytics over the events table: conversion
+  * funnels and cohort retention — the two classic product-analytics
+  * operators. Both are ONE-SHUFFLE shapes: group the events by user once
+  * and finish row-locally, instead of the textbook per-stage self-joins
+  * (3 shuffled joins for a 3-stage funnel). */
+object EventAnalytics {
+
+  /** Per-user 3-stage conversion funnel: the user's earliest `s1` event,
+    * the first `s2` strictly after it, and the first `s3` strictly after
+    * that (classic view -> click -> purchase). Stages not reached are
+    * NULL. Semantically identical to the per-stage `min(ts > prev)`
+    * self-join chain, but computed as ONE groupBy(user) + an in-row fold
+    * over the time-sorted event array — one shuffle total, no fact
+    * re-scans; per-user state is bounded by that user's event count. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, s1: String, s2: String, s3: String): DataFrame = {
+    val packed = events
+      .select(col(userCol), col(tsCol).as("_ts"), col(typeCol).as("_ty"))
+      .where(col("_ty").isin(s1, s2, s3))
+      .groupBy(userCol)
+      .agg(array_sort(collect_list(struct(col("_ts"), col("_ty")))).as("_evs"))
+    val zero = struct(
+      lit(null).cast("timestamp").as("t1"),
+      lit(null).cast("timestamp").as("t2"),
+      lit(null).cast("timestamp").as("t3"))
+    val folded = aggregate(col("_evs"), zero, (acc, e) => {
+      val ts = e.getField("_ts")
+      val ty = e.getField("_ty")
+      val t1 = acc.getField("t1")
+      val t2 = acc.getField("t2")
+      val t3 = acc.getField("t3")
+      struct(
+        when(t1.isNull && ty === s1, ts).otherwise(t1).as("t1"),
+        when(t2.isNull && ty === s2 && t1.isNotNull && ts > t1, ts)
+          .otherwise(t2).as("t2"),
+        when(t3.isNull && ty === s3 && t2.isNotNull && ts > t2, ts)
+          .otherwise(t3).as("t3"))
+    })
+    packed.select(col(userCol), folded.as("_f"))
+      .select(col(userCol),
+        col("_f.t1").as(s"first_$s1"),
+        col("_f.t2").as(s"first_${s2}_after"),
+        col("_f.t3").as(s"first_${s3}_after"))
+  }
+
+  /** Cohort retention: users are cohorted by their first active DATE; for
+    * each (cohort, day offset) the count of cohort users active that day.
+    * One groupBy(user) collects the distinct active-day set (bounded by
+    * the calendar, not the event count), then a small explode +
+    * re-aggregate — no join of the fact against a first-seen dimension. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val d = to_date(col(tsCol))
+    events
+      .select(col(userCol), d.as("_d"))
+      .groupBy(userCol)
+      .agg(min(col("_d")).as("cohort"), collect_set(col("_d")).as("_days"))
+      .select(col("cohort"), explode(col("_days")).as("_day"))
+      .groupBy(col("cohort"),
+        datediff(col("_day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
+}

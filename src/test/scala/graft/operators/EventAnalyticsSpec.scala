@@ -1,0 +1,70 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: stage order is enforced strictly, missed stages stay null") {
+    import spark.implicits._
+    val events = Seq(
+      // full conversion
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // click only — no view means no stage ever completes
+      (2L, ts("2024-01-01 10:00:00"), "click"),
+      // click BEFORE the first view doesn't count; none after
+      (3L, ts("2024-01-01 09:00:00"), "click"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      // view then purchase, but no click: purchase can't fire
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 11:00:00"), "purchase"),
+      // click at EXACTLY the view's timestamp: strict > excludes it
+      (5L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, ts("2024-01-01 10:00:00"), "click"),
+      // second click after view: the FIRST qualifying one wins
+      (6L, ts("2024-01-01 10:00:00"), "view"),
+      (6L, ts("2024-01-01 11:00:00"), "click"),
+      (6L, ts("2024-01-01 12:00:00"), "click"),
+      (6L, ts("2024-01-01 13:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type",
+        "view", "click", "purchase")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 12:00:00")))))
+    assert(got(2L) === ((None, None, None)))
+    assert(got(3L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
+    assert(got(4L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
+    assert(got(5L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
+    assert(got(6L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 13:00:00")))))
+  }
+
+  test("retention: cohort by first day, distinct active users per offset") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 17:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 12:00:00")), (3L, ts("2024-01-03 12:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retention(events, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    // cohort 01-01: users 1,2 on day 0; user 1 again on day 2 (same-day
+    // repeats collapse)
+    assert(got(("2024-01-01", 0L)) === 2L)
+    assert(got(("2024-01-01", 2L)) === 1L)
+    // cohort 01-02: user 3 on days 0 and 1
+    assert(got(("2024-01-02", 0L)) === 1L)
+    assert(got(("2024-01-02", 1L)) === 1L)
+    assert(got.size === 4)
+  }
+}
