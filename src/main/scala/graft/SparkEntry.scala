@@ -981,6 +981,24 @@ object SparkEntry {
       graft.operators.Embeddings.labelCentroids(t(s, dir, "embeddings"),
         "label", "embedding")),
 
+    // Symmetric int8 scalar quantization of the embedding column (4x
+    // at-rest shrink), codes + per-vector scale in integer units
+    "emb_quantize_int8" -> ((s, dir) =>
+      graft.operators.Embeddings.quantizeInt8(t(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
+    // Fixed ±1 sign-matrix random projection 64d -> 16d, integer
+    // millionths; the sign matrix is a hash formula both engines share
+    "emb_random_projection" -> ((s, dir) =>
+      graft.operators.Embeddings.randomProjection(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 16)),
+
+    // BM25 ranked retrieval for a fixed query-term bag; per-term scores
+    // quantized to integer micro-units before the per-doc sum
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
+
     // Benchmark decontamination: corpus docs sharing word 4-grams with a
     // held-out benchmark bucket (deterministic doc_id % 50 split). The
     // benchmark gram set broadcasts; corpus grams probe it map-side

@@ -965,6 +965,84 @@ private[graft] object SparkEntryOracles {
         |  CAST(sum(u.q) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n_vecs
         |FROM x GROUP BY 1, 2""".stripMargin,
 
+    // int8 quantization twin: identical double-widened arithmetic and the
+    // same zero-vector guard; codes are round(x*127/max_abs)
+    "emb_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding,
+        |      e -> abs(CAST(e AS DOUBLE)))) AS m,
+        |    unnest(list_transform(generate_series(1, len(embedding)),
+        |      i -> {'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+        |  FROM embeddings)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(u.pos AS BIGINT) AS pos,
+        |  CAST(CASE WHEN m = 0 THEN 0
+        |            ELSE round(u.x * 127 / m) END AS BIGINT) AS q8,
+        |  CAST(round(m * 1000000) AS BIGINT) AS max_abs_e6
+        |FROM x""".stripMargin,
+
+    // random-projection twin: sign(j,i) = high bit of the Knuth
+    // multiplicative hash of j*1024+i; the fold runs in index order in
+    // DOUBLE on both sides (list_reduce seeds with element 1, matching
+    // Spark's 0.0 + x1 exactly — IEEE 0.0 + x == x)
+    "emb_random_projection" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(list_transform(generate_series(0, 15), j -> {
+        |    'pos': j,
+        |    'out_q': CAST(round(list_reduce(
+        |      list_transform(generate_series(1, len(embedding)),
+        |        i -> (CASE WHEN ((j * 1024 + i - 1) * 2654435761) % 4294967296
+        |                        >= 2147483648
+        |              THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+        |      (a, b) -> a + b) * 1000000) AS BIGINT)})) AS u
+        |  FROM embeddings)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(u.pos AS BIGINT) AS pos,
+        |  u.out_q AS out_q
+        |FROM x""".stripMargin,
+
+    // BM25 twin: identical expression tree (same literal spellings, same
+    // association order), per-term micro-unit quantization before the
+    // integer per-doc sum, ties broken by doc_id
+    "text_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE length(term) > 0 GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks
+        |  WHERE length(term) > 0 GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+        |), qtf AS (
+        |  SELECT * FROM tf WHERE term IN ('spark', 'vector', 'stream')
+        |), dftab AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+        |), scored AS (
+        |  SELECT q.id,
+        |    CAST(round(
+        |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |      * (CAST(q.tf AS DOUBLE) * 2.2 /
+        |         (q.tf + 1.2 * (0.25 + 0.75 * l.dl /
+        |            (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+        |      * 1000000) AS BIGINT) AS s_e6
+        |  FROM qtf q JOIN dftab d USING (term) JOIN dl l ON q.id = l.id
+        |  CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+        |  FROM scored GROUP BY 1
+        |), top AS (
+        |  SELECT id, score_e6 FROM agg
+        |  ORDER BY score_e6 DESC, id LIMIT 10)
+        |SELECT id AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT)
+        |    AS rank,
+        |  score_e6
+        |FROM top""".stripMargin,
+
     // word-4-gram overlap against the doc_id % 50 = 7 benchmark bucket;
     // slice bounds mirror GraftFunctions.shingles (i in 0..len-4, join " ")
     "decontaminate" ->

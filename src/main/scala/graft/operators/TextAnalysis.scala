@@ -387,4 +387,49 @@ object TextAnalysis {
     }
     agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
   }
+
+  /** BM25 ranked retrieval: top-k documents for a fixed bag of query
+    * terms (k1 = 1.2, b = 0.75). Classic shape: tf per (doc, term), doc
+    * lengths, df per query term — the per-term partials quantize to
+    * integer micro-units BEFORE the per-doc sum, so the doc score is an
+    * exact integer aggregation (order-independent, oracle-safe; float
+    * sums are combine-order sensitive).
+    *
+    * Scale shape: the only rows that survive past the tf aggregation are
+    * (doc, query-term) hits — |queryTerms| rows per doc max. df and the
+    * corpus stats broadcast; the final top-k is orderBy(...).limit(k),
+    * which Spark plans as TakeOrderedAndProject (per-partition heaps + a
+    * k-row merge on the driver — no global sort, no single-reducer
+    * window). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qtf = tf.where(col("term").isin(queryTerms: _*))
+    val dfTab = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = qtf
+      .join(broadcast(dfTab), "term")
+      .join(dl, "_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df") + 0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * 2.2 /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("s_e6", round(col("idf") * col("tfn") * 1000000).cast("long"))
+    val agg = scored.groupBy("_id").agg(sum("s_e6").as("score_e6"))
+    val top = agg.orderBy(col("score_e6").desc, col("_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_e6").desc, col("_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
+        col("score_e6"))
+  }
 }

@@ -20,4 +20,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got((20L, 0L)) === ((250000L, 1L)))
     assert(got((20L, 1L)) === ((250000L, 1L)))
   }
+
+  test("quantizeInt8: codes hit ±127 at the extremes, zero vectors guard") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(embs, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // max_abs = 2.0: codes are round(x * 127 / 2)
+    assert(got((1L, 0L)) === ((127L, 2000000L)))
+    assert(got((1L, 1L)) === ((-64L, 2000000L))) // -63.5 rounds away from 0
+    assert(got((1L, 2L)) === ((32L, 2000000L)))  // 31.75 -> 32
+    assert(got((2L, 0L)) === ((0L, 0L)))
+    assert(got((2L, 2L)) === ((0L, 0L)))
+  }
+
+  test("randomProjection: deterministic, dimensions reduce, sums check out") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val run = () => Embeddings
+      .randomProjection(embs, "vec_id", "embedding", 16)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val got = run()
+    assert(got.length === 32) // 2 vectors x 16 output dims
+    // all-ones input: out_j = (#plus - #minus) * 1e6, an integer multiple
+    // of 1e6 with |out_j| <= 64e6; all-zeros input: exactly 0
+    got.filter(_._1 == 1L).foreach { case (_, _, q) =>
+      assert(q % 1000000L === 0L && math.abs(q) <= 64000000L)
+    }
+    got.filter(_._1 == 2L).foreach { case (_, _, q) => assert(q === 0L) }
+    // signs must not be constant (the hash actually mixes)
+    assert(got.filter(_._1 == 1L).map(_._3).distinct.length > 1)
+    assert(run().toSeq === got.toSeq) // bit-stable across runs
+  }
 }

@@ -185,4 +185,28 @@ class TextAnalysisSpec extends SparkSpec {
       .join(rep.where(!col("repetitive")), "doc_id").count()
     assert(funnel(1)._5 === bothOk)
   }
+
+  test("bm25TopK: rare query terms dominate, doc length penalizes, k caps") {
+    import spark.implicits._
+    // "zebra" appears in 2 of 5 docs (rare), "the" in all 5 (common).
+    // doc 1: zebra twice, short. doc 2: zebra once, long (length penalty).
+    val docs = Seq(
+      (1L, "zebra zebra the"),
+      (2L, "zebra the " + Seq.fill(40)("filler").mkString(" ")),
+      (3L, "the cat sat"),
+      (4L, "the dog ran"),
+      (5L, "the bird flew here today"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("zebra", "the"), 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length === 3) // k caps the output
+    // ranks are 1..k and scores are non-increasing
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    assert(got.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    // doc 1 (rare term twice, short doc) must be rank 1; doc 2 (rare term
+    // in a long doc) still outranks the common-term-only docs
+    assert(got(0)._1 === 1L)
+    assert(got(1)._1 === 2L)
+  }
 }
