@@ -999,6 +999,22 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Exact per-language doc-length quartiles (quarter-step percentiles
+    // interpolate exactly -> engine-portable), integer hundredths
+    "text_length_quartiles" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lengthQuartiles(t(s, dir, "documents"),
+        "lang", "n_chars")),
+
+    // Batch twin of the stream-stream interval join (click-to-view
+    // attribution within 600s); the streaming run is pinned to this by
+    // EventStreamsSpec
+    "events_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.attributeClicks(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "click"), 600, streaming = false)
+    }),
+
     // Benchmark decontamination: corpus docs sharing word 4-grams with a
     // held-out benchmark bucket (deterministic doc_id % 50 split). The
     // benchmark gram set broadcasts; corpus grams probe it map-side

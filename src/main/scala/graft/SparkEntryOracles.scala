@@ -1043,6 +1043,26 @@ private[graft] object SparkEntryOracles {
         |  score_e6
         |FROM top""".stripMargin,
 
+    // quartile twin: quantile_cont interpolates linearly like Spark's
+    // exact percentile; .25-step fractions on integers are exact in
+    // double, so both engines produce the same bits
+    "text_length_quartiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(quantile_cont(n_chars, 0.25) * 100) AS BIGINT) AS p25_c,
+        |  CAST(round(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_c,
+        |  CAST(round(quantile_cont(n_chars, 0.75) * 100) AS BIGINT) AS p75_c
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // attribution twin: every (view, click) pair by the same user with
+    // the click inside [view_ts, view_ts + 600s]
+    "events_attribution" ->
+      """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.ts AS view_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |  AND c.ts <= v.ts + INTERVAL 600 SECOND""".stripMargin,
+
     // word-4-gram overlap against the doc_id % 50 = 7 benchmark bucket;
     // slice bounds mirror GraftFunctions.shingles (i in 0..len-4, join " ")
     "decontaminate" ->

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, NfkcNormalize, ShingleHashes}
+import org.apache.spark.sql.graft.{CosineSimilarity, HanCount, MinHashSignature, NfkcNormalize, RepetitionSignals, ShingleHashes}
 
 /** The engine's scalar-function surface: every cleansing / normalization
   * expression of the reference system re-expressed as a `Column => Column`
@@ -39,6 +39,18 @@ object GraftFunctions {
     * Catalyst expression — see [[NfkcNormalize]]. */
   def nfkcNormalize(c: Column): Column =
     GraftBridge.column(NfkcNormalize(GraftBridge.expression(c)))
+
+  /** All four document repetition signals (non-blank/distinct line counts,
+    * bigram count, max bigram multiplicity) as ONE codegen-called pass —
+    * see [[org.apache.spark.sql.graft.RepetitionSignals]]. */
+  def repetitionSignals(c: Column): Column =
+    GraftBridge.column(RepetitionSignals(GraftBridge.expression(c)))
+
+  /** Han-script code-point count, the allocation-free twin of
+    * `length(regexp_replace(c, "[^\\p{IsHan}]", ""))` — see
+    * [[org.apache.spark.sql.graft.HanCount]]. */
+  def hanCount(c: Column): Column =
+    GraftBridge.column(HanCount(GraftBridge.expression(c)))
 
   /** F4 — the reference's flagship text normalizer
     * (ref `src/batch_train.py:21-52`): NFKC → uppercase → keep only the last

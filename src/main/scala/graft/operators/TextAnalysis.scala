@@ -40,9 +40,9 @@ object TextAnalysis {
       (col(idCol) +: markers.map { case (lang, ws) =>
         score(toks, ws).as(s"score_$lang")
       }) :+
-        // Java regex spells the script class \p{IsHan} (RE2/DuckDB: \p{Han})
-        length(regexp_replace(col(textCol), "[^\\p{IsHan}]", ""))
-          .cast("long").as("n_han"): _*)
+        // codegen'd Han code-point counter == the oracle's RE2
+        // length(regexp_replace(text, '[^\p{Han}]', '', 'g'))
+        hanCount(col(textCol)).cast("long").as("n_han"): _*)
     val best = markers.map { case (lang, _) => col(s"score_$lang") }
       .reduce((a, b) => greatest(a, b))
     // first language (in declared precedence) achieving the max score
@@ -205,38 +205,19 @@ object TextAnalysis {
     *
     * `repetitive` = duplicate-line fraction > 0.30 OR top-bigram fraction
     * > 0.20 (Gopher's rep-removal band). */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = transform(
-      filter(split(col(textCol), "\n"), l => trim(l) =!= ""), l => trim(l))
-    val toks = tokens(col(textCol))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // longest equal-run over the sorted array == max multiplicity; the
-    // accumulator carries (previous value, current run, best run)
-    val topBigram = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    docs.select(
-      col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(array_distinct(lines)).cast("long").as("n_distinct_lines"),
-      size(bigrams).cast("long").as("n_bigrams"),
-      topBigram.cast("long").as("top_bigram_count"))
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), repetitionSignals(col(textCol)).as("_r"))
+      .select(
+        col(idCol),
+        col("_r.n_lines").as("n_lines"),
+        col("_r.n_distinct_lines").as("n_distinct_lines"),
+        col("_r.n_bigrams").as("n_bigrams"),
+        col("_r.top_bigram_count").as("top_bigram_count"))
       .withColumn("repetitive",
         (col("n_lines") > 0 &&
           (col("n_lines") - col("n_distinct_lines")) * 10 > col("n_lines") * 3) ||
         (col("n_bigrams") > 0 &&
           col("top_bigram_count") * 10 > col("n_bigrams") * 2))
-  }
 
   /** Token counts under two tokenizers: plain whitespace and a BPE-ish
     * regex (letter runs / digit runs / single punctuation marks), the
@@ -300,26 +281,12 @@ object TextAnalysis {
 
   /** [[repetitionStats]]'s `repetitive` as a single column. */
   private[operators] def repetitiveCol(t: Column): Column = {
-    val lines = transform(
-      filter(split(t, "\n"), l => trim(l) =!= ""), l => trim(l))
-    val toks = tokens(t)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val topBigram = aggregate(
-      array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    (size(lines) > 0 &&
-      (size(lines) - size(array_distinct(lines))) * 10 > size(lines) * 3) ||
-      (size(bigrams) > 0 && topBigram * 10 > size(bigrams) * 2)
+    val r = repetitionSignals(t)
+    (r.getField("n_lines") > 0 &&
+      (r.getField("n_lines") - r.getField("n_distinct_lines")) * 10 >
+        r.getField("n_lines") * 3) ||
+      (r.getField("n_bigrams") > 0 &&
+        r.getField("top_bigram_count") * 10 > r.getField("n_bigrams") * 2)
   }
 
   /** [[piiScrub]]'s total match count as a single column. */
@@ -328,17 +295,26 @@ object TextAnalysis {
       size(regexp_extract_all(regexp_replace(t, emailRe, "<EMAIL>"),
         lit(phoneRe), lit(0))).cast("long")
 
-  /** [[languageId]]'s `lang_pred` as a single column. */
-  private[operators] def langPredCol(t: Column): Column = {
-    val toksD = array_distinct(tokens(t))
+  /** [[languageId]]'s `lang_pred` from ALREADY-PROJECTED inputs: `toksD`
+    * must be a bound column holding `array_distinct(tokens(text))` and
+    * `nHan` one holding `hanCount(text)`. The marker scores reference
+    * `toksD` ~20x (4 langs x 5 words, inside when-branches where codegen
+    * subexpression elimination cannot help) — passing a raw expression
+    * here would re-tokenize the document per reference; an attribute read
+    * is free. */
+  private[operators] def langPredFrom(toksD: Column, nHan: Column): Column = {
     val scores = markers.map { case (lang, ws) => lang -> score(toksD, ws) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val markerPred = scores.foldRight(lit("und")) { case ((lang, sc), els) =>
       when(best > 0 && sc === best, lang).otherwise(els)
     }
-    val nHan = length(regexp_replace(t, "[^\\p{IsHan}]", ""))
     when(nHan >= hanThreshold, "zh").otherwise(markerPred)
   }
+
+  /** [[languageId]]'s `lang_pred` as a single column — ONLY for contexts
+    * that evaluate it once; see [[langPredFrom]] for the hot path. */
+  private[operators] def langPredCol(t: Column): Column =
+    langPredFrom(array_distinct(tokens(t)), hanCount(t))
 
   /** Corpus curation FUNNEL: the composite keep/drop pipeline every
     * training-data team runs, with per-stage retention accounting. Stages
@@ -361,23 +337,38 @@ object TextAnalysis {
   def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
                      langCol: String): DataFrame = {
     val t = col(textCol)
-    val stages: Seq[(String, Column)] = Seq(
-      "quality" -> qualityOkCol(t),
-      "repetition" -> !repetitiveCol(t),
-      "pii" -> (piiHitsCol(t) === 0L),
-      "langid" -> (langPredCol(t) === col(langCol)))
+    val stageNames = Seq("quality", "repetition", "pii", "langid")
+    // Evaluate each stage signal EXACTLY ONCE per row, as its own
+    // projected boolean, and only then fold into the first-fail index.
+    // Referencing the signal expressions inside a when-chain (or worse,
+    // inside each per-stage sum) re-evaluates the expensive trees —
+    // conditional branches sit outside codegen subexpression elimination;
+    // measured 10x the single-pass cost at sf0.1. The langid stage's
+    // marker scoring references the distinct-token array ~20x, so that
+    // array (and the Han count) is ALSO projected first and the
+    // prediction built from attribute reads in a second projection.
+    val flagged = docs
+      .select(
+        qualityOkCol(t).as("_p0"),
+        (!repetitiveCol(t)).as("_p1"),
+        (piiHitsCol(t) === 0L).as("_p2"),
+        array_distinct(tokens(t)).as("_td"),
+        hanCount(t).as("_nh"),
+        col(langCol).as("_lang"))
+      .select(col("_p0"), col("_p1"), col("_p2"),
+        (langPredFrom(col("_td"), col("_nh")) === col("_lang")).as("_p3"))
+    val stages = stageNames // names only; signals are the _p columns above
     val n = stages.size
-    // index of the first failing stage, `n` when the doc survives them all
-    val firstFail = stages.zipWithIndex.foldRight(lit(n)) {
-      case (((_, pass), i), els) => when(!pass, lit(i)).otherwise(els)
+    val firstFail = stages.indices.foldRight(lit(n)) {
+      case (i, els) => when(!col(s"_p$i"), lit(i)).otherwise(els)
     }
-    val agged = docs.agg(
+    val agged = flagged.select(firstFail.as("_ff")).agg(
       count(lit(1)).as("n_total"),
       stages.indices.map(i =>
-        sum(when(firstFail === i, 1L).otherwise(0L)).as(s"_d$i")): _*)
+        sum(when(col("_ff") === i, 1L).otherwise(0L)).as(s"_d$i")): _*)
     // cumulative drops before stage i give n_in; a literal inline table
     // expands the single aggregate row into the 4 funnel rows
-    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+    val rows = stages.zipWithIndex.map { case (name, i) =>
       val before = (0 until i).map(j => col(s"_d$j"))
         .foldLeft(lit(0L))(_ + _)
       val nIn = col("n_total") - before
@@ -387,6 +378,25 @@ object TextAnalysis {
     }
     agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
   }
+
+  /** Per-group doc-length quartiles via Spark's EXACT `percentile`
+    * aggregate. Quartile fractions (.25 steps) interpolate exactly in
+    * double on integer inputs — `lower*(1-d) + upper*d` and
+    * `lower + d*(upper-lower)` are the same exact rational — so the
+    * result is engine-portable bit-for-bit, unlike arbitrary fractions
+    * (.9*(n-1) is already inexact). Emitted in integer hundredths.
+    * Exact percentile is a sort-based aggregate (per-group value
+    * buffers); for a 100 TB corpus swap in approx_percentile — this
+    * registry entry is the oracle-checkable exact form. */
+  def lengthQuartiles(docs: DataFrame, langCol: String,
+                      lenCol: String): DataFrame =
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr(s"percentile($lenCol, array(0.25D, 0.5D, 0.75D))").as("_q"))
+      .select(col("lang"), col("n_docs"),
+        round(element_at(col("_q"), 1) * 100).cast("long").as("p25_c"),
+        round(element_at(col("_q"), 2) * 100).cast("long").as("p50_c"),
+        round(element_at(col("_q"), 3) * 100).cast("long").as("p75_c"))
 
   /** BM25 ranked retrieval: top-k documents for a fixed bag of query
     * terms (k1 = 1.2, b = 0.75). Classic shape: tf per (doc, term), doc

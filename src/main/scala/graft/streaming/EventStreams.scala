@@ -100,4 +100,28 @@ object EventStreams {
           }
       }
   }
+
+  /** Stream-stream interval join: attribute each `click` to every `view`
+    * by the same user within the preceding `windowSec` seconds — the
+    * classic ad-attribution shape. Both sides carry watermarks and the
+    * join predicate bounds event time on BOTH sides, which is exactly
+    * what lets Spark's stream-stream join evict buffered state (without
+    * the time bound the buffers grow forever). Works unchanged on batch
+    * DataFrames — the batch twin is the oracled `events_attribution`
+    * registry query. */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      windowSec: Long, streaming: Boolean = true): DataFrame = {
+    val v0 = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c0 = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val v = if (streaming) v0.withWatermark("view_ts", "1 hour") else v0
+    val c = if (streaming) c0.withWatermark("click_ts", "1 hour") else c0
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 }

@@ -111,4 +111,61 @@ class GraftFunctionsSpec extends SparkSpec {
       minhashSignatureHof(shingleHashes($"text", 2), 32).as("slow"))
     assert(both.where($"fast" =!= $"slow").count() === 0L)
   }
+
+  test("codegen'd HanCount == the \\p{IsHan} regex it replaces") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "風扇配件 usb fan", // mixed Han + ascii
+      "no han at all",
+      "漢漢漢",
+      "𠀀ab", // U+20000, supplementary CJK ext B: one code point
+      "仮名かなカナ", // kana are NOT Han; 仮/名 are
+      "")
+    val docs = (fixtures.toDF("text") union
+      graft.Tables(spark, sfDir, "documents").select($"text")).cache()
+    val both = docs.select(
+      hanCount($"text").as("fast"),
+      length(regexp_replace($"text", "[^\\p{IsHan}]", "")).as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0L)
+    docs.unpersist()
+  }
+
+  test("codegen'd RepetitionSignals == the HOF formulation it replaces") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "a b a b a b", // run-on bigram "a b" x3 (and "b a" x2)
+      "line1\n line1 \nline1\n\n  \nother",
+      "\tweird  spacing nbsp", // tab starts a token split; nbsp is NOT \s
+      "single",
+      "",
+      "dup dup dup dup")
+    val docs = (fixtures.toDF("text") union
+      graft.Tables(spark, sfDir, "documents").select($"text")).cache()
+    val lines = transform(
+      filter(split($"text", "\n"), l => trim(l) =!= ""), l => trim(l))
+    val toks = tokens($"text")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val both = docs.select(
+      repetitionSignals($"text").as("fast"),
+      struct(
+        size(lines).cast("long").as("n_lines"),
+        size(array_distinct(lines)).cast("long").as("n_distinct_lines"),
+        size(bigrams).cast("long").as("n_bigrams"),
+        topBigram.cast("long").as("top_bigram_count")).as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0L)
+    docs.unpersist()
+  }
 }

@@ -186,6 +186,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(funnel(1)._5 === bothOk)
   }
 
+  test("lengthQuartiles: exact interpolation at quarter steps") {
+    import spark.implicits._
+    // en lengths 10,20,30,40 -> p25 = 10*(0.25)+20*... : index 0.75 ->
+    // 10 + 0.75*(20-10) = 17.5; p50 = 25; p75 = 32.5
+    val docs = Seq(
+      ("en", 10L), ("en", 20L), ("en", 30L), ("en", 40L),
+      ("de", 7L))
+      .toDF("lang", "n_chars")
+    val got = TextAnalysis.lengthQuartiles(docs, "lang", "n_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("en") === ((4L, 1750L, 2500L, 3250L)))
+    assert(got("de") === ((1L, 700L, 700L, 700L))) // single doc: all = it
+  }
+
   test("bm25TopK: rare query terms dominate, doc length penalizes, k caps") {
     import spark.implicits._
     // "zebra" appears in 2 of 5 docs (rare), "the" in all 5 (common).

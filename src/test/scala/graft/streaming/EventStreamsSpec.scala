@@ -55,6 +55,36 @@ class EventStreamsSpec extends SparkSpec {
     assert((batch -- streamed).size < batch.size / 10) // tail only
   }
 
+  test("stream-stream attribution join matches the oracled batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type").cache()
+    def side(ty: String) = events.where($"event_type" === ty)
+      .select($"user_id", $"event_id", $"ts")
+
+    val vStream = MemoryStream[(Long, Long, Timestamp)]
+    val cStream = MemoryStream[(Long, Long, Timestamp)]
+    vStream.addData(side("view").as[(Long, Long, Timestamp)].collect().toIndexedSeq)
+    cStream.addData(side("click").as[(Long, Long, Timestamp)].collect().toIndexedSeq)
+    val q = EventStreams.attributeClicks(
+        vStream.toDF().toDF("user_id", "event_id", "ts"),
+        cStream.toDF().toDF("user_id", "event_id", "ts"), 600)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attrib")
+      .select("user_id", "view_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("events_attribution")(spark, sfDir)
+      .select("user_id", "view_id", "click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // single burst, all data inside the watermark horizon: exact equality
+    assert(streamed === batch)
+  }
+
   test("streaming dedup: re-delivered events within the watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
