@@ -417,28 +417,37 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label")).persist()
+    var cached = labels // the DataFrame actually holding the cache entry
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("u"), col("label").as("l_u")), "u")
         .groupBy(col("v").as("node")).agg(min(col("l_u")).as("nbr_min"))
+      // carry the old label through the projection so `changed` is a
+      // filter-count on the already-persisted frame, not a second join
+      // re-deriving labels (the original shape paid a join + shuffle per
+      // iteration just for the convergence check)
       val next = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("label").as("_old"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .persist()
-      changed = next
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .where(col("label") < col("old")).count()
-      labels.unpersist()
+      changed = next.where(col("label") < col("_old")).count()
+      cached.unpersist()
+      cached = next
       // truncate lineage every few rounds: each iteration otherwise nests
       // the previous plan, and a deep component would grow the logical
       // plan (and its analysis time) linearly with the round count
-      labels = if (it % 5 == 4) next.localCheckpoint(true) else next
+      val nextLabels = next.select("node", "label")
+      labels = if (it % 5 == 4) nextLabels.localCheckpoint(true) else nextLabels
       it += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc"), col("label").as("cluster"))
+    val out = labels.select(col("node").as("doc"), col("label").as("cluster"))
+    // the final cached `next` backs `out` only until it is consumed; a
+    // checkpointed tail no longer needs it at all
+    if (it % 5 == 0 && it > 0) cached.unpersist()
+    out
   }
 }
