@@ -882,6 +882,17 @@ object SparkEntry {
     // SimilaritySpec instead. Codebook training is driver-side over a
     // bounded sample (never a distributed fit), so the query costs one
     // corpus scan plus the broadcast probe join.
+    // SQ8 search: whole-corpus scan on int8 codes (quarter bandwidth),
+    // fp32 re-rank of the top-candidate survivors only (rows-only:
+    // quantized ranking is not SQL-replayable; recall pinned in spec)
+    "knn_int8_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnInt8Rerank(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, candidates = 25)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvf(emb, emb.where(col("vec_id") < 20),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, HanCount, MinHashSignature, NfkcNormalize, RepetitionSignals, ShingleHashes}
+import org.apache.spark.sql.graft.{CosineSimilarity, HanCount, Int8Codes, Int8Cosine, MinHashSignature, NfkcNormalize, RepetitionSignals, ShingleHashes}
 
 /** The engine's scalar-function surface: every cleansing / normalization
   * expression of the reference system re-expressed as a `Column => Column`
@@ -51,6 +51,17 @@ object GraftFunctions {
     * [[org.apache.spark.sql.graft.HanCount]]. */
   def hanCount(c: Column): Column =
     GraftBridge.column(HanCount(GraftBridge.expression(c)))
+
+  /** Symmetric int8 codes of a float vector as BINARY (1 byte/component)
+    * — see [[org.apache.spark.sql.graft.Int8Codes]]. */
+  def int8Codes(c: Column): Column =
+    GraftBridge.column(Int8Codes(GraftBridge.expression(c)))
+
+  /** Approximate cosine from two int8 code vectors (scales cancel) —
+    * see [[org.apache.spark.sql.graft.Int8Cosine]]. */
+  def int8Cosine(a: Column, b: Column): Column =
+    GraftBridge.column(
+      Int8Cosine(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** F4 — the reference's flagship text normalizer
     * (ref `src/batch_train.py:21-52`): NFKC → uppercase → keep only the last

@@ -373,4 +373,47 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes
+    * (1 byte/component — a quarter of the fp32 scan bandwidth, the form a
+    * 100 TB embedding corpus should be scanned in), keep the top
+    * `candidates` per query, then re-rank only those survivors in exact
+    * fp32 cosine. The quantization scales cancel inside
+    * [[graft.functions.GraftFunctions.int8Cosine]]'s ratio, so the code
+    * scan carries no side data. With `candidates` a few multiples of `k`,
+    * recall@k is near-1 (pinned in `SimilaritySpec`); the fp32 fetch
+    * touches only |queries| x candidates rows via a semi-join shape, never
+    * the corpus at large. */
+  def knnInt8Rerank(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    candidates: Int = 50,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val qFull = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), int8Codes(col(vecCol)).as("q8"))
+    // phase 1: int8-only corpus scan (no fp32 vectors materialized)
+    val cCodes = corpus.select(col(idCol).as("neighbor_id"),
+      int8Codes(col(vecCol)).as("c8"))
+    val joined = cCodes.crossJoin(broadcast(qFull.select(col("query_id"), col("q8"))))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = kept
+      .withColumn("approx", int8Cosine(col("q8"), col("c8")))
+      .withColumn("crank", row_number().over(wA))
+      .where(col("crank") <= candidates)
+      .select("query_id", "neighbor_id")
+    // phase 2: fp32 re-rank of the survivors only
+    val withVecs = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), "neighbor_id")
+      .join(broadcast(qFull.select(col("query_id"), col("q_vec"))), "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    withVecs.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
 }

@@ -125,4 +125,45 @@ class SimilaritySpec extends SparkSpec {
     val selfTop = kept.where($"rank" === 1 && $"query_id" === $"neighbor_id")
     assert(selfTop.count() === 10L)
   }
+
+  test("int8 primitives: codes hit ±127, approx cosine tracks fp32 cosine") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{cosineSim, int8Codes, int8Cosine}
+    val pairs = Seq(
+      (Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),   // identical: 1
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),   // orthogonal: 0
+      (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f)),  // opposite: -1
+      (Array(2.0f, 1.0f, 0.0f), Array(4.0f, 2.0f, 0.0f)),   // parallel, scaled
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 2.0f, 3.0f)))   // zero vec: 0
+      .toDF("a", "b")
+    val got = pairs.select(
+      int8Cosine(int8Codes($"a"), int8Codes($"b")).as("approx"),
+      cosineSim($"a", $"b").as("exact"))
+      .as[(Double, Double)].collect()
+    assert(math.abs(got(0)._1 - 1.0) < 1e-9)
+    assert(got(1)._1 === 0.0)
+    assert(math.abs(got(2)._1 + 1.0) < 1e-9)
+    // parallel vectors quantize to the same codes -> approx exactly 1
+    assert(math.abs(got(3)._1 - 1.0) < 1e-9)
+    assert(got(4)._1 === 0.0) // zero-norm guard, no NaN
+    // and the non-degenerate approximations sit near their fp32 values
+    got.take(4).foreach { case (a, e) => assert(math.abs(a - e) < 0.02) }
+  }
+
+  test("SQ8 rerank kNN: recall@5 vs brute force is near-exact, deterministic") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val run = () => Similarity
+      .knnInt8Rerank(emb, q, "vec_id", "embedding", 5, candidates = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = run()
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"SQ8 rerank recall@5 = $recall%.3f (candidates=5x k, int8 scan + fp32 re-rank)")
+    // int8 quantization barely perturbs cosine order; 5x candidates must
+    // recover nearly all true neighbors — far above any bucketing scheme
+    assert(recall >= 0.9 && recall <= 1.0)
+    assert(got === run()) // deterministic
+  }
 }
