@@ -1010,6 +1010,12 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // RAG-style overlapping character chunks (size 256, overlap 56) with
+    // source offsets; row-local posexplode
+    "text_chunks" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunks(t(s, dir, "documents"),
+        "doc_id", "text", size = 256, overlap = 56)),
+
     // Exact per-language doc-length quartiles (quarter-step percentiles
     // interpolate exactly -> engine-portable), integer hundredths
     "text_length_quartiles" -> ((s, dir) =>

@@ -1043,6 +1043,20 @@ private[graft] object SparkEntryOracles {
         |  score_e6
         |FROM top""".stripMargin,
 
+    // chunk twin: stride 200 = 256 - 56; integer floor-div via //, substr
+    // is code-point based in both engines; empty docs yield no rows
+    "text_chunks" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_no,
+        |  CAST(u.i * 200 AS BIGINT) AS start,
+        |  substr(text, CAST(u.i * 200 + 1 AS INT), 256) AS chunk_text
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(list_transform(generate_series(0, (n - 1) // 200),
+        |      i -> {'i': i})) AS u
+        |  FROM x)""".stripMargin,
+
     // quartile twin: quantile_cont interpolates linearly like Spark's
     // exact percentile; .25-step fractions on integers are exact in
     // double, so both engines produce the same bits

@@ -379,6 +379,34 @@ object TextAnalysis {
     agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
   }
 
+  /** Fixed-size overlapping character chunks — the document splitter of a
+    * RAG / training-data pipeline. Chunk i covers code points
+    * [i*stride, i*stride + size) with stride = size - overlap; the last
+    * chunk is the natural remainder (never padded, never dropped). Empty
+    * documents produce no chunks. Row-local posexplode — the shape scales
+    * as a pure scan; chunk offsets ride along so a consumer can map spans
+    * back into the source document. */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+             size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = length(col(textCol)).cast("long")
+    // Column `/` is true division; floor to the integer chunk index
+    // (doc lengths are far below 2^52, so the double floor is exact)
+    val idxs = when(n > 0,
+      sequence(lit(0L), floor((n - 1L) / stride).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    docs
+      .select(col(idCol), col(textCol).as("_t"),
+        posexplode(idxs).as(Seq("_p", "i")))
+      .select(col(idCol),
+        col("i").cast("long").as("chunk_no"),
+        (col("i") * stride).cast("long").as("start"),
+        col("_t").substr((col("i") * stride + 1).cast("int"), lit(size))
+          .as("chunk_text"))
+  }
+
   /** Per-group doc-length quartiles via Spark's EXACT `percentile`
     * aggregate. Quartile fractions (.25 steps) interpolate exactly in
     * double on integer inputs — `lower*(1-d) + upper*d` and

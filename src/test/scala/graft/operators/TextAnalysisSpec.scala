@@ -186,6 +186,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(funnel(1)._5 === bothOk)
   }
 
+  test("chunks: overlap window covers every char, offsets map back, tail kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"), // 10 chars, size 4 / overlap 1 -> starts 0,3,6,9
+      (2L, "ab"),         // shorter than size: one chunk
+      (3L, ""))           // empty: no chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(docs, "doc_id", "text", size = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, "abcd"), (1L, 1L, 3L, "defg"),
+      (1L, 2L, 6L, "ghij"), (1L, 3L, 9L, "j"),
+      (2L, 0L, 0L, "ab")))
+    // reconstruction: dropping each chunk's overlap prefix re-yields the doc
+    val parts = got.filter(_._1 == 1L).map { case (_, no, _, t) =>
+      if (no == 0) t else t.drop(1) } // overlap = 1
+    assert(parts.mkString === "abcdefghij")
+  }
+
   test("lengthQuartiles: exact interpolation at quarter steps") {
     import spark.implicits._
     // en lengths 10,20,30,40 -> p25 = 10*(0.25)+20*... : index 0.75 ->
