@@ -1010,6 +1010,13 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // C4-style line-level boilerplate removal (token floor + marker
+    // phrases; the terminal-punctuation rule is off because the synthetic
+    // corpus has none — strict mode is spec-pinned), cleaned doc + counts
+    "text_boilerplate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.boilerplate(t(s, dir, "documents"),
+        "doc_id", "text", minTokens = 5, requireTerminal = false)),
+
     // RAG-style overlapping character chunks (size 256, overlap 56) with
     // source offsets; row-local posexplode
     "text_chunks" -> ((s, dir) =>

@@ -1043,6 +1043,29 @@ private[graft] object SparkEntryOracles {
         |  score_e6
         |FROM top""".stripMargin,
 
+    // boilerplate twin: same trimmed-line split, same keep rules (registry
+    // runs relaxed mode — no terminal-punct gate); DuckDB array_to_string
+    // yields NULL on an empty list where Spark's array_join yields '' —
+    // coalesce closes that
+    "text_boilerplate" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)),
+        |      l -> trim(l)), l -> l <> '') AS lines
+        |  FROM documents
+        |), y AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l ->
+        |      len(string_split_regex(l, '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'cookie')) AS kept
+        |  FROM x)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+        |FROM y""".stripMargin,
+
     // chunk twin: stride 200 = 256 - 56; integer floor-div via //, substr
     // is code-point based in both engines; empty docs yield no rows
     "text_chunks" ->

@@ -379,6 +379,33 @@ object TextAnalysis {
     agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
   }
 
+  /** C4-style line-level boilerplate removal: keep only lines that look
+    * like prose — terminal punctuation, at least 5 tokens, none of the
+    * classic boilerplate markers ("lorem ipsum", "javascript", "cookie";
+    * the C4 paper's rules) — and emit the cleaned document with its
+    * before/after line counts. Row-local array expressions; the marker
+    * list is tiny and fixed so the whole pass is scan-side. */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 5,
+                  requireTerminal: Boolean = true): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val badMarkers = Seq("lorem ipsum", "javascript", "cookie")
+    def keep(l: Column): Column = {
+      val low = lower(l)
+      val base = size(split(l, "\\s+")) >= minTokens &&
+        badMarkers.map(b => !low.contains(b)).reduce(_ && _)
+      if (requireTerminal)
+        substring(l, -1, 1).isin(".", "!", "?", "\"") && base
+      else base
+    }
+    val kept = filter(lines, keep _)
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Fixed-size overlapping character chunks — the document splitter of a
     * RAG / training-data pipeline. Chunk i covers code points
     * [i*stride, i*stride + size) with stride = size - overlap; the last

@@ -186,6 +186,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(funnel(1)._5 === bothOk)
   }
 
+  test("boilerplate: prose lines survive, fragments and markers drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This is a proper sentence with enough words.\n" +
+        "short line\n" + // < 5 tokens
+        "No terminal punctuation here at all\n" + // no ./!/?/"
+        "Please enable JavaScript to view this page properly.\n" + // marker
+        "Another good line stays in the cleaned document!\n" +
+        "   \n"), // blank after trim: not a line at all
+      (2L, "")) // empty doc: zero lines
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplate(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === 5L) // non-blank lines
+    assert(got(1L)._2 === 2L) // kept
+    assert(got(1L)._3 ===
+      "This is a proper sentence with enough words.\n" +
+        "Another good line stays in the cleaned document!")
+    assert(got(2L) === ((0L, 0L, "")))
+  }
+
   test("chunks: overlap window covers every char, offsets map back, tail kept") {
     import spark.implicits._
     val docs = Seq(
