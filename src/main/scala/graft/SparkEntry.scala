@@ -1010,6 +1010,15 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Domain-mixture sampling: per-language keep rates via a PORTABLE
+    // md5-prefix threshold (lexicographic hex compare -> DuckDB replays
+    // the exact row set, unlike the xxhash64 samplers)
+    "sample_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.8, "es" -> 0.5, "de" -> 0.25,
+          "fr" -> 0.1, "zh" -> 1.0))
+        .select("doc_id", "lang")),
+
     // C4-style line-level boilerplate removal (token floor + marker
     // phrases; the terminal-punctuation rule is off because the synthetic
     // corpus has none — strict mode is spec-pinned), cleaned doc + counts

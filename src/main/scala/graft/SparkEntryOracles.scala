@@ -1043,6 +1043,18 @@ private[graft] object SparkEntryOracles {
         |  score_e6
         |FROM top""".stripMargin,
 
+    // mixture twin: thresholds are hexThreshold(rate) literals (rate *
+    // 16^8 as 8 hex digits); hex sorts lexicographically like its value
+    "sample_mixture" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |  WHEN 'es' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  WHEN 'de' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |  WHEN 'fr' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+        |  WHEN 'zh' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
+        |  ELSE FALSE END""".stripMargin,
+
     // boilerplate twin: same trimmed-line split, same keep rules (registry
     // runs relaxed mode — no terminal-punct gate); DuckDB array_to_string
     // yields NULL on an empty list where Spark's array_join yields '' —

@@ -51,6 +51,33 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Domain-mixture sampling with an ENGINE-PORTABLE hash: keep a row of
+    * group g with probability `rates(g)`, where membership comes from
+    * comparing the first 8 hex chars of md5(salt || id) against the
+    * rate's hex threshold LEXICOGRAPHICALLY (hex digits sort correctly in
+    * ASCII, so no integer conversion is needed and any engine with md5
+    * reproduces the exact corpus — unlike xxhash64, which only Spark
+    * has). This is the corpus-assembly step that up/down-weights sources
+    * to hit a target domain mix; deterministic, retry-safe, and
+    * oracle-checkable row for row. Groups absent from `rates` are
+    * dropped. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates in [0,1]")
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, prefix < hexThreshold(r)).otherwise(acc)
+    }
+    df.where(keep)
+  }
+
+  /** The 8-hex-digit threshold whose lexicographic order equals the
+    * numeric order of r * 16^8 (shared with oracle generation). */
+  private[operators] def hexThreshold(r: Double): String =
+    f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
+
   /** Token-budget batch packing PLAN: within each `partCol` stream, docs in
     * `idCol` order are assigned to consecutive batches of ~`budget` tokens
     * — `batch_id = floor(exclusive-running-token-total / budget)`, i.e. a

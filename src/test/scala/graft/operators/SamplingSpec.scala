@@ -80,4 +80,28 @@ class SamplingSpec extends SparkSpec {
       assert(ids === (0L until ids.size).toSet, s"stream $s gapped: $ids")
     }
   }
+
+  test("mixtureSample: per-group rates hold, unlisted groups drop, stable") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val rates = Map("a" -> 0.5, "b" -> 1.0)
+    val run = () => Sampling.mixtureSample(df, "id", "grp", rates)
+      .as[(Long, String)].collect().toSet
+    val got = run()
+    assert(got === run()) // deterministic
+    val aKept = got.count(_._2 == "a") / 2000.0
+    assert(math.abs(aKept - 0.5) < 0.05, s"a rate $aKept")
+    // rate 1.0 keeps all but the astronomically unlikely all-f prefix
+    assert(got.count(_._2 == "b") >= 1999)
+    // a group with no rate vanishes
+    val dropped = Sampling.mixtureSample(
+      df.withColumn("grp", lit("c")), "id", "grp", rates)
+    assert(dropped.count() === 0L)
+    // membership is a pure function of the id, not the corpus: a subset
+    // corpus keeps exactly the intersection
+    val sub = Sampling.mixtureSample(df.where($"id" < 100), "id", "grp", rates)
+      .as[(Long, String)].collect().toSet
+    assert(sub === got.filter(_._1 < 100))
+  }
 }
