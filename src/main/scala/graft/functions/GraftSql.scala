@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.IntegerType
   *   - `minhash_signature(hashes, n)` — n-permutation MinHash signature
   *   - `simhash64(tokens)` — 64-bit SimHash of a token array
   *   - `char_ngram_counts(str, n)` — per-row (char-gram, count) pairs, 1..n
+  *   - `repetition_signals(str)` — struct of the 4 Gopher repetition stats
+  *   - `han_count(str)` — Han-script code-point count (langid's zh signal)
+  *   - `int8_codes(vec)` — symmetric int8 quantization of a float vector
+  *   - `int8_cosine(a, b)` — approximate cosine from two int8 code vectors
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
   * structural (codegen'd loop bounds), not per-row data.
@@ -68,6 +72,22 @@ object GraftSql {
       arity("char_ngram_counts", es, 2)
       org.apache.spark.sql.graft.CharNgramCounts(es.head,
         intLit(es(1), "char_ngram_counts", 1))
+    },
+    "repetition_signals" -> { es =>
+      arity("repetition_signals", es, 1)
+      org.apache.spark.sql.graft.RepetitionSignals(es.head)
+    },
+    "han_count" -> { es =>
+      arity("han_count", es, 1)
+      org.apache.spark.sql.graft.HanCount(es.head)
+    },
+    "int8_codes" -> { es =>
+      arity("int8_codes", es, 1)
+      org.apache.spark.sql.graft.Int8Codes(es.head)
+    },
+    "int8_cosine" -> { es =>
+      arity("int8_cosine", es, 2)
+      org.apache.spark.sql.graft.Int8Cosine(es.head, es(1))
     })
 
   /** Register every custom function in the session's FunctionRegistry as a

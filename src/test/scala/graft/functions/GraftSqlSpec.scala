@@ -34,6 +34,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT size(char_ngram_counts('ab', 2)) AS v") // " a","ab","b ","a","b"
       .as[Int].head() === 5)
+    assert(spark.sql(
+      "SELECT repetition_signals('a b a b').top_bigram_count AS v")
+      .as[Long].head() === 2L) // "a b" twice
+    assert(spark.sql("SELECT han_count('風扇 fan') AS v")
+      .as[Int].head() === 2)
+    assert(spark.sql(
+      "SELECT int8_cosine(int8_codes(CAST(array(1.0, 2.0) AS array<float>)), " +
+        "int8_codes(CAST(array(2.0, 4.0) AS array<float>))) AS v")
+      .as[Double].head() === 1.0) // parallel vectors -> identical codes
     // SQL call equals the Scala DSL result
     val viaSql = spark.sql(
       "SELECT simhash64(split('hello world', ' ')) AS v").as[Long].head()
