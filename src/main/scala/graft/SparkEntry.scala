@@ -987,6 +987,12 @@ object SparkEntry {
       graft.operators.EventAnalytics.retention(t(s, dir, "events"),
         "user_id", "ts")),
 
+    // User-journey Markov edges: (prev type -> next type) counts over
+    // each user's time-ordered stream, event_id breaking ts ties
+    "events_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")),
+
     // Per-(label, dim) centroid accumulators in exact integer millionths
     "emb_label_centroids" -> ((s, dir) =>
       graft.operators.Embeddings.labelCentroids(t(s, dir, "embeddings"),

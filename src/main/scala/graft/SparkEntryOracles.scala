@@ -939,6 +939,15 @@ private[graft] object SparkEntryOracles {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
 
+    "events_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     "events_retention" ->
       """WITH f AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort

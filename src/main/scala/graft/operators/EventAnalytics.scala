@@ -48,6 +48,23 @@ object EventAnalytics {
         col("_f.t3").as(s"first_${s3}_after"))
   }
 
+  /** Event-type transition counts — the edge weights of the user-journey
+    * Markov chain: for each user's time-ordered event stream, count each
+    * (previous type -> next type) step across the corpus. One lag window
+    * per user partition + one aggregation; `idCol` breaks timestamp ties
+    * so the ordering (and therefore the counts) is deterministic. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("next"))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "next")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Cohort retention: users are cohorted by their first active DATE; for
     * each (cohort, day offset) the count of cohort users active that day.
     * One groupBy(user) collects the distinct active-day set (bounded by

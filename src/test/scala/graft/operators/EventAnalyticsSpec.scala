@@ -47,6 +47,30 @@ class EventAnalyticsSpec extends SparkSpec {
       Some(ts("2024-01-01 11:00:00")), Some(ts("2024-01-01 13:00:00")))))
   }
 
+  test("transitions: per-user ordered steps aggregate into edge counts") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view -> click -> view
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, 12L, ts("2024-01-01 12:00:00"), "view"),
+      // user 2: view -> click; NO cross-user edge from user 1's last view
+      (2L, 20L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 11:00:00"), "click"),
+      // user 3: simultaneous events ordered by event_id: a -> b
+      (3L, 30L, ts("2024-01-01 10:00:00"), "a"),
+      (3L, 31L, ts("2024-01-01 10:00:00"), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics
+      .transitions(events, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("view", "click")) === 2L)
+    assert(got(("click", "view")) === 1L)
+    assert(got(("a", "b")) === 1L)
+    assert(got.size === 3) // nothing else, no cross-user leakage
+  }
+
   test("retention: cohort by first day, distinct active users per offset") {
     import spark.implicits._
     val events = Seq(
