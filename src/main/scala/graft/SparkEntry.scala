@@ -794,6 +794,19 @@ object SparkEntry {
         isRealValue(col("c_mktsegment")).as("seg_real"))),
 
     // ---------- events: JSON + event-time windows ----------
+    // Sliding (hopping) 1h windows every 30min: each event lands in
+    // exactly two windows; the DuckDB twin expands both epoch-aligned
+    // candidate starts per event
+    "events_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000000)).as("value_micros"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n_events"), col("value_micros"))),
+
     "events_hourly_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -658,6 +658,23 @@ private[graft] object SparkEntryOracles {
         |   NOT lower(trim(c_mktsegment)) IN ('nan', 'none', '')) AS seg_real
         |FROM customer""".stripMargin,
 
+    // sliding twin: both 30-min-grid candidate starts per event (the
+    // bucket itself and the one 30min earlier — always within 1h of ts)
+    "events_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value, ts,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts)
+        |              - INTERVAL '30 minutes']) AS win_start
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS value_micros
+        |FROM w
+        |WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+        |GROUP BY 1, 2""".stripMargin,
+
     "events_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,
