@@ -1124,6 +1124,18 @@ object SparkEntry {
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload").toDF()),
 
+    // FULL raster decode + pixel features (mean RGB milli-units, 8-bucket
+    // luma histogram) — real ImageIO decode proven on generated PNGs in
+    // MultimodalSpec; text payloads take the ok=false stub path here
+    "mm_pixel_features" -> ((s, dir) =>
+      Multimodal.pixelFeatures(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF()
+        .select(col("asset_id"), col("ok"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("mean_r_milli"),
+          col("mean_g_milli"), col("mean_b_milli"))),
+
     // Frames are emitted hex-encoded: deterministic byte slicing IS
     // DuckDB-replayable, but DuckDB 1.0 has no BLOB substring — both sides
     // slice and compare the hex transcription instead

@@ -658,6 +658,16 @@ private[graft] object SparkEntryOracles {
         |   NOT lower(trim(c_mktsegment)) IN ('nan', 'none', '')) AS seg_real
         |FROM customer""".stripMargin,
 
+    // pixel-features twin: the corpus payloads are text bytes, so the
+    // contract is "no false decode" — every row must be the ok=false stub
+    // (the true-decode path is pinned on generated PNGs in MultimodalSpec)
+    "mm_pixel_features" ->
+      """SELECT doc_id AS asset_id, FALSE AS ok,
+        |  CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+        |  CAST(0 AS BIGINT) AS mean_r_milli, CAST(0 AS BIGINT) AS mean_g_milli,
+        |  CAST(0 AS BIGINT) AS mean_b_milli
+        |FROM documents""".stripMargin,
+
     // sliding twin: both 30-min-grid candidate starts per event (the
     // bucket itself and the one 30min earlier — always within 1h of ts)
     "events_sliding_window" ->

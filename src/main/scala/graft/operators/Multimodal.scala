@@ -139,6 +139,64 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
 
+  /** Pixel-level features of a decoded image. `ok = false` rows carry the
+    * stub zeros (payload wasn't a decodable image); mean channels are in
+    * integer milli-units (0..255000) and `luma_hist` is an 8-bucket
+    * histogram of the BT.601 luma — the deterministic, exact-integer form
+    * of "embed the image" that a real pipeline would replace with a model
+    * forward pass (same schema, same partitioning, same batch shape). */
+  case class PixelFeatures(asset_id: Long, ok: Boolean,
+                           width: Int, height: Int,
+                           mean_r_milli: Long, mean_g_milli: Long,
+                           mean_b_milli: Long, luma_hist: Array[Long])
+
+  /** FULL raster decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers
+    * ship with the JVM — this is a real decode, not a header probe) +
+    * feature extraction, as the same `mapPartitions` batch shape as
+    * [[decodeAssets]]. Sums are exact integers, so the features are
+    * bit-reproducible anywhere. */
+  def pixelFeaturesOne(assetId: Long, bytes: Array[Byte]): PixelFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      PixelFeatures(assetId, ok = false, 0, 0, 0L, 0L, 0L, new Array[Long](8))
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          // BT.601 integer luma: (299r + 587g + 114b) / 1000 in [0, 255]
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          hist(luma >> 5) += 1L // 8 buckets of 32 luma levels
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      PixelFeatures(assetId, ok = true, w, h,
+        sr * 1000 / n, sg * 1000 / n, sb * 1000 / n, hist)
+    }
+  }
+
+  /** Partition-mapped [[pixelFeaturesOne]] over (id, payload) rows. */
+  def pixelFeatures(assets: DataFrame, idCol: String,
+                    binCol: String): Dataset[PixelFeatures] = {
+    implicit val enc = Encoders.product[PixelFeatures]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) => pixelFeaturesOne(id, bytes) })
+  }
+
   /** Frame-sample stub: slice `n` evenly spaced windows of `frameBytes`
     * bytes from a binary payload — the partitioning/batch shape of video
     * frame extraction with the codec swapped for byte slicing. */

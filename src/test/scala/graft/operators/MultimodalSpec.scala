@@ -108,6 +108,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).format === "unknown")
   }
 
+  test("pixel features: real raster decode, exact means and luma histogram") {
+    import spark.implicits._
+    def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // half pure red (luma 76 -> bucket 2), half pure white (255 -> bucket 7)
+    def halfHalf(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, if (y < h / 2) 0xFF0000 else 0xFFFFFF)
+      val out = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, solidPng(8, 4, 200, 100, 50)),
+      (2L, halfHalf(4, 4)),
+      (3L, "definitely not pixels".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.pixelFeatures(rows, "doc_id", "payload")
+      .collect().map(p => p.asset_id -> p).toMap
+    val p1 = got(1L)
+    assert(p1.ok && p1.width === 8 && p1.height === 4)
+    assert((p1.mean_r_milli, p1.mean_g_milli, p1.mean_b_milli) ===
+      ((200000L, 100000L, 50000L))) // exact: solid color, integer sums
+    val p2 = got(2L)
+    assert(p2.ok)
+    // 8 red pixels (luma (299*255)/1000 = 76 -> bucket 2), 8 white (255 -> 7)
+    assert(p2.luma_hist.toSeq === Seq(0L, 0L, 8L, 0L, 0L, 0L, 0L, 8L))
+    assert(!got(3L).ok && got(3L).luma_hist.forall(_ === 0L))
+  }
+
   test("frame sampling: n frames per asset, fixed size, in-bounds offsets") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(assets, "doc_id", "payload", n = 3,
