@@ -895,6 +895,16 @@ object SparkEntry {
     // SimilaritySpec instead. Codebook training is driver-side over a
     // bounded sample (never a distributed fit), so the query costs one
     // corpus scan plus the broadcast probe join.
+    // IVF,SQ8 composed: cell pruning x int8 scoring x fp32 re-rank (the
+    // FAISS index as a dataflow; rows-only, recall pinned in spec)
+    "knn_ivf_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfSq8(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, candidates = 25)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     // SQ8 search: whole-corpus scan on int8 codes (quarter bandwidth),
     // fp32 re-rank of the top-candidate survivors only (rows-only:
     // quantized ranking is not SQL-replayable; recall pinned in spec)

@@ -374,6 +374,59 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** IVF + SQ8, composed (the FAISS "IVF,SQ8" index as a dataflow): the
+    * codebook prunes the corpus to `nprobe` cells, the pruned candidates
+    * are scored on int8 codes, and only the top `candidates` per query
+    * are re-ranked in exact fp32. The three savings multiply — at 100 TB
+    * the scan reads nprobe/nlist of the PARTITIONS (at rest: partition
+    * pruning), a quarter of the BYTES per row scanned (codes vs fp32),
+    * and computes fp32 distances for a few dozen rows per query. */
+  def knnIvfSq8(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, candidates: Int = 50,
+                maxTrainVectors: Int = 100000, seed: Long = 42L,
+                excludeSelf: Boolean = true): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
+      maxTrainVectors, seed)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        int8Codes(col(vecCol)).as("c8"),
+        assignCell(col(vecCol), cents).as("cell"))
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+    val qFull = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), int8Codes(col(vecCol)).as("q8"))
+    val probes = qFull.crossJoin(broadcast(cent))
+      .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_csim").desc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "q8", "cell")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cands = kept
+      .withColumn("approx", int8Cosine(col("q8"), col("c8")))
+      .withColumn("crank", row_number().over(wA))
+      .where(col("crank") <= candidates)
+      .select("query_id", "neighbor_id")
+    val withVecs = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), "neighbor_id")
+      .join(broadcast(qFull.select(col("query_id"), col("q_vec"))), "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    withVecs.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes
     * (1 byte/component — a quarter of the fp32 scan bandwidth, the form a
     * 100 TB embedding corpus should be scanned in), keep the top

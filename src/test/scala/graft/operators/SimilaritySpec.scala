@@ -150,6 +150,28 @@ class SimilaritySpec extends SparkSpec {
     got.take(4).foreach { case (a, e) => assert(math.abs(a - e) < 0.02) }
   }
 
+  test("IVF,SQ8 composed: recall@5 >= the IVF tier alone would allow, deterministic") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfOnly = Similarity.knnIvf(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val run = () => Similarity
+      .knnIvfSq8(emb, q, "vec_id", "embedding", 5, candidates = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = run()
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    val ivfRecall = ivfOnly.intersect(truth).size.toDouble / truth.size
+    info(f"IVF,SQ8 recall@5 = $recall%.3f (IVF tier alone: $ivfRecall%.3f)")
+    // the int8+rerank tier must not lose neighbors the IVF pruning kept:
+    // recall is bounded by the probed cells, and 5x-k candidates recover
+    // essentially everything inside them
+    assert(recall >= ivfRecall - 0.05)
+    assert(recall >= 0.4 && recall <= 1.0)
+    assert(got === run()) // deterministic
+  }
+
   test("SQ8 rerank kNN: recall@5 vs brute force is near-exact, deterministic") {
     import spark.implicits._
     val q = emb.where($"vec_id" < 20)
