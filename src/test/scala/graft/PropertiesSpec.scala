@@ -80,4 +80,67 @@ class PropertiesSpec extends AnyFunSuite {
     val df = samples.toDF("s").select(numOrZero($"s").as("d"))
     assert(df.where($"d".isNull).count() === 0L)
   }
+
+  test("int8 codes: bounded to ±127, max component hits ±127, zero maps to zero") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-1000f, 1000f, 0f, -0f, 1f, -1f, 0.001f))
+    val samples = (20L to 23L).flatMap(s =>
+      sample(Gen.listOfN(100, vecGen), s)).map(_.toArray)
+    val df = samples.toSeq.toDF("v")
+      .select($"v", int8Codes($"v").as("c")).as[(Array[Float], Array[Byte])]
+    df.collect().foreach { case (v, c) =>
+      assert(c.length === v.length)
+      assert(c.forall(b => b >= -127 && b <= 127)) // never -128
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      if (maxAbs > 0) {
+        // the largest-magnitude component must map to exactly ±127
+        assert(c.map(b => math.abs(b.toInt)).max === 127)
+        // signs survive quantization wherever the code is non-zero
+        v.zip(c).foreach { case (x, b) =>
+          if (b != 0) assert(math.signum(x.toDouble) === math.signum(b.toDouble))
+        }
+      } else assert(c.forall(_ === 0))
+    }
+  }
+
+  test("repetition signals: invariants hold on arbitrary multi-line text") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.oneOf(weirdString, Gen.const("\n")))
+      .map(_.mkString(" "))
+    val samples = (30L to 33L).flatMap(s =>
+      sample(Gen.listOfN(100, textGen), s))
+    val df = samples.toDF("t")
+      .select(repetitionSignals($"t").as("r"))
+      .select($"r.n_lines", $"r.n_distinct_lines", $"r.n_bigrams",
+        $"r.top_bigram_count")
+      .as[(Long, Long, Long, Long)]
+    df.collect().foreach { case (nl, nd, nb, top) =>
+      assert(nd >= 0 && nd <= nl) // distinct can't exceed total
+      assert(nb >= 0)
+      assert(top >= 0 && top <= nb) // multiplicity bounded by gram count
+      assert((nb == 0) == (top == 0)) // both empty together
+    }
+  }
+
+  test("chunks reconstruct any document exactly (drop each overlap prefix)") {
+    import spark.implicits._
+    for (seed <- 40L to 42L) {
+      val docs = sample(Gen.listOfN(60, weirdString), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val byDoc = graft.operators.TextAnalysis
+        .chunks(docs.toDF("doc_id", "text"), "doc_id", "text",
+          size = 7, overlap = 3)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, t) =>
+        val expected = t // code points == chars here only if no surrogates;
+        // weirdString is BMP-only, so String equality is exact
+        val rebuilt = byDoc.get(id).map(_.map { case (_, no, _, c) =>
+          if (no == 0) c else c.drop(3) // overlap = 3
+        }.mkString).getOrElse("")
+        assert(rebuilt === expected, s"doc $id")
+      }
+    }
+  }
 }
