@@ -96,4 +96,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans === 1, s"funnel must be a single documents scan, got $scans")
     assert(!plan.contains("Join"), s"funnel must not join:\n$plan")
   }
+
+  test("bm25 top-k plans as TakeOrderedAndProject, not a global sort/window") {
+    val plan = formatted(SparkEntry.queries("text_bm25_topk")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-row cut must be a distributed top-k:\n$plan")
+  }
+
+  test("row-local passes plan zero exchanges: chunks, quantize, projection, mixture") {
+    for (name <- Seq("text_chunks", "emb_quantize_int8",
+        "emb_random_projection", "sample_mixture")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("Exchange"),
+        s"$name should be a shuffle-free scan-side pass:\n$plan")
+    }
+  }
+
+  test("quantized kNN tiers broadcast the probe side, never nested-loop the corpus") {
+    for (name <- Seq("knn_int8_rerank", "knn_ivf_sq8")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must broadcast the tiny probe set:\n$plan")
+      assert(!plan.contains("SortMergeJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name should not shuffle the corpus for its probe join:\n$plan")
+    }
+  }
+
+  test("stream-stream attribution's batch twin is an equi hash join, no nested loop") {
+    val plan = formatted(SparkEntry.queries("events_attribution")(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the user-key equi-join must carry the range predicates:\n$plan")
+  }
 }
