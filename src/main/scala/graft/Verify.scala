@@ -40,9 +40,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // subset marker BEFORE oracle_sql.json so the checker (which treats
     // oracle_sql.json as the run-complete sentinel) can restrict its
-    // missing-dump accounting to the requested names
-    only.foreach(names => Files.writeString(
-      Paths.get(s"$outDir/verify_only.txt"), names.toSeq.sorted.mkString("\n")))
+    // missing-dump accounting to the requested names. A FULL run must
+    // DELETE any stale marker from an earlier subset run into the same
+    // dir — otherwise the checker would keep restricting itself to the
+    // old subset and report green while full-registry queries failed
+    only match {
+      case Some(names) => Files.writeString(
+        Paths.get(s"$outDir/verify_only.txt"), names.toSeq.sorted.mkString("\n"))
+      case None =>
+        Files.deleteIfExists(Paths.get(s"$outDir/verify_only.txt"))
+    }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

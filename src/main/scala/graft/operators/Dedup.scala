@@ -444,10 +444,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // materialize the result OUT of the loop caches (eager checkpoint —
+    // the label table is small: one row per paired node), then drop the
+    // last persisted frame: a CacheManager entry is never GC'd, so
+    // returning a frame backed by the loop's persist would leak one
+    // entry per invocation in a long-lived driver (Bench reps, notebooks)
     val out = labels.select(col("node").as("doc"), col("label").as("cluster"))
-    // the final cached `next` backs `out` only until it is consumed; a
-    // checkpointed tail no longer needs it at all
-    if (it % 5 == 0 && it > 0) cached.unpersist()
+      .localCheckpoint(true)
+    cached.unpersist()
     out
   }
 }

@@ -114,9 +114,14 @@ object Similarity {
     val n = nonZero.count()
     val frac = if (n <= maxTrainVectors) 1.0
       else maxTrainVectors.toDouble / n
+    // billion-bucket grid, floored threshold clamped to >= 1: at
+    // frac*1e9 < 1 (a trillion-vector corpus) a plain floor would keep
+    // NOTHING and k-means would fit an empty sample; the clamp keeps a
+    // ~n/1e9-row sample and the limit() below still caps the collect
     val picked =
       if (frac >= 1.0) nonZero
-      else nonZero.where(pmod(h, lit(1000000L)) < (frac * 1000000).toLong)
+      else nonZero.where(pmod(h, lit(1000000000L)) <
+        math.max(1L, (frac * 1000000000).toLong))
     // sort the (already ≤~maxTrainVectors-row) sample by its hash before
     // collecting: the training set AND its order are then pure functions of
     // the data — k-means++ seeds by index, so an order change would change
@@ -408,6 +413,17 @@ object Similarity {
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
+    int8CutAndRerank(kept, corpus, qFull, idCol, vecCol, k, candidates)
+  }
+
+  /** Shared SQ8 tail: int8-score `kept` (must carry query_id/neighbor_id/
+    * q8/c8), keep the top `candidates` per query, re-rank the survivors
+    * in exact fp32 against `corpus`, emit (query_id, rank, neighbor_id).
+    * One body for both quantized tiers so their cut/re-rank semantics
+    * can't drift apart. */
+  private def int8CutAndRerank(kept: DataFrame, corpus: DataFrame,
+                               qFull: DataFrame, idCol: String, vecCol: String,
+                               k: Int, candidates: Int): DataFrame = {
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
     val cands = kept
@@ -450,23 +466,7 @@ object Similarity {
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
-    val wA = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val cands = kept
-      .withColumn("approx", int8Cosine(col("q8"), col("c8")))
-      .withColumn("crank", row_number().over(wA))
-      .where(col("crank") <= candidates)
-      .select("query_id", "neighbor_id")
-    // phase 2: fp32 re-rank of the survivors only
-    val withVecs = cands
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("c_vec")), "neighbor_id")
-      .join(broadcast(qFull.select(col("query_id"), col("q_vec"))), "query_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    withVecs.withColumn("cos", cosineSim(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    // phase 2 (shared tail): int8 cut, then fp32 re-rank of survivors only
+    int8CutAndRerank(kept, corpus, qFull, idCol, vecCol, k, candidates)
   }
 }

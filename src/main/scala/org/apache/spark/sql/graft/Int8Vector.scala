@@ -52,7 +52,11 @@ object Int8Codes {
     if (maxAbs > 0) {
       i = 0
       while (i < n) {
-        out(i) = math.round(arr.getFloat(i).toDouble * 127 / maxAbs).toByte
+        val x = arr.getFloat(i).toDouble * 127 / maxAbs
+        // round half AWAY FROM ZERO, matching Spark round()/the DuckDB
+        // oracle of emb_quantize_int8 (math.round is half-toward-+inf:
+        // it would map -63.5 to -63 where the oracle contract says -64)
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
         i += 1
       }
     }

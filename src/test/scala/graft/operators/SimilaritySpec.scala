@@ -148,6 +148,12 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4)._1 === 0.0) // zero-norm guard, no NaN
     // and the non-degenerate approximations sit near their fp32 values
     got.take(4).foreach { case (a, e) => assert(math.abs(a - e) < 0.02) }
+    // negative half-ticks round AWAY from zero, same contract as
+    // emb_quantize_int8 and its DuckDB oracle: -1/2 * 127 = -63.5 -> -64
+    val codes = Seq(Tuple1(Array(2.0f, -1.0f))).toDF("v")
+      .select(graft.functions.GraftFunctions.int8Codes($"v"))
+      .as[Array[Byte]].head()
+    assert(codes.toSeq === Seq[Byte](127, -64))
   }
 
   test("IVF,SQ8 composed: recall@5 >= the IVF tier alone would allow, deterministic") {

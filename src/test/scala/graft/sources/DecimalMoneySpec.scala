@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -31,11 +32,16 @@ class DecimalMoneySpec extends SparkSpec {
       Seq("data_source_file", "hawb_no", "item_sequence")).cache()
     assert(joined.count() === dbl.count()) // same rows survive both paths
     // source amounts carry <= 4 decimal places, where doubles are faithful
-    // to 1e-12 relative — any larger gap means a path diverged
+    // to 1e-12 relative — any larger gap means a path diverged. Phrased
+    // as NOT(gap <= eps) rather than gap > eps: a NaN on the double side
+    // (e.g. a literal 'nan' cell numOrZero parses but the decimal path
+    // coerces to 0) makes `gap > eps` NULL and would slip through
+    def diverged(a: Column, b: Column, eps: Double): Column =
+      !(abs(a - b.cast("double")) <= eps)
     val bad = joined.where(
-      abs(col("item_total_amount") - col("d_item").cast("double")) > 1e-6 ||
-      abs(col("hawb_total_amount") - col("d_hawb").cast("double")) > 1e-6 ||
-      abs(col("unit_price_calculated") - col("d_unit").cast("double")) > 1e-4)
+      diverged(col("item_total_amount"), col("d_item"), 1e-6) ||
+      diverged(col("hawb_total_amount"), col("d_hawb"), 1e-6) ||
+      diverged(col("unit_price_calculated"), col("d_unit"), 1e-4))
     assert(bad.count() === 0L)
   }
 
