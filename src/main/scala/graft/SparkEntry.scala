@@ -1039,6 +1039,21 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Top-500 token vocabulary: dense ids by (count desc, token asc)
+    "vocab_top_tokens" -> ((s, dir) =>
+      graft.operators.TextAnalysis.buildVocab(t(s, dir, "documents"),
+        "doc_id", "text", 500)
+        .select(col("token"), col("token_id"),
+          col("n").cast("long").as("n"))),
+
+    // Tokenize-to-ids through the broadcast top-500 vocab, OOV -> 0;
+    // exploded (doc, pos, id) so the compare is a flat relation
+    "vocab_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.encodeTokens(docs, "doc_id", "text",
+        graft.operators.TextAnalysis.buildVocab(docs, "doc_id", "text", 500))
+    }),
+
     // Domain-mixture sampling: per-language keep rates via a PORTABLE
     // md5-prefix threshold (lexicographic hex compare -> DuckDB replays
     // the exact row set, unlike the xxhash64 samplers)

@@ -1079,6 +1079,44 @@ private[graft] object SparkEntryOracles {
         |  score_e6
         |FROM top""".stripMargin,
 
+    // vocab twin: same tokenization as bm25, same (count desc, token)
+    // rank order
+    "vocab_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        |  WHERE length(token) > 0 GROUP BY 1)
+        |SELECT token,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+        |    AS token_id,
+        |  n
+        |FROM counts ORDER BY n DESC, token LIMIT 500""".stripMargin,
+
+    // encode twin: positions enumerate the RAW split (filtered empties
+    // keep their gap), OOV tokens -> 0 via the left join
+    "vocab_encode" ->
+      """WITH sp AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, u.pos, u.token FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(a)),
+        |      i -> {'pos': i - 1, 'token': a[i]})) AS u
+        |    FROM sp)
+        |  WHERE length(u.token) > 0
+        |), counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+        |), vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+        |      AS token_id
+        |  FROM counts ORDER BY n DESC, token LIMIT 500)
+        |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+        |  coalesce(v.token_id, 0) AS token_id
+        |FROM toks t LEFT JOIN vocab v USING (token)""".stripMargin,
+
     // mixture twin: thresholds are hexThreshold(rate) literals (rate *
     // 16^8 as 8 hex digits); hex sorts lexicographically like its value
     "sample_mixture" ->

@@ -379,6 +379,40 @@ object TextAnalysis {
     agged.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
   }
 
+  /** Top-`size` token vocabulary with dense ids: tokens ranked by
+    * (count desc, token asc) — the deterministic tie order — id = rank,
+    * 1-based so 0 can mean OOV downstream. The top-V cut is
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, never a
+    * global sort); the rank window then runs over only `size` rows. */
+  def buildVocab(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("token").asc).limit(size)
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+  }
+
+  /** Tokenize-to-ids: each document's token stream mapped through a
+    * vocabulary (broadcast — vocabularies are kilobytes against a corpus
+    * of terabytes); out-of-vocabulary tokens encode as 0. Emitted
+    * EXPLODED as (id, pos, token_id) with `pos` the token's index in the
+    * RAW split (filtered empties keep their gap), so the result is a
+    * flat, engine-comparable relation rather than an array column. */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol), posexplode(tokens(col(textCol)))
+        .as(Seq("pos", "token")))
+      .where(length(col("token")) > 0)
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left_outer")
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+
   /** C4-style line-level boilerplate removal: keep only lines that look
     * like prose — terminal punctuation, at least 5 tokens, none of the
     * classic boilerplate markers ("lorem ipsum", "javascript", "cookie";

@@ -186,6 +186,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(funnel(1)._5 === bothOk)
   }
 
+  test("vocab: rank by count then token; encode maps OOV to 0, pos keeps gaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b c b a"),
+      (2L, "a  zz")) // double space: raw split has no empty here (single
+      // split point), but 'zz' is rank-testable OOV when size=3
+      .toDF("doc_id", "text")
+    // columns are (token, n, token_id); sort by id
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", 3)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // counts: b=3, a=3, c=1, zz=1 -> ties break by token asc
+    assert(vocab.toSeq === Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text",
+      TextAnalysis.buildVocab(docs, "doc_id", "text", 3))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(enc.filter(_._1 == 1L).map(_._3).toSeq ===
+      Seq(2L, 1L, 2L, 3L, 2L, 1L)) // b a b c b a
+    assert(enc.filter(_._1 == 2L).map(_._3).toSeq === Seq(1L, 0L)) // a, OOV
+  }
+
   test("boilerplate: prose lines survive, fragments and markers drop") {
     import spark.implicits._
     val docs = Seq(
