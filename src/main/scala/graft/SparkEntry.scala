@@ -1092,6 +1092,15 @@ object SparkEntry {
         ev.where(col("event_type") === "click"), 600, streaming = false)
     }),
 
+    // Left-outer twin: unattributed clicks survive with null view fields
+    "events_attribution_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.attributeClicks(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "click"), 600, streaming = false,
+        joinType = "left_outer")
+    }),
+
     // Benchmark decontamination: corpus docs sharing word 4-grams with a
     // held-out benchmark bucket (deterministic doc_id % 50 split). The
     // benchmark gram set broadcasts; corpus grams probe it map-side

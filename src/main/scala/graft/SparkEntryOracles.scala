@@ -1186,6 +1186,14 @@ private[graft] object SparkEntryOracles {
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |  AND c.ts <= v.ts + INTERVAL 600 SECOND""".stripMargin,
 
+    "events_attribution_outer" ->
+      """SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.ts AS view_ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |  AND c.ts <= v.ts + INTERVAL 600 SECOND""".stripMargin,
+
     // word-4-gram overlap against the doc_id % 50 = 7 benchmark bucket;
     // slice bounds mirror GraftFunctions.shingles (i in 0..len-4, join " ")
     "decontaminate" ->

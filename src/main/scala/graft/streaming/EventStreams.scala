@@ -110,17 +110,24 @@ object EventStreams {
     * DataFrames — the batch twin is the oracled `events_attribution`
     * registry query. */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
-                      windowSec: Long, streaming: Boolean = true): DataFrame = {
+                      windowSec: Long, streaming: Boolean = true,
+                      joinType: String = "inner"): DataFrame = {
     val v0 = views.select(col("user_id").as("v_user"),
       col("event_id").as("view_id"), col("ts").as("view_ts"))
     val c0 = clicks.select(col("user_id").as("c_user"),
       col("event_id").as("click_id"), col("ts").as("click_ts"))
     val v = if (streaming) v0.withWatermark("view_ts", "1 hour") else v0
     val c = if (streaming) c0.withWatermark("click_ts", "1 hour") else c0
+    // joinType "left_outer" additionally emits UNattributed clicks with
+    // null view columns — on a stream those rows flush once the watermark
+    // passes the click's join window (Spark's watermarked outer
+    // stream-stream join), so "clicks that never followed a view" is a
+    // continuously-produced dataset, not a batch backfill
     c.join(v,
       col("c_user") === col("v_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
       .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

@@ -85,6 +85,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("outer stream-stream attribution flushes unattributed clicks on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type").cache()
+    def side(ty: String) = events.where($"event_type" === ty)
+      .select($"user_id", $"event_id", $"ts")
+
+    val vStream = MemoryStream[(Long, Long, Timestamp)]
+    val cStream = MemoryStream[(Long, Long, Timestamp)]
+    vStream.addData(side("view").as[(Long, Long, Timestamp)].collect().toIndexedSeq)
+    cStream.addData(side("click").as[(Long, Long, Timestamp)].collect().toIndexedSeq)
+    val q = EventStreams.attributeClicks(
+        vStream.toDF().toDF("user_id", "event_id", "ts"),
+        cStream.toDF().toDF("user_id", "event_id", "ts"), 600,
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // outer (null-padded) rows only flush once the watermark passes the
+      // clicks' join windows. The GLOBAL watermark is the min across both
+      // inputs, so BOTH streams get a far-future sentinel (user -1, which
+      // the assertion filters out — the sentinel click itself emits as
+      // unattributed for user -1)
+      val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+      val sentinel = new Timestamp(maxTs.getTime + 3 * 3600 * 1000)
+      vStream.addData(Seq((-1L, -1L, sentinel)))
+      cStream.addData(Seq((-1L, -2L, sentinel)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("attrib_outer")
+      .where($"user_id" =!= -1L)
+      .select($"user_id", $"click_id", $"view_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val batch = graft.SparkEntry.queries("events_attribution_outer")(spark, sfDir)
+      .select($"user_id", $"click_id", $"view_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(batch.exists(_._3.isEmpty), "fixture must contain unattributed clicks")
+    assert(streamed === batch)
+  }
+
   test("streaming dedup: re-delivered events within the watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
