@@ -1063,6 +1063,13 @@ object SparkEntry {
           "fr" -> 0.1, "zh" -> 1.0))
         .select("doc_id", "lang")),
 
+    // Per-source document cap: at most 10 docs per source, survivors =
+    // lowest md5-prefix rows per group (deterministic, engine-replayable)
+    "sample_cap_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(t(s, dir, "documents"),
+        "doc_id", "source", cap = 10)
+        .select("doc_id", "source")),
+
     // C4-style line-level boilerplate removal (token floor + marker
     // phrases; the terminal-punctuation rule is off because the synthetic
     // corpus has none — strict mode is spec-pinned), cleaned doc + counts

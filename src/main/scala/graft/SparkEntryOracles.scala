@@ -1129,6 +1129,16 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'zh' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
         |  ELSE FALSE END""".stripMargin,
 
+    // per-group cap twin: identical md5-prefix order (hex compare is
+    // lexicographic on both engines), identical id tiebreak
+    "sample_cap_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |             doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+
     // boilerplate twin: same trimmed-line split, same keep rules (registry
     // runs relaxed mode — no terminal-punct gate); DuckDB array_to_string
     // yields NULL on an empty list where Spark's array_join yields '' —

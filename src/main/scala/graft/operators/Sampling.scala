@@ -78,6 +78,33 @@ object Sampling {
   private[operators] def hexThreshold(r: Double): String =
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Per-group cap — "at most `cap` documents per domain", the curation
+    * step that stops one giant source from dominating a training mix.
+    * Survivors are the `cap` rows of each group with the LOWEST
+    * md5(salt || id) prefix (ties broken by id), so the kept set is a
+    * pure deterministic function of the data — reproducible across runs,
+    * engines, and retries, and a group's survivors only change when its
+    * membership does. Uses the same engine-portable md5-prefix order as
+    * [[mixtureSample]], so an oracle can replay the exact rowset.
+    *
+    * Scale shape: one hash shuffle on `groupCol`, then a per-group
+    * top-`cap` rank — the same cost as any grouped window. For a
+    * pathologically hot group (billions of rows vs a cap of thousands),
+    * pre-filter with a hash threshold of ~`oversample * cap / count(g)`
+    * (the [[mixtureSample]] predicate) before the exact rank so the
+    * window only sees a sliver of the group. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  cap: Int, salt: String = "cap"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(prefix.asc, col(idCol).asc)
+    df.withColumn("_cap_rn", row_number().over(w))
+      .where(col("_cap_rn") <= cap)
+      .drop("_cap_rn")
+  }
+
   /** Token-budget batch packing PLAN: within each `partCol` stream, docs in
     * `idCol` order are assigned to consecutive batches of ~`budget` tokens
     * — `batch_id = floor(exclusive-running-token-total / budget)`, i.e. a

@@ -81,6 +81,36 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup: exact cap, small groups whole, survivors = lowest md5") {
+    import spark.implicits._
+    val capped = Sampling.capPerGroup(docs, "doc_id", "source", cap = 10)
+    val perGroup = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val before = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    perGroup.foreach { case (s, n) =>
+      assert(n === math.min(10L, before(s)), s"group $s kept $n") }
+    assert(perGroup.keySet === before.keySet) // no group vanishes
+    // deterministic across runs
+    val ids = () => Sampling.capPerGroup(docs, "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids() === ids())
+    // survivors are exactly the cap lowest (md5 prefix, id) per group —
+    // brute-force the same order on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pref(id: Long): String =
+      md.digest(s"cap$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+    val expect = docs.select("doc_id", "source").as[(Long, String)]
+      .collect().groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _) => (pref(id), id) }.take(10)
+      }.map(_._1).toSet
+    assert(ids() === expect)
+    // a group smaller than the cap is kept whole
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "source")
+    assert(Sampling.capPerGroup(tiny, "doc_id", "source", 10).count() === 2L)
+  }
+
   test("mixtureSample: per-group rates hold, unlisted groups drop, stable") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
