@@ -1143,6 +1143,16 @@ object SparkEntry {
           size(tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "source", "n_tokens", 2000L)),
 
+    // Materialized packs: the batch plan above turned into actual
+    // training sequences — docs concatenated in id order per batch,
+    // RS-separated; one grouped agg on (source, batch_id)
+    "pack_materialize" -> ((s, dir) =>
+      graft.operators.Sampling.materializeBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          col("text")),
+        "doc_id", "source", "n_tokens", "text", 2000L)),
+
     // Percentile stats per language (exact interpolated median/p90) and a
     // fixed-width length histogram — corpus profiling for token budgeting
     "text_length_stats" -> ((s, dir) =>

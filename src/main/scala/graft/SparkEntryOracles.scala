@@ -1321,6 +1321,28 @@ private[graft] object SparkEntryOracles {
         |    AS BIGINT) AS batch_id
         |FROM d""".stripMargin,
 
+    // materialized-packs twin: same batch assignment, then string_agg in
+    // doc_id order with the RS separator (chr(30) == Spark's "\\u001e");
+    // sums cast to BIGINT (DuckDB would widen to HUGEINT)
+    "pack_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, text, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |        PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+        |      AS BIGINT) AS batch_id
+        |  FROM d)
+        |SELECT source, batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(text, chr(30) ORDER BY doc_id) AS batch_text
+        |FROM p GROUP BY source, batch_id""".stripMargin,
+
     "text_pii_scrub" -> {
       val e = TextAnalysis.emailRe
       val p = TextAnalysis.phoneRe

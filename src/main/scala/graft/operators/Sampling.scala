@@ -127,4 +127,30 @@ object Sampling {
     df.withColumn("batch_id",
       floor(cumBefore / lit(budget)).cast("long"))
   }
+
+  /** Materialize the [[packBatches]] plan: one row per (stream, batch)
+    * with the batch's documents CONCATENATED in `idCol` order, separated
+    * by `sep` (default the record-separator control char — the GPT-style
+    * "pack docs into training sequences with an EOS between them" step).
+    * `collect_list` order is nondeterministic under parallel merge, so
+    * the docs ride in a struct keyed by id and are `array_sort`ed before
+    * joining — the emitted sequence is a pure function of the data.
+    *
+    * Scale shape: the window shuffle from [[packBatches]] plus ONE
+    * grouped aggregation on (`partCol`, batch_id). Per-row output is
+    * bounded by the token budget (a batch holds ~`budget` tokens by
+    * construction), so rows stay executor-sized no matter the corpus. */
+  def materializeBatches(df: DataFrame, idCol: String, partCol: String,
+                         tokensCol: String, textCol: String, budget: Long,
+                         sep: String = "\u001e"): DataFrame =
+    packBatches(df, idCol, partCol, tokensCol, budget)
+      .groupBy(col(partCol), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("batch_text"))
 }

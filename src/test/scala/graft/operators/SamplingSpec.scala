@@ -111,6 +111,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(tiny, "doc_id", "source", 10).count() === 2L)
   }
 
+  test("materializeBatches concatenates each batch's docs in id order") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5L, "one"), ("a", 2L, 5L, "two"), ("a", 3L, 5L, "three"),
+      ("b", 1L, 9L, "solo"))
+      .toDF("source", "doc_id", "n_tokens", "text")
+    val got = Sampling.materializeBatches(
+      df, "doc_id", "source", "n_tokens", "text", budget = 10L, sep = "|")
+      .as[(String, Long, Long, Long, String)].collect()
+      .map { case (s, b, nd, nt, t) => (s, b) -> ((nd, nt, t)) }.toMap
+    // stream a packs ids 1,2 into batch 0 (cumsum-before 0,5) and 3 into 1
+    assert(got(("a", 0L)) === ((2L, 10L, "one|two")))
+    assert(got(("a", 1L)) === ((1L, 5L, "three")))
+    assert(got(("b", 0L)) === ((1L, 9L, "solo")))
+    // id order inside the sequence, not collect order: shuffle the input
+    val rev = Sampling.materializeBatches(
+      df.orderBy($"doc_id".desc).repartition(7),
+      "doc_id", "source", "n_tokens", "text", budget = 10L, sep = "|")
+      .where($"source" === "a" && $"batch_id" === 0L)
+      .select("batch_text").as[String].head()
+    assert(rev === "one|two")
+    // every doc lands in exactly one batch over the real corpus
+    val total = Sampling.materializeBatches(
+      docs.select(col("doc_id"), col("source"),
+        col("n_chars").as("n_tokens"), col("text")),
+      "doc_id", "source", "n_tokens", "text", 5000L)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(total === docs.count())
+  }
+
   test("mixtureSample: per-group rates hold, unlisted groups drop, stable") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
