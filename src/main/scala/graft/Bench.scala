@@ -3,6 +3,14 @@ package graft
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}.
   *
+  * Output budget: the harness that collects this line keeps only the LAST
+  * ~2000 characters of the run's output (BENCH_r04/r05 both captured a
+  * truncated, unparseable line once the registry passed ~90 queries). So
+  * the stdout line is a COMPACT summary — total, per-family subtotals, the
+  * slowest queries, a fixed headline core, regressions — and the complete
+  * per-query medians + p25/p75 spread are written to `BENCH_FULL.json` in
+  * the working directory (`"full"` field points there).
+  *
   * Methodology: results are written to the `noop` sink, not `count()`ed — a
   * bare count lets Catalyst prune every column and would benchmark the scan,
   * not the compute (normalize/minhash/cosine would be optimized away). Each
@@ -46,11 +54,30 @@ object Bench {
 
   private def previousBenchFile(): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)).orElse {
+      // BENCH_FULL.json (complete medians from the latest full run) beats
+      // the driver's BENCH_r*.json wrapper, whose 2000-char tail holds only
+      // a fragment of the per-query map.
+      Some(new java.io.File("BENCH_FULL.json")).filter(_.isFile)
+    }.orElse {
       val cwd = new java.io.File(".")
       Option(cwd.listFiles()).toSeq.flatten
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(_.getName).lastOption
     }.filter(_.isFile)
+
+  /** Family key for the compact per-family subtotals. */
+  private[graft] def familyOf(name: String): String = {
+    val prefixes = Seq(
+      "tpch_" -> "tpch", "text_" -> "text", "dedup_" -> "dedup",
+      "decontaminate" -> "dedup", "knn_" -> "knn", "emb_" -> "emb",
+      "events_" -> "events", "sample_" -> "sample", "pack_" -> "pack",
+      "vocab_" -> "vocab", "mm_" -> "mm", "q1_" -> "pricing", "dq_" -> "agg",
+      "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops",
+      "j" -> "join", "w" -> "window", "a" -> "agg", "o" -> "ord",
+      "s" -> "scan", "p_" -> "scan")
+    prefixes.collectFirst { case (p, f) if name.startsWith(p) => f }
+      .getOrElse("other")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,9 +129,6 @@ object Bench {
     def jmap(f: ((String, (Double, Double, Double))) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f"${f((k, v))}%.3f" }
         .mkString("{", ",", "}")
-    val qs = jmap(_._2._1)
-    val lo = jmap(_._2._2)
-    val hi = jmap(_._2._3)
     val ok = results.filter(_._2._1 >= 0)
     val total = ok.map(_._2._1).sum
     // Flag regressions vs the previous round's medians (1.5x and >0.3s).
@@ -121,7 +145,9 @@ object Bench {
       System.err.println(
         f"[bench] REGRESSION $name: $p%.3fs -> $cur%.3fs (${cur / p}%.1fx)")
     }
-    val regs = regressions
+    // The stdout line must survive a 2000-char tail: cap regressions at the
+    // 8 worst by ratio (the full list is in BENCH_FULL.json regardless).
+    val regs = regressions.sortBy { case (_, p, c) => -(c / p) }.take(8)
       .map { case (n, p, c) => "\"" + n + "\":[" + f"$p%.3f,$c%.3f]" }
       .mkString("{", ",", "}")
     // Ingestion throughput on the reference's own production zips, the
@@ -138,7 +164,38 @@ object Bench {
         } else ""
       } catch { case _: Throwable => "" }
     val ivfBuild = ivfBuildSec.map(s => f""","ivf_layout_build_sec":$s%.3f""").getOrElse("")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_lo":$lo,"queries_hi":$hi,"regressions":$regs,"n_failed":${results.size - ok.size}$ingest$ivfBuild,"sf":"$sfDir"}""")
+
+    // Complete artifact: every query's median + p25/p75, same shape as the
+    // old stdout line. Written to the working directory so later rounds
+    // (and the regression tracker above) read exact medians, not a tail.
+    // A SPARK_GRAFT_BENCH_ONLY triage run must NOT clobber the full
+    // artifact — it would shrink the next run's regression baseline to the
+    // triaged subset.
+    if (only.isEmpty) {
+      val fullJson =
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    // Compact stdout line (budget ~1700 chars): per-family subtotals, the
+    // 10 slowest queries, and a fixed headline core covering the BASELINE
+    // comparison points (analytical spine, pricing summary, flagship join/
+    // dedup/ANN/tpch representatives).
+    val medians = results.collect { case (n, (m, _, _)) if m >= 0 => n -> m }
+    val families = medians.groupBy { case (n, _) => familyOf(n) }
+      .toSeq.map { case (f, xs) => f -> xs.map(_._2).sum }.sortBy(_._1)
+      .map { case (f, s) => "\"" + f + "\":" + f"$s%.2f" }
+      .mkString("{", ",", "}")
+    val slowest = medians.sortBy(-_._2).take(10)
+    val core = Set("q1_pricing_summary", "e3_knowledge_base",
+      "j4_ordinal_align", "dedup_ngram_jaccard", "knn_ivf",
+      "tpch_q5_nation_revenue", "tpch_q9_profit_proxy", "events_sessionize")
+    val headline = (slowest ++ medians.filter(p => core(p._1)))
+      .distinctBy(_._1).sortBy(_._1)
+      .map { case (n, m) => "\"" + n + "\":" + f"$m%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"families":$families,"queries":$headline,"regressions":$regs$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
