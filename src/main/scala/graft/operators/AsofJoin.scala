@@ -59,4 +59,42 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightPayload.map(c => col("_rp").getField(c).as(c)): _*)
   }
+
+  /** Forward (look-ahead) as-of join: for each left row, the EARLIEST right
+    * row with `right.ts >= left.ts` within the key — the "next state
+    * change" / "time-to-next-event" enrichment. Same union-and-fill shape
+    * as [[asofBackward]] mirrored: right rows order AFTER left rows at
+    * equal timestamps (so an exactly-equal timestamp still matches) and
+    * the struct payload back-fills over the FOLLOWING frame. One shuffle
+    * on the key, no range cross product. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == key).toSeq
+    val leftCols = left.columns.toSeq
+    val overlap = leftCols.toSet.intersect(rightPayload.toSet)
+    require(overlap.isEmpty, s"column collision: $overlap")
+
+    val leftTypes = left.schema.map(f => f.name -> f.dataType).toMap
+    val rpType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filterNot(_.name == key))
+
+    val lFull = left.select(
+      leftCols.map(col) ++ Seq(
+        lit(null).cast(rpType).as("_rp"),
+        col(leftTs).as("_ts"), lit(0).as("_side")): _*)
+    val rFull = right.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(leftTypes(c)).as(c)) ++ Seq(
+        struct(rightPayload.map(col): _*).cast(rpType).as("_rp"),
+        col(rightTs).as("_ts"), lit(1).as("_side")): _*)
+
+    val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lFull.unionByName(rFull)
+      .withColumn("_rp", first(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_side") === 0)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("_rp").getField(c).as(c)): _*)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture over keyed snapshots and SCD2 history building —
+  * the incremental-maintenance surface of a warehouse ETL engine (the
+  * reference re-imports full tables each run, ref `import_xml_history.py`;
+  * at 100 TB full reloads are not an option, so diff-and-merge is the
+  * at-scale replacement this module provides).
+  *
+  * Scale shape: [[snapshotDiff]] is ONE full-outer shuffle join on the
+  * snapshot key — both sides hash-partition once, no driver materialization,
+  * and with both snapshots bucketed by the key at rest the exchange
+  * disappears entirely. [[scd2Intervals]] is one per-entity window pass
+  * (shuffle on the entity key, sort within), state bounded per key.
+  */
+object ChangeCapture {
+
+  /** Keyed diff of two snapshots: one row per key whose compared columns
+    * changed, appeared, or disappeared. `change_type` is `I` (key only in
+    * `next`), `D` (key only in `prev`), `U` (present in both, at least one
+    * compared column differs); unchanged keys are dropped. Compared columns
+    * are emitted as `old_<c>` / `new_<c>` pairs.
+    *
+    * Null-safe: a null-to-value or value-to-null transition is a `U` (the
+    * comparison uses null-safe equality), so nullable attribute columns
+    * can't silently suppress changes. */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(compareCols.nonEmpty, "at least one compared column")
+    val p = prev.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_prev", lit(1))
+    val n = next.select(
+      keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_n_$c")) :+ lit(1).as("_in_next"): _*)
+    val joined = p.join(n, keyCols, "full_outer")
+    val changed: Column = compareCols
+      .map(c => !(col(c) <=> col(s"_n_$c")))
+      .reduce(_ || _)
+    val changeType = when(col("_in_prev").isNull, lit("I"))
+      .when(col("_in_next").isNull, lit("D"))
+      .when(changed, lit("U"))
+    joined.where(changeType.isNotNull)
+      .select(keyCols.map(col) ++ Seq(changeType.as("change_type")) ++
+        compareCols.flatMap(c =>
+          Seq(col(c).as(s"old_$c"), col(s"_n_$c").as(s"new_$c"))): _*)
+  }
+
+  /** SCD2 validity intervals from a change-event log: collapse consecutive
+    * equal states per entity, then each surviving state is valid from its
+    * first event until the next DIFFERENT state's first event (`valid_to`
+    * null = current). The standard "type-2 dimension from CDC events"
+    * build.
+    *
+    * Two window passes over the same (entity, time) sort — Catalyst plans
+    * them in a single shuffle+sort. `orderCols` must make the order total
+    * (ties broken by e.g. an event id) or run-collapse is nondeterministic. */
+  def scd2Intervals(events: DataFrame, entityCol: String, stateCol: String,
+                    tsCol: String, orderCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val ord = (col(tsCol) +: orderCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(entityCol).orderBy(ord: _*)
+    val runs = events
+      .withColumn("_prev_state", lag(col(stateCol), 1).over(w))
+      .where(!(col(stateCol) <=> col("_prev_state"))) // run starts only
+    val w2 = Window.partitionBy(entityCol).orderBy(ord: _*)
+    runs
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .select(col(entityCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+}

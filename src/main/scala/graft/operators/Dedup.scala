@@ -412,15 +412,24 @@ object Dedup {
     * never enter a pair list, so they are implicitly their own cluster. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Persist the DIRECTED pair list BEFORE symmetrizing: the union
+    // references the (potentially expensive — a whole near-dup pipeline)
+    // pairs plan twice, and aliased subplans don't share exchanges, so an
+    // unpersisted input would be computed once per branch (measured: 7 of
+    // dedup_clusters' 10.7s were re-deriving the Jaccard pairs inside the
+    // first iteration). No distinct() after the union: pair lists are
+    // already distinct and min() is idempotent to duplicates — a dedup
+    // shuffle here is pure overhead.
+    val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label")).persist()
     var cached = labels // the DataFrame actually holding the cache entry
     var changed = 1L
     var it = 0
+    val ccLog = sys.env.contains("SPARK_GRAFT_CC_LOG")
     while (changed > 0 && it < maxIter) {
+      val itT0 = System.nanoTime()
       val nbrMin = edges
         .join(labels.select(col("node").as("u"), col("label").as("l_u")), "u")
         .groupBy(col("v").as("node")).agg(min(col("l_u")).as("nbr_min"))
@@ -441,9 +450,11 @@ object Dedup {
       // plan (and its analysis time) linearly with the round count
       val nextLabels = next.select("node", "label")
       labels = if (it % 5 == 4) nextLabels.localCheckpoint(true) else nextLabels
+      if (ccLog) System.err.println(
+        f"[cc] iter $it changed=$changed ${(System.nanoTime() - itT0) / 1e9}%.2fs")
       it += 1
     }
-    edges.unpersist()
+    fwd.unpersist()
     // materialize the result OUT of the loop caches (eager checkpoint —
     // the label table is small: one row per paired node), then drop the
     // last persisted frame: a CacheManager entry is never GC'd, so
