@@ -1195,7 +1195,83 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload", n = 3, frameBytes = 16)
-        .withColumn("frame_hex", hex(col("frame"))).drop("frame"))
+        .withColumn("frame_hex", hex(col("frame"))).drop("frame")),
+
+    // ---------- change capture / SCD2 (incremental maintenance) ----------
+    // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
+    // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)
+    // get a one-dollar price bump in next (-> U); everything else drops
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+      val prev = o.where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val next = o.where(pmod(col("o_orderkey"), lit(10)) =!= 3)
+        .withColumn("price_cents",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+      graft.operators.ChangeCapture.snapshotDiff(prev, next,
+        Seq("o_orderkey"), Seq("price_cents", "o_orderstatus"))
+    }),
+
+    // SCD2 validity intervals from the event log: per user, each run of a
+    // repeated event_type becomes one [valid_from, valid_to) state row
+    "scd2_intervals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      graft.operators.ChangeCapture.scd2Intervals(
+        ev, "user_id", "event_type", "ts", Seq("event_id"))
+        .select(col("user_id"), col("state"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current").cast("long").as("is_current"))
+    }),
+
+    // Forward as-of: each click joined to the EARLIEST purchase at-or-after
+    // it (time-to-next-conversion) — mirror of j_asof_backward
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          floor(col("value") * 1000000).as("purchase_value_micros"))
+      graft.operators.AsofJoin.asofForward(
+        clicks, purchases, "user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+          col("purchase_value_micros"))
+    }),
+
+    // Rolling 30-day revenue per customer: a RANGE window frame over day
+    // offsets — the time-decayed feature shape (sliding sums without
+    // self-joins; one shuffle on the partition key)
+    "w_range_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day"),
+          cents(col("o_totalprice")).as("pc"))
+        .withColumn("rolling_30d_cents", sum(col("pc")).over(w))
+        .select("o_orderkey", "o_custkey", "day", "rolling_30d_cents")
+    }),
+
+    // ---------- corpus bigram LM (KenLM-style counts + coverage) ----------
+    "lm_bigram_counts" -> ((s, dir) =>
+      TextAnalysis.bigramLm(t(s, dir, "documents"), "text", 200)),
+
+    "lm_doc_coverage" -> ((s, dir) =>
+      TextAnalysis.docLmCoverage(t(s, dir, "documents"), "doc_id", "text",
+        1000)),
+
+    // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
+    // recall vs brute force pinned in SimilaritySpec) ----------
+    "knn_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnPqAdc(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+    })
   )
 
   // ====================================================================

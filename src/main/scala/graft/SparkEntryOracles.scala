@@ -1434,6 +1434,126 @@ private[graft] object SparkEntryOracles {
         |  substring(hex(payload),
         |    CAST(floor(frame_no * greatest(n_bytes - 16, 1) / 3) AS INT) * 2
         |      + 1, 32) AS frame_hex
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Keyed snapshot diff: full outer join on the key, null-safe column
+    // compare (IS DISTINCT FROM = Spark's <=> negated), unchanged keys drop
+    "cdc_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus
+        |  FROM orders
+        |), prev AS (SELECT * FROM o WHERE o_orderkey % 10 <> 7),
+        |next AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 10 <> 3)
+        |SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN p.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       ELSE 'U' END AS change_type,
+        |  p.price_cents AS old_price_cents,
+        |  n.price_cents AS new_price_cents,
+        |  p.o_orderstatus AS old_o_orderstatus,
+        |  n.o_orderstatus AS new_o_orderstatus
+        |FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey
+        |WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR p.price_cents IS DISTINCT FROM n.price_cents
+        |   OR p.o_orderstatus IS DISTINCT FROM n.o_orderstatus""".stripMargin,
+
+    // SCD2 build: run starts survive (state IS DISTINCT FROM its lag),
+    // then valid_to = next run start's ts — lead computed over the
+    // FILTERED frame, like the engine's second window pass
+    "scd2_intervals" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |  FROM events
+        |), starts AS (
+        |  SELECT user_id, state, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM runs WHERE state IS DISTINCT FROM prev_state)
+        |SELECT user_id, state,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(valid_to IS NULL AS BIGINT) AS is_current
+        |FROM starts""".stripMargin,
+
+    // Forward as-of via DuckDB's native ASOF (a.ts <= b.ts picks the
+    // nearest FOLLOWING right row), mirroring j_asof_backward's oracle
+    "j_asof_forward" ->
+      """SELECT a.event_id, a.user_id,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  CAST(floor(b.value * 1000000) AS BIGINT) AS purchase_value_micros
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.ts <= b.ts""".stripMargin,
+
+    "w_range_rolling" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS day,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS rolling_30d_cents
+        |FROM orders""".stripMargin,
+
+    // Corpus bigram LM: same whitespace-token bigram construction as
+    // text_repetition's oracle; total order (n DESC, bigram ASC)
+    "lm_bigram_counts" ->
+      """WITH base AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT CASE WHEN len(t) >= 2
+        |              THEN list_transform(range(len(t) - 1),
+        |                     i -> t[i+1] || ' ' || t[i+2])
+        |              ELSE [] END AS bigrams
+        |  FROM base
+        |), cnt AS (
+        |  SELECT g AS bigram, count(*) AS n
+        |  FROM (SELECT unnest(bigrams) AS g FROM bg) GROUP BY 1)
+        |SELECT rank, bigram, n FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC)
+        |    AS BIGINT) AS rank, bigram, n
+        |  FROM cnt) WHERE rank <= 200""".stripMargin,
+
+    "lm_doc_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 2
+        |              THEN list_transform(range(len(t) - 1),
+        |                     i -> t[i+1] || ' ' || t[i+2])
+        |              ELSE [] END AS bigrams
+        |  FROM base
+        |), db AS (
+        |  SELECT doc_id, unnest(bigrams) AS bigram FROM bg
+        |), cnt AS (
+        |  SELECT bigram, count(*) AS n FROM db GROUP BY 1
+        |), lm AS (
+        |  SELECT bigram, n FROM (
+        |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+        |      AS r FROM cnt) WHERE r <= 1000
+        |), hits AS (
+        |  SELECT db.doc_id, count(*) AS n_bigrams, count(lm.n) AS n_hits,
+        |    coalesce(CAST(sum(lm.n) AS BIGINT), 0) AS hit_count_sum
+        |  FROM db LEFT JOIN lm USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(h.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.hit_count_sum, 0) AS hit_count_sum
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
   )
 }

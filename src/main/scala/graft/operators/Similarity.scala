@@ -108,33 +108,8 @@ object Similarity {
   def trainCodebook(corpus: DataFrame, vecCol: String, nlist: Int,
                     maxTrainVectors: Int = 100000, seed: Long = 42L,
                     maxIter: Int = 10): Seq[Seq[Float]] = {
-    val h = xxhash64(lit(s"ivf-train-$seed"), col(vecCol))
-    val nonZero = corpus.select(col(vecCol))
-      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
-    val n = nonZero.count()
-    val frac = if (n <= maxTrainVectors) 1.0
-      else maxTrainVectors.toDouble / n
-    // billion-bucket grid, floored threshold clamped to >= 1: at
-    // frac*1e9 < 1 (a trillion-vector corpus) a plain floor would keep
-    // NOTHING and k-means would fit an empty sample; the clamp keeps a
-    // ~n/1e9-row sample and the limit() below still caps the collect
-    val picked =
-      if (frac >= 1.0) nonZero
-      else nonZero.where(pmod(h, lit(1000000000L)) <
-        math.max(1L, (frac * 1000000000).toLong))
-    // sort the (already ≤~maxTrainVectors-row) sample by its hash before
-    // collecting: the training set AND its order are then pure functions of
-    // the data — k-means++ seeds by index, so an order change would change
-    // the codebook — and the trailing hard cap trims deterministically
-    val sample: Array[Array[Double]] = picked
-      .orderBy(h, col(vecCol))
-      .limit(maxTrainVectors)
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n)
-      }
+    val sample = collectTrainSample(corpus, vecCol, maxTrainVectors,
+      s"ivf-train-$seed", normalize = true)
     require(sample.nonEmpty, "IVF codebook: no non-zero training vectors")
     val k = math.min(nlist, sample.length)
     val dims = sample.head.length
@@ -201,6 +176,46 @@ object Similarity {
       }
     }
     centroids.toSeq.map(_.toSeq.map(_.toFloat))
+  }
+
+  /** The bounded deterministic training sample both codebook trainers draw
+    * from (see [[trainCodebook]]'s scaladoc for the full rationale):
+    * non-zero vectors, hash-of-vector membership (salted), hash-sorted,
+    * hard-capped at `maxTrainVectors` — the collected set and its order
+    * are pure functions of the data, never of partitioning. */
+  private def collectTrainSample(corpus: DataFrame, vecCol: String,
+                                 maxTrainVectors: Int, salt: String,
+                                 normalize: Boolean): Array[Array[Double]] = {
+    val h = xxhash64(lit(salt), col(vecCol))
+    val nonZero = corpus.select(col(vecCol))
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+    val n = nonZero.count()
+    val frac = if (n <= maxTrainVectors) 1.0
+      else maxTrainVectors.toDouble / n
+    // billion-bucket grid, floored threshold clamped to >= 1: at
+    // frac*1e9 < 1 (a trillion-vector corpus) a plain floor would keep
+    // NOTHING and k-means would fit an empty sample; the clamp keeps a
+    // ~n/1e9-row sample and the limit() below still caps the collect
+    val picked =
+      if (frac >= 1.0) nonZero
+      else nonZero.where(pmod(h, lit(1000000000L)) <
+        math.max(1L, (frac * 1000000000).toLong))
+    // sort the (already ≤~maxTrainVectors-row) sample by its hash before
+    // collecting: the training set AND its order are then pure functions of
+    // the data — k-means++ seeds by index, so an order change would change
+    // the codebook — and the trailing hard cap trims deterministically
+    picked
+      .orderBy(h, col(vecCol))
+      .limit(maxTrainVectors)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        if (!normalize) v
+        else {
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          v.map(_ / nrm)
+        }
+      }
   }
 
   /** Map-side IVF cell assignment: argmax cosine against the (literal,
@@ -423,11 +438,21 @@ object Similarity {
     * can't drift apart. */
   private def int8CutAndRerank(kept: DataFrame, corpus: DataFrame,
                                qFull: DataFrame, idCol: String, vecCol: String,
-                               k: Int, candidates: Int): DataFrame = {
+                               k: Int, candidates: Int): DataFrame =
+    cutAndRerank(kept.withColumn("approx", int8Cosine(col("q8"), col("c8"))),
+      corpus, qFull, idCol, vecCol, k, candidates)
+
+  /** Shared approximate-tier tail: `scored` carries (query_id, neighbor_id,
+    * approx); keep the top `candidates` per query by approx score, re-rank
+    * the survivors in exact fp32 cosine against `corpus`, emit
+    * (query_id, rank, neighbor_id). One body for every quantized tier
+    * (SQ8, PQ) so their cut/re-rank semantics can't drift apart. */
+  private def cutAndRerank(scored: DataFrame, corpus: DataFrame,
+                           qFull: DataFrame, idCol: String, vecCol: String,
+                           k: Int, candidates: Int): DataFrame = {
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val cands = kept
-      .withColumn("approx", int8Cosine(col("q8"), col("c8")))
+    val cands = scored
       .withColumn("crank", row_number().over(wA))
       .where(col("crank") <= candidates)
       .select("query_id", "neighbor_id")
@@ -441,6 +466,173 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces of dims/m components and each subspace gets its
+    * own `ksub`-centroid L2 k-means codebook, trained driver-side on the
+    * same bounded deterministic hash-sample as [[trainCodebook]], in the
+    * UNIT-NORMALIZED space: PQ then approximates dot(q, x/‖x‖), which per
+    * query is cosine ranking exactly (the query's own norm is constant
+    * across its candidates). Result shape: m × ksub × (dims/m) floats —
+    * kilobytes. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+                       maxTrainVectors: Int = 100000, seed: Long = 42L,
+                       maxIter: Int = 10): Seq[Seq[Seq[Float]]] = {
+    val sample = collectTrainSample(corpus, vecCol, maxTrainVectors,
+      s"pq-train-$seed", normalize = true)
+    require(sample.nonEmpty, "PQ codebooks: no non-zero training vectors")
+    val dims = sample.head.length
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeansL2(sub, ksub, new scala.util.Random(seed + j), maxIter)
+        .map(_.toSeq.map(_.toFloat)).toSeq
+    }
+  }
+
+  /** Plain L2 Lloyd with k-means++ init on a local sample; empty cells
+    * re-seed from the point farthest from its assigned centroid. */
+  private def kmeansL2(sample: Array[Array[Double]], k0: Int,
+                       rnd: scala.util.Random, maxIter: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val dims = sample.head.length
+    val k = math.min(k0, n)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centroids = Array.ofDim[Array[Double]](k)
+    centroids(0) = sample(rnd.nextInt(n)).clone()
+    val bestD = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < n) {
+        val d = d2(sample(i), centroids(c - 1))
+        if (d < bestD(i)) bestD(i) = d
+        i += 1
+      }
+      val total = bestD.sum
+      val target = rnd.nextDouble() * total
+      var acc = 0.0; var pick = n - 1; var j = 0
+      while (j < n && pick == n - 1) {
+        acc += bestD(j)
+        if (acc >= target) pick = j
+        j += 1
+      }
+      centroids(c) = sample(pick).clone()
+    }
+    for (_ <- 0 until maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      val assignedD = new Array[Double](n)
+      val assignedC = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = d2(sample(i), centroids(0))
+        var c = 1
+        while (c < k) {
+          val d = d2(sample(i), centroids(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assignedD(i) = bd; assignedC(i) = best
+        counts(best) += 1
+        val sum = sums(best)
+        var d = 0
+        while (d < dims) { sum(d) += sample(i)(d); d += 1 }
+        i += 1
+      }
+      for (c <- 0 until k) {
+        if (counts(c) == 0)
+          centroids(c) = sample(assignedD.indices.maxBy(assignedD)).clone()
+        else centroids(c) = sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Scan-side PQ encoding of subspace `j` for the unit-normalized row
+    * vector: argmin-L2 against the literal sub-codebook, computed as
+    * argmax of (dot(x_j, c)/‖x‖ − ‖c‖²/2) — the ‖x̂_j‖² term is constant
+    * across candidates, and dividing the subspace dot by the FULL-vector
+    * norm `nrm` is exactly the normalized subvector's dot. Same
+    * lambda-free struct-greatest shape as [[assignCell]]: dsub
+    * multiply-adds per centroid, all codegen'd. */
+  def pqCode(vec: Column, nrm: Column, books: Seq[Seq[Seq[Float]]],
+             j: Int): Column = {
+    val book = books(j)
+    val dsub = book.head.length
+    val scored = book.zipWithIndex.map { case (c, ci) =>
+      val dot = (0 until dsub).map(d =>
+        element_at(vec, j * dsub + d + 1) * lit(c(d))).reduce(_ + _)
+      val half = c.map(x => x.toDouble * x).sum / 2.0
+      struct((dot / nrm - lit(half)).as("s"), lit(-ci).as("ni"))
+    }
+    if (scored.length == 1) lit(0)
+    else (-greatest(scored: _*).getField("ni")).cast("int")
+  }
+
+  /** Full-vector L2 norm as plain codegen'd arithmetic (no HOF): dims
+    * element_at squares, summed. */
+  def vecNorm(vec: Column, dims: Int): Column =
+    sqrt((1 to dims).map(d =>
+      element_at(vec, d) * element_at(vec, d)).reduce(_ + _))
+
+  /** PQ + ADC search (the FAISS "PQx4fs"-family index as a dataflow): the corpus is
+    * scanned as m-byte PQ codes — m/(4·dims) of the fp32 scan bandwidth,
+    * the at-rest form a 100 TB embedding corpus should be stored in —
+    * and each query scores candidates with an asymmetric-distance lookup
+    * table (LUT): approx dot(q, x) = Σ_j lut[j·ksub + code_j], m array
+    * lookups + adds per row, all codegen'd. The top `candidates` per query
+    * re-rank in exact fp32 cosine ([[cutAndRerank]]).
+    *
+    * The LUTs are computed DRIVER-SIDE from the collected query set —
+    * queries are small/bounded by the same contract as every tier here
+    * (they broadcast regardless); the corpus is never collected. */
+  def knnPqAdc(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               m: Int = 16, ksub: Int = 16, candidates: Int = 50,
+               maxTrainVectors: Int = 100000, seed: Long = 42L,
+               excludeSelf: Boolean = true): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
+      maxTrainVectors, seed)
+    val dsub = books.head.head.length
+    // zero vectors have no cosine direction (same exclusion as knnIvf);
+    // the norm is materialized once per row so codegen shares it across
+    // the m × ksub score terms instead of re-deriving 64 squares each
+    val encoded = corpus
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .withColumn("_nrm", vecNorm(col(vecCol), m * dsub))
+      .select(
+        col(idCol).as("neighbor_id") +:
+          (0 until m).map(j =>
+            pqCode(col(vecCol), col("_nrm"), books, j).as(s"_code_$j")): _*)
+    // Driver-side ADC tables: one (m·ksub)-float LUT per collected query.
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val luts = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val lut = new Array[Float](m * ksub)
+      for (j <- 0 until m; c <- 0 until ksub) {
+        var s = 0.0; var d = 0
+        while (d < dsub) { s += qv(j * dsub + d) * books(j)(c)(d); d += 1 }
+        lut(j * ksub + c) = s.toFloat
+      }
+      (qid, qv, lut.toSeq)
+    }
+    val qFull = luts.toDF("query_id", "q_vec", "lut")
+    val joined = encoded.crossJoin(broadcast(qFull.select("query_id", "lut")))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"), col(s"_code_$j") + lit(j * ksub + 1))).reduce(_ + _)
+    cutAndRerank(kept.withColumn("approx", approx), corpus,
+      qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 
   /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes

@@ -531,4 +531,69 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
         col("score_e6"))
   }
+
+  /** Whitespace-token bigram array of `textCol` — the shared construction
+    * for the corpus LM below (and the declarative twin of the bigram shape
+    * inside [[repetitionStats]]' oracle). Docs with fewer than two tokens
+    * yield an empty array. The HOF runs scan-side ahead of an explode whose
+    * downstream aggregation dominates, so interpretation cost is noise
+    * here (unlike the per-row hot paths that moved to codegen'd
+    * expressions — see RepetitionSignals' scaladoc). */
+  private def bigrams(textCol: Column): Column = {
+    val t = tokens(textCol)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus bigram language model: the `topN` bigrams by corpus count
+    * (count desc, bigram asc — total order). Shape: tokenize scan →
+    * explode → ONE hash aggregation → TakeOrderedAndProject for the top-N
+    * cut (per-partition heaps, no global sort); at 100 TB the aggregation
+    * shuffles (bigram, partial-count) pairs, never raw text. This is the
+    * count table a KenLM-style corpus LM trains from. */
+  def bigramLm(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = docs
+      .select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "bigram", "n")
+  }
+
+  /** Per-document LM coverage against the corpus' own top-`topN` bigram
+    * model: `n_bigrams` (bigram occurrences, with multiplicity), `n_hits`
+    * (occurrences whose bigram is in the model) and `hit_count_sum` (sum
+    * of the model counts of those occurrences) — all integers, so the
+    * pass is hash-exact across engines. Low-coverage documents are the
+    * gibberish/boilerplate outliers an LM-based quality filter drops; the
+    * integer coverage stats are the exact core of that filter with the
+    * float log-probability left to a trivial post-map.
+    *
+    * Scale shape: the model is `topN` rows — BROADCAST — and the corpus
+    * side aggregates per document after a map-side probe of the model, so
+    * the only corpus-sized shuffle is the final per-doc aggregation (and
+    * the model build's own count aggregation). Docs with < 2 tokens have
+    * no bigrams and emit zeros via the left join back to the doc list. */
+  def docLmCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    topN: Int): DataFrame = {
+    val lm = bigramLm(docs, textCol, topN)
+      .select(col("bigram"), col("n").as("_lm_n"))
+    val db = docs
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
+    val hits = db.join(broadcast(lm), Seq("bigram"), "left_outer")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("_lm_n")).as("n_hits"),
+        coalesce(sum(col("_lm_n")), lit(0L)).as("hit_count_sum"))
+    docs.select(col(idCol).as("_id"))
+      .join(hits, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_count_sum"), lit(0L)).as("hit_count_sum"))
+  }
 }

@@ -130,4 +130,53 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"the user-key equi-join must carry the range predicates:\n$plan")
   }
+
+  test("cdc snapshot diff is one key-partitioned join, both sides scanned once") {
+    val plan = formatted(SparkEntry.queries("cdc_snapshot_diff")(spark, sfDir))
+    // count detail headers "(n) <Join>" — tree lines would double-count
+    val joins = plan.linesIterator.count(
+      _.matches("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin).*"))
+    assert(joins === 1, s"diff must be exactly one shuffle join:\n$plan")
+    val scans = plan.linesIterator
+      .count(_.trim.startsWith("Location: InMemoryFileIndex"))
+    assert(scans <= 2, s"each snapshot scans once, got $scans:\n$plan")
+  }
+
+  test("scd2 build plans ONE exchange: both window passes share the entity sort") {
+    val plan = formatted(SparkEntry.queries("scd2_intervals")(spark, sfDir))
+    // formatted mode puts partitioning in the detail section; count the
+    // "(n) Exchange" detail headers
+    val exchanges = plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1,
+      s"run-collapse and lead must share one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("as-of joins (both directions) plan no range cross product") {
+    for (name <- Seq("j_asof_backward", "j_asof_forward")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay union-and-fill, never a cross product:\n$plan")
+    }
+  }
+
+  test("lm coverage probes a broadcast model, never sort-merges the corpus grams") {
+    val plan = formatted(SparkEntry.queries("lm_doc_coverage")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the topN model must broadcast:\n$plan")
+  }
+
+  test("bigram lm top-N cut is a distributed TakeOrdered, not a global sort") {
+    val plan = formatted(SparkEntry.queries("lm_bigram_counts")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-N cut must be per-partition heaps + driver merge:\n$plan")
+  }
+
+  test("pq/adc scores via a broadcast LUT join, never shuffles the corpus codes") {
+    val plan = formatted(SparkEntry.queries("knn_pq_adc")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the per-query LUTs must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -49,4 +49,37 @@ class AsofJoinSpec extends SparkSpec {
       AsofJoin.asofBackward(l, r, "k", "t", "rt")
     }
   }
+
+  test("forward as-of: earliest following right row, equal-ts matches, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", ts(5)), // before 10 and 20 -> earliest following is q10
+      (2L, "u1", ts(10)), // exactly at right ts 10 -> matches q10
+      (3L, "u1", ts(25)), // after every u1 right row -> null
+      (4L, "u2", ts(30)) // other key -> u2's own row only
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(10), "q10"),
+      ("u1", ts(20), "q20"),
+      ("u2", ts(40), "q40")
+    ).toDF("k", "rt", "quote")
+    val got = AsofJoin.asofForward(left, right, "k", "t", "rt")
+      .select("id", "quote").as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "q10"), (2L, "q10"), (3L, null), (4L, "q40")))
+  }
+
+  test("forward as-of fills the struct atomically (no field mixing)") {
+    import spark.implicits._
+    // nearest following right row has a null price; the later row's price
+    // must NOT back-fill into the match
+    val left = Seq((1L, "u1", ts(5))).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts(10), Option.empty[Double], "near"),
+      ("u1", ts(20), Option(9.99), "far")
+    ).toDF("k", "rt", "price", "tag")
+    val got = AsofJoin.asofForward(left, right, "k", "t", "rt")
+      .select("id", "price", "tag").as[(Long, Option[Double], String)]
+      .collect()
+    assert(got === Array((1L, None, "near")))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class ChangeCaptureSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+
+  test("snapshotDiff classifies I/U/D and drops unchanged keys") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, 100L, "A"), // unchanged -> dropped
+      (2L, 200L, "A"), // price changes -> U
+      (3L, 300L, "A"), // disappears -> D
+      (4L, 400L, "A") // status changes -> U
+    ).toDF("k", "price", "status")
+    val next = Seq(
+      (1L, 100L, "A"),
+      (2L, 250L, "A"),
+      (4L, 400L, "B"),
+      (5L, 500L, "A") // appears -> I
+    ).toDF("k", "price", "status")
+    val got = ChangeCapture
+      .snapshotDiff(prev, next, Seq("k"), Seq("price", "status"))
+      .select("k", "change_type", "old_price", "new_price")
+      .as[(Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got === Array(
+      (2L, "U", Some(200L), Some(250L)),
+      (3L, "D", Some(300L), None),
+      (4L, "U", Some(400L), Some(400L)),
+      (5L, "I", None, Some(500L))))
+  }
+
+  test("snapshotDiff null transitions are U, null-to-null is unchanged") {
+    import spark.implicits._
+    val prev = Seq((1L, Option.empty[Long]), (2L, Option(2L)),
+      (3L, Option.empty[Long])).toDF("k", "v")
+    val next = Seq((1L, Option(1L)), (2L, Option.empty[Long]),
+      (3L, Option.empty[Long])).toDF("k", "v")
+    val got = ChangeCapture.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((1L, "U"), (2L, "U"))) // k=3 null<=>null drops
+  }
+
+  test("scd2Intervals collapses runs and chains validity windows") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "free", ts(0), 1L),
+      (1L, "free", ts(10), 2L), // same run -> collapsed
+      (1L, "paid", ts(20), 3L), // new state
+      (1L, "free", ts(30), 4L), // back to free -> NEW run, not merged
+      (2L, "paid", ts(5), 5L)
+    ).toDF("user_id", "state_in", "ts", "event_id")
+    val got = ChangeCapture
+      .scd2Intervals(ev.withColumnRenamed("state_in", "event_type"),
+        "user_id", "event_type", "ts", Seq("event_id"))
+      .select("user_id", "state", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Int)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(got === Array(
+      (1L, "free", ts(0), Some(ts(20)), 0),
+      (1L, "paid", ts(20), Some(ts(30)), 0),
+      (1L, "free", ts(30), None, 1),
+      (2L, "paid", ts(5), None, 1)))
+  }
+}

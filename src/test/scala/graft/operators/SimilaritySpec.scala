@@ -194,4 +194,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9 && recall <= 1.0)
     assert(got === run()) // deterministic
   }
+
+  test("PQ/ADC kNN: shape invariants, recall@5 vs brute force, deterministic") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val run = () => Similarity
+      .knnPqAdc(emb, q, "vec_id", "embedding", 5, candidates = 50)
+    val pq = run().cache()
+    assert(pq.where($"query_id" === $"neighbor_id").count() === 0L)
+    val badRank = pq.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("hi"))
+      .where($"hi" =!= $"n" || $"n" > 5).count()
+    assert(badRank === 0L)
+    val got = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"PQ/ADC recall@5 = $recall%.3f (m=16 subspaces x 16 centroids," +
+      " 16-byte codes, 10x-k candidate re-rank)")
+    // 16-byte codes are a 16x compression of the 64-dim fp32 vectors; with
+    // a 10x candidate cut the fp32 re-rank must still recover most true
+    // neighbors — pinned floor (measured 0.91; m=8 measured 0.69),
+    // deterministic seeded training
+    assert(recall >= 0.7 && recall <= 1.0)
+    assert(got === run().select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet) // deterministic
+  }
+
+  test("PQ codes: every subspace code is in [0, ksub) and non-trivially spread") {
+    import spark.implicits._
+    val books = Similarity.trainPqCodebooks(emb.select($"embedding"),
+      "embedding", m = 8, ksub = 16)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    val coded = emb
+      .withColumn("_nrm", Similarity.vecNorm($"embedding", 64))
+      .select(
+        (0 until 8).map(j =>
+          Similarity.pqCode($"embedding", $"_nrm", books, j).as(s"c$j")): _*)
+      .cache()
+    val bad = coded.where(
+      (0 until 8).map(j => col(s"c$j") < 0 || col(s"c$j") >= 16)
+        .reduce(_ || _)).count()
+    assert(bad === 0L)
+    // a degenerate codebook would map everything to one code per subspace
+    val spread = coded.select(countDistinct($"c0")).as[Long].head()
+    assert(spread >= 4L, s"subspace 0 uses only $spread of 16 codes")
+  }
 }

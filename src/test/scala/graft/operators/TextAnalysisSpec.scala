@@ -285,4 +285,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0)._1 === 1L)
     assert(got(1)._1 === 2L)
   }
+
+  test("bigramLm: counts with multiplicity, total (n desc, bigram asc) order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
+      (2L, "a b"), // "a b"
+      (3L, "solo"), // 1 token -> no bigrams
+      (4L, "")) // empty -> no bigrams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, "text", 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a b", 3L), (2L, "b a", 1L), (3L, "b c", 1L)))
+  }
+
+  test("docLmCoverage: hit multiplicity, model-count sums, zero rows for short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "x y"), // bigram "x y" below top-2 cut -> counted, no hits
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    // top-2 model over this corpus: "a b" (n=3), "b a" (n=1) — "b c"/"x y"
+    // tie at 1 but sort after "b a"
+    val got = TextAnalysis.docLmCoverage(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 4L, 3L, 7L), // 2x"a b"(3+3) + "b a"(1) hit; "b c" missed
+      (2L, 1L, 1L, 3L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
 }
