@@ -108,8 +108,16 @@ object Dedup {
                         maxBucket: Int = 10000): DataFrame =
     // shingle identity only -> hashed shingles (no string building, long
     // keys); exact-identical sets collapse to one representative before
-    // anything else (df, prefixes, buckets all see distinct sets only)
-    ngramJaccardPairsFromGroups(shingleGroups(docs, idCol, textCol, k),
+    // anything else (df, prefixes, buckets all see distinct sets only).
+    // The collapse is MATERIALIZED (eager local checkpoint) before the
+    // pair pipeline: downstream references it three times (explode, member
+    // expansion, intra pairs) and aliased subplans don't share exchanges,
+    // so an unmaterialized table would re-run the corpus scan + shingle
+    // aggregation per reference. Checkpoint blocks free with the RDD (no
+    // CacheManager entry to leak). Callers managing their own persisted
+    // groups table use ...FromGroups directly.
+    ngramJaccardPairsFromGroups(
+      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
       minJaccard, maxShingleDf, maxBucket)
 
   /** [[ngramJaccardPairs]] over a pre-collapsed (possibly persisted)
@@ -129,12 +137,16 @@ object Dedup {
         exploded.join(hot, Seq("h"), "left_anti")
       } else exploded
     val dfTab = filtered.groupBy("h").agg(count(lit(1)).as("df"))
-    // (df, hash) is the global total order; sort each doc's shingles by it
+    // (df, hash) is the global total order; sort each doc's shingles by it.
+    // Materialized (eager local checkpoint): the prefix explode and BOTH
+    // sides of the verify join read this table — unmaterialized, the
+    // df-join + collect_list aggregation would run three times.
     val sets = filtered.join(dfTab, "h")
       .select(col("doc"), struct(col("df"), col("h")).as("e"))
       .groupBy("doc")
       .agg(sort_array(collect_list(col("e"))).as("es"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
     // posexplode keeps each prefix element's position for PPJoin-style
     // positional pruning: overlap is bounded by the elements at or after
@@ -211,7 +223,10 @@ object Dedup {
                       k: Int, numHashes: Int, bands: Int,
                       minJaccard: Double,
                       maxBucket: Int = 10000): DataFrame =
-    minhashLshPairsFromGroups(shingleGroups(docs, idCol, textCol, k),
+    // collapse materialized once — same multi-reference rationale as
+    // [[ngramJaccardPairs]]
+    minhashLshPairsFromGroups(
+      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
       numHashes, bands, minJaccard, maxBucket)
 
   /** The exact-collapse table (key = sorted distinct shingle-hash set,
