@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, HanCount, Int8Codes, Int8Cosine, MinHashSignature, NfkcNormalize, RepetitionSignals, ShingleHashes}
+import org.apache.spark.sql.graft.{CosineSimilarity, HanCount, Int8Codes, Int8Cosine, MinHashSignature, NfkcNormalize, RepetitionSignals, ShingleHashes, Shingles}
 
 /** The engine's scalar-function surface: every cleansing / normalization
   * expression of the reference system re-expressed as a `Column => Column`
@@ -154,8 +154,17 @@ object GraftFunctions {
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Word k-shingles: overlapping k-grams of the token stream, the unit of
-    * MinHash / Jaccard document similarity. Empty array when < k tokens. */
-  def shingles(c: Column, k: Int): Column = {
+    * MinHash / Jaccard document similarity. Empty array when < k tokens.
+    * Codegen-called primitive loop ([[org.apache.spark.sql.graft.Shingles]]);
+    * equivalence with the declarative HOF form is property-pinned via
+    * [[shinglesHof]]. */
+  def shingles(c: Column, k: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(tokens(c)), k))
+
+  /** The higher-order-function formulation of [[shingles]] — interpreted
+    * and allocation-heavy (a slice array per position), kept as the
+    * readable spec the codegen'd expression is tested against. */
+  def shinglesHof(c: Column, k: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= k,
       transform(

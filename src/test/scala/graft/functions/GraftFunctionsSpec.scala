@@ -112,6 +112,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(both.where($"fast" =!= $"slow").count() === 0L)
   }
 
+  test("codegen'd Shingles expression == interpreted HOF formulation") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    for (k <- Seq(1, 2, 4)) {
+      val both = docs.select(
+        shingles($"text", k).as("fast"), shinglesHof($"text", k).as("slow"))
+      assert(both.where($"fast" =!= $"slow").count() === 0L, s"k=$k")
+    }
+  }
+
   test("codegen'd HanCount == the \\p{IsHan} regex it replaces") {
     import spark.implicits._
     val fixtures = Seq(
