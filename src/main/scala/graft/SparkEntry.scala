@@ -1307,6 +1307,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnPqAdc(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+    }),
+
+    "knn_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfPq(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
     })
   )
 

@@ -477,7 +477,7 @@ object Similarity {
     * across its candidates). Result shape: m × ksub × (dims/m) floats —
     * kilobytes. */
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
-                       maxTrainVectors: Int = 100000, seed: Long = 42L,
+                       maxTrainVectors: Int = 25000, seed: Long = 42L,
                        maxIter: Int = 10): Seq[Seq[Seq[Float]]] = {
     val sample = collectTrainSample(corpus, vecCol, maxTrainVectors,
       s"pq-train-$seed", normalize = true)
@@ -524,11 +524,16 @@ object Similarity {
       }
       centroids(c) = sample(pick).clone()
     }
-    for (_ <- 0 until maxIter) {
+    val prevAssign = Array.fill(n)(-1)
+    var iter = 0
+    var stable = false
+    // early exit once no point changes cell: later Lloyd rounds are
+    // no-ops, and low-dim subspaces typically settle in ~half of maxIter
+    while (iter < maxIter && !stable) {
       val sums = Array.fill(k)(new Array[Double](dims))
       val counts = new Array[Int](k)
       val assignedD = new Array[Double](n)
-      val assignedC = new Array[Int](n)
+      stable = true
       var i = 0
       while (i < n) {
         var best = 0; var bd = d2(sample(i), centroids(0))
@@ -538,18 +543,23 @@ object Similarity {
           if (d < bd) { bd = d; best = c }
           c += 1
         }
-        assignedD(i) = bd; assignedC(i) = best
+        assignedD(i) = bd
+        if (prevAssign(i) != best) { stable = false; prevAssign(i) = best }
         counts(best) += 1
         val sum = sums(best)
         var d = 0
         while (d < dims) { sum(d) += sample(i)(d); d += 1 }
         i += 1
       }
-      for (c <- 0 until k) {
-        if (counts(c) == 0)
-          centroids(c) = sample(assignedD.indices.maxBy(assignedD)).clone()
-        else centroids(c) = sums(c).map(_ / counts(c))
+      if (!stable) {
+        for (c <- 0 until k) {
+          if (counts(c) == 0) {
+            centroids(c) = sample(assignedD.indices.maxBy(assignedD)).clone()
+            stable = false
+          } else centroids(c) = sums(c).map(_ / counts(c))
+        }
       }
+      iter += 1
     }
     centroids
   }
@@ -581,6 +591,25 @@ object Similarity {
     sqrt((1 to dims).map(d =>
       element_at(vec, d) * element_at(vec, d)).reduce(_ + _))
 
+  /** All `m` PQ codes of the (internally unit-normalized) vector as one
+    * array column — a single codegen-called loop
+    * ([[org.apache.spark.sql.graft.PqCodes]]). The per-subspace
+    * struct-greatest formulation ([[pqCode]]) is kept as the readable
+    * reference it is equivalence-tested against; it allocates m·ksub
+    * comparison structs per row and measured as the dominant cost of the
+    * PQ scan. */
+  def pqCodes(vec: Column, books: Seq[Seq[Seq[Float]]]): Column = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    val flat = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub)
+      flat((j * ksub + c) * dsub + d) = books(j)(c)(d)
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.PqCodes(
+        org.apache.spark.sql.GraftBridge.expression(vec), flat, m, ksub, dsub))
+  }
+
   /** PQ + ADC search (the FAISS "PQx4fs"-family index as a dataflow): the corpus is
     * scanned as m-byte PQ codes — m/(4·dims) of the fp32 scan bandwidth,
     * the at-rest form a 100 TB embedding corpus should be stored in —
@@ -601,16 +630,11 @@ object Similarity {
     val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
       maxTrainVectors, seed)
     val dsub = books.head.head.length
-    // zero vectors have no cosine direction (same exclusion as knnIvf);
-    // the norm is materialized once per row so codegen shares it across
-    // the m × ksub score terms instead of re-deriving 64 squares each
+    // zero vectors have no cosine direction (same exclusion as knnIvf)
     val encoded = corpus
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
-      .withColumn("_nrm", vecNorm(col(vecCol), m * dsub))
-      .select(
-        col(idCol).as("neighbor_id") +:
-          (0 until m).map(j =>
-            pqCode(col(vecCol), col("_nrm"), books, j).as(s"_code_$j")): _*)
+      .select(col(idCol).as("neighbor_id"),
+        pqCodes(col(vecCol), books).as("_codes"))
     // Driver-side ADC tables: one (m·ksub)-float LUT per collected query.
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
     val luts = qRows.toSeq.map { r =>
@@ -630,7 +654,63 @@ object Similarity {
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
     val approx = (0 until m).map(j =>
-      element_at(col("lut"), col(s"_code_$j") + lit(j * ksub + 1))).reduce(_ + _)
+      element_at(col("lut"),
+        element_at(col("_codes"), j + 1) + lit(j * ksub + 1))).reduce(_ + _)
+    cutAndRerank(kept.withColumn("approx", approx), corpus,
+      qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
+  }
+
+  /** IVF + PQ/ADC composed (the FAISS "IVF,PQ" index as a dataflow): the
+    * coarse codebook prunes the corpus to `nprobe` of `nlist` cells, the
+    * pruned candidates score on their m-byte PQ codes via the query's ADC
+    * LUT, and the top `candidates` per query re-rank in exact fp32. The
+    * savings multiply exactly as in [[knnIvfSq8]], with PQ's finer
+    * compression (m bytes/vector vs dims bytes) on the scan side. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 16, ksub: Int = 16, candidates: Int = 50,
+               maxTrainVectors: Int = 100000, seed: Long = 42L,
+               excludeSelf: Boolean = true): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
+      maxTrainVectors, seed)
+    val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
+      maxTrainVectors, seed)
+    val dsub = books.head.head.length
+    val assigned = corpus
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).as("neighbor_id"),
+        assignCell(col(vecCol), cents).as("cell"),
+        pqCodes(col(vecCol), books).as("_codes"))
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val luts = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val lut = new Array[Float](m * ksub)
+      for (j <- 0 until m; c <- 0 until ksub) {
+        var s = 0.0; var d = 0
+        while (d < dsub) { s += qv(j * dsub + d) * books(j)(c)(d); d += 1 }
+        lut(j * ksub + c) = s.toFloat
+      }
+      (qid, qv, lut.toSeq)
+    }
+    val qFull = luts.toDF("query_id", "q_vec", "lut")
+    val probes = qFull.crossJoin(broadcast(cent))
+      .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_csim").desc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "lut", "cell")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val approx = (0 until m).map(j =>
+      element_at(col("lut"),
+        element_at(col("_codes"), j + 1) + lit(j * ksub + 1))).reduce(_ + _)
     cutAndRerank(kept.withColumn("approx", approx), corpus,
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }

@@ -222,7 +222,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet) // deterministic
   }
 
-  test("PQ codes: every subspace code is in [0, ksub) and non-trivially spread") {
+  test("IVF,PQ composed: shape invariants and recall floor, deterministic") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val run = () => Similarity
+      .knnIvfPq(emb, q, "vec_id", "embedding", 5)
+    val got = run().select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"IVF,PQ recall@5 = $recall%.3f (nprobe/nlist = 1/4 of cells x" +
+      " 16-byte codes x fp32 re-rank)")
+    // bounded below by what the IVF cell pruning admits (the PQ+re-rank
+    // tier is near-lossless on the admitted candidates — see the pure-PQ
+    // pin at 0.91 and SQ8's at-parity result)
+    assert(recall >= 0.5 && recall <= 1.0)
+    assert(got === run().select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet) // deterministic
+  }
+
+  test("PQ codes: codegen'd loop == struct-greatest reference, bounded, spread") {
     import spark.implicits._
     val books = Similarity.trainPqCodebooks(emb.select($"embedding"),
       "embedding", m = 8, ksub = 16)
@@ -231,9 +251,16 @@ class SimilaritySpec extends SparkSpec {
     val coded = emb
       .withColumn("_nrm", Similarity.vecNorm($"embedding", 64))
       .select(
-        (0 until 8).map(j =>
-          Similarity.pqCode($"embedding", $"_nrm", books, j).as(s"c$j")): _*)
+        Similarity.pqCodes($"embedding", books).as("fast") +:
+          (0 until 8).map(j =>
+            Similarity.pqCode($"embedding", $"_nrm", books, j).as(s"c$j")): _*)
       .cache()
+    // the one-loop expression and the per-subspace struct-greatest
+    // formulation must agree code-for-code
+    val mismatch = coded.where(
+      (0 until 8).map(j => element_at($"fast", j + 1) =!= col(s"c$j"))
+        .reduce(_ || _)).count()
+    assert(mismatch === 0L)
     val bad = coded.where(
       (0 until 8).map(j => col(s"c$j") < 0 || col(s"c$j") >= 16)
         .reduce(_ || _)).count()
