@@ -112,7 +112,13 @@ object TextAnalysis {
                        floorLogp: Double = -12.0): DataFrame = {
     val floorQ = math.round(floorLogp * 1e6)
     // (doc, gram, count) comes pre-aggregated out of the expression: the
-    // join and every shuffle see distinct grams per doc, not occurrences
+    // join and every shuffle see distinct grams per doc, not occurrences.
+    // The total-grams branch re-reads the (column-pruned) corpus rather
+    // than materializing the gram table: measured identical at sf0.1, and
+    // at scale a pruned re-scan beats storing the exploded grams. (A
+    // lambda-based per-row total alongside the explode measured 12x WORSE
+    // than the extra scan — the HOF dropped the whole projection out of
+    // codegen; see RepetitionSignals' scaladoc for the pattern.)
     val grams = docs.select(col(idCol).as("_id"),
       explode(gramCounts(col(textCol), n)).as("e"))
       .select(col("_id"), col("e.g").as("g"), col("e.cnt").as("cnt"))
