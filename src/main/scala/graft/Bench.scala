@@ -72,7 +72,7 @@ object Bench {
       "decontaminate" -> "dedup", "knn_" -> "knn", "emb_" -> "emb",
       "events_" -> "events", "sample_" -> "sample", "pack_" -> "pack",
       "vocab_" -> "vocab", "mm_" -> "mm", "q1_" -> "pricing", "dq_" -> "agg",
-      "cdc_" -> "cdc", "scd2_" -> "cdc", "lm_" -> "text",
+      "cdc_" -> "cdc", "scd2_" -> "cdc", "lm_" -> "text", "graph_" -> "dedup",
       "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops",
       "j" -> "join", "w" -> "window", "a" -> "agg", "o" -> "ord",
       "s" -> "scan", "p_" -> "scan")

@@ -1313,6 +1313,22 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvfPq(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // Integer-quantized PageRank over the symmetrized customer–supplier
+    // purchase graph: 3 power iterations of exact long arithmetic —
+    // order-independent, so the iterative distributed compute is
+    // hash-replayable by an unrolled SQL oracle
+    "graph_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .localCheckpoint() // symmetrizing union reads it twice
+      val sym = e.unionByName(e.select(col("dst").as("src"),
+        col("src").as("dst")))
+      graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3)
     })
   )
 

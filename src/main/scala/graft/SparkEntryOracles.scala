@@ -1497,6 +1497,40 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
 
+    // Unrolled 3-iteration replay of the integer power iteration; `//` is
+    // DuckDB floor division == Scala long division on the all-positive
+    // ranks, so every contribution matches bit-for-bit
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS (
+        |  SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0
+        |), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst, sum((r.rank * 850) // (1000 * d.outdeg)) AS c
+        |  FROM edges e JOIN r0 r ON r.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS rank
+        |  FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (
+        |  SELECT e.dst, sum((r.rank * 850) // (1000 * d.outdeg)) AS c
+        |  FROM edges e JOIN r1 r ON r.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS rank
+        |  FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (
+        |  SELECT e.dst, sum((r.rank * 850) // (1000 * d.outdeg)) AS c
+        |  FROM edges e JOIN r2 r ON r.node = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1)
+        |SELECT n.node, CAST(150000 + coalesce(c.c, 0) AS BIGINT) AS rank
+        |FROM nodes n LEFT JOIN c3 c ON c.dst = n.node""".stripMargin,
+
     // SCD2 build: run starts survive (state IS DISTINCT FROM its lag),
     // then valid_to = next run start's ts — lead computed over the
     // FILTERED frame, like the engine's second window pass

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  /** Local reimplementation of the integer power iteration — the spec the
+    * distributed dataflow must match node-for-node. */
+  private def localPageRank(edges: Seq[(String, String)],
+                            iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .map { case (u, v) => v -> (rank(u) * 850L) / (1000L * outdeg(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = nodes.map(n => n -> (150000L + contrib.getOrElse(n, 0L))).toMap
+    }
+    rank
+  }
+
+  test("pageRankInt matches the local integer power iteration exactly") {
+    import spark.implicits._
+    // a hub (a), a chain (b -> c -> d) and a dangler target (d)
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "d"))
+    val got = Graph
+      .pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got === localPageRank(edges, 3))
+    // the hub outranks the chain tail
+    assert(got("a") > got("d"))
+  }
+
+  test("dangling nodes receive rank but contribute none; result deterministic") {
+    import spark.implicits._
+    val edges = Seq(("a", "sink"), ("b", "sink"))
+    val run = () => Graph
+      .pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    val got = run()
+    assert(got === localPageRank(edges, 2))
+    assert(got("sink") > got("a")) // sink accumulates, emits nothing
+    assert(got("a") === 150000L) // no in-edges: teleport constant only
+    assert(got === run())
+  }
+}
