@@ -1293,6 +1293,40 @@ object SparkEntry {
           col("m.o_orderkey").as("last_orderkey"),
           col("m.price_cents").as("last_price_cents"))),
 
+    // Rolling z-score anomaly flag over each user's purchase history —
+    // the outlier gate of an event pipeline. The flag is decided by exact
+    // INTEGER cross-multiplication ((v·n − Σ)² > 9·(n·Σx² − Σ²) ⟺ z > 3),
+    // so no float std-dev ever enters the compared output
+    "events_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-20, -1)
+      t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts"), cents(col("value")).as("v"))
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("sum_prev", coalesce(sum(col("v")).over(w), lit(0L)))
+        .withColumn("sumsq_prev",
+          coalesce(sum(col("v") * col("v")).over(w), lit(0L)))
+        .where(col("n_prev") >= 5)
+        .withColumn("dev", col("v") * col("n_prev") - col("sum_prev"))
+        .withColumn("varn",
+          col("n_prev") * col("sumsq_prev") - col("sum_prev") * col("sum_prev"))
+        .select(col("event_id"), col("user_id"), col("v").as("value_cents"),
+          col("n_prev"), col("sum_prev"), col("sumsq_prev"),
+          (col("dev") * col("dev") > lit(9L) * col("varn"))
+            .cast("long").as("is_anomaly"))
+    }),
+
+    // BPE merge training: distributed word-frequency aggregation, then the
+    // merge loop on the bounded dictionary driver-side (the same shape
+    // real BPE trainers use; rows-only — iterative merges aren't
+    // SQL-expressible — pinned by a hand-computed corpus in spec)
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
+
     // ---------- corpus bigram LM (KenLM-style counts + coverage) ----------
     "lm_bigram_counts" -> ((s, dir) =>
       TextAnalysis.bigramLm(t(s, dir, "documents"), "text", 200)),

@@ -1497,6 +1497,28 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
 
+    // Rolling-window sums replayed with the same frame; the anomaly flag
+    // is the same integer cross-multiplication on both sides
+    "events_anomaly" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT event_id, user_id, v,
+        |    count(*) OVER w AS n_prev,
+        |    coalesce(CAST(sum(v) OVER w AS BIGINT), 0) AS sum_prev,
+        |    coalesce(CAST(sum(v * v) OVER w AS BIGINT), 0) AS sumsq_prev
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, v AS value_cents,
+        |  CAST(n_prev AS BIGINT) AS n_prev, sum_prev, sumsq_prev,
+        |  CAST((v * n_prev - sum_prev) * (v * n_prev - sum_prev)
+        |       > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+        |    AS BIGINT) AS is_anomaly
+        |FROM r WHERE n_prev >= 5""".stripMargin,
+
     // Unrolled 3-iteration replay of the integer power iteration; `//` is
     // DuckDB floor division == Scala long division on the all-positive
     // ranks, so every contribution matches bit-for-bit

@@ -538,20 +538,73 @@ object TextAnalysis {
         col("score_e6"))
   }
 
-  /** Whitespace-token bigram array of `textCol` — the shared construction
-    * for the corpus LM below (and the declarative twin of the bigram shape
-    * inside [[repetitionStats]]' oracle). Docs with fewer than two tokens
-    * yield an empty array. The HOF runs scan-side ahead of an explode whose
-    * downstream aggregation dominates, so interpretation cost is noise
-    * here (unlike the per-row hot paths that moved to codegen'd
-    * expressions — see RepetitionSignals' scaladoc). */
-  private def bigrams(textCol: Column): Column = {
-    val t = tokens(textCol)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+  /** BPE merge training over the corpus: the distributed part is ONE
+    * word-frequency aggregation (the corpus never ships again — exactly
+    * how real BPE trainers work: merges are computed on the word-count
+    * dictionary, which is kilobytes against terabytes of text); the merge
+    * loop then runs driver-side on that bounded table, capped at
+    * `maxWords` by frequency. Each round merges the most frequent
+    * adjacent symbol pair (count desc, then (left, right) asc — total
+    * order, deterministic) across all words, weighted by word frequency.
+    *
+    * Output: one row per learned merge, (merge_rank, left, right, pair_count),
+    * the merge table a BPE tokenizer ships. Driver memory is O(maxWords ·
+    * avg word length) — bounded, corpus-size-independent. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                maxWords: Int = 50000): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wordCounts = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    // words as symbol sequences (initially single characters)
+    val words: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= numMerges && continue) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank.toLong, l, r, cnt))
+        val lr = l + r
+        var wi = 0
+        while (wi < words.length) {
+          val (syms, n) = words(wi)
+          if (syms.length > 1) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            words(wi) = (out.toArray, n)
+          }
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_count")
   }
+
+  /** Whitespace-token bigram array of `textCol` — the shared construction
+    * for the corpus LM below: word 2-shingles, i.e. the codegen'd
+    * [[graft.functions.GraftFunctions.shingles]] loop at k = 2 (ordered,
+    * duplicates kept, empty under two tokens — and byte-identical to the
+    * transform/concat HOF it replaced, which measured 11s on the coverage
+    * query against ~2s for the primitive loop; the Shingles==HOF property
+    * pin covers k = 2 explicitly). */
+  private def bigrams(textCol: Column): Column = shingles(textCol, 2)
 
   /** Corpus bigram language model: the `topN` bigrams by corpus count
     * (count desc, bigram asc — total order). Shape: tokenize scan →

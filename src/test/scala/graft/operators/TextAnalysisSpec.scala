@@ -286,6 +286,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._1 === 2L)
   }
 
+  test("bpeMerges learns the classic merges on a hand-computed corpus") {
+    import spark.implicits._
+    // "low" x4 + "lower" x2 + "newest" x6 weighted by repetition in docs
+    val docs = Seq(
+      (1L, "low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", numMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // pair counts round 1: (l,o)=6, (o,w)=6, (n,e)=6, (e,w)=6, (w,e)=8,
+    // (e,s)=6, (s,t)=6, (w,o) from "lower"? no — "lower" = l o w e r:
+    // (l,o)=2,(o,w)=2,(w,e)=2,(e,r)=2. "low": (l,o)=4,(o,w)=4.
+    // "newest": (n,e)=6,(e,w)=6,(w,e)=6,(e,s)=6,(s,t)=6.
+    // totals: (w,e)=8 wins round 1 -> "we"
+    assert(got.head === ((1L, "w", "e", 8L)))
+    assert(got.length === 3)
+    // ranks are dense from 1 and counts never increase
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+  }
+
+  test("bpeMerges is deterministic and bounded by available pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab" has ONE pair; after merging (a,b) nothing remains to merge
+    val got = TextAnalysis.bpeMerges(docs, "text", numMerges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a", "b", 2L)))
+  }
+
   test("bigramLm: counts with multiplicity, total (n desc, bigram asc) order") {
     import spark.implicits._
     val docs = Seq(
