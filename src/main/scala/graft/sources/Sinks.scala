@@ -106,6 +106,24 @@ object Sinks {
     backup
   }
 
+  /** Bucketed at-rest table: hash-bucketed (and bucket-sorted) by the
+    * join/aggregation key, registered in the catalog with its files at
+    * `path`. Two tables bucketed the same way join WITHOUT any exchange —
+    * the scan's reported partitioning already satisfies the join's
+    * requirement — which at 100 TB converts every recurring fact⋈fact
+    * join on the bucket key from a full dual shuffle into a local merge
+    * (pinned by `ScaleLayoutSpec`: SortMergeJoin, zero shuffle exchanges).
+    * The same layout serves bucket-pruned point lookups and map-side
+    * partial aggregation on the key. */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         numBuckets: Int, path: String): Unit =
+    df.write.format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** S10 — drop-directory drain: Structured Streaming file source with
     * `cleanSource=archive` and `Trigger.AvailableNow` (process the
     * backlog, then stop — exactly the reference's "run the script, drain

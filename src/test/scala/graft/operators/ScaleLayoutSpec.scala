@@ -68,4 +68,37 @@ class ScaleLayoutSpec extends SparkSpec {
       .agg(max("n_shards")).first().getLong(0)
     assert(spread > 1L)
   }
+
+  test("bucketed tables: co-located join plans ZERO shuffle exchanges, results exact") {
+    import graft.sources.Sinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = graft.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Sinks.writeBucketedTable(orders, "b_orders", "o_orderkey", 8,
+      s"$tmp/orders")
+    Sinks.writeBucketedTable(lineitem, "b_lineitem", "o_orderkey", 8,
+      s"$tmp/lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the pin proves BUCKETING (not a
+      // broadcast) removed the exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and the result is the plain join's result exactly
+      val expect = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() === expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
