@@ -1293,6 +1293,21 @@ object SparkEntry {
           col("m.o_orderkey").as("last_orderkey"),
           col("m.price_cents").as("last_price_cents"))),
 
+    // Sketch-based grouped quantiles — the 100 TB swap-in for the exact
+    // interpolated percentiles (one pass, bounded state per group; the
+    // exact twin is text_length_quartiles). Rows-only: sketch internals
+    // differ across engines; the error bound is spec-pinned instead
+    "a_approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        approx_percentile(col("n_chars"), array(lit(0.25), lit(0.5),
+          lit(0.75), lit(0.9)), lit(1000)).as("q_chars"))
+        .select(col("lang"), col("n_docs"),
+          element_at(col("q_chars"), 1).as("p25"),
+          element_at(col("q_chars"), 2).as("p50"),
+          element_at(col("q_chars"), 3).as("p75"),
+          element_at(col("q_chars"), 4).as("p90"))),
+
     // Rolling z-score anomaly flag over each user's purchase history —
     // the outlier gate of an event pipeline. The flag is decided by exact
     // INTEGER cross-multiplication ((v·n − Σ)² > 9·(n·Σx² − Σ²) ⟺ z > 3),

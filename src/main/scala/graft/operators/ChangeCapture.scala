@@ -63,9 +63,19 @@ object ChangeCapture {
     * (so `old_`/`new_` pairs exist). Groups whose post-merge count is 0
     * drop out, matching the recomputed aggregate. */
   def incrementalAgg(prevSnapshot: DataFrame, diff: DataFrame,
-                     groupCol: String, valueCol: String): DataFrame = {
-    val prevAgg = prevSnapshot.groupBy(col(groupCol).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+                     groupCol: String, valueCol: String): DataFrame =
+    incrementalAggFromAgg(
+      prevSnapshot.groupBy(col(groupCol).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s")),
+      diff, groupCol, valueCol)
+
+  /** The delta-merge core of [[incrementalAgg]], taking the PREVIOUS
+    * AGGREGATE (columns `g`, `n`, `s`) directly — the form a continuously
+    * maintained aggregate snapshot uses, where the previous aggregate is
+    * the stored artifact and the base rows are long gone
+    * ([[graft.sources.Sinks.maintainAggSnapshot]]). */
+  def incrementalAggFromAgg(prevAgg: DataFrame, diff: DataFrame,
+                            groupCol: String, valueCol: String): DataFrame = {
     val oldSide = diff
       .where(col("change_type").isin("D", "U"))
       .select(col(s"old_$groupCol").as("g"),
