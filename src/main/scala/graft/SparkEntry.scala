@@ -845,25 +845,34 @@ object SparkEntry {
           .select(col("doc_id"), substring(col("text"), 1, 40).as("text")),
         "doc_id", "text")),
 
+    // All three shingle-based passes below run off ONE cached collapse
+    // table per dataset (Dedup.shingleGroupsFor) — the documented
+    // corpus-scale two-step made the default
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 2, minJaccard = 0.8)),
+      Dedup.ngramJaccardPairsFromGroups(
+        Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
+          k = 2, key = dir),
+        minJaccard = 0.8)),
 
     // transitive closure of the near-dup pair list: hash-min label
     // propagation (distributed rounds = component diameter); cluster id =
     // min doc id in the component — oracled via a recursive-CTE
     // reachability replay over the same pair SQL
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", k = 2, minJaccard = 0.8)
+      val pairs = Dedup.ngramJaccardPairsFromGroups(
+        Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
+          k = 2, key = dir),
+        minJaccard = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("doc").cast("long").as("doc_id"),
           col("cluster").cast("long").as("cluster_id"))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 2, numHashes = 32, bands = 8, minJaccard = 0.8)),
+      Dedup.minhashLshPairsFromGroups(
+        Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
+          k = 2, key = dir),
+        numHashes = 32, bands = 8, minJaccard = 0.8)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",

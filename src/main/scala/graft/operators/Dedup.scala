@@ -229,6 +229,23 @@ object Dedup {
       shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
       numHashes, bands, minJaccard, maxBucket)
 
+  /** Per-JVM cache of materialized [[shingleGroups]] tables, keyed by a
+    * caller-chosen dataset key — the "collapse once, run every dedup
+    * family from the same table" usage the two-step API documents, made
+    * the default for repeated queries over the same corpus (same shape as
+    * [[Similarity.ivfLayoutFor]]: the collapse is an index-like artifact,
+    * deterministic for a given corpus, so a cache hit is equivalent to a
+    * recompute). */
+  private val groupsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  /** The [[shingleGroups]] collapse for `docs` under dataset key `key`,
+    * computed and eagerly checkpointed at most once per (key, k) per JVM. */
+  def shingleGroupsFor(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, key: String): DataFrame =
+    groupsCache.computeIfAbsent((key, k),
+      _ => shingleGroups(docs, idCol, textCol, k).localCheckpoint())
+
   /** The exact-collapse table (key = sorted distinct shingle-hash set,
     * ids = members, rep = min id, n_same = |ids|): the materialization
     * point for corpus-scale dedup — persist this once (one scan + one
