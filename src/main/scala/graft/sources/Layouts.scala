@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional at-rest clustering (Z-order): lay a table out so that
+  * range predicates on EITHER of two columns prune files via parquet
+  * min/max statistics — the lakehouse answer to "sorted by A helps A-scans
+  * and destroys B-scans". A single-column sort gives the secondary column
+  * full-range spans in every file; interleaving the two columns' bits
+  * (Morton order) bounds BOTH columns' per-file spans, so either
+  * predicate skips most files. (Same layout Delta/Iceberg OPTIMIZE
+  * ZORDER BY produces; here it is plain Spark: scale-to-grid, interleave,
+  * range-repartition + sort on the Z value, write parquet.)
+  */
+object Layouts {
+
+  /** Bit-interleaved (Morton/Z) value of two integer grid coordinates in
+    * [0, 2^bits): plain codegen'd shift/mask arithmetic, no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Min/max-rescale `c` onto the integer grid [0, 2^bits). `lo`/`hi` come
+    * from one bounded stats pass (or a known domain). Degenerate domains
+    * (lo == hi) map to 0. */
+  def gridCoord(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    val cells = (1L << bits) - 1
+    if (hi <= lo) lit(0)
+    else least(lit(cells),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * cells)).cast("int")
+  }
+
+  /** Write `df` Z-ordered by (`colA`, `colB`): one tiny stats pass for the
+    * two domains, then range-repartition + sort on the interleaved value
+    * and write `numFiles` parquet files. Every file then covers a bounded
+    * rectangle of the (A, B) space — per-file min/max stats prune on
+    * either column (clustering bound pinned in `ScaleLayoutSpec`). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 16, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
+    val (aLo, aHi) = (stats.getDouble(0), stats.getDouble(1))
+    val (bLo, bHi) = (stats.getDouble(2), stats.getDouble(3))
+    df.withColumn("_z", zValue(
+        gridCoord(col(colA), aLo, aHi, bits),
+        gridCoord(col(colB), bLo, bHi, bits)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

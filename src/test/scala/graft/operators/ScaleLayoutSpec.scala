@@ -69,6 +69,40 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spread > 1L)
   }
 
+  test("z-ordered layout bounds BOTH columns' per-file spans; single sort does not") {
+    import spark.implicits._
+    import graft.sources.Layouts
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("int").as("day"))
+    // per-file normalized span of a column under a layout
+    def spans(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val g = df.agg((max(col(c)) - min(col(c))).cast("double")).first().getDouble(0)
+      val per = df.groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .agg(avg("span")).first().getDouble(0)
+      per / g
+    }
+    Layouts.writeZOrdered(orders, s"$tmp/z", "o_custkey", "day", numFiles = 16)
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/single")
+    val (zCust, zDay) = (spans(s"$tmp/z", "o_custkey"), spans(s"$tmp/z", "day"))
+    val (sCust, sDay) =
+      (spans(s"$tmp/single", "o_custkey"), spans(s"$tmp/single", "day"))
+    info(f"z-order spans: custkey $zCust%.2f day $zDay%.2f | " +
+      f"single-sort: custkey $sCust%.2f day $sDay%.2f")
+    // single sort: primary tightly clustered, secondary spans ~everything
+    assert(sCust <= 0.2 && sDay >= 0.8)
+    // z-order: BOTH columns' per-file spans bounded well below full range
+    assert(zCust <= 0.6 && zDay <= 0.6,
+      s"z-order must bound both dimensions: custkey $zCust day $zDay")
+    // and the layout loses no rows
+    assert(spark.read.parquet(s"$tmp/z").count() === orders.count())
+  }
+
   test("bucketed tables: co-located join plans ZERO shuffle exchanges, results exact") {
     import graft.sources.Sinks
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
