@@ -1302,6 +1302,24 @@ object SparkEntry {
           col("m.o_orderkey").as("last_orderkey"),
           col("m.price_cents").as("last_price_cents"))),
 
+    // Read path over the Z-ordered at-rest layout (built once per dataset,
+    // cached like the IVF layout): a two-column range scan that parquet
+    // min/max stats prune on EITHER column; pruning never changes results,
+    // so the oracle is the plain filter over the raw table
+    "s_zorder_scan" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("int").as("day"),
+          cents(col("o_totalprice")).as("pc"))
+      val path = graft.sources.Layouts.zLayoutFor(
+        orders, "o_custkey", "day", key = dir)
+      s.read.parquet(path)
+        .where(col("o_custkey").between(100, 500) &&
+          col("day").between(1000, 1400))
+        .agg(count(lit(1)).as("n_orders"),
+          coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
+    }),
+
     // Sketch-based grouped quantiles — the 100 TB swap-in for the exact
     // interpolated percentiles (one pass, bounded state per group; the
     // exact twin is text_length_quartiles). Rows-only: sketch internals

@@ -1497,6 +1497,16 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
 
+    // The layout only reorders rows; the oracle filters the raw table
+    "s_zorder_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT), 0) AS sum_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      BETWEEN 1000 AND 1400""".stripMargin,
+
     // Rolling-window sums replayed with the same frame; the anomaly flag
     // is the same integer cross-multiplication on both sides
     "events_anomaly" ->

@@ -38,6 +38,23 @@ object Layouts {
     * and write `numFiles` parquet files. Every file then covers a bounded
     * rectangle of the (A, B) space — per-file min/max stats prune on
     * either column (clustering bound pinned in `ScaleLayoutSpec`). */
+  /** Per-JVM registry of built Z-order layouts (same "lay out once, query
+    * many" pattern as the IVF at-rest cache): builds the layout for `key`
+    * at most once, returns its path. */
+  private val zLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def zLayoutFor(df: DataFrame, colA: String, colB: String, key: String,
+                 baseDir: String =
+                   sys.props("java.io.tmpdir") + "/graft-zorder"): String =
+    zLayouts.computeIfAbsent(key, { _ =>
+      val safe = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val path = s"$baseDir/$safe"
+      writeZOrdered(df, path, colA, colB)
+      path
+    })
+
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 16, bits: Int = 16): Unit = {
     val stats = df.agg(
