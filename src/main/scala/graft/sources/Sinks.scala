@@ -169,6 +169,33 @@ object Sinks {
     }
   }
 
+  /** Small-file compaction for an at-rest parquet snapshot: rewrite the
+    * directory into ceil(totalBytes / targetBytes) files via the
+    * crash-safe [[snapshotOverwrite]] protocol (which stages BEFORE
+    * touching the target precisely so a job may read its own target — a
+    * compaction is exactly that job). A no-op when the directory is
+    * already at or below the target file count. Streaming appends and
+    * micro-batch sinks accumulate small files; at 100 TB unchecked small
+    * files dominate open/seek cost, so compaction is a first-class
+    * maintenance operator, not an afterthought. Returns the file count
+    * written (or the current count when skipped). */
+  def compactSnapshot(spark: SparkSession, target: String, backupRoot: String,
+                      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = fsOf(spark)
+    recover(spark, target)
+    val files = fs.listStatus(new Path(target))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return 0
+    val total = files.map(_.getLen).sum
+    val want = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (files.length <= want) files.length
+    else {
+      snapshotOverwrite(spark,
+        spark.read.parquet(target).repartition(want), target, backupRoot)
+      want
+    }
+  }
+
   /** Bucketed at-rest table: hash-bucketed (and bucket-sorted) by the
     * join/aggregation key, registered in the catalog with its files at
     * `path`. Two tables bucketed the same way join WITHOUT any exchange —

@@ -64,6 +64,27 @@ class SinksSpec extends SparkSpec {
     assert(got === Array(("x", 1L, 9L), ("y", 1L, 4L)))
   }
 
+  test("compaction shrinks a many-file snapshot, loses no rows, keeps a backup") {
+    import spark.implicits._
+    val base = tmp()
+    val target = base + "/t"
+    (1 to 1000).toDF("v").repartition(50).write.parquet(target)
+    val before = new java.io.File(target).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 50)
+    // huge target size -> everything fits one file
+    val written = Sinks.compactSnapshot(spark, target, base + "/backups")
+    assert(written === 1)
+    val after = new java.io.File(target).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 1)
+    assert(spark.read.parquet(target).as[Int].collect().sorted
+      === (1 to 1000).toArray)
+    assert(new java.io.File(base + "/backups").listFiles().nonEmpty)
+    // idempotent: already compact -> no rewrite
+    assert(Sinks.compactSnapshot(spark, target, base + "/backups") === 1)
+  }
+
   test("append sink accumulates batches") {
     import spark.implicits._
     val dir = tmp() + "/t"
