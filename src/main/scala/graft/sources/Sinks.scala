@@ -169,6 +169,41 @@ object Sinks {
     }
   }
 
+  /** Time-travel read over the [[snapshotOverwrite]] backup chain: the
+    * snapshot as it existed AT `asOfMillis` — the newest
+    * `backup_yyyyMMdd_HHmmss` whose overwrite happened strictly AFTER the
+    * asked instant holds that instant's data (each backup is the state
+    * REPLACED at its timestamp); if every backup predates the instant (or
+    * none exist), the live target is current as of it. None when the
+    * table didn't exist yet at `asOfMillis` (asked instant earlier than
+    * the oldest backup's creation... indistinguishable from pre-history —
+    * callers get the oldest backup in that case, documented). Mirrors the
+    * reference's timestamped backup tables (ref `import_xml_history.py`'s
+    * `table_b_history_backup_*`), upgraded from "manual restore source"
+    * to a queryable read path. */
+  def readSnapshotAsOf(spark: SparkSession, target: String,
+                       backupRoot: String, asOfMillis: Long): DataFrame = {
+    val fs = fsOf(spark)
+    recover(spark, target)
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    val backups = (
+      if (fs.exists(new Path(backupRoot)))
+        fs.listStatus(new Path(backupRoot)).map(_.getPath)
+          .filter(_.getName.startsWith("backup_")).toSeq
+      else Seq.empty)
+      .flatMap { p =>
+        scala.util.Try(
+          fmt.parse(p.getName.stripPrefix("backup_")).getTime).toOption
+          .map(_ -> p)
+      }
+      .sortBy(_._1)
+    // the earliest backup taken after the instant = the state at the instant
+    backups.find { case (ts, _) => ts > asOfMillis } match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => spark.read.parquet(target)
+    }
+  }
+
   /** Small-file compaction for an at-rest parquet snapshot: rewrite the
     * directory into ceil(totalBytes / targetBytes) files via the
     * crash-safe [[snapshotOverwrite]] protocol (which stages BEFORE

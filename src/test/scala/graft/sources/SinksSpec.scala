@@ -64,6 +64,27 @@ class SinksSpec extends SparkSpec {
     assert(got === Array(("x", 1L, 9L), ("y", 1L, 4L)))
   }
 
+  test("time travel: as-of reads walk the backup chain to the right version") {
+    import spark.implicits._
+    val base = tmp()
+    val target = base + "/t"
+    val backups = base + "/backups"
+    // three versions written at controlled clock instants
+    var now = 1000000000000L
+    val clock = () => now
+    Sinks.snapshotOverwrite(spark, Seq(1).toDF("v"), target, backups, clock)
+    now += 60000 // v2 at +60s (backs up v1 stamped with this instant)
+    Sinks.snapshotOverwrite(spark, Seq(1, 2).toDF("v"), target, backups, clock)
+    now += 60000 // v3 at +120s
+    Sinks.snapshotOverwrite(spark, Seq(1, 2, 3).toDF("v"), target, backups, clock)
+    def asOf(t: Long) = Sinks.readSnapshotAsOf(spark, target, backups, t)
+      .as[Int].collect().sorted.toSeq
+    // between v1 and v2 -> v1; between v2 and v3 -> v2; after v3 -> live
+    assert(asOf(1000000000000L + 30000) === Seq(1))
+    assert(asOf(1000000000000L + 90000) === Seq(1, 2))
+    assert(asOf(1000000000000L + 999000) === Seq(1, 2, 3))
+  }
+
   test("compaction shrinks a many-file snapshot, loses no rows, keeps a backup") {
     import spark.implicits._
     val base = tmp()
