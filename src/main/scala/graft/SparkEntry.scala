@@ -1320,6 +1320,39 @@ object SparkEntry {
           coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
     }),
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    // per-(flag,status), per-flag, and per-status subtotals in ONE pass,
+    // disambiguated by grouping_id — Spark plans a single Expand
+    "a_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  count(*) AS n_items,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_cents
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
+    // Value window functions (first/nth/cume_dist) per customer order
+    // history; cume_dist emitted in exact micro-units (single IEEE
+    // division then round — engine-portable)
+    "w_value_functions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("day").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day"))
+        .withColumn("first_orderkey", first(col("o_orderkey")).over(wf))
+        .withColumn("second_orderkey", nth_value(col("o_orderkey"), 2).over(wf))
+        .withColumn("cume_e6",
+          round(cume_dist().over(w) * 1000000).cast("long"))
+    }),
+
     // Sketch-based grouped quantiles — the 100 TB swap-in for the exact
     // interpolated percentiles (one pass, bounded state per group; the
     // exact twin is text_length_quartiles). Rows-only: sketch internals

@@ -1497,6 +1497,32 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
 
+    "a_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
+
+    "w_value_functions" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS BIGINT) AS day,
+        |  first_value(o_orderkey) OVER wf AS first_orderkey,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_orderkey,
+        |  CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_e6
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey
+        |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
     // The layout only reorders rows; the oracle filters the raw table
     "s_zorder_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,
