@@ -1320,6 +1320,31 @@ object SparkEntry {
           coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
     }),
 
+    // Pivot: one row per return flag, one integer revenue column per line
+    // status (values enumerated -> single-pass pivot aggregation, no
+    // second scan to discover the domain)
+    "a_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("pc"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(coalesce(sum(col("pc")), lit(0L)))
+        .withColumnsRenamed(Map("F" -> "cents_f", "O" -> "cents_o"))),
+
+    // Unpivot (melt): the wide pivot back to (flag, status, cents) rows —
+    // the schema-normalization inverse, row-local (zero shuffles beyond
+    // the pivot input's)
+    "a_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("pc"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(coalesce(sum(col("pc")), lit(0L)))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "l_linestatus", "cents")),
+
     // Arbitrary GROUPING SETS (the general form rollup/cube specialize):
     // per-(flag,status), per-flag, and per-status subtotals in ONE pass,
     // disambiguated by grouping_id — Spark plans a single Expand

@@ -1497,6 +1497,30 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |WHERE rn = 1""".stripMargin,
 
+    "a_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |    AS BIGINT), 0) AS cents_f,
+        |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |    AS BIGINT), 0) AS cents_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "a_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |      AS BIGINT), 0) AS cents_f,
+        |    coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |      AS BIGINT), 0) AS cents_o
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'F' AS l_linestatus, cents_f AS cents FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'O' AS l_linestatus, cents_o AS cents FROM wide""".stripMargin,
+
     "a_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
