@@ -162,11 +162,29 @@ object Sinks {
       else -1L
     if (batchId > lastApplied) {
       val merged = graft.operators.ChangeCapture
-        .incrementalAggFromAgg(prev.select("g", "n", "s"), batch,
+        .incrementalAggFromAgg(
+          prev.select("g", "n", "s").where(col("n") > 0), batch,
           groupCol, valueCol)
         .withColumn("_batch", lit(batchId))
-      snapshotOverwrite(spark, merged, target, backupRoot)
+      // marker SENTINEL row (n = 0, null group): keeps the applied-batch
+      // watermark even when every group empties — without it, a replay
+      // after an all-groups-deleted batch sees an empty snapshot, loses
+      // the marker, and re-applies inserts. Readers go through
+      // [[readAggSnapshot]], which drops it.
+      val sentinel = merged.sparkSession.createDataFrame(
+        merged.sparkSession.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(null, 0L, 0L, batchId))),
+        merged.schema)
+      snapshotOverwrite(spark, merged.unionByName(sentinel), target,
+        backupRoot)
     }
+  }
+
+  /** Read a [[maintainAggSnapshot]] aggregate: the (g, n, s) rows with the
+    * marker sentinel removed. */
+  def readAggSnapshot(spark: SparkSession, target: String): DataFrame = {
+    recover(spark, target)
+    spark.read.parquet(target).where(col("n") > 0).select("g", "n", "s")
   }
 
   /** Time-travel read over the [[snapshotOverwrite]] backup chain: the

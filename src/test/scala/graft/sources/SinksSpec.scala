@@ -26,8 +26,8 @@ class SinksSpec extends SparkSpec {
         ("I", None, Some("A"), None, Some(20L)),
         ("I", None, Some("B"), None, Some(5L)))),
       0L, target, backups, "g", "v")
-    def state() = spark.read.parquet(target)
-      .select("g", "n", "s").as[(String, Long, Long)].collect().sortBy(_._1)
+    def state() = Sinks.readAggSnapshot(spark, target)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(state() === Array(("A", 2L, 30L), ("B", 1L, 5L)))
     // batch 1: update in A, delete B's only row, insert C
     val b1 = diff(Seq(
@@ -41,6 +41,17 @@ class SinksSpec extends SparkSpec {
     assert(state() === Array(("A", 2L, 35L), ("C", 1L, 7L)))
     // versioned backups exist from the overwrites
     assert(new java.io.File(backups).listFiles().nonEmpty)
+    // batch 2 empties EVERY group; the marker must survive so a replay
+    // of the same batch cannot re-apply its deletes-then-inserts
+    val b2 = diff(Seq(
+      ("D", Some("A"), None, Some(15L), None),
+      ("D", Some("A"), None, Some(20L), None),
+      ("D", Some("C"), None, Some(7L), None)))
+    Sinks.applyAggBatch(b2, 2L, target, backups, "g", "v")
+    assert(state().isEmpty)
+    // replay of an OLDER batch against the emptied snapshot: still a no-op
+    Sinks.applyAggBatch(b1, 1L, target, backups, "g", "v")
+    assert(state().isEmpty)
   }
 
   test("maintained aggregate snapshot: streaming end-to-end equals the delta fold") {
@@ -58,8 +69,8 @@ class SinksSpec extends SparkSpec {
       stream.toDF().toDF("change_type", "old_g", "new_g", "old_v", "new_v"),
       base + "/agg", base + "/backups", base + "/ckpt", "g", "v")
     q.awaitTermination()
-    val got = spark.read.parquet(base + "/agg")
-      .select("g", "n", "s").as[(String, Long, Long)].collect().sortBy(_._1)
+    val got = Sinks.readAggSnapshot(spark, base + "/agg")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
     // all three changes land in one micro-batch: x inserted then updated
     assert(got === Array(("x", 1L, 9L), ("y", 1L, 4L)))
   }
