@@ -43,7 +43,7 @@ object Graph {
       .unionByName(edgesDeg.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -54,7 +54,13 @@ object Graph {
           "left_outer")
         .select(col("node"),
           (lit(150000L) + coalesce(col("c"), lit(0L))).as("rank"))
-        .localCheckpoint() // truncate lineage: plan depth stays O(1) per round
+      // Each round references the previous ranks exactly ONCE, so rounds
+      // may nest lazily without duplicated work; checkpoint every 4th
+      // round (deep-plan guard for large iters) and at the end. Locally a
+      // wash at 3 iterations (the edge build dominates); at scale fewer
+      // eager materializations of a corpus-sized rank table is the safe
+      // default.
+      if (i % 4 == 3 || i == iters - 1) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -57,6 +57,8 @@ object Layouts {
 
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 16, bits: Int = 16): Unit = {
+    require(!df.columns.contains("_z"),
+      "input already has a _z column; rename it before z-ordering")
     val stats = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).first()
