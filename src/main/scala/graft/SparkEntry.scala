@@ -1128,6 +1128,17 @@ object SparkEntry {
         "doc_id", "text", 4)
     }),
 
+    // Per-document contamination verdict: overlap fraction vs a 10%
+    // threshold, decided by integer cross-multiplication (drop-list =
+    // contaminated = 1)
+    "decontaminate_verdict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationVerdict(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", 4, thresholdPct = 10)
+    }),
+
     // Same pass over 64-bit shingle hashes — the at-scale form (rows-only:
     // xxhash64 keys; agreement with `decontaminate` pinned by spec)
     "decontaminate_hashed" -> ((s, dir) => {

@@ -1224,6 +1224,31 @@ private[graft] object SparkEntryOracles {
         |WHERE g.doc_id % 50 <> 7
         |GROUP BY 1""".stripMargin,
 
+    "decontaminate_verdict" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+        |    THEN list_transform(generate_series(0, len(t) - 4),
+        |           i -> list_aggregate(t[i+1:i+4], 'string_agg', ' '))
+        |    ELSE [] END) AS gram
+        |  FROM base
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+        |hits AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % 50 <> 7 GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(greatest(len(b.t) - 3, 0) AS BIGINT) AS n_grams,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  CAST(coalesce(h.n_hits, 0) * 100 >
+        |    CAST(greatest(len(b.t) - 3, 0) AS BIGINT) * 10 AS BIGINT)
+        |    AS contaminated
+        |FROM base b LEFT JOIN hits h USING (doc_id)
+        |WHERE b.doc_id % 50 <> 7""".stripMargin,
+
     // curation funnel: SQL twins of the four decision columns (quality,
     // repetition, pii, langid — same formulas as their report oracles),
     // first-fail attribution, then a 4-row literal funnel expansion

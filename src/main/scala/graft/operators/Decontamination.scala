@@ -38,6 +38,28 @@ object Decontamination {
         countDistinct(col("gram")).as("n_distinct_hits"))
   }
 
+  /** Actionable contamination VERDICT per corpus document: the hit counts
+    * of [[contamination]] joined back to every document's total gram
+    * count, with `contaminated = 1` when more than `thresholdPct`% of the
+    * document's gram occurrences appear in the benchmark — decided by
+    * integer cross-multiplication (`n_hits · 100 > n_grams · pct`), so no
+    * float ratio enters the compared output. Documents with no hits (or
+    * fewer than `n` tokens) report zeros — the drop-list is the
+    * `contaminated = 1` slice, the audit trail is the whole relation. */
+  def contaminationVerdict(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, n: Int,
+                           thresholdPct: Int): DataFrame = {
+    val hits = contamination(corpus, benchmark, idCol, textCol, n)
+    corpus
+      .select(col(idCol),
+        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(hits.select(col(idCol), col("n_hits")), Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * 100 >
+          col("n_grams") * thresholdPct).cast("long").as("contaminated"))
+  }
+
   /** Same contract at the 64-bit-hash level: grams travel as xxhash64
     * shingle hashes (codegen'd [[org.apache.spark.sql.graft.ShingleHashes]],
     * per-doc distinct), so the broadcast table and the probe keys are
