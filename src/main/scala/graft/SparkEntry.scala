@@ -1438,6 +1438,24 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
 
+    // Cross-document duplicated-chunk statistics: fingerprint fixed
+    // non-overlapping chunks corpus-wide, then per document count chunks
+    // that appear elsewhere too — the chunk-granularity boilerplate signal
+    // (docs assembled from repeated blocks pass whole-doc dedup but stuff
+    // training batches with repeats). Integer cross-multiplied flag
+    "chunk_dup_stats" -> ((s, dir) => {
+      val ch = TextAnalysis.chunks(t(s, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 0)
+        .select(col("doc_id"), md5(col("chunk_text").cast("binary")).as("fp"))
+      val counts = ch.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      ch.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("boilerplate_heavy",
+          (col("n_dup_chunks") * 100 > col("n_chunks") * 30).cast("long"))
+    }),
+
     // ---------- corpus bigram LM (KenLM-style counts + coverage) ----------
     "lm_bigram_counts" -> ((s, dir) =>
       TextAnalysis.bigramLm(t(s, dir, "documents"), "text", 200)),

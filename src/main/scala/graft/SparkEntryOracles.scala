@@ -1682,6 +1682,28 @@ private[graft] object SparkEntryOracles {
         |    AS rolling_30d_cents
         |FROM orders""".stripMargin,
 
+    "chunk_dup_stats" ->
+      """WITH x AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) > 0
+        |), ch AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, CAST(u.i * 200 + 1 AS INT), 200)) AS fp
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(list_transform(generate_series(0, (n - 1) // 200),
+        |        i -> {'i': i})) AS u
+        |    FROM x)
+        |), counts AS (SELECT fp, count(*) AS n_occ FROM ch GROUP BY 1)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 100 > CAST(count(*) AS BIGINT) * 30 AS BIGINT)
+        |    AS boilerplate_heavy
+        |FROM ch JOIN counts c USING (fp)
+        |GROUP BY 1""".stripMargin,
+
     // Corpus bigram LM: same whitespace-token bigram construction as
     // text_repetition's oracle; total order (n DESC, bigram ASC)
     "lm_bigram_counts" ->
