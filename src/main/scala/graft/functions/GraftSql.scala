@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_normalize_text(str)` — the reference's full normalizer
   *   - `cosine_sim(vecA, vecB)` — float-vector cosine similarity
   *   - `shingle_hashes(str, k)` — distinct word-k-shingle 64-bit hashes
+  *   - `shingles(str, k)` — word-k-shingle strings (ordered, with dups)
   *   - `minhash_signature(hashes, n)` — n-permutation MinHash signature
   *   - `simhash64(tokens)` — 64-bit SimHash of a token array
   *   - `char_ngram_counts(str, n)` — per-row (char-gram, count) pairs, 1..n
@@ -60,6 +61,14 @@ object GraftSql {
       val toks = StringSplit(Lower(StringTrim(es.head)),
         Literal("\\s+"), Literal(-1))
       ShingleHashes(toks, intLit(es(1), "shingle_hashes", 1))
+    },
+    "shingles" -> { es =>
+      arity("shingles", es, 2)
+      // string k-grams, text in — the SQL-replayable twin of
+      // shingle_hashes (same inline tokenization)
+      val toks = StringSplit(Lower(StringTrim(es.head)),
+        Literal("\\s+"), Literal(-1))
+      org.apache.spark.sql.graft.Shingles(toks, intLit(es(1), "shingles", 1))
     },
     "minhash_signature" -> { es =>
       arity("minhash_signature", es, 2)

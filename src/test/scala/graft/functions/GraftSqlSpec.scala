@@ -28,6 +28,8 @@ class GraftSqlSpec extends SparkSpec {
       .as[Double].head() === 1.0)
     assert(spark.sql("SELECT size(shingle_hashes('a b c', 2)) AS v")
       .as[Int].head() === 2)
+    assert(spark.sql("SELECT shingles('a b c', 2) AS v")
+      .as[Seq[String]].head() === Seq("a b", "b c"))
     assert(spark.sql(
       "SELECT size(minhash_signature(shingle_hashes('a b c', 2), 16)) AS v")
       .as[Int].head() === 16)
