@@ -117,6 +117,19 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactSnapshot(spark, target, base + "/backups") === 1)
   }
 
+  test("schema evolution: appends with a new column read back merged, old rows null") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Sinks.append(Seq((1L, "a")).toDF("k", "v"), dir)
+    // later batches carry an extra column — the additive-evolution case
+    Sinks.append(Seq((2L, "b", 9L)).toDF("k", "v", "extra"), dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted === Array("extra", "k", "v"))
+    val got = merged.select("k", "extra").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got === Array((1L, None), (2L, Some(9L))))
+  }
+
   test("append sink accumulates batches") {
     import spark.implicits._
     val dir = tmp() + "/t"
