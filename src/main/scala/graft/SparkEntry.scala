@@ -868,6 +868,27 @@ object SparkEntry {
           col("cluster").cast("long").as("cluster_id"))
     }),
 
+    // The collapse decision the cluster list exists FOR: per near-dup
+    // cluster keep the best document (longest, ties to the smallest id)
+    // and emit the keep/drop verdict per member — the survivor selection
+    // step real dedup pipelines run after clustering
+    "dedup_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsFromGroups(
+        Dedup.shingleGroupsFor(docs, "doc_id", "text", k = 2, key = dir),
+        minJaccard = 0.8)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc").asc)
+      clusters
+        .join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster_id"),
+          col("n_chars"), (col("rk") === 1).cast("long").as("keep"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsFromGroups(
         Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",

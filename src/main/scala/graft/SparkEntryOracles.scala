@@ -750,6 +750,26 @@ private[graft] object SparkEntryOracles {
          |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
 
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1)
+         |SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |  CAST(row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS BIGINT) AS keep
+         |FROM clusters c JOIN documents d USING (doc_id)""".stripMargin,
+
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
