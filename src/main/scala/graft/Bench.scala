@@ -73,7 +73,7 @@ object Bench {
       "events_" -> "events", "sample_" -> "sample", "pack_" -> "pack",
       "vocab_" -> "vocab", "mm_" -> "mm", "q1_" -> "pricing", "dq_" -> "agg",
       "cdc_" -> "cdc", "scd2_" -> "cdc", "lm_" -> "text", "graph_" -> "dedup",
-      "bpe_" -> "vocab", "chunk_" -> "text",
+      "bpe_" -> "vocab", "chunk_" -> "text", "pipeline_" -> "pipeline",
       "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops",
       "j" -> "join", "w" -> "window", "a" -> "agg", "o" -> "ord",
       "s" -> "scan", "p_" -> "scan")

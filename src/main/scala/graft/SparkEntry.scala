@@ -1459,6 +1459,42 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
 
+    // CAPSTONE — the whole corpus-curation pipeline in one query: quality
+    // gate -> near-dup survivor selection -> benchmark decontamination,
+    // with per-stage retention counts. Each stage reuses the registry's
+    // own (individually oracled) operators; the oracle replays the full
+    // chain, so a green hash proves the COMPOSITION exact end-to-end
+    "pipeline_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      // stage 1: quality gate (materialized once — three later consumers)
+      val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
+        .localCheckpoint()
+      // stage 2: near-dup clusters over the survivors; drop non-keepers
+      val pairs = Dedup.ngramJaccardPairsFromGroups(
+        Dedup.shingleGroupsFor(q1, "doc_id", "text", k = 2,
+          key = s"$dir#pipeline-q1"),
+        minJaccard = 0.8)
+      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .join(q1.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+        .withColumn("rk", row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc").asc)))
+        .where(col("rk") > 1)
+        .select(col("doc").as("doc_id"))
+      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      // stage 3: benchmark decontamination verdict on what remains
+      val keptFinal = graft.operators.Decontamination.contaminationVerdict(
+        q2, docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", 4, thresholdPct = 10)
+        .where(col("contaminated") === 0)
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(q1.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(q2.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(keptFinal.agg(count(lit(1)).as("n_final")))
+    }),
+
     // Cross-document duplicated-chunk statistics: fingerprint fixed
     // non-overlapping chunks corpus-wide, then per document count chunks
     // that appear elsewhere too — the chunk-granularity boilerplate signal

@@ -63,10 +63,10 @@ private[graft] object SparkEntryOracles {
   /** Word-2-gram Jaccard ≥ 0.8 near-dup pair list as reusable CTEs —
     * shared by `dedup_ngram_jaccard` (the pairs themselves) and
     * `dedup_clusters` (their transitive closure). */
-  private val jaccardCtes =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-      |  FROM documents
+  private def jaccardCtesFrom(source: String) =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM $source
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 1),
       |    i -> t[i+1] || ' ' || t[i+2])) AS s
@@ -83,6 +83,8 @@ private[graft] object SparkEntryOracles {
       |             JOIN sizes sb ON id_b = sb.doc_id
       |  WHERE CAST(intersection AS DOUBLE)
       |        / (sa.n + sb.n - intersection) >= 0.8)""".stripMargin
+
+  private val jaccardCtes = jaccardCtesFrom("documents")
 
   val sql: Map[String, String] = Map(
     "s7_scan_pushdown" ->
@@ -1701,6 +1703,78 @@ private[graft] object SparkEntryOracles {
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS rolling_30d_cents
         |FROM orders""".stripMargin,
+
+    // Full-chain replay of the curation pipeline: quality formula (the
+    // text_quality twin), the Jaccard CTE chain sourced from the quality
+    // survivors, recursive-CTE clustering + survivor ranking, then the
+    // decontamination verdict — one green hash proves the composition
+    "pipeline_retention" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 50 <> 7
+         |), q1 AS (
+         |  SELECT doc_id, text, n_chars FROM (
+         |    SELECT doc_id, text, n_chars,
+         |      string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |    FROM corpus) x
+         |  WHERE len(toks) >= 10
+         |    AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+         |        AS DOUBLE) / len(toks) >= 2.0
+         |    AND length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |        * 5 <= length(text)
+         |), ${jaccardCtesFrom("q1")},
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1
+         |), losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+         |    FROM clusters c JOIN q1 d USING (doc_id)) WHERE rk > 1
+         |), q2 AS (
+         |  SELECT doc_id, text FROM q1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), bt AS (
+         |  SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents WHERE doc_id % 50 = 7
+         |), bg AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 4
+         |    THEN list_transform(generate_series(0, len(t) - 4),
+         |           i -> list_aggregate(t[i+1:i+4], 'string_agg', ' '))
+         |    ELSE [] END) AS gram
+         |  FROM bt
+         |), qt AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM q2
+         |), qg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+         |    THEN list_transform(generate_series(0, len(t) - 4),
+         |           i -> list_aggregate(t[i+1:i+4], 'string_agg', ' '))
+         |    ELSE [] END) AS gram
+         |  FROM qt
+         |), hits AS (
+         |  SELECT qg.doc_id, count(*) AS n_hits FROM qg JOIN bg USING (gram)
+         |  GROUP BY 1
+         |), verdict AS (
+         |  SELECT qt.doc_id,
+         |    coalesce(h.n_hits, 0) * 100 >
+         |      CAST(greatest(len(qt.t) - 3, 0) AS BIGINT) * 10 AS contaminated
+         |  FROM qt LEFT JOIN hits h USING (doc_id))
+         |SELECT
+         |  CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_input,
+         |  CAST((SELECT count(*) FROM q1) AS BIGINT) AS n_quality,
+         |  CAST((SELECT count(*) FROM q2) AS BIGINT) AS n_dedup,
+         |  CAST((SELECT count(*) FROM verdict WHERE NOT contaminated)
+         |    AS BIGINT) AS n_final""".stripMargin,
 
     "chunk_dup_stats" ->
       """WITH x AS (

@@ -277,6 +277,11 @@ object TextAnalysis {
   // instead of a join of four report outputs.
 
   /** [[qualityScore]]'s `quality_ok` as a single column. */
+  /** The quality gate as a standalone predicate — public so pipelines can
+    * filter on it without materializing the full [[qualityScore]] report
+    * (same formula; the report stays the audit form). */
+  def qualityOk(textCol: Column): Column = qualityOkCol(textCol)
+
   private[operators] def qualityOkCol(t: Column): Column = {
     val toks = tokens(t)
     val nAlpha = length(regexp_replace(t, "[^\\p{L}]", ""))
