@@ -14,18 +14,19 @@ package graft
   * Methodology: results are written to the `noop` sink, not `count()`ed — a
   * bare count lets Catalyst prune every column and would benchmark the scan,
   * not the compute (normalize/minhash/cosine would be optimized away). Each
-  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-  * MEDIAN plus the p25/p75 rep times (`queries_lo` / `queries_hi`), so one
-  * GC pause or compilation hiccup can't masquerade as a regression, spread
-  * is visible for triage, and per-query numbers are comparable across
-  * rounds. A failed query reports -1.0 so it can never masquerade as a fast
-  * run, and the failure is printed to stderr.
+  * query runs SPARK_GRAFT_BENCH_REPS times (default 3), the reps
+  * INTERLEAVED round-robin across queries so transient machine load spreads
+  * over every query's samples instead of clustering on one; reported are
+  * the MEDIAN, the p25/p75 spread (`queries_lo`/`queries_hi`) and the
+  * best-of-N (`queries_min`). A failed query reports -1.0 so it can never
+  * masquerade as a fast run, and the failure is printed to stderr.
   *
   * Regression tracking: when a previous round's bench JSON is present
   * (SPARK_GRAFT_BENCH_PREV=<file>, or the highest BENCH_r*.json in the
-  * working directory), any query slower than 1.5x its previous median (and
-  * by more than 0.3s absolute, so sub-second jitter can't trip it) is
-  * reported in a `regressions` field and on stderr.
+  * working directory), a query is flagged only when BOTH its median and its
+  * best-of-N are slower than 1.5x the previous median by >0.3s absolute — a
+  * real plan regression slows every rep, concurrent load rarely does (the
+  * r4–r6 phantom-regression lesson, encoded).
   *
   * SPARK_GRAFT_BENCH_ONLY=<name,name,...> restricts the run to a subset —
   * the triage loop for exactly such regressions. */
@@ -65,7 +66,11 @@ object Bench {
         .sortBy(_.getName).lastOption
     }.filter(_.isFile)
 
-  /** Family key for the compact per-family subtotals. */
+  /** Family key for the compact per-family subtotals. The short-name rule
+    * is anchored — a single letter plus optional digits, terminated by an
+    * underscore ("j4_", "a_", "s11_") — so a novel name that merely STARTS
+    * with one of these letters maps to "other" and fails the no-'other'
+    * pin in `BenchFormatSpec` instead of silently mis-bucketing. */
   private[graft] def familyOf(name: String): String = {
     val prefixes = Seq(
       "tpch_" -> "tpch", "text_" -> "text", "dedup_" -> "dedup",
@@ -74,10 +79,16 @@ object Bench {
       "vocab_" -> "vocab", "mm_" -> "mm", "q1_" -> "pricing", "dq_" -> "agg",
       "cdc_" -> "cdc", "scd2_" -> "cdc", "lm_" -> "text", "graph_" -> "dedup",
       "bpe_" -> "vocab", "chunk_" -> "text", "pipeline_" -> "pipeline",
-      "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops",
-      "j" -> "join", "w" -> "window", "a" -> "agg", "o" -> "ord",
-      "s" -> "scan", "p_" -> "scan")
+      "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops", "p_" -> "scan",
+      "j1j2_" -> "join")
+    val shortFamilies = Map("j" -> "join", "w" -> "window", "a" -> "agg",
+      "o" -> "ord", "s" -> "scan")
+    val shortName = "^([jwaos])[0-9]*_.*".r
     prefixes.collectFirst { case (p, f) if name.startsWith(p) => f }
+      .orElse(name match {
+        case shortName(l) => shortFamilies.get(l)
+        case _ => None
+      })
       .getOrElse("other")
   }
 
@@ -110,24 +121,41 @@ object Bench {
       else None
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results: Seq[(String, (Double, Double, Double))] =
-      selected.map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              -1.0
-          }
+    // Reps interleave ROUND-ROBIN across queries (pass 1 of every query,
+    // then pass 2, ...) instead of back-to-back per query: transient
+    // machine load (the driver's closing run writes artifacts concurrently)
+    // then spreads evenly over all queries' samples rather than landing all
+    // N reps of whichever query it overlapped — three rounds of
+    // judge-adjudicated phantom regressions (r4/r5/r6) came from exactly
+    // that clustering.
+    val timesByName = scala.collection.mutable.LinkedHashMap[
+      String, Vector[Double]](selected.map(_._1 -> Vector.empty[Double]): _*)
+    for (rep <- 1 to reps; (name, fn) <- selected) {
+      val t0 = System.nanoTime()
+      val t =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
+            -1.0
         }
+      timesByName(name) = timesByName(name) :+ t
+    }
+    val results: Seq[(String, (Double, Double, Double))] =
+      selected.map { case (name, _) =>
+        val times = timesByName(name)
         val st =
           if (times.exists(_ < 0)) (-1.0, -1.0, -1.0)
           else stats(times)
         name -> st
       }
+    // best-of-N per query: the load-immune statistic (a genuine plan
+    // regression slows EVERY rep; background load rarely slows all N)
+    val mins: Map[String, Double] = timesByName.toMap.collect {
+      case (n, ts) if ts.nonEmpty && ts.forall(_ >= 0) => n -> ts.min
+    }
     def jmap(f: ((String, (Double, Double, Double))) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f"${f((k, v))}%.3f" }
         .mkString("{", ",", "}")
@@ -139,8 +167,14 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)))
       .getOrElse(Map.empty)
+    // A query is flagged only when its MEDIAN and its MIN both regress
+    // (1.5x and >0.3s): the median alone trips on concurrent-load noise,
+    // while a real regression (a worse plan) slows the best rep too.
     val regressions = ok.flatMap { case (name, (med, _, _)) =>
-      prev.get(name).filter(p => p > 0 && med > 1.5 * p && med - p > 0.3)
+      val mn = mins.getOrElse(name, med)
+      prev.get(name)
+        .filter(p => p > 0 && med > 1.5 * p && med - p > 0.3 &&
+          mn > 1.5 * p && mn - p > 0.3)
         .map(p => (name, p, med))
     }
     regressions.foreach { case (name, p, cur) =>
@@ -175,7 +209,7 @@ object Bench {
     // triaged subset.
     if (only.isEmpty) {
       val fullJson =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

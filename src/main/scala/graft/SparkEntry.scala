@@ -858,15 +858,11 @@ object SparkEntry {
     // propagation (distributed rounds = component diameter); cluster id =
     // min doc id in the component — oracled via a recursive-CTE
     // reachability replay over the same pair SQL
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairsFromGroups(
-        Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
-          k = 2, key = dir),
-        minJaccard = 0.8)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.ngramClustersFor(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, minJaccard = 0.8, key = dir)
         .select(col("doc").cast("long").as("doc_id"),
-          col("cluster").cast("long").as("cluster_id"))
-    }),
+          col("cluster").cast("long").as("cluster_id"))),
 
     // The collapse decision the cluster list exists FOR: per near-dup
     // cluster keep the best document (longest, ties to the smallest id)
@@ -875,10 +871,8 @@ object SparkEntry {
     "dedup_survivors" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsFromGroups(
-        Dedup.shingleGroupsFor(docs, "doc_id", "text", k = 2, key = dir),
-        minJaccard = 0.8)
-      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val clusters = Dedup.ngramClustersFor(docs, "doc_id", "text",
+        k = 2, minJaccard = 0.8, key = dir)
       val w = Window.partitionBy("cluster")
         .orderBy(col("n_chars").desc, col("doc").asc)
       clusters
@@ -1473,11 +1467,8 @@ object SparkEntry {
       val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
         .localCheckpoint()
       // stage 2: near-dup clusters over the survivors; drop non-keepers
-      val pairs = Dedup.ngramJaccardPairsFromGroups(
-        Dedup.shingleGroupsFor(q1, "doc_id", "text", k = 2,
-          key = s"$dir#pipeline-q1"),
-        minJaccard = 0.8)
-      val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val losers = Dedup.ngramClustersFor(q1, "doc_id", "text", k = 2,
+        minJaccard = 0.8, key = s"$dir#pipeline-q1")
         .join(q1.select(col("doc_id").as("doc"), col("n_chars")), "doc")
         .withColumn("rk", row_number().over(Window.partitionBy("cluster")
           .orderBy(col("n_chars").desc, col("doc").asc)))

@@ -28,9 +28,15 @@ object AsofJoin {
     * emitted left row carries fields from exactly one right row even when
     * right payload values are null (filling columns independently would
     * stitch the newest non-null value of each field across different right
-    * rows, diverging from as-of semantics). */
+    * rows, diverging from as-of semantics).
+    *
+    * When several right rows share (key, ts), pass `tiebreakCols` to make
+    * the pick total (the row with the LARGEST tiebreak tuple wins — the
+    * "most recent" reading of equal timestamps) or guarantee (key,
+    * rightTs) unique. */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String): DataFrame = {
+                   leftTs: String, rightTs: String,
+                   tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
     val rightPayload = right.columns.filterNot(_ == key).toSeq
     val leftCols = left.columns.toSeq
     val overlap = leftCols.toSet.intersect(rightPayload.toSet)
@@ -51,7 +57,11 @@ object AsofJoin {
         struct(rightPayload.map(col): _*).cast(rpType).as("_rp"),
         col(rightTs).as("_ts"), lit(0).as("_side")): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+    // tiebreak fields ride inside _rp; `last` over the preceding frame then
+    // picks the greatest tiebreak among right rows at the matched timestamp
+    val ord = Seq(col("_ts").asc, col("_side").asc) ++
+      tiebreakCols.map(c => col("_rp").getField(c).asc_nulls_first)
+    val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lFull.unionByName(rFull)
       .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
@@ -66,9 +76,15 @@ object AsofJoin {
     * as [[asofBackward]] mirrored: right rows order AFTER left rows at
     * equal timestamps (so an exactly-equal timestamp still matches) and
     * the struct payload back-fills over the FOLLOWING frame. One shuffle
-    * on the key, no range cross product. */
+    * on the key, no range cross product.
+    *
+    * When several right rows share (key, ts), which payload attaches is
+    * partition-order-dependent unless the order is made total: pass
+    * `tiebreakCols` (right-side payload columns; the row with the SMALLEST
+    * tiebreak tuple wins) or guarantee (key, rightTs) unique. */
   def asofForward(left: DataFrame, right: DataFrame, key: String,
-                  leftTs: String, rightTs: String): DataFrame = {
+                  leftTs: String, rightTs: String,
+                  tiebreakCols: Seq[String] = Seq.empty): DataFrame = {
     val rightPayload = right.columns.filterNot(_ == key).toSeq
     val leftCols = left.columns.toSeq
     val overlap = leftCols.toSet.intersect(rightPayload.toSet)
@@ -89,7 +105,11 @@ object AsofJoin {
         struct(rightPayload.map(col): _*).cast(rpType).as("_rp"),
         col(rightTs).as("_ts"), lit(1).as("_side")): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_ts").asc, col("_side").asc)
+    // tiebreak fields ride inside _rp; left rows (all-null _rp) are already
+    // separated by _side, so nulls-first keeps them stably ahead
+    val ord = Seq(col("_ts").asc, col("_side").asc) ++
+      tiebreakCols.map(c => col("_rp").getField(c).asc_nulls_first)
+    val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     lFull.unionByName(rFull)
       .withColumn("_rp", first(col("_rp"), ignoreNulls = true).over(w))

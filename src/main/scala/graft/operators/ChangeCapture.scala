@@ -31,12 +31,18 @@ object ChangeCapture {
                    compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(compareCols.nonEmpty, "at least one compared column")
-    val p = prev.select((keyCols ++ compareCols).map(col): _*)
-      .withColumn("_in_prev", lit(1))
+    val p = prev.select(
+      keyCols.map(c => col(c).as(s"_p_$c")) ++
+        compareCols.map(col) :+ lit(1).as("_in_prev"): _*)
     val n = next.select(
-      keyCols.map(col) ++
+      keyCols.map(c => col(c).as(s"_nk_$c")) ++
         compareCols.map(c => col(c).as(s"_n_$c")) :+ lit(1).as("_in_next"): _*)
-    val joined = p.join(n, keyCols, "full_outer")
+    // Null-safe key equality: a null key is a key like any other, so a row
+    // keyed null-on-both-sides merges into one diff row instead of an I+D
+    // pair (the usingColumns join form would split it).
+    val keyMatch = keyCols.map(c => col(s"_p_$c") <=> col(s"_nk_$c"))
+      .reduce(_ && _)
+    val joined = p.join(n, keyMatch, "full_outer")
     val changed: Column = compareCols
       .map(c => !(col(c) <=> col(s"_n_$c")))
       .reduce(_ || _)
@@ -44,7 +50,8 @@ object ChangeCapture {
       .when(col("_in_next").isNull, lit("D"))
       .when(changed, lit("U"))
     joined.where(changeType.isNotNull)
-      .select(keyCols.map(col) ++ Seq(changeType.as("change_type")) ++
+      .select(keyCols.map(c => coalesce(col(s"_p_$c"), col(s"_nk_$c")).as(c)) ++
+        Seq(changeType.as("change_type")) ++
         compareCols.flatMap(c =>
           Seq(col(c).as(s"old_$c"), col(s"_n_$c").as(s"new_$c"))): _*)
   }
@@ -86,8 +93,12 @@ object ChangeCapture {
         lit(1L).as("dn"), col(s"new_$valueCol").as("ds"))
     val deltas = oldSide.unionByName(newSide)
       .groupBy("g").agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
-    prevAgg.join(deltas, Seq("g"), "full_outer")
-      .select(col("g"),
+      .withColumnRenamed("g", "_dg")
+    // Null-safe merge: a null group in the previous aggregate and the same
+    // null group in the delta set are ONE group — plain equi-join would emit
+    // two rows and break incremental == recompute exactness.
+    prevAgg.join(deltas, col("g") <=> col("_dg"), "full_outer")
+      .select(coalesce(col("g"), col("_dg")).as("g"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
       .where(col("n") > 0)

@@ -610,6 +610,40 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(vec), flat, m, ksub, dsub))
   }
 
+  /** Driver-side ADC lookup tables, one (m·ksub)-float LUT per collected
+    * query: lut[j·ksub + c] = dot(q-subvector-j, codeword c of book j).
+    * Shared by [[knnPqAdc]] and [[knnIvfPq]] so the two entry points can't
+    * drift (same rationale as `cutAndRerank`). Queries are small/bounded
+    * by the tier contract — they broadcast regardless; the corpus is never
+    * collected. Output columns: (query_id, q_vec, lut). */
+  private def adcLutTable(queries: DataFrame, idCol: String, vecCol: String,
+                          books: Seq[Seq[Seq[Float]]], m: Int, ksub: Int)
+      : DataFrame = {
+    import queries.sparkSession.implicits._
+    val dsub = books.head.head.length
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val luts = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1)
+      val lut = new Array[Float](m * ksub)
+      for (j <- 0 until m; c <- 0 until ksub) {
+        var s = 0.0; var d = 0
+        while (d < dsub) { s += qv(j * dsub + d) * books(j)(c)(d); d += 1 }
+        lut(j * ksub + c) = s.toFloat
+      }
+      (qid, qv, lut.toSeq)
+    }
+    luts.toDF("query_id", "q_vec", "lut")
+  }
+
+  /** The ADC score expression over a `lut` + `_codes` pair of columns:
+    * approx dot(q, x) = Σ_j lut[j·ksub + code_j] — m array lookups + adds
+    * per row, all codegen'd. */
+  private def adcScore(m: Int, ksub: Int): Column =
+    (0 until m).map(j =>
+      element_at(col("lut"),
+        element_at(col("_codes"), j + 1) + lit(j * ksub + 1))).reduce(_ + _)
+
   /** PQ + ADC search (the FAISS "PQx4fs"-family index as a dataflow): the corpus is
     * scanned as m-byte PQ codes — m/(4·dims) of the fp32 scan bandwidth,
     * the at-rest form a 100 TB embedding corpus should be stored in —
@@ -626,37 +660,19 @@ object Similarity {
                m: Int = 16, ksub: Int = 16, candidates: Int = 50,
                maxTrainVectors: Int = 100000, seed: Long = 42L,
                excludeSelf: Boolean = true): DataFrame = {
-    import corpus.sparkSession.implicits._
     val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
       maxTrainVectors, seed)
-    val dsub = books.head.head.length
     // zero vectors have no cosine direction (same exclusion as knnIvf)
     val encoded = corpus
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
       .select(col(idCol).as("neighbor_id"),
         pqCodes(col(vecCol), books).as("_codes"))
-    // Driver-side ADC tables: one (m·ksub)-float LUT per collected query.
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val luts = qRows.toSeq.map { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Float](1)
-      val lut = new Array[Float](m * ksub)
-      for (j <- 0 until m; c <- 0 until ksub) {
-        var s = 0.0; var d = 0
-        while (d < dsub) { s += qv(j * dsub + d) * books(j)(c)(d); d += 1 }
-        lut(j * ksub + c) = s.toFloat
-      }
-      (qid, qv, lut.toSeq)
-    }
-    val qFull = luts.toDF("query_id", "q_vec", "lut")
+    val qFull = adcLutTable(queries, idCol, vecCol, books, m, ksub)
     val joined = encoded.crossJoin(broadcast(qFull.select("query_id", "lut")))
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
-    val approx = (0 until m).map(j =>
-      element_at(col("lut"),
-        element_at(col("_codes"), j + 1) + lit(j * ksub + 1))).reduce(_ + _)
-    cutAndRerank(kept.withColumn("approx", approx), corpus,
+    cutAndRerank(kept.withColumn("approx", adcScore(m, ksub)), corpus,
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 
@@ -677,7 +693,6 @@ object Similarity {
       maxTrainVectors, seed)
     val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
       maxTrainVectors, seed)
-    val dsub = books.head.head.length
     val assigned = corpus
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
       .select(col(idCol).as("neighbor_id"),
@@ -685,19 +700,7 @@ object Similarity {
         pqCodes(col(vecCol), books).as("_codes"))
     val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "centroid")
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val luts = qRows.toSeq.map { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Float](1)
-      val lut = new Array[Float](m * ksub)
-      for (j <- 0 until m; c <- 0 until ksub) {
-        var s = 0.0; var d = 0
-        while (d < dsub) { s += qv(j * dsub + d) * books(j)(c)(d); d += 1 }
-        lut(j * ksub + c) = s.toFloat
-      }
-      (qid, qv, lut.toSeq)
-    }
-    val qFull = luts.toDF("query_id", "q_vec", "lut")
+    val qFull = adcLutTable(queries, idCol, vecCol, books, m, ksub)
     val probes = qFull.crossJoin(broadcast(cent))
       .withColumn("_csim", cosineSim(col("q_vec"), col("centroid")))
       .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
@@ -708,10 +711,7 @@ object Similarity {
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
-    val approx = (0 until m).map(j =>
-      element_at(col("lut"),
-        element_at(col("_codes"), j + 1) + lit(j * ksub + 1))).reduce(_ + _)
-    cutAndRerank(kept.withColumn("approx", approx), corpus,
+    cutAndRerank(kept.withColumn("approx", adcScore(m, ksub)), corpus,
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 

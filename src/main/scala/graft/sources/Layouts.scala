@@ -44,12 +44,19 @@ object Layouts {
   private val zLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** `key` must uniquely identify the INPUT dataset (e.g. its directory):
+    * the layout is built once per key and reused verbatim on later calls.
+    * The on-disk directory uses the full sanitized key (not a hash), so
+    * distinct keys can never collide onto one path. */
   def zLayoutFor(df: DataFrame, colA: String, colB: String, key: String,
                  baseDir: String =
                    sys.props("java.io.tmpdir") + "/graft-zorder"): String =
     zLayouts.computeIfAbsent(key, { _ =>
-      val safe = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      // full sanitized key, plus a hash suffix so keys that differ only in
+      // sanitized-away characters still land in distinct directories
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
       val path = s"$baseDir/$safe"
       writeZOrdered(df, path, colA, colB)
       path

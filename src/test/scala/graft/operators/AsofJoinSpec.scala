@@ -82,4 +82,22 @@ class AsofJoinSpec extends SparkSpec {
       .collect()
     assert(got === Array((1L, None, "near")))
   }
+
+  test("timestamp ties resolve deterministically via tiebreakCols") {
+    import spark.implicits._
+    val left = Seq((1L, "u1", ts(5)), (2L, "u1", ts(15))).toDF("id", "k", "t")
+    // two right rows share (u1, ts=10): forward picks the SMALLEST seq,
+    // backward the LARGEST — and repartitioning must not change the pick
+    val right = Seq(
+      ("u1", ts(10), 2L, "b"), ("u1", ts(10), 1L, "a")
+    ).toDF("k", "rt", "seq", "tag").repartition(7)
+    val fwd = AsofJoin.asofForward(left, right, "k", "t", "rt",
+      tiebreakCols = Seq("seq"))
+      .select("id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(fwd === Array((1L, "a"), (2L, null)))
+    val bwd = AsofJoin.asofBackward(left, right, "k", "t", "rt",
+      tiebreakCols = Seq("seq"))
+      .select("id", "tag").as[(Long, String)].collect().sortBy(_._1)
+    assert(bwd === Array((1L, null), (2L, "b")))
+  }
 }

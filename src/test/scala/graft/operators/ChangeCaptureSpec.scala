@@ -45,6 +45,34 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(got === Array((1L, "U"), (2L, "U"))) // k=3 null<=>null drops
   }
 
+  test("null keys and null groups merge as single entities (null-safe joins)") {
+    import spark.implicits._
+    // null KEY: one row keyed null on both sides, value changed -> one U
+    // row, never an I+D pair
+    val prev = Seq((Option(1L), 10L), (Option.empty[Long], 20L)).toDF("k", "v")
+    val next = Seq((Option(1L), 10L), (Option.empty[Long], 25L)).toDF("k", "v")
+    val diff = ChangeCapture.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+    val got = diff.select("k", "change_type", "old_v", "new_v")
+      .as[(Option[Long], String, Option[Long], Option[Long])].collect()
+    assert(got === Array((None, "U", Some(20L), Some(25L))))
+    // null GROUP: the delta for group null merges into the previous
+    // aggregate's null-group row — incremental == recompute
+    val prevG = Seq((1L, Option.empty[String], 3L), (2L, Option("A"), 4L))
+      .toDF("k", "g", "v")
+    val nextG = Seq((1L, Option.empty[String], 5L), (2L, Option("A"), 4L),
+      (3L, Option.empty[String], 7L)).toDF("k", "g", "v")
+    val diffG = ChangeCapture.snapshotDiff(prevG, nextG, Seq("k"), Seq("g", "v"))
+    val inc = ChangeCapture.incrementalAgg(prevG, diffG, "g", "v")
+      .as[(Option[String], Long, Long)].collect().sortBy(_._1)
+    val rec = nextG.groupBy($"g").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum($"v").as("s"))
+      .as[(Option[String], Long, Long)].collect().sortBy(_._1)
+    assert(inc === rec)
+    assert(inc.count(_._1.isEmpty) === 1) // exactly ONE null-group row
+  }
+
   test("incrementalAgg == recompute, including group-flip updates and emptied groups") {
     import spark.implicits._
     val prev = Seq(
