@@ -914,6 +914,18 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // IVF over a FIXED literal codebook with exact-integer scoring — the
+    // ANN tier with a FULL hash oracle: quantize/assign/probe/score/top-k
+    // are all replayed by DuckDB over the same parquet (the learned tiers
+    // below stay rows-only with spec-pinned recall)
+    "knn_ivf_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfFixed(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        nprobe = 2)
+    }),
+
     // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned
     // codebook has no SQL replay; recall vs brute force is pinned by
     // SimilaritySpec instead. Codebook training is driver-side over a
@@ -1016,8 +1028,16 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
-    // Deterministic hash-based train/valid/test split (rows-only: xxhash64
-    // has no DuckDB twin; determinism/disjointness pinned by SamplingSpec)
+    // The md5 half of the fingerprint pair as its own ORACLED query (the
+    // rolling xxhash64 signature above stays rows-only — no DuckDB twin)
+    "text_fingerprints_md5" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "md5_fp")),
+
+    // Deterministic train/valid/test split via the PORTABLE md5-prefix
+    // order (cumulative-weight hex thresholds -> DuckDB replays the exact
+    // assignment; determinism/disjointness additionally pinned by
+    // SamplingSpec)
     "sample_splits" -> ((s, dir) =>
       graft.operators.Sampling.split(t(s, dir, "documents"), "doc_id",
         Seq("train" -> 8, "valid" -> 1, "test" -> 1))

@@ -828,6 +828,58 @@ private[graft] object SparkEntryOracles {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // Fixed-codebook IVF twin: the centroid literals come from the SAME
+    // Scala value the query uses (Similarity.fixedCodebook), quantization
+    // is floor(CAST(x AS DOUBLE)*1000) in both engines (identical IEEE
+    // ops), and every score is an exact integer — argmax ties to the
+    // smallest cell, top-k ties to the smallest neighbor, so the replay is
+    // bit-exact end to end.
+    "knn_ivf_fixed" -> {
+      val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+      def dot(a: String, lits: Seq[Long]): String =
+        s"CAST(list_sum(list_transform(list_zip($a, " +
+          lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+      val scores = cents.zipWithIndex
+        .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+      val probeUnion = cents.indices
+        .map(j => s"SELECT vec_id, q, $j AS cell, s$j AS cs " +
+          "FROM scored WHERE vec_id < 20")
+        .mkString("\n      UNION ALL ")
+      s"""WITH iq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |scored AS (SELECT vec_id, q,
+         |  $scores
+         |  FROM iq),
+         |cells AS (SELECT vec_id, q,
+         |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+         |       WHEN s1>=s2 AND s1>=s3 THEN 1
+         |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
+         |  FROM scored),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, q AS qq, cell FROM (
+         |    SELECT vec_id, q, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
+         |    FROM (
+         |      $probeUnion))
+         |  WHERE pr <= 2),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
+         |      z -> z[1]*z[2])) AS BIGINT) AS score
+         |  FROM qprobe p JOIN cells c USING (cell)
+         |  WHERE p.query_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+         |FROM (
+         |  SELECT query_id, neighbor_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+         |    AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "text_language_id" -> {
       val markers = TextAnalysis.markers
       val scoreCols = markers.map { case (lang, ws) =>
@@ -901,6 +953,12 @@ private[graft] object SparkEntryOracles {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |    AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // the md5 fingerprint half replays exactly (same normalize as
+    // dedup_exact; the rolling xxhash64 half stays rows-only)
+    "text_fingerprints_md5" ->
+      s"""SELECT doc_id, md5(${normSql("text")}) AS md5_fp
+         |FROM documents""".stripMargin,
 
     // ranking replay: order by the same tf*ln((N+1)/(df+1)) key with the
     // same term tie-break, but OUTPUT only integers (tf, df) so the
@@ -1150,6 +1208,18 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'fr' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
         |  WHEN 'zh' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
         |  ELSE FALSE END""".stripMargin,
+
+    // split twin: cumulative-weight hex thresholds (8/10 -> 'cccccccc',
+    // 9/10 -> 'e6666666' = Sampling.hexThreshold), last split is the
+    // unconditional remainder — total coverage by construction
+    "sample_splits" ->
+      """SELECT doc_id, CASE
+        |  WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    < 'cccccccc' THEN 'train'
+        |  WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |    < 'e6666666' THEN 'valid'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     // per-group cap twin: identical md5-prefix order (hex compare is
     // lexicographic on both engines), identical id tiebreak

@@ -25,16 +25,25 @@ object Sampling {
   }
 
   /** Disjoint named splits covering every row: `weights` are relative
-    * (e.g. train -> 98, valid -> 1, test -> 1). Adds a `split` column. */
+    * (e.g. train -> 98, valid -> 1, test -> 1). Adds a `split` column.
+    *
+    * Membership uses the same ENGINE-PORTABLE md5-prefix order as
+    * [[mixtureSample]] (lexicographic hex compare against the cumulative
+    * weight thresholds), so any engine with md5 reproduces the exact
+    * assignment — the last split absorbs the remainder unconditionally,
+    * so coverage is total by construction. */
   def split(df: DataFrame, idCol: String, weights: Seq[(String, Int)],
             salt: String = "split"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
     val total = weights.map(_._2).sum
-    val b = bucket(col(idCol), salt, total)
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
     val cuts = weights.scanLeft(0)(_ + _._2).tail
-    val expr = weights.zip(cuts).foldRight(lit(null).cast("string")) {
-      case (((name, _), cut), els) => when(b < cut, name).otherwise(els)
-    }
+    val expr = weights.init.zip(cuts.init)
+      .foldRight(lit(weights.last._1): Column) {
+        case (((name, _), cut), els) =>
+          when(prefix < hexThreshold(cut.toDouble / total), name).otherwise(els)
+      }
     df.withColumn("split", expr)
   }
 

@@ -715,6 +715,79 @@ object Similarity {
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 
+  /** A FIXED literal codebook for [[knnIvfFixed]]: centroid j puts weight
+    * 100 on every dimension i with i mod nlist == j (an interleaved
+    * axis-group partitioning of the space). Deterministic data-independent
+    * literals — the property that makes the whole IVF dataflow
+    * SQL-replayable, unlike the learned k-means codebooks of the other
+    * tiers. */
+  def fixedCodebook(nlist: Int, dims: Int): Seq[Seq[Long]] =
+    Seq.tabulate(nlist)(j => Seq.tabulate(dims)(i =>
+      if (i % nlist == j) 100L else 0L))
+
+  /** Milli-unit integer quantization: q(x) = floor(x·1000) per component.
+    * float→double is exact and floor(double·1000) is the same IEEE op in
+    * every engine, so downstream INTEGER dot products are bit-exact and
+    * combine-order-free — the quantization that lets an ANN query carry a
+    * full hash oracle. */
+  def quantizeMilli(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000)).cast("long"))
+
+  /** Integer dot product of a quantized vector column against a literal
+    * integer vector. */
+  private def intDotLit(iq: Column, cent: Seq[Long]): Column =
+    aggregate(zip_with(iq, typedLit(cent), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Argmax cell over the literal codebook, ties to the SMALLEST cell
+    * index (greatest-struct on (score, -index)). */
+  private def fixedCell(iq: Column, centroids: Seq[Seq[Long]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      struct(intDotLit(iq, c).as("s"), lit(-j).as("nj"))
+    }
+    -greatest(scored: _*).getField("nj")
+  }
+
+  /** IVF over a FIXED literal codebook with exact-integer scoring — the
+    * one ANN tier whose every step (quantize, cell argmax, probe ranking,
+    * candidate scoring, top-k) is replayable in ANSI SQL, so the driver's
+    * hash oracle covers the complete IVF dataflow end-to-end (the learned-
+    * codebook tiers pin recall in spec instead). Same scale shape as
+    * [[knnIvf]]: the corpus partitions by cell, each query probes `nprobe`
+    * cells, candidates score integer-exact and the top `k` rank per query.
+    * Output: (query_id, neighbor_id, rank, score), all BIGINT. */
+  def knnIvfFixed(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  centroids: Seq[Seq[Long]], nprobe: Int = 2,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.size >= 2, "at least two cells")
+    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      quantizeMilli(col(vecCol)).as("c_iq"))
+      .withColumn("cell", fixedCell(col("c_iq"), centroids))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      quantizeMilli(col(vecCol)).as("q_iq"))
+    val probes = qv
+      .select(col("query_id"), col("q_iq"),
+        posexplode(array(centroids.map(c => intDotLit(col("q_iq"), c)): _*))
+          .as(Seq("cell", "cs")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cs").desc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "q_iq", "cell")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val scored = kept.withColumn("score",
+      aggregate(zip_with(col("q_iq"), col("c_iq"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes
     * (1 byte/component — a quarter of the fp32 scan bandwidth, the form a
     * 100 TB embedding corpus should be scanned in), keep the top
