@@ -1366,6 +1366,59 @@ object SparkEntry {
           coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
     }),
 
+    // Time-travel over the snapshot-versioned backup chain: three states
+    // of a derived orders snapshot written through snapshotOverwrite
+    // (built once per dataset, cached), read AS-OF the middle instant ->
+    // the middle state. Backups only preserve rows, never change them, so
+    // the oracle replays that state's derivation over the raw table
+    "s_timetravel" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val states = Seq(
+        base.where(pmod(col("o_orderkey"), lit(3)) === 0),
+        base.where(pmod(col("o_orderkey"), lit(3)) <= 1),
+        base)
+      val (target, backups, instants) =
+        graft.sources.Sinks.backupChainFor(s, states, key = dir)
+      graft.sources.Sinks.readSnapshotAsOf(s, target, backups, instants(1))
+    }),
+
+    // Bucket-pruned point lookup over the bucketed at-rest table — the
+    // read-side half of the zero-shuffle bucketing story: the scan touches
+    // 1 of 16 buckets (SelectedBucketsCount pinned in ScaleLayoutSpec) and
+    // the per-key aggregate rides the bucketing with no exchange. Pruning
+    // can't change results, so the oracle is the plain filtered aggregate
+    "s_bucket_lookup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val tbl = graft.sources.Sinks.bucketedTableFor(orders, "o_custkey",
+        numBuckets = 16, key = dir)
+      s.table(tbl).where(col("o_custkey") === 371)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("first_order"),
+          max(col("o_orderkey")).as("last_order"))
+    }),
+
+    // Salted skew join exercised against a SYNTHESIZED hot key tail (the
+    // lines of orders < 100 replicated 20 extra times — the consolidated-
+    // bill shape): results are identical to the plain join by construction,
+    // which is exactly what the oracle replays; the salt-spread plan shape
+    // is pinned in ScaleLayoutSpec
+    "j_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      val hot = li.where(col("l_orderkey") < 100)
+        .withColumn("_rep", explode(sequence(lit(1), lit(20)))).drop("_rep")
+      val big = li.unionByName(hot)
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.operators.SkewJoin.saltedJoin(big, dim, "l_orderkey",
+        saltBuckets = 8)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("sum_cents"))
+    }),
+
     // Pivot: one row per return flag, one integer revenue column per line
     // status (values enumerated -> single-pass pivot aggregation, no
     // second scan to discover the domain)

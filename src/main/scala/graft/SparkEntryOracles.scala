@@ -1664,6 +1664,34 @@ private[graft] object SparkEntryOracles {
         |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
+    // The backup chain only preserves states; the as-of-middle read IS the
+    // middle state's derivation
+    "s_timetravel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 <= 1""".stripMargin,
+
+    // Bucket pruning only skips files that can't hold the key
+    "s_bucket_lookup" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS first_order, max(o_orderkey) AS last_order
+        |FROM orders WHERE o_custkey = 371 GROUP BY 1""".stripMargin,
+
+    // Salting never changes join results — the oracle is the PLAIN join
+    // over the same synthesized hot-key union
+    "j_skew_salted" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS pc
+        |  FROM lineitem),
+        |big AS (
+        |  SELECT * FROM li
+        |  UNION ALL
+        |  SELECT li.* FROM li, range(20) WHERE l_orderkey < 100)
+        |SELECT b.l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(b.pc) AS BIGINT) AS sum_cents
+        |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // The layout only reorders rows; the oracle filters the raw table
     "s_zorder_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,

@@ -267,6 +267,68 @@ object Sinks {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Per-JVM registry of built time-travel backup chains, keyed by the
+    * owning session + a caller key that must uniquely identify the input
+    * (same cache contract as the dedup/layout memos). The builder writes
+    * the given snapshot STATES in order through [[snapshotOverwrite]] —
+    * so states 0..n-2 survive as timestamped backups — and records the
+    * instant just after each overwrite; `readSnapshotAsOf(instants(i))`
+    * then returns exactly `states(i)`. Writes sleep past the backup
+    * name's 1-second resolution so chain timestamps are strictly
+    * ordered (a one-time build cost; reads are cached). */
+  private val ttChains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, String, Seq[Long])]()
+
+  def backupChainFor(spark: SparkSession, states: Seq[DataFrame],
+                     key: String,
+                     baseDir: String =
+                       sys.props("java.io.tmpdir") + "/graft-timetravel")
+      : (String, String, Seq[Long]) = {
+    require(states.nonEmpty, "at least one state")
+    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
+    ttChains.computeIfAbsent((sess, key), { _ =>
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val root = s"$baseDir/$safe"
+      val target = s"$root/table"
+      val backups = s"$root/backups"
+      fsOf(spark).delete(new Path(root), true)
+      val instants = states.zipWithIndex.map { case (df, i) =>
+        if (i > 0) Thread.sleep(1100) // backup names resolve to seconds
+        snapshotOverwrite(spark, df, target, backups)
+        System.currentTimeMillis()
+      }
+      (target, backups, instants)
+    })
+  }
+
+  /** Per-JVM registry of bucketed at-rest tables ([[writeBucketedTable]]
+    * under a derived catalog name, built once per session + dataset key):
+    * the read-side entry point for bucket-pruned lookups and zero-shuffle
+    * joins — `spark.table(bucketedTableFor(...))`. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  def bucketedTableFor(df: DataFrame, bucketCol: String, numBuckets: Int,
+                       key: String,
+                       baseDir: String =
+                         sys.props("java.io.tmpdir") + "/graft-buckets")
+      : String = {
+    val spark = df.sparkSession
+    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
+    bucketedTables.computeIfAbsent((sess, key), { _ =>
+      // catalog identifier: letters/digits/underscore only, hash suffix so
+      // sanitized-away characters can't collide two keys
+      val tbl = ("graft_bkt_" + key.replaceAll("[^A-Za-z0-9_]", "_")
+        .takeRight(80) + "_" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))).toLowerCase
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      writeBucketedTable(df, tbl, bucketCol, numBuckets, s"$baseDir/$tbl")
+      tbl
+    })
+  }
+
   /** S10 — drop-directory drain: Structured Streaming file source with
     * `cleanSource=archive` and `Trigger.AvailableNow` (process the
     * backlog, then stop — exactly the reference's "run the script, drain

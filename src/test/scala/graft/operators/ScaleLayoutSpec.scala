@@ -103,6 +103,43 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/z").count() === orders.count())
   }
 
+  test("bucket-pruned point lookup reads 1 of N buckets") {
+    import graft.sources.Sinks
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val tbl = Sinks.bucketedTableFor(orders, "o_custkey", numBuckets = 16,
+      key = s"spec-$sfDir")
+    // the aggregate keyed on the bucket column keeps the bucketed scan
+    // (a bare filter scan gets de-bucketed by autoBucketedScan) — this is
+    // the registry query's shape
+    val lookup = spark.table(tbl).where(col("o_custkey") === 371)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val plan = lookup.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+      s"point lookup must prune to one bucket:\n$plan")
+    // and the memo returns the same table on a second call
+    assert(Sinks.bucketedTableFor(orders, "o_custkey", 16,
+      key = s"spec-$sfDir") === tbl)
+  }
+
+  test("backup chain: as-of each instant returns that instant's state") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val states = Seq(
+      Seq((1L, "a")).toDF("k", "v"),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq((3L, "c")).toDF("k", "v"))
+    val (target, backups, instants) =
+      Sinks.backupChainFor(spark, states, key = "spec-chain")
+    assert(instants.size === 3)
+    states.zip(instants).foreach { case (want, at) =>
+      val got = Sinks.readSnapshotAsOf(spark, target, backups, at)
+        .as[(Long, String)].collect().toSet
+      assert(got === want.as[(Long, String)].collect().toSet,
+        s"as-of $at must return the state written just before it")
+    }
+  }
+
   test("bucketed tables: co-located join plans ZERO shuffle exchanges, results exact") {
     import graft.sources.Sinks
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
