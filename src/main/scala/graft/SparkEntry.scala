@@ -1252,6 +1252,28 @@ object SparkEntry {
         "doc_id", "payload", n = 3, frameBytes = 16)
         .withColumn("frame_hex", hex(col("frame"))).drop("frame")),
 
+    // REAL video frame decode: deterministic synthetic MJPEG-AVIs (solid-
+    // color JPEG frames keyed by doc_id) are generated executor-side, then
+    // the RIFF walk + per-frame ImageIO decode runs as the partition-mapped
+    // batch (rows-only: JPEG decode has no SQL twin; dims/colors/spacing
+    // pinned in MultimodalSpec)
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
+        .map(id => (id, Multimodal.syntheticMjpegAvi(id, nFrames = 5,
+          w = 16, h = 12)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrames(assets, "doc_id", "payload", n = 3).toDF()
+        .select(col("asset_id"), col("ok"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_luma_milli"))
+    }),
+
     // ---------- change capture / SCD2 (incremental maintenance) ----------
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL for the formats the JDK ships codecs for
   * (PNG/JPEG/GIF/BMP via `javax.imageio` — header-only dimension reads, no
-  * full raster decode); payloads no installed codec claims fall back to a
-  * deterministic stub so audio/video bytes still flow through the same
+  * full raster decode); video frame decode is REAL for MJPEG-in-AVI (a
+  * RIFF chunk walk plus the JDK's JPEG codec per sampled frame — see
+  * [[videoFrames]]); payloads no installed codec claims fall back to a
+  * deterministic stub so other bytes still flow through the same
   * plumbing with honest `format = "unknown"` metadata. At cluster scale
   * the input would be `spark.read.format("binaryFile")` over an object
   * store with `maxPartitionBytes` tuned so a partition's payloads fit
@@ -195,6 +197,170 @@ object Multimodal {
     assets.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions(_.map { case (id, bytes) => pixelFeaturesOne(id, bytes) })
+  }
+
+  // ---- video: MJPEG-in-AVI frame decode (JDK-only, no codec library) ----
+  // An AVI is a RIFF container; MJPEG stores every frame as a standalone
+  // JPEG in a '00dc'/'00db' chunk inside the 'movi' list, and the JDK's
+  // ImageIO ships a JPEG codec — so frame sampling + decode is a chunk
+  // walk plus per-frame ImageIO reads, with no external dependency.
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
+
+  /** (offset, length) of every video frame chunk (`00dc` compressed /
+    * `00db` uncompressed, any stream number) inside the payload's `movi`
+    * list(s) — a pure RIFF walk, robust to torn files (a chunk running
+    * past the buffer ends the walk instead of throwing). Empty when the
+    * payload is not a RIFF-AVI. */
+  private[operators] def aviFrameChunks(b: Array[Byte]): Seq[(Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val id = fourcc(b, p)
+        val size = le32(b, p + 4)
+        if (size < 0 || p + 8 + size > end) ok = false // torn chunk
+        else {
+          if (id == "LIST" && size >= 4) {
+            val lt = fourcc(b, p + 8)
+            // 'rec ' groups nest inside movi; stay in frame-collecting mode
+            walk(p + 12, p + 8 + size, inMovi || lt == "movi")
+          } else if (inMovi && id.length == 4 &&
+            Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+            out += ((p + 8, size))
+          }
+          p += 8 + size + (size & 1) // RIFF chunks pad to even offsets
+        }
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** One decoded (sampled) video frame. `n_frames` is the stream's total
+    * chunk count; `frame_idx` the sampled chunk's position in it;
+    * `mean_luma_milli` the frame's integer BT.601 luma mean (0..255000).
+    * A non-AVI payload yields a single `ok = false` row (n_frames 0). */
+  case class VideoFrame(asset_id: Long, ok: Boolean, n_frames: Int,
+                        frame_no: Int, frame_idx: Int,
+                        width: Int, height: Int, mean_luma_milli: Long)
+
+  /** Decode up to `n` evenly spaced frames of one MJPEG-AVI payload. */
+  def videoFramesOne(assetId: Long, bytes: Array[Byte], n: Int): Seq[VideoFrame] = {
+    val chunks = aviFrameChunks(bytes)
+    if (chunks.isEmpty)
+      return Seq(VideoFrame(assetId, ok = false, 0, 0, -1, 0, 0, 0L))
+    val m = chunks.size
+    val k = math.min(n, m)
+    (0 until k).map { i =>
+      val fi = (i.toLong * m / k).toInt // even spacing across the stream
+      val (off, len) = chunks(fi)
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0)
+        VideoFrame(assetId, ok = false, m, i, fi, 0, 0, 0L)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var lumaSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        VideoFrame(assetId, ok = true, m, i, fi, w, h,
+          lumaSum * 1000 / (w.toLong * h))
+      }
+    }
+  }
+
+  /** Partition-mapped [[videoFramesOne]] over (id, payload) rows — the
+    * same batch shape as [[decodeAssets]]: at cluster scale the input is a
+    * `binaryFile` scan and each executor walks + decodes its partition's
+    * payloads locally. */
+  def videoFrames(assets: DataFrame, idCol: String, binCol: String,
+                  n: Int): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.flatMap { case (id, bytes) => videoFramesOne(id, bytes, n) })
+  }
+
+  /** Minimal MJPEG-AVI muxer: RIFF("AVI ") with an `avih` header and a
+    * `movi` list of `00dc` JPEG chunks. Enough container for any RIFF
+    * walker (including [[aviFrameChunks]]) and for per-frame ImageIO
+    * decode; NOT a fully-compliant AVI (no stream-list/index chunks), and
+    * documented as the fixture/generator half of the video path. */
+  def buildMjpegAvi(jpegFrames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def wcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val avih = new Array[Byte](56) // zeros, then patch the fields we state
+    def patch(off: Int, v: Int): Unit = {
+      avih(off) = (v & 0xFF).toByte; avih(off + 1) = ((v >> 8) & 0xFF).toByte
+      avih(off + 2) = ((v >> 16) & 0xFF).toByte
+      avih(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    patch(0, 40000) // microseconds per frame (25 fps)
+    patch(16, jpegFrames.size) // dwTotalFrames
+    patch(32, width); patch(36, height)
+    val moviBody = jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+    val hdrlBody = 4 + 8 + 56
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    wcc("RIFF"); w32(riffBody); wcc("AVI ")
+    wcc("LIST"); w32(hdrlBody); wcc("hdrl")
+    wcc("avih"); w32(56); bos.write(avih)
+    wcc("LIST"); w32(moviBody); wcc("movi")
+    jpegFrames.foreach { f =>
+      wcc("00dc"); w32(f.length); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // pad to even
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG-AVI: `nFrames` solid-color JPEG frames
+    * whose RGB derives from (seed, frame index) — the payload generator
+    * for specs and the registry query (real container, real JPEG encode,
+    * real decode on the read side). */
+  def syntheticMjpegAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val r = ((seed * 37 + f * 11) % 256).toInt
+      val g = ((seed * 59 + f * 23) % 256).toInt
+      val b = ((seed * 83 + f * 43) % 256).toInt
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    buildMjpegAvi(frames, w, h)
   }
 
   /** Frame-sample stub: slice `n` evenly spaced windows of `frameBytes`

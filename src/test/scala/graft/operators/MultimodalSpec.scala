@@ -156,4 +156,32 @@ class MultimodalSpec extends SparkSpec {
       .where($"l" > 16 || $"l" < 1).count()
     assert(sizes === 0L)
   }
+
+  test("MJPEG-AVI: RIFF walk finds every frame chunk, sampled frames decode to true dims and colors") {
+    import spark.implicits._
+    // 7-frame AVI of 16x12 solid-color JPEGs; decode 3 evenly spaced
+    val avi = Multimodal.syntheticMjpegAvi(seed = 5L, nFrames = 7, w = 16, h = 12)
+    assert(Multimodal.aviFrameChunks(avi).size === 7)
+    val rows = Seq((5L, avi), (9L, "not a movie".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.videoFrames(rows, "doc_id", "payload", n = 3)
+      .collect().groupBy(_.asset_id)
+    val vf = got(5L).sortBy(_.frame_no)
+    assert(vf.length === 3)
+    assert(vf.forall(f => f.ok && f.n_frames === 7 &&
+      f.width === 16 && f.height === 12))
+    assert(vf.map(_.frame_idx).toSeq === Seq(0, 2, 4)) // even spacing over 7
+    // decoded pixel means track the encoded solid colors: frame f of seed 5
+    // is rgb ((5*37+11f)%256, (5*59+23f)%256, (5*83+43f)%256); JPEG is
+    // lossy but a solid frame decodes within a few luma levels
+    vf.foreach { f =>
+      val i = f.frame_idx
+      val expect = (299 * ((5 * 37 + 11 * i) % 256) +
+        587 * ((5 * 59 + 23 * i) % 256) + 114 * ((5 * 83 + 43 * i) % 256)) / 1000
+      assert(math.abs(f.mean_luma_milli - expect * 1000L) <= 4000L,
+        s"frame $i luma ${f.mean_luma_milli} vs expected ~${expect * 1000L}")
+    }
+    // non-AVI payload: one honest ok=false row, nothing decoded
+    val bad = got(9L)
+    assert(bad.length === 1 && !bad(0).ok && bad(0).n_frames === 0)
+  }
 }
