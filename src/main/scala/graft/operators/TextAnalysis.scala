@@ -402,9 +402,16 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    // ids are assigned AFTER the top-V cut, over <= size rows, in ONE
+    // explicitly coalesced partition: a sorted single-partition pass where
+    // monotonically_increasing_id() is the dense 0-based row index — same
+    // result as an unpartitioned rank window without WindowExec's
+    // all-rows-to-one-partition warning (the <= size row bound is what
+    // makes the single partition safe, documented here once for the
+    // post-limit rankers that share this shape)
     counts.orderBy(col("n").desc, col("token").asc).limit(size)
-      .withColumn("token_id", row_number()
-        .over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .coalesce(1).sortWithinPartitions(col("n").desc, col("token").asc)
+      .withColumn("token_id", monotonically_increasing_id() + 1)
   }
 
   /** Tokenize-to-ids: each document's token stream mapped through a
@@ -536,11 +543,10 @@ object TextAnalysis {
       .withColumn("s_e6", round(col("idf") * col("tfn") * 1000000).cast("long"))
     val agg = scored.groupBy("_id").agg(sum("s_e6").as("score_e6"))
     val top = agg.orderBy(col("score_e6").desc, col("_id").asc).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_e6").desc, col("_id").asc)
-    top.withColumn("rank", row_number().over(w))
-      .select(col("_id").as(idCol), col("rank").cast("long").as("rank"),
-        col("score_e6"))
+    // post-limit rank over <= k rows in one partition (see buildVocab)
+    top.coalesce(1).sortWithinPartitions(col("score_e6").desc, col("_id").asc)
+      .withColumn("rank", monotonically_increasing_id() + 1)
+      .select(col("_id").as(idCol), col("rank"), col("score_e6"))
   }
 
   /** BPE merge training over the corpus: the distributed part is ONE
@@ -622,9 +628,9 @@ object TextAnalysis {
       .select(explode(bigrams(col(textCol))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc).limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("bigram").asc)
-    counts.withColumn("rank", row_number().over(w).cast("long"))
+    // post-limit rank over <= topN rows in one partition (see buildVocab)
+    counts.coalesce(1).sortWithinPartitions(col("n").desc, col("bigram").asc)
+      .withColumn("rank", monotonically_increasing_id() + 1)
       .select("rank", "bigram", "n")
   }
 
