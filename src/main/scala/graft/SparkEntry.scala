@@ -1405,6 +1405,22 @@ object SparkEntry {
       graft.sources.Sinks.readSnapshotAsOf(s, target, backups, instants(1))
     }),
 
+    // Small-file compaction exercised end to end: a deliberately
+    // fragmented (64-file) derived snapshot compacted through the
+    // crash-safe overwrite protocol, then read back (built once per
+    // dataset, cached; the file-count drop is pinned in ScaleLayoutSpec).
+    // Compaction can't change rows, so the oracle is the plain derivation
+    "s_compaction" -> ((s, dir) => {
+      val lines = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("pc"))
+      val (path, _, _) = graft.sources.Sinks.compactedSnapshotFor(
+        lines, key = dir)
+      s.read.parquet(path)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("sum_cents"))
+    }),
+
     // Bucket-pruned point lookup over the bucketed at-rest table — the
     // read-side half of the zero-shuffle bucketing story: the scan touches
     // 1 of 16 buckets (SelectedBucketsCount pinned in ScaleLayoutSpec) and

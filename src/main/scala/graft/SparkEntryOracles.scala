@@ -1670,6 +1670,13 @@ private[graft] object SparkEntryOracles {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 3 <= 1""".stripMargin,
 
+    // Compaction rewrites files, never rows
+    "s_compaction" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // Bucket pruning only skips files that can't hold the key
     "s_bucket_lookup" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

@@ -303,6 +303,39 @@ object Sinks {
     })
   }
 
+  /** Per-JVM registry of compacted snapshots: writes `df` deliberately
+    * FRAGMENTED (`fragments` files), then runs [[compactSnapshot]] over it
+    * — the small-files maintenance path end to end, built once per
+    * session + dataset key. Returns (path, filesBefore, filesAfter);
+    * reads of the path see the same rows either way, which is what the
+    * registry oracle checks. */
+  private val compacted = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, Int, Int)]()
+
+  def compactedSnapshotFor(df: DataFrame, key: String, fragments: Int = 64,
+                           targetBytes: Long = 128L * 1024 * 1024,
+                           baseDir: String =
+                             sys.props("java.io.tmpdir") + "/graft-compact")
+      : (String, Int, Int) = {
+    val spark = df.sparkSession
+    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
+    compacted.computeIfAbsent((sess, key), { _ =>
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val root = s"$baseDir/$safe"
+      val target = s"$root/table"
+      val fs = fsOf(spark)
+      fs.delete(new Path(root), true)
+      df.repartition(fragments).write.mode("overwrite").parquet(target)
+      def nFiles = fs.listStatus(new Path(target))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val before = nFiles
+      compactSnapshot(spark, target, s"$root/backups", targetBytes)
+      (target, before, nFiles)
+    })
+  }
+
   /** Per-JVM registry of bucketed at-rest tables ([[writeBucketedTable]]
     * under a derived catalog name, built once per session + dataset key):
     * the read-side entry point for bucket-pruned lookups and zero-shuffle

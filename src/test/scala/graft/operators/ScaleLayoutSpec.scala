@@ -122,6 +122,22 @@ class ScaleLayoutSpec extends SparkSpec {
       key = s"spec-$sfDir") === tbl)
   }
 
+  test("compacted snapshot: file count drops, rows identical") {
+    import graft.sources.Sinks
+    val orders = graft.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val (path, before, after) =
+      Sinks.compactedSnapshotFor(orders, key = s"spec-compact-$sfDir",
+        fragments = 32)
+    assert(before === 32)
+    assert(after < before, s"compaction must shrink the file count " +
+      s"($before -> $after)")
+    assert(spark.read.parquet(path).count() === orders.count())
+    // memo: second call returns the same build
+    assert(Sinks.compactedSnapshotFor(orders, key = s"spec-compact-$sfDir",
+      fragments = 32)._1 === path)
+  }
+
   test("backup chain: as-of each instant returns that instant's state") {
     import spark.implicits._
     import graft.sources.Sinks
