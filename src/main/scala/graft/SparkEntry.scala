@@ -942,8 +942,10 @@ object SparkEntry {
     }),
 
     // SQ8 search: whole-corpus scan on int8 codes (quarter bandwidth),
-    // fp32 re-rank of the top-candidate survivors only (rows-only:
-    // quantized ranking is not SQL-replayable; recall pinned in spec)
+    // fp32 re-rank of the top-candidate survivors only. FULLY ORACLED:
+    // codes, the integer-ratio int8 cosine, the candidate cut and the
+    // re-rank all replay exactly in SQL (recall additionally pinned in
+    // spec)
     "knn_int8_rerank" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnInt8Rerank(emb, emb.where(col("vec_id") < 20),

@@ -828,6 +828,52 @@ private[graft] object SparkEntryOracles {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // SQ8 twin: the whole tier is exact-integer underneath — codes are
+    // round(x*127/maxabs) (the proven emb_quantize_int8 replay), the int8
+    // cosine is a ratio of exact integer dot/norms (one sqrt + one divide,
+    // the same IEEE ops in both engines), and both the candidate cut and
+    // the fp32 re-rank break ties by neighbor_id
+    "knn_int8_rerank" ->
+      """WITH c8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding,
+        |      e -> abs(CAST(e AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v,
+        |           x -> CAST(round(x * 127 / m) AS BIGINT)) END AS q
+        |  FROM c8),
+        |pairs AS (
+        |  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |    qq.v AS qv, cc.v AS cv,
+        |    list_sum(list_transform(list_zip(qq.q, cc.q),
+        |      z -> z[1]*z[2])) AS dot,
+        |    list_sum(list_transform(qq.q, x -> x*x)) AS na,
+        |    list_sum(list_transform(cc.q, x -> x*x)) AS nb
+        |  FROM codes qq, codes cc
+        |  WHERE qq.vec_id < 20 AND cc.vec_id <> qq.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id, qv, cv,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) /
+        |           sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS ic
+        |  FROM pairs),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, qv, cv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ic DESC, neighbor_id) AS cr
+        |    FROM approx) WHERE cr <= 25),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= 5""".stripMargin,
+
     // Fixed-codebook IVF twin: the centroid literals come from the SAME
     // Scala value the query uses (Similarity.fixedCodebook), quantization
     // is floor(CAST(x AS DOUBLE)*1000) in both engines (identical IEEE

@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 143)
-    assert(SparkEntry.oracleSql.size === 128)
+    assert(SparkEntry.oracleSql.size === 129)
   }
 
   test("every query name is a lowercase identifier (driver artifact-path safe)") {
