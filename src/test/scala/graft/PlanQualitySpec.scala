@@ -44,6 +44,19 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("knn_ivf_fixed: probes broadcast, the corpus never shuffles for the cell join") {
+    val plan = formatted(SparkEntry.queries("knn_ivf_fixed")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(cell"),
+      s"corpus must not shuffle on cell:\n$plan")
+  }
+
+  test("salted skew join: the physical join key carries the salt") {
+    val plan = SparkEntry.queries("j_skew_salted")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan)
+  }
+
   test("e3 flagship plans adaptively (AQE on for skew/broadcast decisions)") {
     val plan = formatted(SparkEntry.entry(spark))
     assert(plan.contains("AdaptiveSparkPlan"), plan)
