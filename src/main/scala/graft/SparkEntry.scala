@@ -1109,6 +1109,16 @@ object SparkEntry {
           "fr" -> 0.1, "zh" -> 1.0))
         .select("doc_id", "lang")),
 
+    // Row-weighted Bernoulli sample: keep probability proportional to
+    // document length (capped at 1) — mixtureSample generalized from
+    // per-group rates to per-row weights, same portable integer-compare
+    // membership
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", least(lit(1.0), col("n_chars") / lit(3000.0)))
+        .select(col("doc_id"), col("n_chars"))),
+
     // Per-source document cap: at most 10 docs per source, survivors =
     // lowest md5-prefix rows per group (deterministic, engine-replayable)
     "sample_cap_per_group" -> ((s, dir) =>
@@ -1440,6 +1450,19 @@ object SparkEntry {
           max(col("o_orderkey")).as("last_order"))
     }),
 
+    // Fuzzy (Levenshtein) best-match join: vowel-stripped nation names
+    // matched back to the clean dimension — the approximate form of the
+    // reference's informal->official description matching; broadcast dim,
+    // length-band pre-gate, deterministic tiebreak, fully oracled
+    // (levenshtein has identical unit-cost semantics in both engines)
+    "j_fuzzy_match" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val dirty = nation.select(col("n_nationkey"),
+        regexp_replace(col("n_name"), "[AEIOU]", "").as("dirty"))
+      graft.operators.FuzzyMatch.bestMatch(dirty,
+        nation.select(col("n_name")), "dirty", "n_name", maxDistance = 6)
+    }),
+
     // Salted skew join exercised against a SYNTHESIZED hot key tail (the
     // lines of orders < 100 replicated 20 extra times — the consolidated-
     // bill shape): results are identical to the plain join by construction,
@@ -1458,6 +1481,31 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("sum_cents"))
     }),
+
+    // Exact heavy hitters: order quantities above their uniform 2% share
+    // (scale-invariant selectivity: ~half the 50 values qualify at any
+    // SF) — one map-side-combined aggregation + a broadcast scalar total;
+    // integer ppm share
+    "a_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Frequency.heavyHitters(
+        t(s, dir, "lineitem")
+          .select(col("l_quantity").cast("long").as("qty")),
+        "qty", support = 0.02)),
+
+    // Misra-Gries sketch exercised in its NO-EVICTION regime (3 distinct
+    // values << k-1 counters), where the estimates are provably exact —
+    // so even the sketch carries a plain GROUP BY oracle; the eviction
+    // regime's superset/undercount bounds are pinned in FrequencySpec
+    "a_heavy_hitters_sketch" -> ((s, dir) =>
+      graft.operators.Frequency.heavyHittersSketch(
+        t(s, dir, "lineitem").select(col("l_returnflag")),
+        "l_returnflag", k = 10)),
+
+    // Equi-width price histogram in exact-below-2^53 floor math
+    "a_histogram" -> ((s, dir) =>
+      graft.operators.Frequency.histogram(
+        t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc")),
+        "pc", buckets = 10)),
 
     // Pivot: one row per return flag, one integer revenue column per line
     // status (values enumerated -> single-pass pivot aggregation, no

@@ -1255,6 +1255,61 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'zh' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
         |  ELSE FALSE END""".stripMargin,
 
+    // exact heavy hitters: same ceil threshold, same truncating ppm share
+    "a_heavy_hitters" ->
+      """WITH tot AS (SELECT count(*) AS t FROM lineitem)
+        |SELECT CAST(l_quantity AS BIGINT) AS value, count(*) AS n,
+        |  CAST(floor(count(*) * 1000000.0 / t) AS BIGINT) AS share_ppm
+        |FROM lineitem, tot
+        |GROUP BY 1, t
+        |HAVING count(*) >= CAST(ceil(0.02 * t) AS BIGINT)""".stripMargin,
+
+    // the sketch runs in its no-eviction regime (distinct << k), where
+    // Misra-Gries estimates equal true counts exactly
+    "a_heavy_hitters_sketch" ->
+      """SELECT l_returnflag AS value, count(*) AS est
+        |FROM lineitem GROUP BY 1
+        |ORDER BY est DESC, value LIMIT 9""".stripMargin,
+
+    // identical floor((x-lo)*buckets/(hi-lo)) cell math, last cell closed
+    "a_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |st AS (SELECT min(x) AS lo, max(x) AS hi FROM v)
+        |SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+        |  ELSE least(CAST(9 AS BIGINT),
+        |    CAST(floor(CAST((x - lo) * 10 AS DOUBLE) / (hi - lo)) AS BIGINT))
+        |  END AS bucket,
+        |  count(*) AS n
+        |FROM v, st GROUP BY 1""".stripMargin,
+
+    // identical unit-cost levenshtein, identical length-band gate and
+    // (distance, candidate) tiebreak
+    "j_fuzzy_match" ->
+      """WITH dirty AS (
+        |  SELECT n_nationkey,
+        |    regexp_replace(n_name, '[AEIOU]', '', 'g') AS dirty
+        |  FROM nation),
+        |cand AS (SELECT DISTINCT n_name AS c FROM nation),
+        |best AS (
+        |  SELECT d.n_nationkey, d.dirty, c.c,
+        |    CAST(levenshtein(d.dirty, c.c) AS BIGINT) AS distance,
+        |    row_number() OVER (PARTITION BY d.n_nationkey
+        |      ORDER BY levenshtein(d.dirty, c.c), c.c) AS rn
+        |  FROM dirty d, cand c
+        |  WHERE abs(length(d.dirty) - length(c.c)) <= 6
+        |    AND levenshtein(d.dirty, c.c) <= 6)
+        |SELECT n_nationkey, dirty, c AS "match", distance
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // same u32 < floor(p * 2^32) integer compare, u32 from the md5 prefix
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |    ::BIGINT
+        |  < CAST(floor(least(1.0, n_chars / 3000.0) * 4294967296.0)
+        |    AS BIGINT)""".stripMargin,
+
     // split twin: cumulative-weight hex thresholds (8/10 -> 'cccccccc',
     // 9/10 -> 'e6666666' = Sampling.hexThreshold), last split is the
     // unconditional remainder — total coverage by construction

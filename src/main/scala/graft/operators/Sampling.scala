@@ -87,6 +87,23 @@ object Sampling {
   private[operators] def hexThreshold(r: Double): String =
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Row-weighted deterministic Bernoulli sample: keep each row with its
+    * OWN probability `probCol` (any expression in [0,1] — quality scores,
+    * length-proportional weights, source trust), clamped and compared as
+    * an exact integer against the portable md5-prefix draw:
+    * keep ⇔ u32 < floor(clamp(p)·2^32), with u32 the first 8 md5 hex
+    * digits of (salt ‖ id) as an integer. The float work is one multiply
+    * and one floor of a double — identical IEEE ops in any engine — so
+    * membership is engine-replayable row for row, like [[mixtureSample]]
+    * generalized from per-group rates to per-row weights. */
+  def weightedSample(df: DataFrame, idCol: String, probCol: Column,
+                     salt: String = "wsamp"): DataFrame = {
+    val u32 = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    val p = least(lit(1.0), greatest(lit(0.0), probCol.cast("double")))
+    df.where(u32 < floor(p * lit(4294967296.0)).cast("long"))
+  }
+
   /** Per-group cap — "at most `cap` documents per domain", the curation
     * step that stops one giant source from dominating a training mix.
     * Survivors are the `cap` rows of each group with the LOWEST

@@ -164,4 +164,24 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(sub === got.filter(_._1 < 100))
   }
+
+  test("weightedSample: per-row probabilities hold, clamps, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 3 weight tiers: 0 (never), 0.5 (about half), 2.0 (clamped -> all)
+    val df = (0L until 3000L).map(i => (i, (i % 3) * 1.0)).toDF("id", "w")
+    val run = () => Sampling.weightedSample(df, "id", col("w") * lit(0.5))
+      .as[(Long, Double)].collect().toSet
+    val got = run()
+    assert(got === run()) // deterministic
+    assert(got.count(_._2 == 0.0) === 0) // p = 0 never keeps
+    assert(got.count(_._2 == 2.0) === 1000) // p clamped to 1 keeps all
+    val half = got.count(_._2 == 1.0) / 1000.0
+    assert(math.abs(half - 0.5) < 0.06, s"p=0.5 tier kept $half")
+    // membership is a pure function of (id, weight): subset keeps the
+    // intersection
+    val sub = Sampling.weightedSample(df.where($"id" < 300), "id",
+      col("w") * lit(0.5)).as[(Long, Double)].collect().toSet
+    assert(sub === got.filter(_._1 < 300))
+  }
 }
