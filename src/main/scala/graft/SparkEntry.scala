@@ -1109,6 +1109,12 @@ object SparkEntry {
           "fr" -> 0.1, "zh" -> 1.0))
         .select("doc_id", "lang")),
 
+    // Fixed-size deterministic sample: exactly 100 docs, lowest md5
+    // prefix wins — TakeOrderedAndProject, never a global sort
+    "sample_fixed_k" -> ((s, dir) =>
+      graft.operators.Sampling.sampleFixedK(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 100)),
+
     // Row-weighted Bernoulli sample: keep probability proportional to
     // document length (capped at 1) — mixtureSample generalized from
     // per-group rates to per-row weights, same portable integer-compare
@@ -1673,6 +1679,13 @@ object SparkEntry {
       TextAnalysis.docLmCoverage(t(s, dir, "documents"), "doc_id", "text",
         1000)),
 
+    // Per-document LM score in integer micro-nats: the "filter by LM
+    // perplexity" signal, combine-order-free like the trained language
+    // classifier, hash-oracled end to end
+    "lm_doc_score" -> ((s, dir) =>
+      TextAnalysis.docLmScore(t(s, dir, "documents"), "doc_id", "text",
+        topN = 200)),
+
     // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
     // recall vs brute force pinned in SimilaritySpec) ----------
     "knn_pq_adc" -> ((s, dir) => {
@@ -1692,14 +1705,18 @@ object SparkEntry {
     // order-independent, so the iterative distributed compute is
     // hash-replayable by an unrolled SQL oracle
     "graph_pagerank" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
-        .localCheckpoint() // symmetrizing union reads it twice
-      val sym = e.unionByName(e.select(col("dst").as("src"),
-        col("src").as("dst")))
+      // the graph derivation (fact join + distinct + symmetrize) is an
+      // index-like build, memoized per dataset; the rank iterations stay
+      // per-query compute
+      val sym = graft.operators.Graph.edgesFor(s, key = s"$dir#purchases") {
+        val e = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .localCheckpoint() // symmetrizing union reads it twice
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      }
       graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3)
     })
   )

@@ -2050,6 +2050,49 @@ private[graft] object SparkEntryOracles {
         |  coalesce(h.n_bigrams, 0) AS n_bigrams,
         |  coalesce(h.n_hits, 0) AS n_hits,
         |  coalesce(h.hit_count_sum, 0) AS hit_count_sum
-        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // same micro-nat quantization as the trained language classifier
+    // (round(ln(n/total)*1e6) — proven cross-engine-exact there), same
+    // -12e6 floor per out-of-model occurrence
+    "lm_doc_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 2
+        |              THEN list_transform(range(len(t) - 1),
+        |                     i -> t[i+1] || ' ' || t[i+2])
+        |              ELSE [] END AS bigrams
+        |  FROM base
+        |), db AS (
+        |  SELECT doc_id, unnest(bigrams) AS bigram FROM bg
+        |), cnt AS (
+        |  SELECT bigram, count(*) AS n FROM db GROUP BY 1
+        |), top AS (
+        |  SELECT bigram, n FROM (
+        |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+        |      AS r FROM cnt) WHERE r <= 200
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM top
+        |), lm AS (
+        |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+        |    AS logp_q
+        |  FROM top, tot
+        |), sc AS (
+        |  SELECT db.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(coalesce(lm.logp_q, -12000000)) AS BIGINT) AS score_q
+        |  FROM db LEFT JOIN lm USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.score_q, 0) AS lm_score_q
+        |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
+
+    // the k lowest md5 prefixes, id tiebreak — the same portable order as
+    // sample_cap_per_group, global instead of per group
+    "sample_fixed_k" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY substr(md5('fixk' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |  doc_id
+        |LIMIT 100""".stripMargin
   )
 }

@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-JVM cache of derived EDGE LISTS, keyed by the owning SparkSession
+    * + a caller key that must uniquely identify the input dataset (the
+    * same cache contract as `Dedup.ngramClustersFor`): deriving a graph
+    * from fact tables (join + distinct) is an index-like build, paid once
+    * per dataset, while the rank iterations remain per-query compute. */
+  private val edgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def edgesFor(spark: org.apache.spark.sql.SparkSession, key: String)
+              (build: => DataFrame): DataFrame =
+    edgesCache.computeIfAbsent(
+      (java.lang.Integer.toHexString(System.identityHashCode(spark)), key),
+      _ => build.localCheckpoint())
+
   /** Integer-quantized PageRank: ranks live in micro-units (start =
     * 1,000,000 per node) and each iteration is
     * `rank'(v) = 150,000 + Σ_{u→v} (rank(u) * 850) div (1000 * outdeg(u))`

@@ -87,6 +87,24 @@ object Sampling {
   private[operators] def hexThreshold(r: Double): String =
     f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Fixed-size deterministic sample: the `k` rows with the LOWEST
+    * md5(salt ‖ id) prefix, ties by id — the deterministic stand-in for a
+    * reservoir sample. For a fixed corpus the pick is a pure function of
+    * the data (stable across runs, engines, retries); appending rows
+    * displaces at most the number of appended rows (each new row either
+    * misses the cut or evicts exactly the current maximum).
+    *
+    * Scale shape: `orderBy + limit` plans as TakeOrderedAndProject —
+    * per-partition k-heaps merged on one reducer, never a global sort —
+    * so a bounded k is cheap at any corpus size. */
+  def sampleFixedK(df: DataFrame, idCol: String, k: Int,
+                   salt: String = "fixk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    df.orderBy(prefix.asc, col(idCol).asc).limit(k)
+  }
+
   /** Row-weighted deterministic Bernoulli sample: keep each row with its
     * OWN probability `probCol` (any expression in [0,1] — quality scores,
     * length-proportional weights, source trust), clamped and compared as

@@ -648,6 +648,42 @@ object TextAnalysis {
     * the only corpus-sized shuffle is the final per-doc aggregation (and
     * the model build's own count aggregation). Docs with < 2 tokens have
     * no bigrams and emit zeros via the left join back to the doc list. */
+  /** Per-document integer LM score against the corpus' own top-`topN`
+    * bigram model: Σ log P(bigram) over the document's bigram OCCURRENCES
+    * in micro-nats (`logp_q = round(ln(n/total)·1e6)`, total = the model's
+    * own count mass), with a quantized floor penalty per out-of-model
+    * occurrence — the "filter documents by LM perplexity" curation signal
+    * in the same combine-order-free integer form as the trained language
+    * classifier, so an ANSI-SQL oracle replays it hash-exactly. More
+    * negative = less corpus-like; divide by `n_bigrams` for a per-token
+    * score downstream.
+    *
+    * Scale shape: the model is `topN` rows — broadcast — so the only
+    * corpus-sized shuffle is the per-doc aggregation. Docs with < 2
+    * tokens score 0 over 0 bigrams via the left join back to the doc
+    * list. */
+  def docLmScore(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int, floorLogp: Double = -12.0): DataFrame = {
+    val floorQ = math.round(floorLogp * 1e6)
+    val lm0 = bigramLm(docs, textCol, topN)
+    val tot = lm0.agg(sum(col("n")).as("_tot"))
+    val lm = lm0.crossJoin(broadcast(tot))
+      .select(col("bigram"),
+        round(log(col("n") / col("_tot")) * lit(1e6)).cast("long")
+          .as("logp_q"))
+    val db = docs
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
+    val scores = db.join(broadcast(lm), Seq("bigram"), "left_outer")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("logp_q"), lit(floorQ))).as("score_q"))
+    docs.select(col(idCol).as("_id"))
+      .join(scores, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_q"), lit(0L)).as("lm_score_q"))
+  }
+
   def docLmCoverage(docs: DataFrame, idCol: String, textCol: String,
                     topN: Int): DataFrame = {
     val lm = bigramLm(docs, textCol, topN)

@@ -165,6 +165,19 @@ class SamplingSpec extends SparkSpec {
     assert(sub === got.filter(_._1 < 100))
   }
 
+  test("sampleFixedK: exactly k, deterministic, append displaces at most the appended") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val run = () => Sampling.sampleFixedK(df, "id", k = 50)
+      .as[Long].collect().toSet
+    val got = run()
+    assert(got.size === 50 && got === run())
+    // appending 10 rows changes the pick by at most 10 members
+    val grown = Sampling.sampleFixedK((0L until 1010L).toDF("id"), "id", 50)
+      .as[Long].collect().toSet
+    assert((got -- grown).size <= 10)
+  }
+
   test("weightedSample: per-row probabilities hold, clamps, deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}

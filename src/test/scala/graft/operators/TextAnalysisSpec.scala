@@ -348,4 +348,23 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1L, 0L, 0L),
       (4L, 0L, 0L, 0L)))
   }
+
+  test("docLmScore: micro-nat sums over occurrences, floor per miss, zeros for short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "x y"), // out-of-model bigram -> floor only
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    // top-2 model over THIS corpus: "a b" n=2, then "b a" wins the n=1
+    // tie lexicographically; total model mass 3
+    val lpAb = math.round(math.log(2.0 / 3.0) * 1e6)
+    val lpBa = math.round(math.log(1.0 / 3.0) * 1e6)
+    val got = TextAnalysis.docLmScore(docs, "doc_id", "text", topN = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 4L, 2 * lpAb + lpBa - 12000000L), // "b c" takes the floor
+      (2L, 1L, -12000000L),
+      (3L, 0L, 0L)))
+  }
 }
