@@ -74,7 +74,21 @@ object SparkEntry {
   // Query registry
   // ====================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val m = queryList.toMap
+    require(m.size == queryList.size, {
+      val dups = queryList.map(_._1).groupBy(identity).collect {
+        case (k, vs) if vs.size > 1 => k
+      }
+      s"duplicate query names silently collapse in a Map: ${dups.mkString(",")}"
+    })
+    m
+  }
+
+  // Seq, not Map, so a duplicate registration is DETECTED (a Map literal
+  // keeps the last duplicate and silently drops a query from the
+  // registry — bitten once by emb_label_centroids)
+  private lazy val queryList: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // ---------- scans / projections / filters ----------
     "s7_scan_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -914,6 +928,25 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // kNN label classification: majority label among the 5 exact nearest
+    // neighbors (ties to the smaller label) — label propagation for data
+    // curation, composed from the oracled brute-force tier + an integer
+    // vote, so the whole classifier is hash-oracled
+    "knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nn = Similarity.knnBruteForce(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      nn.join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("label").as("l"), col("votes").as("v")),
+          struct(col("votes"), -col("label"))).as("_b"))
+        .select(col("query_id"), col("_b.l").cast("long").as("pred_label"),
+          col("_b.v").as("votes"))
+    }),
+
     // IVF over a FIXED literal codebook with exact-integer scoring — the
     // ANN tier with a FULL hash oracle: quantize/assign/probe/score/top-k
     // are all replayed by DuckDB over the same parquet (the learned tiers
@@ -1506,6 +1539,25 @@ object SparkEntry {
       graft.operators.Frequency.heavyHittersSketch(
         t(s, dir, "lineitem").select(col("l_returnflag")),
         "l_returnflag", k = 10)),
+
+    // Exact per-group median by integer rank selection (lower median, a
+    // total order inside each group) — the exact twin of the approximate
+    // quantile sketch, viable whenever per-group cardinality fits a sort
+    "a_exact_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("qty").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy("l_returnflag")))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("l_returnflag"), col("qty").as("median_qty"),
+          col("cnt").as("n"))
+    }),
 
     // Equi-width price histogram in exact-below-2^53 floor math
     "a_histogram" -> ((s, dir) =>

@@ -86,7 +86,17 @@ private[graft] object SparkEntryOracles {
 
   private val jaccardCtes = jaccardCtesFrom("documents")
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = {
+    val m = sqlList.toMap
+    require(m.size == sqlList.size,
+      "duplicate oracle keys: " + sqlList.map(_._1)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        .mkString(","))
+    m
+  }
+
+  // Seq, not Map — duplicates fail loudly (see SparkEntry.queryList)
+  private lazy val sqlList: Seq[(String, String)] = Seq(
     "s7_scan_pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'""".stripMargin,
@@ -828,6 +838,29 @@ private[graft] object SparkEntryOracles {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // the oracled brute-force knn + an integer vote; same tiebreaks
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+        |    list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |nn AS (
+        |  SELECT query_id, neighbor_id, label FROM (
+        |    SELECT query_id, neighbor_id, label, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS v FROM nn GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS BIGINT) AS pred_label, v AS votes
+        |FROM (
+        |  SELECT query_id, label, v, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY v DESC, label ASC) AS rn
+        |  FROM votes)
+        |WHERE rn = 1""".stripMargin,
+
     // SQ8 twin: the whole tier is exact-integer underneath — codes are
     // round(x*127/maxabs) (the proven emb_quantize_int8 replay), the int8
     // cosine is a ratio of exact integer dot/norms (one sqrt + one divide,
@@ -1270,6 +1303,18 @@ private[graft] object SparkEntryOracles {
       """SELECT l_returnflag AS value, count(*) AS est
         |FROM lineitem GROUP BY 1
         |ORDER BY est DESC, value LIMIT 9""".stripMargin,
+
+    // identical total order inside each group, identical lower-median rank
+    "a_exact_median" ->
+      """SELECT l_returnflag, median_qty, n FROM (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS median_qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+        |        l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |WHERE rn = (n + 1) // 2""".stripMargin,
 
     // identical floor((x-lo)*buckets/(hi-lo)) cell math, last cell closed
     "a_histogram" ->
