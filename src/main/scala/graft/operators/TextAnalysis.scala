@@ -95,6 +95,21 @@ object TextAnalysis {
           .cast("long").as("logp_q"))
   }
 
+  /** Per-JVM cache of FITTED language profiles, keyed by the owning
+    * SparkSession + a caller key that must uniquely identify the input
+    * corpus (the `Dedup.ngramClustersFor` cache contract): the fit is a
+    * learned, bounded (topK × #languages rows) artifact built once per
+    * dataset; classification stays per-query compute. */
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def languageProfilesFor(docs: DataFrame, textCol: String, langCol: String,
+                          key: String): DataFrame =
+    profileCache.computeIfAbsent(
+      (java.lang.Integer.toHexString(
+        System.identityHashCode(docs.sparkSession)), key),
+      _ => fitLanguageProfiles(docs, textCol, langCol).localCheckpoint())
+
   /** Classify documents against fitted [[fitLanguageProfiles]] profiles:
     * per (doc, language), the sum of matched grams' log-probs plus a
     * floor penalty per unmatched gram; argmax wins (exact score ties break
@@ -623,6 +638,20 @@ object TextAnalysis {
     * cut (per-partition heaps, no global sort); at 100 TB the aggregation
     * shuffles (bigram, partial-count) pairs, never raw text. This is the
     * count table a KenLM-style corpus LM trains from. */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), DataFrame]()
+
+  /** [[bigramLm]] memoized per (session, dataset key, topN) — the trained
+    * model is a bounded artifact shared by every LM-scoring consumer
+    * (counts, coverage, perplexity score); same cache contract as
+    * [[languageProfilesFor]]. */
+  def bigramLmFor(docs: DataFrame, textCol: String, topN: Int,
+                  key: String): DataFrame =
+    lmCache.computeIfAbsent(
+      (java.lang.Integer.toHexString(
+        System.identityHashCode(docs.sparkSession)), key, topN),
+      _ => bigramLm(docs, textCol, topN).localCheckpoint())
+
   def bigramLm(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     val counts = docs
       .select(explode(bigrams(col(textCol))).as("bigram"))
@@ -663,9 +692,11 @@ object TextAnalysis {
     * tokens score 0 over 0 bigrams via the left join back to the doc
     * list. */
   def docLmScore(docs: DataFrame, idCol: String, textCol: String,
-                 topN: Int, floorLogp: Double = -12.0): DataFrame = {
+                 topN: Int, floorLogp: Double = -12.0,
+                 cacheKey: Option[String] = None): DataFrame = {
     val floorQ = math.round(floorLogp * 1e6)
-    val lm0 = bigramLm(docs, textCol, topN)
+    val lm0 = cacheKey.map(k => bigramLmFor(docs, textCol, topN, k))
+      .getOrElse(bigramLm(docs, textCol, topN))
     val tot = lm0.agg(sum(col("n")).as("_tot"))
     val lm = lm0.crossJoin(broadcast(tot))
       .select(col("bigram"),
@@ -685,8 +716,9 @@ object TextAnalysis {
   }
 
   def docLmCoverage(docs: DataFrame, idCol: String, textCol: String,
-                    topN: Int): DataFrame = {
-    val lm = bigramLm(docs, textCol, topN)
+                    topN: Int, cacheKey: Option[String] = None): DataFrame = {
+    val lm = cacheKey.map(k => bigramLmFor(docs, textCol, topN, k))
+      .getOrElse(bigramLm(docs, textCol, topN))
       .select(col("bigram"), col("n").as("_lm_n"))
     val db = docs
       .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
