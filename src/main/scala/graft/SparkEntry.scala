@@ -863,10 +863,8 @@ object SparkEntry {
     // table per dataset (Dedup.shingleGroupsFor) — the documented
     // corpus-scale two-step made the default
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairsFromGroups(
-        Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
-          k = 2, key = dir),
-        minJaccard = 0.8)),
+      Dedup.ngramPairsFor(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, minJaccard = 0.8, key = dir)),
 
     // transitive closure of the near-dup pair list: hash-min label
     // propagation (distributed rounds = component diameter); cluster id =

@@ -268,15 +268,29 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double),
       DataFrame]()
 
+  /** Per-JVM cache of n-gram Jaccard PAIR tables (the PPJoin output) —
+    * the artifact both the pair-listing query and the cluster builder
+    * consume; same cache contract as [[shingleGroupsFor]]. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double),
+      DataFrame]()
+
+  def ngramPairsFor(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minJaccard: Double, key: String): DataFrame =
+    pairsCache.computeIfAbsent(
+      (sessionKey(docs), key, k, minJaccard),
+      _ => ngramJaccardPairsFromGroups(
+        shingleGroupsFor(docs, idCol, textCol, k, key), minJaccard)
+        .localCheckpoint())
+
   /** Near-dup clusters for `docs` under dataset key `key` (same key
     * contract as [[shingleGroupsFor]]): memoized
-    * `connectedComponents(ngramJaccardPairsFromGroups(collapse))`. */
+    * `connectedComponents(ngramPairsFor(...))`. */
   def ngramClustersFor(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, minJaccard: Double, key: String): DataFrame =
     clustersCache.computeIfAbsent(
       (sessionKey(docs), key, k, minJaccard), { _ =>
-        val pairs = ngramJaccardPairsFromGroups(
-          shingleGroupsFor(docs, idCol, textCol, k, key), minJaccard)
+        val pairs = ngramPairsFor(docs, idCol, textCol, k, minJaccard, key)
         // connectedComponents already returns an eagerly checkpointed,
         // loop-cache-free frame — safe to hold for the JVM lifetime
         connectedComponents(pairs, "id_a", "id_b")
