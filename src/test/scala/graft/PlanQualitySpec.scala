@@ -180,7 +180,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("bigram lm top-N cut is a distributed TakeOrdered, not a global sort") {
-    val plan = formatted(SparkEntry.queries("lm_bigram_counts")(spark, sfDir))
+    // inspect the raw operator, not the registry query: the registry
+    // serves the memoized checkpoint, whose plan is just the cached RDD
+    val plan = formatted(graft.operators.TextAnalysis.bigramLm(
+      Tables(spark, sfDir, "documents"), "text", 200))
     assert(plan.contains("TakeOrderedAndProject"),
       s"the top-N cut must be per-partition heaps + driver merge:\n$plan")
   }
