@@ -102,7 +102,11 @@ object Multimodal {
     * costs a few KB of reads); payloads no image codec claims are probed
     * as audio ([[decodeAudio]]); anything left → [[decodeStub]]. */
   def decodeOne(assetId: Long, bytes: Array[Byte]): AssetMeta = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-backed image input (not ImageIO's default temp-FILE cache):
+    // payloads are already in memory, and a disk-backed cache writes one
+    // temp file per asset — pure churn that also couples decode latency
+    // to disk load
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
