@@ -1143,6 +1143,15 @@ object SparkEntry {
           "fr" -> 0.1, "zh" -> 1.0))
         .select("doc_id", "lang")),
 
+    // Stratified downsampling: the named strata keep their own fraction,
+    // every other stratum rides through whole (the keep-by-default
+    // complement of the mixture's drop-by-default); same portable
+    // md5-prefix membership, so the exact rowset is oracle-replayed
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.25, "zh" -> 0.5))
+        .select("doc_id", "lang")),
+
     // Fixed-size deterministic sample: exactly 100 docs, lowest md5
     // prefix wins — TakeOrderedAndProject, never a global sort
     "sample_fixed_k" -> ((s, dir) =>
@@ -1231,6 +1240,17 @@ object SparkEntry {
     "decontaminate_hashed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.operators.Decontamination.contaminationHashed(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", 4)
+    }),
+
+    // The hashed-key decontamination dataflow under the FULL oracle gate:
+    // grams travel as portable md5-prefix keys (any engine computes the
+    // same 16 hex chars), so broadcast-probe-aggregate is hash-replayable
+    "decontaminate_md5keys" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationMd5Keys(
         docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
         docs.where(pmod(col("doc_id"), lit(50)) === 7),
         "doc_id", "text", 4)

@@ -1288,6 +1288,15 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'zh' THEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff'
         |  ELSE FALSE END""".stripMargin,
 
+    // stratified twin: named strata compare against their hexThreshold,
+    // unnamed strata keep everything (ELSE TRUE)
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |  WHEN 'zh' THEN substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |  ELSE TRUE END""".stripMargin,
+
     // exact heavy hitters: same ceil threshold, same truncating ppm share
     "a_heavy_hitters" ->
       """WITH tot AS (SELECT count(*) AS t FROM lineitem)
@@ -1460,6 +1469,29 @@ private[graft] object SparkEntryOracles {
         |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct_hits
         |FROM g JOIN bench USING (gram)
         |WHERE g.doc_id % 50 <> 7
+        |GROUP BY 1""".stripMargin,
+
+    "decontaminate_md5keys" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 4
+        |    THEN list_transform(generate_series(0, len(t) - 4),
+        |           i -> list_aggregate(t[i+1:i+4], 'string_agg', ' '))
+        |    ELSE [] END) AS gram
+        |  FROM base
+        |), bench AS (
+        |  SELECT DISTINCT substr(md5(gram), 1, 16) AS gk
+        |  FROM g WHERE doc_id % 50 = 7
+        |), ck AS (
+        |  SELECT doc_id, substr(md5(gram), 1, 16) AS gk
+        |  FROM g WHERE doc_id % 50 <> 7
+        |)
+        |SELECT ck.doc_id,
+        |  CAST(count(DISTINCT ck.gk) AS BIGINT) AS n_distinct_hits
+        |FROM ck JOIN bench USING (gk)
         |GROUP BY 1""".stripMargin,
 
     "decontaminate_verdict" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.{shingleHashes, shingles}
@@ -75,5 +75,30 @@ object Decontamination {
       .join(broadcast(bench), "gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_distinct_hits"))
+  }
+
+  /** The hashed-key dataflow of [[contaminationHashed]] with an
+    * ENGINE-PORTABLE key: grams travel as the first 16 hex chars of their
+    * md5 (64 bits of a hash any engine computes identically on the same
+    * UTF-8 bytes), so the broadcast-probe-aggregate pipeline is
+    * hash-oracle-replayable end to end while still shipping fixed-width
+    * keys instead of sentence-length gram strings. xxhash64
+    * ([[contaminationHashed]]) stays the at-scale default — one codegen'd
+    * long per gram beats a 16-byte string — this variant exists so the
+    * hashed dataflow itself sits under the full correctness gate.
+    * Emits `(id, n_distinct_hits)`, equal to [[contamination]]'s column
+    * up to 64-bit collisions. */
+  def contaminationMd5Keys(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, n: Int): DataFrame = {
+    def key(gram: Column): Column = substring(md5(gram.cast("binary")), 1, 16)
+    val bench = benchmark
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(key(col("gram")).as("gk")).distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), key(col("gram")).as("gk"))
+      .join(broadcast(bench), "gk")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gk")).as("n_distinct_hits"))
   }
 }

@@ -49,13 +49,20 @@ object Sampling {
 
   /** Per-stratum deterministic downsampling: each stratum value keeps its
     * own fraction (class rebalancing). Strata absent from `fractions` are
-    * kept whole. */
+    * kept WHOLE — the complement of [[mixtureSample]]'s drop-by-default,
+    * for the "downweight the over-represented classes, touch nothing
+    * else" curation move. Same ENGINE-PORTABLE md5-prefix membership as
+    * [[mixtureSample]], so the exact rowset replays in any engine with
+    * md5. */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        fractions: Map[String, Double],
                        salt: String = "strata"): DataFrame = {
-    val b = bucket(col(idCol), salt, 1000000)
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions in [0,1]")
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
     val keep = fractions.foldLeft(lit(true)) { case (acc, (stratum, f)) =>
-      when(col(stratumCol) === stratum, b < (f * 1000000).toInt).otherwise(acc)
+      when(col(stratumCol) === stratum, prefix < hexThreshold(f)).otherwise(acc)
     }
     df.where(keep)
   }

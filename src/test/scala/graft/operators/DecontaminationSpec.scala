@@ -37,4 +37,19 @@ class DecontaminationSpec extends SparkSpec {
     assert(hashed === str)
     assert(str.nonEmpty, "test corpus must exercise the overlap path")
   }
+
+  test("portable md5-key variant agrees with the string variant") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(50)) === 7)
+    val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
+    val str = Decontamination.contamination(corpus, bench, "doc_id", "text", 4)
+      .select("doc_id", "n_distinct_hits")
+      .as[(Long, Long)].collect().toMap
+    val md5k = Decontamination
+      .contaminationMd5Keys(corpus, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(md5k === str)
+    assert(str.nonEmpty, "test corpus must exercise the overlap path")
+  }
 }
