@@ -1792,6 +1792,23 @@ object SparkEntry {
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       }
       graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3)
+    }),
+
+    // Per-customer triangle counts over the co-purchase similarity graph
+    // (customers sharing >= 3 distinct parts): bipartite->unipartite
+    // projection with a hot-via cap, then degree-ordered triangle
+    // enumeration. The triangle set is orientation-independent, so the
+    // id-ordered SQL twin replays it hash-exactly
+    "graph_triangles" -> ((s, dir) => {
+      val edges = graft.operators.Graph.edgesFor(s, key = s"$dir#coparts") {
+        graft.operators.Graph.cooccurrenceEdges(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey", minShared = 3L)
+      }
+      graft.operators.Graph.triangleCounts(edges, "u", "v")
     })
   )
 

@@ -1912,6 +1912,38 @@ private[graft] object SparkEntryOracles {
     // Unrolled 3-iteration replay of the integer power iteration; `//` is
     // DuckDB floor division == Scala long division on the all-positive
     // ranks, so every contribution matches bit-for-bit
+    // triangle twin: plain id-ordered enumeration (u<v<w) — the Spark
+    // side degree-orders for scale, but the TRIANGLE SET (and so the
+    // per-node counts) is orientation-independent
+    "graph_triangles" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS node, l_partkey AS via
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), vc AS (
+        |  SELECT via FROM cp GROUP BY via HAVING count(*) <= 1000
+        |), k AS (
+        |  SELECT cp.node, cp.via FROM cp JOIN vc USING (via)
+        |), e AS (
+        |  SELECT a.node AS u, b.node AS v
+        |  FROM k a JOIN k b ON a.via = b.via AND a.node < b.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), nodes AS (
+        |  SELECT u AS node FROM e UNION SELECT v AS node FROM e
+        |), t AS (
+        |  SELECT node, count(*) AS nt FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri
+        |  ) GROUP BY 1
+        |)
+        |SELECT n.node, CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles
+        |FROM nodes n LEFT JOIN t USING (node)""".stripMargin,
+
     "graph_pagerank" ->
       """WITH e0 AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

@@ -78,4 +78,86 @@ object Graph {
     }
     ranks
   }
+
+  /** Co-occurrence projection: an undirected edge (u, v) between distinct
+    * `nodeCol` values that share at least `minShared` distinct `viaCol`
+    * values — the standard bipartite→unipartite projection (customers
+    * sharing parts, documents sharing terms) that turns fact tables into
+    * similarity graphs.
+    *
+    * Scale shape: one distinct on (node, via), then a self-join on `via`
+    * whose fan-out is the squared per-via node count — so hyper-connector
+    * vias (a stop-word term, a part every customer buys) are DROPPED at
+    * `maxPerVia` first, the same hot-bucket cap as the LSH dedup family
+    * (a via shared by everyone carries no similarity signal and would
+    * dominate the shuffle). Emits (u, v, n_shared) with u < v. */
+  def cooccurrenceEdges(df: DataFrame, nodeCol: String, viaCol: String,
+                        minShared: Long, maxPerVia: Long = 1000): DataFrame = {
+    val nv = df.select(col(nodeCol).as("node"), col(viaCol).as("via"))
+      .distinct()
+    val keptVias = nv.groupBy("via").agg(count(lit(1)).as("n_nodes"))
+      .where(col("n_nodes") <= maxPerVia).select("via")
+    val kept = nv.join(keptVias, "via")
+    // (node, via) is distinct, so each shared via contributes exactly one
+    // joined row and count(*) is the shared-via count
+    kept.as("a").join(kept.as("b"),
+        col("a.via") === col("b.via") && col("a.node") < col("b.node"))
+      .groupBy(col("a.node").as("u"), col("b.node").as("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Exact per-node triangle counts over an undirected edge list, via
+    * DEGREE-ORDERED orientation: each edge points from its lower-(degree,
+    * id) endpoint to the higher one, wedges pair the out-neighbors of a
+    * common source, and a wedge closes into a triangle when its two tips
+    * are themselves an oriented edge. Every triangle is generated exactly
+    * once (from its lowest-rank vertex), and out-degrees are bounded by
+    * O(√m) on any graph — the standard trick that keeps the wedge table
+    * near-linear instead of Σdeg² on skewed graphs.
+    *
+    * The oriented-edge table is one distinct + one degree agg + joins on
+    * the edge key; the wedge⋈edge close is the only quadratic-risk step
+    * and degree ordering is exactly what bounds it. Output: (node,
+    * n_triangles) for every edge endpoint, zeros included — and since the
+    * TRIANGLE SET is orientation-independent, a plain id-ordered SQL
+    * twin replays the result exactly. */
+  def triangleCounts(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // read 3x: degrees, orientation, node universe
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint() // read 3x: both wedge sides + the closing probe
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") &&
+          (col("x.dt") < col("y.dt") ||
+            (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    und.select(col("u").as("node")).unionByName(und.select(col("v").as("node")))
+      .distinct()
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -46,4 +46,32 @@ class GraphSpec extends SparkSpec {
     assert(got("a") === 150000L) // no in-edges: teleport constant only
     assert(got === run())
   }
+
+  test("triangleCounts: exact per-node counts, orientation-independent") {
+    import spark.implicits._
+    // two triangles sharing node 3, plus a pendant edge (6) with none
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (5L, 6L),
+      // duplicates / reversed duplicates must not inflate counts
+      (2L, 1L), (1L, 3L))
+    val got = Graph.triangleCounts(edges.toDF("u", "v"), "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L))
+  }
+
+  test("cooccurrenceEdges: shared-via threshold and hyper-connector cap") {
+    import spark.implicits._
+    val nv = Seq(
+      // u,v share vias p1,p2 (edge at minShared=2); v,w share only p3
+      (10L, "p1"), (10L, "p2"), (11L, "p1"), (11L, "p2"), (11L, "p3"),
+      (12L, "p3"),
+      // p9 is a hyper-connector shared by everyone: capped away, so it
+      // must not push (10,12) over the threshold
+      (10L, "p9"), (11L, "p9"), (12L, "p9")).toDF("cust", "part")
+    val got = Graph
+      .cooccurrenceEdges(nv, "cust", "part", minShared = 2L, maxPerVia = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 11L, 2L)))
+  }
 }
