@@ -284,6 +284,21 @@ object SparkEntry {
           col("purchase_value_micros"))
     }),
 
+    // Runtime-filtered join: lineitem pre-filtered by a Bloom filter of
+    // the selective dim side's keys BEFORE the exchange (the dynamic-
+    // filtering move, as an explicit operator). Bloom false positives are
+    // removed by the join itself, so the result equals the plain join
+    "j_bloom_filtered" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 350000.0)
+      graft.operators.RuntimeFilters.bloomFilteredJoin(
+        t(s, dir, "lineitem"), hi, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
     // Range join: clicks within +/-5 min of a same-user purchase, via the
     // bucketed interval join (oracled by a plain BETWEEN join in DuckDB).
     "j_range_interval" -> ((s, dir) => {

@@ -403,6 +403,17 @@ private[graft] object SparkEntryOracles {
         |WHERE year(l_shipdate) = 1996
         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
 
+    // bloom twin: the Bloom pass is invisible to the result (no false
+    // negatives; the join removes false positives), so the oracle is the
+    // plain filtered join
+    "j_bloom_filtered" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 350000
+        |GROUP BY 1""".stripMargin,
+
     "tpch_q13_custdist" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
