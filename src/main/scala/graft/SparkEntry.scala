@@ -1475,6 +1475,26 @@ object SparkEntry {
           coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
     }),
 
+    // Dynamic partition pruning over a Hive-partitioned at-rest layout:
+    // lineitem enriched with its supplier's nation, one directory per
+    // nation; the join against the region-filtered nation dim prunes 20
+    // of 25 directories AT RUNTIME (dim keys -> partition filter).
+    // Layouts only reorganize rows, so the oracle replays the raw joins
+    "s_dpp_scan" -> ((s, dir) => {
+      val path = graft.sources.Layouts.partitionedLayoutFor(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_extendedprice"), col("s_nationkey")),
+        "s_nationkey", key = s"$dir#li_by_supp_nation")
+      val dim = t(s, dir, "nation").where(col("n_regionkey") === 2)
+      s.read.parquet(path)
+        .join(dim, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
     // Time-travel over the snapshot-versioned backup chain: three states
     // of a derived orders snapshot written through snapshotOverwrite
     // (built once per dataset, cached), read AS-OF the middle instant ->

@@ -1898,6 +1898,18 @@ private[graft] object SparkEntryOracles {
         |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |      BETWEEN 1000 AND 1400""".stripMargin,
 
+    // DPP twin: partition pruning never changes results — replay the raw
+    // lineitem⋈supplier⋈nation joins with the region filter
+    "s_dpp_scan" ->
+      """SELECT n_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |GROUP BY 1""".stripMargin,
+
     // Rolling-window sums replayed with the same frame; the anomaly flag
     // is the same integer cross-multiplication on both sides
     "events_anomaly" ->

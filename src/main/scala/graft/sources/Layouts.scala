@@ -79,4 +79,32 @@ object Layouts {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Per-JVM registry of Hive-partitioned layouts (same contract as
+    * [[zLayoutFor]]: `key` uniquely identifies the input, built once). */
+  private val partLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hive-style partitioned at-rest layout: `df` written as one parquet
+    * directory per `partCol` value. This is the layout that turns a join
+    * against a filtered dimension into DYNAMIC PARTITION PRUNING — the
+    * dim side's surviving keys become the fact scan's partition filter at
+    * runtime, so whole directories are never opened. Choose a `partCol`
+    * with bounded cardinality (a nation key, a date month — tens to
+    * thousands of values): each value is a directory, and the
+    * pre-shuffle on `partCol` keeps it to one file per partition instead
+    * of one per task x partition. */
+  def partitionedLayoutFor(df: => DataFrame, partCol: String, key: String,
+                           baseDir: String =
+                             sys.props("java.io.tmpdir") + "/graft-partitioned")
+      : String =
+    partLayouts.computeIfAbsent(key, { _ =>
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val path = s"$baseDir/$safe"
+      df.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(path)
+      path
+    })
 }

@@ -188,4 +188,30 @@ class ScaleLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("partitioned layout: dim filter prunes fact partitions at runtime (DPP)") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+    val supp = Tables(spark, sfDir, "supplier")
+    val nation = Tables(spark, sfDir, "nation")
+    val path = graft.sources.Layouts.partitionedLayoutFor(
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_extendedprice"), col("s_nationkey")),
+      "s_nationkey", key = s"$sfDir#spec_li_by_supp_nation")
+    val dim = nation.where(col("n_regionkey") === 2)
+    val got = spark.read.parquet(path)
+      .join(dim, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_lines"))
+    // the fact scan must carry a runtime pruning predicate on the
+    // partition column, not read all 25 nation directories
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    val expect = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nation.where(col("n_regionkey") === 2),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_lines"))
+      .as[(String, Long)].collect().toMap
+    assert(got.as[(String, Long)].collect().toMap === expect)
+    assert(expect.nonEmpty)
+  }
 }
