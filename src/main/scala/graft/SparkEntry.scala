@@ -910,6 +910,19 @@ object SparkEntry {
           col("n_chars"), (col("rk") === 1).cast("long").as("keep"))
     }),
 
+    // Incremental dedup: each NEW document (doc_id%10 >= 8) judged
+    // against the already-kept REFERENCE corpus only — asymmetric PPJoin
+    // (ref-side document frequencies, cross-side pairs only), verdict
+    // relation over every new doc. The arriving-batch pass of a
+    // continuously growing training set
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalVerdict(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+        docs.where(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", k = 2, minJaccard = 0.8)
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsFromGroups(
         Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",

@@ -773,6 +773,37 @@ private[graft] object SparkEntryOracles {
          |SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY 1""".stripMargin,
 
+    // incremental twin: brute-force cross-side shared-gram intersection
+    // (new = doc_id%10 >= 8, ref = < 8), exact jaccard, verdict per new
+    // doc — zero-match and too-short docs report 0/kept
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 1),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 2
+        |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS nid, b.doc_id AS rid, count(*) AS i
+        |  FROM ex a JOIN ex b USING (shingle)
+        |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT nid, count(*) AS n_matches
+        |  FROM inter JOIN sizes sa ON nid = sa.doc_id
+        |             JOIN sizes sb ON rid = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS new_id,
+        |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  CAST(CASE WHEN coalesce(m.n_matches, 0) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS dropped
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.nid
+        |WHERE d.doc_id % 10 >= 8""".stripMargin,
+
     "dedup_survivors" ->
       s"""WITH RECURSIVE $jaccardCtes,
          |edges AS (

@@ -547,4 +547,96 @@ object Dedup {
     cached.unpersist()
     out
   }
+
+  /** INCREMENTAL dedup: near-dup pairs BETWEEN two corpora — each (new,
+    * ref) pair with word-k-gram Jaccard ≥ `minJaccard`, never new–new or
+    * ref–ref pairs. This is the arriving-batch-vs-kept-corpus pass of a
+    * continuously growing training set: the reference side has already
+    * been deduped internally; a new document is judged only against what
+    * is already kept.
+    *
+    * Same PPJoin prefix filtering as [[ngramJaccardPairsFromGroups]],
+    * asymmetric: document frequencies come from the REFERENCE side (the
+    * big, stable side — at scale that df table is an index artifact built
+    * once per corpus generation), both sides sort their shingles by the
+    * same (df, hash) total order (new-side shingles unseen in the
+    * reference get df 0: rarest-first, prefix guarantee unaffected), and
+    * candidate pairs are generated within shared-prefix buckets with a
+    * side gate so only cross-corpus pairs survive. Output: (new_id,
+    * ref_id, intersection, size_new, size_ref). */
+  def crossCorpusPairs(newDocs: DataFrame, refDocs: DataFrame,
+                       idCol: String, textCol: String, k: Int,
+                       minJaccard: Double,
+                       maxBucket: Int = 10000): DataFrame = {
+    def sets(d: DataFrame) = d
+      .select(col(idCol).as("doc"),
+        sort_array(shingleHashes(col(textCol), k)).as("sh"))
+      .where(size(col("sh")) > 0)
+    // both sides are read twice (prefixing + verify join) — materialize
+    val nSets = sets(newDocs).localCheckpoint()
+    val rSets = sets(refDocs).localCheckpoint()
+    val dfTab = rSets.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    def prefixes(s: DataFrame, side: String) = {
+      val ordered = s.select(col("doc"), explode(col("sh")).as("h"))
+        .join(dfTab, Seq("h"), "left_outer")
+        .select(col("doc"),
+          struct(coalesce(col("df"), lit(0L)).as("df"), col("h").as("h"))
+            .as("e"))
+        .groupBy("doc")
+        .agg(sort_array(collect_list(col("e"))).as("es"),
+          count(lit(1)).as("n"))
+      val prefixLen =
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+      ordered.select(col("doc"), col("n"), lit(side).as("side"),
+        posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
+    }
+    val both = prefixes(nSets, "n").unionByName(prefixes(rSets, "r"))
+    val alphaFactor = minJaccard / (1.0 + minJaccard)
+    val cand = capBuckets(
+      both.groupBy("p")
+        .agg(collect_list(struct(col("doc"), col("n"), col("pos"),
+          col("side"))).as("ms"))
+        .where(size(col("ms")) > 1),
+      maxBucket, "xcorpus_prefix_buckets")
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.side") === "n" && col("b.side") === "r" &&
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+          ceil(lit(alphaFactor) * (col("a.n") + col("b.n"))))
+      .select(col("a.doc").as("new_id"), col("b.doc").as("ref_id"))
+      .distinct()
+    cand
+      .join(nSets.select(col("doc").as("new_id"), col("sh").as("sh_n")),
+        "new_id")
+      .join(rSets.select(col("doc").as("ref_id"), col("sh").as("sh_r")),
+        "ref_id")
+      .withColumn("intersection",
+        size(array_intersect(col("sh_n"), col("sh_r"))).cast("long"))
+      .withColumn("size_new", size(col("sh_n")).cast("long"))
+      .withColumn("size_ref", size(col("sh_r")).cast("long"))
+      .where(col("intersection") /
+        (col("size_new") + col("size_ref") - col("intersection")) >=
+        minJaccard)
+      .select("new_id", "ref_id", "intersection", "size_new", "size_ref")
+  }
+
+  /** Per-new-document keep/drop VERDICT against a reference corpus: the
+    * [[crossCorpusPairs]] matches aggregated per new document — `(new_id,
+    * n_matches, dropped)` over EVERY new document (zero-match and
+    * too-short-to-shingle documents report 0/kept). The `dropped = 1`
+    * slice is what an incremental ingestion discards; the whole relation
+    * is the audit trail, mirroring [[Decontamination.contaminationVerdict]]. */
+  def incrementalVerdict(newDocs: DataFrame, refDocs: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         minJaccard: Double): DataFrame = {
+    val matches = crossCorpusPairs(newDocs, refDocs, idCol, textCol, k,
+      minJaccard)
+      .groupBy("new_id").agg(count(lit(1)).as("m"))
+    newDocs.select(col(idCol).as("new_id"))
+      .join(matches, Seq("new_id"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("m"), lit(0L)).as("n_matches"),
+        (coalesce(col("m"), lit(0L)) > 0).cast("long").as("dropped"))
+  }
 }

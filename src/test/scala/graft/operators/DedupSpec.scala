@@ -163,4 +163,31 @@ class DedupSpec extends SparkSpec {
     val byCluster = clusters.groupBy(_._2).view.mapValues(_.keys.min)
     assert(byCluster.forall { case (label, minDoc) => label == minDoc })
   }
+
+  test("incremental verdict: new docs judged against the reference only") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val nw = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact dup of ref 1
+      (11L, "alpha beta gamma delta epsilon zeta"), // near-dup: j = 4/5
+      (12L, "totally unrelated fresh content here"), // kept
+      // near-dups of EACH OTHER but of no ref doc: both kept (the pass
+      // must never compare new against new)
+      (13L, "red orange yellow green blue violet"),
+      (14L, "red orange yellow green blue violet indigo"),
+      (15L, "short")).toDF("doc_id", "text") // too short to shingle: kept
+    val got = Dedup
+      .incrementalVerdict(nw, ref, "doc_id", "text", k = 2, minJaccard = 0.8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      10L -> ((1L, 1L)), 11L -> ((1L, 1L)), 12L -> ((0L, 0L)),
+      13L -> ((0L, 0L)), 14L -> ((0L, 0L)), 15L -> ((0L, 0L))))
+    // the pair relation itself is cross-side only
+    val pairs = Dedup
+      .crossCorpusPairs(nw, ref, "doc_id", "text", k = 2, minJaccard = 0.8)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 1L), (11L, 1L)))
+  }
 }
