@@ -1609,6 +1609,29 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_returnflag")),
         "l_returnflag", k = 10)),
 
+    // Order-free exact moments: per-group variance from INTEGER power
+    // sums (n, Σx, Σx² over cents) — var = (nΣx² − (Σx)²) div (n(n−1))
+    // in integer arithmetic, so the distributed combine order can't
+    // perturb a single bit (double-precision var_samp drifts with
+    // reduction order and can't be hash-oracled)
+    "a_variance_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy("l_returnflag")
+        // Σx² in decimal(38,0): at 100 TB scale n·Σx² ≈ 10^37 — still
+        // inside 38 digits, while a long saturates at ~10^19
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+          sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+            .as("sum_sq"))
+        .select(col("l_returnflag"), col("n"), col("sum_cents"),
+          expr("""(cast(n as decimal(38,0)) * sum_sq -
+                |  cast(sum_cents as decimal(38,0)) *
+                |  cast(sum_cents as decimal(38,0)))
+                |div (cast(n as decimal(38,0)) *
+                |  cast(n - 1 as decimal(38,0)))""".stripMargin)
+            .as("var_cents_sq"))),
+
     // Exact per-group median by integer rank selection (lower median, a
     // total order inside each group) — the exact twin of the approximate
     // quantile sketch, viable whenever per-group cardinality fits a sort

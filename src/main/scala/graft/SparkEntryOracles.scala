@@ -1339,6 +1339,21 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'zh' THEN substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
         |  ELSE TRUE END""".stripMargin,
 
+    // variance twin: same integer power sums (DuckDB's sum(BIGINT) is
+    // HUGEINT — 128-bit, like Spark's decimal(38,0)), same truncating
+    // integer division — combine-order-free on both engines
+    "a_variance_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_sq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sum_cents AS BIGINT) AS sum_cents,
+        |  CAST((n * sum_sq - sum_cents * sum_cents)
+        |    // (n * (n - 1)) AS BIGINT) AS var_cents_sq
+        |FROM s""".stripMargin,
+
     // exact heavy hitters: same ceil threshold, same truncating ppm share
     "a_heavy_hitters" ->
       """WITH tot AS (SELECT count(*) AS t FROM lineitem)
