@@ -96,6 +96,11 @@ object Graph {
     val nv = df.select(col(nodeCol).as("node"), col(viaCol).as("via"))
       .distinct()
     val keptVias = nv.groupBy("via").agg(count(lit(1)).as("n_nodes"))
+      // the cap trades recall, never silently: dropped vias are counted
+      // in an observed metric, like the dedup family's bucket caps
+      .observe("cooccurrence_vias",
+        sum(when(col("n_nodes") > maxPerVia, 1L).otherwise(0L))
+          .as("dropped_vias"))
       .where(col("n_nodes") <= maxPerVia).select("via")
     val kept = nv.join(keptVias, "via")
     // (node, via) is distinct, so each shared via contributes exactly one
