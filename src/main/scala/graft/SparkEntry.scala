@@ -1797,6 +1797,38 @@ object SparkEntry {
         .crossJoin(keptFinal.agg(count(lit(1)).as("n_final")))
     }),
 
+    // Capstone #2 — data to TRAINING SHARDS: quality gate -> dedup
+    // survivors (shares the memoized cluster table with
+    // pipeline_retention) -> stratified source rebalance (portable md5
+    // thresholds) -> token-budget packing -> per-shard manifest. Every
+    // stage is an individually-oracled registry operator; the oracle
+    // replays the whole chain, so a green hash proves the composition
+    "pipeline_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
+        .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+      val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
+        .localCheckpoint()
+      // same corpus rows as pipeline_retention's stage 2 -> same cache key
+      val losers = Dedup.ngramClustersFor(q1, "doc_id", "text", k = 2,
+        minJaccard = 0.8, key = s"$dir#pipeline-q1")
+        .join(q1.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+        .withColumn("rk", row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc").asc)))
+        .where(col("rk") > 1)
+        .select(col("doc").as("doc_id"))
+      val q2 = q1.join(losers, Seq("doc_id"), "left_anti")
+      val rebalanced = graft.operators.Sampling.stratifiedSample(
+        q2, "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.5))
+      val packed = graft.operators.Sampling.packBatches(
+        rebalanced.select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", 2000L)
+      packed.groupBy(col("source"), col("batch_id").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    }),
+
     // Cross-document duplicated-chunk statistics: fingerprint fixed
     // non-overlapping chunks corpus-wide, then per document count chunks
     // that appear elsewhere too — the chunk-granularity boilerplate signal

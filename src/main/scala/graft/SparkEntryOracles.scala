@@ -2160,6 +2160,69 @@ private[graft] object SparkEntryOracles {
          |  CAST((SELECT count(*) FROM verdict WHERE NOT contaminated)
          |    AS BIGINT) AS n_final""".stripMargin,
 
+    // capstone-2 twin: the same quality/cluster/survivor chain as
+    // pipeline_retention, then the stratified md5 thresholds (salt
+    // 'strata', keep-by-default) and the exclusive-running-total packing
+    // window, aggregated to the shard manifest
+    "pipeline_shards" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text, n_chars, source FROM documents
+         |  WHERE doc_id % 50 <> 7
+         |), q1 AS (
+         |  SELECT doc_id, text, n_chars, source FROM (
+         |    SELECT doc_id, text, n_chars, source,
+         |      string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |    FROM corpus) x
+         |  WHERE len(toks) >= 10
+         |    AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+         |        AS DOUBLE) / len(toks) >= 2.0
+         |    AND length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |        * 5 <= length(text)
+         |), ${jaccardCtesFrom("q1")},
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1
+         |), losers AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+         |    FROM clusters c JOIN q1 d USING (doc_id)) WHERE rk > 1
+         |), q2 AS (
+         |  SELECT doc_id, source, text FROM q1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), samp AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS BIGINT) AS n_tokens
+         |  FROM q2
+         |  WHERE CASE source
+         |    WHEN 'src0' THEN
+         |      substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+         |    WHEN 'src1' THEN
+         |      substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+         |    ELSE TRUE END
+         |), packed AS (
+         |  SELECT source,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (
+         |        PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      / 2000.0) AS BIGINT) AS shard_id,
+         |    n_tokens
+         |  FROM samp)
+         |SELECT source, shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM packed GROUP BY 1, 2""".stripMargin,
+
     "chunk_dup_stats" ->
       """WITH x AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents
