@@ -155,6 +155,17 @@ object SparkEntry {
           col("l_returnflag").isin("A", "N", "R"))))
     }),
 
+    // Snapshot-vs-snapshot distribution drift triage: per-column row /
+    // null / distinct counts on each side plus integer-exact drift
+    // verdicts (ppm cross-multiplication, >10% distinct-count change)
+    "dq_drift_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.DataQuality.driftReport(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("lang", "source", "n_chars"))
+    }),
+
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
         sum(col("l_quantity")).as("sum_qty"),

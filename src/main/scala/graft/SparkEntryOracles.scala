@@ -162,6 +162,32 @@ private[graft] object SparkEntryOracles {
       ).mkString("\nUNION ALL\n")
     },
 
+    // drift twin: per-column aggregates per side, joined; same ppm
+    // cross-multiplication and >10% distinct-change verdicts
+    "dq_drift_report" -> {
+      def side(pred: String, sfx: String) = Seq("lang", "source", "n_chars")
+        .map(c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_$sfx,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null_$sfx,
+             |  count(DISTINCT $c) AS n_distinct_$sfx
+             |FROM documents WHERE $pred""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH sa AS (
+         |${side("doc_id % 2 = 0", "a")}
+         |), sb AS (
+         |${side("doc_id % 2 = 1", "b")}
+         |)
+         |SELECT sa."column", n_a, n_null_a, n_distinct_a,
+         |  n_b, n_null_b, n_distinct_b,
+         |  CAST(CASE WHEN abs(n_null_a * n_b - n_null_b * n_a) * 100 >
+         |    n_a * n_b * 10 THEN 1 ELSE 0 END AS BIGINT) AS null_drift,
+         |  CAST(CASE WHEN n_distinct_a * 100 > n_distinct_b * 110
+         |    OR n_distinct_b * 100 > n_distinct_a * 110
+         |    THEN 1 ELSE 0 END AS BIGINT) AS distinct_drift
+         |FROM sa JOIN sb USING ("column")""".stripMargin
+    },
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

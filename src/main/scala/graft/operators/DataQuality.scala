@@ -60,4 +60,48 @@ object DataQuality {
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_occurrences"))
       .where(col("n_occurrences") > 1)
+
+  /** Distribution DRIFT report between two snapshots of a table (old
+    * release vs new crawl, yesterday vs today): per column, row counts,
+    * null counts and distinct counts on each side, plus an integer-exact
+    * drift verdict — null rates compared in ppm (cross-multiplied, no
+    * float ratio), distinct counts compared as a >`tolPct`% relative
+    * change in either direction. One aggregation pass per side no matter
+    * how many columns (multiple distinct aggregates ride Spark's Expand),
+    * long-format output so reports from many tables union cleanly.
+    *
+    * The verdict flags WHERE to look, deliberately from cheap whole-column
+    * aggregates — at 100 TB this is the triage pass before any expensive
+    * per-value histogram diff. */
+  def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String],
+                  tolPct: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    def side(df: DataFrame, suffix: String) = {
+      val aggs = count(lit(1)).as(s"n$suffix") +: cols.zipWithIndex.flatMap {
+        case (c, i) => Seq(
+          sum(col(c).isNull.cast("long")).as(s"_nu_$i"),
+          countDistinct(col(c)).as(s"_nd_$i"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val pairs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(lit(c), struct(col(s"_nu_$i").as("nu"), col(s"_nd_$i").as("nd")))
+      }
+      wide.select(col(s"n$suffix"),
+        explode(map(pairs: _*)).as(Seq("column", "s")))
+        .select(col("column"), col(s"n$suffix"),
+          col("s.nu").as(s"n_null$suffix"), col("s.nd").as(s"n_distinct$suffix"))
+    }
+    side(a, "_a").join(side(b, "_b"), "column")
+      .withColumn("null_drift",
+        // cross-multiplied in decimal(38,0): row-count products overflow
+        // a long once both sides pass ~10^9 rows
+        (abs(col("n_null_a").cast("decimal(38,0)") * col("n_b") -
+          col("n_null_b").cast("decimal(38,0)") * col("n_a")) * 100 >
+          col("n_a").cast("decimal(38,0)") * col("n_b") * tolPct)
+          .cast("long"))
+      .withColumn("distinct_drift",
+        (col("n_distinct_a") * 100 > col("n_distinct_b") * (100 + tolPct) ||
+          col("n_distinct_b") * 100 > col("n_distinct_a") * (100 + tolPct))
+          .cast("long"))
+  }
 }

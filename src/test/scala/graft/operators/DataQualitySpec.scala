@@ -46,4 +46,21 @@ class DataQualitySpec extends SparkSpec {
       .as[(Int, String, Long)].collect()
     assert(dups === Array((1, "x", 2L)))
   }
+
+  test("driftReport: planted null-rate and distinct-count drift flagged, stable columns clear") {
+    import spark.implicits._
+    // side a: no nulls, 4 distinct cities; side b: half the city values
+    // null (null-rate drift) and only 1 distinct city (distinct drift);
+    // the id column is drift-free on both sides
+    val a = (1L to 8L).map(i => (i, s"city${i % 4}")).toDF("id", "city")
+    val b = (1L to 8L)
+      .map(i => (i, if (i % 2 == 0) null else "city0")).toDF("id", "city")
+    val got = DataQuality.driftReport(a, b, Seq("id", "city"))
+      .select("column", "n_a", "n_null_a", "n_distinct_a", "n_b",
+        "n_null_b", "n_distinct_b", "null_drift", "distinct_drift")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") === (("id", 8L, 0L, 8L, 8L, 0L, 8L, 0L, 0L)))
+    assert(got("city") === (("city", 8L, 0L, 4L, 8L, 4L, 1L, 1L, 1L)))
+  }
 }
