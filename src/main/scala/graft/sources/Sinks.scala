@@ -249,6 +249,34 @@ object Sinks {
     }
   }
 
+  /** Backup RETENTION for the [[snapshotOverwrite]] chain: delete all but
+    * the newest `keepLast` backups under `backupRoot`. Every overwrite
+    * adds a backup directory; unbounded chains eventually dominate
+    * storage, so retention is the maintenance twin of [[compactSnapshot]]
+    * — after a vacuum, [[readSnapshotAsOf]] can only travel as far back
+    * as the oldest kept backup (that is the retention contract, same as
+    * any lakehouse VACUUM). Only directories matching the
+    * `backup_yyyyMMdd_HHmmss` pattern are candidates — anything else
+    * under the root is never touched. Returns the deleted paths. */
+  def vacuumBackups(spark: SparkSession, backupRoot: String,
+                    keepLast: Int): Seq[String] = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val fs = fsOf(spark)
+    if (!fs.exists(new Path(backupRoot))) return Seq.empty
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    val backups = fs.listStatus(new Path(backupRoot)).map(_.getPath)
+      .filter(p => p.getName.startsWith("backup_"))
+      .flatMap { p =>
+        scala.util.Try(
+          fmt.parse(p.getName.stripPrefix("backup_")).getTime).toOption
+          .map(_ -> p)
+      }
+      .sortBy(_._1)
+    val doomed = backups.dropRight(keepLast).map(_._2)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.toString).toSeq
+  }
+
   /** Bucketed at-rest table: hash-bucketed (and bucket-sorted) by the
     * join/aggregation key, registered in the catalog with its files at
     * `path`. Two tables bucketed the same way join WITHOUT any exchange —

@@ -96,6 +96,33 @@ class SinksSpec extends SparkSpec {
     assert(asOf(1000000000000L + 999000) === Seq(1, 2, 3))
   }
 
+  test("vacuum keeps the newest backups, bounds time travel, spares foreign dirs") {
+    import spark.implicits._
+    val base = tmp()
+    val target = base + "/t"
+    val backups = base + "/backups"
+    var now = 1000000000000L
+    val clock = () => now
+    for (n <- 1 to 4) {
+      Sinks.snapshotOverwrite(spark, (1 to n).toDF("v"), target, backups,
+        clock)
+      now += 60000
+    } // 3 backups exist (v1, v2, v3); a non-backup dir must survive vacuum
+    new java.io.File(backups + "/not_a_backup").mkdirs()
+    val deleted = Sinks.vacuumBackups(spark, backups, keepLast = 1)
+    assert(deleted.size === 2)
+    val left = new java.io.File(backups).listFiles().map(_.getName).toSet
+    assert(left.count(_.startsWith("backup_")) === 1)
+    assert(left.contains("not_a_backup"))
+    // travel within the kept window still works; beyond it degrades to
+    // the oldest kept state (the documented retention contract)
+    def asOf(t: Long) = Sinks.readSnapshotAsOf(spark, target, backups, t)
+      .as[Int].collect().sorted.toSeq
+    assert(asOf(1000000000000L + 150000) === Seq(1, 2, 3)) // kept backup
+    assert(asOf(1000000000000L + 30000) === Seq(1, 2, 3)) // pre-history now
+    assert(asOf(1000000000000L + 999000) === Seq(1, 2, 3, 4)) // live
+  }
+
   test("compaction shrinks a many-file snapshot, loses no rows, keeps a backup") {
     import spark.implicits._
     val base = tmp()
