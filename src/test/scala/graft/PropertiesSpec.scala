@@ -143,4 +143,32 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("crossCorpusPairs equals brute-force cross-side jaccard on random corpora") {
+    import spark.implicits._
+    // small vocab + short docs -> dense near-dup structure, so both the
+    // prefix filter's keep AND drop paths are exercised
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val doc = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    for (seed <- 1L to 5L) {
+      val newDocs = sample(Gen.listOfN(25, doc), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val refDocs = sample(Gen.listOfN(25, doc), seed + 100)
+        .zipWithIndex.map { case (t, i) => ((i + 1000).toLong, t) }
+      val expected = (for {
+        (ni, nt) <- newDocs; (ri, rt) <- refDocs
+        a = sh(nt); b = sh(rt)
+        inter = (a & b).size
+        if inter.toDouble / (a.size + b.size - inter) >= 0.8
+      } yield (ni, ri, inter.toLong, a.size.toLong, b.size.toLong)).toSet
+      val got = graft.operators.Dedup.crossCorpusPairs(
+        newDocs.toDF("doc_id", "text"), refDocs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 2, minJaccard = 0.8)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
