@@ -1620,6 +1620,23 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_returnflag")),
         "l_returnflag", k = 10)),
 
+    // Typed-UDAF weighted mean: quantity-weighted mean price per flag,
+    // exact integer sums (Σwx, Σw) + ppm division at finish — the
+    // Aggregator path of the same combine-order-free discipline
+    "a_weighted_mean" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("pc"),
+          col("l_quantity").cast("long").as("qty"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(graft.operators.WeightedMeanAggregator.weightedMean.toColumn)
+        .map { case (flag, (swx, sw, ppm)) => (flag, swx, sw, ppm) }
+        .toDF("l_returnflag", "sum_wx", "sum_w", "mean_ppm")
+    }),
+
     // Order-free exact moments: per-group variance from INTEGER power
     // sums (n, Σx, Σx² over cents) — var = (nΣx² − (Σx)²) div (n(n−1))
     // in integer arithmetic, so the distributed combine order can't

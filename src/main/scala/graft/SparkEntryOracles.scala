@@ -1365,6 +1365,19 @@ private[graft] object SparkEntryOracles {
         |  WHEN 'zh' THEN substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
         |  ELSE TRUE END""".stripMargin,
 
+    // weighted-mean twin: same integer sums, same truncating ppm division
+    "a_weighted_mean" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS sum_wx,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sum_w
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(sum_wx AS BIGINT) AS sum_wx,
+        |  CAST(sum_w AS BIGINT) AS sum_w,
+        |  CAST(sum_wx * 1000000 // sum_w AS BIGINT) AS mean_ppm
+        |FROM s""".stripMargin,
+
     // variance twin: same integer power sums (DuckDB's sum(BIGINT) is
     // HUGEINT — 128-bit, like Spark's decimal(38,0)), same truncating
     // integer division — combine-order-free on both engines
