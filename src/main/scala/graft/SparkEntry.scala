@@ -766,6 +766,13 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // Global sequence numbers the distributed way: range-partitioned
+    // sort + per-partition offsets (zipWithIndex), never a
+    // single-partition window over the whole table
+    "o_global_seq" -> ((s, dir) =>
+      graft.operators.Ranking.globalRowNumbers(
+        t(s, dir, "documents").select(col("doc_id")), Seq("doc_id"))),
+
     "o3_limit_probe" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderkey")
         .orderBy(col("o_orderkey").asc).limit(1)),

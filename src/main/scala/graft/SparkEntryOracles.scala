@@ -653,6 +653,13 @@ private[graft] object SparkEntryOracles {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
+    // global-seq twin: unique order key -> the distributed two-pass
+    // assignment equals the single total-order ranking
+    "o_global_seq" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
+        |FROM documents""".stripMargin,
+
     "o3_limit_probe" ->
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1",
 
