@@ -577,21 +577,24 @@ object Dedup {
     val rSets = sets(refDocs).localCheckpoint()
     val dfTab = rSets.select(explode(col("sh")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    def prefixes(s: DataFrame, side: String) = {
-      val ordered = s.select(col("doc"), explode(col("sh")).as("h"))
-        .join(dfTab, Seq("h"), "left_outer")
-        .select(col("doc"),
-          struct(coalesce(col("df"), lit(0L)).as("df"), col("h").as("h"))
-            .as("e"))
-        .groupBy("doc")
-        .agg(sort_array(collect_list(col("e"))).as("es"),
-          count(lit(1)).as("n"))
-      val prefixLen =
-        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
-      ordered.select(col("doc"), col("n"), lit(side).as("side"),
-        posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
-    }
-    val both = prefixes(nSets, "n").unionByName(prefixes(rSets, "r"))
+    // ONE prefix pipeline over both corpora (side rides as a tag): the
+    // explode, df join and per-doc sort aggregation each run once instead
+    // of once per side — one shuffle round saved, identical output
+    val tagged = nSets.select(col("doc"), col("sh"), lit("n").as("side"))
+      .unionByName(rSets.select(col("doc"), col("sh"), lit("r").as("side")))
+    val ordered = tagged
+      .select(col("doc"), col("side"), explode(col("sh")).as("h"))
+      .join(dfTab, Seq("h"), "left_outer")
+      .select(col("doc"), col("side"),
+        struct(coalesce(col("df"), lit(0L)).as("df"), col("h").as("h"))
+          .as("e"))
+      .groupBy("doc", "side")
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+        count(lit(1)).as("n"))
+    val prefixLen =
+      (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    val both = ordered.select(col("doc"), col("n"), col("side"),
+      posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
     val alphaFactor = minJaccard / (1.0 + minJaccard)
     val cand = capBuckets(
       both.groupBy("p")
