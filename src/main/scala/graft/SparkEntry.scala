@@ -1396,6 +1396,20 @@ object SparkEntry {
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)
     // get a one-dollar price bump in next (-> U); everything else drops
+    // SCD1 MERGE: price-bump updates for keys ≡0 (mod 5) plus inserts
+    // for a key range absent from the base — updates win per key, the
+    // rest of the base passes through (one anti shuffle + union)
+    "cdc_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))
+      val base = o.where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      val updates = o
+        .where(pmod(col("o_orderkey"), lit(5)) === 0 ||
+          pmod(col("o_orderkey"), lit(10)) === 7)
+        .withColumn("price_cents", col("price_cents") + 100)
+      graft.operators.ChangeCapture.upsert(base, updates, Seq("o_orderkey"))
+    }),
+
     "cdc_snapshot_diff" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
         cents(col("o_totalprice")).as("price_cents"), col("o_orderstatus"))

@@ -1836,6 +1836,23 @@ private[graft] object SparkEntryOracles {
 
     // Keyed snapshot diff: full outer join on the key, null-safe column
     // compare (IS DISTINCT FROM = Spark's <=> negated), unchanged keys drop
+    // upsert twin: anti-join + union replay
+    "cdc_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    o_orderstatus
+        |  FROM orders
+        |), base AS (
+        |  SELECT * FROM o WHERE o_orderkey % 10 <> 7
+        |), upd AS (
+        |  SELECT o_orderkey, price_cents + 100 AS price_cents, o_orderstatus
+        |  FROM o WHERE o_orderkey % 5 = 0 OR o_orderkey % 10 = 7
+        |)
+        |SELECT * FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL SELECT * FROM upd""".stripMargin,
+
     "cdc_snapshot_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object ChangeCapture {
 
+  /** SCD1 MERGE (upsert): `updates` wins per key, base rows without an
+    * update pass through, keys only in `updates` insert. Schemas must
+    * match. Null join keys: an anti-join never matches a null key, so a
+    * null-keyed base row always survives and a null-keyed update always
+    * inserts — updates can't target null keys (require non-null keys
+    * upstream if that matters, as [[snapshotDiff]] documents).
+    *
+    * Scale shape: one left-anti shuffle on the key + a union — the
+    * relational core of MERGE INTO; pair with `Sinks.snapshotOverwrite`
+    * to land it crash-safely. */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(base.columns.sameElements(updates.columns),
+      "base and updates must share a schema")
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
   /** Keyed diff of two snapshots: one row per key whose compared columns
     * changed, appeared, or disappeared. `change_type` is `I` (key only in
     * `next`), `D` (key only in `prev`), `U` (present in both, at least one

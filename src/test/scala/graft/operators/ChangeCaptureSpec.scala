@@ -118,4 +118,16 @@ class ChangeCaptureSpec extends SparkSpec {
       (1L, "free", ts(30), None, 1),
       (2L, "paid", ts(5), None, 1)))
   }
+
+  test("upsert: updates win per key, untouched base survives, new keys insert") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val got = ChangeCapture.upsert(base, updates, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "B"), (3L, "C")))
+    intercept[IllegalArgumentException] {
+      ChangeCapture.upsert(base, updates.select("v", "k"), Seq("k"))
+    }
+  }
 }
