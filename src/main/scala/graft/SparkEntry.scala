@@ -864,6 +864,23 @@ object SparkEntry {
             .as("hour_start"),
           col("event_type"), col("n_events"), col("value_micros"))),
 
+    // Windowed leaderboard: top-3 users per hour by event count — the
+    // grouped count shrinks the stream to (hour, user) pairs BEFORE the
+    // per-hour rank window, so the window partition is bounded by active
+    // users per hour, never raw events
+    "events_top_users_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("h")
+        .orderBy(col("n_events").desc, col("user_id").asc)
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("user_id"), col("n_events"), col("rk"))
+    }),
+
     // Gap-based sessionization in batch (lag -> new-session flag -> running
     // sum as session id) — the SQL-expressible twin of the streaming
     // EventStreams.sessionize; 1800s gap.

@@ -749,6 +749,21 @@ private[graft] object SparkEntryOracles {
         |    AS value_micros
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // leaderboard twin: same grouped counts, same deterministic
+    // (count desc, user_id) rank
+    "events_top_users_hourly" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT h, user_id, n_events,
+        |    CAST(row_number() OVER (PARTITION BY h
+        |      ORDER BY n_events DESC, user_id) AS BIGINT) AS rk
+        |  FROM c)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  user_id, n_events, rk
+        |FROM r WHERE rk <= 3""".stripMargin,
+
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

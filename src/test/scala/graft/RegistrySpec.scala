@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
-    assert(SparkEntry.queries.size === 164)
-    assert(SparkEntry.oracleSql.size === 150)
+    assert(SparkEntry.queries.size === 165)
+    assert(SparkEntry.oracleSql.size === 151)
   }
 
   test("every query name is a lowercase identifier (driver artifact-path safe)") {
