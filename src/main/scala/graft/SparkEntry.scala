@@ -74,7 +74,9 @@ object SparkEntry {
   // Query registry
   // ====================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  // lazy val, not def: build the 165-entry map and run the duplicate
+  // check once, not on every registry access (mirrors SparkEntryOracles)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val m = queryList.toMap
     require(m.size == queryList.size, {
       val dups = queryList.map(_._1).groupBy(identity).collect {

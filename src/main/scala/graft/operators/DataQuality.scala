@@ -77,9 +77,12 @@ object DataQuality {
                   tolPct: Int = 10): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     def side(df: DataFrame, suffix: String) = {
+      // coalesce: sum over an EMPTY side is null, and a null would turn
+      // the drift verdicts null right when drift is maximal (a snapshot
+      // vanished) — zero is the correct empty-side count
       val aggs = count(lit(1)).as(s"n$suffix") +: cols.zipWithIndex.flatMap {
         case (c, i) => Seq(
-          sum(col(c).isNull.cast("long")).as(s"_nu_$i"),
+          coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"_nu_$i"),
           countDistinct(col(c)).as(s"_nd_$i"))
       }
       val wide = df.agg(aggs.head, aggs.tail: _*)

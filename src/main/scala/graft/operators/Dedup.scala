@@ -235,17 +235,9 @@ object Dedup {
     * the default for repeated queries over the same corpus (same shape as
     * [[Similarity.ivfLayoutFor]]: the collapse is an index-like artifact,
     * deterministic for a given corpus, so a cache hit is equivalent to a
-    * recompute). */
-  private val groupsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
-
-  /** The identity the per-JVM caches key on besides the caller's dataset
-    * key: the owning SparkSession. A cached plan is bound to the session
-    * that built it — after a session restart in the same JVM a bare
-    * dataset-key hit would hand out a handle to a dead context, so the
-    * session rides in the key and a fresh session recomputes. */
-  private def sessionKey(df: DataFrame): String =
-    java.lang.Integer.toHexString(System.identityHashCode(df.sparkSession))
+    * recompute). Session binding + dead-session eviction: see
+    * [[graft.SessionMemo]]. */
+  private val groupsCache = new graft.SessionMemo[(String, Int), DataFrame]()
 
   /** The [[shingleGroups]] collapse for `docs` under dataset key `key`,
     * computed and eagerly checkpointed at most once per (session, key, k)
@@ -254,8 +246,8 @@ object Dedup {
     * the first collapse. */
   def shingleGroupsFor(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, key: String): DataFrame =
-    groupsCache.computeIfAbsent((sessionKey(docs), key, k),
-      _ => shingleGroups(docs, idCol, textCol, k).localCheckpoint())
+    groupsCache.getOrCompute(docs.sparkSession, (key, k))(
+      shingleGroups(docs, idCol, textCol, k).localCheckpoint())
 
   /** Per-JVM cache of near-dup CLUSTER tables: the n-gram Jaccard pairs +
     * [[connectedComponents]] loop, run at most once per (session, key, k,
@@ -265,21 +257,18 @@ object Dedup {
     * per dataset instead of once per query is the same index-artifact
     * rationale as [[shingleGroupsFor]]. Output columns: (doc, cluster). */
   private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double),
-      DataFrame]()
+    new graft.SessionMemo[(String, Int, Double), DataFrame]()
 
   /** Per-JVM cache of n-gram Jaccard PAIR tables (the PPJoin output) —
     * the artifact both the pair-listing query and the cluster builder
     * consume; same cache contract as [[shingleGroupsFor]]. */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Double),
-      DataFrame]()
+    new graft.SessionMemo[(String, Int, Double), DataFrame]()
 
   def ngramPairsFor(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minJaccard: Double, key: String): DataFrame =
-    pairsCache.computeIfAbsent(
-      (sessionKey(docs), key, k, minJaccard),
-      _ => ngramJaccardPairsFromGroups(
+    pairsCache.getOrCompute(docs.sparkSession, (key, k, minJaccard))(
+      ngramJaccardPairsFromGroups(
         shingleGroupsFor(docs, idCol, textCol, k, key), minJaccard)
         .localCheckpoint())
 
@@ -288,13 +277,12 @@ object Dedup {
     * `connectedComponents(ngramPairsFor(...))`. */
   def ngramClustersFor(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, minJaccard: Double, key: String): DataFrame =
-    clustersCache.computeIfAbsent(
-      (sessionKey(docs), key, k, minJaccard), { _ =>
-        val pairs = ngramPairsFor(docs, idCol, textCol, k, minJaccard, key)
-        // connectedComponents already returns an eagerly checkpointed,
-        // loop-cache-free frame — safe to hold for the JVM lifetime
-        connectedComponents(pairs, "id_a", "id_b")
-      })
+    clustersCache.getOrCompute(docs.sparkSession, (key, k, minJaccard)) {
+      val pairs = ngramPairsFor(docs, idCol, textCol, k, minJaccard, key)
+      // connectedComponents already returns an eagerly checkpointed,
+      // loop-cache-free frame — safe to hold while the session lives
+      connectedComponents(pairs, "id_a", "id_b")
+    }
 
   /** The exact-collapse table (key = sorted distinct shingle-hash set,
     * ids = members, rep = min id, n_same = |ids|): the materialization

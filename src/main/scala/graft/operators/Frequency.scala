@@ -61,10 +61,15 @@ object Frequency {
     *
     * Scale shape: one `mapPartitions` pass holding at most k−1 counters
     * per partition (constant memory regardless of distinct count), then a
-    * per-value sum of the bounded per-partition summaries and a final
-    * k−1 cut. The merged estimate of a value is the sum of its partition
-    * estimates, so the total undercount is bounded by the sum of
-    * per-partition bounds — within the global total/k guarantee. */
+    * per-value sum of the bounded per-partition summaries. The merged
+    * estimate of a value undercounts by at most the sum of per-partition
+    * bounds — within the global total/k — so every true heavy hitter has
+    * a POSITIVE merged estimate and the full candidate set (at most
+    * P·(k−1) rows for P partitions) is the guaranteed superset. No
+    * further cut happens here: trimming the merge to k−1 rows could drop
+    * a true heavy hitter outranked by over-estimated cold values, so
+    * callers wanting exactly the hitters confirm candidates with one
+    * exact pass ([[heavyHitters]]) — the standard two-phase shape. */
   def heavyHittersSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "k >= 2")
     import df.sparkSession.implicits._
@@ -88,10 +93,8 @@ object Frequency {
         counters.iterator.map { case (v, c) => (v, c) }
       }
       .toDF("value", "est")
-    // merge: per-value sum of bounded summaries, keep the k-1 largest
-    // (ties to the smaller value for determinism)
+    // merge: per-value sum of the bounded summaries — the whole candidate
+    // set IS the superset guarantee (see scaladoc); no k-1 cut
     summaries.groupBy("value").agg(sum(col("est")).as("est"))
-      .orderBy(col("est").desc, col("value").asc)
-      .limit(k - 1)
   }
 }

@@ -20,14 +20,11 @@ object Graph {
     * same cache contract as `Dedup.ngramClustersFor`): deriving a graph
     * from fact tables (join + distinct) is an index-like build, paid once
     * per dataset, while the rank iterations remain per-query compute. */
-  private val edgesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val edgesCache = new graft.SessionMemo[String, DataFrame]()
 
   def edgesFor(spark: org.apache.spark.sql.SparkSession, key: String)
               (build: => DataFrame): DataFrame =
-    edgesCache.computeIfAbsent(
-      (java.lang.Integer.toHexString(System.identityHashCode(spark)), key),
-      _ => build.localCheckpoint())
+    edgesCache.getOrCompute(spark, key)(build.localCheckpoint())
 
   /** Integer-quantized PageRank: ranks live in micro-units (start =
     * 1,000,000 per node) and each iteration is

@@ -100,15 +100,12 @@ object TextAnalysis {
     * corpus (the `Dedup.ngramClustersFor` cache contract): the fit is a
     * learned, bounded (topK × #languages rows) artifact built once per
     * dataset; classification stays per-query compute. */
-  private val profileCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val profileCache = new graft.SessionMemo[String, DataFrame]()
 
   def languageProfilesFor(docs: DataFrame, textCol: String, langCol: String,
                           key: String): DataFrame =
-    profileCache.computeIfAbsent(
-      (java.lang.Integer.toHexString(
-        System.identityHashCode(docs.sparkSession)), key),
-      _ => fitLanguageProfiles(docs, textCol, langCol).localCheckpoint())
+    profileCache.getOrCompute(docs.sparkSession, key)(
+      fitLanguageProfiles(docs, textCol, langCol).localCheckpoint())
 
   /** Classify documents against fitted [[fitLanguageProfiles]] profiles:
     * per (doc, language), the sum of matched grams' log-probs plus a
@@ -638,8 +635,7 @@ object TextAnalysis {
     * cut (per-partition heaps, no global sort); at 100 TB the aggregation
     * shuffles (bigram, partial-count) pairs, never raw text. This is the
     * count table a KenLM-style corpus LM trains from. */
-  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int), DataFrame]()
+  private val lmCache = new graft.SessionMemo[(String, Int), DataFrame]()
 
   /** [[bigramLm]] memoized per (session, dataset key, topN) — the trained
     * model is a bounded artifact shared by every LM-scoring consumer
@@ -647,10 +643,8 @@ object TextAnalysis {
     * [[languageProfilesFor]]. */
   def bigramLmFor(docs: DataFrame, textCol: String, topN: Int,
                   key: String): DataFrame =
-    lmCache.computeIfAbsent(
-      (java.lang.Integer.toHexString(
-        System.identityHashCode(docs.sparkSession)), key, topN),
-      _ => bigramLm(docs, textCol, topN).localCheckpoint())
+    lmCache.getOrCompute(docs.sparkSession, (key, topN))(
+      bigramLm(docs, textCol, topN).localCheckpoint())
 
   def bigramLm(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     val counts = docs

@@ -263,9 +263,13 @@ object Sinks {
     require(keepLast >= 0, "keepLast must be >= 0")
     val fs = fsOf(spark)
     if (!fs.exists(new Path(backupRoot))) return Seq.empty
+    // STRICT name match — SimpleDateFormat alone is lenient (it stops at
+    // trailing text and rolls over impossible dates), which would make a
+    // manual copy like backup_20250101_101010_keep a deletion candidate
     val fmt = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+    fmt.setLenient(false)
     val backups = fs.listStatus(new Path(backupRoot)).map(_.getPath)
-      .filter(p => p.getName.startsWith("backup_"))
+      .filter(_.getName.matches("backup_\\d{8}_\\d{6}"))
       .flatMap { p =>
         scala.util.Try(
           fmt.parse(p.getName.stripPrefix("backup_")).getTime).toOption
@@ -304,8 +308,8 @@ object Sinks {
     * then returns exactly `states(i)`. Writes sleep past the backup
     * name's 1-second resolution so chain timestamps are strictly
     * ordered (a one-time build cost; reads are cached). */
-  private val ttChains = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (String, String, Seq[Long])]()
+  private val ttChains =
+    new graft.SessionMemo[String, (String, String, Seq[Long])]()
 
   def backupChainFor(spark: SparkSession, states: Seq[DataFrame],
                      key: String,
@@ -313,8 +317,7 @@ object Sinks {
                        sys.props("java.io.tmpdir") + "/graft-timetravel")
       : (String, String, Seq[Long]) = {
     require(states.nonEmpty, "at least one state")
-    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
-    ttChains.computeIfAbsent((sess, key), { _ =>
+    ttChains.getOrCompute(spark, key) {
       val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
         java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(key))
@@ -328,7 +331,7 @@ object Sinks {
         System.currentTimeMillis()
       }
       (target, backups, instants)
-    })
+    }
   }
 
   /** Per-JVM registry of compacted snapshots: writes `df` deliberately
@@ -337,8 +340,7 @@ object Sinks {
     * session + dataset key. Returns (path, filesBefore, filesAfter);
     * reads of the path see the same rows either way, which is what the
     * registry oracle checks. */
-  private val compacted = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (String, Int, Int)]()
+  private val compacted = new graft.SessionMemo[String, (String, Int, Int)]()
 
   def compactedSnapshotFor(df: DataFrame, key: String, fragments: Int = 64,
                            targetBytes: Long = 128L * 1024 * 1024,
@@ -346,8 +348,7 @@ object Sinks {
                              sys.props("java.io.tmpdir") + "/graft-compact")
       : (String, Int, Int) = {
     val spark = df.sparkSession
-    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
-    compacted.computeIfAbsent((sess, key), { _ =>
+    compacted.getOrCompute(spark, key) {
       val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
         java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(key))
@@ -361,15 +362,14 @@ object Sinks {
       val before = nFiles
       compactSnapshot(spark, target, s"$root/backups", targetBytes)
       (target, before, nFiles)
-    })
+    }
   }
 
   /** Per-JVM registry of bucketed at-rest tables ([[writeBucketedTable]]
     * under a derived catalog name, built once per session + dataset key):
     * the read-side entry point for bucket-pruned lookups and zero-shuffle
     * joins — `spark.table(bucketedTableFor(...))`. */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val bucketedTables = new graft.SessionMemo[String, String]()
 
   def bucketedTableFor(df: DataFrame, bucketCol: String, numBuckets: Int,
                        key: String,
@@ -377,8 +377,7 @@ object Sinks {
                          sys.props("java.io.tmpdir") + "/graft-buckets")
       : String = {
     val spark = df.sparkSession
-    val sess = java.lang.Integer.toHexString(System.identityHashCode(spark))
-    bucketedTables.computeIfAbsent((sess, key), { _ =>
+    bucketedTables.getOrCompute(spark, key) {
       // catalog identifier: letters/digits/underscore only, hash suffix so
       // sanitized-away characters can't collide two keys
       val tbl = ("graft_bkt_" + key.replaceAll("[^A-Za-z0-9_]", "_")
@@ -387,7 +386,7 @@ object Sinks {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       writeBucketedTable(df, tbl, bucketCol, numBuckets, s"$baseDir/$tbl")
       tbl
-    })
+    }
   }
 
   /** S10 — drop-directory drain: Structured Streaming file source with

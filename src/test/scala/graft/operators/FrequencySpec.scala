@@ -39,6 +39,32 @@ class FrequencySpec extends SparkSpec {
     }
   }
 
+  test("sketch superset survives adversarial multi-partition merges") {
+    import spark.implicits._
+    // partition A: seven decoys at 57 each + ONE occurrence of v;
+    // partition B: v x100 among eviction-forcing cold values. v's true
+    // count (101) beats total/k, but its merged estimate sinks below the
+    // decoys' — a top-(k-1) merge cut would drop it (the bug this pins)
+    val k = 8
+    val partA = (1 to 7).flatMap(i => Seq.fill(57)(s"w$i")) ++ Seq("v")
+    val partB = scala.util.Random.shuffle(
+      Seq.fill(100)("v") ++ (1 to 30).flatMap(i => Seq.fill(10)(s"cold$i")))
+    val df = partA.map((_, 0)).toDF("v", "p")
+      .unionByName(partB.map((_, 1)).toDF("v", "p"))
+      .repartitionByRange(2, $"p").select("v")
+    val total = partA.size + partB.size
+    val truth = (partA ++ partB).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+    val est = Frequency.heavyHittersSketch(df, "v", k)
+      .as[(String, Long)].collect().toMap
+    truth.filter(_._2 > total / k).keys.foreach { v =>
+      assert(est.contains(v), s"$v (count ${truth(v)}) missing from sketch")
+    }
+    est.foreach { case (v, e) =>
+      assert(e <= truth(v) && e >= truth(v) - total / k, s"$v bound: $e")
+    }
+  }
+
   test("sketch is exact in the no-eviction regime (distinct < k-1) across partitions") {
     import spark.implicits._
     val df = (Seq.fill(7)("x") ++ Seq.fill(5)("y") ++ Seq.fill(3)("z"))

@@ -26,10 +26,26 @@ class WeightedMeanAggregatorSpec extends SparkSpec {
       .agg(sum(col("pc") * col("qty")).as("swx"), sum(col("qty")).as("sw"))
       .as[(String, Long, Long)]
       .collect()
-      .map(r => r._1 -> ((r._2, r._3, (BigInt(r._2) * 1000000 / r._3).toLong)))
+      .map { r =>
+        val (quot, rem) = (BigInt(r._2) * 1000000) /% BigInt(r._3)
+        r._1 -> ((r._2, r._3, (if (rem.signum < 0) quot - 1 else quot).toLong))
+      }
       .toMap
     assert(typed === untyped)
     assert(typed.nonEmpty)
+  }
+
+  test("negative weighted sums floor like the SQL oracle's //, not truncate") {
+    import spark.implicits._
+    // Σwx = -7, Σw = 3: floor(-7000000/3) = -2333334 (truncation would
+    // give -2333333 and hash-diverge from DuckDB)
+    val got = Seq(("g", -7L, 1L), ("g", 0L, 2L))
+      .toDS()
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(WeightedMeanAggregator.weightedMean.toColumn)
+      .collect().toMap
+    assert(got === Map("g" -> ((-7L, 3L, -2333334L))))
   }
 
   test("zero-weight groups report (0, 0, 0), not a division failure") {
