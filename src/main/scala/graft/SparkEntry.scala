@@ -918,6 +918,17 @@ object SparkEntry {
       Dedup.ngramPairsFor(t(s, dir, "documents"), "doc_id", "text",
         k = 2, minJaccard = 0.8, key = dir)),
 
+    // Sorted-neighborhood blocking (Hernández–Stolfo): global order on a
+    // normalized text prefix via the distributed range-sort sequence
+    // numbers, candidates = the 5 successors of each doc in that order
+    // (n·w pairs, no banding), exact-jaccard confirm row-local. The
+    // third blocking strategy of the dedup family (LSH buckets / PPJoin
+    // prefixes / sort order), oracled via a row_number + rank-distance
+    // self-join replay
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id",
+        "text", keyLen = 12, window = 5, k = 2, minJaccard = 0.8)),
+
     // transitive closure of the near-dup pair list: hash-min label
     // propagation (distributed rounds = component diameter); cluster id =
     // min doc id in the component — oracled via a recursive-CTE
@@ -1718,6 +1729,18 @@ object SparkEntry {
         .select(col("l_returnflag"), col("qty").as("median_qty"),
           col("cnt").as("n"))
     }),
+
+    // Exact per-group percentiles by nearest-rank integer selection —
+    // the generalization of a_exact_median to a percentile list; one
+    // group-partitioned sort window, integer rank math end to end
+    "a_exact_percentiles" -> ((s, dir) =>
+      graft.operators.Ranking.exactPercentiles(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity").cast("long").as("qty")),
+        "qty", groupCols = Seq("l_returnflag"),
+        tiebreakCols = Seq("l_orderkey", "l_linenumber"),
+        ps = Seq(50, 90, 99))),
 
     // Equi-width price histogram in exact-below-2^53 floor math
     "a_histogram" -> ((s, dir) =>

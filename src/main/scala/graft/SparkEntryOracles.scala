@@ -63,7 +63,11 @@ private[graft] object SparkEntryOracles {
   /** Word-2-gram Jaccard ≥ 0.8 near-dup pair list as reusable CTEs —
     * shared by `dedup_ngram_jaccard` (the pairs themselves) and
     * `dedup_clusters` (their transitive closure). */
-  private def jaccardCtesFrom(source: String) =
+  /** The shingle-set prefix of [[jaccardCtesFrom]] (toks → distinct
+    * bigram shingles → exploded rows → set sizes), shared with oracles
+    * that pick a DIFFERENT candidate-pair set over the same shingle
+    * algebra (`dedup_sorted_neighborhood`). */
+  private def shingleCtesFrom(source: String) =
     s"""toks AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       |  FROM $source
@@ -72,7 +76,10 @@ private[graft] object SparkEntryOracles {
       |    i -> t[i+1] || ' ' || t[i+2])) AS s
       |  FROM toks WHERE len(t) >= 2
       |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1)""".stripMargin
+
+  private def jaccardCtesFrom(source: String) =
+    s"""${shingleCtesFrom(source)},
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
       |  FROM ex a JOIN ex b USING (shingle)
@@ -802,6 +809,35 @@ private[graft] object SparkEntryOracles {
          |SELECT id_a, id_b, intersection, size_a, size_b
          |FROM pairs""".stripMargin,
 
+    // sorted-neighborhood replay: identical blocking-key total order
+    // (substr of normalized text, doc_id tiebreak), rank distance 1..5
+    // via a row_number self-join, same shingle algebra as the jaccard
+    // family; zero-intersection candidates drop from both sides
+    "dedup_sorted_neighborhood" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |seq AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY substr(lower(trim(text)), 1, 12), doc_id) AS rn
+         |  FROM documents
+         |), cand AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |         greatest(a.doc_id, b.doc_id) AS id_b
+         |  FROM seq a JOIN seq b ON b.rn > a.rn AND b.rn <= a.rn + 5
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS intersection
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.id_a
+         |  JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.intersection AS BIGINT) AS intersection,
+         |  sa.n AS size_a, sb.n AS size_b
+         |FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+         |             JOIN sizes sb ON i.id_b = sb.doc_id
+         |WHERE CAST(i.intersection AS DOUBLE)
+         |      / (sa.n + sb.n - i.intersection) >= 0.8""".stripMargin,
+
     // transitive closure of the same pair list: recursive reachability
     // (anchor = edges both ways + identity), cluster = min reachable id —
     // the SQL twin of the engine's hash-min label propagation
@@ -1442,6 +1478,22 @@ private[graft] object SparkEntryOracles {
         |    count(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem)
         |WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // identical total order, identical nearest-rank selection
+    // max(1, ceil(p*n/100)) in pure integer math; // is floor division,
+    // equal to ceil-via-(+99) on the all-positive operands
+    "a_exact_percentiles" ->
+      """SELECT l_returnflag, p, value, n FROM (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS value,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+        |        l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem) r
+        |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+        |  (CAST(99 AS BIGINT))) ps(p)
+        |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin,
 
     // identical floor((x-lo)*buckets/(hi-lo)) cell math, last cell closed
     "a_histogram" ->

@@ -284,6 +284,63 @@ object Dedup {
       connectedComponents(pairs, "id_a", "id_b")
     }
 
+  /** Sorted-neighborhood dedup blocking (the Hernández–Stolfo
+    * merge/purge method): every document gets a global position in the
+    * total order of a blocking key (here the first `keyLen` characters
+    * of the normalized text, tiebroken by id), and each document is
+    * compared only against its `window` successors in that order. The
+    * candidate count is LINEAR — n·window pairs — with no banding,
+    * bucketing, or signature computation, which makes SNM the classic
+    * complement to the LSH/prefix-filter family: it wins when
+    * near-duplicates agree on their sort key (shared prefixes, titles,
+    * normalized names) and `window` is small.
+    *
+    * Scale shape: the global order comes from
+    * [[Ranking.globalRowNumbers]] (range-partitioned distributed sort +
+    * per-partition offsets — no single-reducer window); neighbor
+    * candidates are generated by exploding the CONSTANT offsets
+    * 1..window and equi-joining on the shifted sequence number — a range
+    * join unrolled into `window` equi-pairs, so it hash-partitions like
+    * any join and never degrades to a nested loop. The exact-Jaccard
+    * confirm is row-local array intersection on the candidate pair.
+    * Shuffles: the range sort + one equi-join on `seq`.
+    *
+    * Output matches [[ngramJaccardPairs]]: (id_a, id_b, intersection,
+    * size_a, size_b) with id_a < id_b, Jaccard ≥ `minJaccard`, computed
+    * over distinct word-k-shingle hashes. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, keyLen: Int, window: Int,
+                              k: Int, minJaccard: Double): DataFrame = {
+    require(keyLen >= 1, "keyLen >= 1")
+    require(window >= 1, "window >= 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      substring(lower(trim(col(textCol))), 1, keyLen).as("bkey"),
+      sort_array(shingleHashes(col(textCol), k)).as("sh"))
+    val seqd = graft.operators.Ranking
+      .globalRowNumbers(base, Seq("bkey", "doc_id"))
+      .select(col("doc_id"), col("seq"), col("sh"))
+    val right = seqd.select(col("seq").as("seq_b"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    seqd
+      .select(col("doc_id"), col("sh"), col("seq"),
+        explode(sequence(lit(1L), lit(window.toLong))).as("off"))
+      .withColumn("seq_b", col("seq") + col("off"))
+      .join(right, "seq_b")
+      .withColumn("intersection",
+        size(array_intersect(col("sh"), col("sh_b"))).cast("long"))
+      .withColumn("sa", size(col("sh")).cast("long"))
+      .withColumn("sb", size(col("sh_b")).cast("long"))
+      .where(col("intersection") / (col("sa") + col("sb") -
+        col("intersection")) >= minJaccard)
+      .select(least(col("doc_id"), col("doc_b")).as("id_a"),
+        greatest(col("doc_id"), col("doc_b")).as("id_b"),
+        col("intersection"),
+        when(col("doc_id") <= col("doc_b"), col("sa")).otherwise(col("sb"))
+          .as("size_a"),
+        when(col("doc_id") <= col("doc_b"), col("sb")).otherwise(col("sa"))
+          .as("size_b"))
+  }
+
   /** The exact-collapse table (key = sorted distinct shingle-hash set,
     * ids = members, rep = min id, n_same = |ids|): the materialization
     * point for corpus-scale dedup — persist this once (one scan + one

@@ -35,4 +35,47 @@ object Ranking {
     df.sparkSession.createDataFrame(withSeq,
       sorted.schema.add(seqCol, LongType, nullable = false))
   }
+
+  /** Exact per-group percentiles by integer rank selection: percentile
+    * `p` (percent) of a group of `n` ordered values is the value at
+    * 1-based rank `max(1, ceil(p·n/100))` — the nearest-rank definition.
+    * All integer math, no interpolation doubles, so the result is
+    * SQL-replayable hash-exactly; the generalization of the lower-median
+    * selection (`a_exact_median`) to arbitrary percentile lists.
+    *
+    * Scale shape: ONE shuffle — `row_number` and the group count share
+    * the group partitioning; the per-group sort is the unavoidable cost
+    * of exact order statistics (the approximate-quantile sketch is the
+    * at-scale alternative when a per-group sort won't fit). Rows are
+    * first filtered to the |ps| selected ranks (an OR of rank tests,
+    * row-local), and only the ≤ groups·|ps| survivors explode to attach
+    * their percentile label — the explode never multiplies the full
+    * table.
+    *
+    * `tiebreakCols` must make the order total for a deterministic plan,
+    * but any tie order selects the same VALUE at a given rank, so the
+    * output is tie-order-independent. Output: groupCols…, p, value, n. */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       groupCols: Seq[String], tiebreakCols: Seq[String],
+                       ps: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tiebreakCols.map(col)).map(_.asc): _*)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+    val anyRank = ps.map(p =>
+      col("rn") === greatest(lit(1L), expr(s"($p * n + 99) div 100")))
+      .reduce(_ || _)
+    ranked
+      .where(anyRank)
+      .withColumn("p", explode(array(ps.map(p => lit(p.toLong)): _*)))
+      .where(col("rn") === greatest(lit(1L), expr("(p * n + 99) div 100")))
+      .select((groupCols.map(col) :+ col("p") :+
+        col(valueCol).as("value") :+ col("n")): _*)
+  }
 }

@@ -190,4 +190,48 @@ class DedupSpec extends SparkSpec {
       .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
     assert(pairs === Set((10L, 1L), (11L, 1L)))
   }
+
+  test("sorted neighborhood: window-adjacent near-dups found, far-apart missed") {
+    import spark.implicits._
+    // prefix-sharing near-dups sort adjacent -> caught; the zz/aa pair is
+    // jaccard-identical but sorts far apart with >window docs between ->
+    // missed BY DESIGN (the blocking contract SNM trades recall on)
+    val sep = (1 to 9).map(i => (100L + i, s"filler${('b' + i).toChar} unique content block number $i"))
+    // docs 1/2: 11 tokens differing only in the last -> 9 of 10 bigrams
+    // shared, j = 9/11 = 0.82; docs 3/4: 12 tokens differing only in the
+    // FIRST (= the sort key), j = 10/12 = 0.83 — similar enough, but the
+    // key difference scatters them across the sort order
+    val df = (Seq(
+      (1L, "apple banana cherry date elderberry fig grape honeydew kiwi lemon mango"),
+      (2L, "apple banana cherry date elderberry fig grape honeydew kiwi lemon melon"),
+      (3L, "zz mango nectarine orange papaya quince rambutan soursop tamarind ugli vanilla watermelon"),
+      (4L, "aa mango nectarine orange papaya quince rambutan soursop tamarind ugli vanilla watermelon"))
+      ++ sep).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+      keyLen = 12, window = 2, k = 2, minJaccard = 0.8)
+    val pairs = pairSet(got)
+    assert(pairs.contains((1L, 2L))) // adjacent in sort order
+    assert(!pairs.contains((3L, 4L))) // separated by > window positions
+    // sizes/intersection carry the exact set math, ordered by id
+    val r = got.where($"id_a" === 1L && $"id_b" === 2L)
+      .select("intersection", "size_a", "size_b")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((9L, 10L, 10L))) // 10 bigrams each, 9 shared
+  }
+
+  test("sorted neighborhood with a wide window agrees with exact jaccard pairs") {
+    // window >= n-1 compares every pair => SNM == the exact pair relation
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five six"),
+      (5L, "completely different text entirely")).toDF("doc_id", "text")
+    val snm = pairSet(Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      keyLen = 12, window = 4, k = 2, minJaccard = 0.7))
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.7))
+    assert(snm === exact)
+    assert(snm.nonEmpty)
+  }
 }

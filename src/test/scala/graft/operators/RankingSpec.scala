@@ -24,4 +24,38 @@ class RankingSpec extends SparkSpec {
       Ranking.globalRowNumbers(df, Seq("seq"))
     }
   }
+
+  test("exactPercentiles matches brute-force nearest-rank selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 3}", i.toLong, rnd.nextInt(40).toLong))
+    val ps = Seq(1, 25, 50, 90, 99, 100)
+    val got = Ranking.exactPercentiles(
+      rows.toDF("g", "id", "v").repartition(13),
+      "v", groupCols = Seq("g"), tiebreakCols = Seq("id"), ps = ps)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, p, v, n) => (g, p) -> ((v, n)) }.toMap
+    val brute = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      val sorted = xs.map(_._3).sorted
+      val n = sorted.length.toLong
+      ps.map { p =>
+        val rank = math.max(1L, (p * n + 99) / 100) // ceil(p*n/100)
+        (g, p.toLong) -> ((sorted((rank - 1).toInt), n))
+      }
+    }
+    assert(got === brute)
+    // p=100 is the max, p small on a big group is the min's neighborhood
+    assert(got.keySet.size === 3 * ps.size)
+  }
+
+  test("exactPercentiles: n=1 groups pin every percentile to the value") {
+    import spark.implicits._
+    val got = Ranking.exactPercentiles(
+      Seq(("a", 1L, 42L)).toDF("g", "id", "v"),
+      "v", Seq("g"), Seq("id"), Seq(1, 50, 100))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 42L, 1L), ("a", 50L, 42L, 1L),
+      ("a", 100L, 42L, 1L)))
+  }
 }
