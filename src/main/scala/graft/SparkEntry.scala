@@ -1742,6 +1742,17 @@ object SparkEntry {
         tiebreakCols = Seq("l_orderkey", "l_linenumber"),
         ps = Seq(50, 90, 99))),
 
+    // MAD-based robust outlier flags on order prices per priority class:
+    // |v - median| > 3 * median(|v - median|), every statistic a
+    // rank-selected integer — the robust complement to events_anomaly's
+    // z-score gate (medians don't let outliers mask themselves)
+    "a_mad_outliers" -> ((s, dir) =>
+      graft.operators.DataQuality.madOutliers(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), cents(col("o_totalprice")).as("value_cents")),
+        "value_cents", groupCols = Seq("o_orderpriority"),
+        tiebreakCols = Seq("o_orderkey"))),
+
     // Equi-width price histogram in exact-below-2^53 floor math
     "a_histogram" -> ((s, dir) =>
       graft.operators.Frequency.histogram(

@@ -1495,6 +1495,38 @@ private[graft] object SparkEntryOracles {
         |  (CAST(99 AS BIGINT))) ps(p)
         |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin,
 
+    // identical lower-median ranks for both the median and the MAD,
+    // identical integer threshold compare — no float statistic anywhere
+    "a_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS value_cents
+        |  FROM orders
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY value_cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM v
+        |), med AS (
+        |  SELECT o_orderpriority, value_cents AS med
+        |  FROM r WHERE rn = (n + 1) // 2
+        |), d AS (
+        |  SELECT v.o_orderkey, v.o_orderpriority, v.value_cents, m.med,
+        |    abs(v.value_cents - m.med) AS absdev
+        |  FROM v JOIN med m USING (o_orderpriority)
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY absdev, value_cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM d
+        |), mad AS (
+        |  SELECT o_orderpriority, absdev AS mad
+        |  FROM r2 WHERE rn = (n + 1) // 2
+        |)
+        |SELECT d.o_orderkey, d.o_orderpriority, d.value_cents, d.med,
+        |  m.mad, CAST(d.absdev > 3 * m.mad AS BIGINT) AS is_outlier
+        |FROM d JOIN mad m USING (o_orderpriority)""".stripMargin,
+
     // identical floor((x-lo)*buckets/(hi-lo)) cell math, last cell closed
     "a_histogram" ->
       """WITH v AS (

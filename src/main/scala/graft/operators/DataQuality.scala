@@ -107,4 +107,45 @@ object DataQuality {
           col("n_distinct_b") * 100 > col("n_distinct_a") * (100 + tolPct))
           .cast("long"))
   }
+
+  /** MAD-based outlier flags per group: a value is an outlier when its
+    * absolute deviation from the group's (lower) median exceeds
+    * `k` × the group's median absolute deviation. The ROBUST complement
+    * to the z-score gate (`events_anomaly`): extreme values inflate a
+    * mean/std-dev and mask themselves, while medians are unmoved by any
+    * minority of outliers — the standard robust-statistics filter for
+    * data curation. All math is exact integer (rank-selected medians via
+    * [[Ranking.exactPercentiles]] at p=50 — nearest-rank == the lower
+    * median — and an integer threshold compare), so the verdict is
+    * SQL-replayable hash-exactly.
+    *
+    * Scale shape: two group-partitioned sort windows (the median and the
+    * MAD extraction) and two joins of the per-group statistics back to
+    * the rows. The statistic tables have |groups| rows and are
+    * explicitly broadcast — the contract is a bounded group dimension
+    * (flags, priorities, languages); for per-entity groups at extreme
+    * cardinality, reformulate with windows instead of joins.
+    *
+    * `valueCol` must be integral; `tiebreakCols` must complete a total
+    * order within each group. Output: the input columns + `med`, `mad`,
+    * `is_outlier` (0/1 long). */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  tiebreakCols: Seq[String], k: Int = 3): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val slim = (groupCols ++ tiebreakCols :+ valueCol).distinct
+    val medTab = Ranking.exactPercentiles(
+      df.select(slim.map(col): _*), valueCol, groupCols, tiebreakCols,
+      ps = Seq(50))
+      .select((groupCols.map(col) :+ col("value").as("med")): _*)
+    val withMed = df.join(broadcast(medTab), groupCols)
+      .withColumn("_absdev", abs(col(valueCol) - col("med")))
+    val madTab = Ranking.exactPercentiles(
+      withMed.select((slim :+ "_absdev").map(col): _*), "_absdev",
+      groupCols, valueCol +: tiebreakCols, ps = Seq(50))
+      .select((groupCols.map(col) :+ col("value").as("mad")): _*)
+    withMed.join(broadcast(madTab), groupCols)
+      .withColumn("is_outlier",
+        (col("_absdev") > lit(k.toLong) * col("mad")).cast("long"))
+      .drop("_absdev")
+  }
 }

@@ -63,4 +63,31 @@ class DataQualitySpec extends SparkSpec {
     assert(got("id") === (("id", 8L, 0L, 8L, 8L, 0L, 8L, 0L, 0L)))
     assert(got("city") === (("city", 8L, 0L, 4L, 8L, 4L, 1L, 1L, 1L)))
   }
+
+  test("madOutliers: extreme values can't mask themselves; mad=0 groups are sharp") {
+    import spark.implicits._
+    // group a: tight cluster (100..104 x4 each) + one 100000 — the
+    // extreme would inflate a std-dev toward self-acceptance, but
+    // med=102, mad=1 and the extreme's deviation 99898 >> 3
+    val a = (1 to 20).map(i => ("a", i.toLong, 100L + (i % 5))) ++
+      Seq(("a", 99L, 100000L))
+    // group b: constant — med 50, mad 0, zero deviations, zero flags
+    val b = (1 to 10).map(i => ("b", 200L + i, 50L))
+    // group c: near-constant — mad 0 makes ANY deviation an outlier
+    val c = (1 to 9).map(i => ("c", 300L + i, 10L)) ++ Seq(("c", 399L, 11L))
+    val got = DataQuality.madOutliers(
+      (a ++ b ++ c).toDF("g", "id", "v").repartition(7),
+      "v", groupCols = Seq("g"), tiebreakCols = Seq("id"))
+      .select("g", "id", "v", "med", "mad", "is_outlier")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byGroup = got.groupBy(_._1)
+    assert(got.length === a.size + b.size + c.size)
+    // per-group statistics are constant across rows
+    assert(byGroup("a").map(r => (r._4, r._5)).toSet === Set((102L, 1L)))
+    assert(byGroup("b").map(r => (r._4, r._5)).toSet === Set((50L, 0L)))
+    assert(byGroup("c").map(r => (r._4, r._5)).toSet === Set((10L, 0L)))
+    // flags: only the planted extremes
+    assert(got.filter(_._6 === 1L).map(r => (r._1, r._2)).toSet ===
+      Set(("a", 99L), ("c", 399L)))
+  }
 }
