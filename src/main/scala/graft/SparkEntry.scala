@@ -1202,6 +1202,14 @@ object SparkEntry {
         .select(col("token"), col("token_id"),
           col("n").cast("long").as("n"))),
 
+    // Top-100 collocations by PMI in integer micro-nats (Church-Hanks
+    // with a min-count hapax guard) — candidate multiword expressions
+    // for a tokenizer/phrase vocabulary; score quantization follows the
+    // langid micro-nat discipline so the oracle replays it hash-exactly
+    "text_collocations" -> ((s, dir) =>
+      graft.operators.TextAnalysis.collocations(
+        t(s, dir, "documents"), "text", minCount = 5, topN = 100)),
+
     // Tokenize-to-ids through the broadcast top-500 vocab, OOV -> 0;
     // exploded (doc, pos, id) so the compare is a flat relation
     "vocab_encode" -> ((s, dir) => {

@@ -1379,6 +1379,34 @@ private[graft] object SparkEntryOracles {
         |  n
         |FROM counts ORDER BY n DESC, token LIMIT 500""".stripMargin,
 
+    // PMI replay: identical count algebra, identical left-associated
+    // double expression inside ln, identical micro-nat rounding; empty
+    // tokens excluded from unigrams/totals like the vocab family
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(t) AS w FROM toks
+        |), unif AS (SELECT w FROM uni WHERE length(w) > 0),
+        |c1 AS (SELECT w, count(*) AS c FROM unif GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n FROM unif),
+        |big AS (
+        |  SELECT unnest(list_transform(range(len(t) - 1),
+        |    i -> [t[i+1], t[i+2]])) AS p
+        |  FROM toks WHERE len(t) >= 2
+        |), n2 AS (SELECT count(*) AS n FROM big),
+        |c2 AS (
+        |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS c_pair
+        |  FROM big GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c_pair, a.c AS c_w1, b.c AS c_w2,
+        |  CAST(round(ln((CAST(c_pair AS DOUBLE) * n1.n * n1.n) /
+        |    (CAST(n2.n AS DOUBLE) * a.c * b.c)) * 1000000) AS BIGINT)
+        |    AS pmi_q
+        |FROM c2 JOIN c1 a ON c2.w1 = a.w
+        |        JOIN c1 b ON c2.w2 = b.w, n1, n2
+        |ORDER BY pmi_q DESC, w1, w2 LIMIT 100""".stripMargin,
+
     // encode twin: positions enumerate the RAW split (filtered empties
     // keep their gap), OOV tokens -> 0 via the left join
     "vocab_encode" ->

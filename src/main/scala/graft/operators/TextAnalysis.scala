@@ -728,4 +728,52 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("hit_count_sum"), lit(0L)).as("hit_count_sum"))
   }
+
+  /** Top collocations (candidate multiword expressions) by pointwise
+    * mutual information over ADJACENT word pairs:
+    * `pmi(x,y) = ln(c_xy·n1² / (n2·c_x·c_y))`, quantized to integer
+    * micro-nats — the [[fitLanguageProfiles]] discipline: the double
+    * expression is written in the exact shape the SQL oracle replays
+    * (left-associated multiplies, one division, one ln, one round), so
+    * the BIGINT score is cross-engine hash-exact. `minCount` guards the
+    * hapax pathology — a pair seen once between two rare words maximizes
+    * raw PMI — the standard collocation-extraction filter (Church &
+    * Hanks). Empty tokens (empty-text artifacts of the whitespace split)
+    * are excluded from both the unigram counts and the totals, mirroring
+    * the vocab family's `length > 0` gate.
+    *
+    * Scale shape: one tokenize scan feeds two hash aggregations (unigram
+    * and bigram counts, shuffling (term, partial-count) pairs, never
+    * text); the two corpus totals are scalar aggregates broadcast via
+    * cross join; unigram counts join the ≥minCount bigram table on the
+    * term key (vocabulary-sized sides, hash-partitioned); the final cut
+    * is a top-N heap (TakeOrderedAndProject), never a global sort.
+    * Output: (w1, w2, c_pair, c_w1, c_w2, pmi_q), the `topN` pairs by
+    * (pmi_q desc, w1, w2 — total order). */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topN: Int = 100): DataFrame = {
+    require(minCount >= 1, "minCount >= 1")
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val big = docs.select(explode(bigrams(col(textCol))).as("b"))
+    val n2 = big.agg(count(lit(1)).as("n2"))
+    val c2 = big
+      .select(split(col("b"), " ", 2).as("p"))
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .where(col("c_pair") >= minCount)
+    c2
+      .join(c1.select(col("w").as("w1"), col("c").as("c_w1")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("c_w2")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        round(log((col("c_pair").cast("double") * col("n1") * col("n1")) /
+          (col("n2").cast("double") * col("c_w1") * col("c_w2"))) * lit(1e6))
+          .cast("long").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+  }
 }

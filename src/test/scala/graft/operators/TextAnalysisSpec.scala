@@ -367,4 +367,40 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1L, -12000000L),
       (3L, 0L, 0L)))
   }
+
+  test("collocations: planted phrase tops PMI, hapax pairs are gated") {
+    import spark.implicits._
+    // "new york" always adjacent (strong association); "the" pairs with
+    // everything (weak); "rare gem" appears once -> killed by minCount
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "new york the city")) ++
+      Seq((7L, "the a the b the c rare gem"),
+          (8L, "a b c the a"))).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2, topN = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    assert(!byPair.contains(("rare", "gem"))) // hapax gated
+    assert(byPair.contains(("new", "york")))
+    // brute-force the exact micro-nat score with the same formula
+    val texts = ((1 to 6).map(_ => "new york the city") ++
+      Seq("the a the b the c rare gem", "a b c the a"))
+    val toks = texts.map(_.split("\\s+").toSeq)
+    val unis = toks.flatten
+    val bigs = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val n1 = unis.size.toLong
+    val n2 = bigs.size.toLong
+    val cU = unis.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val cP = bigs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    def pmiQ(w1: String, w2: String) = math.round(math.log(
+      (cP((w1, w2)).toDouble * n1 * n1) /
+        (n2.toDouble * cU(w1) * cU(w2))) * 1e6)
+    got.foreach { case (w1, w2, cp, c1, c2, q) =>
+      assert(cp === cP((w1, w2)) && c1 === cU(w1) && c2 === cU(w2))
+      assert(q === pmiQ(w1, w2), s"pmi_q of ($w1,$w2)")
+    }
+    // the always-adjacent phrase outranks the promiscuous function word
+    val newYork = byPair(("new", "york"))._6
+    assert(got.filter(r => r._1 == "the" || r._2 == "the")
+      .forall(_._6 < newYork))
+  }
 }
