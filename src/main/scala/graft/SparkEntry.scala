@@ -1719,6 +1719,30 @@ object SparkEntry {
                 |  cast(n - 1 as decimal(38,0)))""".stripMargin)
             .as("var_cents_sq"))),
 
+    // Order-free exact cross-moment: per-group sample covariance between
+    // quantity and price cents from INTEGER power sums (n, Σx, Σy, Σxy)
+    // — cov = (n·Σxy − Σx·Σy) div (n(n−1)) in decimal(38,0). Truncating
+    // division on BOTH engines (Spark `div` and DuckDB `//` each round
+    // toward zero — verified on the negative R-flag group), so the
+    // possibly-negative quotient still hash-matches
+    "a_covariance_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+            .as("sum_xy"))
+        .select(col("l_returnflag"), col("n"), col("sum_x"), col("sum_y"),
+          expr("""(cast(n as decimal(38,0)) * sum_xy -
+                |  cast(sum_x as decimal(38,0)) *
+                |  cast(sum_y as decimal(38,0)))
+                |div (cast(n as decimal(38,0)) *
+                |  cast(n - 1 as decimal(38,0)))""".stripMargin)
+            .as("cov_q_cents"))),
+
     // Exact per-group median by integer rank selection (lower median, a
     // total order inside each group) — the exact twin of the approximate
     // quantile sketch, viable whenever per-group cardinality fits a sort

@@ -1479,6 +1479,23 @@ private[graft] object SparkEntryOracles {
         |    // (n * (n - 1)) AS BIGINT) AS var_cents_sq
         |FROM s""".stripMargin,
 
+    // covariance twin: same HUGEINT power sums; both engines' integer
+    // division TRUNCATES toward zero (DuckDB -7 // 2 = -3, Spark div
+    // likewise), so the possibly-negative quotient matches unadjusted
+    "a_covariance_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sum_x,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_y,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_xy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sum_x AS BIGINT) AS sum_x,
+        |  CAST(sum_y AS BIGINT) AS sum_y,
+        |  CAST((n * sum_xy - sum_x * sum_y)
+        |    // (n * (n - 1)) AS BIGINT) AS cov_q_cents
+        |FROM s""".stripMargin,
+
     // exact heavy hitters: same ceil threshold, same truncating ppm share
     "a_heavy_hitters" ->
       """WITH tot AS (SELECT count(*) AS t FROM lineitem)
@@ -1508,8 +1525,8 @@ private[graft] object SparkEntryOracles {
         |WHERE rn = (n + 1) // 2""".stripMargin,
 
     // identical total order, identical nearest-rank selection
-    // max(1, ceil(p*n/100)) in pure integer math; // is floor division,
-    // equal to ceil-via-(+99) on the all-positive operands
+    // max(1, ceil(p*n/100)) in pure integer math; // truncates toward
+    // zero, equal to the ceil-via-(+99) trick on all-positive operands
     "a_exact_percentiles" ->
       """SELECT l_returnflag, p, value, n FROM (
         |  SELECT l_returnflag,
@@ -2168,9 +2185,10 @@ private[graft] object SparkEntryOracles {
         |    AS BIGINT) AS is_anomaly
         |FROM r WHERE n_prev >= 5""".stripMargin,
 
-    // Unrolled 3-iteration replay of the integer power iteration; `//` is
-    // DuckDB floor division == Scala long division on the all-positive
-    // ranks, so every contribution matches bit-for-bit
+    // Unrolled 3-iteration replay of the integer power iteration; `//`
+    // truncates toward zero like Scala long division (identical anyway
+    // on the all-positive ranks), so every contribution matches
+    // bit-for-bit
     // triangle twin: plain id-ordered enumeration (u<v<w) — the Spark
     // side degree-orders for scale, but the TRIANGLE SET (and so the
     // per-node counts) is orientation-independent

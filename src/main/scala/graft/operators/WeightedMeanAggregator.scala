@@ -29,16 +29,12 @@ object WeightedMeanAggregator {
         (a._1 + b._1, a._2 + b._2)
       def finish(b: (Long, Long)): (Long, Long, Long) =
         if (b._2 == 0L) (0L, 0L, 0L)
-        else {
-          // BigInt: the 10^6 scale-up overflows a long past Σwx ~9·10^12.
-          // FLOOR division, not BigInt's truncate-toward-zero: values may
-          // be negative (quality scores) and the SQL oracle's `//` floors,
-          // so a truncating negative quotient would hash-diverge by one
-          val q = BigInt(b._1) * 1000000
-          val d = BigInt(b._2)
-          val (quot, rem) = q /% d
-          (b._1, b._2, (if (rem.signum < 0) quot - 1 else quot).toLong)
-        }
+        // BigInt: the 10^6 scale-up overflows a long past Σwx ~9·10^12.
+        // TRUNCATING division (BigInt `/` rounds toward zero) is the
+        // cross-engine convention: both Spark's `div` and DuckDB's `//`
+        // truncate on negatives (verified: -7 // 2 = -3 in DuckDB), so
+        // the ppm hash-matches the oracle for negative sums too
+        else (b._1, b._2, (BigInt(b._1) * 1000000 / b._2).toLong)
       def bufferEncoder: Encoder[(Long, Long)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
       def outputEncoder: Encoder[(Long, Long, Long)] =

@@ -26,26 +26,24 @@ class WeightedMeanAggregatorSpec extends SparkSpec {
       .agg(sum(col("pc") * col("qty")).as("swx"), sum(col("qty")).as("sw"))
       .as[(String, Long, Long)]
       .collect()
-      .map { r =>
-        val (quot, rem) = (BigInt(r._2) * 1000000) /% BigInt(r._3)
-        r._1 -> ((r._2, r._3, (if (rem.signum < 0) quot - 1 else quot).toLong))
-      }
+      .map(r => r._1 -> ((r._2, r._3, (BigInt(r._2) * 1000000 / r._3).toLong)))
       .toMap
     assert(typed === untyped)
     assert(typed.nonEmpty)
   }
 
-  test("negative weighted sums floor like the SQL oracle's //, not truncate") {
+  test("negative weighted sums truncate toward zero like DuckDB's //") {
     import spark.implicits._
-    // Σwx = -7, Σw = 3: floor(-7000000/3) = -2333334 (truncation would
-    // give -2333333 and hash-diverge from DuckDB)
+    // Σwx = -7, Σw = 3: trunc(-7000000/3) = -2333333 — DuckDB's `//`
+    // truncates on negatives (-7 // 2 = -3, verified), as does Spark's
+    // `div`; flooring here would hash-diverge by one
     val got = Seq(("g", -7L, 1L), ("g", 0L, 2L))
       .toDS()
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(WeightedMeanAggregator.weightedMean.toColumn)
       .collect().toMap
-    assert(got === Map("g" -> ((-7L, 3L, -2333334L))))
+    assert(got === Map("g" -> ((-7L, 3L, -2333333L))))
   }
 
   test("zero-weight groups report (0, 0, 0), not a division failure") {
