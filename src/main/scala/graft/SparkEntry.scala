@@ -1195,6 +1195,29 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking with the LM-coverage quality ranking — integer reciprocal
+    // ranks (1e6 div (60+rank)) need no score normalization across the
+    // incomparable scales, the textbook hybrid-search combiner. Both
+    // input rankings are themselves oracled queries; the coverage model
+    // rides the per-dataset LM memo
+    "text_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lexical = graft.operators.TextAnalysis.bm25TopK(docs,
+        "doc_id", "text", Seq("spark", "vector", "stream"), 50)
+        .select(col("doc_id"), col("rank"))
+      val cov = graft.operators.TextAnalysis.docLmCoverage(docs,
+        "doc_id", "text", 1000, cacheKey = Some(dir))
+      val quality = cov
+        .orderBy(col("hit_count_sum").desc, col("doc_id").asc).limit(50)
+        .coalesce(1)
+        .sortWithinPartitions(col("hit_count_sum").desc, col("doc_id").asc)
+        .withColumn("rank", monotonically_increasing_id() + 1)
+        .select(col("doc_id"), col("rank"))
+      graft.operators.TextAnalysis.rrfFuse(Seq(lexical, quality),
+        "doc_id", k0 = 60, topN = 20)
+    }),
+
     // Top-500 token vocabulary: dense ids by (count desc, token asc)
     "vocab_top_tokens" -> ((s, dir) =>
       graft.operators.TextAnalysis.buildVocab(t(s, dir, "documents"),

@@ -78,6 +78,44 @@ private[graft] object SparkEntryOracles {
       |), ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1)""".stripMargin
 
+  /** The BM25 ranking chain up to its top-`k` cut (relation `bm_top`:
+    * (id, score_e6)) — shared by the standalone BM25 query and the RRF
+    * fusion oracle, parameterized only by the cut depth. */
+  private def bm25Ctes(k: Int) =
+    s"""toks AS (
+      |  SELECT doc_id AS id,
+      |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |  WHERE length(term) > 0 GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks
+      |  WHERE length(term) > 0 GROUP BY 1
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+      |), qtf AS (
+      |  SELECT * FROM tf WHERE term IN ('spark', 'vector', 'stream')
+      |), dftab AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+      |), scored AS (
+      |  SELECT q.id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+      |      * (CAST(q.tf AS DOUBLE) * 2.2 /
+      |         (q.tf + 1.2 * (0.25 + 0.75 * l.dl /
+      |            (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+      |      * 1000000) AS BIGINT) AS s_e6
+      |  FROM qtf q JOIN dftab d USING (term) JOIN dl l ON q.id = l.id
+      |  CROSS JOIN stats s
+      |), agg AS (
+      |  SELECT id, CAST(sum(s_e6) AS BIGINT) AS score_e6
+      |  FROM scored GROUP BY 1
+      |), bm_top AS (
+      |  SELECT id, score_e6 FROM agg
+      |  ORDER BY score_e6 DESC, id LIMIT $k)""".stripMargin
+
   private def jaccardCtesFrom(source: String) =
     s"""${shingleCtesFrom(source)},
       |inter AS (
@@ -1325,44 +1363,68 @@ private[graft] object SparkEntryOracles {
     // association order), per-term micro-unit quantization before the
     // integer per-doc sum, ties broken by doc_id
     "text_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |  FROM documents
-        |), tf AS (
-        |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        |  WHERE length(term) > 0 GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks
-        |  WHERE length(term) > 0 GROUP BY 1
-        |), stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
-        |), qtf AS (
-        |  SELECT * FROM tf WHERE term IN ('spark', 'vector', 'stream')
-        |), dftab AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
-        |), scored AS (
-        |  SELECT q.id,
-        |    CAST(round(
-        |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
-        |      * (CAST(q.tf AS DOUBLE) * 2.2 /
-        |         (q.tf + 1.2 * (0.25 + 0.75 * l.dl /
-        |            (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
-        |      * 1000000) AS BIGINT) AS s_e6
-        |  FROM qtf q JOIN dftab d USING (term) JOIN dl l ON q.id = l.id
-        |  CROSS JOIN stats s
-        |), agg AS (
-        |  SELECT id, CAST(sum(s_e6) AS BIGINT) AS score_e6
-        |  FROM scored GROUP BY 1
-        |), top AS (
-        |  SELECT id, score_e6 FROM agg
-        |  ORDER BY score_e6 DESC, id LIMIT 10)
-        |SELECT id AS doc_id,
-        |  CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT)
-        |    AS rank,
-        |  score_e6
-        |FROM top""".stripMargin,
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT id AS doc_id,
+         |  CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT)
+         |    AS rank,
+         |  score_e6
+         |FROM bm_top""".stripMargin,
+
+    // RRF replay: the shared BM25 chain at k=50 plus the full
+    // lm_doc_coverage chain (all docs, zeros included — identical tie
+    // universe), both ranked by row_number with the same tiebreaks,
+    // fused by integer reciprocal ranks (// truncates; operands
+    // positive)
+    "text_rrf_fusion" ->
+      s"""WITH ${bm25Ctes(50)},
+         |ra AS (
+         |  SELECT id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_e6 DESC, id) AS BIGINT)
+         |      AS rank
+         |  FROM bm_top
+         |), cbase AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents
+         |), cbg AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 2
+         |              THEN list_transform(range(len(t) - 1),
+         |                     i -> t[i+1] || ' ' || t[i+2])
+         |              ELSE [] END AS bigrams
+         |  FROM cbase
+         |), cdb AS (
+         |  SELECT doc_id, unnest(bigrams) AS bigram FROM cbg
+         |), ccnt AS (
+         |  SELECT bigram, count(*) AS n FROM cdb GROUP BY 1
+         |), clm AS (
+         |  SELECT bigram, n FROM (
+         |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+         |      AS r FROM ccnt) WHERE r <= 1000
+         |), chits AS (
+         |  SELECT cdb.doc_id,
+         |    coalesce(CAST(sum(clm.n) AS BIGINT), 0) AS hit_count_sum
+         |  FROM cdb LEFT JOIN clm USING (bigram) GROUP BY 1
+         |), cov AS (
+         |  SELECT d.doc_id, coalesce(h.hit_count_sum, 0) AS hit_count_sum
+         |  FROM documents d LEFT JOIN chits h USING (doc_id)
+         |), rb AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY hit_count_sum DESC, doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM cov ORDER BY hit_count_sum DESC, doc_id LIMIT 50
+         |), contrib AS (
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM ra
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM rb
+         |), fused AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+         |  FROM contrib GROUP BY 1
+         |), ftop AS (
+         |  SELECT doc_id, rrf_score FROM fused
+         |  ORDER BY rrf_score DESC, doc_id LIMIT 20)
+         |SELECT doc_id, rrf_score,
+         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |FROM ftop""".stripMargin,
 
     // vocab twin: same tokenization as bm25, same (count desc, token)
     // rank order

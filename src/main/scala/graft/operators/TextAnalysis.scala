@@ -776,4 +776,36 @@ object TextAnalysis {
       .orderBy(col("pmi_q").desc, col("w1").asc, col("w2").asc)
       .limit(topN)
   }
+
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher) of any number of
+    * rankings: fused score = Σ over lists of `1e6 div (k0 + rank)` —
+    * reciprocal ranks in pure integer math, so the fusion is hash-exact.
+    * RRF is the standard hybrid-retrieval combiner because it needs NO
+    * score normalization: rankings with incomparable score scales
+    * (lexical BM25 micro-units vs an LM-coverage count vs a cosine)
+    * fuse through their ranks alone, and k0 (conventionally 60) damps
+    * the head so one list's #1 can't dominate consensus.
+    *
+    * Each input must be a (idCol, rank) frame with ranks 1..k. Scale
+    * shape: the inputs are already top-k cuts (≤ k rows each), so the
+    * fusion is a union of tiny frames + one aggregation + the post-limit
+    * single-partition rank pattern ([[bm25TopK]]) — nothing here touches
+    * the corpus. Output: (idCol, rrf_score, rank), topN rows by
+    * (rrf_score desc, id — total order). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
+              topN: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(k0 >= 1, "k0 >= 1")
+    val contribs = rankings.map(_.select(col(idCol),
+      expr(s"cast(1000000 as bigint) div (cast($k0 as bigint) + rank)")
+        .as("c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(idCol).agg(sum(col("c")).as("rrf_score"))
+    fused.orderBy(col("rrf_score").desc, col(idCol).asc).limit(topN)
+      // post-limit rank over <= topN rows in one partition (see bm25TopK)
+      .coalesce(1)
+      .sortWithinPartitions(col("rrf_score").desc, col(idCol).asc)
+      .withColumn("rank", monotonically_increasing_id() + 1)
+      .select(col(idCol), col("rrf_score"), col("rank"))
+  }
 }

@@ -403,4 +403,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(r => r._1 == "the" || r._2 == "the")
       .forall(_._6 < newYork))
   }
+
+  test("rrfFuse: consensus beats a single #1; integer scores exact") {
+    import spark.implicits._
+    // A ranks 1,2,3; B ranks 3,2,4. doc2 (2nd in both) and doc3 (1st+3rd)
+    // both beat doc1 (a single #1) — the no-normalization consensus
+    // property RRF is used for
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (2L, 2L), (4L, 3L)).toDF("doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topN = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    def r(k: Long) = 1000000L / (60L + k) // truncating, like div
+    assert(got === Seq(
+      (3L, r(1) + r(3), 1L), // 16393+15873 = 32266
+      (2L, r(2) + r(2), 2L), // 32258
+      (1L, r(1), 3L),
+      (4L, r(3), 4L)))
+  }
 }
