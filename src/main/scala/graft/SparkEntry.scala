@@ -1195,6 +1195,14 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Token-distribution entropy per language in integer micro-nats —
+    // quantize-per-term-then-sum-exactly, one division at the end; the
+    // low-entropy slices are the templated/repetitive text a curation
+    // pass down-weights
+    "text_entropy_by_lang" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tokenEntropyByGroup(
+        t(s, dir, "documents"), "text", "lang")),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     // ranking with the LM-coverage quality ranking — integer reciprocal
     // ranks (1e6 div (60+rank)) need no score normalization across the

@@ -1370,6 +1370,32 @@ private[graft] object SparkEntryOracles {
          |  score_e6
          |FROM bm_top""".stripMargin,
 
+    // entropy twin: identical per-term quantization (same CAST-to-DOUBLE
+    // division inside ln, same micro-nat rounding), HUGEINT-exact sum,
+    // one truncating division at the end (operands positive after the
+    // sign flip)
+    "text_entropy_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), tc AS (
+        |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM toks
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM tc GROUP BY 1
+        |), sq AS (
+        |  SELECT tc.lang,
+        |    sum(tc.c * CAST(round(ln(CAST(tc.c AS DOUBLE) / t.n) * 1000000)
+        |      AS BIGINT)) AS s
+        |  FROM tc JOIN tot t USING (lang) GROUP BY 1
+        |)
+        |SELECT t.lang, t.n AS n_tokens, t.n_terms,
+        |  CAST((-sq.s) // t.n AS BIGINT) AS entropy_unat
+        |FROM sq JOIN tot t USING (lang)""".stripMargin,
+
     // RRF replay: the shared BM25 chain at k=50 plus the full
     // lm_doc_coverage chain (all docs, zeros included — identical tie
     // universe), both ranked by row_number with the same tiebreaks,

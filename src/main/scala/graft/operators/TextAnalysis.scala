@@ -777,6 +777,39 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Shannon entropy of each group's TOKEN DISTRIBUTION in integer
+    * micro-nats: `H = −Σ_terms c·ln(c/n) / n` computed as per-term
+    * quantized contributions `c · round(ln(c/n)·1e6)` summed exactly
+    * (decimal(38,0) — the sum reaches ~n·2e7, past a long at corpus
+    * scale) and divided once at the end. A diversity diagnostic for
+    * corpus slices: low entropy = repetitive/templated text (a quality
+    * signal for curation), high = diverse vocabulary. Quantize-then-sum
+    * keeps the result combine-order-free and SQL-replayable — the
+    * micro-nat discipline ([[fitLanguageProfiles]]).
+    *
+    * Scale shape: one tokenize scan → a (group, term) hash aggregation →
+    * a group total join → one more group aggregation. Everything
+    * shuffles counts, never text. Output: (groupCol, n_tokens, n_terms,
+    * entropy_unat). */
+  def tokenEntropyByGroup(docs: DataFrame, textCol: String,
+                          groupCol: String): DataFrame = {
+    val tc = docs
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("g", "w").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("g")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_terms"))
+    val sq = tc.join(tot.select(col("g"), col("n")), "g")
+      .withColumn("t_q", (col("c") *
+        round(log(col("c").cast("double") / col("n")) * lit(1e6))
+          .cast("long")).cast("decimal(38,0)"))
+      .groupBy("g").agg(sum(col("t_q")).as("s"))
+    sq.join(tot, "g")
+      .select(col("g").as(groupCol), col("n").as("n_tokens"),
+        col("n_terms"),
+        expr("(-s) div cast(n as decimal(38,0))").as("entropy_unat"))
+  }
+
   /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher) of any number of
     * rankings: fused score = Σ over lists of `1e6 div (k0 + rank)` —
     * reciprocal ranks in pure integer math, so the fusion is hash-exact.

@@ -404,6 +404,25 @@ class TextAnalysisSpec extends SparkSpec {
       .forall(_._6 < newYork))
   }
 
+  test("tokenEntropyByGroup: uniform = ln(k) micro-nats, constant = 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("x", "a a b b"), // uniform over 2 terms -> ln 2
+      ("y", "a a a a"), // single term -> 0
+      ("z", "a b c d")) // uniform over 4 -> ln 4
+      .toDF("lang", "text")
+    val got = TextAnalysis.tokenEntropyByGroup(docs, "text", "lang")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ln2 = math.round(math.log(0.5) * 1e6) // -693147
+    assert(got("x") === ((4L, 2L, (-(2 * ln2 + 2 * ln2)) / 4)))
+    assert(got("y") === ((4L, 1L, 0L)))
+    val ln4 = math.round(math.log(0.25) * 1e6)
+    assert(got("z") === ((4L, 4L, (-(4 * ln4)) / 4)))
+    // sanity: more spread = more entropy
+    assert(got("z")._3 > got("x")._3 && got("x")._3 > got("y")._3)
+  }
+
   test("rrfFuse: consensus beats a single #1; integer scores exact") {
     import spark.implicits._
     // A ranks 1,2,3; B ranks 3,2,4. doc2 (2nd in both) and doc3 (1st+3rd)
