@@ -1172,6 +1172,13 @@ object SparkEntry {
       graft.operators.EventAnalytics.transitions(t(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type")),
 
+    // Gaps-and-islands: consecutive same-type runs per user via the
+    // rank-difference trick — two same-partitioning windows + one agg,
+    // no self-join; the dwell/bot-detection primitive
+    "events_state_runs" -> ((s, dir) =>
+      graft.operators.EventAnalytics.stateRuns(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")),
+
     // Per-(label, dim) centroid accumulators in exact integer millionths
     "emb_label_centroids" -> ((s, dir) =>
       graft.operators.Embeddings.labelCentroids(t(s, dir, "embeddings"),

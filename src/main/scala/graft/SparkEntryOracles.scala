@@ -1298,6 +1298,21 @@ private[graft] object SparkEntryOracles {
         |SELECT prev, next, CAST(count(*) AS BIGINT) AS n
         |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
+    // gaps-and-islands twin: the same rank-difference constant, same
+    // (ts, event_id) total order, run identity = first stream position
+    "events_state_runs" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rnt
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |  CAST(min(rn) AS BIGINT) AS run_start_seq,
+        |  count(*) AS run_len
+        |FROM o GROUP BY user_id, event_type, rn - rnt""".stripMargin,
+
     "events_retention" ->
       """WITH f AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort

@@ -81,4 +81,38 @@ object EventAnalytics {
         datediff(col("_day"), col("cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).cast("long").as("n_users"))
   }
+
+  /** Gaps-and-islands: collapse each user's CONSECUTIVE same-type events
+    * into runs. The classic rank-difference trick — `rn` (position in
+    * the user's full stream) minus `rnt` (position among that type's
+    * events) is constant exactly within a consecutive run, so one
+    * aggregation on the difference recovers every island without a
+    * self-join or an iterative pass. Run identity is `run_start_seq` =
+    * the run's first stream position (deterministic on the (ts,
+    * tiebreak) total order).
+    *
+    * Scale shape: two windows over the SAME user partitioning (one
+    * shuffle; the second window only re-sorts within partitions) + one
+    * hash aggregation. The behavioral-analytics primitive behind dwell
+    * analysis, bot detection (pathological run lengths), and session
+    * compression. Output: (userCol, typeCol, run_start_seq, run_len). */
+  def stateRuns(events: DataFrame, userCol: String, tsCol: String,
+                tiebreakCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol).asc, col(tiebreakCol).asc)
+    val wt = Window.partitionBy(userCol, typeCol)
+      .orderBy(col(tsCol).asc, col(tiebreakCol).asc)
+    events
+      .select(col(userCol), col(tsCol), col(tiebreakCol), col(typeCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnt", row_number().over(wt).cast("long"))
+      .groupBy(col(userCol), col(typeCol),
+        (col("rn") - col("rnt")).as("_grp"))
+      .agg(min(col("rn")).as("run_start_seq"),
+        count(lit(1)).as("run_len"))
+      .drop("_grp")
+      .select(col(userCol), col(typeCol), col("run_start_seq"),
+        col("run_len"))
+  }
 }

@@ -91,4 +91,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("2024-01-02", 1L)) === 1L)
     assert(got.size === 4)
   }
+
+  test("stateRuns: consecutive same-type islands, ties broken by event id") {
+    import spark.implicits._
+    // user 1: A A B A A A -> (A,1,2) (B,3,1) (A,4,3); the two events at
+    // ts=10 order by event_id (1 then 2) and still fuse into one A-run.
+    // user 2: one event -> a single run of 1
+    val events = Seq(
+      (1L, 10L, 1L, "A"), (1L, 10L, 2L, "A"), (1L, 20L, 3L, "B"),
+      (1L, 30L, 4L, "A"), (1L, 40L, 5L, "A"), (1L, 50L, 6L, "A"),
+      (2L, 10L, 7L, "B"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(5)
+    val got = EventAnalytics
+      .stateRuns(events, "user_id", "ts", "event_id", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "A", 1L, 2L), (1L, "B", 3L, 1L), (1L, "A", 4L, 3L),
+      (2L, "B", 1L, 1L)))
+  }
 }
