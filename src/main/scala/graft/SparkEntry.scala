@@ -1800,6 +1800,17 @@ object SparkEntry {
           col("cnt").as("n"))
     }),
 
+    // Percentile-rank normalization in ppm per group — every quantity
+    // mapped onto [0, 1e6] within its flag; the rank-based score
+    // normalization that makes heterogeneous quality signals mixable
+    "w_percentile_ranks" -> ((s, dir) =>
+      graft.operators.Ranking.percentileRanks(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+        "qty", groupCols = Seq("l_returnflag"),
+        tiebreakCols = Seq("l_orderkey", "l_linenumber"))),
+
     // Exact per-group percentiles by nearest-rank integer selection —
     // the generalization of a_exact_median to a percentile list; one
     // group-partitioned sort window, integer rank math end to end
@@ -1811,6 +1822,23 @@ object SparkEntry {
         "qty", groupCols = Seq("l_returnflag"),
         tiebreakCols = Seq("l_orderkey", "l_linenumber"),
         ps = Seq(50, 90, 99))),
+
+    // Benford first-digit audit over order prices: observed counts per
+    // leading digit plus the expected Benford share in ppm — the
+    // fabricated-numbers forensic (synthetic columns flunk Benford).
+    // The digit is extracted from the integer's decimal string (exact
+    // and engine-portable, no float log10); the expected share uses the
+    // micro-nat ln discipline
+    "dq_benford" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("c"))
+        .where(col("c") > 0)
+        .select(substring(col("c").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("expected_ppm",
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)) * lit(1e6)).cast("long"))),
 
     // MAD-based robust outlier flags on order prices per priority class:
     // |v - median| > 3 * median(|v - median|), every statistic a

@@ -1627,6 +1627,22 @@ private[graft] object SparkEntryOracles {
         |  FROM lineitem)
         |WHERE rn = (n + 1) // 2""".stripMargin,
 
+    // percentile-rank twin: same total order, same integer ppm formula
+    // (operands non-negative, so truncating // == div)
+    "w_percentile_ranks" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+        |  CAST(CASE WHEN n = 1 THEN 0
+        |       ELSE ((rn - 1) * 1000000) // (n - 1) END AS BIGINT)
+        |    AS pct_ppm
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+        |        l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)""".stripMargin,
+
     // identical total order, identical nearest-rank selection
     // max(1, ceil(p*n/100)) in pure integer math; // truncates toward
     // zero, equal to the ceil-via-(+99) trick on all-positive operands
@@ -1642,6 +1658,20 @@ private[graft] object SparkEntryOracles {
         |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
         |  (CAST(99 AS BIGINT))) ps(p)
         |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin,
+
+    // Benford twin: digit from the identical integer's decimal string,
+    // identical ln-ratio expression and ppm rounding
+    "dq_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM v WHERE c > 0)
+        |SELECT digit, count(*) AS n_obs,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |    * 1000000) AS BIGINT) AS expected_ppm
+        |FROM d GROUP BY 1""".stripMargin,
 
     // identical lower-median ranks for both the median and the MAD,
     // identical integer threshold compare — no float statistic anywhere

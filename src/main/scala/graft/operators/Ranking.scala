@@ -36,6 +36,36 @@ object Ranking {
       sorted.schema.add(seqCol, LongType, nullable = false))
   }
 
+  /** Per-group percentile rank of EVERY row in ppm:
+    * `(rank−1)·1e6 div (n−1)` — 0 for the group minimum, 1,000,000 for
+    * the maximum, single-row groups pin to 0. Rank-based normalization
+    * makes quality scores from heterogeneous sources mixable on one
+    * scale (the full-table analog of [[TextAnalysis.rrfFuse]]'s top-k
+    * reciprocal ranks), in pure integer math so the normalized column
+    * is SQL-replayable hash-exactly.
+    *
+    * One group-partitioned sort window (`row_number` + the group count
+    * share the partitioning — a single shuffle). `tiebreakCols` must
+    * complete a total order so equal values get deterministic distinct
+    * ranks (ties get adjacent ppm values, not equal ones — by design:
+    * the output is a total ordering, not a distribution estimate).
+    * Output: the input columns + `pct_ppm`. */
+  def percentileRanks(df: DataFrame, valueCol: String,
+                      groupCols: Seq[String],
+                      tiebreakCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col(valueCol) +: tiebreakCols.map(col)).map(_.asc): _*)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("pct_ppm",
+        when(col("_n") === 1L, lit(0L)).otherwise(
+          expr("((_rn - 1) * 1000000) div (_n - 1)")))
+      .drop("_rn", "_n")
+  }
+
   /** Exact per-group percentiles by integer rank selection: percentile
     * `p` (percent) of a group of `n` ordered values is the value at
     * 1-based rank `max(1, ceil(p·n/100))` — the nearest-rank definition.

@@ -49,6 +49,18 @@ class RankingSpec extends SparkSpec {
     assert(got.keySet.size === 3 * ps.size)
   }
 
+  test("percentileRanks: min 0, max 1e6, monotone; singletons pin to 0") {
+    import spark.implicits._
+    val df = ((1 to 11).map(i => ("g", i.toLong, (i * 7 % 11).toLong)) :+
+      (("solo", 99L, 5L))).toDF("g", "id", "v").repartition(5)
+    val got = Ranking.percentileRanks(df, "v", Seq("g"), Seq("id"))
+      .as[(String, Long, Long, Long)].collect()
+    val grp = got.filter(_._1 == "g").sortBy(_._3)
+    // 11 distinct values -> ranks 0..10 -> ppm i*100000
+    assert(grp.map(_._4).toSeq === (0 to 10).map(_ * 100000L))
+    assert(got.find(_._1 == "solo").get._4 === 0L)
+  }
+
   test("exactPercentiles: n=1 groups pin every percentile to the value") {
     import spark.implicits._
     val got = Ranking.exactPercentiles(
