@@ -195,4 +195,39 @@ class PlanQualitySpec extends SparkSpec {
       s"the per-query LUTs must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("mad outliers: the per-group stat tables broadcast, never sort-merge") {
+    val plan = formatted(SparkEntry.queries("a_mad_outliers")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"|groups|-row stat tables must broadcast:\n$plan")
+  }
+
+  test("percentile ranks / exact percentiles: both window functions share ONE shuffle") {
+    for (q <- Seq("w_percentile_ranks", "a_exact_percentiles")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"$q: row_number and count must share the group partitioning " +
+          s"($exchanges exchanges):\n$plan")
+    }
+  }
+
+  test("sorted-neighborhood join is an equi join on the shifted sequence, no nested loop") {
+    val plan = SparkEntry.queries("dedup_sorted_neighborhood")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"SNM candidates must come from an equi join:\n$plan")
+  }
+
+  test("rrf fusion never rescans the corpus: inputs are top-k cuts") {
+    // the fused frame unions two <=50-row rankings; the corpus-touching
+    // work happens inside them, and fusion adds only one aggregation
+    val plan = formatted(SparkEntry.queries("text_rrf_fusion")(spark, sfDir))
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
