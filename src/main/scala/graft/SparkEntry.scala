@@ -2112,7 +2112,99 @@ object SparkEntry {
           "o_custkey", "l_partkey", minShared = 3L)
       }
       graft.operators.Graph.triangleCounts(edges, "u", "v")
-    })
+    }),
+
+    // FastSS deletion-neighborhood edit-distance join: near-typo pairs
+    // among customer names (ED <= 1) without the all-pairs distance
+    // matrix — variants block, levenshtein confirms candidates only. The
+    // oracle replays it as the brute-force quadratic (same pair SET — the
+    // blocking is lossless at distance 1), per oracle pattern #5
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+
+    // Interval-union coverage per supplier: each shipment occupies the
+    // supplier for [ship_day, ship_day + quantity) days; overlapping
+    // windows merge into islands by the running-max trick (two
+    // same-partitioning windows + one agg, no self-join); days since
+    // epoch keep everything integer
+    "w_interval_coverage" -> ((s, dir) =>
+      graft.operators.EventAnalytics.intervalCoverage(
+        t(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+              .cast("long").as("ship_day"),
+            (datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+              .cast("long") + col("l_quantity").cast("long"))
+              .as("busy_until")),
+        groupCols = Seq("l_suppkey"), startCol = "ship_day",
+        endCol = "busy_until",
+        tiebreakCols = Seq("l_orderkey", "l_linenumber"))),
+
+    // Market-basket association rules over (user, day) event baskets:
+    // directed (a -> b) support / confidence / lift in exact integer ppm
+    // — one basket distinct, a per-basket pair join, broadcast marginals
+    "events_assoc_rules" -> ((s, dir) =>
+      graft.operators.EventAnalytics.assocRules(
+        t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type")),
+        basketCols = Seq("user_id", "day"), itemCol = "event_type",
+        minSupport = 5L)),
+
+    // Grouped OLS regression of price cents on quantity from the same
+    // integer power sums as a_covariance_exact — slope and intercept in
+    // ppm, decimal(38,0) exact, combine-order-free
+    "a_linreg_slope" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"),
+          sum(col("x").cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+            .as("sum_xx"),
+          sum(col("x").cast("decimal(38,0)") * col("y").cast("decimal(38,0)"))
+            .as("sum_xy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""cast((cast(n as decimal(38,0)) * sum_xy -
+                |  cast(sum_x as decimal(38,0)) *
+                |  cast(sum_y as decimal(38,0))) * 1000000
+                |div (cast(n as decimal(38,0)) * sum_xx -
+                |  cast(sum_x as decimal(38,0)) *
+                |  cast(sum_x as decimal(38,0))) as bigint)""".stripMargin)
+            .as("slope_ppm"),
+          expr("""cast((cast(sum_y as decimal(38,0)) * sum_xx -
+                |  cast(sum_x as decimal(38,0)) * sum_xy) * 1000000
+                |div (cast(n as decimal(38,0)) *
+                |  (cast(n as decimal(38,0)) * sum_xx -
+                |   cast(sum_x as decimal(38,0)) *
+                |   cast(sum_x as decimal(38,0)))) as bigint)""".stripMargin)
+            .as("intercept_cents_ppm"))),
+
+    // Chi-squared lang x source contingency audit over documents in
+    // exact decimal(38,0) integer math — one cell aggregation, broadcast
+    // marginals; the per-cell terms sum to the scaled statistic
+    "dq_chi2_independence" -> ((s, dir) =>
+      graft.operators.DataQuality.chi2Contingency(
+        t(s, dir, "documents").select(col("lang"), col("source")),
+        "lang", "source")),
+
+    // Join-key skew diagnostics on the lineitem supplier key: exact
+    // per-key count distribution reduced to the shuffle-predictive
+    // numbers (max/median ratio, hottest-key share) — the pre-flight
+    // check before a fact-fact join at scale
+    "dq_key_skew" -> ((s, dir) =>
+      graft.operators.DataQuality.keySkew(
+        t(s, dir, "lineitem").select(col("l_suppkey")), "l_suppkey")),
+
+    // EXACT-proportion stratified splits per language: rank on the
+    // portable md5-prefix order inside each stratum, assign by integer
+    // rank cuts — per-stratum counts are deterministic integers, not
+    // hash-threshold expectations
+    "sample_splits_exact" -> ((s, dir) =>
+      graft.operators.Sampling.exactSplit(t(s, dir, "documents"),
+        "doc_id", "lang", Seq("train" -> 8, "valid" -> 1, "test" -> 1)))
   )
 
   // ====================================================================

@@ -2675,6 +2675,150 @@ private[graft] object SparkEntryOracles {
       """SELECT doc_id FROM documents
         |ORDER BY substr(md5('fixk' || CAST(doc_id AS VARCHAR)), 1, 8),
         |  doc_id
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    // edit-distance twin: brute-force quadratic levenshtein — the FastSS
+    // deletion-neighborhood blocking is LOSSLESS at distance 1 (a
+    // substitution is a same-position deletion on both sides; an indel is
+    // a deletion on the longer side; identity shares the self variant),
+    // so the optimized pair set equals the naive one (oracle pattern #5)
+    "dedup_edit_distance" ->
+      """WITH p AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    levenshtein(a.c_name, b.c_name) AS d
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS distance
+        |FROM p WHERE d <= 1""".stripMargin,
+
+    // interval-union twin: same (start, end, orderkey, linenumber) total
+    // order, same running-max island flag, same end-exclusive lengths
+    "w_interval_coverage" ->
+      """WITH b AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      + CAST(l_quantity AS BIGINT) AS e
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey
+        |      ORDER BY s, e, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM b
+        |), g AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey
+        |        ORDER BY s, e, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m
+        |), i AS (
+        |  SELECT l_suppkey, isl, count(*) AS n, min(s) AS lo, max(e) AS hi
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(hi - lo) AS BIGINT) AS covered
+        |FROM i GROUP BY 1""".stripMargin,
+
+    // association-rule twin: same (user, day) baskets, same directed pair
+    // counts, same truncating integer ppm divisions
+    "events_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events
+        |), tot AS (
+        |  SELECT count(*) AS n_baskets FROM (
+        |    SELECT DISTINCT user_id, day FROM items)
+        |), ic AS (
+        |  SELECT event_type, count(*) AS cnt FROM items GROUP BY 1
+        |), p AS (
+        |  SELECT x.event_type AS antecedent, y.event_type AS consequent,
+        |    count(*) AS n_pair
+        |  FROM items x JOIN items y
+        |    ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(a.cnt AS BIGINT) AS n_ante, CAST(c.cnt AS BIGINT) AS n_cons,
+        |  CAST(n_pair * 1000000 // a.cnt AS BIGINT) AS confidence_ppm,
+        |  CAST(n_pair * n_baskets * 1000000 // (a.cnt * c.cnt) AS BIGINT)
+        |    AS lift_ppm
+        |FROM p
+        |JOIN ic a ON p.antecedent = a.event_type
+        |JOIN ic c ON p.consequent = c.event_type, tot""".stripMargin,
+
+    // OLS twin: HUGEINT power sums mirror the decimal(38,0) sums; both
+    // divisions truncate toward zero on both engines
+    "a_linreg_slope" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sum_x,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_y,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS sum_xx,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_xy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST((n * sum_xy - sum_x * sum_y) * 1000000
+        |    // (n * sum_xx - sum_x * sum_x) AS BIGINT) AS slope_ppm,
+        |  CAST((sum_y * sum_xx - sum_x * sum_xy) * 1000000
+        |    // (n * (n * sum_xx - sum_x * sum_x)) AS BIGINT)
+        |    AS intercept_cents_ppm
+        |FROM s""".stripMargin,
+
+    // chi-squared twin: HUGEINT marginals; per-cell scaled terms with the
+    // identical truncating division
+    "dq_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n_obs
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (SELECT lang, sum(n_obs) AS rr FROM cells GROUP BY 1
+        |), c AS (SELECT source, sum(n_obs) AS cc FROM cells GROUP BY 1
+        |), g AS (SELECT sum(n_obs) AS n FROM cells)
+        |SELECT cells.lang, cells.source, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(rr * cc * 1000 // n AS BIGINT) AS expected_milli,
+        |  CAST((n * n_obs - rr * cc) * (n * n_obs - rr * cc) * 1000000
+        |    // (n * rr * cc) AS BIGINT) AS chi2_term_ppm
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), g""".stripMargin,
+
+    // key-skew twin: same nearest-rank median on the (cnt, key) order,
+    // same truncating ppm ratios
+    "dq_key_skew" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt
+        |  FROM counts
+        |), med AS (
+        |  SELECT cnt AS median_cnt FROM (
+        |    SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn
+        |    FROM counts), stats
+        |  WHERE rn = (n_keys + 1) // 2)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(max_cnt AS BIGINT) AS max_cnt,
+        |  CAST(median_cnt AS BIGINT) AS median_cnt,
+        |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
+        |  CAST(max_cnt * 1000000 // median_cnt AS BIGINT) AS skew_ppm
+        |FROM stats, med""".stripMargin,
+
+    // exact-split twin: same per-stratum md5-prefix order, same integer
+    // rank cuts (rn·10 ≤ n·8 / n·9)
+    "sample_splits_exact" ->
+      """SELECT doc_id, lang, CASE
+        |  WHEN rn * 10 <= n * 8 THEN 'train'
+        |  WHEN rn * 10 <= n * 9 THEN 'valid'
+        |  ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5('exact-split' || CAST(doc_id AS VARCHAR)),
+        |        1, 8), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)""".stripMargin
   )
 }

@@ -148,4 +148,70 @@ object DataQuality {
         (col("_absdev") > lit(k.toLong) * col("mad")).cast("long"))
       .drop("_absdev")
   }
+
+  /** Chi-squared contingency audit between two categorical columns, in
+    * EXACT integer math: per cell, the observed count, the expected count
+    * in milli-units (row·col·1000 div n — the independence hypothesis),
+    * and the cell's scaled chi-squared term ((n·obs − row·col)²·10⁶ div
+    * (n·row·col) — the (o−e)²/e statistic multiplied by n·10⁶ so every
+    * quantity stays an integer; per-cell terms sum to the scaled
+    * statistic). decimal(38,0) arithmetic keeps the squared numerator
+    * exact far past 2⁶³. The distribution-shift tripwire for "did this
+    * source's language mix change".
+    *
+    * Scale shape: ONE hash aggregation over the fact (cells), two tiny
+    * marginal re-aggregations of the cell table, broadcast back — the
+    * fact is scanned once. Output: (colA, colB, n_obs, expected_milli,
+    * chi2_term_ppm) per non-empty cell. */
+  def chi2Contingency(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowTot = cells.groupBy(col(colA))
+      .agg(sum(col("n_obs")).as("_r"))
+    val colTot = cells.groupBy(col(colB))
+      .agg(sum(col("n_obs")).as("_c"))
+    val grand = cells.agg(sum(col("n_obs")).as("_n"))
+    cells
+      .join(broadcast(rowTot), Seq(colA))
+      .join(broadcast(colTot), Seq(colB))
+      .crossJoin(broadcast(grand))
+      .select(col(colA), col(colB), col("n_obs"),
+        expr("_r * _c * 1000 div _n").as("expected_milli"),
+        expr("""cast((cast(_n as decimal(38,0)) * n_obs - _r * _c) *
+              |  (cast(_n as decimal(38,0)) * n_obs - _r * _c) * 1000000
+              |div (cast(_n as decimal(38,0)) * _r * _c) as bigint)"""
+          .stripMargin).as("chi2_term_ppm"))
+  }
+
+  /** Join-key skew diagnostics: the per-key count distribution reduced to
+    * the numbers that predict shuffle behavior — key cardinality, max and
+    * median per-key counts, the hottest key's share of all rows in ppm,
+    * and the max/median ratio in ppm (the skew factor AQE's skew-join
+    * split keys off of). Median is nearest-rank on the (count, key) total
+    * order — exact, no sketch.
+    *
+    * Scale shape: one hash aggregation fact→(key, cnt), then rank
+    * selection over the KEY table (|keys| ≪ |fact|) — a single window
+    * sort of the key table, never the fact. Output: one row (n_keys,
+    * n_rows, max_cnt, median_cnt, top_share_ppm, skew_ppm). */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_cnt"))
+    val stats = counts
+      .agg(count(lit(1)).as("n_keys"), sum(col("_cnt")).as("n_rows"),
+        max(col("_cnt")).as("max_cnt"))
+    // nearest-rank median over the KEY table via the distributed
+    // range-sort sequence (no single-partition window, no warning noise);
+    // the repeated `counts` subplan dedups via exchange reuse
+    val median = Ranking.globalRowNumbers(counts, Seq("_cnt", "_k"))
+      .crossJoin(broadcast(stats.select(col("n_keys"))))
+      .where(col("seq") + 1 === expr("(n_keys + 1) div 2"))
+      .select(col("_cnt").as("median_cnt"))
+    stats
+      .crossJoin(broadcast(median))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("median_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
+        expr("max_cnt * 1000000 div median_cnt").as("skew_ppm"))
+  }
 }

@@ -687,4 +687,55 @@ object Dedup {
         coalesce(col("m"), lit(0L)).as("n_matches"),
         (coalesce(col("m"), lit(0L)) > 0).cast("long").as("dropped"))
   }
+
+  /** Edit-distance-≤-`maxDistance` pair enumeration by DELETION
+    * NEIGHBORHOODS (the FastSS family): every string generates itself
+    * plus all strings reachable by deleting up to `maxDistance`
+    * characters, and any two strings within edit distance `maxDistance`
+    * MUST share a variant (a substitution is a same-position deletion on
+    * both sides; an insertion/deletion is a deletion on the longer side
+    * alone). Candidates are pairs sharing a variant; the exact
+    * `levenshtein` confirm runs only on candidates — the quadratic
+    * all-pairs distance matrix never materializes.
+    *
+    * Scale shape: the variant explode multiplies rows by ≤ len+1 (for
+    * maxDistance=1), the candidate join hash-partitions on the variant
+    * string, and hot variant buckets are capped at `maxBucket` DISTINCT
+    * strings with the drop counted in the `edit_distance_buckets`
+    * observed metric (same recall-trading guard as the shingle family).
+    * The per-candidate verify is O(len²) dynamic programming on a
+    * codegen'd built-in.
+    *
+    * Output: (id_a < id_b, distance) for distinct-id pairs with
+    * levenshtein ≤ `maxDistance` (identical strings under different ids
+    * report distance 0). Currently supports `maxDistance` = 1 — the
+    * near-typo regime where FastSS blocking is exact. */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+                        maxDistance: Int = 1,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxDistance == 1, "editDistancePairs supports maxDistance = 1")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull && length(col("s")) > 0)
+    // self + every single-deletion variant (substring(s,1,i-1) ||
+    // substring(s,i+1,len)), one row-local transform per string
+    val del = base.select(col("doc_id"), col("s"),
+      explode(array_union(array(col("s")),
+        expr("transform(sequence(1, length(s)), i -> " +
+          "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))")))
+        .as("v"))
+    val grouped = del.groupBy("v")
+      .agg(collect_set(struct(col("doc_id"), col("s"))).as("ms"))
+    val capped = capBuckets(grouped, maxBucket, "edit_distance_buckets")
+    capped
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+      .withColumn("distance", levenshtein(col("sa"), col("sb")).cast("long"))
+      .where(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
+  }
 }

@@ -115,4 +115,94 @@ object EventAnalytics {
       .select(col(userCol), col(typeCol), col("run_start_seq"),
         col("run_len"))
   }
+
+  /** Interval-union coverage: per group, merge overlapping [start, end]
+    * integer intervals into maximal islands and report the total covered
+    * length and island count. The running-max formulation — an interval
+    * starts a new island iff its start exceeds every previous interval's
+    * end (max over the preceding frame); islands are then numbered by a
+    * running sum of the start flags and reduced with min/max. Covers
+    * "machine busy time", "user active time", "contract coverage days".
+    *
+    * Scale shape: two windows over the SAME group partitioning (one
+    * shuffle) + one aggregation per island + one per group — no
+    * self-join, no recursion; per-group cost is the sort. Intervals must
+    * be totally ordered within a group: `tiebreakCols` extend (start,
+    * end) to a total order so the running max is deterministic.
+    *
+    * Output: (groupCols*, n_intervals, n_islands, covered) where
+    * `covered` = Σ_islands (max end − min start) in the intervals' own
+    * integer unit (end-exclusive length; adjacent-but-not-overlapping
+    * intervals with end == next start merge, matching the ≤ test). */
+  def intervalCoverage(df: DataFrame, groupCols: Seq[String],
+                       startCol: String, endCol: String,
+                       tiebreakCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val order = (Seq("_s", "_e") ++ tiebreakCols).map(col(_).asc)
+    val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
+    val prevMax = max(col("_e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .select(gcols ++ tiebreakCols.map(col) :+
+        col(startCol).cast("long").as("_s") :+
+        col(endCol).cast("long").as("_e"): _*)
+      .withColumn("_new", when(col("_s") > coalesce(prevMax,
+        lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(gcols :+ col("_isl"): _*)
+      .agg(count(lit(1)).as("_n"), min(col("_s")).as("_lo"),
+        max(col("_e")).as("_hi"))
+      .groupBy(gcols: _*)
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_hi") - col("_lo")).as("covered"))
+  }
+
+  /** Directed association rules over per-basket item sets (market-basket
+    * analysis): for every ordered item pair (a → b) co-occurring in at
+    * least `minSupport` baskets, the support count, confidence and lift
+    * in exact integer ppm. Confidence = |a∧b| / |a|; lift = |a∧b|·N /
+    * (|a|·|b|) — both emitted as truncating integer divisions of
+    * ppm-scaled longs, so the result is combine-order-free and
+    * engine-portable.
+    *
+    * Scale shape: basket build is ONE distinct (shuffle on the basket
+    * key); the pair join is per-basket (bounded by the item domain, not
+    * the corpus); item and total counts are tiny aggregates joined onto
+    * the pair counts (broadcast at any scale). Never an all-pairs join
+    * across baskets.
+    *
+    * Output: (antecedent, consequent, n_pair, n_ante, n_cons,
+    * confidence_ppm, lift_ppm). */
+  def assocRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                 minSupport: Long = 1L): DataFrame = {
+    val bcols = basketCols.map(col)
+    val items = df.select(bcols :+ col(itemCol).as("_item"): _*).distinct()
+    // single-row basket total, broadcast onto the pair counts (lazy — no
+    // plan-build-time action)
+    val totals = items.select(bcols: _*).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col("_item"))
+      .agg(count(lit(1)).as("_cnt"))
+    val pairs = items.as("x")
+      .join(items.as("y"), basketCols)
+      .where(col("x._item") =!= col("y._item"))
+      .groupBy(col("x._item").as("antecedent"),
+        col("y._item").as("consequent"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("_item").as("antecedent"),
+        col("_cnt").as("n_ante")), "antecedent")
+      .join(itemCounts.select(col("_item").as("consequent"),
+        col("_cnt").as("n_cons")), "consequent")
+      .crossJoin(broadcast(totals))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("n_cons"),
+        expr("n_pair * 1000000 div n_ante").as("confidence_ppm"),
+        expr("n_pair * n_baskets * 1000000 div (n_ante * n_cons)")
+          .as("lift_ppm"))
+  }
 }

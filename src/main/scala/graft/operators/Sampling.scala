@@ -204,4 +204,41 @@ object Sampling {
             array_sort(collect_list(struct(col(idCol), col(textCol)))),
             s => s.getField(textCol)),
           sep).as("batch_text"))
+
+  /** EXACT-proportion stratified splits: within each stratum, rows are
+    * ranked on the engine-portable md5-prefix order (ties by id) and
+    * assigned so every split gets exactly `floor(n·cum/total)` −
+    * `floor(n·prev/total)` rows — unlike [[split]]'s hash-threshold
+    * membership (proportions exact only in expectation), the per-stratum
+    * counts here are deterministic integers: an 80/10/10 of a 500-row
+    * stratum is exactly 400/50/50. The assignment `rn·total ≤ n·cum` is
+    * pure integer math, so the rowset replays hash-exactly in any engine
+    * with md5 and window functions.
+    *
+    * Scale shape: one group-partitioned sort window (rank + group count
+    * share the partitioning — a single shuffle); per-group cost is the
+    * sort. Output: (idCol, stratumCol, split). */
+  def exactSplit(df: DataFrame, idCol: String, stratumCol: String,
+                 weights: Seq[(String, Int)],
+                 salt: String = "exact-split"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("_hp").asc, col(idCol).asc)
+    val assign = weights.init.zip(cuts.init)
+      .foldRight(lit(weights.last._1): Column) {
+        case (((name, _), cut), els) =>
+          when(col("_rn") * total <= col("_n") * cut, name).otherwise(els)
+      }
+    df
+      .select(col(idCol), col(stratumCol),
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))
+          .cast("binary")), 1, 8).as("_hp"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1))
+        .over(Window.partitionBy(stratumCol)))
+      .select(col(idCol), col(stratumCol), assign.as("split"))
+  }
 }

@@ -90,4 +90,34 @@ class DataQualitySpec extends SparkSpec {
     assert(got.filter(_._6 === 1L).map(r => (r._1, r._2)).toSet ===
       Set(("a", 99L), ("c", 399L)))
   }
+
+  test("chi2Contingency: hand-computed 2x2 cells in exact integer ppm") {
+    import spark.implicits._
+    // observed: (x1,y1)=30 (x1,y2)=10 (x2,y1)=10 (x2,y2)=50; n=100
+    // marginals: x1=40 x2=60 y1=40 y2=60
+    val rows =
+      Seq.fill(30)(("x1", "y1")) ++ Seq.fill(10)(("x1", "y2")) ++
+      Seq.fill(10)(("x2", "y1")) ++ Seq.fill(50)(("x2", "y2"))
+    val got = DataQuality.chi2Contingency(
+      rows.toDF("a", "b").repartition(7), "a", "b")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // expected_milli = r*c*1000 div n; term = (n*o - r*c)^2 * 1e6
+    // div (n*r*c)
+    assert(got(("x1", "y1")) === ((30L, 16000L, 12250000L)))
+    assert(got(("x1", "y2")) === ((10L, 24000L, 8166666L)))
+    assert(got(("x2", "y1")) === ((10L, 24000L, 8166666L)))
+    assert(got(("x2", "y2")) === ((50L, 36000L, 5444444L)))
+  }
+
+  test("keySkew: max/median/top-share on a planted skewed key distribution") {
+    import spark.implicits._
+    // per-key counts: a=10 b=2 c=2 d=1 e=1 -> 5 keys, 16 rows,
+    // sorted counts (1,1,2,2,10): nearest-rank median at rank 3 = 2
+    val rows = Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")
+    val got = DataQuality.keySkew(rows.toDF("k").repartition(5), "k")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((5L, 16L, 10L, 2L, 625000L, 5000000L)))
+  }
 }

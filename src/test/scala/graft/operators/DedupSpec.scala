@@ -234,4 +234,29 @@ class DedupSpec extends SparkSpec {
     assert(snm === exact)
     assert(snm.nonEmpty)
   }
+
+  test("editDistancePairs: deletion-neighborhood blocking equals brute force at d<=1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"), // substitution, d=1
+      (3L, "kittn"),                  // deletion, d=1 from kitten
+      (4L, "kitten"),                 // identical under a new id, d=0
+      (5L, "sittin"),                 // d=1 from sitten, d=2 from kitten
+      (6L, "zebra"))                  // unrelated
+      .toDF("doc_id", "name").repartition(4)
+    val got = Dedup.editDistancePairs(names, "doc_id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (2L, 4L, 1L), (3L, 4L, 1L), (2L, 5L, 1L)))
+    // the blocking is LOSSLESS at distance 1: equals the quadratic verify
+    val brute = names.as("a").join(names.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("d"))
+      .where(col("d") <= 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+  }
 }

@@ -109,4 +109,46 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, "A", 1L, 2L), (1L, "B", 3L, 1L), (1L, "A", 4L, 3L),
       (2L, "B", 1L, 1L)))
   }
+
+  test("intervalCoverage: overlap and adjacency merge, nesting, disjoint islands") {
+    import spark.implicits._
+    // g1: (0,10)+(5,15) overlap, (15,20) is ADJACENT (s == running max,
+    // strict > keeps it in the island), (30,40) is disjoint
+    // g2: (10,20) nested inside (0,100) — island spans the outer interval
+    val ivs = Seq(
+      ("g1", 1L, 0L, 10L), ("g1", 2L, 5L, 15L), ("g1", 3L, 15L, 20L),
+      ("g1", 4L, 30L, 40L),
+      ("g2", 5L, 0L, 100L), ("g2", 6L, 10L, 20L))
+      .toDF("g", "id", "s", "e").repartition(5)
+    val got = EventAnalytics.intervalCoverage(ivs, Seq("g"), "s", "e",
+      tiebreakCols = Seq("id"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g1") === ((4L, 2L, 30L))) // [0,20] + [30,40] = 20 + 10
+    assert(got("g2") === ((2L, 1L, 100L)))
+  }
+
+  test("assocRules: directed support/confidence/lift in exact ppm, duplicates collapse") {
+    import spark.implicits._
+    // baskets: (u1,d1)={A,B,C} (u1,d2)={A,B} (u2,d1)={A} (u2,d2)={B,C}
+    // N=4; |A|=3 |B|=3 |C|=2; A∧B=2, B∧C=2, A∧C=1
+    val rows = Seq(
+      (1L, "d1", "A"), (1L, "d1", "B"), (1L, "d1", "C"),
+      (1L, "d1", "A"), // duplicate event in the same basket: collapses
+      (1L, "d2", "A"), (1L, "d2", "B"),
+      (2L, "d1", "A"), (2L, "d2", "B"), (2L, "d2", "C"))
+      .toDF("user_id", "day", "event_type").repartition(3)
+    val got = EventAnalytics.assocRules(rows, Seq("user_id", "day"),
+      "event_type", minSupport = 2L)
+      .select("antecedent", "consequent", "n_pair", "confidence_ppm",
+        "lift_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // A->C (support 1) fell below minSupport
+    assert(got.keySet === Set(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")))
+    assert(got(("A", "B")) === ((2L, 666666L, 888888L))) // 2/3, 2*4/(3*3)
+    assert(got(("B", "A")) === ((2L, 666666L, 888888L)))
+    assert(got(("B", "C")) === ((2L, 666666L, 1333333L))) // 2/3, 2*4/(3*2)
+    assert(got(("C", "B")) === ((2L, 1000000L, 1333333L))) // 2/2
+  }
 }

@@ -197,4 +197,22 @@ class SamplingSpec extends SparkSpec {
       col("w") * lit(0.5)).as[(Long, Double)].collect().toSet
     assert(sub === got.filter(_._1 < 300))
   }
+
+  test("exactSplit: per-stratum counts are exact integers, deterministic, disjoint") {
+    import spark.implicits._
+    // stratum A: 500 rows at 8/1/1 -> exactly 400/50/50
+    // stratum B: 7 rows -> floor cuts give 5/1/1
+    val docs = ((0L until 500L).map(i => (i, "A")) ++
+      (1000L until 1007L).map(i => (i, "B"))).toDF("id", "stratum")
+    val run = () => Sampling.exactSplit(docs.repartition(9), "id", "stratum",
+      Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+      .as[(Long, String, String)].collect().toSet
+    val got = run()
+    assert(got === run()) // deterministic across runs and partitionings
+    assert(got.size === 507) // total partition: every row exactly once
+    val counts = got.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    assert(counts === Map(
+      ("A", "train") -> 400, ("A", "valid") -> 50, ("A", "test") -> 50,
+      ("B", "train") -> 5, ("B", "valid") -> 1, ("B", "test") -> 1))
+  }
 }
