@@ -2204,7 +2204,55 @@ object SparkEntry {
     // hash-threshold expectations
     "sample_splits_exact" -> ((s, dir) =>
       graft.operators.Sampling.exactSplit(t(s, dir, "documents"),
-        "doc_id", "lang", Seq("train" -> 8, "valid" -> 1, "test" -> 1)))
+        "doc_id", "lang", Seq("train" -> 8, "valid" -> 1, "test" -> 1))),
+
+    // Multi-source BFS over the memoized purchase graph: exact hop
+    // distance from seed customer c1, one frontier join + anti-join per
+    // level — the link-distance trust signal. Shares the edge build with
+    // graph_pagerank via edgesFor
+    "graph_shortest_paths" -> ((s, dir) => {
+      val sym = graft.operators.Graph.edgesFor(s, key = s"$dir#purchases") {
+        val e = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .localCheckpoint() // symmetrizing union reads it twice
+        e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      graft.operators.Graph.shortestPaths(sym, "src", "dst",
+        seeds = Seq("c1"), maxHops = 3)
+    }),
+
+    // Calendar gap-fill + forward fill of per-(user, day) activity: one
+    // lead window then a row-local sequence explode — missing days carry
+    // the last observed count with observed = 0
+    "events_gap_fill" -> ((s, dir) =>
+      graft.operators.EventAnalytics.forwardFillCalendar(
+        t(s, dir, "events")
+          .groupBy(col("user_id"),
+            datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+              .cast("long").as("d"))
+          .agg(count(lit(1)).as("n_events")),
+        groupCols = Seq("user_id"), dayCol = "d", valCol = "n_events")),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // lead window + hash agg to the |states|^2 table, broadcast
+    // per-state totals, exact integer ppm probabilities
+    "events_markov" -> ((s, dir) =>
+      graft.operators.EventAnalytics.markovTransitions(
+        t(s, dir, "events"), seqCol = "user_id",
+        orderCols = Seq("ts", "event_id"), typeCol = "event_type")),
+
+    // Winsorized mean of quantity per return flag: clamp at the exact
+    // nearest-rank p5/p95 cuts (group-max windows broadcast the cuts,
+    // no self-join), then an exact integer sum and ppm mean
+    "a_winsorized_mean" -> ((s, dir) =>
+      graft.operators.Ranking.winsorizedMean(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+        valueCol = "l_quantity", groupCols = Seq("l_returnflag"),
+        tiebreakCols = Seq("l_orderkey", "l_linenumber"), loP = 5, hiP = 95))
   )
 
   // ====================================================================

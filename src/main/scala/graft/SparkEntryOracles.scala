@@ -2819,6 +2819,98 @@ private[graft] object SparkEntryOracles {
         |      ORDER BY substr(md5('exact-split' || CAST(doc_id AS VARCHAR)),
         |        1, 8), doc_id) AS rn,
         |    count(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)""".stripMargin
+        |  FROM documents)""".stripMargin,
+
+    // BFS twin: the same symmetrized purchase graph, levels unrolled to
+    // maxHops = 3 (like the pagerank twin's unrolled iterations); each
+    // level excludes every earlier one, which IS shortest-hop semantics
+    "graph_shortest_paths" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS (
+        |  SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e0
+        |), d0 AS (SELECT 'c1' AS node),
+        |d1 AS (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM edges e JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM edges e JOIN d1 ON e.src = d1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)),
+        |d3 AS (
+        |  SELECT DISTINCT e.dst AS node
+        |  FROM edges e JOIN d2 ON e.src = d2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)
+        |    AND e.dst NOT IN (SELECT node FROM d2))
+        |SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+        |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM d1
+        |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM d2
+        |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM d3""".stripMargin,
+
+    // gap-fill twin: same per-user daily counts, same lead bound, the
+    // explode replayed with unnest(generate_series)
+    "events_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT user_id, d, n,
+        |    lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+        |  FROM b
+        |), f AS (
+        |  SELECT user_id, d, n,
+        |    unnest(generate_series(d, coalesce(nd - 1, d))) AS day
+        |  FROM l)
+        |SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+        |  CAST(day = d AS BIGINT) AS observed
+        |FROM f""".stripMargin,
+
+    // Markov twin: same lead adjacency, same truncating ppm division
+    "events_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_state
+        |  FROM events
+        |), c AS (
+        |  SELECT state, next_state, count(*) AS n_trans
+        |  FROM t WHERE next_state IS NOT NULL GROUP BY 1, 2
+        |), f AS (SELECT state, sum(n_trans) AS n_from FROM c GROUP BY 1)
+        |SELECT c.state, c.next_state, CAST(n_trans AS BIGINT) AS n_trans,
+        |  CAST(n_from AS BIGINT) AS n_from,
+        |  CAST(n_trans * 1000000 // n_from AS BIGINT) AS prob_ppm
+        |FROM c JOIN f ON c.state = f.state""".stripMargin,
+
+    // winsorized-mean twin: same nearest-rank cut selection via group-max
+    // windows, same clamp, same truncating ppm mean
+    "a_winsorized_mean" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+        |        l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_returnflag, v, n,
+        |    max(CASE WHEN rn = greatest(1, (5 * n + 99) // 100) THEN v END)
+        |      OVER (PARTITION BY l_returnflag) AS lo,
+        |    max(CASE WHEN rn = greatest(1, (95 * n + 99) // 100) THEN v END)
+        |      OVER (PARTITION BY l_returnflag) AS hi
+        |  FROM r)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(lo) AS BIGINT) AS lo_cut, CAST(max(hi) AS BIGINT) AS hi_cut,
+        |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS wsum,
+        |  CAST(sum(greatest(lo, least(hi, v))) * 1000000 // max(n)
+        |    AS BIGINT) AS wmean_ppm
+        |FROM c GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -176,6 +176,63 @@ object EventAnalytics {
     *
     * Output: (antecedent, consequent, n_pair, n_ante, n_cons,
     * confidence_ppm, lift_ppm). */
+  /** Calendar gap-fill with forward fill: each observed (group, day,
+    * value) row is expanded to cover every day up to (exclusive) the
+    * group's NEXT observation, carrying its value — the missing calendar
+    * days materialize with the last observed value and `observed` = 0.
+    * Time-series regularization for daily activity feeds where absent
+    * days mean "unchanged", done without a calendar-dimension join.
+    *
+    * Scale shape: one lead window (single shuffle on the group key) plus
+    * a row-local `sequence` explode — fan-out per row is the gap length,
+    * bounded by the group's calendar span, never corpus-sized. Nothing
+    * fills after a group's last observation (there is no next-day bound
+    * to fill toward). Requires (group, day) unique — pre-aggregate first.
+    * Output: (groupCols*, day, valCol, observed). */
+  def forwardFillCalendar(df: DataFrame, groupCols: Seq[String],
+                          dayCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_d").asc)
+    df
+      .select(gcols :+ col(dayCol).cast("long").as("_d") :+
+        col(valCol).as("_v"): _*)
+      .withColumn("_next", lead(col("_d"), 1).over(w))
+      .select(gcols :+ col("_d") :+ col("_v") :+
+        explode(sequence(col("_d"),
+          coalesce(col("_next") - 1, col("_d")))).as("day"): _*)
+      .select(gcols :+ col("day") :+ col("_v").as(valCol) :+
+        (col("day") === col("_d")).cast("long").as("observed"): _*)
+  }
+
+  /** First-order Markov transition matrix over per-sequence event
+    * streams: for each (state → next_state) adjacent pair, the transition
+    * count and its exact-integer probability in ppm of the state's total
+    * outgoing transitions. The what-happens-next model behind
+    * next-action prediction and anomalous-flow detection.
+    *
+    * Scale shape: one lead window (single shuffle on the sequence key),
+    * one hash aggregation to the |states|² transition table, and a
+    * broadcast of the per-state totals (the state domain is small by
+    * construction). `orderCols` must totally order each sequence. Output:
+    * (state, next_state, n_trans, n_from, prob_ppm). */
+  def markovTransitions(df: DataFrame, seqCol: String,
+                        orderCols: Seq[String], typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(seqCol))
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val trans = df
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("state"), col("_next").as("next_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = trans.groupBy("state").agg(sum("n_trans").as("n_from"))
+    trans
+      .join(broadcast(fromTot), "state")
+      .select(col("state"), col("next_state"), col("n_trans"),
+        col("n_from"), expr("n_trans * 1000000 div n_from").as("prob_ppm"))
+  }
+
   def assocRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
                  minSupport: Long = 1L): DataFrame = {
     val bcols = basketCols.map(col)

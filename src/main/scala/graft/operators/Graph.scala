@@ -162,4 +162,49 @@ object Graph {
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Multi-source BFS: exact shortest HOP distance from any seed node,
+    * up to `maxHops` — "how many links from a trusted seed" is the
+    * classic link-distance trust signal for corpus curation, and hop
+    * counts are exact integers so the result is partitioning- and
+    * combine-order-free.
+    *
+    * Scale shape: per level ONE frontier⋈edges join (hash on src) + one
+    * distinct + one anti-join against the settled set — the textbook
+    * distributed frontier expansion; no per-walk enumeration, so cycles
+    * and diamond fan-in cost nothing (a node is settled the first level
+    * it appears, which IS its shortest distance). Frontier and settled
+    * tables are materialized per level (the settled set is read by every
+    * later anti-join); levels are bounded by `maxHops`, and the loop
+    * exits early when a frontier empties. Output: (node, dist) for every
+    * node within `maxHops` of a seed; unreached nodes are absent. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    seeds: Seq[String], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "at least one seed node")
+    require(maxHops >= 1, "at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    var settled = seeds.distinct.toDF("node")
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = settled
+    var hop = 1L
+    var exhausted = false
+    while (!exhausted && hop <= maxHops) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) exhausted = true
+      else {
+        settled = settled.unionByName(next).localCheckpoint()
+        frontier = next
+        hop += 1
+      }
+    }
+    settled
+  }
 }

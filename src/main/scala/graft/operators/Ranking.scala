@@ -108,4 +108,41 @@ object Ranking {
       .select((groupCols.map(col) :+ col("p") :+
         col(valueCol).as("value") :+ col("n")): _*)
   }
+
+  /** Winsorized mean per group: values are clamped to the [loP, hiP]
+    * nearest-rank percentile cuts (the same `max(1, ceil(p·n/100))` rank
+    * selection as [[exactPercentiles]]) before summing — the
+    * outlier-robust mean that, unlike trimming, keeps n constant. All
+    * integer: the clamped sum is exact, the mean is ppm-scaled
+    * truncating division.
+    *
+    * Scale shape: ONE shuffle on the group key feeding a rank window and
+    * the group-max windows that broadcast the two cut values to every
+    * row (no self-join back), then a hash aggregation. `tiebreakCols`
+    * extend the value order to a total order so rank selection is
+    * deterministic. Output: (groupCols*, n, lo_cut, hi_cut, wsum,
+    * wmean_ppm). */
+  def winsorizedMean(df: DataFrame, valueCol: String,
+                     groupCols: Seq[String], tiebreakCols: Seq[String],
+                     loP: Int, hiP: Int): DataFrame = {
+    require(1 <= loP && loP < hiP && hiP <= 100, "need 1 <= loP < hiP <= 100")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((col("_v") +: tiebreakCols.map(col)).map(_.asc): _*)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    def cut(p: Int) = greatest(lit(1L), expr(s"($p * n + 99) div 100"))
+    df
+      .withColumn("_v", col(valueCol).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("_lo", max(when(col("rn") === cut(loP), col("_v"))).over(wg))
+      .withColumn("_hi", max(when(col("rn") === cut(hiP), col("_v"))).over(wg))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), max(col("_lo")).as("lo_cut"),
+        max(col("_hi")).as("hi_cut"),
+        sum(greatest(col("_lo"), least(col("_hi"), col("_v")))).as("wsum"))
+      .select(groupCols.map(col) :+ col("n") :+ col("lo_cut") :+
+        col("hi_cut") :+ col("wsum") :+
+        expr("wsum * 1000000 div n").as("wmean_ppm"): _*)
+  }
 }

@@ -230,4 +230,63 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("winsorized mean: rank/cut windows and the final agg share ONE shuffle") {
+    // row_number, count, both cut-max windows and the group agg all key
+    // on the group column — one exchange feeds the whole pipeline
+    val plan = SparkEntry.queries("a_winsorized_mean")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("interval coverage: windows + island aggs ride the group partitioning") {
+    // hashpartitioning(g) satisfies the (g, island) aggregation's
+    // clustered distribution — the whole query is one shuffle
+    val plan = SparkEntry.queries("w_interval_coverage")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("markov transitions: state totals broadcast onto the transition table") {
+    // two exchanges are load-bearing (per-user lead window, then the
+    // state-pair agg); the per-state totals join must broadcast
+    val plan = SparkEntry.queries("events_markov")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"|states|-row totals must broadcast:\n$plan")
+  }
+
+  test("gap fill: the day-level agg shuffles partial counts, not raw events") {
+    // groupBy(user, day) combines map-side BEFORE its exchange, then the
+    // lead window shuffles only the day-level table — pin the partial agg
+    // below the first exchange and no third shuffle
+    val plan = SparkEntry.queries("events_gap_fill")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"day-level agg must combine map-side:\n$plan")
+  }
+
+  test("edit-distance pairs: candidates from variant groups, never a nested loop") {
+    val plan = SparkEntry.queries("dedup_edit_distance")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"deletion-variant blocking must not plan a quadratic join:\n$plan")
+  }
+
+  test("assoc rules: item marginals broadcast onto the pair counts") {
+    val plan = SparkEntry.queries("events_assoc_rules")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"|items|-row marginals must broadcast:\n$plan")
+  }
 }

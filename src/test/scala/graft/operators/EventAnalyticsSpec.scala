@@ -151,4 +151,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(("B", "C")) === ((2L, 666666L, 1333333L))) // 2/3, 2*4/(3*2)
     assert(got(("C", "B")) === ((2L, 1000000L, 1333333L))) // 2/2
   }
+
+  test("forwardFillCalendar: gaps fill to the next observation, none after the last") {
+    import spark.implicits._
+    // u1: days 10 (v=5), 13 (v=7) -> 10,11,12 carry 5; 13 carries 7, no
+    // fill past it. u2: single day, no fill
+    val obs = Seq((1L, 10L, 5L), (1L, 13L, 7L), (2L, 20L, 9L))
+      .toDF("user_id", "d", "n").repartition(3)
+    val got = EventAnalytics.forwardFillCalendar(obs, Seq("user_id"),
+      "d", "n").as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 5L, 1L), (1L, 11L, 5L, 0L), (1L, 12L, 5L, 0L),
+      (1L, 13L, 7L, 1L), (2L, 20L, 9L, 1L)))
+  }
+
+  test("markovTransitions: adjacent pairs per user, exact ppm rows") {
+    import spark.implicits._
+    // u1: A B A B -> A->B x2, B->A x1 ; u2: A A -> A->A x1
+    // totals: from A = 3 (A->B 2, A->A 1), from B = 1
+    val events = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"),
+      (1L, 40L, 4L, "B"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type").repartition(4)
+    val got = EventAnalytics.markovTransitions(events, "user_id",
+      Seq("ts", "event_id"), "event_type")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((2L, 3L, 666666L)),
+      ("A", "A") -> ((1L, 3L, 333333L)),
+      ("B", "A") -> ((1L, 1L, 1000000L))))
+  }
 }

@@ -74,4 +74,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((10L, 11L, 2L)))
   }
+
+  test("shortestPaths: BFS hops settle at first reach; cycles and fan-in are safe") {
+    import spark.implicits._
+    // a->b->c->d chain with a shortcut a->c (so c is 1, not 2), a cycle
+    // d->a (revisits must not relabel), and an unreachable island x->y
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "a"), ("x", "y")).toDF("s", "t").repartition(3)
+    val got = Graph.shortestPaths(edges, "s", "t", Seq("a"), maxHops = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // maxHops truncates the expansion
+    val capped = Graph.shortestPaths(edges, "s", "t", Seq("a"), maxHops = 1)
+      .as[(String, Long)].collect().toMap
+    assert(capped === Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+    // multi-source: distance is to the NEAREST seed
+    val multi = Graph.shortestPaths(edges, "s", "t", Seq("a", "x"),
+      maxHops = 5).as[(String, Long)].collect().toMap
+    assert(multi("y") === 1L && multi("d") === 2L)
+  }
 }

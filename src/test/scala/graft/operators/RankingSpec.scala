@@ -70,4 +70,25 @@ class RankingSpec extends SparkSpec {
     assert(got === Set(("a", 1L, 42L, 1L), ("a", 50L, 42L, 1L),
       ("a", 100L, 42L, 1L)))
   }
+
+  test("winsorizedMean: planted outliers clamp to the exact decile cuts") {
+    import spark.implicits._
+    // group g: values 1..10 -> p10 cut = value at rank 1 = 1, p90 cut =
+    // value at rank 9 = 9; the 10 clamps to 9: wsum = 55 - 10 + 9 = 54
+    val g = (1 to 10).map(i => ("g", i.toLong, i.toLong))
+    // group h: extreme outliers on both sides clamp to the cuts
+    // values: -1000, 2, 3, ..., 9, 1000 (n = 10)
+    // p10 -> rank 1 = -1000 stays its own cut; p90 -> rank 9 = 9
+    val h = Seq(("h", 100L, -1000L)) ++
+      (2 to 9).map(i => ("h", 100L + i, i.toLong)) ++ Seq(("h", 111L, 1000L))
+    val got = Ranking.winsorizedMean(
+      (g ++ h).toDF("g", "id", "v").repartition(7),
+      "v", Seq("g"), Seq("id"), loP = 10, hiP = 90)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("g") === ((10L, 1L, 9L, 54L, 5400000L)))
+    // h: wsum = -1000 + (2..9).sum + 9 = -1000 + 44 + 9 = -947
+    // mean_ppm truncates toward zero: -947*1e6 div 10 = -94700000
+    assert(got("h") === ((10L, -1000L, 9L, -947L, -94700000L)))
+  }
 }
