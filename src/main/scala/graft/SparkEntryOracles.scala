@@ -2911,6 +2911,108 @@ private[graft] object SparkEntryOracles {
         |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT) AS wsum,
         |  CAST(sum(greatest(lo, least(hi, v))) * 1000000 // max(n)
         |    AS BIGINT) AS wmean_ppm
-        |FROM c GROUP BY l_returnflag""".stripMargin
+        |FROM c GROUP BY l_returnflag""".stripMargin,
+
+    // RFM twin: same customer aggregate, same (seq·4 div n)+1 scoring on
+    // the same (metric, custkey) total orders — row_number replays the
+    // distributed range-sort sequence
+    "a_rfm_segments" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    max(CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT)) AS last_day,
+        |    count(*) AS frequency,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY 1
+        |), m AS (SELECT max(last_day) AS maxd FROM c),
+        |b AS (
+        |  SELECT o_custkey, maxd - last_day AS recency_days, frequency,
+        |    monetary_cents
+        |  FROM c, m
+        |), n AS (SELECT count(*) AS n FROM b),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    (row_number() OVER (ORDER BY -recency_days, o_custkey) - 1) * 4
+        |      AS rr,
+        |    (row_number() OVER (ORDER BY frequency, o_custkey) - 1) * 4
+        |      AS fr,
+        |    (row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 4
+        |      AS mr
+        |  FROM b)
+        |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+        |  CAST(rr // n + 1 AS BIGINT) AS r_score,
+        |  CAST(fr // n + 1 AS BIGINT) AS f_score,
+        |  CAST(mr // n + 1 AS BIGINT) AS m_score,
+        |  CAST((rr // n + 1) * 100 + (fr // n + 1) * 10 + (mr // n + 1)
+        |    AS BIGINT) AS rfm_code
+        |FROM s, n""".stripMargin,
+
+    // weighted-median twin: suffix-min selection on the cumulative
+    // weight, tie-order-free (see the operator scaladoc)
+    "a_weighted_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM r)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median,
+        |  CAST(max(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1""".stripMargin,
+
+    // period-over-period twin: same month key, same lag, same truncating
+    // (toward zero, both engines) ppm division; first months stay NULL
+    "w_period_over_period" ->
+      """WITH r AS (
+        |  SELECT c_nationkey,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS yyyymm,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT c_nationkey, yyyymm, rev_cents,
+        |    lag(rev_cents) OVER (PARTITION BY c_nationkey ORDER BY yyyymm)
+        |      AS prev_cents
+        |  FROM r)
+        |SELECT c_nationkey, yyyymm, CAST(rev_cents AS BIGINT) AS rev_cents,
+        |  CAST(prev_cents AS BIGINT) AS prev_cents,
+        |  CAST((rev_cents - prev_cents) * 1000000 // prev_cents AS BIGINT)
+        |    AS delta_ppm
+        |FROM l""".stripMargin,
+
+    // cumulative-users twin: same first-seen reduction, same running sum
+    "events_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT)) AS day
+        |  FROM events GROUP BY 1
+        |), d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d""".stripMargin,
+
+    // truncation twin: same empty-filtered space split, same 64-token
+    // slice (DuckDB list slices are 1-based inclusive, = slice(_, 1, 64))
+    "text_truncate_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |  CAST(least(len(l), 64) AS BIGINT) AS n_kept,
+        |  CAST(len(l) > 64 AS BIGINT) AS truncated,
+        |  array_to_string(l[1:64], ' ') AS kept_text
+        |FROM t""".stripMargin
   )
 }

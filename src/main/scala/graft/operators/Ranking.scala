@@ -109,6 +109,56 @@ object Ranking {
         col(valueCol).as("value") :+ col("n")): _*)
   }
 
+  /** Distributed n-tile scores WITHOUT `NTILE() OVER (ORDER BY …)`'s
+    * single-partition window: rows are sequenced by [[globalRowNumbers]]
+    * (range-partitioned sort, all distributed) and scored
+    * `seq·k div n + 1` ∈ 1..k. Bucket sizes differ from SQL NTILE by at
+    * most one row at the boundaries (NTILE front-loads the remainder;
+    * this formula spreads it evenly) — a documented, deterministic
+    * convention the SQL twin replays with the same row_number formula.
+    * `orderCols` must be a unique total order (ascending). Output: the
+    * input columns + `scoreCol`. */
+  def ntileScores(df: DataFrame, orderCols: Seq[String], k: Int,
+                  scoreCol: String): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val withSeq = globalRowNumbers(df, orderCols)
+    val tot = withSeq.agg(count(lit(1)).as("_n"))
+    withSeq.crossJoin(broadcast(tot))
+      .withColumn(scoreCol, expr(s"(seq * $k) div _n + 1"))
+      .drop("seq", "_n")
+  }
+
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight (in value order) reaches half the group's total
+    * weight — `min v : 2·cumw(v) ≥ totw`. Tie order among equal values
+    * cannot change the answer (a value qualifies iff the cumulative
+    * weight at the END of its run qualifies, which is order-free), so
+    * the result is deterministic without tiebreak columns and replays
+    * hash-exactly in SQL. The weighted generalization of the exact
+    * median — "the price at which half the shipped quantity is cheaper".
+    *
+    * Scale shape: ONE shuffle — the cumulative and total windows and the
+    * final agg all key on the group columns; per-group cost is the sort.
+    * Output: (groupCols*, weighted_median, total_weight). */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_v").asc)
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    df
+      .withColumn("_v", col(valueCol).cast("long"))
+      .withColumn("_w", col(weightCol).cast("long"))
+      .withColumn("_cumw", sum(col("_w")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_totw", sum(col("_w")).over(wg))
+      .where(col("_cumw") * 2 >= col("_totw"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col("_v")).as("weighted_median"),
+        max(col("_totw")).as("total_weight"))
+  }
+
   /** Winsorized mean per group: values are clamped to the [loP, hiP]
     * nearest-rank percentile cuts (the same `max(1, ceil(p·n/100))` rank
     * selection as [[exactPercentiles]]) before summing — the

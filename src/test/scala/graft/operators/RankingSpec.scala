@@ -91,4 +91,39 @@ class RankingSpec extends SparkSpec {
     // mean_ppm truncates toward zero: -947*1e6 div 10 = -94700000
     assert(got("h") === ((10L, -1000L, 9L, -947L, -94700000L)))
   }
+
+  test("ntileScores: even spread, exact boundaries, partition-invariant") {
+    import spark.implicits._
+    // 8 rows, k=4 -> exactly 2 per bucket; score = seq*4 div 8 + 1
+    val df = (0L until 8L).map(i => (i, i * 3 % 8)).toDF("id", "v")
+    val got = Ranking.ntileScores(df.repartition(5), Seq("v", "id"), 4,
+      "q").as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got === (0L until 8L).map(v => v -> (v / 2 + 1)).toMap)
+    // 5 rows, k=4: the formula spreads the remainder evenly
+    // (seq*4 div 5) + 1 for seq 0..4 -> 1, 1, 2, 3, 4
+    val odd = Ranking.ntileScores(
+      (0L until 5L).toDF("v").repartition(3), Seq("v"), 4, "q")
+      .as[(Long, Long)].collect().toMap
+    assert(odd === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("weightedMedian: half-weight selection, tie runs cannot flip it") {
+    import spark.implicits._
+    // g: values 1 (w 1), 2 (w 1), 3 (w 10) -> tot 12, half 6: cum at
+    // v=3 end = 12 >= 6, at v=2 end = 2 < 6 -> median 3
+    // h: equal-weight 1..4 -> tot 4: cum(2) = 2, 2*2 >= 4 -> median 2
+    // (the lower of the middle pair, matching the exact-median rule)
+    // t: a tie RUN at the boundary - values 5,5,5 (w 1 each) + 1 (w 3):
+    // tot 6, half 3: cum at v=1 end = 3, 2*3 >= 6 -> median 1
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 10L),
+      ("h", 1L, 1L), ("h", 2L, 1L), ("h", 3L, 1L), ("h", 4L, 1L),
+      ("t", 5L, 1L), ("t", 5L, 1L), ("t", 5L, 1L), ("t", 1L, 3L))
+      .toDF("g", "v", "w").repartition(7)
+    val got = Ranking.weightedMedian(df, "v", "w", Seq("g"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("g" -> ((3L, 12L)), "h" -> ((2L, 4L)),
+      "t" -> ((1L, 6L))))
+  }
 }
