@@ -2352,7 +2352,54 @@ object SparkEntry {
           size(col("_toks")).cast("long").as("n_tokens"),
           least(size(col("_toks")), lit(64)).cast("long").as("n_kept"),
           (size(col("_toks")) > 64).cast("long").as("truncated"),
-          concat_ws(" ", slice(col("_toks"), 1, 64)).as("kept_text")))
+          concat_ws(" ", slice(col("_toks"), 1, 64)).as("kept_text"))),
+
+    // Semi-structured extraction: pull the JSON payload field out of the
+    // props column scan-side (codegen'd path expression, no UDF) and
+    // aggregate — the schema-on-read pattern for event property bags
+    "events_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
+    // View-to-purchase conversion lag per user in exact integer
+    // MICROSECONDS (per-side second-truncation would disagree across
+    // engines on sub-second timestamps): two filtered min-aggregations
+    // and one key join — the first purchase AT OR AFTER the first view
+    "events_conversion_lag" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val fv = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_view"))
+      e.where(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .where(col("ts") >= col("first_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_purchase"),
+          min(col("first_view")).as("first_view"))
+        .select(col("user_id"),
+          (unix_micros(col("first_purchase")) -
+            unix_micros(col("first_view"))).as("lag_micros"))
+    }),
+
+    // Column-completeness audit over documents: null/empty counts and
+    // fill rates in ppm, ONE row-local aggregation pass
+    "dq_completeness" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("text").isNull.cast("long")).as("text_null"),
+          sum((col("text") === "").cast("long")).as("text_empty"),
+          sum(col("lang").isNull.cast("long")).as("lang_null"),
+          sum(col("source").isNull.cast("long")).as("source_null"),
+          sum(col("n_chars").isNull.cast("long")).as("n_chars_null"))
+        .select(col("n_rows"), col("text_null"), col("text_empty"),
+          col("lang_null"), col("source_null"), col("n_chars_null"),
+          expr("(n_rows - text_null - text_empty) * 1000000 div n_rows")
+            .as("text_fill_ppm")))
   )
 
   // ====================================================================

@@ -3013,6 +3013,52 @@ private[graft] object SparkEntryOracles {
         |  CAST(least(len(l), 64) AS BIGINT) AS n_kept,
         |  CAST(len(l) > 64 AS BIGINT) AS truncated,
         |  array_to_string(l[1:64], ' ') AS kept_text
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // JSON-extraction twin: json_extract_string replays the same $.k
+    // path; casts and aggregate skips of NULL agree across engines
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // conversion-lag twin: same two min-reductions and ordering filter,
+    // exact epoch-second difference
+    "events_conversion_lag" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), fp AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase,
+        |    min(fv.first_view) AS first_view
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+        |  GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT)
+        |    AS lag_micros
+        |FROM fp""".stripMargin,
+
+    // completeness twin: the same single-pass null/empty reductions
+    "dq_completeness" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(text IS NULL AS BIGINT)) AS BIGINT) AS text_null,
+        |  CAST(sum(CAST(text = '' AS BIGINT)) AS BIGINT) AS text_empty,
+        |  CAST(sum(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS lang_null,
+        |  CAST(sum(CAST(source IS NULL AS BIGINT)) AS BIGINT)
+        |    AS source_null,
+        |  CAST(sum(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT)
+        |    AS n_chars_null,
+        |  CAST((count(*) - sum(CAST(text IS NULL AS BIGINT))
+        |    - sum(CAST(text = '' AS BIGINT))) * 1000000 // count(*)
+        |    AS BIGINT) AS text_fill_ppm
+        |FROM documents""".stripMargin
   )
 }
