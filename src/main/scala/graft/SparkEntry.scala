@@ -2399,7 +2399,18 @@ object SparkEntry {
         .select(col("n_rows"), col("text_null"), col("text_empty"),
           col("lang_null"), col("source_null"), col("n_chars_null"),
           expr("(n_rows - text_null - text_empty) * 1000000 div n_rows")
-            .as("text_fill_ppm")))
+            .as("text_fill_ppm"))),
+
+    // Batch twin of the stream-static enrichment (EventStreams
+    // .enrichedWindowCounts runs the SAME plan on the streaming side,
+    // spec-pinned): events joined to the broadcast customer dim, hourly
+    // counts per nation
+    "events_enriched_window" -> ((s, dir) =>
+      graft.streaming.EventStreams.enrichedWindowCounts(
+        t(s, dir, "events"),
+        t(s, dir, "customer").select(col("c_custkey").as("user_id"),
+          col("c_nationkey")),
+        keyCol = "user_id", attrCol = "c_nationkey"))
   )
 
   // ====================================================================

@@ -3059,6 +3059,14 @@ private[graft] object SparkEntryOracles {
         |  CAST((count(*) - sum(CAST(text IS NULL AS BIGINT))
         |    - sum(CAST(text = '' AS BIGINT))) * 1000000 // count(*)
         |    AS BIGINT) AS text_fill_ppm
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // enrichment twin: same dim join, same hour truncation and counts
+    "events_enriched_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS hour_start,
+        |  c_nationkey, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

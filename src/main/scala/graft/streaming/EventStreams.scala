@@ -30,6 +30,28 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("value_micros"))
 
+  /** Stream-static enrichment: join the unbounded event stream against a
+    * STATIC dimension, then aggregate per tumbling window and dimension
+    * attribute. The canonical "firehose + slowly-refreshed reference
+    * table" deployment shape: Spark re-plans the static side each
+    * micro-batch (so a dimension refreshed at rest is picked up batch to
+    * batch), the dimension holds NO stream state, and the explicit
+    * broadcast keeps the stream side from ever shuffling for the join.
+    * State is bounded by the windowed aggregate's watermark horizon.
+    *
+    * Works identically on a batch `events` frame (same plan, no
+    * watermark semantics) — the batch twin is the oracled registry query
+    * `events_enriched_window`. */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame,
+                           keyCol: String, attrCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim.select(col(keyCol), col(attrCol))), Seq(keyCol))
+      .groupBy(window(col("ts"), "1 hour"), col(attrCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col(attrCol), col("n_events"))
+
   /** Exactly-once event dedup on an unbounded stream: drop re-deliveries
     * of the same event id arriving within the watermark horizon. State is
     * bounded — `dropDuplicatesWithinWatermark` evicts ids once the

@@ -30,6 +30,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.except(streaming).count() === 0L)
   }
 
+  test("stream-static enrichment matches the oracled batch twin on the real tables") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts").cache()
+    val dim = Tables(spark, sfDir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_nationkey")
+
+    val stream = MemoryStream[(Long, Timestamp)]
+    stream.addData(events.as[(Long, Timestamp)].collect().toIndexedSeq)
+    val q = EventStreams.enrichedWindowCounts(
+        stream.toDF().toDF("user_id", "ts"), dim, "user_id", "c_nationkey")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streaming = spark.table("enriched")
+    val batch = graft.SparkEntry.queries("events_enriched_window")(
+      spark, sfDir)
+    assert(streaming.count() === batch.count())
+    assert(streaming.except(batch).count() === 0L)
+    assert(batch.except(streaming).count() === 0L)
+  }
+
   test("streaming sessionize's closed sessions agree with the batch sessionize query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
