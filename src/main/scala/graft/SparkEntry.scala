@@ -2410,7 +2410,60 @@ object SparkEntry {
         t(s, dir, "events"),
         t(s, dir, "customer").select(col("c_custkey").as("user_id"),
           col("c_nationkey")),
-        keyCol = "user_id", attrCol = "c_nationkey"))
+        keyCol = "user_id", attrCol = "c_nationkey")),
+
+    // Accumulating-snapshot fact: per-order lifecycle milestones from
+    // the line items (first/last ship lag, line and quantity totals) —
+    // ONE fact aggregation joined back to orders on the key
+    "a_order_lifecycle" -> ((s, dir) => {
+      val lines = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("_first_ship"),
+          max(col("l_shipdate")).as("_last_ship"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("total_qty"))
+      t(s, dir, "orders")
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("n_lines"),
+          col("total_qty"),
+          datediff(to_date(col("_first_ship")), to_date(col("o_orderdate")))
+            .cast("long").as("days_to_first_ship"),
+          datediff(to_date(col("_last_ship")), to_date(col("_first_ship")))
+            .cast("long").as("ship_span_days"))
+    }),
+
+    // Inter-event gap distribution: per event type, the time to the
+    // user's NEXT event bucketed on portable integer thresholds — one
+    // lead window + one hash agg
+    "events_gap_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("_gap_us",
+          unix_micros(lead(col("ts"), 1).over(w)) -
+            unix_micros(col("ts")))
+        .where(col("_gap_us").isNotNull)
+        .groupBy(col("event_type"),
+          when(col("_gap_us") < 60L * 1000000, "lt_1m")
+            .when(col("_gap_us") < 3600L * 1000000, "lt_1h")
+            .when(col("_gap_us") < 86400L * 1000000, "lt_1d")
+            .otherwise("ge_1d").as("gap_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("_gap_us")).as("sum_gap_us"))
+    }),
+
+    // Conversion-lag SLA percentiles per nation: the lag table (an
+    // already-oracled stage) joined to the broadcast customer dim, then
+    // exact nearest-rank percentile selection per nation
+    "events_conversion_percentiles" -> ((s, dir) => {
+      val lags = queries("events_conversion_lag")(s, dir)
+      graft.operators.Ranking.exactPercentiles(
+        lags.join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))),
+          "user_id"),
+        valueCol = "lag_micros", groupCols = Seq("c_nationkey"),
+        tiebreakCols = Seq("user_id"), ps = Seq(50, 90, 99))
+    })
   )
 
   // ====================================================================

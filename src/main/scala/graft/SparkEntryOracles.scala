@@ -3067,6 +3067,66 @@ private[graft] object SparkEntryOracles {
         |    AS hour_start,
         |  c_nationkey, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // lifecycle twin: same per-order reduction and day diffs
+    "a_order_lifecycle" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, min(l_shipdate) AS fs, max(l_shipdate) AS ls,
+        |    count(*) AS n_lines,
+        |    sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(n_lines AS BIGINT) AS n_lines, total_qty,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(fs AS DATE))
+        |    AS BIGINT) AS days_to_first_ship,
+        |  CAST(datediff('day', CAST(fs AS DATE), CAST(ls AS DATE))
+        |    AS BIGINT) AS ship_span_days
+        |FROM orders JOIN l ON o_orderkey = l_orderkey""".stripMargin,
+
+    // gap-histogram twin: same lead adjacency, same exact-microsecond
+    // thresholds
+    "events_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |  CASE WHEN gap_us < 60000000 THEN 'lt_1m'
+        |       WHEN gap_us < 3600000000 THEN 'lt_1h'
+        |       WHEN gap_us < 86400000000 THEN 'lt_1d'
+        |       ELSE 'ge_1d' END AS gap_bucket,
+        |  count(*) AS n, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    // conversion-percentile twin: the lag stage replayed, then the same
+    // nearest-rank selection per nation
+    "events_conversion_percentiles" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), fp AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase,
+        |    min(fv.first_view) AS first_view
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+        |  GROUP BY 1
+        |), lags AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT)
+        |      AS lag_micros
+        |  FROM fp
+        |), r AS (
+        |  SELECT c_nationkey, lag_micros AS value, user_id,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY lag_micros, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM lags JOIN customer ON user_id = c_custkey)
+        |SELECT c_nationkey, p, value, n FROM r
+        |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+        |  (CAST(99 AS BIGINT))) ps(p)
+        |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin
   )
 }

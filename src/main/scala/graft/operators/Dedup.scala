@@ -703,8 +703,9 @@ object Dedup {
     * string, and hot variant buckets are capped at `maxBucket` DISTINCT
     * strings with the drop counted in the `edit_distance_buckets`
     * observed metric (same recall-trading guard as the shingle family).
-    * The per-candidate verify is O(len²) dynamic programming on a
-    * codegen'd built-in.
+    * The per-candidate verify is the codegen'd built-in's THRESHOLD
+    * overload — banded O(maxDistance·len) dynamic programming, not the
+    * full O(len²) matrix.
     *
     * Output: (id_a < id_b, distance) for distinct-id pairs with
     * levenshtein ≤ `maxDistance` (identical strings under different ids
@@ -734,8 +735,12 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.s").as("sa"), col("b.s").as("sb"))
       .distinct()
-      .withColumn("distance", levenshtein(col("sa"), col("sb")).cast("long"))
-      .where(col("distance") <= maxDistance)
+      // the THRESHOLD overload runs the banded O(d·n) DP and returns -1
+      // past the bound — strictly cheaper than the full O(n²) matrix for
+      // the near-typo confirm
+      .withColumn("distance",
+        levenshtein(col("sa"), col("sb"), maxDistance).cast("long"))
+      .where(col("distance") >= 0 && col("distance") <= maxDistance)
       .select("id_a", "id_b", "distance")
   }
 }
