@@ -2316,7 +2316,8 @@ object SparkEntry {
       rev
         .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
         .withColumn("delta_ppm",
-          expr("(rev_cents - prev_cents) * 1000000 div prev_cents"))
+          expr("""cast((cast(rev_cents as decimal(38,0)) - prev_cents)
+                |* 1000000 div prev_cents as bigint)""".stripMargin))
     }),
 
     // Daily new + cumulative distinct users: first-seen day per user,
@@ -2398,8 +2399,9 @@ object SparkEntry {
           sum(col("n_chars").isNull.cast("long")).as("n_chars_null"))
         .select(col("n_rows"), col("text_null"), col("text_empty"),
           col("lang_null"), col("source_null"), col("n_chars_null"),
-          expr("(n_rows - text_null - text_empty) * 1000000 div n_rows")
-            .as("text_fill_ppm"))),
+          expr("""cast((cast(n_rows as decimal(38,0)) - text_null
+                |- text_empty) * 1000000 div n_rows as bigint)"""
+            .stripMargin).as("text_fill_ppm"))),
 
     // Batch twin of the stream-static enrichment (EventStreams
     // .enrichedWindowCounts runs the SAME plan on the streaming side,

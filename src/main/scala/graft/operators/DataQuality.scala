@@ -176,7 +176,10 @@ object DataQuality {
       .join(broadcast(colTot), Seq(colB))
       .crossJoin(broadcast(grand))
       .select(col(colA), col(colB), col("n_obs"),
-        expr("_r * _c * 1000 div _n").as("expected_milli"),
+        // decimal(38,0): r·c·1000 overflows int64 once both marginals
+        // pass ~3e9 rows — the 100 TB regime, not a theoretical one
+        expr("""cast((cast(_r as decimal(38,0)) * _c * 1000) div _n
+              |as bigint)""".stripMargin).as("expected_milli"),
         expr("""cast((cast(_n as decimal(38,0)) * n_obs - _r * _c) *
               |  (cast(_n as decimal(38,0)) * n_obs - _r * _c) * 1000000
               |div (cast(_n as decimal(38,0)) * _r * _c) as bigint)"""
@@ -211,7 +214,10 @@ object DataQuality {
       .crossJoin(broadcast(median))
       .select(col("n_keys"), col("n_rows"), col("max_cnt"),
         col("median_cnt"),
-        expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
-        expr("max_cnt * 1000000 div median_cnt").as("skew_ppm"))
+        // decimal guards: cnt·10⁶ passes int64 above ~9e12-row keys
+        expr("cast(cast(max_cnt as decimal(38,0)) * 1000000 div n_rows " +
+          "as bigint)").as("top_share_ppm"),
+        expr("cast(cast(max_cnt as decimal(38,0)) * 1000000 " +
+          "div median_cnt as bigint)").as("skew_ppm"))
   }
 }

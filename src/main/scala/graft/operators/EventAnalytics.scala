@@ -230,7 +230,9 @@ object EventAnalytics {
     trans
       .join(broadcast(fromTot), "state")
       .select(col("state"), col("next_state"), col("n_trans"),
-        col("n_from"), expr("n_trans * 1000000 div n_from").as("prob_ppm"))
+        col("n_from"),
+        expr("cast(cast(n_trans as decimal(38,0)) * 1000000 div n_from " +
+          "as bigint)").as("prob_ppm"))
   }
 
   def assocRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
@@ -258,8 +260,12 @@ object EventAnalytics {
       .crossJoin(broadcast(totals))
       .select(col("antecedent"), col("consequent"), col("n_pair"),
         col("n_ante"), col("n_cons"),
-        expr("n_pair * 1000000 div n_ante").as("confidence_ppm"),
-        expr("n_pair * n_baskets * 1000000 div (n_ante * n_cons)")
-          .as("lift_ppm"))
+        // decimal guards: pair·basket products overflow int64 in the
+        // billions-of-baskets regime
+        expr("cast(cast(n_pair as decimal(38,0)) * 1000000 div n_ante " +
+          "as bigint)").as("confidence_ppm"),
+        expr("""cast((cast(n_pair as decimal(38,0)) * n_baskets * 1000000)
+              |div (cast(n_ante as decimal(38,0)) * n_cons)
+              |as bigint)""".stripMargin).as("lift_ppm"))
   }
 }

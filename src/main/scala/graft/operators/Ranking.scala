@@ -193,6 +193,7 @@ object Ranking {
         sum(greatest(col("_lo"), least(col("_hi"), col("_v")))).as("wsum"))
       .select(groupCols.map(col) :+ col("n") :+ col("lo_cut") :+
         col("hi_cut") :+ col("wsum") :+
-        expr("wsum * 1000000 div n").as("wmean_ppm"): _*)
+        expr("cast(cast(wsum as decimal(38,0)) * 1000000 div n as bigint)")
+          .as("wmean_ppm"): _*)
   }
 }
