@@ -62,7 +62,9 @@ object Ranking {
       .withColumn("_n", count(lit(1)).over(wg))
       .withColumn("pct_ppm",
         when(col("_n") === 1L, lit(0L)).otherwise(
-          expr("((_rn - 1) * 1000000) div (_n - 1)")))
+          // decimal(38,0): rank·10⁶ passes int64 in trillion-row groups
+          expr("cast((cast(_rn - 1 as decimal(38,0)) * 1000000) " +
+            "div (_n - 1) as bigint)")))
       .drop("_rn", "_n")
   }
 
