@@ -2118,9 +2118,13 @@ object SparkEntry {
     // among customer names (ED <= 1) without the all-pairs distance
     // matrix — variants block, levenshtein confirms candidates only. The
     // oracle replays it as the brute-force quadratic (same pair SET — the
-    // blocking is lossless at distance 1), per oracle pattern #5
+    // blocking is lossless at distance 1). The registered query runs
+    // UNCAPPED (maxBucket = MaxValue) so the equality is unconditional;
+    // the default cap is the library's recall-trading scale guard and
+    // would silently shrink the Spark side below the exact oracle
     "dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxBucket = Int.MaxValue)),
 
     // Interval-union coverage per supplier: each shipment occupies the
     // supplier for [ship_day, ship_day + quantity) days; overlapping
@@ -2174,12 +2178,13 @@ object SparkEntry {
                 |  cast(sum_x as decimal(38,0)) *
                 |  cast(sum_x as decimal(38,0))) as bigint)""".stripMargin)
             .as("slope_ppm"),
+          // intercept = (Σy·Σxx − Σx·Σxy) / D with D = n·Σxx − (Σx)²:
+          // the n from b = (Σy − a·Σx)/n cancels against D's expansion
           expr("""cast((cast(sum_y as decimal(38,0)) * sum_xx -
                 |  cast(sum_x as decimal(38,0)) * sum_xy) * 1000000
-                |div (cast(n as decimal(38,0)) *
-                |  (cast(n as decimal(38,0)) * sum_xx -
-                |   cast(sum_x as decimal(38,0)) *
-                |   cast(sum_x as decimal(38,0)))) as bigint)""".stripMargin)
+                |div (cast(n as decimal(38,0)) * sum_xx -
+                |  cast(sum_x as decimal(38,0)) *
+                |  cast(sum_x as decimal(38,0))) as bigint)""".stripMargin)
             .as("intercept_cents_ppm"))),
 
     // Chi-squared lang x source contingency audit over documents in
@@ -2347,6 +2352,10 @@ object SparkEntry {
     // counts — row-local, codegen'd, scan-side
     "text_truncate_budget" -> ((s, dir) =>
       t(s, dir, "documents")
+        // NULL text is excluded on BOTH sides: Spark's concat_ws would
+        // render it '' while DuckDB's array_to_string keeps NULL — the
+        // one row-level function pair in this registry that disagrees
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), x -> x != '')").as("_toks"))
         .select(col("doc_id"),

@@ -2765,7 +2765,7 @@ private[graft] object SparkEntryOracles {
         |  CAST((n * sum_xy - sum_x * sum_y) * 1000000
         |    // (n * sum_xx - sum_x * sum_x) AS BIGINT) AS slope_ppm,
         |  CAST((sum_y * sum_xx - sum_x * sum_xy) * 1000000
-        |    // (n * (n * sum_xx - sum_x * sum_x)) AS BIGINT)
+        |    // (n * sum_xx - sum_x * sum_x) AS BIGINT)
         |    AS intercept_cents_ppm
         |FROM s""".stripMargin,
 
@@ -3008,7 +3008,7 @@ private[graft] object SparkEntryOracles {
       """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS l
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
         |  CAST(least(len(l), 64) AS BIGINT) AS n_kept,
         |  CAST(len(l) > 64 AS BIGINT) AS truncated,
@@ -3016,16 +3016,17 @@ private[graft] object SparkEntryOracles {
         |FROM t""".stripMargin,
 
     // JSON-extraction twin: json_extract_string replays the same $.k
-    // path; casts and aggregate skips of NULL agree across engines
+    // path; TRY_CAST mirrors Spark's non-ANSI cast (NULL on a
+    // non-integral or missing k, never an error)
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS n_with_k,
-        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
-        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS min_k,
-        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
 

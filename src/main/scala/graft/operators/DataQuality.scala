@@ -156,8 +156,12 @@ object DataQuality {
     * (n·row·col) — the (o−e)²/e statistic multiplied by n·10⁶ so every
     * quantity stays an integer; per-cell terms sum to the scaled
     * statistic). decimal(38,0) arithmetic keeps the squared numerator
-    * exact far past 2⁶³. The distribution-shift tripwire for "did this
-    * source's language mix change".
+    * exact while |n·obs − r·c| < ~3.1·10¹⁶ (squared ×10⁶ must fit 38
+    * digits) — 3,000× past int64's reach, covering marginal products
+    * through ~10¹⁵; beyond that envelope Spark's non-ANSI decimal
+    * overflow yields NULL terms rather than wrong ones. The
+    * distribution-shift tripwire for "did this source's language mix
+    * change".
     *
     * Scale shape: ONE hash aggregation over the fact (cells), two tiny
     * marginal re-aggregations of the cell table, broadcast back — the
@@ -198,14 +202,19 @@ object DataQuality {
     * sort of the key table, never the fact. Output: one row (n_keys,
     * n_rows, max_cnt, median_cnt, top_share_ppm, skew_ppm). */
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    // the per-key count table is consumed twice (stats + the median's
+    // range-sort) and the median path crosses an RDD boundary
+    // (globalRowNumbers' zipWithIndex) that can never exchange-reuse the
+    // SQL-side aggregation — materialize it ONCE so the fact is scanned
+    // once, and both consumers read the keys-sized table
     val counts = df.groupBy(col(keyCol).as("_k"))
       .agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
     val stats = counts
       .agg(count(lit(1)).as("n_keys"), sum(col("_cnt")).as("n_rows"),
         max(col("_cnt")).as("max_cnt"))
     // nearest-rank median over the KEY table via the distributed
-    // range-sort sequence (no single-partition window, no warning noise);
-    // the repeated `counts` subplan dedups via exchange reuse
+    // range-sort sequence (no single-partition window, no warning noise)
     val median = Ranking.globalRowNumbers(counts, Seq("_cnt", "_k"))
       .crossJoin(broadcast(stats.select(col("n_keys"))))
       .where(col("seq") + 1 === expr("(n_keys + 1) div 2"))

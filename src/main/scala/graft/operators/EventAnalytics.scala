@@ -160,22 +160,6 @@ object EventAnalytics {
         sum(col("_hi") - col("_lo")).as("covered"))
   }
 
-  /** Directed association rules over per-basket item sets (market-basket
-    * analysis): for every ordered item pair (a → b) co-occurring in at
-    * least `minSupport` baskets, the support count, confidence and lift
-    * in exact integer ppm. Confidence = |a∧b| / |a|; lift = |a∧b|·N /
-    * (|a|·|b|) — both emitted as truncating integer divisions of
-    * ppm-scaled longs, so the result is combine-order-free and
-    * engine-portable.
-    *
-    * Scale shape: basket build is ONE distinct (shuffle on the basket
-    * key); the pair join is per-basket (bounded by the item domain, not
-    * the corpus); item and total counts are tiny aggregates joined onto
-    * the pair counts (broadcast at any scale). Never an all-pairs join
-    * across baskets.
-    *
-    * Output: (antecedent, consequent, n_pair, n_ante, n_cons,
-    * confidence_ppm, lift_ppm). */
   /** Calendar gap-fill with forward fill: each observed (group, day,
     * value) row is expanded to cover every day up to (exclusive) the
     * group's NEXT observation, carrying its value — the missing calendar
@@ -235,6 +219,22 @@ object EventAnalytics {
           "as bigint)").as("prob_ppm"))
   }
 
+  /** Directed association rules over per-basket item sets (market-basket
+    * analysis): for every ordered item pair (a → b) co-occurring in at
+    * least `minSupport` baskets, the support count, confidence and lift
+    * in exact integer ppm. Confidence = |a∧b| / |a|; lift = |a∧b|·N /
+    * (|a|·|b|) — both emitted as truncating integer divisions of
+    * ppm-scaled decimals, so the result is combine-order-free and
+    * engine-portable.
+    *
+    * Scale shape: basket build is ONE distinct (shuffle on the basket
+    * key); the pair join is per-basket (bounded by the item domain, not
+    * the corpus); item and total counts are tiny aggregates joined onto
+    * the pair counts (broadcast at any scale). Never an all-pairs join
+    * across baskets.
+    *
+    * Output: (antecedent, consequent, n_pair, n_ante, n_cons,
+    * confidence_ppm, lift_ppm). */
   def assocRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
                  minSupport: Long = 1L): DataFrame = {
     val bcols = basketCols.map(col)

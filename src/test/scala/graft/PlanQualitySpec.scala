@@ -270,8 +270,14 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = plan.linesIterator
       .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
-    assert(plan.contains("partial_count") || plan.contains("partial"),
-      s"day-level agg must combine map-side:\n$plan")
+    // the day-level count must partial-aggregate BELOW its exchange: the
+    // first (deepest) exchange in the plan text has a partial_count
+    // HashAggregate under it
+    val firstExchange = plan.linesIterator.toSeq
+      .lastIndexWhere(_.contains("Exchange hashpartitioning"))
+    val below = plan.linesIterator.toSeq.drop(firstExchange)
+    assert(below.exists(_.contains("partial_count")),
+      s"day-level agg must combine map-side below its exchange:\n$plan")
   }
 
   test("edit-distance pairs: candidates from variant groups, never a nested loop") {
