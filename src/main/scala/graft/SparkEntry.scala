@@ -2474,6 +2474,55 @@ object SparkEntry {
           "user_id"),
         valueCol = "lag_micros", groupCols = Seq("c_nationkey"),
         tiebreakCols = Seq("user_id"), ps = Seq(50, 90, 99))
+    }),
+
+    // Whole-schema referential-integrity audit: orphan counts for every
+    // FK relation in ONE result — each relation is a left-anti count
+    // (child side scanned once, parent keys hash-joined), unioned into
+    // a per-relation report row
+    "dq_fk_orphans" -> ((s, dir) => {
+      // NULL FKs are excluded on both sides (a NULL key is a
+      // completeness finding, not a referential one — and anti-join vs
+      // NOT IN disagree on NULL semantics)
+      def orphans(rel: String, child: DataFrame, fk: String,
+                  parent: DataFrame, pk: String) =
+        child.select(col(fk).as("_fk")).where(col("_fk").isNotNull)
+          .join(parent.select(col(pk).as("_fk")), Seq("_fk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_orphans"))
+      orphans("lineitem_orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(orphans("lineitem_part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(orphans("lineitem_supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(orphans("orders_customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(orphans("customer_nation", t(s, dir, "customer"),
+          "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+    }),
+
+    // Top-3 suppliers per nation by shipped revenue, the long tail
+    // rolled into an 'other' row — rank window over the BOUNDED
+    // (nation, supplier) aggregate, then one conditional re-aggregation
+    "a_topk_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySupp = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("rev_cents").desc, col("s_suppkey").asc)
+      bySupp
+        .withColumn("_rk", row_number().over(w))
+        .groupBy(col("s_nationkey"),
+          when(col("_rk") <= 3, col("s_suppkey").cast("string"))
+            .otherwise("other").as("supplier"))
+        .agg(sum(col("rev_cents")).as("rev_cents"),
+          count(lit(1)).as("n_suppliers"))
     })
   )
 

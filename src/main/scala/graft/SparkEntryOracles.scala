@@ -3128,6 +3128,49 @@ private[graft] object SparkEntryOracles {
         |SELECT c_nationkey, p, value, n FROM r
         |CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
         |  (CAST(99 AS BIGINT))) ps(p)
-        |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin
+        |WHERE rn = greatest(1, (p * n + 99) // 100)""".stripMargin,
+
+    // FK-orphan twin: the same five anti-join counts
+    "dq_fk_orphans" ->
+      """SELECT 'lineitem_orders' AS relation, count(*) AS n_orphans
+        |FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem_part', count(*) FROM lineitem
+        |WHERE l_partkey IS NOT NULL
+        |  AND l_partkey NOT IN (SELECT p_partkey FROM part)
+        |UNION ALL
+        |SELECT 'lineitem_supplier', count(*) FROM lineitem
+        |WHERE l_suppkey IS NOT NULL
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'orders_customer', count(*) FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer_nation', count(*) FROM customer
+        |WHERE c_nationkey IS NOT NULL
+        |  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)"""
+        .stripMargin,
+
+    // top-k rollup twin: same rank order (rev desc, suppkey asc), same
+    // conditional regrouping
+    "a_topk_rollup" ->
+      """WITH b AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT s_nationkey, s_suppkey, rev_cents,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY rev_cents DESC, s_suppkey) AS rk
+        |  FROM b)
+        |SELECT s_nationkey,
+        |  CASE WHEN rk <= 3 THEN CAST(s_suppkey AS VARCHAR)
+        |       ELSE 'other' END AS supplier,
+        |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+        |  count(*) AS n_suppliers
+        |FROM r GROUP BY 1, 2""".stripMargin
   )
 }
