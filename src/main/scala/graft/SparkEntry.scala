@@ -2350,6 +2350,13 @@ object SparkEntry {
     // Token-budget truncation: whitespace tokens (empties filtered so
     // both engines agree on runs of spaces), keep the first 64, report
     // counts — row-local, codegen'd, scan-side
+    // Cross-document repeated spans (suffix-array-free exact-substring
+    // dedup): maximal shared k=8-token runs of >= 16 tokens between
+    // document pairs, hot shingles (df > 20) capped before the pair join
+    "text_repeated_spans" -> ((s, dir) =>
+      TextAnalysis.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 16, maxDf = 20)),
+
     "text_truncate_budget" -> ((s, dir) =>
       t(s, dir, "documents")
         // NULL text is excluded on BOTH sides: Spark's concat_ws would

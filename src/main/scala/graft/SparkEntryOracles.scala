@@ -3004,6 +3004,45 @@ private[graft] object SparkEntryOracles {
 
     // truncation twin: same empty-filtered space split, same 64-token
     // slice (DuckDB list slices are 1-based inclusive, = slice(_, 1, 64))
+    // Repeated-span twin: identical positional-shingle construction
+    // (empty-filtered space split, md5-prefix fingerprint — DuckDB list
+    // slice l[i:i+7] and Spark slice(l, i, 8) select the same 8 tokens),
+    // identical df cap, identical gaps-and-islands reduction
+    "text_repeated_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), sized AS (
+        |  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 8
+        |), pos AS (
+        |  SELECT doc_id AS doc, u.pos AS pos, u.sh AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, n - 7),
+        |        i -> {'pos': i,
+        |              'sh': substr(md5(array_to_string(toks[i:i+7], ' ')),
+        |                           1, 16)})) AS u
+        |    FROM sized)
+        |), cold AS (
+        |  SELECT * FROM pos WHERE sh NOT IN (
+        |    SELECT sh FROM pos GROUP BY 1 HAVING count(*) > 20)
+        |), pr AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a,
+        |    b.pos AS pos_b, a.pos - b.pos AS diag
+        |  FROM cold a JOIN cold b USING (sh) WHERE a.doc < b.doc
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+        |    pos_a - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        |  FROM pr)
+        |SELECT doc_a, doc_b,
+        |  CAST(min(pos_a) AS BIGINT) AS start_a,
+        |  CAST(min(pos_b) AS BIGINT) AS start_b,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |HAVING count(*) + 7 >= 16""".stripMargin,
+
     "text_truncate_budget" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -825,6 +825,77 @@ object TextAnalysis {
     * single-partition rank pattern ([[bm25TopK]]) — nothing here touches
     * the corpus. Output: (idCol, rrf_score, rank), topN rows by
     * (rrf_score desc, id — total order). */
+  /** Cross-document repeated-span detection — the distributed answer to
+    * suffix-array exact-substring dedup (the curation step that removes
+    * long verbatim repeats between training documents; ref has no
+    * counterpart — extension surface). A span is a MAXIMAL run of
+    * consecutive positions where two documents carry the same `k`-token
+    * shingle: positional shingle fingerprints join on the fingerprint,
+    * matches land on a (doc_a, doc_b, pos_a − pos_b) diagonal, and a
+    * gaps-and-islands pass merges consecutive matches into runs of
+    * `matched + k − 1` tokens. Only runs of at least `minSpanTokens`
+    * tokens survive.
+    *
+    * Scale shape: the positional-shingle table is LINEAR in corpus tokens
+    * and never holds shingle text (16-hex-char md5 prefix). Shingles seen
+    * more than `maxDf` times are dropped before the pair join (the hot
+    * set is tiny — broadcast anti-join), so each join bucket holds at
+    * most `maxDf` rows and the pair count is bounded by df²·shingles,
+    * never all-pairs. Three keyed shuffles total: the df aggregation, the
+    * fingerprint equi-join, and the per-(pair, diagonal) window — no
+    * suffix array, no global sort, no driver state. A dropped hot shingle
+    * can only SPLIT a span (boilerplate that common is chunk-level
+    * territory, see `chunk_dup_stats`); it never invents one.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_tokens), doc_a < doc_b,
+    * starts 1-based in filtered-token coordinates. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minSpanTokens: Int = 20,
+                    maxDf: Int = 20): DataFrame = {
+    require(k >= 2, "shingle width k >= 2")
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    require(maxDf >= 2, "maxDf >= 2 (a df-1 shingle can never pair)")
+    val pos = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        expr(s"filter(split($textCol, ' '), x -> x != '')").as("_toks"))
+      .where(size(col("_toks")) >= k)
+      .select(col("doc"), explode(expr(
+        s"""transform(sequence(1, size(_toks) - ${k - 1}),
+           |  i -> struct(i AS pos,
+           |    substr(md5(concat_ws(' ', slice(_toks, i, $k))), 1, 16)
+           |      AS sh))""".stripMargin)).as("e"))
+      .select(col("doc"), col("e.pos").as("pos"), col("e.sh").as("sh"))
+    // hot-shingle cap: the >maxDf fingerprint set is small by definition
+    // of "hot" — broadcast it and anti-join, so the big positional table
+    // shuffles once (into the pair join), not twice
+    val hot = pos.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    val cold = pos.join(broadcast(hot), Seq("sh"), "left_anti")
+    val pairs = cold
+      .select(col("sh"), col("doc").as("doc_a"), col("pos").as("pos_a"))
+      .join(cold.select(col("sh"), col("doc").as("doc_b"),
+        col("pos").as("pos_b")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    // pos_b = pos_a − diag, so pos_a is unique per (pair, diagonal) and
+    // row_number needs no tiebreak; consecutive pos_a collapse to one
+    // island id (pos_a − rn), the standard gaps-and-islands reduction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min(col("pos_a")).cast("long").as("start_a"),
+        min(col("pos_b")).cast("long").as("start_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_tokens"))
+      .where(col("span_tokens") >= minSpanTokens)
+      // (start_a, start_b) determine the diagonal, and islands on one
+      // diagonal have distinct starts — rows stay unique without the
+      // grouping internals
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
               topN: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")

@@ -423,6 +423,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("z")._3 > got("x")._3 && got("x")._3 > got("y")._3)
   }
 
+  test("repeatedSpans: finds the maximal shared run, once, with exact " +
+    "coordinates; sub-threshold runs excluded") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => f"s$i%02d")       // the 20-token block
+    val short = (1 to 6).map(i => f"t$i%02d")         // 6-token block (< min)
+    def filler(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d")
+    val doc1 = (filler("a", 10) ++ shared ++ filler("b", 10) ++ short)
+      .mkString(" ")                                   // shared at 11..30
+    val doc2 = (filler("c", 4) ++ shared ++ filler("d", 6) ++ short)
+      .mkString(" ")                                   // shared at 5..24
+    val doc3 = filler("e", 30).mkString(" ")           // unrelated
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = TextAnalysis.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minSpanTokens = 10, maxDf = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // one maximal 20-token span, exact 1-based starts; the 6-token run
+    // (span 6 < 10) is below threshold and absent
+    assert(got === Set((1L, 2L, 11L, 5L, 20L)))
+  }
+
+  test("repeatedSpans: hot-shingle cap suppresses corpus-wide boilerplate") {
+    import spark.implicits._
+    val block = (1 to 12).map(i => f"h$i%02d")
+    // the same block in 6 documents: every block shingle has df = 6 > 5,
+    // so the cap drops them all — corpus-wide boilerplate is chunk-stat
+    // territory, not pairwise-span territory
+    val docs = (1L to 6L).map { d =>
+      (d, ((1 to 5).map(i => f"u$d%02d$i%02d") ++ block).mkString(" "))
+    }.toDF("doc_id", "text")
+    val capped = TextAnalysis.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minSpanTokens = 10, maxDf = 5)
+    assert(capped.isEmpty)
+    // raising the cap above the corpus df restores all 15 pairs
+    val uncapped = TextAnalysis.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minSpanTokens = 10, maxDf = 100)
+    assert(uncapped.count() === 15L)
+  }
+
   test("rrfFuse: consensus beats a single #1; integer scores exact") {
     import spark.implicits._
     // A ranks 1,2,3; B ranks 3,2,4. doc2 (2nd in both) and doc3 (1st+3rd)
