@@ -1596,6 +1596,23 @@ object SparkEntry {
           coalesce(sum(col("pc")), lit(0L)).as("sum_cents"))
     }),
 
+    // File-level data skipping from parquet FOOTER stats (the Delta/
+    // Iceberg manifest pattern): lineitem range-sorted by l_orderkey so
+    // each file covers a tight key slice, a footer-only manifest prunes
+    // the file list driver-side, and the residual filter closes the gap.
+    // Skipping can only drop provably-empty files, so the oracle is the
+    // plain filtered scan; the fewer-files pin lives in ScaleLayoutSpec
+    "s_manifest_skipping" -> ((s, dir) => {
+      val path = graft.sources.Layouts.sortedLayoutFor(
+        t(s, dir, "lineitem"), "l_orderkey", key = s"manifest-$dir")
+      graft.sources.Layouts.manifestPrunedRead(
+          s, path, "l_orderkey", 5000L, 5999L)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L))
+            .as("sum_qty"))
+    }),
+
     // Dynamic partition pruning over a Hive-partitioned at-rest layout:
     // lineitem enriched with its supplier's nation, one directory per
     // nation; the join against the region-filtered nation dim prunes 20

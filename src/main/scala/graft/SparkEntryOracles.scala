@@ -2284,6 +2284,16 @@ private[graft] object SparkEntryOracles {
         |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |      BETWEEN 1000 AND 1400""".stripMargin,
 
+    // Manifest-skipping twin: footer-based file pruning only drops files
+    // with provably no matching l_orderkey — replay the plain filter
+    "s_manifest_skipping" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  coalesce(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 5000 AND 5999""".stripMargin,
+
     // DPP twin: partition pruning never changes results — replay the raw
     // lineitem⋈supplier⋈nation joins with the region filter
     "s_dpp_scan" ->

@@ -80,6 +80,116 @@ object Layouts {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Per-JVM registry of single-column range-sorted layouts (same
+    * contract as [[zLayoutFor]]: `key` uniquely identifies the input,
+    * built once): range-repartition + sort on one column, so every file
+    * covers a tight, nearly disjoint slice of that column's domain — the
+    * layout that makes file-level min/max skipping effective. */
+  private val sortedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def sortedLayoutFor(df: => DataFrame, sortCol: String, key: String,
+                      numFiles: Int = 16,
+                      baseDir: String =
+                        sys.props("java.io.tmpdir") + "/graft-sorted"): String =
+    sortedLayouts.computeIfAbsent(key, { _ =>
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val path = s"$baseDir/$safe"
+      df.repartitionByRange(numFiles, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** File-level min/max manifest of a parquet directory, read from the
+    * FOOTER STATISTICS alone — no row is ever decoded (the Delta/Iceberg
+    * data-skipping index, built the portable way). Each task opens its
+    * files' footers and emits (file, lo, hi) for `statCol`, which must be
+    * an integer-typed top-level column.
+    *
+    * Scale shape: the file list distributes over executors
+    * (`spark.read.parquet` never runs), the manifest is one row per FILE
+    * — bounded enough to collect and prune driver-side, exactly what a
+    * table format's transaction log holds. Footer edge cases stay
+    * conservative: a zero-row file is dropped (nothing to read), a chunk
+    * without stats widens to the full long range (never pruned, never
+    * wrong). */
+  def parquetFooterManifest(spark: org.apache.spark.sql.SparkSession,
+                            path: String, statCol: String)
+      : Array[(String, Long, Long)] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new HPath(path)
+    val files = FileSystem.get(dir.toUri, conf).listStatus(dir)
+      // metadata markers (_SUCCESS, _committed) hide behind a leading
+      // underscore on the FILE name — the directory name is the caller's
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+      .sorted
+    val rdd = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.length, 32)))
+      .mapPartitions { it =>
+        // tasks run on the same filesystem the driver listed; a fresh
+        // Configuration resolves it identically (default FS + local)
+        val c = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new HPath(f), c)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val chunks = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == statCol)
+            if (chunks.isEmpty) None // zero-row file: nothing to read
+            else {
+              val ranges = chunks.map { ch =>
+                val s = ch.getStatistics
+                if (s == null || !s.hasNonNullValue)
+                  (Long.MinValue, Long.MaxValue) // no stats: never prune
+                else (s.genericGetMin.asInstanceOf[Number].longValue(),
+                  s.genericGetMax.asInstanceOf[Number].longValue())
+              }
+              Some((f, ranges.map(_._1).min, ranges.map(_._2).max))
+            }
+          } finally r.close()
+        }
+      }
+    rdd.collect().sortBy(_._1)
+  }
+
+  /** Memoized [[parquetFooterManifest]] per (session, path, statCol) —
+    * the manifest is an index artifact of the layout, built once. */
+  private val manifests =
+    new graft.SessionMemo[(String, String), Array[(String, Long, Long)]]()
+
+  def manifestFor(spark: org.apache.spark.sql.SparkSession,
+                  path: String, statCol: String): Array[(String, Long, Long)] =
+    manifests.getOrCompute(spark, (path, statCol))(
+      parquetFooterManifest(spark, path, statCol))
+
+  /** Range scan with FILE skipping: keep only files whose footer [lo, hi]
+    * overlaps `[lo, hi]`, read just those, and apply the residual filter
+    * (overlap is necessary, not sufficient). Semantically identical to
+    * the plain filtered scan — the manifest can only drop files that
+    * provably hold no matching row — which is exactly what the oracle
+    * checks. */
+  def manifestPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                         path: String, statCol: String,
+                         lo: Long, hi: Long): DataFrame = {
+    val keep = manifestFor(spark, path, statCol)
+      .filter { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
+      .map(_._1)
+    val base = spark.read.parquet(path)
+    if (keep.isEmpty) base.where(lit(false))
+    else spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*)
+      .where(col(statCol).between(lo, hi))
+  }
+
   /** Per-JVM registry of Hive-partitioned layouts (same contract as
     * [[zLayoutFor]]: `key` uniquely identifies the input, built once). */
   private val partLayouts =

@@ -189,6 +189,38 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("manifest skipping: footer stats prune files, results match the " +
+    "plain filter, empty range is safe") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+    val path = graft.sources.Layouts.sortedLayoutFor(
+      li, "l_orderkey", key = s"$sfDir#spec_manifest", numFiles = 8)
+    val man = graft.sources.Layouts.manifestFor(spark, path, "l_orderkey")
+    assert(man.length === 8, man.mkString(","))
+    // the range-sorted layout gives nearly disjoint per-file ranges, so a
+    // narrow key range must overlap STRICTLY fewer files than exist
+    val (lo, hi) = (100L, 300L)
+    val kept = man.count { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
+    assert(kept >= 1 && kept < man.length,
+      s"expected a proper subset of files, got $kept of ${man.length}")
+    // skipping can only drop provably-empty files: results identical
+    val got = graft.sources.Layouts
+      .manifestPrunedRead(spark, path, "l_orderkey", lo, hi)
+      .groupBy("l_orderkey").count()
+      .as[(Long, Long)].collect().toMap
+    val expect = li.where(col("l_orderkey").between(lo, hi))
+      .groupBy("l_orderkey").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+    assert(expect.nonEmpty)
+    // a range outside the domain selects zero files and returns an empty
+    // frame with the table's schema, not an error
+    val empty = graft.sources.Layouts
+      .manifestPrunedRead(spark, path, "l_orderkey", -100L, -1L)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq === spark.read.parquet(path).columns.toSeq)
+  }
+
   test("partitioned layout: dim filter prunes fact partitions at runtime (DPP)") {
     import spark.implicits._
     val li = Tables(spark, sfDir, "lineitem")
