@@ -123,6 +123,96 @@ object EventStreams {
       }
   }
 
+  case class StateChange(key: Long, ts: Timestamp, state: String)
+
+  case class KeyedEvent(key: Long, ts: Timestamp, event_id: Long)
+
+  case class EnrichedEvent(key: Long, event_id: Long, ts: Timestamp,
+                           state: String)
+
+  /** (side 0 = state change, side 1 = event) on the unioned stream. */
+  case class TemporalRow(key: Long, ts: Timestamp, side: Int,
+                         state: String, event_id: Long)
+
+  /** Per-key buffers: state changes as (epochMs, state), events as
+    * (epochMs, event_id), both kept sorted. */
+  case class TemporalState(changes: List[(Long, String)],
+                           pending: List[(Long, Long)])
+
+  /** Streaming TEMPORAL (as-of) join — the operator Flink ships as
+    * `FOR SYSTEM_TIME AS OF` and Spark has no native form of: each event
+    * is enriched with the LATEST state change at or before its event
+    * time, exactly once, correct under out-of-order arrival on BOTH
+    * streams within the watermark horizon.
+    *
+    * How: the two streams union (tagged by side), group by key, and a
+    * `flatMapGroupsWithState` buffer holds (a) future state changes and
+    * (b) events the watermark has not yet passed. An event emits only
+    * once the watermark passes its timestamp — after that no change with
+    * an earlier timestamp can still arrive (the watermark would drop
+    * it), so the matched state is FINAL. Event-time timeouts flush
+    * pending events when a key goes quiet.
+    *
+    * State bounds (the 100 TB shape): per key, the change buffer keeps
+    * ONE change at or below the watermark (the reigning state) plus
+    * changes inside the horizon; the event buffer holds at most the
+    * horizon's worth. Keys with no pending events and no reigning state
+    * drop out of the store entirely. A key whose traffic stops retains
+    * only its reigning change row — the same bounded "latest version per
+    * key" any temporal-join state backend holds.
+    *
+    * Contract: (key, ts) must be unique on the change stream (the
+    * [[graft.operators.AsofJoin.asofBackward]] determinism contract);
+    * equal timestamps match (change at t enriches an event at t). The
+    * batch twin IS `asofBackward` — equality is spec-pinned on the real
+    * events table. */
+  def temporalJoin(changes: Dataset[StateChange], events: Dataset[KeyedEvent],
+                   horizon: String = "1 hour"): Dataset[EnrichedEvent] = {
+    implicit val rowEnc = Encoders.product[TemporalRow]
+    implicit val stEnc = Encoders.product[TemporalState]
+    implicit val outEnc = Encoders.product[EnrichedEvent]
+    implicit val longEnc = Encoders.scalaLong
+
+    val tagged = changes
+      .map(c => TemporalRow(c.key, c.ts, 0, c.state, 0L))
+      .unionByName(events.map(e =>
+        TemporalRow(e.key, e.ts, 1, null, e.event_id)))
+      .withWatermark("ts", horizon)
+
+    tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TemporalState, EnrichedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[TemporalRow],
+         st: GroupState[TemporalState]) =>
+          val wm = st.getCurrentWatermarkMs()
+          val prev = st.getOption.getOrElse(TemporalState(Nil, Nil))
+          val (chg, evs) = rows.toSeq.partition(_.side == 0)
+          val changes = (prev.changes ++
+            chg.map(c => (c.ts.getTime, c.state))).sortBy(_._1)
+          val pending = (prev.pending ++
+            evs.map(e => (e.ts.getTime, e.event_id))).sortBy(_._1)
+          // the watermark has passed these events: their match is final
+          val (emit, keep) = pending.partition(_._1 <= wm)
+          val out = emit.map { case (t, id) =>
+            val m = changes.takeWhile(_._1 <= t).lastOption
+            EnrichedEvent(key, id, new Timestamp(t), m.map(_._2).orNull)
+          }
+          // reigning state (latest change <= wm) + in-horizon future ones
+          val (past, future) = changes.partition(_._1 <= wm)
+          val kept = past.takeRight(1) ::: future
+          if (keep.isEmpty && kept.isEmpty) st.remove()
+          else {
+            st.update(TemporalState(kept, keep))
+            // flush the head pending event once the watermark passes it
+            // (timeout must sit strictly beyond the current watermark)
+            keep.headOption.foreach(e =>
+              st.setTimeoutTimestamp(math.max(e._1, wm + 1)))
+          }
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: attribute each `click` to every `view`
     * by the same user within the preceding `windowSec` seconds — the
     * classic ad-attribution shape. Both sides carry watermarks and the

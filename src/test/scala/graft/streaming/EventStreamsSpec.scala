@@ -152,6 +152,89 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming temporal join equals the batch as-of join exactly " +
+    "once sentinels flush the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type").cache()
+    // change stream: purchases, (key, ts) made unique per the temporal
+    // contract (min event_id wins, applied identically to the twin)
+    val changesB = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("chg_id"))
+      .select($"user_id".as("key"), $"ts",
+        $"chg_id".cast("string").as("state"))
+    val eventsB = ev.where($"event_type" === "view")
+      .select($"user_id".as("key"), $"ts", $"event_id")
+
+    val cStream = MemoryStream[EventStreams.StateChange]
+    val eStream = MemoryStream[EventStreams.KeyedEvent]
+    cStream.addData(changesB.as[EventStreams.StateChange].collect()
+      .toIndexedSeq)
+    eStream.addData(eventsB.as[EventStreams.KeyedEvent].collect()
+      .toIndexedSeq)
+    val q = EventStreams.temporalJoin(cStream.toDS(), eStream.toDS())
+      .writeStream.format("memory").queryName("temporal")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // an event emits only once the GLOBAL watermark passes it; two
+      // far-future sentinel changes on an unused key advance it in two
+      // steps so the second sentinel batch runs with the watermark
+      // already beyond every real event (including the stream tail)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      for (h <- Seq(48, 96)) {
+        cStream.addData(EventStreams.StateChange(-1L,
+          new Timestamp(maxTs.getTime + h * 3600L * 1000), "s"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("temporal").where($"key" =!= -1L)
+      .select($"key", $"event_id", $"state")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val batch = graft.operators.AsofJoin.asofBackward(
+        eventsB, changesB.withColumnRenamed("ts", "chg_ts"),
+        "key", "ts", "chg_ts")
+      .select($"key", $"event_id", $"state")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(batch.nonEmpty)
+    assert(batch.exists(_._3.isEmpty), "fixture must contain pre-state events")
+    assert(batch.exists(_._3.nonEmpty), "fixture must contain enriched events")
+    assert(streamed === batch)
+  }
+
+  test("streaming temporal join: out-of-order change within the horizon " +
+    "still wins; state prunes to the reigning change") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    def t(sec: Long) = new Timestamp((base + sec) * 1000)
+    val cStream = MemoryStream[EventStreams.StateChange]
+    val eStream = MemoryStream[EventStreams.KeyedEvent]
+    val q = EventStreams.temporalJoin(cStream.toDS(), eStream.toDS())
+      .writeStream.format("memory").queryName("temporal_ooo")
+      .outputMode("append").start()
+    try {
+      // event at 100s and its matching change arrive OUT OF ORDER:
+      // the event first, the earlier change second
+      eStream.addData(EventStreams.KeyedEvent(1L, t(100), 10L))
+      q.processAllAvailable()
+      cStream.addData(EventStreams.StateChange(1L, t(50), "a"))
+      q.processAllAvailable()
+      // watermark pushes (sentinel key) force the flush
+      for (h <- Seq(2, 4)) {
+        cStream.addData(EventStreams.StateChange(-1L, t(h * 3600), "s"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("temporal_ooo").where($"key" === 1L)
+      .select($"event_id", $"state").as[(Long, String)].collect().toSeq
+    // the late-arriving earlier change still enriches the event — the
+    // watermark-gated emission is what makes that correct
+    assert(got === Seq((10L, "a")))
+  }
+
   test("streaming dedup: re-delivered events within the watermark emit once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
