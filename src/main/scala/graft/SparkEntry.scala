@@ -1613,6 +1613,24 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
+    // Merge-on-read deletes: two tombstone batches land as key files
+    // (never a base rewrite), the read anti-joins them away. Tombstones
+    // only remove exactly the keyed rows, so the oracle is the plain
+    // filtered aggregate; compaction round-trip is pinned in SinksSpec
+    "s_mor_deletes" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = graft.sources.Sinks.morTableFor(orders, Seq(
+          orders.where(pmod(col("o_orderkey"), lit(10)) === 3)
+            .select("o_orderkey"),
+          orders.where(pmod(col("o_orderkey"), lit(100)) === 57)
+            .select("o_orderkey")),
+        key = s"mor-$dir")
+      graft.sources.Sinks.readMergeOnRead(s, root, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"))
+    }),
+
     // Dynamic partition pruning over a Hive-partitioned at-rest layout:
     // lineitem enriched with its supplier's nation, one directory per
     // nation; the join against the region-filtered nation dim prunes 20
@@ -2367,6 +2385,26 @@ object SparkEntry {
     // Token-budget truncation: whitespace tokens (empties filtered so
     // both engines agree on runs of spaces), keep the first 64, report
     // counts — row-local, codegen'd, scan-side
+    // Token-level phrase search: exact 3-token phrase occurrences per
+    // document, entirely row-local lambda arithmetic over the filtered
+    // token list (the "distributed grep" shape — at 100 TB a one-off
+    // phrase query IS a scan; repeated-query workloads layer an index)
+    "text_phrase_search" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x != '')").as("_t"))
+        .select(col("doc_id"), expr(
+          """filter(sequence(1, greatest(size(_t) - 2, 0)),
+            |  i -> element_at(_t, i) = 'row' AND
+            |       element_at(_t, i + 1) = 'column' AND
+            |       element_at(_t, i + 2) = 'sort')""".stripMargin)
+          .as("_hits"))
+        .where(size(col("_hits")) > 0)
+        .select(col("doc_id"),
+          size(col("_hits")).cast("long").as("n_occ"),
+          element_at(col("_hits"), 1).cast("long").as("first_pos"))),
+
     // Cross-document repeated spans (suffix-array-free exact-substring
     // dedup): maximal shared k=8-token runs of >= 16 tokens between
     // document pairs, hot shingles (df > 20) capped before the pair join

@@ -2294,6 +2294,16 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 5000 AND 5999""".stripMargin,
 
+    // Merge-on-read twin: tombstones remove exactly the keyed rows —
+    // replay as the plain filtered aggregate
+    "s_mor_deletes" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_orderkey % 10 != 3 AND o_orderkey % 100 != 57
+        |GROUP BY 1""".stripMargin,
+
     // DPP twin: partition pruning never changes results — replay the raw
     // lineitem⋈supplier⋈nation joins with the region filter
     "s_dpp_scan" ->
@@ -3014,6 +3024,25 @@ private[graft] object SparkEntryOracles {
 
     // truncation twin: same empty-filtered space split, same 64-token
     // slice (DuckDB list slices are 1-based inclusive, = slice(_, 1, 64))
+    // Phrase-search twin: the identical positional lambda over the same
+    // empty-filtered token list (sequence bounds clamp the same way:
+    // greatest(n-2, 0) vs generate_series on a possibly-negative bound
+    // yielding an empty list)
+    "text_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_filter(generate_series(1, greatest(len(l) - 2, 0)),
+        |      i -> l[i] = 'row' AND l[i + 1] = 'column'
+        |        AND l[i + 2] = 'sort') AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_occ,
+        |  CAST(hits[1] AS BIGINT) AS first_pos
+        |FROM h WHERE len(hits) > 0""".stripMargin,
+
     // Repeated-span twin: identical positional-shingle construction
     // (empty-filtered space split, md5-prefix fingerprint — DuckDB list
     // slice l[i:i+7] and Spark slice(l, i, 8) select the same 8 tokens),

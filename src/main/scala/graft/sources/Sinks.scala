@@ -365,6 +365,79 @@ object Sinks {
     }
   }
 
+  // ---- merge-on-read deletes (the deletion-vector/tombstone pattern) ----
+  // A delete at 100 TB must not rewrite the table (copy-on-write pays a
+  // full write amplification per delete batch): instead the delete lands
+  // as a tiny KEY tombstone file, readers anti-join base against
+  // tombstones, and a maintenance-time compaction folds the tombstones
+  // into a rewritten base. Crash ordering is safe by idempotence: the
+  // compacted base replaces the old one via the [[snapshotOverwrite]]
+  // staging protocol BEFORE the tombstone directory is cleared, and
+  // re-applying a tombstone whose rows are already gone is a no-op
+  // anti-join — a crash between the two steps loses nothing.
+
+  /** Initialize a merge-on-read table root: `<root>/base` holds the data,
+    * `<root>/tombstones` (created on first delete) holds delete keys. */
+  def morInit(df: DataFrame, root: String): Unit =
+    df.write.mode("overwrite").parquet(s"$root/base")
+
+  /** Record deletes as a KEY tombstone file — an append of the key rows
+    * only, never a base rewrite. Keys must be non-null (an anti-join
+    * cannot target a null key; same contract as
+    * [[graft.operators.ChangeCapture.upsert]]). */
+  def softDelete(keys: DataFrame, root: String): Unit =
+    keys.write.mode("append").parquet(s"$root/tombstones")
+
+  /** The merged view: base rows minus tombstoned keys, one anti-join on
+    * the key. Delete sets are typically small (AQE broadcasts the
+    * tombstone side); a pathological mass delete degrades to one keyed
+    * shuffle, still never a rewrite. */
+  def readMergeOnRead(spark: SparkSession, root: String,
+                      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val base = spark.read.parquet(s"$root/base")
+    val t = new Path(s"$root/tombstones")
+    if (!fsOf(spark).exists(t)) base
+    else base.join(
+      spark.read.parquet(t.toString).select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+  }
+
+  /** Fold tombstones into the base: rewrite `<root>/base` as the merged
+    * view (crash-safe via [[snapshotOverwrite]] — staged first, old base
+    * survives as a backup), THEN clear the tombstone directory. Returns
+    * the backup path, if one was taken. */
+  def compactTombstones(spark: SparkSession, root: String,
+                        keyCols: Seq[String]): Option[String] = {
+    val merged = readMergeOnRead(spark, root, keyCols)
+    val backup = snapshotOverwrite(spark, merged, s"$root/base",
+      s"$root/backups")
+    fsOf(spark).delete(new Path(s"$root/tombstones"), true)
+    backup
+  }
+
+  /** Per-JVM registry of merge-on-read table roots (same contract as
+    * [[compactedSnapshotFor]]: `key` uniquely identifies the input;
+    * built once per session + key): base written, then each delete batch
+    * appended as its own tombstone file. */
+  private val morTables = new graft.SessionMemo[String, String]()
+
+  def morTableFor(df: => DataFrame, deletes: Seq[DataFrame], key: String,
+                  baseDir: String =
+                    sys.props("java.io.tmpdir") + "/graft-mor"): String = {
+    val spark = df.sparkSession
+    morTables.getOrCompute(spark, key) {
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
+        java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val root = s"$baseDir/$safe"
+      fsOf(spark).delete(new Path(root), true)
+      morInit(df, root)
+      deletes.foreach(softDelete(_, root))
+      root
+    }
+  }
+
   /** Per-JVM registry of bucketed at-rest tables ([[writeBucketedTable]]
     * under a derived catalog name, built once per session + dataset key):
     * the read-side entry point for bucket-pruned lookups and zero-shuffle

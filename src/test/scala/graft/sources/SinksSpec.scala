@@ -144,6 +144,37 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.compactSnapshot(spark, target, base + "/backups") === 1)
   }
 
+  test("merge-on-read deletes: tombstones hide rows without a rewrite, " +
+    "compaction folds them, a crash-stranded tombstone is harmless") {
+    import spark.implicits._
+    val root = tmp() + "/mor"
+    Sinks.morInit((1 to 100).map(i => (i.toLong, i * 10L))
+      .toDF("k", "v"), root)
+    val baseFile = new java.io.File(root + "/base")
+    val baseMtimes = baseFile.listFiles().map(f => f.getName -> f.lastModified)
+      .toMap
+    // two delete batches -> two tombstone appends, base files untouched
+    Sinks.softDelete(Seq(3L, 7L).toDF("k"), root)
+    Sinks.softDelete(Seq(7L, 50L).toDF("k"), root) // overlap is fine
+    assert(baseFile.listFiles().map(f => f.getName -> f.lastModified).toMap
+      === baseMtimes, "soft delete must never touch the base")
+    val expect = (1 to 100).filterNot(Set(3, 7, 50)).map(_.toLong).toSet
+    def readKeys() = Sinks.readMergeOnRead(spark, root, Seq("k"))
+      .select("k").as[Long].collect().toSet
+    assert(readKeys() === expect)
+    // compaction folds tombstones into the base and clears them
+    assert(Sinks.compactTombstones(spark, root, Seq("k")).nonEmpty)
+    assert(!new java.io.File(root + "/tombstones").exists())
+    assert(readKeys() === expect)
+    // crash-stranded tombstone (compacted base, tombstones not yet
+    // cleared): re-applying is a no-op anti-join, not data loss
+    Sinks.softDelete(Seq(50L).toDF("k"), root) // 50 already gone
+    assert(readKeys() === expect)
+    // and deletes keep working after compaction
+    Sinks.softDelete(Seq(1L).toDF("k"), root)
+    assert(readKeys() === expect - 1L)
+  }
+
   test("schema evolution: appends with a new column read back merged, old rows null") {
     import spark.implicits._
     val dir = tmp() + "/t"
