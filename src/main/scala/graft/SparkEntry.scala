@@ -2149,6 +2149,23 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(edges, "u", "v")
     }),
 
+    // Synchronous weighted label propagation over the SAME memoized
+    // co-purchase projection (edge build shared with graph_triangles);
+    // deterministic (synchronous + min-label tiebreak), so the unrolled
+    // 3-iteration SQL twin replays it hash-exactly
+    "graph_communities" -> ((s, dir) => {
+      val edges = graft.operators.Graph.edgesFor(s, key = s"$dir#coparts") {
+        graft.operators.Graph.cooccurrenceEdges(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey", minShared = 3L)
+      }
+      graft.operators.Graph.labelPropagation(edges, "u", "v", "n_shared",
+        iters = 3)
+    }),
+
     // FastSS deletion-neighborhood edit-distance join: near-typo pairs
     // among customer names (ED <= 1) without the all-pairs distance
     // matrix — variants block, levenshtein confirms candidates only. The

@@ -2374,6 +2374,52 @@ private[graft] object SparkEntryOracles {
         |SELECT n.node, CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles
         |FROM nodes n LEFT JOIN t USING (node)""".stripMargin,
 
+    // LPA twin: same co-purchase edge CTEs as graph_triangles (with the
+    // shared-via count as weight), then three unrolled synchronous
+    // rounds — argmax by (weight DESC, label ASC) per node
+    "graph_communities" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS node, l_partkey AS via
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), vc AS (
+        |  SELECT via FROM cp GROUP BY via HAVING count(*) <= 1000
+        |), k AS (
+        |  SELECT cp.node, cp.via FROM cp JOIN vc USING (via)
+        |), eu AS (
+        |  SELECT a.node AS u, b.node AS v, count(*) AS w
+        |  FROM k a JOIN k b ON a.via = b.via AND a.node < b.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), e AS (
+        |  SELECT u, v, w FROM eu UNION ALL SELECT v, u, w FROM eu
+        |), l0 AS (
+        |  SELECT DISTINCT u AS node, u AS lbl FROM e
+        |), v1 AS (
+        |  SELECT e.u AS node, l.lbl, sum(e.w) AS s
+        |  FROM e JOIN l0 l ON e.v = l.node GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY s DESC, lbl ASC) AS rn FROM v1)
+        |  WHERE rn = 1
+        |), v2 AS (
+        |  SELECT e.u AS node, l.lbl, sum(e.w) AS s
+        |  FROM e JOIN l1 l ON e.v = l.node GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY s DESC, lbl ASC) AS rn FROM v2)
+        |  WHERE rn = 1
+        |), v3 AS (
+        |  SELECT e.u AS node, l.lbl, sum(e.w) AS s
+        |  FROM e JOIN l2 l ON e.v = l.node GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT node, lbl FROM (
+        |    SELECT node, lbl, row_number() OVER (
+        |      PARTITION BY node ORDER BY s DESC, lbl ASC) AS rn FROM v3)
+        |  WHERE rn = 1
+        |)
+        |SELECT node, CAST(lbl AS BIGINT) AS community FROM l3""".stripMargin,
+
     "graph_pagerank" ->
       """WITH e0 AS (
         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst

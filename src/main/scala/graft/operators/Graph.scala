@@ -76,6 +76,45 @@ object Graph {
     ranks
   }
 
+  /** Community detection by SYNCHRONOUS weighted label propagation:
+    * every node starts labeled with its own id; each round, every node
+    * simultaneously adopts the label carrying the greatest total incident
+    * edge weight among its neighbors, ties broken by the SMALLEST label.
+    * The synchronous update + total tiebreak make the result a pure
+    * function of the graph — unlike the textbook asynchronous LPA, whose
+    * output depends on visit order — so a fixed-`iters` run is replayable
+    * exactly by an unrolled SQL twin.
+    *
+    * Scale shape: per round, one edge⋈label shuffle, one (node, label)
+    * weight aggregation (map-side partial), one per-node argmax window —
+    * all keyed, label table bounded by the node count, checkpoint cadence
+    * as [[pageRankInt]]. `edges` is undirected (u, v, w) and symmetrized
+    * internally; self-loops vote for the node's own label and are
+    * normally excluded upstream. */
+  def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
+                       wCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e0 = edges.select(col(uCol).as("u"), col(vCol).as("v"),
+      col(wCol).as("w"))
+    val sym = e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint() // read every round
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (i <- 0 until iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("s").desc, col("lbl").asc)
+      labels = votes.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).select("node", "lbl")
+      if (i % 4 == 3 || i == iters - 1) labels = labels.localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Co-occurrence projection: an undirected edge (u, v) between distinct
     * `nodeCol` values that share at least `minShared` distinct `viaCol`
     * values — the standard bipartite→unipartite projection (customers

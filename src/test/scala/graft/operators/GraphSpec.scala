@@ -75,6 +75,26 @@ class GraphSpec extends SparkSpec {
     assert(got === Set((10L, 11L, 2L)))
   }
 
+  test("labelPropagation: two heavy triangles split across a weak bridge; " +
+    "deterministic under repartitioning") {
+    import spark.implicits._
+    // triangle {1,2,3} and triangle {4,5,6}, all internal edges w=5,
+    // joined by the w=1 bridge 3-4. Hand-unrolled 3 rounds converge to
+    // min-label communities 1 and 4 (the bridge vote always loses)
+    val edges = Seq(
+      (1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L),
+      (3L, 4L, 1L)).toDF("u", "v", "w").repartition(4)
+    val got = Graph.labelPropagation(edges, "u", "v", "w", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // synchronous update + total tiebreak: partitioning can't change it
+    val again = Graph.labelPropagation(edges.repartition(7), "u", "v", "w",
+      iters = 3).as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
   test("shortestPaths: BFS hops settle at first reach; cycles and fan-in are safe") {
     import spark.implicits._
     // a->b->c->d chain with a shortcut a->c (so c is 1, not 2), a cycle
