@@ -2542,6 +2542,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("_gap_us")).as("sum_gap_us"))
     }),
 
+    // Integer-exact EWMA over each user's last 16 events: weights are
+    // powers of two (newest = 2^(n-1)), numerator and denominator stay
+    // exact BIGINTs (bounded by the 16-row frame, no overflow), one
+    // truncating division at the end — time-series smoothing with zero
+    // float drift, one shuffle on the user key
+    "events_ewma" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ewmaIntWindow(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value",
+        window = 16)
+        .select("event_id", "user_id", "n", "ewma_micros")),
+
     // Conversion-lag SLA percentiles per nation: the lag table (an
     // already-oracled stage) joined to the broadcast customer dim, then
     // exact nearest-rank percentile selection per nation

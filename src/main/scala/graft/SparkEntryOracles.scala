@@ -3070,6 +3070,25 @@ private[graft] object SparkEntryOracles {
 
     // truncation twin: same empty-filtered space split, same 64-token
     // slice (DuckDB list slices are 1-based inclusive, = slice(_, 1, 64))
+    // EWMA twin: list() over the identical framed window preserves frame
+    // order in both engines; power-of-two weights and one trailing
+    // truncating division keep every intermediate an exact BIGINT
+    "events_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL
+        |), w AS (
+        |  SELECT event_id, user_id,
+        |    list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e)
+        |SELECT event_id, user_id, CAST(len(arr) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(generate_series(1, len(arr)),
+        |    j -> arr[j] * (1::BIGINT << (j - 1)))) AS BIGINT)
+        |    // ((1::BIGINT << len(arr)) - 1) AS ewma_micros
+        |FROM w""".stripMargin,
+
     // Phrase-search twin: the identical positional lambda over the same
     // empty-filtered token list (sequence bounds clamp the same way:
     // greatest(n-2, 0) vs generate_series on a possibly-negative bound

@@ -268,4 +268,39 @@ object EventAnalytics {
               |div (cast(n_ante as decimal(38,0)) * n_cons)
               |as bigint)""".stripMargin).as("lift_ppm"))
   }
+
+  /** Integer-exact exponentially-weighted moving average over each key's
+    * trailing `window` rows: weights are powers of two (newest row =
+    * 2^(n−1), n = rows in frame), so `ewma = (Σ v_j·2^(j−1)) div (2^n −
+    * 1)` — every intermediate an exact BIGINT (bounded by the frame, no
+    * overflow) and ONE truncating division at the end. Time-series
+    * smoothing with zero float drift: the result is a pure function of
+    * the frame, independent of partitioning and combine order, which is
+    * what lets an ANSI twin replay it hash-exactly (double EWMA cannot).
+    *
+    * `valueCol` is pre-quantized to micro-units (`floor(v·1e6)`); NULL
+    * values are excluded. One shuffle on the key; per-row state is the
+    * ≤`window`-element frame array. `orderCols` must totalize the
+    * per-key order. */
+  def ewmaIntWindow(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                    valueCol: String, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62, "1 <= window <= 62 (2^n in long)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-(window - 1), org.apache.spark.sql.expressions
+        .Window.currentRow)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("_vm", floor(col(valueCol) * 1000000).cast("long"))
+      .withColumn("_arr", collect_list(col("_vm")).over(w))
+      .withColumn("n", size(col("_arr")).cast("long"))
+      .withColumn("ewma_micros", expr(
+        """aggregate(
+          |  transform(sequence(1, size(_arr)),
+          |    j -> element_at(_arr, j) *
+          |         shiftleft(cast(1 as bigint), j - 1)),
+          |  cast(0 as bigint), (a, x) -> a + x)
+          |div (shiftleft(cast(1 as bigint), size(_arr)) - 1)"""
+          .stripMargin))
+      .drop("_vm", "_arr")
+  }
 }

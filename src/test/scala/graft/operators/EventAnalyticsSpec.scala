@@ -183,4 +183,24 @@ class EventAnalyticsSpec extends SparkSpec {
       ("A", "A") -> ((1L, 3L, 333333L)),
       ("B", "A") -> ((1L, 1L, 1000000L))))
   }
+
+  test("ewmaIntWindow: hand-computed power-of-two weighting, window cut, " +
+    "null exclusion") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 1L, Some(1.0)), (1L, 20L, 2L, Some(2.0)),
+      (1L, 30L, 3L, Some(4.0)),
+      (2L, 10L, 4L, None)) // null value: excluded entirely
+      .toDF("user_id", "ts", "event_id", "value").repartition(3)
+    def run(win: Int) = EventAnalytics.ewmaIntWindow(rows, "user_id",
+        Seq("ts", "event_id"), "value", window = win)
+      .select($"event_id", $"n", $"ewma_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    // full window: (1·1)/1, (1·1+2·2)/3, (1·1+2·2+4·4)/7 in micro-units
+    assert(run(16) === Set(
+      (1L, 1L, 1000000L), (2L, 2L, 1666666L), (3L, 3L, 3000000L)))
+    // window=2 drops the oldest value from the third frame: (2+4·2)/3
+    assert(run(2) === Set(
+      (1L, 1L, 1000000L), (2L, 2L, 1666666L), (3L, 2L, 3333333L)))
+  }
 }
