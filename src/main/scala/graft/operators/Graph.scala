@@ -102,17 +102,25 @@ object Graph {
     val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 0 until iters) {
-      val votes = sym
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
-        .groupBy(col("u").as("node"), col("lbl"))
-        .agg(sum(col("w")).as("s"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("s").desc, col("lbl").asc)
-      labels = votes.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).select("node", "lbl")
+      labels = lpaRound(sym, labels)
       if (i % 4 == 3 || i == iters - 1) labels = labels.localCheckpoint()
     }
     labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** One synchronous LPA round: neighbor-label weight votes, then the
+    * per-node (weight DESC, label ASC) argmax. Package-visible so the
+    * plan shape is pinnable on the live round (the iteration's trailing
+    * checkpoint collapses the public entry point's plan). */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = sym
+      .join(labels.select(col("node").as("v"), col("lbl")), "v")
+      .groupBy(col("u").as("node"), col("lbl"))
+      .agg(sum(col("w")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("s").desc, col("lbl").asc)
+    votes.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).select("node", "lbl")
   }
 
   /** Co-occurrence projection: an undirected edge (u, v) between distinct

@@ -295,4 +295,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"|items|-row marginals must broadcast:\n$plan")
   }
+
+  test("repeated spans: hot-shingle cap is a broadcast anti-join, the " +
+    "pair join is an equi join") {
+    val plan = SparkEntry.queries("text_repeated_spans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the tiny hot set must broadcast into the anti-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"position pairing must stay an equi join on the fingerprint:\n$plan")
+  }
+
+  test("phrase search is a pure scan-side pass: zero exchanges") {
+    val plan = formatted(SparkEntry.queries("text_phrase_search")(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"row-local positional lambda must not shuffle:\n$plan")
+  }
+
+  test("ewma: one shuffle on the key, frame window only") {
+    val plan = SparkEntry.queries("events_ewma")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      === 1, s"ewma is one keyed window pass:\n$plan")
+  }
+
+  test("merge-on-read: the tombstone side broadcasts into the anti-join") {
+    val plan = SparkEntry.queries("s_mor_deletes")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"small delete sets must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("label propagation round: vote aggregation combines map-side; " +
+    "no nested loop (pinned on the live round — the public entry point's " +
+    "trailing checkpoint collapses its plan)") {
+    import spark.implicits._
+    val sym = Seq((1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 2L), (3L, 2L, 2L))
+      .toDF("u", "v", "w").repartition(3)
+    val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "lbl")
+    val plan = graft.operators.Graph.lpaRound(sym, labels)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"),
+      s"per-(node,label) weight sums must combine map-side:\n$plan")
+  }
 }
