@@ -2988,7 +2988,8 @@ private[graft] object SparkEntryOracles {
         |    max(CAST(datediff('day', DATE '1970-01-01',
         |      CAST(o_orderdate AS DATE)) AS BIGINT)) AS last_day,
         |    count(*) AS frequency,
-        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
         |  FROM orders GROUP BY 1
         |), m AS (SELECT max(last_day) AS maxd FROM c),
         |b AS (
@@ -3218,7 +3219,7 @@ private[graft] object SparkEntryOracles {
       """WITH l AS (
         |  SELECT l_orderkey, min(l_shipdate) AS fs, max(l_shipdate) AS ls,
         |    count(*) AS n_lines,
-        |    sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |  FROM lineitem GROUP BY 1)
         |SELECT o_orderkey, o_orderstatus,
         |  CAST(n_lines AS BIGINT) AS n_lines, total_qty,
