@@ -2613,6 +2613,24 @@ object SparkEntry {
             .otherwise("other").as("supplier"))
         .agg(sum(col("rev_cents")).as("rev_cents"),
           count(lit(1)).as("n_suppliers"))
+    }),
+
+    // Global running revenue in (date, key) total order WITHOUT a
+    // single-partition window: the two-phase distributed prefix scan
+    // (range-sort, per-partition aggregate, driver-rolled carry-ins —
+    // bounded state = one long per partition). The sanctioned shape for
+    // any `agg OVER (ORDER BY ...)` with no PARTITION BY at 100 TB
+    "a_prefix_scan" -> ((s, dir) => {
+      val df = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate"),
+        coalesce(floor(col("o_totalprice") * 100).cast("long"), lit(0L))
+          .as("cents")) // coalesce pins NOT NULL for the scan contract
+      graft.operators.PrefixScan.runningLong(df,
+          Seq("o_orderdate", "o_orderkey"), "cents",
+          graft.operators.PrefixScan.Sum,
+          exclCol = "cum_before_cents", inclCol = "cum_cents")
+        .select(col("o_orderkey"), col("cents"),
+          col("cum_before_cents"), col("cum_cents"))
     })
   )
 

@@ -3315,6 +3315,23 @@ private[graft] object SparkEntryOracles {
         |       ELSE 'other' END AS supplier,
         |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
         |  count(*) AS n_suppliers
-        |FROM r GROUP BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // prefix-scan twin: the same total order replayed as an
+    // unpartitioned running window (fine in DuckDB at sf0.01; the Spark
+    // side deliberately avoids this single-partition shape)
+    "a_prefix_scan" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, cents,
+        |  CAST(coalesce(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_before_cents,
+        |  CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_cents
+        |FROM r""".stripMargin
   )
 }

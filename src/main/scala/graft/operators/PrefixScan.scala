@@ -31,10 +31,14 @@ object PrefixScan {
     def neutral: Long
     def combine(a: Long, b: Long): Long
   }
-  /** Running total. */
+  /** Running total. Overflow fails loudly (`Math.addExact`): a global
+    * running sum at 100 TB can exceed int64, and the codebase's
+    * integer-exactness convention (decimal(38,0) elsewhere) forbids a
+    * silent wrap. Pre-scale cents to a coarser unit upstream if the
+    * total can exceed ~9.2e18. */
   case object Sum extends Op {
     val neutral = 0L
-    def combine(a: Long, b: Long): Long = a + b
+    def combine(a: Long, b: Long): Long = Math.addExact(a, b)
   }
   /** Running maximum (identity = Long.MinValue). */
   case object Max extends Op {
@@ -63,13 +67,16 @@ object PrefixScan {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    // one shuffled, sorted RDD shared by both jobs: the shuffle files of
-    // the first job are reused by the second (Spark keeps map outputs),
-    // so "computed twice" costs a shuffle-read, not a re-sort
+    // one shuffled, sorted RDD shared by both jobs: shuffle map outputs
+    // are reused so the range shuffle is not redone, but the reduce-side
+    // SortExec re-runs in the emit pass (deterministic given the total
+    // order) — cheaper than persisting the sorted lineage at scale
     val rdd = sorted.rdd
     val idx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(idx).dataType == LongType,
       s"$valueCol must be LONG (cast upstream)")
+    require(!sorted.schema(idx).nullable,
+      s"$valueCol must be NOT NULL (filter or coalesce upstream)")
     val partAggs = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var acc = op.neutral
