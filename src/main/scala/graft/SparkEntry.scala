@@ -2631,6 +2631,64 @@ object SparkEntry {
           exclCol = "cum_before_cents", inclCol = "cum_cents")
         .select(col("o_orderkey"), col("cents"),
           col("cum_before_cents"), col("cum_cents"))
+    }),
+
+    // JSON-lines scan: orders re-encoded as JSONL once per dataset
+    // (Formats memo), read back SCHEMA-FIRST — inference would be a
+    // second full pass at 100 TB — with FAILFAST so drift errors instead
+    // of nulling. A format can't change rows: oracle replays on parquet
+    "s_json_scan" -> ((s, dir) => {
+      val path = graft.sources.Formats.layoutFor(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price_cents"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+            .as("day")),
+        "json", key = s"orders-$dir")
+      graft.sources.Formats.readJson(s, path,
+          "o_orderkey long, o_custkey long, o_orderstatus string, " +
+            "price_cents long, day long")
+        .where(col("day").between(1000, 2000))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_cents"))
+    }),
+
+    // ORC scan: lineitem re-encoded as ORC once per dataset; ORC carries
+    // min/max stats and dictionaries like parquet, and the filter reaches
+    // the scan through the same PushedFilters surface (pinned in
+    // FormatScanSpec). Oracle replays the filter on the parquet table
+    "s_orc_scan" -> ((s, dir) => {
+      val path = graft.sources.Formats.layoutFor(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+          col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_cents")),
+        "orc", key = s"lineitem-$dir")
+      graft.sources.Formats.readOrc(s, path)
+        .where(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("price_cents")), lit(0L)).as("sum_cents"))
+    }),
+
+    // DSv2 parquet scan in an isolated child session: global
+    // MIN/MAX/COUNT answered from FOOTER statistics (PushedAggregation —
+    // zero row-group reads; plan pinned in FormatScanSpec). At 100 TB
+    // this is a metadata operation vs a full scan. Footer stats are
+    // exact, so the oracle is the plain aggregate
+    "s_agg_footer_stats" -> ((s, dir) => {
+      val s2 = s.newSession() // isolated conf: v2 path + agg pushdown
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      Tables(s2, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("_mino"),
+          max(col("l_orderkey")).as("_maxo"),
+          min(col("l_quantity")).as("_minq"),
+          max(col("l_quantity")).as("_maxq"))
+        .select(col("n_rows"),
+          col("_mino").as("min_orderkey"), col("_maxo").as("max_orderkey"),
+          col("_minq").cast("long").as("min_qty"),
+          col("_maxq").cast("long").as("max_qty"))
     })
   )
 

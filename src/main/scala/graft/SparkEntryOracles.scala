@@ -3332,6 +3332,35 @@ private[graft] object SparkEntryOracles {
         |  CAST(sum(cents) OVER (ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_cents
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // JSON roundtrip twin: a format re-encode can't change rows — replay
+    // the same filter/agg on the parquet table
+    "s_json_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      BETWEEN 1000 AND 2000
+        |GROUP BY 1""".stripMargin,
+
+    // ORC roundtrip twin: same filter on the parquet table
+    "s_orc_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  coalesce(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT), 0) AS sum_cents
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,
+
+    // footer-stats twin: parquet min/max/count statistics are exact —
+    // the plain aggregate
+    "s_agg_footer_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+        |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interchange-format at-rest layouts (JSON-lines, ORC, CSV): the same
+  * "build once per dataset, query many" memo as [[Layouts]], for queries
+  * that exercise a NON-parquet scan path end-to-end.
+  *
+  * Scale notes baked into the read paths:
+  *  - JSON/CSV reads take an EXPLICIT schema — schema inference is a
+  *    full extra pass over the data (at 100 TB, a second 100 TB scan)
+  *    and is never acceptable in a pipeline; the schema is a contract.
+  *  - ORC carries column statistics and dictionary pages like parquet;
+  *    predicate pushdown works through the same `PushedFilters` surface
+  *    (pinned in `FormatScanSpec`).
+  *  - Layouts only re-encode rows — a format can never change query
+  *    results, so every query over these paths oracles against the
+  *    plain parquet table.
+  */
+object Formats {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `df` once per (`format`, `key`) under the JVM tmpdir and
+    * return the path; later calls reuse the files verbatim. `df` is
+    * by-name — not evaluated on a memo hit. */
+  def layoutFor(df: => DataFrame, format: String, key: String,
+                options: Map[String, String] = Map.empty): String = {
+    val full = s"$format:$key"
+    built.computeIfAbsent(full, { _ =>
+      val safe = full.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
+        "-" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(full))
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft-formats/$safe"
+      df.write.mode("overwrite").options(options).format(format).save(path)
+      path
+    })
+  }
+
+  /** Schema-first JSON-lines read: `schemaDdl` is the contract (no
+    * inference pass), `FAILFAST` surfaces any drift as an error instead
+    * of silent nulls. */
+  def readJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).option("mode", "FAILFAST").json(path)
+
+  /** ORC read — pushdown/pruning flow through the standard scan surface. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}

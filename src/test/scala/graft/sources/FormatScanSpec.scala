@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Non-parquet scan paths: the format roundtrips must be lossless AND
+  * keep the scan-side scale properties (pushdown, no inference pass). */
+class FormatScanSpec extends SparkSpec {
+
+  test("json roundtrip is lossless vs the parquet-side computation") {
+    val viaJson = SparkEntry.queries("s_json_scan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val direct = Tables(spark, sfDir, "orders")
+      .where(datediff(col("o_orderdate"), lit("1992-01-01"))
+        .between(1000, 2000))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(viaJson.nonEmpty && viaJson.toSeq === direct.toSeq)
+  }
+
+  test("json read is schema-first (no inference job) and FAILFAST on drift") {
+    import spark.implicits._
+    val path = Formats.layoutFor(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "json", key = "drift-fixture")
+    // contract schema reads clean
+    val ok = Formats.readJson(spark, path, "k long, v string")
+    assert(ok.schema.map(_.name) === Seq("k", "v")) // no inference pass ran
+    assert(ok.count() === 2L)
+    // a type-drifted contract fails loudly instead of nulling
+    val bad = Formats.readJson(spark, path, "k timestamp, v long")
+    intercept[Throwable] { bad.collect() }
+  }
+
+  test("orc scan pushes the filter (PushedFilters) and matches parquet") {
+    val df = SparkEntry.queries("s_orc_scan")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_returnflag"), plan)
+    val Array(row) = df.collect()
+    val direct = Tables(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .agg(count(lit(1)),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")))
+      .collect()(0)
+    assert(row.getLong(0) === direct.getLong(0))
+    assert(row.getLong(1) === direct.getLong(1))
+  }
+
+  test("footer-stats aggregate is answered by PushedAggregation, exactly") {
+    val df = SparkEntry.queries("s_agg_footer_stats")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedAggregation"), plan)
+    val Array(row) = df.collect()
+    val direct = Tables(spark, sfDir, "lineitem")
+      .agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"),
+        min("l_quantity"), max("l_quantity")).collect()(0)
+    assert(row.getLong(0) === direct.getLong(0))
+    assert(row.getLong(1) === direct.getLong(1))
+    assert(row.getLong(2) === direct.getLong(2))
+    assert(row.getLong(3) === direct.getDouble(3).toLong)
+    assert(row.getLong(4) === direct.getDouble(4).toLong)
+  }
+}
