@@ -968,7 +968,8 @@ object SparkEntry {
       Dedup.incrementalVerdict(
         docs.where(pmod(col("doc_id"), lit(10)) >= 8),
         docs.where(pmod(col("doc_id"), lit(10)) < 8),
-        "doc_id", "text", k = 2, minJaccard = 0.8)
+        "doc_id", "text", k = 2, minJaccard = 0.8,
+        refKey = Some(s"$dir#incr-ref"))
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -2129,7 +2130,8 @@ object SparkEntry {
           .localCheckpoint() // symmetrizing union reads it twice
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       }
-      graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3)
+      graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3,
+        memoKey = Some(s"$dir#purchases"))
     }),
 
     // Per-customer triangle counts over the co-purchase similarity graph

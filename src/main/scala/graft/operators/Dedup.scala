@@ -265,6 +265,14 @@ object Dedup {
   private val pairsCache =
     new graft.SessionMemo[(String, Int, Double), DataFrame]()
 
+  /** Per-JVM cache of REFERENCE-corpus PPJoin indexes for the
+    * incremental (cross-corpus) path: the reference side's shingle sets,
+    * its document-frequency table and its positional prefix rows, keyed
+    * by (dataset key, k). Built once per corpus generation, probed by
+    * every arriving batch. */
+  private val refIndexCache =
+    new graft.SessionMemo[(String, Int), (DataFrame, DataFrame, DataFrame)]()
+
   def ngramPairsFor(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minJaccard: Double, key: String): DataFrame =
     pairsCache.getOrCompute(docs.sparkSession, (key, k, minJaccard))(
@@ -612,47 +620,71 @@ object Dedup {
   def crossCorpusPairs(newDocs: DataFrame, refDocs: DataFrame,
                        idCol: String, textCol: String, k: Int,
                        minJaccard: Double,
-                       maxBucket: Int = 10000): DataFrame = {
+                       maxBucket: Int = 10000,
+                       refKey: Option[String] = None): DataFrame = {
     def sets(d: DataFrame) = d
       .select(col(idCol).as("doc"),
         sort_array(shingleHashes(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
-    // both sides are read twice (prefixing + verify join) — materialize
+    // the new side is read twice (prefixing + verify join) — materialize
     val nSets = sets(newDocs).localCheckpoint()
-    val rSets = sets(refDocs).localCheckpoint()
-    val dfTab = rSets.select(explode(col("sh")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    // ONE prefix pipeline over both corpora (side rides as a tag): the
-    // explode, df join and per-doc sort aggregation each run once instead
-    // of once per side — one shuffle round saved, identical output
-    val tagged = nSets.select(col("doc"), col("sh"), lit("n").as("side"))
-      .unionByName(rSets.select(col("doc"), col("sh"), lit("r").as("side")))
-    val ordered = tagged
-      .select(col("doc"), col("side"), explode(col("sh")).as("h"))
-      .join(dfTab, Seq("h"), "left_outer")
-      .select(col("doc"), col("side"),
-        struct(coalesce(col("df"), lit(0L)).as("df"), col("h").as("h"))
-          .as("e"))
-      .groupBy("doc", "side")
-      .agg(sort_array(collect_list(col("e"))).as("es"),
-        count(lit(1)).as("n"))
     val prefixLen =
       (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
-    val both = ordered.select(col("doc"), col("n"), col("side"),
-      posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
+    // explode → df join → per-doc (df, hash) sort → positional prefix
+    // rows. The df table always comes from the REFERENCE side
+    def prefixRows(s: DataFrame, dfTab: DataFrame) = s
+      .select(col("doc"), explode(col("sh")).as("h"))
+      .join(dfTab, Seq("h"), "left_outer")
+      .select(col("doc"),
+        struct(coalesce(col("df"), lit(0L)).as("df"), col("h").as("h"))
+          .as("e"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+        count(lit(1)).as("n"))
+      .select(col("doc"), col("n"),
+        posexplode(slice(col("es"), lit(1), prefixLen)).as(Seq("pos", "p")))
+    // the reference side IS the once-per-corpus-generation index the
+    // scaladoc describes: with `refKey` (same dataset-key contract as
+    // [[shingleGroupsFor]]) its shingle sets, df table AND prefix rows
+    // are built at most once per dataset — an arriving batch pays only
+    // its own (small) side of the pipeline plus the shared bucket join
+    val (rSets, dfTab, refPrefix) = refKey match {
+      case Some(key) =>
+        refIndexCache.getOrCompute(refDocs.sparkSession, (key, k)) {
+          val r = sets(refDocs).localCheckpoint()
+          val d = r.select(explode(col("sh")).as("h"))
+            .groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
+          (r, d, prefixRows(r, d).localCheckpoint())
+        }
+      case None =>
+        val r = sets(refDocs).localCheckpoint()
+        val d = r.select(explode(col("sh")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        (r, d, prefixRows(r, d))
+    }
+    // hot-prefix guard on the REFERENCE bucket alone (the side that
+    // dominates bucket size): prefix shingles whose ref bucket exceeds
+    // maxBucket are dropped from candidate generation, the drop counted
+    // observably — the same recall trade as the symmetric capBuckets
+    val refCounts = refPrefix.groupBy("p").agg(count(lit(1)).as("_c"))
+      .observe("xcorpus_prefix_buckets",
+        sum(when(col("_c") > maxBucket, 1L).otherwise(0L))
+          .as("dropped_buckets"))
+    val hotP = refCounts.where(col("_c") > maxBucket).select("p")
+    // candidates: a cross-side EQUI-JOIN on the prefix entry — no
+    // collect_list buckets, no re-shuffle of the (cached) reference
+    // rows into bucket arrays; the arriving batch is the small side and
+    // broadcasts under AQE. The PPJoin positional filter rides as the
+    // join residual
     val alphaFactor = minJaccard / (1.0 + minJaccard)
-    val cand = capBuckets(
-      both.groupBy("p")
-        .agg(collect_list(struct(col("doc"), col("n"), col("pos"),
-          col("side"))).as("ms"))
-        .where(size(col("ms")) > 1),
-      maxBucket, "xcorpus_prefix_buckets")
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .where(col("a.side") === "n" && col("b.side") === "r" &&
-        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
-          ceil(lit(alphaFactor) * (col("a.n") + col("b.n"))))
-      .select(col("a.doc").as("new_id"), col("b.doc").as("ref_id"))
+    val cand = prefixRows(nSets, dfTab)
+      .join(broadcast(hotP), Seq("p"), "left_anti")
+      .join(refPrefix.join(broadcast(hotP), Seq("p"), "left_anti")
+        .select(col("p"), col("doc").as("ref_id"), col("n").as("rn"),
+          col("pos").as("rpos")), "p")
+      .where(least(col("n") - col("pos"), col("rn") - col("rpos")) >=
+        ceil(lit(alphaFactor) * (col("n") + col("rn"))))
+      .select(col("doc").as("new_id"), col("ref_id"))
       .distinct()
     cand
       .join(nSets.select(col("doc").as("new_id"), col("sh").as("sh_n")),
@@ -677,9 +709,10 @@ object Dedup {
     * is the audit trail, mirroring [[Decontamination.contaminationVerdict]]. */
   def incrementalVerdict(newDocs: DataFrame, refDocs: DataFrame,
                          idCol: String, textCol: String, k: Int,
-                         minJaccard: Double): DataFrame = {
+                         minJaccard: Double,
+                         refKey: Option[String] = None): DataFrame = {
     val matches = crossCorpusPairs(newDocs, refDocs, idCol, textCol, k,
-      minJaccard)
+      minJaccard, refKey = refKey)
       .groupBy("new_id").agg(count(lit(1)).as("m"))
     newDocs.select(col(idCol).as("new_id"))
       .join(matches, Seq("new_id"), "left_outer")

@@ -866,6 +866,10 @@ object TextAnalysis {
            |    substr(md5(concat_ws(' ', slice(_toks, i, $k))), 1, 16)
            |      AS sh))""".stripMargin)).as("e"))
       .select(col("doc"), col("e.pos").as("pos"), col("e.sh").as("sh"))
+      // the tokenize + per-position md5 explode is the expensive scan;
+      // unmaterialized it re-runs for the hot-df agg AND each side of the
+      // self-join (3x). Checkpoint once — the downstream passes are cheap
+      .localCheckpoint()
     // hot-shingle cap: the >maxDf fingerprint set is small by definition
     // of "hot" — broadcast it and anti-join, so the big positional table
     // shuffles once (into the pair join), not twice
