@@ -982,6 +982,16 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
+    // Portable-hash twins of the two signature machines (md5-derived
+    // integers both engines compute identically): the simhash/minhash
+    // MATH gets a full hash oracle that the xxhash64 fingerprints can't
+    "dedup_simhash_md5" -> ((s, dir) =>
+      Dedup.simhashMd5Signatures(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashMd5Signatures(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, numHashes = 32)),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),

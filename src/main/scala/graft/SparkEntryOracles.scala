@@ -3353,6 +3353,55 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,
 
+    // simhash-md5 twin: vote sums and bit packing generated from the
+    // same loop bounds as the Spark plan; md5 is the shared hash
+    "dedup_simhash_md5" -> {
+      val bits = 60
+      val votes = (0 until bits).map(i =>
+        s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n    ")
+      val pack = (0 until bits).map(i =>
+        s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+        .mkString(" +\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+         |  FROM toks WHERE t != ''
+         |), v AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($pack AS BIGINT) AS simhash60 FROM v"""
+        .stripMargin
+    },
+
+    // minhash-md5 twin: the (a, b) constants come from the SAME Scala
+    // generator the Spark plan uses — the literals can't drift
+    "dedup_minhash_md5" -> {
+      val mins = graft.operators.Dedup.minhashMd5Consts(32).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"CAST(min((h * $a + $b) % 2147483647) AS BIGINT) AS m$i" }
+        .mkString(",\n    ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))) AS s
+         |  FROM toks WHERE len(t) >= 2
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+         |  FROM sh)
+         |SELECT doc_id,
+         |  $mins
+         |FROM h GROUP BY 1""".stripMargin
+    },
+
     // footer-stats twin: parquet min/max/count statistics are exact —
     // the plain aggregate
     "s_agg_footer_stats" ->

@@ -428,6 +428,69 @@ object Dedup {
           org.apache.spark.sql.GraftBridge.expression(tokens(col(textCol)))))
         .as("simhash"))
 
+  /** PORTABLE-hash SimHash signatures — the oracle twin of [[simhash]]'s
+    * xxhash64 machinery, with the per-token hash swapped for the first 60
+    * bits of md5 (a hash both Spark and the SQL oracle compute
+    * identically, the `text_fingerprints_md5` pattern): token → 60-bit
+    * integer, signed bit votes, sign bits packed into one long. Same
+    * zero-shuffle scale shape per document (one explode + one grouped
+    * integer aggregation); exists so the simhash MATH gets a full hash
+    * oracle, which the engine-specific fingerprint can't. Ties (vote sum
+    * 0) resolve to bit 0. Docs with no tokens are absent. */
+  def simhashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
+                           bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, "md5 prefix provides up to 60 bits")
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$i"))
+    toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash60"))
+  }
+
+  /** Deterministic universal-hash constants for [[minhashMd5Signatures]]:
+    * (a_i, b_i) for h_i(x) = (a_i·x + b_i) mod p with p = 2^31 − 1. One
+    * generator feeds BOTH the Spark plan and the SQL oracle's literals,
+    * so the two can never drift. a_i is forced nonzero. */
+  def minhashMd5Consts(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      val a = ((2L * i + 1L) * 2654435761L) % 2147483647L
+      val b = (i.toLong * 40503L * 65537L + 17L) % 2147483647L
+      (if (a == 0L) 1L else a, b)
+    }
+
+  /** PORTABLE-hash MinHash signatures (wide: m0..m{n−1} per document):
+    * distinct word-k-shingles → 28-bit md5-prefix integers → n
+    * independent (a·x + b) mod p minima. All arithmetic stays below 2^59
+    * (28-bit base × 31-bit a), exact in int64 on both engines — the
+    * oracle twin of the xxhash64 [[GraftFunctions.minhashSignature]].
+    * Scale shape: one explode + one n-column min aggregation, no
+    * shuffle beyond the doc-key agg. Docs with < k tokens are absent. */
+  def minhashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 2, numHashes: Int = 32): DataFrame = {
+    val p = 2147483647L
+    val sh = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h"))
+    val minCols = minhashMd5Consts(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((col("h") * lit(a) + lit(b)) % lit(p)).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
     * using the standard pigeonhole blocking: split the 64-bit fingerprint
     * into `maxHamming + 1` chunks — any pair within distance d agrees on at

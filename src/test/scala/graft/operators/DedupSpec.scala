@@ -259,4 +259,41 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === brute)
   }
+
+  test("md5 signature twins match a local recompute of the same formulas") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "Alpha  Beta GAMMA"),
+      (3L, "delta epsilon zeta eta"), (4L, ""), (5L, "solo"))
+      .toDF("doc_id", "text").repartition(3)
+    // simhash: 60-bit md5 prefix per token, signed votes, sign packing
+    def simhashLocal(toks: Seq[String]): Long = {
+      val hs = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(15), 16))
+      (0 until 60).map { i =>
+        val v = hs.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) 1L << i else 0L
+      }.sum
+    }
+    val sim = Dedup.simhashMd5Signatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sim(1L) === simhashLocal(Seq("alpha", "beta", "gamma")))
+    assert(sim(1L) === sim(2L)) // normalization: lower + whitespace split
+    assert(sim(3L) === simhashLocal(Seq("delta", "epsilon", "zeta", "eta")))
+    assert(sim(5L) === simhashLocal(Seq("solo")))
+    assert(!sim.contains(4L)) // no tokens -> absent
+    // minhash: 28-bit md5 prefix per distinct 2-shingle, (a·x+b) mod p mins
+    val consts = Dedup.minhashMd5Consts(32)
+    def minhashLocal(shingles: Seq[String]): Seq[Long] = {
+      val hs = shingles.map(s => java.lang.Long.parseLong(md5hex(s).take(7), 16))
+      consts.map { case (a, b) => hs.map(x => (x * a + b) % 2147483647L).min }
+    }
+    val mh = Dedup.minhashMd5Signatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((1 to 32).map(mh(1L).getLong) ===
+      minhashLocal(Seq("alpha beta", "beta gamma")))
+    assert((1 to 32).map(mh(3L).getLong) ===
+      minhashLocal(Seq("delta epsilon", "epsilon zeta", "zeta eta")))
+    assert(!mh.contains(5L)) // < k tokens -> absent
+  }
 }
