@@ -2682,6 +2682,21 @@ object SparkEntry {
           coalesce(sum(col("price_cents")), lit(0L)).as("sum_cents"))
     }),
 
+    // Top-2 priciest line items per order through the CUSTOM planner
+    // strategy (TopKPerKeyPlan/Exec, injected via SparkSessionExtensions
+    // — the whole-operator extension tier): map-side partial top-k
+    // bounds the shuffle to k rows per key per partition instead of
+    // every row, and no per-group full sort runs anywhere. Oracle
+    // replays as the rank window it replaces
+    "o_topk_per_key" -> ((s, dir) =>
+      org.apache.spark.sql.graft.TopKPerKeyOps.topKPerKey(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents")),
+        keyCols = Seq("l_orderkey"),
+        orderCols = Seq(("price_cents", false), ("l_linenumber", true)),
+        k = 2)),
+
     // DSv2 parquet scan in an isolated child session: global
     // MIN/MAX/COUNT answered from FOOTER statistics (PushedAggregation —
     // zero row-group reads; plan pinned in FormatScanSpec). At 100 TB

@@ -3402,6 +3402,18 @@ private[graft] object SparkEntryOracles {
          |FROM h GROUP BY 1""".stripMargin
     },
 
+    // top-k-per-key twin: the rank window the custom operator replaces
+    "o_topk_per_key" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+        |        l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, price_cents
+        |FROM r WHERE rn <= 2""".stripMargin,
+
     // footer-stats twin: parquet min/max/count statistics are exact —
     // the plain aggregate
     "s_agg_footer_stats" ->

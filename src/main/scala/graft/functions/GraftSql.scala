@@ -111,7 +111,7 @@ object GraftSql {
   /** Same functions via [[org.apache.spark.sql.SparkSessionExtensions]] —
     * for deployments that configure `spark.sql.extensions=graft.functions
     * .GraftExtensions` instead of calling [[register]] per session. */
-  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     builders.foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -119,6 +119,11 @@ object GraftSql {
           "graft.functions.GraftSql", name),
         b))
     }
+    // whole-operator extension tier: the map-side-partial top-k-per-key
+    // planner strategy (org.apache.spark.sql.graft.TopKPerKey*)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.TopKPerKeyStrategy)
+  }
 }
 
 /** `spark.sql.extensions` entry point (instantiated by Spark). */

@@ -1,0 +1,132 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Top-k rows per key with MAP-SIDE PARTIAL PRUNING — the whole-operator
+  * extension tier: a custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * registered through `SparkSessionExtensions` (see
+  * [[graft.functions.GraftSql.injectInto]]).
+  *
+  * Why built-ins can't express it: the standard `row_number() OVER
+  * (PARTITION BY key ORDER BY ...) <= k` shuffles EVERY row to its key's
+  * reducer and sorts whole groups, even though all but k rows per group
+  * are discarded. This operator keeps a bounded k-row buffer per key in
+  * each input partition (the same partial/final split as
+  * `HashAggregate`), so the shuffle moves at most `k × keys-per-partition`
+  * rows — at 100 TB with k=3 over billions of fact rows, orders of
+  * magnitude less shuffle volume, and no per-group full sort anywhere.
+  *
+  * Semantics: the k smallest rows per key group under `sortOrder` (pass a
+  * descending order for "top by largest"); `sortOrder` should be a TOTAL
+  * order (include a tiebreak) for deterministic output. Rows are emitted
+  * unchanged (`output = child.output`). Executor memory per task is
+  * bounded by `k × distinct keys in the partition` — the operator targets
+  * small k (ranking shortlists), not large-k selection. */
+case class TopKPerKeyPlan(keyExprs: Seq[Expression],
+                          sortOrder: Seq[SortOrder], k: Int,
+                          child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "k >= 1")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+    : TopKPerKeyPlan = copy(child = newChild)
+}
+
+/** Physical operator: partial per-partition top-k → hash shuffle on the
+  * key → final per-key merge. The shuffle carries (key, row) pairs with
+  * `UnsafeRow` keys (byte-wise hashCode/equals, stable across tasks). */
+case class TopKPerKeyExec(keyExprs: Seq[Expression],
+                          sortOrder: Seq[SortOrder], k: Int,
+                          child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: SparkPlan)
+    : TopKPerKeyExec = copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keys = keyExprs
+    val order = sortOrder
+    val kk = k
+    // bounded insertion into a sorted buffer: O(k) per row, fine for the
+    // small-k shortlist regime this operator targets
+    def topKPartition(it: Iterator[InternalRow])
+      : Iterator[(UnsafeRow, UnsafeRow)] = {
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val rowProj = UnsafeProjection.create(
+        childOutput.map(_.asInstanceOf[Expression]), childOutput)
+      val ord = RowOrdering.create(order, childOutput)
+      val m = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
+      it.foreach { row =>
+        val key = keyProj(row)
+        var buf = m.get(key)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](kk + 1)
+          m.put(key.copy(), buf)
+        }
+        if (buf.length < kk || ord.lt(row, buf.last)) {
+          val copy = rowProj(row).copy()
+          val at = buf.indexWhere(b => ord.lt(copy, b))
+          if (at < 0) buf.append(copy) else buf.insert(at, copy)
+          if (buf.length > kk) buf.remove(kk)
+        }
+      }
+      val entries = m.entrySet().iterator()
+      new Iterator[(UnsafeRow, UnsafeRow)] {
+        private var cur: Iterator[(UnsafeRow, UnsafeRow)] = Iterator.empty
+        def hasNext: Boolean = cur.hasNext || {
+          while (!cur.hasNext && entries.hasNext) {
+            val e = entries.next()
+            cur = e.getValue.iterator.map(r => (e.getKey, r))
+          }
+          cur.hasNext
+        }
+        def next(): (UnsafeRow, UnsafeRow) = { hasNext; cur.next() }
+      }
+    }
+    val numParts = math.max(1,
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS))
+    child.execute()
+      .mapPartitions(topKPartition) // partial: ≤ k rows per key per task
+      .partitionBy(new HashPartitioner(numParts))
+      .mapPartitions { it => // final: merge the partials per key
+        topKPartition(it.map(_._2)).map(_._2.asInstanceOf[InternalRow])
+      }
+  }
+}
+
+/** Planner strategy mapping the logical node to its exec — injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame-level builder: resolves key/order columns by name against the
+  * analyzed child so the custom node enters the analyzer fully resolved. */
+object TopKPerKeyOps {
+  /** `orderCols` as (name, ascending); k smallest under that order per
+    * distinct `keyCols` tuple. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+                 orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name)}"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending) }
+    classic.Dataset.ofRows(spark,
+      TopKPerKeyPlan(keyCols.map(attr), order, k, analyzed))
+  }
+}

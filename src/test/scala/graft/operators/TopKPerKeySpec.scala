@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKPerKeyOps.topKPerKey
+
+/** The custom planner-strategy operator: map-side-partial top-k per key
+  * must equal the row_number-window formulation on any input, while
+  * planning through TopKPerKeyExec (never a full-row shuffle + sort). */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("equals the window formulation on skewed data with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      val key = if (i % 10 < 7) "hot" else s"k${rnd.nextInt(50)}" // skew
+      (key, rnd.nextInt(40).toLong, i.toLong) // heavy ties in v
+    }
+    val df = rows.toDF("key", "v", "id").repartition(13)
+    val got = topKPerKey(df, Seq("key"),
+      Seq(("v", true), ("id", true)), k = 3)
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").asc, col("id").asc)
+    val expect = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 3).drop("_rn")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("descending order selects the largest; groups smaller than k survive whole") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 3L), ("b", 9L))
+      .toDF("key", "v").repartition(4)
+    val got = topKPerKey(df, Seq("key"), Seq(("v", false)), k = 2)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 5L), ("a", 3L), ("b", 9L)))
+  }
+
+  test("plans through TopKPerKeyExec and works on an empty input") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("key", "v")
+    val plan = topKPerKey(df, Seq("key"), Seq(("v", true)), k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan) // nodeName strips "Exec"
+    assert(!plan.toLowerCase.contains("window"), plan)
+    val empty = Seq.empty[(String, Long)].toDF("key", "v")
+    assert(topKPerKey(empty, Seq("key"), Seq(("v", true)), 2).count() === 0L)
+  }
+
+  test("unknown column fails loudly; k >= 1 enforced") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("key", "v")
+    intercept[IllegalArgumentException] {
+      topKPerKey(df, Seq("nope"), Seq(("v", true)), 1)
+    }
+    intercept[IllegalArgumentException] {
+      topKPerKey(df, Seq("key"), Seq(("v", true)), 0)
+    }
+  }
+}
