@@ -2682,6 +2682,22 @@ object SparkEntry {
           coalesce(sum(col("price_cents")), lit(0L)).as("sum_cents"))
     }),
 
+    // Native session windows (Spark's SessionWindowing operator, the
+    // same merge semantics Structured Streaming uses): per-user sessions
+    // with a 30-minute inactivity gap — window end = last event + gap,
+    // a new session starts when the gap is REACHED (>=). One keyed
+    // shuffle; the oracle replays gaps-and-islands in SQL
+    "events_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("n_types"))),
+
     // Top-2 priciest line items per order through the CUSTOM planner
     // strategy (TopKPerKeyPlan/Exec, injected via SparkSessionExtensions
     // — the whole-operator extension tier): map-side partial top-k

@@ -3402,6 +3402,35 @@ private[graft] object SparkEntryOracles {
          |FROM h GROUP BY 1""".stripMargin
     },
 
+    // session-window twin: gaps-and-islands — a session breaks when the
+    // inter-event gap REACHES 30 minutes (Spark's window end is
+    // exclusive: an event exactly at end starts a new session)
+    "events_session_window" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) AS tus FROM events
+        |), f AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |           IS NULL
+        |         OR tus - lag(tus) OVER (PARTITION BY user_id
+        |           ORDER BY tus) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM d
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT e.user_id,
+        |  CAST(min(e.tus) AS BIGINT) AS session_start_us,
+        |  CAST(max(e.tus) + 1800000000 AS BIGINT) AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        |FROM (SELECT user_id, epoch_us(ts) AS tus, event_type
+        |      FROM events) e
+        |JOIN s ON e.user_id = s.user_id AND e.tus = s.tus
+        |GROUP BY e.user_id, s.sid""".stripMargin,
+
     // top-k-per-key twin: the rank window the custom operator replaces
     "o_topk_per_key" ->
       """WITH r AS (
