@@ -120,9 +120,12 @@ object GraftSql {
         b))
     }
     // whole-operator extension tier: the map-side-partial top-k-per-key
-    // planner strategy (org.apache.spark.sql.graft.TopKPerKey*)
+    // planner strategy (org.apache.spark.sql.graft.TopKPerKey*), plus
+    // the OPT-IN optimizer rule rewriting row_number()<=k windows to it
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graft.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.TopKWindowRewrite)
   }
 }
 

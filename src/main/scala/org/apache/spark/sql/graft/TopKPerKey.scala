@@ -111,6 +111,50 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** OPT-IN optimizer rule (`spark.graft.topkRewrite.enabled`, default
+  * false): rewrites the canonical shortlist pattern
+  * `withColumn(rn, row_number over (partition key order o)).where(rn <=
+  * k).drop(rn)` into [[TopKPerKeyPlan]] — the rank window's
+  * shuffle-everything plan becomes the map-side-partial operator with no
+  * query change. Injected via `injectOptimizerRule`.
+  *
+  * Opt-in because the engine cannot prove the window order total: under
+  * ties BOTH formulations return an arbitrary valid shortlist, but not
+  * necessarily the SAME one — a caller relying on a partial order's
+  * incidental tie choice would see different (equally valid) rows. */
+object TopKWindowRewrite
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def kOf(cond: Expression,
+                  rn: AttributeSet): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if rn.contains(a) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if rn.contains(a) => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.topkRewrite.enabled", "false")
+        .toBoolean) plan
+    else plan.transformUp {
+      case Project(projList, Filter(cond,
+          w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), _)),
+            part, order, child, _)))
+        if kOf(cond, w.windowOutputSet).exists(_ >= 1) &&
+          projList.forall(_.isInstanceOf[Attribute]) &&
+          AttributeSet(projList).subsetOf(child.outputSet) &&
+          part.nonEmpty =>
+        Project(projList,
+          TopKPerKeyPlan(part, order, kOf(cond, w.windowOutputSet).get,
+            child))
+    }
+}
+
 /** DataFrame-level builder: resolves key/order columns by name against the
   * analyzed child so the custom node enters the analyzer fully resolved. */
 object TopKPerKeyOps {

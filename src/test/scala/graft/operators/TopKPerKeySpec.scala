@@ -48,6 +48,27 @@ class TopKPerKeySpec extends SparkSpec {
     assert(topKPerKey(empty, Seq("key"), Seq(("v", true)), 2).count() === 0L)
   }
 
+  test("opt-in optimizer rule rewrites row_number<=k into TopKPerKey") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"k${i % 40}", (i * 7 % 100).toLong,
+      i.toLong)).toDF("key", "v", "id").repartition(7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").asc, col("id").asc)
+    def shortlist() = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 2).drop("_rn")
+    val before = shortlist().queryExecution.executedPlan.toString
+    assert(!before.contains("TopKPerKey"), before) // default: off
+    val expect = shortlist().as[(String, Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    try {
+      val rewritten = shortlist()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(!plan.toLowerCase.contains("window"), plan)
+      assert(rewritten.as[(String, Long, Long)].collect().toSet === expect)
+    } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
+  }
+
   test("unknown column fails loudly; k >= 1 enforced") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("key", "v")
