@@ -62,6 +62,24 @@ object EventStreams {
                   horizon: String = "1 hour"): DataFrame =
     events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(idCol)
 
+  /** NATIVE session windows on the stream: Spark's `session_window`
+    * aggregation with a watermark — the engine merges/extends window
+    * state per key and FINALIZES a session once the watermark passes its
+    * end, so state is bounded by the active-session set (no custom state
+    * code). Works identically on a batch frame (the oracled registry
+    * twin is `events_session_window`); streaming == batch is pinned in
+    * `EventStreamsSpec`. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

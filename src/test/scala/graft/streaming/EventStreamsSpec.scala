@@ -313,4 +313,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, 1L, 0.0)))
     assert(got.contains((2L, 1L, 0.0)))
   }
+
+  test("native session_window stream matches the oracled batch twin on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .select($"ts", $"user_id").cache()
+    val stream = MemoryStream[(Timestamp, Long)]
+    stream.addData(events.as[(Timestamp, Long)].collect().toIndexedSeq)
+    val q = EventStreams.sessionWindowCounts(
+        stream.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("native_sess")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("native_sess")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the oracled registry query computes n_types too; project it away
+    val batch = graft.SparkEntry.queries("events_session_window")(
+        spark, sfDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // watermark-FINALIZED streaming sessions are exactly batch sessions;
+    // only the stream tail (watermark never passed it) may be missing
+    assert(streamed.subsetOf(batch))
+    assert((batch -- streamed).size < batch.size / 10)
+  }
 }
