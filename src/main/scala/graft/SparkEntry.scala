@@ -20,6 +20,9 @@ import graft.operators.{Dedup, GroupedMode, LinkAlign, Multimodal, Similarity, T
   */
 object SparkEntry {
 
+  /** Memoized isolated child sessions (see `s_agg_footer_stats`). */
+  private val v2Sessions = new SessionMemo[String, SparkSession]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -2719,9 +2722,14 @@ object SparkEntry {
     // this is a metadata operation vs a full scan. Footer stats are
     // exact, so the oracle is the plain aggregate
     "s_agg_footer_stats" -> ((s, dir) => {
-      val s2 = s.newSession() // isolated conf: v2 path + agg pushdown
-      s2.conf.set("spark.sql.sources.useV1SourceList", "")
-      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // isolated child session (v2 path + agg pushdown), memoized per
+      // parent so repeated invocations don't accumulate session state
+      val s2 = SparkEntry.v2Sessions.getOrCompute(s, "v2-agg-pushdown") {
+        val child = s.newSession()
+        child.conf.set("spark.sql.sources.useV1SourceList", "")
+        child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        child
+      }
       Tables(s2, dir, "lineitem")
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_orderkey")).as("_mino"),

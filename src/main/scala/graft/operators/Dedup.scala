@@ -267,11 +267,15 @@ object Dedup {
 
   /** Per-JVM cache of REFERENCE-corpus PPJoin indexes for the
     * incremental (cross-corpus) path: the reference side's shingle sets,
-    * its document-frequency table and its positional prefix rows, keyed
-    * by (dataset key, k). Built once per corpus generation, probed by
-    * every arriving batch. */
+    * its document-frequency table and its positional prefix rows. Keyed
+    * by (dataset key, k, minJaccard) — the prefix LENGTH depends on the
+    * threshold, so a lower-threshold query must never probe a
+    * higher-threshold (shorter) prefix index: that would silently drop
+    * pairs whose only shared shingle sits in the truncated tail. Built
+    * once per (corpus generation, threshold), probed by every batch. */
   private val refIndexCache =
-    new graft.SessionMemo[(String, Int), (DataFrame, DataFrame, DataFrame)]()
+    new graft.SessionMemo[(String, Int, Double),
+      (DataFrame, DataFrame, DataFrame)]()
 
   def ngramPairsFor(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minJaccard: Double, key: String): DataFrame =
@@ -713,34 +717,47 @@ object Dedup {
     // its own (small) side of the pipeline plus the shared bucket join
     val (rSets, dfTab, refPrefix) = refKey match {
       case Some(key) =>
-        refIndexCache.getOrCompute(refDocs.sparkSession, (key, k)) {
+        refIndexCache.getOrCompute(refDocs.sparkSession,
+            (key, k, minJaccard)) {
           val r = sets(refDocs).localCheckpoint()
           val d = r.select(explode(col("sh")).as("h"))
             .groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
           (r, d, prefixRows(r, d).localCheckpoint())
         }
       case None =>
+        // uncached path (e.g. a per-micro-batch growing corpus): the df
+        // table feeds BOTH sides' prefix pipelines and the ref prefix is
+        // consumed twice (hot counts + join) — materialize both, same as
+        // the cached branch, or each reference pass recomputes 2-3x
         val r = sets(refDocs).localCheckpoint()
         val d = r.select(explode(col("sh")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("df"))
-        (r, d, prefixRows(r, d))
+          .groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
+        (r, d, prefixRows(r, d).localCheckpoint())
     }
-    // hot-prefix guard on the REFERENCE bucket alone (the side that
-    // dominates bucket size): prefix shingles whose ref bucket exceeds
-    // maxBucket are dropped from candidate generation, the drop counted
-    // observably — the same recall trade as the symmetric capBuckets
-    val refCounts = refPrefix.groupBy("p").agg(count(lit(1)).as("_c"))
-      .observe("xcorpus_prefix_buckets",
-        sum(when(col("_c") > maxBucket, 1L).otherwise(0L))
-          .as("dropped_buckets"))
-    val hotP = refCounts.where(col("_c") > maxBucket).select("p")
+    // hot-prefix guard on BOTH sides' bucket sizes (each observed): a
+    // prefix shingle with more than maxBucket entries on EITHER side is
+    // dropped from candidate generation — per-bucket join work is then
+    // bounded by maxBucket², the same invariant the symmetric
+    // capBuckets gave the one-corpus path (a hot templated batch must
+    // not cross an under-cap ref bucket into a quadratic blowup)
+    def hotSide(p: DataFrame, metric: String) = {
+      val counts = p.groupBy("p").agg(count(lit(1)).as("_c"))
+        .observe(metric,
+          sum(when(col("_c") > maxBucket, 1L).otherwise(0L))
+            .as("dropped_buckets"))
+      counts.where(col("_c") > maxBucket).select("p")
+    }
+    val newPrefix = prefixRows(nSets, dfTab).localCheckpoint()
+    val hotP = hotSide(refPrefix, "xcorpus_prefix_buckets")
+      .unionByName(hotSide(newPrefix, "xcorpus_prefix_buckets_new"))
+      .distinct()
     // candidates: a cross-side EQUI-JOIN on the prefix entry — no
     // collect_list buckets, no re-shuffle of the (cached) reference
     // rows into bucket arrays; the arriving batch is the small side and
     // broadcasts under AQE. The PPJoin positional filter rides as the
     // join residual
     val alphaFactor = minJaccard / (1.0 + minJaccard)
-    val cand = prefixRows(nSets, dfTab)
+    val cand = newPrefix
       .join(broadcast(hotP), Seq("p"), "left_anti")
       .join(refPrefix.join(broadcast(hotP), Seq("p"), "left_anti")
         .select(col("p"), col("doc").as("ref_id"), col("n").as("rn"),

@@ -75,12 +75,21 @@ object PrefixScan {
     val idx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(idx).dataType == LongType,
       s"$valueCol must be LONG (cast upstream)")
-    require(!sorted.schema(idx).nullable,
-      s"$valueCol must be NOT NULL (filter or coalesce upstream)")
+    // nulls are a CONTRACT violation checked at runtime with a clear
+    // error, not a schema-nullability require: parquet-sourced columns
+    // are conservatively nullable even when null-free, and rejecting
+    // them statically would force semantically-no-op coalesces on every
+    // caller. An actual null fails loudly here instead of as an NPE.
+    val vCol = valueCol
+    def valueAt(r: Row): Long = {
+      if (r.isNullAt(idx)) throw new IllegalArgumentException(
+        s"$vCol contains NULL — filter or coalesce upstream of PrefixScan")
+      r.getLong(idx)
+    }
     val partAggs = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var acc = op.neutral
-        it.foreach(r => acc = op.combine(acc, r.getLong(idx)))
+        it.foreach(r => acc = op.combine(acc, valueAt(r)))
         Iterator.single((i, acc))
       }
       .collect().sortBy(_._1).map(_._2)
@@ -90,7 +99,7 @@ object PrefixScan {
       var acc = bc.value(i)
       it.map { r =>
         val excl = acc
-        acc = op.combine(acc, r.getLong(idx))
+        acc = op.combine(acc, valueAt(r))
         Row.fromSeq(r.toSeq :+ excl :+ acc)
       }
     }

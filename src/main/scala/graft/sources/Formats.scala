@@ -24,19 +24,29 @@ object Formats {
 
   /** Write `df` once per (`format`, `key`) under the JVM tmpdir and
     * return the path; later calls reuse the files verbatim. `df` is
-    * by-name — not evaluated on a memo hit. */
+    * by-name — not evaluated on a memo hit. The Spark write runs OUTSIDE
+    * the map's bin lock (a minutes-long job inside computeIfAbsent would
+    * block unrelated keys and break on reentrant use); build-once
+    * layouts are rare, so a coarse lock around the miss path is fine. */
   def layoutFor(df: => DataFrame, format: String, key: String,
                 options: Map[String, String] = Map.empty): String = {
     val full = s"$format:$key"
-    built.computeIfAbsent(full, { _ =>
-      val safe = full.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
-        "-" + java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(full))
-      val path =
-        s"${sys.props("java.io.tmpdir")}/graft-formats/$safe"
-      df.write.mode("overwrite").options(options).format(format).save(path)
-      path
-    })
+    val hit = built.get(full)
+    if (hit != null) hit
+    else synchronized {
+      val again = built.get(full)
+      if (again != null) again
+      else {
+        val safe = full.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
+          "-" + java.lang.Integer.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(full))
+        val path = s"${sys.props("java.io.tmpdir")}/graft-formats/$safe"
+        df.write.mode("overwrite").options(options).format(format)
+          .save(path)
+        built.put(full, path)
+        path
+      }
+    }
   }
 
   /** Schema-first JSON-lines read: `schemaDdl` is the contract (no

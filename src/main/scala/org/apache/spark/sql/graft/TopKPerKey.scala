@@ -50,7 +50,14 @@ case class TopKPerKeyExec(keyExprs: Seq[Expression],
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val keys = keyExprs
+    // group by NORMALIZED key bytes: floating-point keys must collapse
+    // 0.0/-0.0 and all NaN bit patterns into one group, exactly as
+    // Catalyst normalizes window/aggregate grouping keys — without this,
+    // byte-wise UnsafeRow equality would split such keys into separate
+    // groups and emit up to 2k rows per logical key
+    val keys = keyExprs.map(
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+        .normalize)
     val order = sortOrder
     val kk = k
     // bounded insertion into a sorted buffer: O(k) per row, fine for the
@@ -141,17 +148,26 @@ object TopKWindowRewrite
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.topkRewrite.enabled", "false")
         .toBoolean) plan
-    else plan.transformUp {
-      case Project(projList, Filter(cond,
-          w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), _)),
-            part, order, child, _)))
-        if kOf(cond, w.windowOutputSet).exists(_ >= 1) &&
-          projList.forall(_.isInstanceOf[Attribute]) &&
-          AttributeSet(projList).subsetOf(child.outputSet) &&
-          part.nonEmpty =>
-        Project(projList,
-          TopKPerKeyPlan(part, order, kOf(cond, w.windowOutputSet).get,
-            child))
+    else {
+      // TopKPerKeyExec buffers k rows per distinct key in heap with no
+      // spill (WindowExec's sort spills); cap the k this rule will
+      // rewrite so enabling the flag can't hand a large-k shortlist —
+      // whose window plan survived on spill — to the in-memory operator
+      val maxK = conf
+        .getConfString("spark.graft.topkRewrite.maxK", "100").toInt
+      plan.transformUp {
+        case p @ Project(projList, Filter(cond,
+            w @ Window(Seq(Alias(WindowExpression(_: RowNumber, _), _)),
+              part, order, child, _)))
+          if projList.forall(_.isInstanceOf[Attribute]) &&
+            AttributeSet(projList).subsetOf(child.outputSet) &&
+            part.nonEmpty =>
+          kOf(cond, w.windowOutputSet) match {
+            case Some(k) if k >= 1 && k <= maxK =>
+              Project(projList, TopKPerKeyPlan(part, order, k, child))
+            case _ => p
+          }
+      }
     }
 }
 
@@ -164,8 +180,11 @@ object TopKPerKeyOps {
                  orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val analyzed = df.queryExecution.analyzed
+    // honor the session's case-sensitivity setting, like every other
+    // by-name resolution in the DataFrame API
+    val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
+      analyzed.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${analyzed.output.map(_.name)}"))
     val order = orderCols.map { case (n, asc) =>

@@ -57,13 +57,20 @@ class PrefixScanSpec extends SparkSpec {
     assert(r === ((0L, 42L)))
   }
 
-  test("rejects nullable value column, colliding output names, overflow") {
+  test("rejects actual nulls at runtime, colliding output names, overflow") {
     import spark.implicits._
-    val nullable = Seq((1L, Some(2L)), (2L, None))
-      .toDF("k", "v") // Option -> nullable LONG
-    intercept[IllegalArgumentException] {
-      PrefixScan.runningLong(nullable, Seq("k"), "v", PrefixScan.Sum)
+    // a nullable-SCHEMA column with no actual nulls works (parquet reads
+    // are conservatively nullable); an actual null fails loudly
+    val nullableOk = Seq((1L, Some(2L)), (2L, Some(3L))).toDF("k", "v")
+    assert(PrefixScan.runningLong(nullableOk, Seq("k"), "v", PrefixScan.Sum)
+      .count() === 2L)
+    val withNull = Seq((1L, Some(2L)), (2L, None)).toDF("k", "v")
+    val nex = intercept[Throwable] {
+      PrefixScan.runningLong(withNull, Seq("k"), "v", PrefixScan.Sum)
+        .collect()
     }
+    assert(Iterator.iterate(nex)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => Option(c.getMessage).exists(_.contains("NULL"))))
     val df = Seq((1L, 2L)).toDF("k", "run_excl")
     intercept[IllegalArgumentException] {
       PrefixScan.runningLong(df, Seq("k"), "run_excl", PrefixScan.Sum)
