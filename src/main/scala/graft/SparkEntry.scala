@@ -2704,9 +2704,10 @@ object SparkEntry {
     // Top-2 priciest line items per order through the CUSTOM planner
     // strategy (TopKPerKeyPlan/Exec, injected via SparkSessionExtensions
     // — the whole-operator extension tier): map-side partial top-k
-    // bounds the shuffle to k rows per key per partition instead of
-    // every row, and no per-group full sort runs anywhere. Oracle
-    // replays as the rank window it replaces
+    // bounds the shuffle to k rows per key per partition, matching
+    // Spark's native WindowGroupLimit prune (parity pinned in
+    // TopKPerKeySpec) while skipping the post-shuffle per-group sort.
+    // Oracle replays as the rank window
     "o_topk_per_key" -> ((s, dir) =>
       org.apache.spark.sql.graft.TopKPerKeyOps.topKPerKey(
         t(s, dir, "lineitem").select(col("l_orderkey"),

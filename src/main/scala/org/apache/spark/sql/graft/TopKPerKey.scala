@@ -14,14 +14,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * registered through `SparkSessionExtensions` (see
   * [[graft.functions.GraftSql.injectInto]]).
   *
-  * Why built-ins can't express it: the standard `row_number() OVER
-  * (PARTITION BY key ORDER BY ...) <= k` shuffles EVERY row to its key's
-  * reducer and sorts whole groups, even though all but k rows per group
-  * are discarded. This operator keeps a bounded k-row buffer per key in
-  * each input partition (the same partial/final split as
-  * `HashAggregate`), so the shuffle moves at most `k × keys-per-partition`
-  * rows — at 100 TB with k=3 over billions of fact rows, orders of
-  * magnitude less shuffle volume, and no per-group full sort anywhere.
+  * Honest positioning: since 3.5 Spark's own `WindowGroupLimit` rewrite
+  * gives the `row_number() OVER (...) <= k` pattern the SAME map-side
+  * prune (the shuffle-records parity is pinned in `TopKPerKeySpec`).
+  * What this operator adds is (a) the reference implementation of the
+  * full extension-tier stack — logical node, strategy, exec, and the
+  * opt-in optimizer rewrite — on a semantics simple enough to oracle
+  * exactly; (b) a direct API needing no window machinery; and (c) no
+  * post-shuffle per-group SortExec: the final pass merges bounded
+  * buffers instead of sorting each group's surviving `k × maps` rows.
+  * Both plans keep the shuffle at `k × keys-per-partition` rows instead
+  * of everything — the property the spec pins so neither can regress.
   *
   * Semantics: the k smallest rows per key group under `sortOrder` (pass a
   * descending order for "top by largest"); `sortOrder` should be a TOTAL

@@ -48,6 +48,49 @@ class TopKPerKeySpec extends SparkSpec {
     assert(topKPerKey(empty, Seq("key"), Seq(("v", true)), 2).count() === 0L)
   }
 
+  test("map-side prune ships <= k x keys x partitions records, matching Spark's native WindowGroupLimit") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // 60k rows, 20 keys, 16 partitions: an UNPRUNED shuffle would ship
+    // all 60k rows; both the custom operator and (since Spark 3.5)
+    // the built-in WindowGroupLimit rewrite of row_number<=k ship only
+    // <= k x keys x partitions = 960 — pinned here so neither side can
+    // silently regress to shuffle-everything
+    val df = (1 to 60000).map(i =>
+      (s"k${i % 20}", (i * 2654435761L) % 100003L, i.toLong))
+      .toDF("key", "v", "id").repartition(16).cache()
+    df.count() // materialize so neither run pays the parent lineage
+    def shuffleRecords(body: => Unit): Long = {
+      val records = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          records.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      records.get()
+    }
+    val custom = shuffleRecords {
+      topKPerKey(df, Seq("key"), Seq(("v", true), ("id", true)), 3).count()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").asc, col("id").asc)
+    val windowDf = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 3).drop("_rn")
+    // confirm the built-in prune is what makes the window cheap — the
+    // comparison below is only meaningful against the pruned plan
+    assert(windowDf.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    val window = shuffleRecords { windowDf.count() }
+    df.unpersist()
+    assert(custom <= 1000L && window <= 1000L,
+      s"custom=$custom window=$window records")
+  }
+
   test("opt-in optimizer rule rewrites row_number<=k into TopKPerKey") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (s"k${i % 40}", (i * 7 % 100).toLong,
