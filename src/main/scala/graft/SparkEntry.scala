@@ -2685,6 +2685,24 @@ object SparkEntry {
           coalesce(sum(col("price_cents")), lit(0L)).as("sum_cents"))
     }),
 
+    // Distinct customers per order status answered from the at-rest
+    // SKETCH table (per-(status,month) HLL sketches built once per
+    // dataset, kilobytes): the query merges sketches — zero fact reads,
+    // and one sketch table serves every rollup over a subset of its
+    // keys. Sketch internals have no SQL twin -> rows-only; error and
+    // merge laws pinned in SketchesSpec
+    "a_sketch_rollup" -> ((s, dir) => {
+      val path = graft.operators.Sketches.sketchTableFor(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"),
+          col("o_custkey")),
+        Seq("o_orderstatus", "yyyymm"), "o_custkey",
+        key = s"orders-sk-$dir", spark = s)
+      graft.operators.Sketches.distinctFromSketches(s, path,
+        Seq("o_orderstatus"))
+    }),
+
     // Native session windows (Spark's SessionWindowing operator, the
     // same merge semantics Structured Streaming uses): per-user sessions
     // with a 30-minute inactivity gap — window end = last event + gap,

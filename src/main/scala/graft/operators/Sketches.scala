@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest MERGEABLE AGGREGATE STATE: a parquet table of per-group HLL
+  * sketches (Spark 4's Apache DataSketches integration —
+  * `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`) that
+  * answers distinct-count questions WITHOUT rescanning the fact data.
+  *
+  * The 100 TB pattern: the fact scan happens once, at sketch-build time
+  * (e.g. per ingest batch — sketches of disjoint batches union to the
+  * sketch of their union, so the table maintains incrementally); every
+  * later query aggregates kilobyte sketches instead of terabyte facts,
+  * and any GROUP BY over a SUBSET of the sketch keys is answerable by
+  * union-merging — one sketch table serves the whole rollup lattice.
+  * Same determinism contract as `a_approx_distinct`: the estimate is a
+  * pure function of the input multiset, but no SQL oracle can replay
+  * the sketch internals, so registry queries over sketches are
+  * rows-only and the error/merge laws are spec-pinned instead
+  * (`SketchesSpec`). */
+object Sketches {
+
+  /** One sketch per `groupCols` tuple over `valueCol`, `lgK` per the
+    * DataSketches accuracy table (12 → ~2% RSE). */
+  def sketchTable(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  private val built = new graft.SessionMemo[String, String]()
+
+  /** Build the sketch table ONCE per dataset key and persist it as
+    * parquet (binary sketch column) — the at-rest artifact queries
+    * merge from. */
+  def sketchTableFor(df: => DataFrame, groupCols: Seq[String],
+                     valueCol: String, key: String,
+                     spark: SparkSession): String =
+    built.getOrCompute(spark, key) {
+      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
+        "-" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(key))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-sketches/$safe"
+      sketchTable(df, groupCols, valueCol).write.mode("overwrite")
+        .parquet(path)
+      path
+    }
+
+  /** Distinct-count estimates for any GROUP BY over a subset of the
+    * sketch table's keys: kilobyte sketch merges, zero fact reads. */
+  def distinctFromSketches(spark: SparkSession, path: String,
+                           rollupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("approx_distinct"))
+}
