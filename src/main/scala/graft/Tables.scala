@@ -20,13 +20,27 @@ object Tables {
     *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
     *    TIMESTAMP_NTZ; cast to TIMESTAMP — an identity re-tag under the
     *    UTC session timezone, matching DuckDB's naive reading. */
+  /** Timestamp-carrying columns per table: the set the encoding
+    * normalization below defends. The date columns currently arrive as
+    * TIMESTAMP(MICROS) NTZ and are consumed via date functions (NTZ is
+    * fine there — left untouched); the nanos→long defense covers a
+    * future regeneration flipping them to TIMESTAMP(NANOS), which would
+    * otherwise surface as a long column and fail every date function. */
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else if (name == "events" &&
-        df.schema("ts").dataType.typeName == "timestamp_ntz")
-      df.withColumn("ts", col("ts").cast("timestamp"))
-    else df
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType.typeName match {
+        case "long" => // TIMESTAMP(NANOS) read via nanosAsLong
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case "timestamp_ntz" if c == "ts" => // instant-typed consumers
+          d.withColumn(c, col(c).cast("timestamp"))
+        case _ => d
+      }
+    }
   }
 }

@@ -62,6 +62,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("AdaptiveSparkPlan"), plan)
   }
 
+  test("sketch rollup reads ONLY the sketch table — zero fact scans") {
+    val plan = formatted(
+      SparkEntry.queries("a_sketch_rollup")(spark, sfDir))
+    assert(plan.contains("graft-sketches"), plan) // the at-rest artifact
+    assert(!plan.contains("orders.parquet"),
+      s"sketch query must not rescan the fact table:\n$plan")
+  }
+
+  test("session windows plan through the native SessionWindow operator") {
+    val plan = SparkEntry.queries("events_session_window")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("session_window"), plan)
+  }
+
   test("q6: tight predicates reach the parquet scan") {
     val plan = formatted(SparkEntry.queries("tpch_q6_forecast")(spark, sfDir))
     assert(plan.contains("PushedFilters:"), plan)
