@@ -859,6 +859,25 @@ object SparkEntry {
             .as("win_start"),
           col("event_type"), col("n_events"), col("value_micros"))),
 
+    // Trailing 7-day distinct users per active day: COUNT(DISTINCT) over
+    // a sliding range frame is unsupported by Spark windows — the
+    // scalable shape reduces events to the bounded (day, user) PRESENCE
+    // table, range-joins it to the (tiny, broadcast) day list (each
+    // presence row expands to <= 7 anchors), then one exact distinct
+    // agg. Presence is |active days x daily actives| << |events|
+    "events_trailing_distinct" -> ((s, dir) => {
+      val pres = t(s, dir, "events")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"), col("user_id"))
+        .distinct()
+      val days = pres.select(col("day").as("d")).distinct()
+      pres.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .select(col("d").as("day"), col("n_users_7d"))
+    }),
+
     "events_hourly_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -3402,6 +3402,19 @@ private[graft] object SparkEntryOracles {
          |FROM h GROUP BY 1""".stripMargin
     },
 
+    // trailing-distinct twin: same presence reduction, same 7-day range
+    // expansion, same exact distinct count
+    "events_trailing_distinct" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+        |  FROM events
+        |), days AS (SELECT DISTINCT day AS d FROM pres)
+        |SELECT d AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        |FROM pres JOIN days ON pres.day BETWEEN d - 6 AND d
+        |GROUP BY 1""".stripMargin,
+
     // session-window twin: gaps-and-islands — a session breaks when the
     // inter-event gap REACHES 30 minutes (Spark's window end is
     // exclusive: an event exactly at end starts a new session)
