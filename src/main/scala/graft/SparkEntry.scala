@@ -878,6 +878,26 @@ object SparkEntry {
         .select(col("d").as("day"), col("n_users_7d"))
     }),
 
+    // The at-scale swap for the exact trailing distinct: ONE kilobyte
+    // HLL sketch per active day, each trailing-7 window unions 7
+    // sketches — when daily actives are huge the presence table above
+    // stops fitting and this is the standard replacement. Rows-only
+    // (sketch internals); error vs the exact twin pinned in SketchesSpec
+    "events_trailing_distinct_sketch" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val days = daily.select(col("day").as("d"))
+      daily.join(broadcast(days),
+          col("day").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_users_7d_approx"))
+        .select(col("d").as("day"), col("n_users_7d_approx"))
+    }),
+
     "events_hourly_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

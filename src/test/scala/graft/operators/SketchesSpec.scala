@@ -29,6 +29,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("trailing-distinct sketch twin tracks the exact query within HLL error") {
+    val exact = graft.SparkEntry.queries("events_trailing_distinct")(
+        spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries(
+        "events_trailing_distinct_sketch")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n) <= math.max(2.0, 0.05 * n),
+        s"day $day: approx=${approx(day)} exact=$n")
+    }
+  }
+
   test("sketches of disjoint batches union to the whole-input sketch (incremental maintenance)") {
     import spark.implicits._
     val rows = (1 to 20000).map(i => ("g", (i % 7013).toLong)).toDF("g", "v")
