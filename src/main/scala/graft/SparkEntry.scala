@@ -871,8 +871,13 @@ object SparkEntry {
           .cast("long").as("day"), col("user_id"))
         .distinct()
       val days = pres.select(col("day").as("d")).distinct()
-      pres.join(broadcast(days),
-          col("day").between(col("d") - 6, col("d")))
+      // EXPLODE the <= 7 anchor days per presence row, then an EQUI
+      // hash-join against the active-day list — never the O(|pres| x
+      // |days|) nested-loop a between-join would plan
+      pres
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .join(broadcast(days), "d")
         .groupBy(col("d"))
         .agg(countDistinct(col("user_id")).as("n_users_7d"))
         .select(col("d").as("day"), col("n_users_7d"))
@@ -890,8 +895,11 @@ object SparkEntry {
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
       val days = daily.select(col("day").as("d"))
-      daily.join(broadcast(days),
-          col("day").between(col("d") - 6, col("d")))
+      // same anchor-explode + equi-join shape as the exact twin
+      daily
+        .select(col("sk"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .join(broadcast(days), "d")
         .groupBy(col("d"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
           .as("n_users_7d_approx"))

@@ -37,10 +37,7 @@ object Sketches {
                      valueCol: String, key: String,
                      spark: SparkSession): String =
     built.getOrCompute(spark, key) {
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
-        "-" + java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-sketches/$safe"
+      val path = graft.TmpArtifacts.path("graft-sketches", key)
       sketchTable(df, groupCols, valueCol).write.mode("overwrite")
         .parquet(path)
       path

@@ -37,10 +37,7 @@ object Formats {
       val again = built.get(full)
       if (again != null) again
       else {
-        val safe = full.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) +
-          "-" + java.lang.Integer.toHexString(
-            scala.util.hashing.MurmurHash3.stringHash(full))
-        val path = s"${sys.props("java.io.tmpdir")}/graft-formats/$safe"
+        val path = graft.TmpArtifacts.path("graft-formats", full)
         df.write.mode("overwrite").options(options).format(format)
           .save(path)
         built.put(full, path)

@@ -52,12 +52,8 @@ object Layouts {
                  baseDir: String =
                    sys.props("java.io.tmpdir") + "/graft-zorder"): String =
     zLayouts.computeIfAbsent(key, { _ =>
-      // full sanitized key, plus a hash suffix so keys that differ only in
-      // sanitized-away characters still land in distinct directories
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val path = s"$baseDir/$safe"
+      // full sanitized key + hash suffix (graft.TmpArtifacts)
+      val path = graft.TmpArtifacts.under(baseDir, key)
       writeZOrdered(df, path, colA, colB)
       path
     })
@@ -93,10 +89,7 @@ object Layouts {
                       baseDir: String =
                         sys.props("java.io.tmpdir") + "/graft-sorted"): String =
     sortedLayouts.computeIfAbsent(key, { _ =>
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val path = s"$baseDir/$safe"
+      val path = graft.TmpArtifacts.under(baseDir, key)
       df.repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol)
         .write.mode("overwrite").parquet(path)
@@ -209,10 +202,7 @@ object Layouts {
                              sys.props("java.io.tmpdir") + "/graft-partitioned")
       : String =
     partLayouts.computeIfAbsent(key, { _ =>
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val path = s"$baseDir/$safe"
+      val path = graft.TmpArtifacts.under(baseDir, key)
       df.repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(path)
       path

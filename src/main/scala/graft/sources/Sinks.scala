@@ -318,10 +318,7 @@ object Sinks {
       : (String, String, Seq[Long]) = {
     require(states.nonEmpty, "at least one state")
     ttChains.getOrCompute(spark, key) {
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val root = s"$baseDir/$safe"
+      val root = graft.TmpArtifacts.under(baseDir, key)
       val target = s"$root/table"
       val backups = s"$root/backups"
       fsOf(spark).delete(new Path(root), true)
@@ -349,10 +346,7 @@ object Sinks {
       : (String, Int, Int) = {
     val spark = df.sparkSession
     compacted.getOrCompute(spark, key) {
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val root = s"$baseDir/$safe"
+      val root = graft.TmpArtifacts.under(baseDir, key)
       val target = s"$root/table"
       val fs = fsOf(spark)
       fs.delete(new Path(root), true)
@@ -427,10 +421,7 @@ object Sinks {
                     sys.props("java.io.tmpdir") + "/graft-mor"): String = {
     val spark = df.sparkSession
     morTables.getOrCompute(spark, key) {
-      val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" +
-        java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(key))
-      val root = s"$baseDir/$safe"
+      val root = graft.TmpArtifacts.under(baseDir, key)
       fsOf(spark).delete(new Path(root), true)
       morInit(df, root)
       deletes.foreach(softDelete(_, root))

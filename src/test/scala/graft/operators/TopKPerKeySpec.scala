@@ -67,6 +67,10 @@ class TopKPerKeySpec extends SparkSpec {
           records.addAndGet(
             s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
       }
+      // drain queued events from EARLIER jobs first — a still-queued
+      // stage-completed event would otherwise be delivered to this
+      // listener and attributed to the measured body
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
       spark.sparkContext.addSparkListener(l)
       try {
         body
@@ -87,7 +91,10 @@ class TopKPerKeySpec extends SparkSpec {
       .contains("WindowGroupLimit"))
     val window = shuffleRecords { windowDf.count() }
     df.unpersist()
-    assert(custom <= 1000L && window <= 1000L,
+    // lower bound too: 20 keys x k=3 surviving rows MUST cross the
+    // shuffle — a broken metrics source reading 0 must fail, not pass
+    assert(custom >= 60L && custom <= 1000L &&
+      window >= 60L && window <= 1000L,
       s"custom=$custom window=$window records")
   }
 
