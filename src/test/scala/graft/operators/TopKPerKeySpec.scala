@@ -119,6 +119,20 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
   }
 
+  test("floating-point keys: 0.0/-0.0 and NaN bit patterns form ONE group, like windows") {
+    import spark.implicits._
+    val nanA = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val rows = Seq((0.0, 1L), (-0.0, 2L), (Double.NaN, 3L), (nanA, 4L),
+      (1.5, 5L), (0.0, 6L), (Double.NaN, 7L))
+    val df = rows.toDF("key", "id").repartition(5)
+    val got = topKPerKey(df, Seq("key"), Seq(("id", true)), k = 1)
+      .select("id").as[Long].collect().toSet
+    // three logical keys (0.0 group, NaN group, 1.5) -> exactly three
+    // survivors, the min id of each group — byte-wise grouping without
+    // normalization would emit up to five
+    assert(got === Set(1L, 3L, 5L))
+  }
+
   test("unknown column fails loudly; k >= 1 enforced") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("key", "v")
