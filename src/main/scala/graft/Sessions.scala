@@ -16,5 +16,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       // testdata events.ts is TIMESTAMP(NANOS); read as long, Tables converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep the (unused) catalog warehouse out of the process cwd —
+      // otherwise every run drops a spark-warehouse/ dir in the repo root
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -683,7 +683,20 @@ object Dedup {
     * reference get df 0: rarest-first, prefix guarantee unaffected), and
     * candidate pairs are generated within shared-prefix buckets with a
     * side gate so only cross-corpus pairs survive. Output: (new_id,
-    * ref_id, intersection, size_new, size_ref). */
+    * ref_id, intersection, size_new, size_ref).
+    *
+    * `maxBucket` caps are PER SIDE here, not combined as in the
+    * one-corpus path: a prefix bucket is dropped when EITHER side alone
+    * exceeds `maxBucket`, so join work per bucket is bounded by
+    * `maxBucket²` cross pairs (vs the one-corpus combined cap's
+    * `maxBucket·(maxBucket−1)/2`). The recall edge cases differ too: a
+    * bucket with e.g. 0.6·max new + 0.6·max ref entries survives here
+    * (the combined cap would drop it), while a ref bucket just over the
+    * cap drops all its candidates even against a single new doc. Both
+    * behaviors are deliberate — the ref-side df index is built without
+    * knowledge of future batches, so only per-side bounds are stable
+    * across batch arrivals — and both drop events are observed
+    * (`xcorpus_prefix_buckets*` metrics). */
   def crossCorpusPairs(newDocs: DataFrame, refDocs: DataFrame,
                        idCol: String, textCol: String, k: Int,
                        minJaccard: Double,

@@ -22,15 +22,39 @@ object Formats {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write `df` once per (`format`, `key`) under the JVM tmpdir and
-    * return the path; later calls reuse the files verbatim. `df` is
-    * by-name — not evaluated on a memo hit. The Spark write runs OUTSIDE
-    * the map's bin lock (a minutes-long job inside computeIfAbsent would
-    * block unrelated keys and break on reentrant use); build-once
-    * layouts are rare, so a coarse lock around the miss path is fine. */
-  def layoutFor(df: => DataFrame, format: String, key: String,
+  /** Fingerprint of the dataset behind `df`: sorted (path, size, mtime)
+    * of its input files, hashed. Folded into the memo key so that a
+    * dataset REGENERATED under the same directory within one JVM (the
+    * driver does this between rounds) misses the memo and re-encodes,
+    * instead of serving stale files that only the oracle would catch.
+    * Driver-side file listing only — no job runs. */
+  private def fingerprint(df: DataFrame): String = {
+    val stats = df.inputFiles.sorted.map { f =>
+      val local = try {
+        val uri = new java.net.URI(f)
+        if (uri.getScheme == null || uri.getScheme == "file")
+          Some(new java.io.File(uri.getPath)) else None
+      } catch { case _: Exception => None }
+      local match {
+        case Some(file) => s"$f:${file.length}:${file.lastModified}"
+        case None => f // non-local scheme: path identity only
+      }
+    }
+    java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(stats.asInstanceOf[Array[AnyRef]]))
+  }
+
+  /** Write `df` once per (`format`, `key`, dataset-fingerprint) under the
+    * JVM tmpdir and return the path; later calls reuse the files
+    * verbatim. A memo hit never re-runs the write job (plan construction
+    * and file listing are driver-side and cheap). The Spark write runs
+    * OUTSIDE the map's bin lock (a minutes-long job inside
+    * computeIfAbsent would block unrelated keys and break on reentrant
+    * use); build-once layouts are rare, so a coarse lock around the miss
+    * path is fine. */
+  def layoutFor(df: DataFrame, format: String, key: String,
                 options: Map[String, String] = Map.empty): String = {
-    val full = s"$format:$key"
+    val full = s"$format:$key:${fingerprint(df)}"
     val hit = built.get(full)
     if (hit != null) hit
     else synchronized {

@@ -8,6 +8,12 @@ import graft.SparkSpec
   * on the Spark classpath — no network, no external service. */
 class JdbcSpec extends SparkSpec {
 
+  // Derby writes derby.log into derby.system.home (default: the process
+  // cwd, i.e. the repo root) on engine boot — point it at tmp BEFORE the
+  // first connection so test runs never dirty the working tree
+  sys.props.getOrElseUpdate("derby.system.home",
+    sys.props("java.io.tmpdir") + "/graft-derby")
+
   private val url = "jdbc:derby:memory:graftjdbc;create=true"
 
   test("jdbc: append, scan with pushdown, partitioned parallel read, overwrite") {

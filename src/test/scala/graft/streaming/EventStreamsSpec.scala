@@ -335,8 +335,22 @@ class EventStreamsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed.nonEmpty)
     // watermark-FINALIZED streaming sessions are exactly batch sessions;
-    // only the stream tail (watermark never passed it) may be missing
+    // only the stream tail (watermark never passed it) may be missing.
+    // Derive that tail EXPLICITLY: the final watermark is
+    // max(event time, ms-truncated) - horizon, so exactly the sessions
+    // whose end is beyond it can be un-finalized — no tolerance factor,
+    // so a testdata regeneration can't make this flaky. The two tail
+    // variants (> vs >=) bracket the engine's boundary inclusivity for
+    // a session ending exactly AT the watermark.
     assert(streamed.subsetOf(batch))
-    assert((batch -- streamed).size < batch.size / 10)
+    val maxTsMs = events.agg(max($"ts")).as[Timestamp].head().getTime
+    val cutoffUs = (maxTsMs - 3600L * 1000L) * 1000L // horizon = 1 hour
+    val missing = batch -- streamed
+    val tailStrict = batch.filter(_._3 > cutoffUs)
+    val tailLoose = batch.filter(_._3 >= cutoffUs)
+    assert(tailStrict.subsetOf(missing),
+      s"a past-watermark session was finalized early: ${tailStrict -- missing}")
+    assert(missing.subsetOf(tailLoose),
+      s"sessions missing despite watermark passing them: ${missing -- tailLoose}")
   }
 }
