@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRows
 import org.apache.spark.sql.types.LongType
 
 /** Distributed prefix scan: running aggregates in a GLOBAL total order
@@ -70,8 +73,12 @@ object PrefixScan {
     // one shuffled, sorted RDD shared by both jobs: shuffle map outputs
     // are reused so the range shuffle is not redone, but the reduce-side
     // SortExec re-runs in the emit pass (deterministic given the total
-    // order) — cheaper than persisting the sorted lineage at scale
-    val rdd = sorted.rdd
+    // order) — cheaper than persisting the sorted lineage at scale.
+    // InternalRow bridge (org.apache.spark.sql.graft.InternalRows): both
+    // passes only read one long per row, so the old `df.rdd` hop paid an
+    // external-row decode of EVERY column twice, plus a full re-encode
+    // on emit, for nothing
+    val rdd = InternalRows.toRdd(sorted)
     val idx = sorted.schema.fieldIndex(valueCol)
     require(sorted.schema(idx).dataType == LongType,
       s"$valueCol must be LONG (cast upstream)")
@@ -81,7 +88,7 @@ object PrefixScan {
     // them statically would force semantically-no-op coalesces on every
     // caller. An actual null fails loudly here instead of as an NPE.
     val vCol = valueCol
-    def valueAt(r: Row): Long = {
+    def valueAt(r: InternalRow): Long = {
       if (r.isNullAt(idx)) throw new IllegalArgumentException(
         s"$vCol contains NULL — filter or coalesce upstream of PrefixScan")
       r.getLong(idx)
@@ -97,13 +104,19 @@ object PrefixScan {
     val bc = df.sparkSession.sparkContext.broadcast(carries)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = bc.value(i)
+      // reused buffers, per the scan-node row contract (the downstream
+      // scan projects each row to unsafe before any buffering)
+      val extra = new GenericInternalRow(2)
+      val joined = new JoinedRow
       it.map { r =>
         val excl = acc
         acc = op.combine(acc, valueAt(r))
-        Row.fromSeq(r.toSeq :+ excl :+ acc)
+        extra.update(0, excl)
+        extra.update(1, acc)
+        joined(r, extra): InternalRow
       }
     }
-    df.sparkSession.createDataFrame(out,
+    InternalRows.toDataFrame(df, out,
       sorted.schema
         .add(exclCol, LongType, nullable = false)
         .add(inclCol, LongType, nullable = false))

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRows
 import org.apache.spark.sql.types.LongType
 
 /** Global sequence numbers WITHOUT a global-sort-on-one-reducer: the
@@ -21,7 +24,10 @@ object Ranking {
     * Deterministic iff `orderCols` is a unique key (ties would leave
     * peer order partition-dependent — same contract as any total-order
     * ranking). One of the genuinely imperative per-partition cases where
-    * the RDD layer is the right tool (SURVEY §4). */
+    * the RDD layer is the right tool (SURVEY §4) — on the `InternalRow`
+    * bridge ([[org.apache.spark.sql.graft.InternalRows]]): the old
+    * `df.rdd`/`createDataFrame` hop paid a full external-row decode AND
+    * re-encode of every row just to append one long. */
   def globalRowNumbers(df: DataFrame, orderCols: Seq[String],
                        seqCol: String = "seq"): DataFrame = {
     require(orderCols.nonEmpty, "at least one order column")
@@ -29,10 +35,16 @@ object Ranking {
     val sorted = df
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-    val withSeq = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    df.sparkSession.createDataFrame(withSeq,
+    val withSeq = InternalRows.toRdd(sorted).zipWithIndex()
+      .mapPartitions { it =>
+        // reused buffers, per the scan-node row contract (the downstream
+        // scan projects each row to unsafe before any buffering)
+        val extra = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { case (r, i) =>
+          extra.update(0, i); joined(r, extra): InternalRow }
+      }
+    InternalRows.toDataFrame(df, withSeq,
       sorted.schema.add(seqCol, LongType, nullable = false))
   }
 
