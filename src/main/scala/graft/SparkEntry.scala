@@ -2782,6 +2782,37 @@ object SparkEntry {
         orderCols = Seq(("price_cents", false), ("l_linenumber", true)),
         k = 2)),
 
+    // The SAME shortlist written as the PLAIN rank-window query, run with
+    // the opt-in optimizer rule enabled (child session, flag scoped):
+    // `row_number() OVER (...) <= 2` is rewritten into TopKPerKeyPlan by
+    // TopKWindowRewrite, so the full extension-tier stack — rule →
+    // logical node → strategy → exec — runs END TO END under the DuckDB
+    // gate. The rewrite firing is require()d on both the optimized and
+    // physical plan: a silently-skipped rewrite would fail here, not
+    // degrade into the (equally correct) window plan
+    "o_topk_rewrite" -> ((s, dir) => {
+      val s2 = SparkEntry.v2Sessions.getOrCompute(s, "topk-rewrite") {
+        val child = s.newSession()
+        child.conf.set("spark.graft.topkRewrite.enabled", "true")
+        child
+      }
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("price_cents").desc, col("l_linenumber").asc)
+      val df = Tables(s2, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 2).drop("_rn")
+      require(df.queryExecution.optimizedPlan.collectFirst {
+          case p: org.apache.spark.sql.graft.TopKPerKeyPlan => p
+        }.nonEmpty,
+        "topkRewrite enabled but the logical rewrite did not fire")
+      require(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "TopKPerKeyExec missing from the physical plan")
+      df
+    }),
+
     // DSv2 parquet scan in an isolated child session: global
     // MIN/MAX/COUNT answered from FOOTER statistics (PushedAggregation —
     // zero row-group reads; plan pinned in FormatScanSpec). At 100 TB

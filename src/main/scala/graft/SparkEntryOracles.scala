@@ -3456,6 +3456,19 @@ private[graft] object SparkEntryOracles {
         |SELECT l_orderkey, l_linenumber, price_cents
         |FROM r WHERE rn <= 2""".stripMargin,
 
+    // rewrite-rule twin: identical semantics to o_topk_per_key — the
+    // rewrite must be invisible in results
+    "o_topk_rewrite" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT) DESC,
+        |        l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, price_cents
+        |FROM r WHERE rn <= 2""".stripMargin,
+
     // footer-stats twin: parquet min/max/count statistics are exact —
     // the plain aggregate
     "s_agg_footer_stats" ->

@@ -36,6 +36,15 @@ case class TopKPerKeyPlan(keyExprs: Seq[Expression],
                           sortOrder: Seq[SortOrder], k: Int,
                           child: LogicalPlan) extends UnaryNode {
   require(k >= 1, "k >= 1")
+  // grouping relies on byte-wise UnsafeRow equality (after float
+  // normalization); reject key types where binary equality differs from
+  // semantic equality — the same orderability check CheckAnalysis applies
+  // to grouping keys (map types in particular would silently split groups)
+  keyExprs.filter(_.resolved).foreach { e =>
+    require(RowOrdering.isOrderable(e.dataType),
+      s"key type ${e.dataType.catalogString} cannot be used as a " +
+        "TopKPerKey grouping key: not an orderable/groupable data type")
+  }
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan)
     : TopKPerKeyPlan = copy(child = newChild)
@@ -135,7 +144,7 @@ object TopKPerKeyStrategy extends SparkStrategy {
 object TopKWindowRewrite
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
 
-  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSet, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
   import org.apache.spark.sql.types.IntegerType
 
@@ -144,6 +153,11 @@ object TopKWindowRewrite
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
       if rn.contains(a) => Some(k)
     case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if rn.contains(a) => Some(k - 1)
+    // commuted forms: `k >= rn` ≡ `rn <= k`, `k > rn` ≡ `rn < k`
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if rn.contains(a) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
       if rn.contains(a) => Some(k - 1)
     case _ => None
   }

@@ -119,6 +119,35 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
   }
 
+  test("opt-in rule also matches the commuted comparison (k >= rn)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (s"k${i % 10}", (i * 13 % 97).toLong,
+      i.toLong)).toDF("key", "v", "id").repartition(3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("v").asc, col("id").asc)
+    // literal on the LEFT: `2 >= _rn` — same shortlist, commuted shape
+    def shortlist() = df.withColumn("_rn", row_number().over(w))
+      .where(lit(2) >= col("_rn")).drop("_rn")
+    val expect = shortlist().as[(String, Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    try {
+      val rewritten = shortlist()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan)
+      assert(rewritten.as[(String, Long, Long)].collect().toSet === expect)
+    } finally spark.conf.unset("spark.graft.topkRewrite.enabled")
+  }
+
+  test("map-typed grouping keys are rejected loudly (binary != semantic equality)") {
+    import spark.implicits._
+    val df = Seq((Map("a" -> 1), 1L), (Map("a" -> 1), 2L))
+      .toDF("key", "id")
+    val e = intercept[IllegalArgumentException] {
+      topKPerKey(df, Seq("key"), Seq(("id", true)), 1)
+    }
+    assert(e.getMessage.contains("grouping key"), e.getMessage)
+  }
+
   test("floating-point keys: 0.0/-0.0 and NaN bit patterns form ONE group, like windows") {
     import spark.implicits._
     val nanA = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
