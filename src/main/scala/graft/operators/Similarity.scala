@@ -287,13 +287,19 @@ object Similarity {
   /** Materialize the corpus PARTITIONED BY IVF cell — the at-rest layout
     * of the k-means tier (see [[knnIvf]]): `<path>/data` partitioned by
     * cell, `<path>/centroids` as a tiny parquet codebook. Queries against
-    * this layout touch only their probe cells' files. */
+    * this layout touch only their probe cells' files.
+    *
+    * `codebook`, when given, SKIPS training and lays the corpus out
+    * against those frozen centroids — the rebuild-for-comparison path of
+    * [[appendToIvf]]'s equivalence pin. */
   def writeIvf(corpus: DataFrame, idCol: String, vecCol: String,
                path: String, nlist: Int = 16,
-               maxTrainVectors: Int = 100000, seed: Long = 42L): Unit = {
+               maxTrainVectors: Int = 100000, seed: Long = 42L,
+               codebook: Option[Seq[Seq[Float]]] = None): Unit = {
     import corpus.sparkSession.implicits._
-    val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
-      maxTrainVectors, seed)
+    val cents = codebook.getOrElse(
+      trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
+        maxTrainVectors, seed))
     corpus.select(col(idCol), col(vecCol))
       .where(exists(col(vecCol), x => x =!= lit(0.0f))) // see knnIvf note
       .withColumn("cell", assignCell(col(vecCol), cents))
@@ -301,6 +307,39 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The persisted codebook of a [[writeIvf]] layout, cell-ordered. */
+  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Seq[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => r.getSeq[Float](1))
+      .toSeq
+
+  /** INCREMENTAL layout maintenance — how a 100 TB corpus actually grows:
+    * assign the arriving batch's cells with the FROZEN persisted codebook
+    * (no re-train, no rescan of the existing corpus) and APPEND its rows
+    * into the cell-partitioned directory. Existing partition files are
+    * never rewritten (append adds new files next to them — pinned in
+    * `SimilaritySpec`), so the append's cost is proportional to the BATCH,
+    * not the corpus, and concurrent readers keep their snapshot.
+    *
+    * The trade every IVF deployment makes: cells drift as the data
+    * distribution drifts — the codebook stays the one trained at build
+    * time, so recall degrades only if new data is distributed unlike the
+    * build corpus. Monitor cell-size skew and re-train (full [[writeIvf]])
+    * when it degenerates; the layout equivalence pin guarantees append ==
+    * rebuild-under-the-same-codebook, so a re-train is the ONLY event
+    * that changes query results. */
+  def appendToIvf(batch: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val cents = readIvfCodebook(batch.sparkSession, path)
+    batch.select(col(idCol), col(vecCol))
+      .where(exists(col(vecCol), x => x =!= lit(0.0f))) // see knnIvf note
+      .withColumn("cell", assignCell(col(vecCol), cents))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
   }
 
   /** Per-JVM registry of built IVF layouts, keyed by caller-chosen dataset

@@ -115,6 +115,55 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.count() > 0L)
   }
 
+  test("incremental IVF append: frozen codebook, no existing file touched, " +
+      "equals a rebuild under the same codebook") {
+    import spark.implicits._
+    val base = emb.where($"vec_id" % 5 =!= 0)  // the built corpus
+    val batch = emb.where($"vec_id" % 5 === 0) // the arriving batch
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    val grown = s"$dir/grown"; val rebuilt = s"$dir/rebuilt"
+    Similarity.writeIvf(base, "vec_id", "embedding", grown)
+
+    def dataFiles(p: String): Map[String, (Long, Long)] = {
+      val root = new java.io.File(s"$p/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+          ((f.length, f.lastModified))).toMap
+    }
+    val before = dataFiles(grown)
+    Similarity.appendToIvf(batch, "vec_id", "embedding", grown)
+    val after = dataFiles(grown)
+    // append cost ∝ batch: every pre-existing partition file survives
+    // with identical size+mtime — nothing was rewritten
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"existing file rewritten: $f") }
+    assert(after.size > before.size, "append added no files")
+
+    // equivalence: the appended layout answers queries EXACTLY like a
+    // full rebuild of the grown corpus under the same frozen codebook —
+    // a re-train is the only event that may change results
+    val codebook = Similarity.readIvfCodebook(spark, grown)
+    Similarity.writeIvf(base.unionByName(batch), "vec_id", "embedding",
+      rebuilt, codebook = Some(codebook))
+    val q = emb.where($"vec_id" < 30)
+    def top(p: String) = Similarity
+      .knnIvfPartitioned(spark, p, q, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(top(grown) === top(rebuilt))
+
+    // and recall over the grown corpus holds the IVF tier's pinned floor
+    val truth = Similarity.knnBruteForce(base.unionByName(batch), q,
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = top(grown).map(t => (t._1, t._3))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"grown-layout IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.5 && recall <= 1.0)
+  }
+
   test("excludeSelf=false keeps id-colliding neighbors across distinct datasets") {
     import spark.implicits._
     val corpus = emb.limit(10)
