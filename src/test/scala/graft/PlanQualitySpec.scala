@@ -57,6 +57,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("_salt"), plan)
   }
 
+  test("AQE splits a planted hot join key at runtime (OptimizeSkewedJoin) — " +
+      "salting remains for AGGREGATION skew, which AQE cannot split") {
+    // JOIN skew is AQE's job: a hot key's oversized shuffle partition is
+    // split into sub-partitions at runtime (the other side's matching
+    // partition is replicated), no query change. Thresholds are scaled
+    // down here only to make test-sized partitions cross them — at
+    // production scale the defaults (256MB, factor 5) play the same role.
+    // Child session: the conf deltas never leak into the shared session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // force a shuffle join: skew split applies to SMJ/SHJ, and a
+    // broadcast of the dim side would dodge the scenario being pinned
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{concat, lit}
+    import s2.implicits._
+    // replicated-key union: key 0 carries 200k of the ~205k fact rows
+    val hot = s2.range(0, 200000).select(lit(0L).as("k"), $"id".as("v"))
+    val cold = s2.range(0, 5000).select(($"id" % 50 + 1).as("k"),
+      $"id".as("v"))
+    val fact = hot.unionByName(cold)
+    val dim = s2.range(0, 51).select($"id".as("k"),
+      concat(lit("payload_"), $"id").as("p"))
+    val joined = fact.join(dim, "k")
+    // materialize THIS DataFrame's query execution (count() would build
+    // its own) so executedPlan below is the final adaptive plan
+    assert(joined.collect().length === 205000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the join skew-split:\n$plan")
+    // the same hot key under groupBy(k) CANNOT be split by AQE — partial
+    // aggregation tames it only when values collapse; a high-cardinality
+    // agg state under one key still funnels to one reducer. That is the
+    // case j_skew_salted's manual salt exists for (two-level agg /
+    // salted join — see SkewJoin.scala and SCALE.md).
+  }
+
   test("e3 flagship plans adaptively (AQE on for skew/broadcast decisions)") {
     val plan = formatted(SparkEntry.entry(spark))
     assert(plan.contains("AdaptiveSparkPlan"), plan)
