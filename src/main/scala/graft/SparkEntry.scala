@@ -23,6 +23,11 @@ object SparkEntry {
   /** Memoized isolated child sessions (see `s_agg_footer_stats`). */
   private val v2Sessions = new SessionMemo[String, SparkSession]()
 
+  /** Build-then-append fixed-codebook IVF layouts, once per (session,
+    * dataset) — the append MUST happen exactly once per built layout or
+    * the grown corpus would hold duplicate rows. */
+  private val ivfAppendLayouts = new SessionMemo[String, String]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -1092,6 +1097,28 @@ object SparkEntry {
         "vec_id", "embedding", k = 5,
         centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
         nprobe = 2)
+    }),
+
+    // INCREMENTAL layout growth under the full oracle: the fixed-codebook
+    // at-rest layout is built on a BASE slice and grown by appending the
+    // remaining rows (frozen literal codebook, existing files untouched),
+    // then queried partition-pruned. The oracle is knn_ivf_fixed's SQL
+    // over the full corpus — a hash match proves the append is invisible
+    // to queries, the contract appendToIvf's scaladoc states
+    "knn_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.fixedCodebook(nlist = 4, dims = 64)
+      val path = SparkEntry.ivfAppendLayouts.getOrCompute(s, dir) {
+        val p = graft.TmpArtifacts.path("graft-ivf-append", dir)
+        Similarity.writeIvfFixed(emb.where(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", p, cb)
+        Similarity.writeIvfFixed(emb.where(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", p, cb, append = true)
+        p
+      }
+      Similarity.knnIvfFixedPartitioned(s, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        centroids = cb, nprobe = 2)
     }),
 
     // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned

@@ -140,6 +140,56 @@ private[graft] object SparkEntryOracles {
     m
   }
 
+  /** Shared twin of `knn_ivf_fixed` AND `knn_ivf_append`: the fixed
+    * literal codebook replays the whole IVF dataflow in SQL, and the
+    * appended at-rest layout must be result-identical to the in-memory
+    * query over the full corpus — so ONE oracle serves both keys. */
+  private lazy val knnIvfFixedSql: String = {
+    val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+    def dot(a: String, lits: Seq[Long]): String =
+      s"CAST(list_sum(list_transform(list_zip($a, " +
+        lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+    val scores = cents.zipWithIndex
+      .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+    val probeUnion = cents.indices
+      .map(j => s"SELECT vec_id, q, $j AS cell, s$j AS cs " +
+        "FROM scored WHERE vec_id < 20")
+      .mkString("\n      UNION ALL ")
+    s"""WITH iq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |scored AS (SELECT vec_id, q,
+       |  $scores
+       |  FROM iq),
+       |cells AS (SELECT vec_id, q,
+       |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+       |       WHEN s1>=s2 AND s1>=s3 THEN 1
+       |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
+       |  FROM scored),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, q AS qq, cell FROM (
+       |    SELECT vec_id, q, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
+       |    FROM (
+       |      $probeUnion))
+       |  WHERE pr <= 2),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
+       |      z -> z[1]*z[2])) AS BIGINT) AS score
+       |  FROM qprobe p JOIN cells c USING (cell)
+       |  WHERE p.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM (
+       |  SELECT query_id, neighbor_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM cand)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   // Seq, not Map — duplicates fail loudly (see SparkEntry.queryList)
   private lazy val sqlList: Seq[(String, String)] = Seq(
     "s7_scan_pushdown" ->
@@ -1077,51 +1127,14 @@ private[graft] object SparkEntryOracles {
     // ops), and every score is an exact integer — argmax ties to the
     // smallest cell, top-k ties to the smallest neighbor, so the replay is
     // bit-exact end to end.
-    "knn_ivf_fixed" -> {
-      val cents = graft.operators.Similarity.fixedCodebook(4, 64)
-      def dot(a: String, lits: Seq[Long]): String =
-        s"CAST(list_sum(list_transform(list_zip($a, " +
-          lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
-      val scores = cents.zipWithIndex
-        .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
-      val probeUnion = cents.indices
-        .map(j => s"SELECT vec_id, q, $j AS cell, s$j AS cs " +
-          "FROM scored WHERE vec_id < 20")
-        .mkString("\n      UNION ALL ")
-      s"""WITH iq AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |scored AS (SELECT vec_id, q,
-         |  $scores
-         |  FROM iq),
-         |cells AS (SELECT vec_id, q,
-         |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
-         |       WHEN s1>=s2 AND s1>=s3 THEN 1
-         |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
-         |  FROM scored),
-         |qprobe AS (
-         |  SELECT vec_id AS query_id, q AS qq, cell FROM (
-         |    SELECT vec_id, q, cell, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
-         |    FROM (
-         |      $probeUnion))
-         |  WHERE pr <= 2),
-         |cand AS (
-         |  SELECT p.query_id, c.vec_id AS neighbor_id,
-         |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
-         |      z -> z[1]*z[2])) AS BIGINT) AS score
-         |  FROM qprobe p JOIN cells c USING (cell)
-         |  WHERE p.query_id <> c.vec_id)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
-         |FROM (
-         |  SELECT query_id, neighbor_id, score, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
-         |    AS rank
-         |  FROM cand)
-         |WHERE rank <= 5""".stripMargin
-    },
+    "knn_ivf_fixed" -> knnIvfFixedSql,
+
+    // the at-rest + INCREMENTAL-APPEND twin: the layout is built on a
+    // base slice and grown by appendToIvf-style appends under the same
+    // literal codebook, so its query result must equal the in-memory
+    // fixed-codebook query over the full corpus — one SQL oracle serves
+    // both keys, which is exactly the claim (append is invisible)
+    "knn_ivf_append" -> knnIvfFixedSql,
 
     "text_language_id" -> {
       val markers = TextAnalysis.markers

@@ -803,9 +803,18 @@ object Similarity {
     val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       quantizeMilli(col(vecCol)).as("c_iq"))
       .withColumn("cell", fixedCell(col("c_iq"), centroids))
-    val qv = queries.select(col(idCol).cast("long").as("query_id"),
-      quantizeMilli(col(vecCol)).as("q_iq"))
-    val probes = qv
+    ivfFixedRank(assigned, fixedProbes(queries, idCol, vecCol,
+      centroids, nprobe), k, excludeSelf)
+  }
+
+  /** The query side of the fixed-codebook tier: each query's `nprobe`
+    * best cells by integer dot against the literal codebook. */
+  private def fixedProbes(queries: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Long]],
+                          nprobe: Int): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantizeMilli(col(vecCol)).as("q_iq"))
       .select(col("query_id"), col("q_iq"),
         posexplode(array(centroids.map(c => intDotLit(col("q_iq"), c)): _*))
           .as(Seq("cell", "cs")))
@@ -813,6 +822,13 @@ object Similarity {
         .orderBy(col("cs").desc, col("cell").asc)))
       .where(col("_pr") <= nprobe)
       .select("query_id", "q_iq", "cell")
+
+  /** Shared scoring tail of the fixed-codebook tier: candidates from the
+    * cell equi-join (probes broadcast), exact-integer scores, top-k. One
+    * body for the in-memory and at-rest paths so their ranking semantics
+    * cannot drift. */
+  private def ivfFixedRank(assigned: DataFrame, probes: DataFrame, k: Int,
+                           excludeSelf: Boolean): DataFrame = {
     val joined = assigned.join(broadcast(probes), "cell")
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
@@ -825,6 +841,43 @@ object Similarity {
         .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Cell-partitioned at-rest layout of the FIXED-codebook tier — the
+    * oracle-able twin of [[writeIvf]]: assignment is the deterministic
+    * integer argmax, so queries over the layout replay exactly in SQL.
+    * `append = true` is the incremental-growth path ([[appendToIvf]]'s
+    * contract): new files land next to the existing cells' files, nothing
+    * existing is rewritten, and because the codebook is literal there is
+    * no drift caveat at all — append is ALWAYS equivalent to a rebuild. */
+  def writeIvfFixed(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, centroids: Seq[Seq[Long]],
+                    append: Boolean = false): Unit =
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell", fixedCell(quantizeMilli(col(vecCol)), centroids))
+      .write.partitionBy("cell")
+      .mode(if (append) "append" else "overwrite")
+      .parquet(s"$path/data")
+
+  /** [[knnIvfFixed]] over a [[writeIvfFixed]] layout: probe cells become
+    * a partition filter — only those cells' files are read. Identical
+    * output to the in-memory form on the same corpus (shared ranking
+    * tail), which is what lets an APPENDED layout answer under the same
+    * SQL oracle as `knn_ivf_fixed`. */
+  def knnIvfFixedPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             centroids: Seq[Seq[Long]], nprobe: Int = 2,
+                             excludeSelf: Boolean = true): DataFrame = {
+    val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
+    // query-side cells, driver-collected (queries are small by contract)
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(probeCells: _*)) // partition pruning
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"), col("cell"))
+    ivfFixedRank(assigned, probes, k, excludeSelf)
   }
 
   /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes
