@@ -1051,6 +1051,15 @@ object SparkEntry {
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),
 
+    // SemDeDup-style semantic dedup: codebook-cell blocking + exact
+    // integer cosine² test (decimal(38,0) cross-multiplication), smallest
+    // id per neighborhood survives. Fixed literal codebook -> the entire
+    // pass replays in SQL; threshold cos² >= 0.81 (cos >= 0.9)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        simSqPpm = 810000L)),
+
     // ---------- similarity search ----------
     "knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

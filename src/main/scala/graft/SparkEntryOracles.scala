@@ -1015,6 +1015,47 @@ private[graft] object SparkEntryOracles {
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |        CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
 
+    // semantic-dedup twin: same milli-quantization + fixed-codebook cells
+    // as knn_ivf_fixed; the cos² test cross-multiplies in HUGEINT
+    // (int128) where Spark uses decimal(38,0) — both exact, hash-equal
+    "dedup_semantic" -> {
+      val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+      def dot(a: String, lits: Seq[Long]): String =
+        s"CAST(list_sum(list_transform(list_zip($a, " +
+          lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+      val scores = cents.zipWithIndex
+        .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+      s"""WITH iq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |scored AS (SELECT vec_id, q,
+         |  $scores
+         |  FROM iq),
+         |base AS (SELECT vec_id, q,
+         |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+         |       WHEN s1>=s2 AND s1>=s3 THEN 1
+         |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell,
+         |  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+         |  FROM scored),
+         |pairs AS (
+         |  SELECT a.vec_id AS vid, b.vec_id AS prior_id,
+         |    a.n2 AS na2, b.n2 AS nb2,
+         |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+         |      z -> z[1]*z[2])) AS BIGINT) AS score
+         |  FROM base a JOIN base b ON a.cell = b.cell
+         |    AND b.vec_id < a.vec_id),
+         |dups AS (
+         |  SELECT vid AS vec_id, min(prior_id) AS dup_of FROM pairs
+         |  WHERE score > 0 AND CAST(score AS HUGEINT) * score * 1000000
+         |    >= 810000 * CAST(na2 AS HUGEINT) * nb2
+         |  GROUP BY vid)
+         |SELECT b.vec_id, b.cell, (d.dup_of IS NOT NULL) AS is_dup,
+         |  d.dup_of
+         |FROM base b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin
+    },
+
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 20),

@@ -594,6 +594,67 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** SEMANTIC deduplication, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are blocked into codebook cells and a
+    * row is a semantic duplicate iff an EARLIER-id row in ITS CELL is
+    * cosine-similar above the threshold — the smallest id of each
+    * near-duplicate neighborhood always survives (deterministic, order-
+    * free). Output: (vec_id, cell, is_dup, dup_of) where `dup_of` is the
+    * smallest qualifying earlier id (null for survivors).
+    *
+    * EXACT integer math end to end, so the whole pass replays in SQL
+    * (registry key `dedup_semantic`): vectors milli-quantize
+    * ([[Similarity.quantizeMilli]]), the similarity test
+    * `cos² ≥ simSqPpm/1e6` is evaluated as
+    * `score²·1e6 ≥ simSqPpm·|a|²·|b|²` in decimal(38,0) — products reach
+    * ~10²⁰, past int64, and the decimal keeps the comparison exact where
+    * a double would round. `score > 0` guards the square test (a strongly
+    * ANTI-similar pair must not pass), and a zero vector (score 0 against
+    * everything) is never a duplicate.
+    *
+    * Scale shape: the only join is the within-cell self-join — shuffle
+    * once on the cell, per-cell work bounded by `maxCell`² with hot cells
+    * DROPPED from pairing (their rows all survive, conservatively — never
+    * wrongly deleted) and the drop observed (`semantic_dedup_cells`
+    * metric), same cap discipline as the shingle paths. At corpus scale
+    * the cells come from the trained codebook (the IVF layout already
+    * partitions by them), so the pass reads cell-local data only;
+    * the fixed literal codebook here is what buys the SQL oracle. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Long]], simSqPpm: Long = 810000L,
+                    maxCell: Int = 100000): DataFrame = {
+    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
+      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
+    val base = emb
+      .select(col(idCol).cast("long").as("vec_id"),
+        Similarity.quantizeMilli(col(vecCol)).as("iq"),
+        Similarity.cellOf(col(vecCol), centroids).as("cell"))
+    val sized = base.withColumn("n2",
+      aggregate(col("iq"), lit(0L), (a, x) => a + x * x))
+    val hot = sized.groupBy("cell").agg(count(lit(1)).as("_c"))
+      .observe("semantic_dedup_cells",
+        sum(when(col("_c") > maxCell, 1L).otherwise(0L))
+          .as("dropped_cells"))
+      .where(col("_c") > maxCell).select("cell")
+    val joinable = sized.join(broadcast(hot), Seq("cell"), "left_anti")
+    val prior = joinable.select(col("cell"),
+      col("vec_id").as("prior_id"), col("iq").as("iq_b"),
+      col("n2").as("n2_b"))
+    val d = (c: Column) => c.cast("decimal(19,0)")
+    val dups = joinable.join(prior, Seq("cell"))
+      .where(col("prior_id") < col("vec_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("iq"), col("iq_b"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .where(col("score") > 0 &&
+        d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
+          d(lit(simSqPpm)) * d(col("n2")) * d(col("n2_b")))
+      .groupBy("vec_id").agg(min(col("prior_id")).as("dup_of"))
+    base.join(dups, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
   /** Connected components over an undirected near-duplicate pair list —
     * the step every dedup family needs between "pairs found" and "one
     * representative kept": transitively-linked documents form ONE cluster

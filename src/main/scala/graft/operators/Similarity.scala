@@ -778,6 +778,12 @@ object Similarity {
     aggregate(zip_with(iq, typedLit(cent), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
 
+  /** Deterministic cell of `vec` under the literal integer codebook —
+    * the public form of the fixed-codebook assignment, shared by the
+    * at-rest layouts and [[Dedup.semanticDedup]]'s cell blocking. */
+  def cellOf(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    fixedCell(quantizeMilli(vec), centroids)
+
   /** Argmax cell over the literal codebook, ties to the SMALLEST cell
     * index (greatest-struct on (score, -index)). */
   private def fixedCell(iq: Column, centroids: Seq[Seq[Long]]): Column = {

@@ -296,4 +296,66 @@ class DedupSpec extends SparkSpec {
       minhashLocal(Seq("delta epsilon", "epsilon zeta", "zeta eta")))
     assert(!mh.contains(5L)) // < k tokens -> absent
   }
+
+  test("semantic dedup: laws on planted vectors — min-id survives, " +
+      "anti-similar never flagged, threshold monotone, zero vec immune") {
+    import spark.implicits._
+    // 2-dim toy space, codebook = the two axes: cell 0 = x-dominant,
+    // cell 1 = y-dominant. ids ordered so survivorship is checkable.
+    val cb = Seq(Seq(100L, 0L), Seq(0L, 100L))
+    val rows = Seq(
+      (1L, Array(1.0f, 0.1f)),    // cell 0 anchor (smallest id -> survives)
+      (2L, Array(0.99f, 0.11f)),  // ~parallel to 1 -> dup_of 1
+      (3L, Array(2.0f, 0.2f)),    // scaled copy of 1 -> dup_of 1 (cosine!)
+      // ANTI-similar to everything in cell 0 (negative-dot argmax puts
+      // all-negative vectors in the least-negative cell: here cell 0);
+      // cos < 0, so the score>0 guard must keep it — a bare square test
+      // would wrongly flag it as a duplicate of 1
+      (4L, Array(-0.1f, -1.0f)),
+      (5L, Array(0.1f, 1.0f)),    // cell 1 anchor
+      (6L, Array(0.1f, 1.01f)),   // ~parallel to 5 -> dup_of 5
+      (7L, Array(0.9f, 0.6f)),    // cell 0, dissimilar enough to 1
+      (8L, Array(0.0f, 0.0f)))    // zero vector: never a dup
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(rows, "vec_id", "embedding", cb,
+      simSqPpm = 980000L) // cos >= ~0.99
+      .as[(Long, Int, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) === ((false, None)))      // anchor survives
+    assert(got(2L) === ((true, Some(1L))))   // near-parallel
+    assert(got(3L) === ((true, Some(1L))))   // scale-invariant (cosine)
+    assert(got(4L) === ((false, None)))      // anti-parallel must survive
+    assert(got(5L) === ((false, None)))
+    assert(got(6L) === ((true, Some(5L))))
+    assert(got(7L) === ((false, None)))
+    assert(got(8L) === ((false, None)))      // zero vec immune
+
+    // threshold monotonicity on the real corpus: raising cos² can only
+    // shrink the duplicate set (and the lower-threshold set contains it)
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val cb64 = Similarity.fixedCodebook(4, 64)
+    def dupSet(ppm: Long): Set[Long] =
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cb64, ppm)
+        .where($"is_dup").select("vec_id").as[Long].collect().toSet
+    val loose = dupSet(640000L)  // cos >= 0.8
+    val tight = dupSet(980000L)  // cos >= ~0.99
+    assert(tight.subsetOf(loose))
+
+    // every flagged dup really is above threshold vs its dup_of, checked
+    // in independent double math (1e-9 guard for the quantization edge)
+    val flagged = Dedup.semanticDedup(emb, "vec_id", "embedding", cb64,
+        810000L)
+      .where($"is_dup").as[(Long, Int, Boolean, Long)].collect()
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    flagged.foreach { case (vid, _, _, dupOf) =>
+      assert(dupOf < vid)
+      val a = vecs(vid).map(x => math.floor(x * 1000.0))
+      val b = vecs(dupOf).map(x => math.floor(x * 1000.0))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / math.sqrt(a.map(x => x * x).sum *
+        b.map(x => x * x).sum)
+      assert(cos >= math.sqrt(0.81) - 1e-9, s"$vid vs $dupOf: cos=$cos")
+    }
+  }
 }
