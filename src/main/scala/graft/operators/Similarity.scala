@@ -342,6 +342,76 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/data")
   }
 
+  /** Compact the cells of an IVF layout that have accumulated small
+    * files from [[appendToIvf]] — the maintenance twin of the append
+    * path (every stream of appends needs one, or open/seek cost
+    * eventually dominates the pruned reads the layout exists for). Only
+    * cells whose file count exceeds BOTH `maxFilesPerCell` and their
+    * size-derived target (`ceil(bytes/targetBytes)`) are rewritten;
+    * everything else is untouched. Returns the compacted cell ids.
+    *
+    * Crash-safe in the [[graft.sources.Sinks.snapshotOverwrite]]
+    * discipline, adapted to a partitioned layout: the rewrite STAGES
+    * OUTSIDE the data directory (a `cell=N.staging-…` dir inside it
+    * would corrupt concurrent readers' partition discovery), then swaps
+    * via two metadata renames (cell → timestamped backup, staged →
+    * cell). A crash between the renames leaves the cell missing but its
+    * backup intact; the recovery sweep at the START of the next call
+    * restores the newest backup of any missing cell — same
+    * recover-on-open contract as the snapshot sinks. `crashPoint` is the
+    * test hook ("staged" / "backed-up"), mirroring `snapshotOverwrite`. */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession,
+                      path: String, maxFilesPerCell: Int = 8,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      crashPoint: String => Unit = _ => ()): Seq[Int] = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val data = new HPath(s"$path/data")
+    val fs = FileSystem.get(data.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val backups = new HPath(s"$path/backups")
+    // recovery sweep: a crash between the two swap renames left the cell
+    // dir missing — restore its NEWEST backup (suffix is a timestamp)
+    if (fs.exists(backups)) {
+      fs.listStatus(backups).map(_.getPath)
+        .filter(_.getName.matches("cell=\\d+-\\d+"))
+        .groupBy(_.getName.replaceAll("-\\d+$", ""))
+        .foreach { case (cellName, bs) =>
+          val cellDir = new HPath(data, cellName)
+          if (!fs.exists(cellDir)) {
+            val newest = bs.maxBy(_.getName.replaceAll(".*-", "").toLong)
+            if (!fs.rename(newest, cellDir)) throw new java.io.IOException(
+              s"recovery rename $newest -> $cellDir failed")
+          }
+        }
+    }
+    if (!fs.exists(data)) return Seq.empty
+    val cells = fs.listStatus(data)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath).sortBy(_.getName)
+    cells.flatMap { cellDir =>
+      val files = fs.listStatus(cellDir).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val want = math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+      if (files.length <= math.max(want, maxFilesPerCell)) None
+      else {
+        val ts = System.currentTimeMillis()
+        val staged = new HPath(s"$path/staging/${cellDir.getName}-$ts")
+        spark.read.parquet(cellDir.toString).repartition(want)
+          .write.mode("overwrite").parquet(staged.toString)
+        crashPoint("staged")
+        fs.mkdirs(backups)
+        val backup = new HPath(backups, s"${cellDir.getName}-$ts")
+        if (!fs.rename(cellDir, backup)) throw new java.io.IOException(
+          s"rename $cellDir -> $backup failed")
+        crashPoint("backed-up")
+        if (!fs.rename(staged, cellDir)) throw new java.io.IOException(
+          s"rename $staged -> $cellDir failed")
+        Some(cellDir.getName.stripPrefix("cell=").toInt)
+      }
+    }.toSeq
+  }
+
   /** Per-JVM registry of built IVF layouts, keyed by caller-chosen dataset
     * key: [[ivfLayoutFor]] builds a layout at most once per key — the
     * "index once, query many" usage every at-rest ANN deployment has. */

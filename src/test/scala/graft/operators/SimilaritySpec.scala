@@ -164,6 +164,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0)
   }
 
+  test("IVF cell compaction: small files merge, results identical, " +
+      "crash-safe at every protocol step") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString
+    val p = s"$dir/layout"
+    Similarity.writeIvf(emb.where($"vec_id" % 3 === 0),
+      "vec_id", "embedding", p)
+    Similarity.appendToIvf(emb.where($"vec_id" % 3 === 1),
+      "vec_id", "embedding", p)
+    Similarity.appendToIvf(emb.where($"vec_id" % 3 === 2),
+      "vec_id", "embedding", p)
+    val queries = emb.where($"vec_id" < 30)
+    def top() = Similarity
+      .knnIvfPartitioned(spark, p, queries, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().toSet
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$p/data"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = top()
+    val filesBefore = parquetFiles()
+    assert(filesBefore > 16, s"appends should fragment cells: $filesBefore")
+
+    // crash after staging: the layout is untouched (stage-first order)
+    intercept[RuntimeException] {
+      Similarity.compactIvfCells(spark, p, maxFilesPerCell = 1,
+        crashPoint = s => if (s == "staged") throw new RuntimeException("x"))
+    }
+    assert(top() === before)
+    // crash between the two swap renames: one cell is momentarily
+    // missing — the next call's recovery sweep restores its backup
+    intercept[RuntimeException] {
+      Similarity.compactIvfCells(spark, p, maxFilesPerCell = 1,
+        crashPoint =
+          s => if (s == "backed-up") throw new RuntimeException("x"))
+    }
+    val compacted = Similarity.compactIvfCells(spark, p, maxFilesPerCell = 1)
+    assert(compacted.nonEmpty)
+    assert(top() === before) // compaction is invisible to queries
+    assert(parquetFiles() < filesBefore)
+    // idempotent: everything is at the target now
+    assert(Similarity.compactIvfCells(spark, p, maxFilesPerCell = 1).isEmpty)
+  }
+
   test("excludeSelf=false keeps id-colliding neighbors across distinct datasets") {
     import spark.implicits._
     val corpus = emb.limit(10)
