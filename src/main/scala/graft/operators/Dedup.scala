@@ -622,13 +622,38 @@ object Dedup {
     * the fixed literal codebook here is what buys the SQL oracle. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Long]], simSqPpm: Long = 810000L,
-                    maxCell: Int = 100000): DataFrame = {
-    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
-      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
-    val base = emb
+                    maxCell: Int = 100000): DataFrame =
+    semanticDedupAssigned(emb
       .select(col(idCol).cast("long").as("vec_id"),
         Similarity.quantizeMilli(col(vecCol)).as("iq"),
-        Similarity.cellOf(col(vecCol), centroids).as("cell"))
+        Similarity.cellOf(col(vecCol), centroids).as("cell")),
+      simSqPpm, maxCell)
+
+  /** [[semanticDedup]] over an AT-REST IVF layout ([[Similarity.writeIvf]]
+    * — including one grown by [[Similarity.appendToIvf]]): the cells are
+    * already assigned on disk, so the pass reads the cell-partitioned
+    * corpus and goes straight to within-cell pairing — the index that
+    * similarity search maintains doubles as the dedup blocking, no
+    * re-assignment scan. Blocked dedup is defined RELATIVE to its
+    * blocking: results follow the layout's (learned) cells, exactly as
+    * the registry form's follow the fixed codebook. */
+  def semanticDedupAtRest(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String, vecCol: String,
+                          simSqPpm: Long = 810000L,
+                          maxCell: Int = 100000): DataFrame =
+    semanticDedupAssigned(spark.read.parquet(s"$path/data")
+      .select(col(idCol).cast("long").as("vec_id"),
+        Similarity.quantizeMilli(col(vecCol)).as("iq"), col("cell")),
+      simSqPpm, maxCell)
+
+  /** Shared core of the semantic-dedup forms: `assigned` must carry
+    * (vec_id, iq, cell). One body so the in-memory and at-rest paths
+    * cannot drift. */
+  private def semanticDedupAssigned(assigned: DataFrame, simSqPpm: Long,
+                                    maxCell: Int): DataFrame = {
+    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
+      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
+    val base = assigned
     val sized = base.withColumn("n2",
       aggregate(col("iq"), lit(0L), (a, x) => a + x * x))
     val hot = sized.groupBy("cell").agg(count(lit(1)).as("_c"))

@@ -358,4 +358,43 @@ class DedupSpec extends SparkSpec {
       assert(cos >= math.sqrt(0.81) - 1e-9, s"$vid vs $dupOf: cos=$cos")
     }
   }
+
+  test("semantic dedup at rest: the (appended) IVF layout's cells are the " +
+      "blocking; exact agreement with a BigInt recompute") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup-rest").toString
+    Similarity.writeIvf(emb.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", dir)
+    Similarity.appendToIvf(emb.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding", dir)
+    val got = Dedup
+      .semanticDedupAtRest(spark, dir, "vec_id", "embedding", 160000L)
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSet
+    // independent recompute: same integer test in BigInt over the same
+    // at-rest rows (no int64 headroom question at all)
+    val rows = spark.read.parquet(s"$dir/data")
+      .select($"vec_id", $"embedding", $"cell")
+      .as[(Long, Array[Float], Int)].collect()
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong)
+    val byCell = rows.groupBy(_._3)
+    val expect = rows.map { case (vid, v, cell) =>
+      val iq = q(v)
+      val n2 = iq.map(x => BigInt(x) * x).sum
+      val dupOf = byCell(cell).filter(_._1 < vid).toSeq
+        .flatMap { case (pid, pv, _) =>
+          val piq = q(pv)
+          val score = iq.zip(piq).map { case (a, b) => BigInt(a) * b }.sum
+          val pn2 = piq.map(x => BigInt(x) * x).sum
+          if (score > 0 &&
+            score * score * 1000000 >= BigInt(160000L) * n2 * pn2)
+            Some(pid) else None
+        }.sorted.headOption
+      (vid, cell, dupOf.isDefined, dupOf)
+    }.toSet
+    assert(got === expect)
+    assert(got.exists(_._3), "expected at least one semantic dup at cos>=0.4")
+  }
 }
