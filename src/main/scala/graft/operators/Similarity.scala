@@ -342,6 +342,43 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(s"$path/data")
   }
 
+  /** Retention for [[compactIvfCells]]'s per-cell backups (and orphaned
+    * staging dirs from crashed runs): keep the newest `keepLast` backups
+    * PER CELL, delete the rest, and drop any staging dir older than the
+    * newest backup of its cell (a crash before the backup rename leaves
+    * one; it can never be the live data). The maintenance twin of
+    * [[graft.sources.Sinks.vacuumBackups]] — unbounded backup chains
+    * eventually dominate storage. Only names matching the
+    * `cell=N-<timestamp>` pattern are candidates; anything else under
+    * the roots is never touched. Returns the deleted paths.
+    *
+    * `keepLast` ≥ 1 always: a cell missing after a crash is RESTORED
+    * from its newest backup (the backup IS the live data in that
+    * window), so the newest must survive every vacuum. Run this from
+    * the same single-writer maintenance schedule as the compaction
+    * itself, never concurrently with one (an in-flight staging dir
+    * would read as an orphan). */
+  def vacuumIvfBackups(spark: org.apache.spark.sql.SparkSession,
+                       path: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "keepLast must be >= 1 (see scaladoc)")
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(new HPath(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def doomedUnder(root: HPath, keep: Int): Seq[HPath] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.matches("cell=\\d+-\\d+"))
+        .groupBy(_.getName.replaceAll("-\\d+$", ""))
+        .values.flatMap { bs =>
+          bs.sortBy(_.getName.replaceAll(".*-", "").toLong)
+            .dropRight(keep)
+        }.toSeq
+    val doomed = doomedUnder(new HPath(s"$path/backups"), keepLast) ++
+      doomedUnder(new HPath(s"$path/staging"), 0) // staging: all orphans
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.toString)
+  }
+
   /** Compact the cells of an IVF layout that have accumulated small
     * files from [[appendToIvf]] — the maintenance twin of the append
     * path (every stream of appends needs one, or open/seek cost

@@ -209,6 +209,26 @@ class SimilaritySpec extends SparkSpec {
     assert(parquetFiles() < filesBefore)
     // idempotent: everything is at the target now
     assert(Similarity.compactIvfCells(spark, p, maxFilesPerCell = 1).isEmpty)
+
+    // vacuum: the compaction backups and the crashed runs' orphan staging
+    // dirs are retained garbage — keepLast=1 keeps each cell's newest
+    // backup (it IS the live data in the crash window) and drops the rest
+    def dirsUnder(sub: String): Set[String] = {
+      val d = new java.io.File(s"$p/$sub")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles.filter(_.isDirectory).map(_.getName).toSet
+    }
+    assert(dirsUnder("staging").nonEmpty) // the two crash-injected runs
+    val deleted = Similarity.vacuumIvfBackups(spark, p, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(dirsUnder("staging").isEmpty)
+    val remaining = dirsUnder("backups")
+    // one newest backup per compacted cell survives
+    assert(remaining.map(_.replaceAll("-\\d+$", "")).size === remaining.size)
+    assert(top() === before) // vacuum can never touch live data
+    intercept[IllegalArgumentException] {
+      Similarity.vacuumIvfBackups(spark, p, keepLast = 0)
+    }
   }
 
   test("excludeSelf=false keeps id-colliding neighbors across distinct datasets") {
