@@ -783,6 +783,22 @@ object SparkEntry {
       graft.operators.Ranking.globalRowNumbers(
         t(s, dir, "documents").select(col("doc_id")), Seq("doc_id"))),
 
+    // 2-D skyline (Pareto frontier) of customers maximizing BOTH total
+    // spend and order count — no weighting, the undominated set. Engine:
+    // per-x max aggregate + PrefixScan's distributed x-desc sweep +
+    // frontier semi-join (O(n log n), never all-pairs); oracle: the
+    // literal NOT EXISTS dominance definition (all-pairs is fine at
+    // oracle scale)
+    "o_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.pareto2d(
+          t(s, dir, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("spend_cents"),
+              count(lit(1)).as("n_orders")),
+          "spend_cents", "n_orders")
+        .select("o_custkey", "spend_cents", "n_orders")),
+
     "o3_limit_probe" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderkey")
         .orderBy(col("o_orderkey").asc).limit(1)),
@@ -1279,6 +1295,16 @@ object SparkEntry {
       graft.operators.EventAnalytics.stateRuns(t(s, dir, "events"),
         "user_id", "ts", "event_id", "event_type")),
 
+    // EXACT-integer Lloyd's k-means over the embedding column: quantize
+    // to thousandths, argmin squared-L2 with ties to the smallest cell,
+    // integer floor-average centroid updates, k smallest vec_ids as the
+    // seed-free init — every step bit-reproducible, so the whole
+    // 2-iteration clustering is hash-verified against DuckDB's unrolled
+    // replay (the graph_communities treatment applied to clustering)
+    "emb_kmeans" -> ((s, dir) =>
+      graft.operators.Embeddings.kmeansExact(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 4, iters = 2)),
+
     // Per-(label, dim) centroid accumulators in exact integer millionths
     "emb_label_centroids" -> ((s, dir) =>
       graft.operators.Embeddings.labelCentroids(t(s, dir, "embeddings"),
@@ -1566,6 +1592,27 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("mean_luma_milli"))
+    }),
+
+    // REAL audio decode + spectral features: deterministic synthetic sine
+    // WAVs keyed by doc_id (StrictMath — bit-identical on any JVM) are
+    // generated executor-side, then javax.sound PCM decode + an 8-band
+    // Goertzel power spectrum runs as the partition-mapped batch
+    // (rows-only: PCM decode has no SQL twin; the sine at band center
+    // (doc_id%8) must dominate band doc_id%8 — pinned in MultimodalSpec)
+    "mm_audio_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 16).as[Long]
+        .map(id => (id, Multimodal.buildSineWav(
+          freqHz = 250.0 + (id % 8) * 500.0)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioSpectrum(assets, "doc_id", "payload").toDF()
+        .select(col("asset_id"), col("ok"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("rms_milli"), col("zero_crossings"),
+          col("dominant_band").cast("long").as("dominant_band"),
+          col("band_energy_milli"))
     }),
 
     // ---------- change capture / SCD2 (incremental maintenance) ----------
@@ -2787,6 +2834,25 @@ object SparkEntry {
         key = s"orders-sk-$dir", spark = s)
       graft.operators.Sketches.distinctFromSketches(s, path,
         Seq("o_orderstatus"))
+    }),
+
+    // QUANTILE rollup from at-rest KLL sketches (custom
+    // TypedImperativeAggregate — Spark 4 ships DataSketches only for
+    // distinct counts): per-(flag, status) sketches over price cents,
+    // rolled up to flag alone by kilobyte merges, zero fact rescans.
+    // Like a_sketch_rollup, sketch internals aren't SQL-replayable
+    // (KLL compaction is randomized) → rows-only here; the ε rank-error
+    // law, the exact-n conservation law, and agreement with
+    // percentile_cont are pinned in SketchesSpec
+    "a_quantile_sketch_rollup" -> ((s, dir) => {
+      val path = graft.operators.Sketches.quantileSketchTableFor(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"),
+          floor(col("l_extendedprice") * 100).cast("double").as("pc")),
+        Seq("l_returnflag", "l_linestatus"), "pc",
+        key = s"li-qsk-$dir", spark = s)
+      graft.operators.Sketches.quantilesFromSketches(s, path,
+        Seq("l_returnflag"))
     }),
 
     // Native session windows (Spark's SessionWindowing operator, the

@@ -755,6 +755,19 @@ private[graft] object SparkEntryOracles {
         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
         |FROM documents""".stripMargin,
 
+    "o_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_custkey,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+        |         COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT s.o_custkey, s.spend_cents, s.n_orders
+        |FROM pts s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts o
+        |  WHERE o.spend_cents >= s.spend_cents AND o.n_orders >= s.n_orders
+        |    AND (o.spend_cents > s.spend_cents OR o.n_orders > s.n_orders))""".stripMargin,
+
     "o3_limit_probe" ->
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1",
 
@@ -1378,6 +1391,54 @@ private[graft] object SparkEntryOracles {
         |SELECT cohort, CAST(offs AS BIGINT) AS day_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // exact-integer k-means, unrolled: quantize to thousandths, 2
+    // Lloyd iterations with integer floor-average centroid updates
+    // (COALESCE keeps an empty cell's previous centroid, mirroring the
+    // engine), assignment = squared-L2 argmin with ties to the smallest
+    // cell — every step integer-exact, so the full clustering hash-matches
+    "emb_kmeans" -> {
+      val dim = 64
+      // floor division (round toward -inf) on BIGINT — numerator is an
+      // exact multiple, so the double quotient is exact
+      def fdiv(s: String, c: String): String =
+        s"CAST((($s) - ((($s) % ($c) + ($c)) % ($c))) / ($c) AS BIGINT)"
+      val centroidList = (1 to dim)
+        .map(d => fdiv(s"SUM(q[$d])", "COUNT(*)"))
+        .mkString("list_value(", ", ", ")")
+      def assign(cTab: String, out: String): String =
+        s"""$out AS (
+           |  SELECT vec_id, q, j AS cell FROM (
+           |    SELECT a.vec_id, a.q, c.j,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        list_sum(list_transform(list_zip(a.q, c.c),
+           |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS rn
+           |    FROM iq a CROSS JOIN $cTab c)
+           |  WHERE rn = 1)""".stripMargin
+      def update(assigned: String, prevC: String, out: String): String =
+        s"""${out}_agg AS (
+           |  SELECT cell AS j, $centroidList AS c
+           |  FROM $assigned GROUP BY cell),
+           |$out AS (
+           |  SELECT p.j, COALESCE(u.c, p.c) AS c
+           |  FROM $prevC p LEFT JOIN ${out}_agg u ON u.j = p.j)""".stripMargin
+      s"""WITH iq AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |    AS j, q AS c
+         |  FROM (SELECT vec_id, q FROM iq ORDER BY vec_id LIMIT 4)),
+         |${assign("c0", "a1")},
+         |${update("a1", "c0", "c1")},
+         |${assign("c1", "a2")},
+         |${update("a2", "c1", "c2")},
+         |${assign("c2", "a3")}
+         |SELECT a3.vec_id, CAST(a3.cell AS BIGINT) AS cell, cnt.n AS cluster_n
+         |FROM a3 JOIN (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |              FROM a3 GROUP BY cell) cnt ON a3.cell = cnt.cell""".stripMargin
+    },
 
     // centroid accumulators: quantize each float component to integer
     // millionths BEFORE summing (order-independent, hash-exact); pos is

@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.IntegerType
   *   - `han_count(str)` — Han-script code-point count (langid's zh signal)
   *   - `int8_codes(vec)` — symmetric int8 quantization of a float vector
   *   - `int8_cosine(a, b)` — approximate cosine from two int8 code vectors
+  *   - `kll_sketch_agg(v, k)` / `kll_merge_agg(sk, k)` — mergeable KLL
+  *     quantile sketch build / rollup aggregates
+  *   - `kll_quantile(sk, rank)` / `kll_rank(sk, v)` / `kll_sketch_n(sk)`
+  *     — KLL sketch readers
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
   * structural (codegen'd loop bounds), not per-row data.
@@ -97,6 +101,31 @@ object GraftSql {
     "int8_cosine" -> { es =>
       arity("int8_cosine", es, 2)
       org.apache.spark.sql.graft.Int8Cosine(es.head, es(1))
+    },
+    // KLL quantile-sketch family (the percentile sibling of Spark's
+    // hll_sketch_agg); aggregates are returned unwrapped — the analyzer
+    // wraps AggregateFunctions into AggregateExpressions
+    "kll_sketch_agg" -> { es =>
+      arity("kll_sketch_agg", es, 2)
+      org.apache.spark.sql.graft.KllSketchAgg(es.head,
+        intLit(es(1), "kll_sketch_agg", 1))
+    },
+    "kll_merge_agg" -> { es =>
+      arity("kll_merge_agg", es, 2)
+      org.apache.spark.sql.graft.KllMergeAgg(es.head,
+        intLit(es(1), "kll_merge_agg", 1))
+    },
+    "kll_quantile" -> { es =>
+      arity("kll_quantile", es, 2)
+      org.apache.spark.sql.graft.KllQuantile(es.head, es(1))
+    },
+    "kll_rank" -> { es =>
+      arity("kll_rank", es, 2)
+      org.apache.spark.sql.graft.KllRank(es.head, es(1))
+    },
+    "kll_sketch_n" -> { es =>
+      arity("kll_sketch_n", es, 1)
+      org.apache.spark.sql.graft.KllSketchN(es.head)
     })
 
   /** Register every custom function in the session's FunctionRegistry as a

@@ -76,4 +76,75 @@ object Embeddings {
         posexplode(outs).as(Seq("pos", "out_q")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("out_q"))
   }
+
+  /** Floor division on longs (rounds toward -inf, unlike `/`'s
+    * truncation) — the portable integer centroid-average both engines
+    * compute identically. */
+  private def fdiv(s: Long, n: Long): Long = {
+    val m = ((s % n) + n) % n
+    (s - m) / n
+  }
+
+  /** EXACT-arithmetic Lloyd's k-means over the embedding column:
+    * components quantize to integer thousandths up front (the
+    * `dedup_semantic` convention), so assignments (integer squared-L2
+    * argmin, ties to the smallest cell id) and centroid updates (integer
+    * floor-averages) are bit-reproducible and SQL-replayable — a
+    * clustering run a second engine can hash-verify, which float k-means
+    * never is. Initial centroids: the `k` smallest `idCol` rows in id
+    * order (deterministic seed-free init).
+    *
+    * Scale shape, per iteration: ONE scan-side codegen'd assignment pass
+    * (the k×dim centroid matrix folds into the expression as literals —
+    * bounded driver state, the [[Similarity]] codebook contract) and ONE
+    * hash aggregate with `dim+1` map-side-partial sums — no explode, no
+    * per-row join against the centroid table. Empty cells keep their
+    * previous centroid. `k`×`dim` term count is codegen'd; keep
+    * k×dim ≲ 10k (beyond that, the IVF codebook path in [[Similarity]]
+    * is the right tool). */
+  def kmeansExact(embs: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, k: Int = 4, iters: Int = 2,
+                  scale: Int = 1000): DataFrame = {
+    require(k >= 1 && iters >= 0 && dim >= 1)
+    val base = embs.select(col(idCol).cast("long").as("vec_id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+
+    var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"need at least $k input rows")
+
+    // (squared-distance, cell) argmin as ONE least-of-structs expression:
+    // lexicographic struct order = min distance, ties to min cell id
+    // (k=1: least() needs two args — every row is trivially cell 0)
+    def cellCol: Column =
+      if (k == 1) lit(0L)
+      else least(cents.zipWithIndex.map { case (c, j) =>
+        val dist = (0 until dim).map { d =>
+          val diff = element_at(col("q"), d + 1) - lit(c(d))
+          diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(j).as("j"))
+      }: _*).getField("j").cast("long")
+
+    for (_ <- 1 to iters) {
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
+        sum(element_at(col("q"), d + 1)).as(s"s$d"))
+      val rows = base.withColumn("cell", cellCol)
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: k rows of dim+2 longs
+      val byCell = rows.map(r => r.getLong(0) -> r).toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCell.get(j.toLong).map { r =>
+          val n = r.getLong(1)
+          Array.tabulate(dim)(d => fdiv(r.getLong(2 + d), n))
+        }.getOrElse(old)
+      }
+    }
+
+    val assigned = base.withColumn("cell", cellCol).select("vec_id", "cell")
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_n"))
+    assigned.join(broadcast(counts), Seq("cell"))
+      .select("vec_id", "cell", "cluster_n")
+  }
 }

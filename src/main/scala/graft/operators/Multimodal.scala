@@ -367,6 +367,146 @@ object Multimodal {
     buildMjpegAvi(frames, w, h)
   }
 
+  // ---- audio: PCM decode + spectral features (JDK-only) ----
+  // WAV decode is real (`javax.sound.sampled` ships a PCM codec); the
+  // "embedding" is an n-band Goertzel power spectrum — the deterministic
+  // stand-in for a model forward pass with the same schema, partitioning
+  // and batch shape. All trig goes through StrictMath (bit-identical on
+  // every JVM), accumulation is fixed-order IEEE, outputs are rounded to
+  // integer milli-units: the features are reproducible anywhere.
+
+  /** Spectral features of one decoded audio payload. `ok = false` rows
+    * carry zeros (payload wasn't decodable 16-bit PCM). `rms_milli` is
+    * relative to full scale (32768); `band_energy_milli` holds each
+    * band's share of total spectral power in milli-fractions (sums to
+    * ~1000); `dominant_band` is the argmax (ties → lowest). */
+  case class AudioSpectrum(asset_id: Long, ok: Boolean,
+                           sample_rate: Int, n_samples: Long,
+                           rms_milli: Long, zero_crossings: Long,
+                           dominant_band: Int,
+                           band_energy_milli: Array[Long])
+
+  /** Decode 16-bit PCM and compute [[AudioSpectrum]] with `nBands`
+    * Goertzel probes at band-center frequencies below Nyquist. Multi-
+    * channel audio is mono-mixed (integer average) before analysis. */
+  def audioSpectrumOne(assetId: Long, bytes: Array[Byte],
+                       nBands: Int = 8): AudioSpectrum = {
+    val fail = AudioSpectrum(assetId, ok = false, 0, 0L, 0L, 0L, 0,
+      new Array[Long](nBands))
+    if (!looksLikeAudio(bytes)) return fail
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return fail }
+    try {
+      val fmt = in.getFormat
+      val bigEndian = fmt.isBigEndian
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return fail
+      val raw = in.readAllBytes()
+      val ch = fmt.getChannels
+      val frameBytes = 2 * ch
+      val n = raw.length / frameBytes
+      if (n == 0) return fail
+      // mono mix in integers
+      val mono = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val off = i * frameBytes + 2 * c
+          val s =
+            if (bigEndian) ((raw(off) << 8) | (raw(off + 1) & 0xFF)).toShort
+            else ((raw(off + 1) << 8) | (raw(off) & 0xFF)).toShort
+          acc += s
+          c += 1
+        }
+        mono(i) = acc / ch
+        i += 1
+      }
+      // RMS (exact integer sum of squares) + zero crossings
+      var sq = 0L
+      var zc = 0L
+      i = 0
+      while (i < n) {
+        val v = mono(i)
+        sq += v.toLong * v
+        if (i > 0 && ((mono(i - 1) >= 0) != (v >= 0))) zc += 1
+        i += 1
+      }
+      val rmsMilli = math.round(math.sqrt(sq.toDouble / n) / 32768.0 * 1000)
+      // Goertzel power at each band center (b + 0.5) * nyquist / nBands;
+      // fixed iteration order keeps the double accumulation deterministic
+      val sr = math.round(fmt.getSampleRate)
+      val power = new Array[Double](nBands)
+      var b = 0
+      while (b < nBands) {
+        val freq = (b + 0.5) * (sr / 2.0) / nBands
+        val w = 2.0 * math.Pi * freq / sr
+        val coeff = 2.0 * StrictMath.cos(w)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        i = 0
+        while (i < n) {
+          s0 = mono(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        power(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      val total = power.sum
+      val shares =
+        if (total <= 0) new Array[Long](nBands)
+        else power.map(p => math.round(p / total * 1000))
+      var dom = 0
+      b = 1
+      while (b < nBands) { if (power(b) > power(dom)) dom = b; b += 1 }
+      AudioSpectrum(assetId, ok = true, sr, n.toLong, rmsMilli, zc,
+        dom, shares)
+    } catch { case _: Exception => fail }
+    finally in.close()
+  }
+
+  /** Partition-mapped [[audioSpectrumOne]] over (id, payload) rows. */
+  def audioSpectrum(assets: DataFrame, idCol: String, binCol: String,
+                    nBands: Int = 8): Dataset[AudioSpectrum] = {
+    implicit val enc = Encoders.product[AudioSpectrum]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) =>
+        audioSpectrumOne(id, bytes, nBands) })
+  }
+
+  /** Deterministic synthetic 16-bit mono WAV: a pure sine at `freqHz`,
+    * amplitude `amp` (of 32767), `nSamples` samples at `sampleRate` Hz —
+    * the executor-side audio fixture (StrictMath.sin: bit-identical on
+    * every JVM). */
+  def buildSineWav(freqHz: Double, sampleRate: Int = 8000,
+                   nSamples: Int = 2000, amp: Int = 12000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def wcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    wcc("RIFF"); w32(36 + dataLen); wcc("WAVE")
+    wcc("fmt "); w32(16); w16(1); w16(1) // PCM, mono
+    w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
+    wcc("data"); w32(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.round(
+        amp * StrictMath.sin(2.0 * math.Pi * freqHz * i / sampleRate)).toInt
+      w16(v)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
   /** Frame-sample stub: slice `n` evenly spaced windows of `frameBytes`
     * bytes from a binary payload — the partitioning/batch shape of video
     * frame extraction with the codec swapped for byte slicing. */

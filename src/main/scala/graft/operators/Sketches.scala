@@ -51,4 +51,72 @@ object Sketches {
       .groupBy(rollupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("approx_distinct"))
+
+  // ---- quantile sketches (KLL) — the percentile sibling of the HLL
+  // ---- family above; custom TypedImperativeAggregate because Spark 4
+  // ---- exposes DataSketches only for distinct counts
+
+  import org.apache.spark.sql.{Column, GraftBridge}
+  import org.apache.spark.sql.graft.{KllMergeAgg, KllQuantile, KllRank, KllSketchAgg, KllSketchN}
+
+  /** `kll_sketch_agg(value, k)` as a DSL Column. */
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    GraftBridge.column(
+      KllSketchAgg(GraftBridge.expression(value.cast("double")), k)
+        .toAggregateExpression())
+
+  /** `kll_merge_agg(sketchBytes, k)` as a DSL Column. */
+  def kllMergeAgg(sketch: Column, k: Int = 200): Column =
+    GraftBridge.column(
+      KllMergeAgg(GraftBridge.expression(sketch), k).toAggregateExpression())
+
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    GraftBridge.column(KllQuantile(GraftBridge.expression(sketch),
+      org.apache.spark.sql.catalyst.expressions.Literal(rank)))
+
+  def kllRank(sketch: Column, value: Column): Column =
+    GraftBridge.column(KllRank(GraftBridge.expression(sketch),
+      GraftBridge.expression(value.cast("double"))))
+
+  def kllN(sketch: Column): Column =
+    GraftBridge.column(KllSketchN(GraftBridge.expression(sketch)))
+
+  /** One KLL sketch per `groupCols` tuple over `valueCol` — the quantile
+    * analogue of [[sketchTable]]; same one-fact-scan, merge-forever
+    * contract. */
+  def quantileSketchTable(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kllSketchAgg(col(valueCol), k).as("qsketch"))
+
+  private val builtQ = new graft.SessionMemo[String, String]()
+
+  /** Build the quantile-sketch table ONCE per dataset key and persist it
+    * as parquet (binary sketch column). */
+  def quantileSketchTableFor(df: => DataFrame, groupCols: Seq[String],
+                             valueCol: String, key: String,
+                             spark: SparkSession, k: Int = 200): String =
+    builtQ.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-qsketches", key)
+      quantileSketchTable(df, groupCols, valueCol, k).write.mode("overwrite")
+        .parquet(path)
+      path
+    }
+
+  /** Percentile estimates for any GROUP BY over a subset of the sketch
+    * table's keys: kilobyte sketch merges, zero fact reads. Emits one row
+    * per rollup group with the exact merged `n` and a value column per
+    * requested rank. */
+  def quantilesFromSketches(spark: SparkSession, path: String,
+                            rollupCols: Seq[String],
+                            ranks: Seq[(String, Double)] = Seq(
+                              "p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99),
+                            k: Int = 200): DataFrame = {
+    spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(kllMergeAgg(col("qsketch"), k).as("m"))
+      .select(rollupCols.map(col) ++
+        Seq(kllN(col("m")).as("n")) ++
+        ranks.map { case (name, r) => kllQuantile(col("m"), r).as(name) }: _*)
+  }
 }

@@ -59,4 +59,47 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._3).distinct.length > 1)
     assert(run().toSeq === got.toSeq) // bit-stable across runs
   }
+
+  test("kmeansExact partitions the input, reports exact cluster sizes, and is bit-stable") {
+    import spark.implicits._
+    val embs = graft.Tables(spark, sfDir, "embeddings")
+    val run = () => Embeddings
+      .kmeansExact(embs, "vec_id", "embedding", dim = 64, k = 4, iters = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val got = run()
+    val total = embs.count()
+    assert(got.map(_._1).distinct.length.toLong === total) // a partition
+    val sizes = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (id, cell, n) =>
+      assert(sizes(cell) === n, s"vec $id cluster_n")
+    }
+    assert(sizes.keySet.subsetOf((0L until 4L).toSet))
+    assert(sizes.size > 1, "sf data should not collapse to one cluster")
+    assert(run().toSeq === got.toSeq) // integer arithmetic: bit-stable
+  }
+
+  test("kmeansExact iters=0 assigns to the nearest initial centroid (ties to smallest cell)") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array.fill(4)(0.0f)),   // centroid 0 (q = 0)
+      (1L, Array.fill(4)(1.0f)),   // centroid 1 (q = 1000)
+      (2L, Array.fill(4)(0.1f)),   // q=100 -> nearer centroid 0
+      (3L, Array.fill(4)(0.9f)),   // q=900 -> nearer centroid 1
+      (4L, Array.fill(4)(0.5f))    // q=500 -> exact tie -> cell 0
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings
+      .kmeansExact(embs, "vec_id", "embedding", dim = 4, k = 2, iters = 0)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("kmeansExact k=1 yields a single cluster holding every row") {
+    import spark.implicits._
+    val embs = graft.Tables(spark, sfDir, "embeddings").limit(50)
+    val got = Embeddings
+      .kmeansExact(embs, "vec_id", "embedding", dim = 64, k = 1, iters = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 50)
+    assert(got.forall(r => r._2 === 0L && r._3 === 50L))
+  }
 }

@@ -184,4 +184,42 @@ class MultimodalSpec extends SparkSpec {
     val bad = got(9L)
     assert(bad.length === 1 && !bad(0).ok && bad(0).n_frames === 0)
   }
+
+  test("audio spectrum: sine at a band center dominates that band, RMS and crossings check out") {
+    import spark.implicits._
+    val sr = 8000
+    val n = 2000
+    // band centers for 8 bands over [0, 4000): 250, 750, ..., 3750
+    val rows = Seq(
+      (0L, Multimodal.buildSineWav(250.0, sr, n)),
+      (5L, Multimodal.buildSineWav(250.0 + 5 * 500.0, sr, n)),
+      (9L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioSpectrum(rows, "doc_id", "payload")
+      .collect().map(a => a.asset_id -> a).toMap
+    Seq(0L -> 0, 5L -> 5).foreach { case (id, band) =>
+      val a = got(id)
+      assert(a.ok && a.sample_rate === sr && a.n_samples === n.toLong)
+      assert(a.dominant_band === band, s"asset $id band")
+      // a pure sine concentrates its power: the dominant band carries
+      // nearly the whole share budget (sums to ~1000)
+      assert(a.band_energy_milli(band) >= 900, s"asset $id share")
+      assert(math.abs(a.band_energy_milli.sum - 1000L) <= 8)
+      // RMS of A·sin is A/sqrt(2): 12000/32768/1.4142 ≈ 0.2589
+      assert(math.abs(a.rms_milli - 259L) <= 3, s"asset $id rms")
+      // 2 crossings per cycle: 2 * f * n / sr (±2 for endpoints)
+      val f = 250.0 + band * 500.0
+      val expectZc = math.round(2.0 * f * n / sr)
+      assert(math.abs(a.zero_crossings - expectZc) <= 2, s"asset $id zc")
+    }
+    val bad = got(9L)
+    assert(!bad.ok && bad.n_samples === 0L && bad.band_energy_milli.forall(_ === 0L))
+    // deterministic: a second run is bit-identical
+    val again = Multimodal.audioSpectrum(rows, "doc_id", "payload")
+      .collect().map(a => a.asset_id -> a).toMap
+    Seq(0L, 5L, 9L).foreach { id =>
+      assert(again(id).band_energy_milli.toSeq === got(id).band_energy_milli.toSeq)
+      assert(again(id).rms_milli === got(id).rms_milli)
+    }
+  }
 }

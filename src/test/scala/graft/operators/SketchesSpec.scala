@@ -61,4 +61,89 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(whole - halves) <= math.max(2.0, 0.01 * whole),
       s"whole=$whole halves=$halves")
   }
+
+  // ---- KLL quantile sketches ----
+
+  /** Normalized rank error for k=200 (two-sided, 99% confidence). */
+  private val kllEps =
+    org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
+
+  test("KLL quantile rollup tracks exact ranks within the sketch's rank error") {
+    val got = graft.SparkEntry.queries("a_quantile_sketch_rollup")(
+        spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("double").as("pc"))
+    val vals = li.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(got.keySet === vals.keySet)
+    val targets = Seq(0.5, 0.95, 0.99)
+    vals.foreach { case (flag, sorted) =>
+      val (n, quantiles) = got(flag)
+      assert(n === sorted.length.toLong,
+        s"$flag: sketch n=$n exact=${sorted.length}")
+      targets.zip(quantiles).foreach { case (p, est) =>
+        // exact INCLUSIVE rank of the estimated value must sit within
+        // the sketch's ε of the requested rank (the KLL guarantee —
+        // holds under the build + rollup merge tree)
+        val exactRank =
+          sorted.count(_ <= est).toDouble / sorted.length
+        assert(math.abs(exactRank - p) <= 3 * kllEps,
+          s"$flag p=$p: est=$est exactRank=$exactRank eps=$kllEps")
+      }
+    }
+  }
+
+  test("KLL n is conserved exactly under any merge tree; disjoint batches merge to the whole") {
+    import spark.implicits._
+    val rows = (1 to 50000)
+      .map(i => ("g", ((i * 2654435761L) % 100000).toDouble)).toDF("g", "v")
+    val whole = Sketches.quantileSketchTable(rows, Seq("g"), "v")
+    val halves = Sketches
+      .quantileSketchTable(rows.where($"v" % 2 === 0), Seq("g"), "v")
+      .unionByName(Sketches.quantileSketchTable(
+        rows.where($"v" % 2 =!= 0), Seq("g"), "v"))
+      .groupBy("g").agg(Sketches.kllMergeAgg(col("qsketch")).as("qsketch"))
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Double, Double) =
+      df.select(Sketches.kllN(col("qsketch")),
+          Sketches.kllQuantile(col("qsketch"), 0.5),
+          Sketches.kllQuantile(col("qsketch"), 0.99))
+        .as[(Long, Double, Double)].head()
+    val (nW, p50W, p99W) = stats(whole)
+    val (nH, p50H, p99H) = stats(halves)
+    assert(nW === 50000L && nH === 50000L) // exact conservation law
+    // both sketches bound the SAME exact distribution: estimates agree
+    // within twice the one-sketch rank error, translated through the
+    // near-uniform value domain (100k distinct values)
+    assert(math.abs(p50W - p50H) <= 4 * kllEps * 100000,
+      s"p50 whole=$p50W halves=$p50H")
+    assert(math.abs(p99W - p99H) <= 4 * kllEps * 100000,
+      s"p99 whole=$p99W halves=$p99H")
+  }
+
+  test("KLL functions are callable from SQL text and rank is the quantile inverse") {
+    import spark.implicits._
+    graft.functions.GraftSql.register(spark)
+    (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("kll_in")
+    val row = spark.sql(
+      """SELECT kll_sketch_n(sk) AS n,
+        |       kll_quantile(sk, 0.5d) AS p50,
+        |       kll_rank(sk, kll_quantile(sk, 0.5d)) AS r50
+        |FROM (SELECT kll_merge_agg(sk, 200) AS sk
+        |      FROM (SELECT g, kll_sketch_agg(v, 200) AS sk
+        |            FROM kll_in GROUP BY g))""".stripMargin)
+      .as[(Long, Double, Double)].head()
+    assert(row._1 === 10000L)
+    assert(math.abs(row._2 - 5000.0) <= 3 * kllEps * 10000,
+      s"p50=${row._2}")
+    // INCLUSIVE rank of the INCLUSIVE quantile returns (close to) the
+    // requested rank on a distinct-valued stream
+    assert(math.abs(row._3 - 0.5) <= 3 * kllEps, s"r50=${row._3}")
+  }
 }
