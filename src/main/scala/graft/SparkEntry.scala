@@ -927,6 +927,51 @@ object SparkEntry {
         .select(col("d").as("day"), col("n_users_7d_approx"))
     }),
 
+    // Segment-overlap matrix, EXACT: for each event-type pair (a < b),
+    // users who did both and users who did only A. The scalable shape
+    // reduces events to the (segment, user) PRESENCE table first, then
+    // self-equi-joins on user_id — per-user cost is (segments-per-user)²,
+    // bounded by S², never |events|². Zero-overlap pairs still emit (the
+    // tiny segment list crosses under a broadcast, counts coalesce to 0)
+    // so the sketch twin below pins against the full matrix
+    "events_user_overlap" -> ((s, dir) => {
+      val seg = t(s, dir, "events")
+        .select(col("event_type").as("seg"), col("user_id")).distinct()
+      val both = seg.select(col("seg").as("seg_a"), col("user_id"))
+        .join(seg.select(col("seg").as("seg_b"), col("user_id")), "user_id")
+        .where(col("seg_a") < col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(count(lit(1)).as("n_both")) // presence rows are distinct
+      val sizes = seg.groupBy(col("seg").as("seg_a"))
+        .agg(count(lit(1)).as("n_a"))
+      val segs = seg.select("seg").distinct()
+      segs.select(col("seg").as("seg_a"))
+        .join(broadcast(segs.select(col("seg").as("seg_b"))),
+          col("seg_a") < col("seg_b"))
+        .join(both, Seq("seg_a", "seg_b"), "left")
+        .join(broadcast(sizes), "seg_a")
+        .select(col("seg_a"), col("seg_b"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          (col("n_a") - coalesce(col("n_both"), lit(0L))).as("n_a_only"))
+    }),
+
+    // The at-scale swap: the same overlap matrix from AT-REST THETA
+    // sketches (custom TypedImperativeAggregate — Spark 4's built-in
+    // DataSketches surface is HLL, which unions but cannot intersect or
+    // difference). One kilobyte sketch per segment, built in one fact
+    // scan and persisted; the matrix is |segments|² sketch set-ops with
+    // ZERO fact reads — the presence-table twin above rescans the corpus
+    // per run and its self-join grows with |users|. Rows-only (sketch
+    // internals have no SQL twin); exact-mode equality with the twin and
+    // the estimation-mode error law are pinned in SketchesSpec
+    "events_user_overlap_sketch" -> ((s, dir) => {
+      val path = graft.operators.Sketches.thetaSketchTableFor(
+        t(s, dir, "events")
+          .select(col("event_type").as("seg"), col("user_id")),
+        Seq("seg"), "user_id", key = s"events-tsk-$dir", spark = s)
+      graft.operators.Sketches.segmentOverlapFromSketches(s, path, "seg")
+    }),
+
     "events_hourly_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

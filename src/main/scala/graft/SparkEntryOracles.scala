@@ -3530,6 +3530,32 @@ private[graft] object SparkEntryOracles {
         |FROM pres JOIN days ON pres.day BETWEEN d - 6 AND d
         |GROUP BY 1""".stripMargin,
 
+    // overlap twin: presence-table self-join; zero-overlap pairs emit
+    // with 0 via the crossed segment list (matches the Spark shape)
+    "events_user_overlap" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT event_type AS seg, user_id FROM events
+        |), both_c AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM seg a JOIN seg b USING (user_id)
+        |  WHERE a.seg < b.seg GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT seg AS seg_a, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM seg GROUP BY 1
+        |), pairs AS (
+        |  SELECT s1.seg AS seg_a, s2.seg AS seg_b
+        |  FROM (SELECT DISTINCT seg FROM seg) s1,
+        |       (SELECT DISTINCT seg FROM seg) s2
+        |  WHERE s1.seg < s2.seg
+        |)
+        |SELECT p.seg_a, p.seg_b,
+        |  COALESCE(b.n_both, 0) AS n_both,
+        |  z.n_a - COALESCE(b.n_both, 0) AS n_a_only
+        |FROM pairs p
+        |LEFT JOIN both_c b ON p.seg_a = b.seg_a AND p.seg_b = b.seg_b
+        |JOIN sizes z ON p.seg_a = z.seg_a""".stripMargin,
+
     // session-window twin: gaps-and-islands — a session breaks when the
     // inter-event gap REACHES 30 minutes (Spark's window end is
     // exclusive: an event exactly at end starts a new session)

@@ -126,6 +126,30 @@ object GraftSql {
     "kll_sketch_n" -> { es =>
       arity("kll_sketch_n", es, 1)
       org.apache.spark.sql.graft.KllSketchN(es.head)
+    },
+    // theta sketch family — the set-algebra sibling (HLL unions; theta
+    // also intersects and differences at-rest segment sketches)
+    "theta_sketch_agg" -> { es =>
+      arity("theta_sketch_agg", es, 2)
+      org.apache.spark.sql.graft.ThetaSketchAgg(es.head,
+        intLit(es(1), "theta_sketch_agg", 1))
+    },
+    "theta_union_agg" -> { es =>
+      arity("theta_union_agg", es, 2)
+      org.apache.spark.sql.graft.ThetaUnionAgg(es.head,
+        intLit(es(1), "theta_union_agg", 1))
+    },
+    "theta_estimate" -> { es =>
+      arity("theta_estimate", es, 1)
+      org.apache.spark.sql.graft.ThetaEstimate(es.head)
+    },
+    "theta_intersect" -> { es =>
+      arity("theta_intersect", es, 2)
+      org.apache.spark.sql.graft.ThetaIntersectSketch(es.head, es(1))
+    },
+    "theta_anotb" -> { es =>
+      arity("theta_anotb", es, 2)
+      org.apache.spark.sql.graft.ThetaAnotBSketch(es.head, es(1))
     })
 
   /** Register every custom function in the session's FunctionRegistry as a

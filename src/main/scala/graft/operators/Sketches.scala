@@ -119,4 +119,69 @@ object Sketches {
         Seq(kllN(col("m")).as("n")) ++
         ranks.map { case (name, r) => kllQuantile(col("m"), r).as(name) }: _*)
   }
+
+  // ---- theta sketches — SET ALGEBRA over at-rest sketches: HLL unions,
+  // ---- theta also intersects and differences ("did A and B", "did A but
+  // ---- never B" answered from kilobyte per-segment sketches)
+
+  import org.apache.spark.sql.graft.{ThetaAnotBSketch, ThetaEstimate, ThetaIntersectSketch, ThetaSketchAgg, ThetaUnionAgg}
+
+  /** `theta_sketch_agg(id, lgK)` as a DSL Column (ids cast to long). */
+  def thetaSketchAgg(value: Column, lgK: Int = 12): Column =
+    GraftBridge.column(
+      ThetaSketchAgg(GraftBridge.expression(value.cast("long")), lgK)
+        .toAggregateExpression())
+
+  /** `theta_union_agg(sketchBytes, lgK)` as a DSL Column. */
+  def thetaUnionAgg(sketch: Column, lgK: Int = 12): Column =
+    GraftBridge.column(
+      ThetaUnionAgg(GraftBridge.expression(sketch), lgK)
+        .toAggregateExpression())
+
+  def thetaEstimate(sketch: Column): Column =
+    GraftBridge.column(ThetaEstimate(GraftBridge.expression(sketch)))
+
+  def thetaIntersect(a: Column, b: Column): Column =
+    GraftBridge.column(ThetaIntersectSketch(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def thetaAnotB(a: Column, b: Column): Column =
+    GraftBridge.column(ThetaAnotBSketch(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  private val builtT = new graft.SessionMemo[String, String]()
+
+  /** Build a per-segment theta sketch table ONCE per dataset key and
+    * persist it as parquet — the at-rest artifact segment-overlap
+    * queries read instead of the fact table. */
+  def thetaSketchTableFor(df: => DataFrame, groupCols: Seq[String],
+                          valueCol: String, key: String,
+                          spark: SparkSession, lgK: Int = 12): String =
+    builtT.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-tsketches", key)
+      df.groupBy(groupCols.map(col): _*)
+        .agg(thetaSketchAgg(col(valueCol), lgK).as("tsketch"))
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Pairwise segment-overlap matrix from an at-rest theta sketch table:
+    * for every ordered segment pair (a < b), the estimated count of ids
+    * in BOTH segments and in A ONLY. The join is sketch-row × sketch-row
+    * — |segments|² kilobyte set operations, zero fact reads; the fact
+    * table equivalent is |segments|² self-semi-joins of the full data.
+    * Estimates floor to long: exact-mode sketches (test scale) make them
+    * exactly the distinct counts, which the green exact twin pins. */
+  def segmentOverlapFromSketches(spark: SparkSession, path: String,
+                                 segCol: String): DataFrame = {
+    val sk = spark.read.parquet(path)
+    val a = sk.select(col(segCol).as("seg_a"), col("tsketch").as("ska"))
+    val b = sk.select(col(segCol).as("seg_b"), col("tsketch").as("skb"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        floor(thetaEstimate(thetaIntersect(col("ska"), col("skb"))))
+          .cast("long").as("n_both"),
+        floor(thetaEstimate(thetaAnotB(col("ska"), col("skb"))))
+          .cast("long").as("n_a_only"))
+  }
 }

@@ -146,4 +146,60 @@ class SketchesSpec extends SparkSpec {
     // requested rank on a distinct-valued stream
     assert(math.abs(row._3 - 0.5) <= 3 * kllEps, s"r50=${row._3}")
   }
+
+  // ---- theta sketches (set algebra: intersect / A-not-B) ----
+
+  test("theta overlap matrix equals the exact twin while sketches are in exact mode") {
+    // distinct users per segment at test scale is far below k = 2^12, so
+    // every sketch — and every Intersection/AnotB of them — is in EXACT
+    // mode: the matrix must match the presence-table twin row for row
+    def rows(name: String): Map[(String, String), (Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    val exact = rows("events_user_overlap")
+    val sk = rows("events_user_overlap_sketch")
+    assert(sk === exact)
+  }
+
+  test("theta set ops are exact below k and inside the error bound above it") {
+    import spark.implicits._
+    // |A| = 30k, |B| = 30k, |A ∩ B| = 10k — far above k = 2^12, so the
+    // sketches are in estimation mode and the ~1/sqrt(k) RSE law applies
+    val a = (1L to 30000L).toDF("v").select(lit("a").as("g"), col("v"))
+    val b = (20001L to 50000L).toDF("v").select(lit("b").as("g"), col("v"))
+    val sk = a.unionByName(b).groupBy("g")
+      .agg(Sketches.thetaSketchAgg(col("v")).as("sk"))
+      .groupBy()
+      .agg(min(when(col("g") === "a", col("sk"))).as("ska"),
+        min(when(col("g") === "b", col("sk"))).as("skb"))
+    val (both, aOnly) = sk.select(
+        Sketches.thetaEstimate(
+          Sketches.thetaIntersect(col("ska"), col("skb"))),
+        Sketches.thetaEstimate(Sketches.thetaAnotB(col("ska"), col("skb"))))
+      .as[(Double, Double)].head()
+    // intersection/AnotB error compounds both operands' theta: allow 5x
+    // the single-sketch RSE (1/sqrt(4096) ~ 1.6%)
+    val tol = 5.0 / math.sqrt(4096)
+    assert(math.abs(both - 10000) <= tol * 30000, s"both=$both")
+    assert(math.abs(aOnly - 20000) <= tol * 30000, s"aOnly=$aOnly")
+  }
+
+  test("theta sketches of disjoint batches union to the whole; SQL surface round-trips") {
+    import spark.implicits._
+    graft.functions.GraftSql.register(spark)
+    (1L to 20000L).map(v => ("g", v)).toDF("g", "v")
+      .createOrReplaceTempView("theta_in")
+    // exact mode end to end (20k distinct < 2^15): the halves must union
+    // to EXACTLY the whole count, and estimates are exact integers
+    val est = spark.sql(
+      """SELECT theta_estimate(theta_union_agg(sk, 15)) AS e
+        |FROM (SELECT theta_sketch_agg(v, 15) AS sk
+        |      FROM theta_in WHERE v % 2 = 0 GROUP BY g
+        |      UNION ALL
+        |      SELECT theta_sketch_agg(v, 15) AS sk
+        |      FROM theta_in WHERE v % 2 = 1 GROUP BY g)""".stripMargin)
+      .as[Double].head()
+    assert(est === 20000.0, s"est=$est")
+  }
 }
