@@ -1367,6 +1367,25 @@ object SparkEntry {
       graft.operators.Embeddings.randomProjection(t(s, dir, "embeddings"),
         "vec_id", "embedding", 16)),
 
+    // PCA front half: exact integer second moments (count, sums,
+    // upper-triangle cross-products of thousandth-quantized components)
+    // via ONE custom-aggregate scan that ships a single flat array per
+    // partition — never the d²/2-per-row explode the oracle replays
+    "emb_pca_gram" -> ((s, dir) =>
+      graft.operators.Embeddings.gramMatrix(t(s, dir, "embeddings"),
+        "embedding", dim = 64)),
+
+    // PCA back half: project every embedding onto the corpus' top-8
+    // principal components (64d -> 8d), integer millionths. The
+    // eigensolve is a deterministic driver-side Jacobi on the bounded
+    // 64×64 covariance — no SQL twin exists for an eigendecomposition,
+    // so rows-only; orthonormality, eigen-residual, trace conservation,
+    // variance capture and run-to-run determinism are pinned in
+    // EmbeddingsSpec
+    "emb_pca_project" -> ((s, dir) =>
+      graft.operators.Embeddings.pcaProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, r = 8)),
+
     // BM25 ranked retrieval for a fixed query-term bag; per-term scores
     // quantized to integer micro-units before the per-doc sum
     "text_bm25_topk" -> ((s, dir) =>

@@ -1440,6 +1440,30 @@ private[graft] object SparkEntryOracles {
          |              FROM a3 GROUP BY cell) cnt ON a3.cell = cnt.cell""".stripMargin
     },
 
+    // gram twin: the explode form — quantize to thousandths, self-join
+    // per vector on i <= j, sum products; identical exact integers to
+    // the engine's single-buffer custom aggregate
+    "emb_pca_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(i.range AS BIGINT) AS i,
+        |    CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * 1000)
+        |      AS BIGINT) AS qi
+        |  FROM embeddings, range(64) i
+        |), sums AS (
+        |  SELECT i, CAST(sum(qi) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q GROUP BY i
+        |), prods AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT)
+        |    AS s_ij
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.i, p.j, si.n AS n, si.s AS s_i, sj.s AS s_j, p.s_ij
+        |FROM prods p
+        |JOIN sums si ON p.i = si.i
+        |JOIN sums sj ON p.j = sj.i""".stripMargin,
+
     // centroid accumulators: quantize each float component to integer
     // millionths BEFORE summing (order-independent, hash-exact); pos is
     // 0-based to match posexplode; the product is computed in DOUBLE on

@@ -147,4 +147,181 @@ object Embeddings {
     assigned.join(broadcast(counts), Seq("cell"))
       .select("vec_id", "cell", "cluster_n")
   }
+
+  // ---- PCA: distributed second moments -> driver eigensolve -> ----
+  // ---- distributed projection (the dimensionality-reduction front ----
+  // ---- door for embedding curation: SemDeDup-style pipelines run ----
+  // ---- clustering/ANN on PCA-reduced vectors) ----
+
+  import org.apache.spark.sql.GraftBridge
+
+  /** `vector_gram_agg(vec, dim, scale)` as a DSL Column — see
+    * [[org.apache.spark.sql.graft.VectorGramAgg]]. */
+  def vectorGram(vec: Column, dim: Int, scale: Int = 1000): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.VectorGramAgg(
+        GraftBridge.expression(vec), dim, scale).toAggregateExpression())
+
+  /** Exact integer second-moment rows (i <= j): row count, per-dimension
+    * sums, and cross-product sums of components quantized to thousandths
+    * — everything PCA needs, as oracle-checkable integers.
+    *
+    * Scale shape: ONE custom-aggregate scan ships a single flat array
+    * per partition ([[org.apache.spark.sql.graft.VectorGramAgg]] — the
+    * d²/2 work happens in-place per row, never as exploded (i, j) shuffle
+    * rows); the bounded d(d+1)/2-row pair frame then unpacks it under a
+    * broadcast. The oracle replays the explode form in SQL — identical
+    * integers, wildly different data movement. */
+  def gramMatrix(embs: DataFrame, vecCol: String, dim: Int,
+                 scale: Int = 1000): DataFrame = {
+    val g = embs.agg(vectorGram(col(vecCol), dim, scale).as("g"))
+    val pairs = embs.sparkSession.range(dim.toLong)
+      .select(col("id").as("i"))
+      .select(col("i"), explode(sequence(col("i"), lit(dim.toLong - 1)))
+        .as("j"))
+    // flat layout: [n, s_0..s_{d-1}, upper-triangle products row-major];
+    // element_at is 1-based; i*(i-1) DIV 2 is exact (the product is even)
+    pairs.crossJoin(broadcast(g))
+      .select(col("i"), col("j"),
+        element_at(col("g"), 1).as("n"),
+        element_at(col("g"), (col("i") + 2).cast("int")).as("s_i"),
+        element_at(col("g"), (col("j") + 2).cast("int")).as("s_j"),
+        element_at(col("g"), expr(
+          s"CAST($dim * i - (i * (i - 1)) DIV 2 + (j - i) + ${dim + 2} AS INT)"))
+          .as("s_ij"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix: fixed sweep order, fixed convergence threshold, no
+    * randomness — two runs on the same input produce bit-identical
+    * eigenpairs (the property that makes PCA outputs reproducible).
+    * Returns (eigenvalues, eigenvectors-as-rows), sorted by descending
+    * eigenvalue with index tiebreak, each vector sign-normalized so its
+    * largest-magnitude component is positive. O(d³) per sweep on the
+    * DRIVER — PCA here is for embedding dims (d ≲ a few hundred), where
+    * the d×d matrix is kilobytes; the corpus-sized work stays in
+    * [[gramMatrix]]. */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]])
+    : (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag > 1e-20) {
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = {
+              val s = if (theta >= 0.0) 1.0 else -1.0
+              s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      // sign convention: largest-|component| positive (first wins ties)
+      var best = 0
+      var k = 1
+      while (k < d) {
+        if (math.abs(col(k)) > math.abs(col(best))) best = k
+        k += 1
+      }
+      if (col(best) < 0.0) col.map(x => -x) else col
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Top-`r` principal components of the embedding corpus: per-dimension
+    * means, descending eigenvalues, and eigenvector rows — computed from
+    * the [[gramMatrix]] moments (population covariance of the QUANTIZED
+    * components, on the exact integers both engines agree on), then a
+    * driver-side deterministic Jacobi solve of the bounded d×d matrix. */
+  private[graft] def pcaModel(embs: DataFrame, vecCol: String, dim: Int,
+                              r: Int, scale: Int = 1000)
+    : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    require(r >= 1 && r <= dim)
+    val g = embs.agg(vectorGram(col(vecCol), dim, scale).as("g"))
+      .collect().head.getSeq[Long](0).toArray // bounded: 1 + d + d(d+1)/2
+    val n = g(0).toDouble
+    require(n >= 1, "pca needs at least one vector")
+    val s = scale.toDouble
+    val mean = Array.tabulate(dim)(i => g(1 + i) / n / s)
+    val cov = Array.ofDim[Double](dim, dim)
+    var at = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val eXY = g(at) / n / (s * s)
+        val c = eXY - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        at += 1; j += 1
+      }
+      i += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    (mean, vals.take(r), vecs.take(r))
+  }
+
+  /** Project every embedding onto the corpus' top-`r` principal
+    * components, emitted in integer millionths: out_j = v_j · (q/scale −
+    * mean). The r×d loading matrix ships as a referenced object into ONE
+    * codegen'd loop expression ([[org.apache.spark.sql.graft
+    * .PcaProjectExpr]] — a literal-fold of r·d terms overflows janino's
+    * method budget and drops the stage out of codegen); accumulation is
+    * fixed index order in DOUBLE — deterministic IEEE sums, reproducible
+    * run to run (pinned in EmbeddingsSpec together with the
+    * orthonormality, eigen-residual, trace and variance-capture laws).
+    * Row-local: no shuffle; at scale this is the cheap front door that
+    * shrinks every downstream distance computation by d/r. */
+  def pcaProject(embs: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, r: Int = 8, scale: Int = 1000): DataFrame = {
+    val (mean, _, vecs) = pcaModel(embs, vecCol, dim, r, scale)
+    val outs = GraftBridge.column(org.apache.spark.sql.graft.PcaProjectExpr(
+      GraftBridge.expression(col(vecCol)), mean, vecs.flatten, r, dim, scale))
+    embs.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(outs).as(Seq("pos", "proj_e6")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("proj_e6"))
+  }
 }

@@ -102,4 +102,108 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got.length === 50)
     assert(got.forall(r => r._2 === 0L && r._3 === 50L))
   }
+
+  // ---- PCA ----
+
+  test("gramMatrix matches hand-computed moments on a tiny corpus") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Embeddings.gramMatrix(embs, "embedding", dim = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // q-vectors: (1000, 2000), (3000, -1000)
+    assert(got((0L, 0L)) ===
+      ((2L, 4000L, 4000L, 1000L * 1000 + 3000L * 3000)))
+    assert(got((0L, 1L)) ===
+      ((2L, 4000L, 1000L, 1000L * 2000 + 3000L * -1000)))
+    assert(got((1L, 1L)) ===
+      ((2L, 1000L, 1000L, 2000L * 2000 + 1000L * 1000)))
+  }
+
+  test("jacobiEigen solves a known symmetric matrix exactly") {
+    // [[2,1],[1,2]] has eigenpairs (3, [1,1]/√2) and (1, [1,-1]/√2)
+    val (vals, vecs) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12 &&
+      math.abs(vals(1) - 1.0) < 1e-12, vals.toSeq)
+    val r2 = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r2, r2)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 }, vecs(0).toSeq)
+    // sign convention: largest-|component| positive, first wins ties
+    assert(vecs(1)(0) > 0, vecs(1).toSeq)
+  }
+
+  test("PCA laws: orthonormal loadings, eigen residual, trace conservation, variance capture") {
+    val embs = graft.Tables(spark, sfDir, "embeddings")
+    val dim = 64
+    val (mean, valsTop, vecsTop) =
+      Embeddings.pcaModel(embs, "embedding", dim, r = 8)
+    // rebuild the full covariance to check residuals and the trace
+    val g = embs
+      .agg(Embeddings.vectorGram(
+        org.apache.spark.sql.functions.col("embedding"), dim).as("g"))
+      .collect().head.getSeq[Long](0).toArray
+    val n = g(0).toDouble
+    val cov = Array.ofDim[Double](dim, dim)
+    var at = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = g(at) / n / 1e6 - (g(1 + i) / n / 1e3) * (g(1 + j) / n / 1e3)
+      cov(i)(j) = c; cov(j)(i) = c
+      at += 1
+    }
+    val (allVals, _) = Embeddings.jacobiEigen(cov)
+    // eigenvalues: descending, non-negative (covariance is PSD)
+    assert(allVals.zip(allVals.tail).forall { case (a, b) => a >= b })
+    assert(allVals.forall(_ > -1e-12))
+    // trace conservation: Jacobi rotations preserve the trace
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    assert(math.abs(allVals.sum - trace) <= 1e-9 * math.abs(trace))
+    // orthonormality of the returned top-r rows
+    for (a <- 0 until 8; b <- 0 until 8) {
+      val dot = (0 until dim).map(i => vecsTop(a)(i) * vecsTop(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"v$a · v$b = $dot")
+    }
+    // eigen residual: ||C v − λ v||∞ small for each returned pair
+    for (r <- 0 until 8) {
+      for (i <- 0 until dim) {
+        val cv = (0 until dim).map(j => cov(i)(j) * vecsTop(r)(j)).sum
+        assert(math.abs(cv - valsTop(r) * vecsTop(r)(i)) < 1e-9,
+          s"residual at comp $r dim $i")
+      }
+    }
+    // variance capture: the sample variance of projection column j
+    // equals λ_j (population variance over the quantized corpus)
+    val proj = graft.SparkEntry.queries("emb_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val byPos = proj.groupBy(_._1).view
+      .mapValues(_.map(_._2.toDouble / 1e6)).toMap
+    for (j <- 0 until 8) {
+      val xs = byPos(j.toLong)
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.size
+      assert(math.abs(v - valsTop(j)) <= 1e-6 + 0.01 * valsTop(j).abs,
+        s"pos $j: var=$v λ=${valsTop(j)}")
+    }
+    // determinism: a second full run reproduces the projection exactly
+    val again = graft.SparkEntry.queries("emb_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = graft.SparkEntry.queries("emb_pca_project")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === first)
+  }
+
+  test("pcaProject stays in whole-stage codegen with fallback disabled") {
+    // the literal-fold formulation this expression replaced overflowed
+    // janino's method budget and silently dropped to interpreted eval;
+    // with fallback OFF a codegen regression throws instead of hiding
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    val out = graft.SparkEntry.queries("emb_pca_project")(s2, sfDir)
+    assert(out.count() > 0)
+    assert(out.queryExecution.executedPlan.toString.contains("*("))
+  }
 }
