@@ -1824,6 +1824,25 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
+    // Bloom-filter file skipping — the index for the case footer
+    // min/max CANNOT help: the layout is sorted by l_shipdate, so one
+    // order's lines land in the few files its ship dates touch but the
+    // orderkey zones of ALL files span the whole domain (min/max prunes
+    // nothing). A per-file bloom on l_orderkey has no false negatives
+    // (pruning is always sound — the oracle is the plain filtered scan)
+    // and prunes to the files that might hold the key; fpp bounds the
+    // wasted reads. Fewer-files pin in ScaleLayoutSpec
+    "s_bloom_skipping" -> ((s, dir) => {
+      val path = graft.sources.Layouts.sortedLayoutFor(
+        t(s, dir, "lineitem"), "l_shipdate", key = s"bloomlayout-$dir")
+      graft.sources.Layouts.bloomPrunedRead(s, path, "l_orderkey", 515L)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L))
+            .as("sum_qty"),
+          coalesce(sum(cents(col("l_extendedprice"))), lit(0L))
+            .as("price_cents"))
+    }),
+
     // Merge-on-read deletes: two tombstone batches land as key files
     // (never a base rewrite), the read anti-joins them away. Tombstones
     // only remove exactly the keyed rows, so the oracle is the plain

@@ -2433,6 +2433,17 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 5000 AND 5999""".stripMargin,
 
+    // bloom-skipping twin: no false negatives means pruning is pure
+    // I/O avoidance — the result is the plain point-lookup aggregate
+    "s_bloom_skipping" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  coalesce(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        |    AS sum_qty,
+        |  coalesce(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT), 0) AS price_cents
+        |FROM lineitem
+        |WHERE l_orderkey = 515""".stripMargin,
+
     // Merge-on-read twin: tombstones remove exactly the keyed rows —
     // replay as the plain filtered aggregate
     "s_mor_deletes" ->

@@ -183,6 +183,64 @@ object Layouts {
       .where(col(statCol).between(lo, hi))
   }
 
+  /** Per-file BLOOM index over a HIGH-CARDINALITY column — the skipping
+    * index for the case footer min/max cannot help: in a layout sorted
+    * by some OTHER column (orderkey, date), a point-lookup key like
+    * `l_partkey` spreads across every file, so every [lo, hi] zone
+    * overlaps every probe and min/max prunes nothing. A per-file bloom
+    * answers "might this file contain k?" with no false negatives, so
+    * pruning on it is always sound; fpp bounds the wasted reads.
+    *
+    * Built in ONE distributed pass: group by `input_file_name()` and
+    * aggregate Spark's own BloomFilterAggregate (the engine's runtime-
+    * filter sketch — `putLong` build here, `mightContainLong` probe at
+    * read time, same hashing). One bloom per file (~1.2 MB per million
+    * keys at 1% fpp) — the same order of driver state as a table
+    * format's stats manifest, memoized per (session, path, column). */
+  private val bloomManifests = new graft.SessionMemo[(String, String),
+    Array[(String, org.apache.spark.util.sketch.BloomFilter)]]()
+
+  def bloomManifestFor(spark: org.apache.spark.sql.SparkSession,
+                       path: String, keyCol: String,
+                       expectedPerFile: Long = 1000000L,
+                       fpp: Double = 0.01)
+      : Array[(String, org.apache.spark.util.sketch.BloomFilter)] =
+    bloomManifests.getOrCompute(spark, (path, keyCol)) {
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedPerFile, fpp)
+      val bloomAgg = GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(col(keyCol).cast("long")),
+          Literal(expectedPerFile), Literal(numBits))
+          .toAggregateExpression())
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(bloomAgg.as("bf"))
+        .collect()
+        .map(r => r.getString(0) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+    }
+
+  /** Point lookup with bloom FILE skipping: read only the files whose
+    * bloom might contain `value`, then apply the exact residual filter.
+    * No false negatives → semantically identical to the plain filtered
+    * scan (the oracle's check); false positives only cost extra file
+    * reads, bounded by fpp. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
+                      path: String, keyCol: String, value: Long): DataFrame = {
+    val keep = bloomManifestFor(spark, path, keyCol)
+      .filter(_._2.mightContainLong(value)).map(_._1)
+    val base = spark.read.parquet(path)
+    if (keep.isEmpty) base.where(lit(false))
+    else spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*)
+      .where(col(keyCol) === value)
+  }
+
   /** Per-JVM registry of Hive-partitioned layouts (same contract as
     * [[zLayoutFor]]: `key` uniquely identifies the input, built once). */
   private val partLayouts =

@@ -221,6 +221,45 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(empty.columns.toSeq === spark.read.parquet(path).columns.toSeq)
   }
 
+  test("bloom skipping: per-file blooms prune files min/max cannot, no " +
+    "false negatives, absent key reads (almost) nothing") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+    // sorted by SHIPDATE: every file's l_orderkey zone spans ~the whole
+    // domain, so footer min/max is useless for an orderkey point lookup
+    val path = graft.sources.Layouts.sortedLayoutFor(
+      li, "l_shipdate", key = s"$sfDir#spec_bloom", numFiles = 8)
+    val minMax = graft.sources.Layouts.manifestFor(spark, path, "l_orderkey")
+    val key = 515L
+    val mmKept = minMax.count { case (_, lo, hi) => lo <= key && key <= hi }
+    assert(mmKept === minMax.length,
+      s"premise: min/max should prune NOTHING here, kept $mmKept of ${minMax.length}")
+    // the bloom prunes to the files that actually might hold the key
+    val blooms = graft.sources.Layouts.bloomManifestFor(spark, path,
+      "l_orderkey")
+    assert(blooms.length === 8)
+    val kept = blooms.count(_._2.mightContainLong(key))
+    assert(kept >= 1 && kept < blooms.length,
+      s"expected a proper subset of files, got $kept of ${blooms.length}")
+    // no false negatives: the pruned read returns the exact row set
+    val got = graft.sources.Layouts.bloomPrunedRead(spark, path,
+        "l_orderkey", key)
+      .select("l_linenumber").as[Long].collect().sorted.toSeq
+    val expect = li.where(col("l_orderkey") === key)
+      .select("l_linenumber").as[Long].collect().sorted.toSeq
+    assert(got === expect)
+    assert(expect.nonEmpty)
+    // an absent key keeps only false-positive files (fpp = 1%: almost
+    // always 0 of 8; bound loosely so the pin never flakes) and returns
+    // an empty, correctly-shaped frame
+    val absent = -42L
+    assert(blooms.count(_._2.mightContainLong(absent)) <= 2)
+    val empty = graft.sources.Layouts.bloomPrunedRead(spark, path,
+      "l_orderkey", absent)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq === spark.read.parquet(path).columns.toSeq)
+  }
+
   test("partitioned layout: dim filter prunes fact partitions at runtime (DPP)") {
     import spark.implicits._
     val li = Tables(spark, sfDir, "lineitem")
