@@ -1074,6 +1074,44 @@ object SparkEntry {
           col("n_chars"), (col("rk") === 1).cast("long").as("keep"))
     }),
 
+    // GOLDEN RECORD per near-dup cluster — the field-level survivorship
+    // step of entity resolution (dedup_survivors picks ONE row; this
+    // MERGES fields under explicit per-field rules): representative =
+    // argmax(n_chars, tie → min doc) via ONE struct-max aggregate (no
+    // extra window shuffle), majority lang via the GroupedMode shape
+    // (vote stream collapses map-side to (cluster, lang) rows before
+    // ranking), plus count/min/max/distinct merges. Two hash aggs + one
+    // cluster-keyed join — nothing touches raw text after clustering
+    "dedup_golden_record" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.ngramClustersFor(docs, "doc_id", "text",
+        k = 2, minJaccard = 0.8, key = dir)
+      val m = clusters.join(
+        docs.select(col("doc_id").as("doc"), col("lang"), col("source"),
+          col("n_chars")), "doc")
+      val base = m.groupBy(col("cluster").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc")).cast("long").as("first_doc"),
+          // lexicographic struct max = max n_chars, tie -> min doc
+          max(struct(col("n_chars"), (-col("doc")).as("nd"))).as("_rep"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("cluster_id"), col("n_members"), col("first_doc"),
+          (-col("_rep.nd")).cast("long").as("rep_doc"),
+          col("max_chars"), col("n_sources"))
+      val langc = m
+        .groupBy(col("cluster").cast("long").as("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("lang_freq"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("lang_freq").desc, col("lang").asc)
+      val langm = langc.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("cluster_id"), col("lang").as("majority_lang"),
+          col("lang_freq"))
+      base.join(langm, "cluster_id")
+    }),
+
     // Incremental dedup: each NEW document (doc_id%10 >= 8) judged
     // against the already-kept REFERENCE corpus only — asymmetric PPJoin
     // (ref-side document frequencies, cross-side pairs only), verdict

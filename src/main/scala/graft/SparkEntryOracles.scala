@@ -1009,6 +1009,54 @@ private[graft] object SparkEntryOracles {
          |    ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS BIGINT) AS keep
          |FROM clusters c JOIN documents d USING (doc_id)""".stripMargin,
 
+    // golden-record twin: same recursive components, then per-field
+    // survivorship replayed as window ranks / grouped aggregates
+    "dedup_golden_record" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), clusters AS (
+         |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY 1
+         |), m AS (
+         |  SELECT c.cluster_id, c.doc_id, d.lang, d.source, d.n_chars
+         |  FROM clusters c JOIN documents d USING (doc_id)
+         |), base AS (
+         |  SELECT cluster_id,
+         |    CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |    CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |  FROM m GROUP BY 1
+         |), rep AS (
+         |  SELECT cluster_id, CAST(doc_id AS BIGINT) AS rep_doc FROM (
+         |    SELECT cluster_id, doc_id, row_number() OVER (
+         |      PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM m) WHERE rn = 1
+         |), langc AS (
+         |  SELECT cluster_id, lang, CAST(count(*) AS BIGINT) AS lang_freq
+         |  FROM m GROUP BY 1, 2
+         |), langm AS (
+         |  SELECT cluster_id, lang AS majority_lang, lang_freq FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY lang_freq DESC, lang ASC) AS rn
+         |    FROM langc) WHERE rn = 1
+         |)
+         |SELECT b.cluster_id, b.n_members, b.first_doc, r.rep_doc,
+         |  b.max_chars, b.n_sources, l.majority_lang, l.lang_freq
+         |FROM base b
+         |JOIN rep r USING (cluster_id)
+         |JOIN langm l USING (cluster_id)""".stripMargin,
+
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
