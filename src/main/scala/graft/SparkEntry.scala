@@ -1717,6 +1717,60 @@ object SparkEntry {
           col("band_energy_milli"))
     }),
 
+    // ---------- model-eval metrics (exact-integer, ppm) ----------
+    // Shared framing: a toy "English classifier" over documents — ground
+    // truth y = (lang = 'en'), score = n_chars (integral WITH ties, which
+    // is exactly what exercises the midrank math), 3 folds by doc_id % 3.
+    // The classifier being weak is irrelevant; correctness = the exact
+    // integer metric values, hash-verified vs DuckDB. See EvalMetrics for
+    // the cells-first scale shape (windows run over distinct-score cells,
+    // never raw rows).
+    "ml_auc_folds" -> ((s, dir) =>
+      graft.operators.EvalMetrics.aucByGroup(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 3).as("fold"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("n_chars").as("score")),
+        "fold", "y", "score")),
+
+    "ml_confusion_folds" -> ((s, dir) =>
+      graft.operators.EvalMetrics.confusionByGroup(
+        t(s, dir, "documents").select(
+          (col("doc_id") % 3).as("fold"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("yhat")),
+        "fold", "y", "yhat")),
+
+    "ml_calibration" -> ((s, dir) =>
+      graft.operators.EvalMetrics.calibrationBins(
+        t(s, dir, "documents").select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("n_chars").as("score")),
+        "y", "score", lo = 0L, hi = 550L, nBins = 10)),
+
+    "ml_cohens_kappa" -> ((s, dir) =>
+      graft.operators.EvalMetrics.cohensKappa(
+        t(s, dir, "documents").select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("r1"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("r2")),
+        "r1", "r2")),
+
+    // Concentration audit: how unevenly does order revenue spread across
+    // customers — the same question a sampling-weight or token-count
+    // concentration check asks of a training corpus
+    "ml_gini_revenue" -> ((s, dir) =>
+      graft.operators.EvalMetrics.giniConcentration(
+        t(s, dir, "orders").select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_custkey", "cents")),
+
+    "ml_pr_curve" -> ((s, dir) =>
+      graft.operators.EvalMetrics.prCurve(
+        t(s, dir, "documents").select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("n_chars").as("score")),
+        "y", "score")),
+
     // ---------- change capture / SCD2 (incremental maintenance) ----------
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)

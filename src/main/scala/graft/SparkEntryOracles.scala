@@ -2298,6 +2298,146 @@ private[graft] object SparkEntryOracles {
         |      + 1, 32) AS frame_hex
         |FROM f""".stripMargin,
 
+    // ---------- model-eval metrics: exact-integer replays ----------
+    // Mann–Whitney AUC with midrank tie handling, replayed cell-for-cell:
+    // the numerator Σ⁺2·mid − n⁺(n⁺+1) is provably nonnegative, so
+    // DuckDB's flooring // and Spark's truncating div agree
+    "ml_auc_folds" ->
+      """WITH base AS (
+        |  SELECT doc_id % 3 AS fold,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    n_chars AS s
+        |  FROM documents
+        |), cells AS (
+        |  SELECT fold, s, count(*) AS c, sum(y) AS p
+        |  FROM base GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT fold, c, p,
+        |    sum(c) OVER (PARTITION BY fold ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |  FROM cells
+        |), agg AS (
+        |  SELECT fold, sum(p) AS np, sum(c) - sum(p) AS nn,
+        |    sum(p * (2 * (cm - c) + c + 1)) AS s2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT CAST(fold AS BIGINT) AS fold, CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(((s2 - np * (np + 1)) * 1000000)
+        |    // nullif(2 * np * nn, 0) AS BIGINT) AS auc_ppm
+        |FROM agg""".stripMargin,
+
+    "ml_confusion_folds" ->
+      """WITH base AS (
+        |  SELECT doc_id % 3 AS fold,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS yhat
+        |  FROM documents
+        |), m AS (
+        |  SELECT fold,
+        |    sum(y * yhat) AS tp, sum((1 - y) * yhat) AS fp,
+        |    sum(y * (1 - yhat)) AS fn, sum((1 - y) * (1 - yhat)) AS tn
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CAST((tp * 1000000) // nullif(tp + fp, 0) AS BIGINT)
+        |    AS precision_ppm,
+        |  CAST((tp * 1000000) // nullif(tp + fn, 0) AS BIGINT)
+        |    AS recall_ppm,
+        |  CAST((tp * 2000000) // nullif(2 * tp + fp + fn, 0) AS BIGINT)
+        |    AS f1_ppm
+        |FROM m""".stripMargin,
+
+    // equal-width bins with edge clamp; // vs div disagree only below
+    // lo, where the greatest(0, _) clamp makes them equal
+    "ml_calibration" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    n_chars AS s,
+        |    least(9, greatest(0, (n_chars * 10) // 550)) AS bin
+        |  FROM documents
+        |), m AS (
+        |  SELECT bin, count(*) AS n, sum(y) AS n_pos, sum(s) AS ss
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST((n_pos * 1000000) // n AS BIGINT) AS pos_ppm,
+        |  CAST((ss * 1000000) // (n * 550) AS BIGINT) AS pred_ppm
+        |FROM m""".stripMargin,
+
+    // kappa can be negative: both sides spell the division (x − x%y)/y,
+    // which truncates toward zero identically in Spark and DuckDB (% takes
+    // the dividend's sign in both)
+    "ml_cohens_kappa" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS r2
+        |  FROM documents
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(r1 * r2) AS a, sum(r1 * (1 - r2)) AS b,
+        |    sum((1 - r1) * r2) AS cc, sum((1 - r1) * (1 - r2)) AS d
+        |  FROM base
+        |), k AS (
+        |  SELECT n, a + d AS n_agree,
+        |    ((a + d) * 1000000) // n AS po_ppm,
+        |    (((a + b) * (a + cc) + (cc + d) * (b + d)) * 1000000)
+        |      // (n * n) AS pe_ppm,
+        |    (n * (a + d) - ((a + b) * (a + cc) + (cc + d) * (b + d)))
+        |      * 1000000 AS knum,
+        |    nullif(n * n - ((a + b) * (a + cc) + (cc + d) * (b + d)), 0)
+        |      AS kden
+        |  FROM m
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+        |  CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CAST((knum - knum % kden) // kden AS BIGINT) AS kappa_ppm
+        |FROM k""".stripMargin,
+
+    // ascending-rank Gini: numerator 2Σi·xᵢ − (n+1)Σx is nonnegative for
+    // the ascending order, so // and div agree
+    "ml_gini_revenue" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1
+        |), seq AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+        |), a AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM seq
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+        |  CAST(((2 * six - (n + 1) * sx) * 1000000)
+        |    // nullif(n * sx, 0) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
+
+    "ml_pr_curve" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    n_chars AS s
+        |  FROM documents
+        |), cells AS (
+        |  SELECT s, count(*) AS c, sum(y) AS p FROM base GROUP BY 1
+        |), cum AS (
+        |  SELECT s, c, p,
+        |    sum(c) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(p) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    sum(p) OVER () AS all_tp
+        |  FROM cells
+        |)
+        |SELECT CAST(s AS BIGINT) AS threshold,
+        |  CAST(cum_tp AS BIGINT) AS tp,
+        |  CAST(cum_n - cum_tp AS BIGINT) AS fp,
+        |  CAST((cum_tp * 1000000) // cum_n AS BIGINT) AS precision_ppm,
+        |  CAST((cum_tp * 1000000) // nullif(all_tp, 0) AS BIGINT)
+        |    AS recall_ppm
+        |FROM cum""".stripMargin,
+
     // Keyed snapshot diff: full outer join on the key, null-safe column
     // compare (IS DISTINCT FROM = Spark's <=> negated), unchanged keys drop
     // upsert twin: anti-join + union replay
