@@ -2214,6 +2214,24 @@ object SparkEntry {
         t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc")),
         "pc", buckets = 10)),
 
+    // The equi-DEPTH twin of a_histogram: 8 buckets holding (near-)equal
+    // row counts, boundaries wherever the data piles up — the histogram
+    // that stays informative under skew, where equal-width collapses into
+    // one hot bucket. Buckets come from the distributed ntile formula
+    // (seq·k div n + 1) over the range-sorted global sequence — never a
+    // single-partition NTILE window — then one hash aggregate for
+    // count/lo/hi per bucket
+    "a_equidepth_histogram" -> ((s, dir) =>
+      graft.operators.Ranking.ntileScores(
+        t(s, dir, "lineitem").select(
+          cents(col("l_extendedprice")).as("pc"),
+          col("l_orderkey").as("ok"),
+          col("l_linenumber").cast("long").as("ln")),
+        Seq("pc", "ok", "ln"), k = 8, scoreCol = "bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("pc").as("lo_cents"),
+          max("pc").as("hi_cents"))),
+
     // Pivot: one row per return flag, one integer revenue column per line
     // status (values enumerated -> single-pass pivot aggregation, no
     // second scan to discover the domain)
@@ -2487,6 +2505,23 @@ object SparkEntry {
       }
       graft.operators.Graph.labelPropagation(edges, "u", "v", "n_shared",
         iters = 3)
+    }),
+
+    // k-core of the shared co-purchase graph: customers mutually supported
+    // by ≥35 fellow core members. The peel runs to its fixpoint (4 rounds
+    // at sf0.01); the oracle unrolls 8 SQL rounds — sound because the
+    // k-core is ORDER-INDEPENDENT and peeling past convergence removes
+    // nothing, so any unroll ≥ the true depth lands on the same core
+    "graph_kcore" -> ((s, dir) => {
+      val edges = graft.operators.Graph.edgesFor(s, key = s"$dir#coparts") {
+        graft.operators.Graph.cooccurrenceEdges(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey", minShared = 3L)
+      }
+      graft.operators.Graph.kCore(edges, "u", "v", k = 35L)
     }),
 
     // FastSS deletion-neighborhood edit-distance join: near-typo pairs

@@ -2715,6 +2715,61 @@ private[graft] object SparkEntryOracles {
     // LPA twin: same co-purchase edge CTEs as graph_triangles (with the
     // shared-via count as weight), then three unrolled synchronous
     // rounds — argmax by (weight DESC, label ASC) per node
+    // k-core by 8 unrolled peel rounds over the shared co-purchase edge
+    // CTE: sound for ANY converged run because the k-core is unique and
+    // order-independent — rounds past the fixpoint (4 at sf0.01) peel
+    // nothing, so unroll depth only needs to be ≥ the true depth
+    "graph_kcore" -> {
+      val prefix =
+        """WITH cp AS (
+          |  SELECT DISTINCT o_custkey AS node, l_partkey AS via
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |), vc AS (
+          |  SELECT via FROM cp GROUP BY via HAVING count(*) <= 1000
+          |), k AS (
+          |  SELECT cp.node, cp.via FROM cp JOIN vc USING (via)
+          |), eu AS (
+          |  SELECT a.node AS u, b.node AS v
+          |  FROM k a JOIN k b ON a.via = b.via AND a.node < b.node
+          |  GROUP BY 1, 2 HAVING count(*) >= 3
+          |), e0 AS MATERIALIZED (
+          |  SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu
+          |)""".stripMargin
+      // every round references the previous edge CTE three times (the
+      // degree filter + both endpoint joins): without MATERIALIZED the
+      // inlined evaluation tree is 3^rounds re-reads of the base tables
+      val rounds = (1 to 8).map { i =>
+        s""", d$i AS MATERIALIZED (
+           |  SELECT u FROM e${i - 1} GROUP BY u HAVING count(*) >= 35
+           |), e$i AS MATERIALIZED (
+           |  SELECT c.u, c.v FROM e${i - 1} c
+           |  JOIN d$i a ON c.u = a.u JOIN d$i b ON c.v = b.u
+           |)""".stripMargin
+      }.mkString
+      prefix + rounds +
+        """
+          |SELECT CAST(u AS BIGINT) AS node,
+          |  CAST(count(*) AS BIGINT) AS core_degree
+          |FROM e8 GROUP BY u""".stripMargin
+    },
+
+    "a_equidepth_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem
+        |), seq AS (
+        |  SELECT pc,
+        |    ((row_number() OVER (ORDER BY pc, ok, ln) - 1) * 8)
+        |      // (count(*) OVER ()) + 1 AS bucket
+        |  FROM v
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(pc) AS BIGINT) AS lo_cents,
+        |  CAST(max(pc) AS BIGINT) AS hi_cents
+        |FROM seq GROUP BY 1""".stripMargin,
+
     "graph_communities" ->
       """WITH cp AS (
         |  SELECT DISTINCT o_custkey AS node, l_partkey AS via

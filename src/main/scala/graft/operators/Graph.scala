@@ -272,4 +272,57 @@ object Graph {
     }
     settled
   }
+
+  /** k-core membership: the unique maximal subgraph in which every node
+    * keeps degree ≥ k, by distributed iterative peeling — the "densest
+    * stable cluster" trust tier of a link graph (a node in the k-core is
+    * mutually supported by k other core members, not just popular among
+    * peripherals).
+    *
+    * Peeling is ORDER-INDEPENDENT: whatever order sub-k nodes leave in,
+    * the fixpoint is the same unique core — which is what makes a
+    * fixed-round unrolled SQL replay exact, because rounds past
+    * convergence peel nothing (the oracle unrolls a few spare rounds;
+    * the loop here exits the first round that removes no edge).
+    *
+    * Scale shape per round: ONE degree hash-aggregate over the surviving
+    * symmetric edge list + two semi-joins filtering both endpoints, each
+    * materialized with `localCheckpoint` so lineage never stacks across
+    * rounds. Rounds are bounded by `maxRounds` (the true bound is the
+    * peel depth, typically a handful — degeneracy ordering removes whole
+    * degree layers at once). No node list ever reaches the driver; the
+    * fixpoint test is a count comparison.
+    *
+    * Output: (node, core_degree) for core members — core_degree is the
+    * node's degree INSIDE the core (≥ k by construction), the exact
+    * integer that makes the result hash-verifiable. Empty when the graph
+    * has no k-core. */
+  def kCore(edges: DataFrame, uCol: String, vCol: String, k: Long,
+            maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    require(maxRounds >= 1, "at least one peel round")
+    var sym = edges
+      .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .unionByName(edges
+        .select(col(vCol).cast("long").as("u"), col(uCol).cast("long").as("v")))
+      .localCheckpoint()
+    var edgeCount = sym.count()
+    var round = 0
+    var stable = edgeCount == 0L
+    while (!stable && round < maxRounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("u")
+      val pruned = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val prunedCount = pruned.count()
+      stable = prunedCount == edgeCount
+      sym = pruned
+      edgeCount = prunedCount
+      round += 1
+    }
+    sym.groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .select(col("u").as("node"), col("core_degree"))
+  }
 }

@@ -113,4 +113,46 @@ class GraphSpec extends SparkSpec {
       maxHops = 5).as[(String, Long)].collect().toMap
     assert(multi("y") === 1L && multi("d") === 2L)
   }
+
+  test("kCore: peel cascades through chained dependence; cliques survive; " +
+    "core degrees are internal degrees") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} + a path 4-5-6 hanging off it. 2-core: the path
+    // peels in CASCADE (6 has deg 1 -> gone; then 5 drops to deg 1 ->
+    // gone) while the clique stays with internal degree 3 — the pendant
+    // edge 4-5 must not count toward 4's core degree
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v").repartition(3)
+    val core2 = Graph.kCore(edges, "u", "v", k = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique's degree empties the core entirely
+    assert(Graph.kCore(edges, "u", "v", k = 4L).isEmpty)
+    // k=1 keeps everything (every node has an edge)
+    val core1 = Graph.kCore(edges, "u", "v", k = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(core1.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // partitioning can't change the unique fixpoint
+    val again = Graph.kCore(edges.repartition(7), "u", "v", k = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(again === core2)
+  }
+
+  test("kCore: converges within the oracle's unroll depth on the real " +
+    "co-purchase graph and every core degree is >= k") {
+    import org.apache.spark.sql.functions._
+    val edges = Graph.cooccurrenceEdges(
+      graft.Tables(spark, sfDir, "lineitem")
+        .join(graft.Tables(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")),
+      "o_custkey", "l_partkey", minShared = 3L)
+    // maxRounds = the 8-round unroll the oracle ships: if real data ever
+    // needs more rounds, THIS pin fails before the oracle silently would
+    val atCap = Graph.kCore(edges, "u", "v", k = 35L, maxRounds = 8)
+    val converged = Graph.kCore(edges, "u", "v", k = 35L, maxRounds = 20)
+    val a = atCap.orderBy("node").collect().toSeq
+    assert(a === converged.orderBy("node").collect().toSeq)
+    assert(a.forall(_.getAs[Long]("core_degree") >= 35L))
+  }
 }
