@@ -1771,6 +1771,29 @@ object SparkEntry {
           col("n_chars").as("score")),
         "y", "score")),
 
+    // Perceptual near-duplicate detection over IMAGES: deterministic PNG
+    // fixtures (12 broadband seeded textures × 4 noise variants, built
+    // executor-side like the sine WAVs), a 64-bit integer-DCT pHash per
+    // asset, then the SAME pigeonhole chunk blocking the text simhash
+    // path uses (Dedup.fingerprintHammingPairs) — hamming ≤ 8 pairs.
+    // Rows-only: the decode/DCT has no SQL twin; measured separation
+    // (same texture ≤ 6 bits apart, different textures ≥ 20) and
+    // banded == brute-force equality are pinned in MultimodalSpec
+    "mm_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 48).as[Long]
+        .map { id =>
+          val variant = (id / 12).toInt
+          val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
+          (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
+        }.toDF("doc_id", "payload")
+      val fps = Multimodal.perceptualHashes(assets, "doc_id", "payload")
+        .toDF().where(col("ok"))
+      Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
+        maxHamming = 8, metric = "phash_buckets")
+    }),
+
     // ---------- change capture / SCD2 (incremental maintenance) ----------
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)

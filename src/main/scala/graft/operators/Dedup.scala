@@ -501,7 +501,21 @@ object Dedup {
     * least one chunk — and join per chunk. Only candidate pairs pay the
     * XOR + popcount check. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, maxBucket: Int = 10000): DataFrame = {
+                   maxHamming: Int, maxBucket: Int = 10000): DataFrame =
+    fingerprintHammingPairs(
+      simhash(docs, idCol, textCol), "doc_id", "simhash",
+      maxHamming, maxBucket, metric = "simhash_buckets")
+
+  /** Hamming-distance-≤-d pairs among arbitrary 64-bit fingerprints — the
+    * fingerprint-agnostic core of [[simhashPairs]], reused for perceptual
+    * image hashes ([[Multimodal.perceptualHashes]]). Standard pigeonhole
+    * blocking: split 64 bits into `maxHamming + 1` chunks — any pair
+    * within distance d agrees on at least one chunk — join per chunk, and
+    * only candidates pay the XOR + popcount check. Output:
+    * (id_a, id_b, hamming) with id_a < id_b. */
+  def fingerprintHammingPairs(fps0: DataFrame, idCol: String, fpCol: String,
+                              maxHamming: Int, maxBucket: Int = 10000,
+                              metric: String = "fp_buckets"): DataFrame = {
     val chunks = maxHamming + 1
     // Chunk boundaries cover all 64 bits even when chunks doesn't divide 64
     // (last chunks get the remainder); width == 64 (maxHamming = 0) needs
@@ -511,11 +525,10 @@ object Dedup {
     // equal fingerprints collapse to one representative before blocking:
     // they'd land together in EVERY chunk block (the hot-bucket case), and
     // they are pairs by definition (hamming 0 <= any threshold)
-    val fps = simhash(docs, idCol, textCol)
-      .select(col("doc_id").as("doc"), col("simhash"))
-    val groups = collapseBy(fps, col("simhash"))
+    val fps = fps0.select(col(idCol).as("doc"), col(fpCol).as("fp"))
+    val groups = collapseBy(fps, col("fp"))
     val blocked = groups.select(col("rep").as("doc_id"),
-      col("key").as("simhash"),
+      col("key").as("fp"),
       explode(array((0 until chunks).map { c =>
         val lo = bounds(c)
         val w = bounds(c + 1) - lo
@@ -524,20 +537,20 @@ object Dedup {
           shiftright(col("key"), lo)
             .bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("fp"),
         col("b.chunk").as("chunk"), col("b.ckey").as("ckey"))
     // pairs within blocks via one aggregation (see ngramJaccardPairs note)
     val repPairs = capBuckets(
       blocked
         .groupBy("chunk", "ckey")
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+        .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ms"))
         .where(size(col("ms")) > 1),
-      maxBucket, "simhash_buckets")
+      maxBucket, metric)
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
     val memb = groups.select(col("rep"), explode(col("ids")).as("m"))

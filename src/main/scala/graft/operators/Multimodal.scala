@@ -507,6 +507,157 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- perceptual image hash (pHash): 32×32 integer DCT, 8×8 low band ----
+
+  case class PHashRow(asset_id: Long, ok: Boolean, phash: Long)
+
+  /** Micro-unit cosine table for the 32-point DCT-II, only the 8 lowest
+    * frequencies (the 8×8 block is all the hash reads): cos(π(2n+1)k/64)
+    * quantized to 1e6 via StrictMath — bit-identical on any JVM, and from
+    * here on the transform is pure long arithmetic (row pass ≤ 32·255·1e6
+    * ≈ 8.2e9, column pass ≤ 32·8.2e9·1e6 ≈ 2.6e17, both inside int64). */
+  private lazy val dctCosMicro: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (k, n) =>
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * n + 1) * k / 64.0)
+        * 1000000.0)
+    }
+
+  /** 64-bit perceptual hash of an image payload — the standard pHash
+    * recipe in exact integer arithmetic: decode → BT.601 integer luma →
+    * 32×32 box-average downsample (each target cell floor-averages its
+    * source box, so any input size normalizes) → 2-D DCT-II restricted to
+    * the 8×8 lowest-frequency block (micro-unit cosine table, long
+    * accumulation) → bit(k,l) = coefficient > lower-median of the 64.
+    * Per-index DCT normalization factors are omitted: they scale
+    * coefficients by fixed constants, and any FIXED deterministic variant
+    * ranks content identically — what matters is that near-identical
+    * pixels give near-identical bits, pinned in `MultimodalSpec`.
+    * Undecodable payloads return ok = false, phash = 0. */
+  def perceptualHashOne(assetId: Long, bytes: Array[Byte]): PHashRow = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+      PHashRow(assetId, ok = false, 0L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // 32×32 box-averaged integer luma
+      val luma = Array.ofDim[Long](32, 32)
+      var ty = 0
+      while (ty < 32) {
+        val sy0 = ty * h / 32
+        val sy1 = math.max(sy0 + 1, (ty + 1) * h / 32)
+        var tx = 0
+        while (tx < 32) {
+          val sx0 = tx * w / 32
+          val sx1 = math.max(sx0 + 1, (tx + 1) * w / 32)
+          var sum = 0L
+          var y = sy0
+          while (y < sy1) {
+            var x = sx0
+            while (x < sx1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF
+              val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              sum += (299 * r + 587 * g + 114 * b) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          luma(ty)(tx) = sum / ((sy1 - sy0).toLong * (sx1 - sx0))
+          tx += 1
+        }
+        ty += 1
+      }
+      // row DCT (32 rows × 8 freqs), then column DCT (8×8 block)
+      val rows = Array.ofDim[Long](32, 8)
+      var y = 0
+      while (y < 32) {
+        var k = 0
+        while (k < 8) {
+          var acc = 0L
+          var n = 0
+          while (n < 32) { acc += luma(y)(n) * dctCosMicro(k)(n); n += 1 }
+          rows(y)(k) = acc
+          k += 1
+        }
+        y += 1
+      }
+      val coeffs = new Array[Long](64)
+      var l = 0
+      while (l < 8) {
+        var k = 0
+        while (k < 8) {
+          var acc = 0L
+          var yy = 0
+          while (yy < 32) { acc += rows(yy)(k) * dctCosMicro(l)(yy); yy += 1 }
+          coeffs(l * 8 + k) = acc
+          k += 1
+        }
+        l += 1
+      }
+      val sorted = coeffs.clone(); java.util.Arrays.sort(sorted)
+      val median = sorted(31) // lower median of 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (coeffs(i) > median) hash |= (1L << i)
+        i += 1
+      }
+      PHashRow(assetId, ok = true, hash)
+    }
+  }
+
+  /** Partition-mapped [[perceptualHashOne]] over (id, payload) rows. */
+  def perceptualHashes(assets: DataFrame, idCol: String,
+                       binCol: String): Dataset[PHashRow] = {
+    implicit val enc = Encoders.product[PHashRow]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, bytes) => perceptualHashOne(id, bytes) })
+  }
+
+  /** Deterministic synthetic PNG for perceptual near-dup tests. The luma
+    * field is a BROADBAND texture drawn from an xorshift PRNG seeded by
+    * `pattern` (every DCT coefficient carries real signal — a hash whose
+    * bits threshold against the median needs energy across the spectrum,
+    * which a smooth gradient would not give), plus small per-pixel noise
+    * of amplitude `noiseAmp` from a SECOND stream seeded by `noiseSeed`.
+    * PNG is lossless, so decoded pixels are exactly these. Same pattern +
+    * small noise = perceptual near-duplicate; different pattern =
+    * independent texture, ~32 of 64 bits apart. */
+  def buildPatternPng(pattern: Int, noiseSeed: Long, noiseAmp: Int,
+                      w: Int = 64, h: Int = 64): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def mix(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    var tex = mix(pattern.toLong + 7919L)
+    var noi = mix(noiseSeed)
+    def next(stateIsTex: Boolean, span: Int): Int = {
+      if (span <= 0) return 0
+      var s = if (stateIsTex) tex else noi
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      if (stateIsTex) tex = s else noi = s
+      (Math.floorMod(s, 2L * span + 1) - span).toInt
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = math.max(0, math.min(255,
+          128 + next(stateIsTex = true, 90) + next(stateIsTex = false, noiseAmp)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Frame-sample stub: slice `n` evenly spaced windows of `frameBytes`
     * bytes from a binary payload — the partitioning/batch shape of video
     * frame extraction with the codec swapped for byte slicing. */

@@ -222,4 +222,51 @@ class MultimodalSpec extends SparkSpec {
       assert(again(id).rms_milli === got(id).rms_milli)
     }
   }
+
+  test("pHash: identical bytes hash identically; noise variants stay " +
+    "close; independent textures stay far; garbage is ok=false") {
+    val clean = Multimodal.buildPatternPng(3, noiseSeed = 100L, noiseAmp = 0)
+    val h1 = Multimodal.perceptualHashOne(1L, clean)
+    val h2 = Multimodal.perceptualHashOne(2L, clean.clone())
+    assert(h1.ok && h1.phash === h2.phash)
+    // small noise on the SAME texture: a perceptual near-duplicate
+    val noisy = Multimodal.buildPatternPng(3, noiseSeed = 200L, noiseAmp = 8)
+    val hn = Multimodal.perceptualHashOne(3L, noisy)
+    val dNear = java.lang.Long.bitCount(h1.phash ^ hn.phash)
+    assert(dNear <= 8, s"near-dup hamming $dNear")
+    // a different texture: independent bits, ~32 of 64 apart
+    val other = Multimodal.buildPatternPng(4, noiseSeed = 300L, noiseAmp = 0)
+    val ho = Multimodal.perceptualHashOne(4L, other)
+    val dFar = java.lang.Long.bitCount(h1.phash ^ ho.phash)
+    assert(dFar >= 16, s"cross-texture hamming $dFar")
+    val bad = Multimodal.perceptualHashOne(5L, Array[Byte](1, 2, 3))
+    assert(!bad.ok && bad.phash === 0L)
+  }
+
+  test("pHash near-dup pairs: the chunk-blocked join equals the " +
+    "brute-force hamming matrix on the registry's fixture set") {
+    import spark.implicits._
+    val assets = (0L until 48L).map { id =>
+      val variant = (id / 12).toInt
+      val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
+      (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
+    }.toDF("doc_id", "payload").repartition(8)
+    val fps = Multimodal.perceptualHashes(assets, "doc_id", "payload").toDF()
+    val hashes = fps.where(col("ok"))
+      .select(col("asset_id"), col("phash"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.size === 48)
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 8
+    } yield (a, b, d.toLong)).toSet
+    val banded = Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
+      maxHamming = 8, metric = "phash_buckets")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+    // the planted structure: every same-texture pair is found, and every
+    // found pair IS a same-texture pair (12 groups of 4 -> 72 pairs)
+    assert(brute.size === 72)
+    assert(brute.forall { case (a, b, _) => a % 12 === b % 12 })
+  }
 }
