@@ -1430,6 +1430,20 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // Conjunctive term lookup over the AT-REST inverted index: postings
+    // (term, doc_id, tf) built once per dataset, term-range-sorted so the
+    // IN-predicate prunes files/row-groups by min/max — the repeated-query
+    // complement of text_phrase_search's one-off corpus scan. The oracle
+    // replays the same AND-query from the raw documents, proving the
+    // index answers exactly what the corpus says
+    "text_index_lookup" -> ((s, dir) => {
+      val path = graft.operators.TextAnalysis.invertedIndexFor(
+        t(s, dir, "documents"), "doc_id", "text",
+        key = s"textidx-$dir", spark = s)
+      graft.operators.TextAnalysis.indexLookupAll(s, path,
+        Seq("vector", "merge", "spark"))
+    }),
+
     // Token-distribution entropy per language in integer micro-nats —
     // quantize-per-term-then-sum-exactly, one division at the end; the
     // low-entropy slices are the templated/repetitive text a curation

@@ -1564,6 +1564,28 @@ private[graft] object SparkEntryOracles {
     // BM25 twin: identical expression tree (same literal spellings, same
     // association order), per-term micro-unit quantization before the
     // integer per-doc sum, ties broken by doc_id
+    // index lookup replayed from the RAW corpus: a layout can never
+    // change query results, so the oracle ignores the index entirely
+    "text_index_lookup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE t IN ('vector', 'merge', 'spark') GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN t = 'vector' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_vector,
+        |  CAST(sum(CASE WHEN t = 'merge' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_merge,
+        |  CAST(sum(CASE WHEN t = 'spark' THEN tf ELSE 0 END) AS BIGINT)
+        |    AS tf_spark,
+        |  CAST(sum(tf) AS BIGINT) AS score
+        |FROM tf GROUP BY 1 HAVING count(DISTINCT t) = 3""".stripMargin,
+
     "text_bm25_topk" ->
       s"""WITH ${bm25Ctes(10)}
          |SELECT id AS doc_id,

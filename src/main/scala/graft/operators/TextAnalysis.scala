@@ -900,6 +900,60 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
+  // ---- at-rest inverted index: posting lists as a term-sorted layout ----
+
+  /** Built inverted-index layouts, once per (session, dataset). */
+  private val indexLayouts = new graft.SessionMemo[String, String]()
+
+  /** Build (once per dataset) an at-rest inverted index: the postings
+    * table (term, doc_id, tf) range-sorted by (term, doc_id) and written
+    * as parquet. Term-sorted files mean a `term IN (...)` lookup prunes
+    * at BOTH granularities parquet already gives us — file-level min/max
+    * zones skip whole files, row-group stats skip within files — so a
+    * repeated-query workload reads kilobytes of postings instead of
+    * re-tokenizing the corpus (`text_phrase_search`'s scaladoc names the
+    * one-off-scan tradeoff this layout is the other side of). Build cost
+    * is one tokenize + one hash aggregate + one range sort; tf is exact.
+    */
+  def invertedIndexFor(docs: => DataFrame, idCol: String, textCol: String,
+                       key: String,
+                       spark: org.apache.spark.sql.SparkSession): String =
+    indexLayouts.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-textindex", key)
+      docs
+        .where(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          explode(expr(s"filter(split($textCol, ' '), x -> x != '')"))
+            .as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Conjunctive (AND) term lookup over the at-rest index: documents
+    * containing EVERY query term, with per-term frequencies and the
+    * summed score. One pruned postings scan + one doc_id hash aggregate —
+    * the corpus text is never touched. */
+  def indexLookupAll(spark: org.apache.spark.sql.SparkSession, path: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "at least one query term")
+    val distinctTerms = terms.distinct
+    val tfCols = distinctTerms.map { t =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L))
+        .as("tf_" + t.replaceAll("[^A-Za-z0-9]", "_"))
+    }
+    spark.read.parquet(path)
+      .where(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("_nt"),
+        (tfCols :+ sum(col("tf")).as("score")): _*)
+      .where(col("_nt") === distinctTerms.size)
+      .drop("_nt")
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
               topN: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")

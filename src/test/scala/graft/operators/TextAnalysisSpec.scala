@@ -477,4 +477,42 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, r(1), 3L),
       (4L, r(3), 4L)))
   }
+
+  test("inverted index: AND lookup equals the from-scratch computation, " +
+    "the term predicate reaches the postings scan, and the layout " +
+    "memoizes per dataset") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val path = TextAnalysis.invertedIndexFor(docs, "doc_id", "text",
+      key = s"textidx-spec-$sfDir", spark = spark)
+    val terms = Seq("vector", "merge", "spark")
+    val got = TextAnalysis.indexLookupAll(spark, path, terms)
+    // ground truth straight from the corpus: same tokenizer, same AND
+    val tf = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .where(col("t").isin(terms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val expect = tf.groupBy("doc_id")
+      .agg(countDistinct(col("t")).as("nt"),
+        sum(when(col("t") === "vector", col("tf")).otherwise(0L)).as("tf_vector"),
+        sum(when(col("t") === "merge", col("tf")).otherwise(0L)).as("tf_merge"),
+        sum(when(col("t") === "spark", col("tf")).otherwise(0L)).as("tf_spark"),
+        sum(col("tf")).as("score"))
+      .where(col("nt") === 3).drop("nt")
+    val cols = Seq("doc_id", "tf_vector", "tf_merge", "tf_spark", "score")
+    assert(got.select(cols.map(col): _*).orderBy("doc_id").collect().toSeq ===
+      expect.select(cols.map(col): _*).orderBy("doc_id").collect().toSeq)
+    assert(got.count() > 0)
+    // the lookup never touches the corpus: its scan is the postings
+    // parquet with the In predicate pushed down
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(term"), plan)
+    assert(!plan.contains("documents.parquet"), plan)
+    // memo: a second call returns the same layout without a rebuild
+    val again = TextAnalysis.invertedIndexFor(
+      sys.error("memo hit must not re-evaluate the input"): org.apache.spark.sql.DataFrame,
+      "doc_id", "text", key = s"textidx-spec-$sfDir", spark = spark)
+    assert(again === path)
+  }
 }
