@@ -80,7 +80,7 @@ object Bench {
       "cdc_" -> "cdc", "scd2_" -> "cdc", "lm_" -> "text", "graph_" -> "dedup",
       "bpe_" -> "vocab", "chunk_" -> "text", "pipeline_" -> "pipeline",
       "e3_" -> "e3", "f_" -> "fx", "set_" -> "setops", "p_" -> "scan",
-      "j1j2_" -> "join")
+      "j1j2_" -> "join", "ml_" -> "ml")
     val shortFamilies = Map("j" -> "join", "w" -> "window", "a" -> "agg",
       "o" -> "ord", "s" -> "scan")
     val shortName = "^([jwaos])[0-9]*_.*".r

@@ -972,6 +972,29 @@ object SparkEntry {
       graft.operators.Sketches.segmentOverlapFromSketches(s, path, "seg")
     }),
 
+    // Seasonal-means decomposition of the hourly value series: the
+    // seasonal component of hour-of-day h is the exact integer mean of
+    // all hour-h totals, the residual is what a threshold alert should
+    // fire on (raw totals confound "3am is always quiet" with "this 3am
+    // is anomalous"). Two hash aggregates + one broadcast join of the
+    // 24-row seasonal profile — the profile is bounded by the CYCLE
+    // length, never the series, so the shape is flat at any scale
+    "events_seasonal" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(floor(col("value") * 1000000).cast("long"))
+          .as("total_micros"))
+        .withColumn("hod", hour(col("h")).cast("long"))
+      val seasonal = hourly.groupBy("hod")
+        .agg(expr("cast(sum(total_micros) div count(1) as bigint)")
+          .as("seasonal_micros"))
+      hourly.join(broadcast(seasonal), "hod")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("hod"), col("total_micros"), col("seasonal_micros"),
+          (col("total_micros") - col("seasonal_micros"))
+            .as("residual_micros"))
+    }),
+
     "events_hourly_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -2872,6 +2895,37 @@ object SparkEntry {
 
     // Column-completeness audit over documents: null/empty counts and
     // fill rates in ppm, ONE row-local aggregation pass
+    // Whole-table column profile (the Deequ/profiling shape): for each of
+    // five canonicalized columns — counts, nulls, exact distincts, and
+    // min/max rendered through BIGINT→string so both engines print
+    // identically. ONE aggregate over the fact table; the multi-distinct
+    // expands to |cols|× rows in one shuffle (Spark's Expand), which is
+    // the exact-profile cost — at 100 TB swap the distincts for the L66
+    // sketch-table rollup and keep the rest of the pass as-is
+    "dq_schema_profile" -> ((s, dir) => {
+      val cols = Seq("returnflag", "linestatus", "quantity",
+        "price_cents", "ship_day")
+      val src = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus"),
+        col("l_quantity").cast("long").as("quantity"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+          .cast("long").as("ship_day"))
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")) }
+      val stackArgs = cols
+        .map(c => s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(", ")
+      src.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) as " +
+          "(column_name, n, n_null, n_distinct, min_val, max_val)"))
+    }),
+
     "dq_completeness" -> ((s, dir) =>
       t(s, dir, "documents")
         .agg(count(lit(1)).as("n_rows"),

@@ -849,6 +849,29 @@ private[graft] object SparkEntryOracles {
         |WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
         |GROUP BY 1, 2""".stripMargin,
 
+    // seasonal means: all totals are nonnegative (value >= 0), so
+    // DuckDB's flooring // equals Spark's truncating div
+    "events_seasonal" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS total_micros
+        |  FROM events GROUP BY 1
+        |), hh AS (
+        |  SELECT h, CAST(date_part('hour', h) AS BIGINT) AS hod,
+        |    total_micros
+        |  FROM hourly
+        |), seasonal AS (
+        |  SELECT hod, CAST(sum(total_micros) // count(*) AS BIGINT)
+        |    AS seasonal_micros
+        |  FROM hh GROUP BY 1
+        |)
+        |SELECT strftime(hh.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  hh.hod, hh.total_micros, s.seasonal_micros,
+        |  CAST(hh.total_micros - s.seasonal_micros AS BIGINT)
+        |    AS residual_micros
+        |FROM hh JOIN seasonal s USING (hod)""".stripMargin,
+
     "events_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |    AS hour_start,
@@ -3607,6 +3630,29 @@ private[graft] object SparkEntryOracles {
         |FROM fp""".stripMargin,
 
     // completeness twin: the same single-pass null/empty reductions
+    // profile replayed as one UNION ALL per column; min/max go through
+    // BIGINT (or raw string) then VARCHAR so both engines print '123'
+    "dq_schema_profile" -> {
+      val canon =
+        """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+          |    CAST(l_quantity AS BIGINT) AS quantity,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+          |    CAST(datediff('day', DATE '1970-01-01',
+          |      CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day
+          |  FROM lineitem""".stripMargin
+      val per = Seq("returnflag", "linestatus", "quantity",
+        "price_cents", "ship_day").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH src AS (\n$canon\n)\n$per"
+    },
+
     "dq_completeness" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(text IS NULL AS BIGINT)) AS BIGINT) AS text_null,
