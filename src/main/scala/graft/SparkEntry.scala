@@ -3086,6 +3086,27 @@ object SparkEntry {
     // (Formats memo), read back SCHEMA-FIRST — inference would be a
     // second full pass at 100 TB — with FAILFAST so drift errors instead
     // of nulling. A format can't change rows: oracle replays on parquet
+    // CSV interchange scan: customer re-encoded as headered CSV once per
+    // dataset, read back SCHEMA-FIRST + FAILFAST (inference is an extra
+    // pass and type-lossy). CSV carries no column statistics — nothing
+    // prunes — which is exactly why it is an interchange format, not a
+    // layout; the oracle replays the aggregation from parquet
+    "s_csv_scan" -> ((s, dir) => {
+      val path = graft.sources.Formats.layoutFor(
+        t(s, dir, "customer").select(
+          col("c_custkey"),
+          col("c_nationkey").cast("long").as("nation"),
+          cents(col("c_acctbal")).as("bal_cents"),
+          col("c_mktsegment")),
+        "csv", key = s"customer-$dir", options = Map("header" -> "true"))
+      graft.sources.Formats.readCsv(s, path,
+          "c_custkey long, nation long, bal_cents long, c_mktsegment string")
+        .where(col("bal_cents") > 0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal_cents")).as("sum_bal_cents"))
+    }),
+
     "s_json_scan" -> ((s, dir) => {
       val path = graft.sources.Formats.layoutFor(
         t(s, dir, "orders").select(

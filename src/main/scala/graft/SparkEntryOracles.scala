@@ -3797,6 +3797,16 @@ private[graft] object SparkEntryOracles {
 
     // JSON roundtrip twin: a format re-encode can't change rows — replay
     // the same filter/agg on the parquet table
+    // the CSV path replayed from parquet: a re-encode can never change
+    // query results
+    "s_csv_scan" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_cents
+        |FROM customer
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+        |GROUP BY 1""".stripMargin,
+
     "s_json_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

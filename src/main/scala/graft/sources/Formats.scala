@@ -79,4 +79,14 @@ object Formats {
   /** ORC read — pushdown/pruning flow through the standard scan surface. */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Schema-first CSV read: like JSON, the schema is the CONTRACT (CSV
+    * inference is a full extra pass AND type-lossy — everything is a
+    * string until proven otherwise), `FAILFAST` surfaces ragged rows or
+    * drift as errors instead of silent nulls. CSV carries no statistics,
+    * so predicates cannot prune files — the scaladoc-level reason this
+    * path is for INTERCHANGE, never for an at-rest analytical layout. */
+  def readCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl)
+      .option("header", "true").option("mode", "FAILFAST").csv(path)
 }

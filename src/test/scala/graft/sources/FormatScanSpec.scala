@@ -37,6 +37,27 @@ class FormatScanSpec extends SparkSpec {
     intercept[Throwable] { bad.collect() }
   }
 
+  test("csv roundtrip is lossless vs parquet and FAILFAST on drift") {
+    val viaCsv = SparkEntry.queries("s_csv_scan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val direct = Tables(spark, sfDir, "customer")
+      .where(round(col("c_acctbal") * 100, 0).cast("long") > 0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(viaCsv.nonEmpty && viaCsv.toSeq === direct.toSeq)
+    // a drifted contract (string column read as long) fails loudly
+    import spark.implicits._
+    val path = Formats.layoutFor(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "csv", key = "csv-drift-fixture", options = Map("header" -> "true"))
+    val bad = Formats.readCsv(spark, path, "k long, v long")
+    intercept[Throwable] { bad.collect() }
+  }
+
   test("orc scan pushes the filter (PushedFilters) and matches parquet") {
     val df = SparkEntry.queries("s_orc_scan")(spark, sfDir)
     val plan = df.queryExecution.explainString(
