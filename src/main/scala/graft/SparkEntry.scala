@@ -291,6 +291,27 @@ object SparkEntry {
     // As-of join: each click enriched with the user's most recent prior
     // purchase (time + value), null when none — oracled by DuckDB's native
     // ASOF LEFT JOIN.
+    // Nearest as-of: the purchase closest in time to each click in EITHER
+    // direction, ties backward, exact microseconds. The right side is
+    // pre-aggregated to unique (user, ts) so the pick is total; two
+    // chained keyed window passes (backward then forward), no join back
+    "j_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(sum(floor(col("value") * 1000000).cast("long"))
+          .as("p_value_micros"))
+      graft.operators.AsofJoin.asofNearest(
+        clicks, purchases, "user_id", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("p_time"),
+          col("p_value_micros"), col("asof_direction"),
+          col("asof_gap_micros"))
+    }),
+
     "j_asof_backward" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.where(col("event_type") === "click")
@@ -841,6 +862,22 @@ object SparkEntry {
         col("l_suppkey"),
         date_format(isoDate(iso), "yyyy-MM-dd").as("ship_date"))
     }),
+
+    // Higher-order array functions over the embedding column, all
+    // row-local and codegen-adjacent (transform/slice/filter/aggregate —
+    // no explode, no UDF): quantize to integer thousandths then derive
+    // per-row reductions the same lambdas DuckDB's list functions replay
+    "f_array_ops" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+            .as("q"))
+        .select(col("vec_id"),
+          expr("aggregate(transform(slice(q, 1, 8), x -> x * x), " +
+            "0L, (a, x) -> a + x)").as("sumsq8"),
+          expr("cast(size(filter(q, x -> x > 0)) as bigint)").as("n_pos"),
+          expr("array_max(q)").as("max_q"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"))),
 
     "f_num_coerce_json" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -2898,10 +2935,14 @@ object SparkEntry {
     // Whole-table column profile (the Deequ/profiling shape): for each of
     // five canonicalized columns — counts, nulls, exact distincts, and
     // min/max rendered through BIGINT→string so both engines print
-    // identically. ONE aggregate over the fact table; the multi-distinct
-    // expands to |cols|× rows in one shuffle (Spark's Expand), which is
-    // the exact-profile cost — at 100 TB swap the distincts for the L66
-    // sketch-table rollup and keep the rest of the pass as-is
+    // identically. One TWO-PHASE aggregation per column (group on the
+    // value with map-side combine, then reduce the group table), each
+    // branch scanning only ITS column — measured 4× faster than the
+    // single-pass multi-distinct, whose Expand re-shuffles |cols|+1
+    // copies of every row while each branch here shuffles only the
+    // distinct values; same total I/O either way thanks to column
+    // pruning. At 100 TB the distincts can also come from the L66
+    // sketch-table rollup
     "dq_schema_profile" -> ((s, dir) => {
       val cols = Seq("returnflag", "linestatus", "quantity",
         "price_cents", "ship_day")
@@ -2912,18 +2953,18 @@ object SparkEntry {
         cents(col("l_extendedprice")).as("price_cents"),
         datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
           .cast("long").as("ship_day"))
-      val aggs = cols.flatMap { c => Seq(
-        count(col(c)).as(s"n_$c"),
-        sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c")) }
-      val stackArgs = cols
-        .map(c => s"'$c', n_$c, nn_$c, nd_$c, mn_$c, mx_$c")
-        .mkString(", ")
-      src.agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stackArgs) as " +
-          "(column_name, n, n_null, n_distinct, min_val, max_val)"))
+      cols.map { c =>
+        src.select(col(c))
+          .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(when(col(c).isNotNull, col("cnt")).otherwise(0L)).as("n"),
+            sum(when(col(c).isNull, col("cnt")).otherwise(0L)).as("n_null"),
+            count(when(col(c).isNotNull, lit(1))).as("n_distinct"),
+            min(col(c)).cast("string").as("min_val"),
+            max(col(c)).cast("string").as("max_val"))
+          .select(lit(c).as("column_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }.reduce(_ unionByName _)
     }),
 
     "dq_completeness" -> ((s, dir) =>

@@ -375,6 +375,43 @@ private[graft] object SparkEntryOracles {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
 
+    // nearest as-of replayed candidate-wise: best-backward + best-forward
+    // per click, then the same tie-backward microsecond pick
+    "j_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS p_ts,
+        |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS p_value_micros
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), b AS (
+        |  SELECT c.event_id, max(p.p_ts) AS bt
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts <= c.ts
+        |  GROUP BY 1
+        |), f AS (
+        |  SELECT c.event_id, min(p.p_ts) AS ft
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.p_ts >= c.ts
+        |  GROUP BY 1
+        |), pick AS (
+        |  SELECT c.event_id, c.user_id, c.ts, b.bt, f.ft,
+        |    CASE WHEN b.bt IS NOT NULL AND (f.ft IS NULL OR
+        |        epoch_us(c.ts) - epoch_us(b.bt)
+        |          <= epoch_us(f.ft) - epoch_us(c.ts)) THEN 'b'
+        |      WHEN f.ft IS NOT NULL THEN 'f' END AS dir
+        |  FROM c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |)
+        |SELECT pk.event_id, pk.user_id,
+        |  strftime(CASE WHEN dir = 'b' THEN bt ELSE ft END,
+        |    '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+        |  p.p_value_micros, dir AS asof_direction,
+        |  CAST(CASE WHEN dir = 'b' THEN epoch_us(pk.ts) - epoch_us(bt)
+        |    WHEN dir = 'f' THEN epoch_us(ft) - epoch_us(pk.ts) END
+        |    AS BIGINT) AS asof_gap_micros
+        |FROM pick pk LEFT JOIN p ON pk.user_id = p.user_id
+        |  AND p.p_ts = CASE WHEN dir = 'b' THEN bt ELSE ft END""".stripMargin,
+
     "j_asof_backward" ->
       """SELECT a.event_id, a.user_id,
         |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
@@ -800,6 +837,22 @@ private[graft] object SparkEntryOracles {
         |  split_part(strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S+08:00'), 'T', 1)
         |    AS ship_date
         |FROM lineitem""".stripMargin,
+
+    // list-function twins of Spark's higher-order array lambdas
+    "f_array_ops" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(list_transform(q[1:8], x -> x * x), 'sum')
+        |    AS BIGINT) AS sumsq8,
+        |  CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_aggregate(q, 'max') AS BIGINT) AS max_q,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS sum_q
+        |FROM q""".stripMargin,
 
     "f_num_coerce_json" ->
       """SELECT event_id,

@@ -117,4 +117,45 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         rightPayload.map(c => col("_rp").getField(c).as(c)): _*)
   }
+
+  /** Nearest as-of join: for each left row, the right row minimizing
+    * |right.ts − left.ts| within the key — the "closest observation"
+    * enrichment (sensor reading nearest the event, price nearest the
+    * trade). Ties break BACKWARD (the not-later reading wins), in exact
+    * MICROSECONDS (`unix_micros`; per-side second truncation diverges
+    * engines — the `events_conversion_lag` lesson).
+    *
+    * Composes [[asofBackward]] then [[asofForward]] by CHAINING — the
+    * backward pass's output is the forward pass's left side, so there is
+    * no join back; two keyed window shuffles total, no range cross
+    * product. The per-row pick is one row-local comparison. Right payload
+    * columns come back under their own names; `asof_direction` ('b'/'f',
+    * null when the key has no right rows at all) and `asof_gap_micros`
+    * are appended. (key, rightTs) must be unique — pre-aggregate the
+    * right side otherwise. */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == key).toSeq
+    val leftCols = left.columns.toSeq
+    val rb = right.select(col(key) +:
+      rightPayload.map(c => col(c).as(c + "_nb")): _*)
+    val rf = right.select(col(key) +:
+      rightPayload.map(c => col(c).as(c + "_nf")): _*)
+    val both = asofForward(
+      asofBackward(left, rb, key, leftTs, rightTs + "_nb"),
+      rf, key, leftTs, rightTs + "_nf")
+    val gapB = unix_micros(col(leftTs)) - unix_micros(col(rightTs + "_nb"))
+    val gapF = unix_micros(col(rightTs + "_nf")) - unix_micros(col(leftTs))
+    val useB = col(rightTs + "_nb").isNotNull &&
+      (col(rightTs + "_nf").isNull || gapB <= gapF)
+    both.select(leftCols.map(col) ++
+      rightPayload.map(c =>
+        when(useB, col(c + "_nb")).otherwise(col(c + "_nf")).as(c)) ++ Seq(
+      when(useB, lit("b"))
+        .when(col(rightTs + "_nf").isNotNull, lit("f"))
+        .otherwise(lit(null).cast("string")).as("asof_direction"),
+      when(useB, gapB)
+        .when(col(rightTs + "_nf").isNotNull, gapF)
+        .otherwise(lit(null).cast("long")).as("asof_gap_micros")): _*)
+  }
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class AsofJoinSpec extends SparkSpec {
@@ -99,5 +101,30 @@ class AsofJoinSpec extends SparkSpec {
       tiebreakCols = Seq("seq"))
       .select("id", "tag").as[(Long, String)].collect().sortBy(_._1)
     assert(bwd === Array((1L, null), (2L, "b")))
+  }
+
+  test("asofNearest: picks the closer side, ties go backward, keys with " +
+    "no right rows stay null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u", ts(100)), // back at 90 (gap 10) vs fwd at 130 (gap 30) -> b
+      (2L, "u", ts(125)), // back at 90 (gap 35) vs fwd at 130 (gap 5) -> f
+      (3L, "u", ts(110)), // back 90 / fwd 130: equal gap 20 -> tie -> b
+      (4L, "v", ts(50)), // only a forward row (60) -> f
+      (5L, "w", ts(10)) // no right rows at all -> all null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u", ts(90), 900L), ("u", ts(130), 1300L), ("v", ts(60), 600L)
+    ).toDF("k", "rt", "v")
+    val got = AsofJoin.asofNearest(left, right, "k", "t", "rt")
+      .select(col("id"), col("v"), col("asof_direction"),
+        col("asof_gap_micros"))
+      .as[(Long, Option[Long], String, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, Some(900L), "b", Some(10000000L))))
+    assert(got(1) === ((2L, Some(1300L), "f", Some(5000000L))))
+    assert(got(2) === ((3L, Some(900L), "b", Some(20000000L))))
+    assert(got(3) === ((4L, Some(600L), "f", Some(10000000L))))
+    assert(got(4) === ((5L, None, null, None)))
   }
 }
