@@ -661,7 +661,25 @@ object Dedup {
 
   /** Shared core of the semantic-dedup forms: `assigned` must carry
     * (vec_id, iq, cell). One body so the in-memory and at-rest paths
-    * cannot drift. */
+    * cannot drift.
+    *
+    * EXACT-COLLAPSE first (the same defense every text blocking path
+    * has): identical quantized vectors in a cell form ONE group keyed by
+    * (cell, iq), and only group REPRESENTATIVES (min id) enter the
+    * within-cell pair join — the 1×→10× blowup measured the uncollapsed
+    * join at ~100× cost under 10 byte-identical copies per vector (k
+    * copies multiply the candidate join k², and identical crawl-copy
+    * embeddings are exactly the common case). The original per-row
+    * output is then reconstructed EXACTLY, because for a member v of
+    * group A, min{u < v : u matches v} = min over the matching groups'
+    * own minima that are < v — a group's minimum is the smallest
+    * candidate it can contribute. Zero-norm groups never match anything
+    * (the score > 0 guard), including their own copies — preserved by
+    * keeping n2 = 0 groups out of the head lists entirely.
+    *
+    * The hot-cell cap now counts GROUPS (distinct vectors), not rows —
+    * the quantity that actually drives join cost; a cell of a million
+    * identical copies is one group and never drops. */
   private def semanticDedupAssigned(assigned: DataFrame, simSqPpm: Long,
                                     maxCell: Int): DataFrame = {
     require(simSqPpm >= 0 && simSqPpm <= 1000000L,
@@ -669,25 +687,40 @@ object Dedup {
     val base = assigned
     val sized = base.withColumn("n2",
       aggregate(col("iq"), lit(0L), (a, x) => a + x * x))
-    val hot = sized.groupBy("cell").agg(count(lit(1)).as("_c"))
+    // one row per DISTINCT vector per cell
+    val groups = sized.groupBy(col("cell"), col("iq"), col("n2"))
+      .agg(min(col("vec_id")).as("gmin"))
+    val hot = groups.groupBy("cell").agg(count(lit(1)).as("_c"))
       .observe("semantic_dedup_cells",
         sum(when(col("_c") > maxCell, 1L).otherwise(0L))
           .as("dropped_cells"))
       .where(col("_c") > maxCell).select("cell")
-    val joinable = sized.join(broadcast(hot), Seq("cell"), "left_anti")
+    val joinable = groups.join(broadcast(hot), Seq("cell"), "left_anti")
     val prior = joinable.select(col("cell"),
-      col("vec_id").as("prior_id"), col("iq").as("iq_b"),
-      col("n2").as("n2_b"))
+      col("gmin").as("head_b"), col("iq").as("iq_b"), col("n2").as("n2_b"))
     val d = (c: Column) => c.cast("decimal(19,0)")
-    val dups = joinable.join(prior, Seq("cell"))
-      .where(col("prior_id") < col("vec_id"))
+    // matching group pairs, BOTH directions (a member needs heads from
+    // every matching group, whichever side has the smaller minimum) plus
+    // the group's own head for its intra-group copies (identical nonzero
+    // vectors always match themselves: cos² = 1 ≥ any threshold, and the
+    // n2 > 0 filter preserves the zero-vector non-match)
+    val crossHeads = joinable.join(prior, Seq("cell"))
+      .where(col("gmin") =!= col("head_b"))
       .withColumn("score",
         aggregate(zip_with(col("iq"), col("iq_b"), (x, y) => x * y),
           lit(0L), (acc, x) => acc + x))
       .where(col("score") > 0 &&
         d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
           d(lit(simSqPpm)) * d(col("n2")) * d(col("n2_b")))
-      .groupBy("vec_id").agg(min(col("prior_id")).as("dup_of"))
+      .select(col("cell"), col("iq"), col("head_b").as("head"))
+    val selfHeads = joinable.where(col("n2") > 0)
+      .select(col("cell"), col("iq"), col("gmin").as("head"))
+    val heads = crossHeads.unionByName(selfHeads)
+    // fan heads back to members on the collapse key; the smallest
+    // matching head below v is v's dup_of
+    val dups = sized.join(heads, Seq("cell", "iq"))
+      .where(col("head") < col("vec_id"))
+      .groupBy("vec_id").agg(min(col("head")).as("dup_of"))
     base.join(dups, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))

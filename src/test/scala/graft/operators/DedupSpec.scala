@@ -359,6 +359,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: identical copies collapse (exact-collapse path) " +
+    "with per-row output identical to the pairwise definition") {
+    import spark.implicits._
+    val cb = Seq(Seq(1000L, 0L), Seq(0L, 1000L))
+    // 10 byte-identical copies of a nonzero vector (the crawl-copy case
+    // the collapse defends against), copies of a ZERO vector (must stay
+    // non-dup: the score > 0 guard), and a near-parallel singleton that
+    // must match the whole copy group through its representative
+    val rows = ((1L to 10L).map(i => (i, Array(1.0f, 0.05f))) ++
+      Seq((20L, Array(1.01f, 0.05f))) ++
+      (30L to 33L).map(i => (i, Array(0.0f, 0.0f)))).toDF(
+      "vec_id", "embedding")
+    val got = Dedup.semanticDedup(rows, "vec_id", "embedding", cb,
+      simSqPpm = 980000L)
+      .as[(Long, Int, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    (2L to 10L).foreach(i => assert(got(i) === Some(1L), s"copy $i"))
+    assert(got(1L) === None)
+    assert(got(20L) === Some(1L)) // cross-group match lands on the head
+    (30L to 33L).foreach(i => assert(got(i) === None, s"zero copy $i"))
+  }
+
   test("semantic dedup at rest: the (appended) IVF layout's cells are the " +
       "blocking; exact agreement with a BigInt recompute") {
     import spark.implicits._
