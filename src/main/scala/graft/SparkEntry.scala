@@ -1490,6 +1490,33 @@ object SparkEntry {
       graft.operators.TextAnalysis.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "vector", "stream"), 10)),
 
+    // TF-IDF keyword extraction: top-3 terms per document by exact
+    // integer tf · idf_micro score (idf quantized to micro-nats with the
+    // round(ln·1e6) discipline text_collocations proved cross-engine);
+    // tf/df are two hash aggregates, df and the doc count broadcast, the
+    // rank window partitions per doc over its DISTINCT terms only
+    "text_tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_micro").desc, col("term").asc)
+      tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
+        .withColumn("idf_micro",
+          round(log(col("n_docs").cast("double") / col("df")) * 1e6)
+            .cast("long"))
+        .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf_micro"), col("rk"))
+    }),
+
     // Conjunctive term lookup over the AT-REST inverted index: postings
     // (term, doc_id, tf) built once per dataset, term-range-sorted so the
     // IN-predicate prunes files/row-groups by min/max — the repeated-query
@@ -2604,6 +2631,29 @@ object SparkEntry {
         iters = 3)
     }),
 
+    // Degree distribution of the co-purchase graph in exact power-of-two
+    // buckets: bucket = length(bin(degree)) = floor(log2)+1 — integer
+    // string arithmetic both engines compute identically, no float log.
+    // The scale-free-or-not shape of a link graph is the first diagnostic
+    // before running anything iterative on it
+    "graph_degree_histogram" -> ((s, dir) => {
+      val edges = graft.operators.Graph.edgesFor(s, key = s"$dir#coparts") {
+        graft.operators.Graph.cooccurrenceEdges(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey", minShared = 3L)
+      }
+      edges.select(col("u"))
+        .unionByName(edges.select(col("v").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .withColumn("bucket", length(bin(col("d"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_degree"),
+          max(col("d")).as("max_degree"))
+    }),
+
     // k-core of the shared co-purchase graph: customers mutually supported
     // by ≥35 fellow core members. The peel runs to its fixpoint (4 rounds
     // at sf0.01); the oracle unrolls 8 SQL rounds — sound because the
@@ -2965,6 +3015,34 @@ object SparkEntry {
           .select(lit(c).as("column_name"), col("n"), col("n_null"),
             col("n_distinct"), col("min_val"), col("max_val"))
       }.reduce(_ unionByName _)
+    }),
+
+    // Declarative rule engine (the Deequ check-suite shape): named
+    // predicates evaluated in ONE scan-side pass, per-rule violation
+    // counts + ppm; a rule is a Column, so the whole suite is one
+    // aggregate with |rules| conditional sums — adding a rule never adds
+    // a pass
+    "dq_rule_violations" -> ((s, dir) => {
+      val rules: Seq[(String, Column)] = Seq(
+        "qty_positive" -> (col("l_quantity") > 0),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "discount_in_unit" -> col("l_discount").between(0.0, 1.0),
+        "tax_bounded" -> (col("l_tax") <= 0.10),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "linestatus_domain" -> col("l_linestatus").isin("F", "O"),
+        "shipdate_range" ->
+          col("l_shipdate").between("1992-01-01", "1999-12-31"))
+      val aggs = rules.map { case (nm, pred) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+          .as("v_" + nm) } :+ count(lit(1)).as("n_rows")
+      val stackArgs = rules.map { case (nm, _) => s"'$nm', v_$nm" }
+        .mkString(", ")
+      t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"),
+          expr(s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"))
+        .select(col("rule"), col("n_violations"),
+          expr("cast((cast(n_violations as decimal(38,0)) * 1000000) " +
+            "div n_rows as bigint)").as("violation_ppm"))
     }),
 
     "dq_completeness" -> ((s, dir) =>

@@ -1640,6 +1640,33 @@ private[graft] object SparkEntryOracles {
     // BM25 twin: identical expression tree (same literal spellings, same
     // association order), per-term micro-unit quantization before the
     // integer per-doc sum, ties broken by doc_id
+    // tf·idf with the round(ln·1e6) micro-nat idiom collocations proved
+    "text_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE t <> ''
+        |), tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+        |    tf.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / dft.df)
+        |      * 1000000) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_micro DESC, term ASC) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, tf, df, tfidf_micro, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
     // index lookup replayed from the RAW corpus: a layout can never
     // change query results, so the oracle ignores the index entirely
     "text_index_lookup" ->
@@ -3683,6 +3710,53 @@ private[graft] object SparkEntryOracles {
         |FROM fp""".stripMargin,
 
     // completeness twin: the same single-pass null/empty reductions
+    // rule suite replayed with identical NOT coalesce(pred, false) logic
+    "dq_rule_violations" -> {
+      val rules = Seq(
+        "qty_positive" -> "l_quantity > 0",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_in_unit" -> "l_discount BETWEEN 0.0 AND 1.0",
+        "tax_bounded" -> "l_tax <= 0.10",
+        "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "linestatus_domain" -> "l_linestatus IN ('F', 'O')",
+        "shipdate_range" -> ("CAST(l_shipdate AS TIMESTAMP) BETWEEN " +
+          "TIMESTAMP '1992-01-01' AND TIMESTAMP '1999-12-31'"))
+      val sums = rules.map { case (nm, p) =>
+        s"    sum(CASE WHEN NOT coalesce($p, false) THEN 1 ELSE 0 END) AS v_$nm"
+      }.mkString(",\n")
+      val per = rules.map { case (nm, _) =>
+        s"""SELECT '$nm' AS rule, CAST(v_$nm AS BIGINT) AS n_violations,
+           |  CAST((CAST(v_$nm AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+           |    AS violation_ppm
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH m AS (\n  SELECT count(*) AS n_rows,\n$sums\n  FROM lineitem\n)\n$per"
+    },
+
+    // degree buckets via length(bin(d)) — integer in both engines
+    "graph_degree_histogram" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS node, l_partkey AS via
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), vc AS (
+        |  SELECT via FROM cp GROUP BY via HAVING count(*) <= 1000
+        |), k AS (
+        |  SELECT cp.node, cp.via FROM cp JOIN vc USING (via)
+        |), eu AS (
+        |  SELECT a.node AS u, b.node AS v
+        |  FROM k a JOIN k b ON a.via = b.via AND a.node < b.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), e0 AS (
+        |  SELECT u FROM eu UNION ALL SELECT v FROM eu
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY 1
+        |)
+        |SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(d) AS BIGINT) AS min_degree,
+        |  CAST(max(d) AS BIGINT) AS max_degree
+        |FROM deg GROUP BY 1""".stripMargin,
+
     // profile replayed as one UNION ALL per column; min/max go through
     // BIGINT (or raw string) then VARCHAR so both engines print '123'
     "dq_schema_profile" -> {
