@@ -1955,6 +1955,26 @@ object SparkEntry {
     }),
 
     // Rolling 30-day revenue per customer: a RANGE window frame over day
+    // Exact rolling MEDIAN over the trailing 15-row frame per user — the
+    // robust twin of a rolling mean (one outlier can't drag it), exact
+    // because the frame is bounded: collect the ≤15 frame values, sort,
+    // take the lower median by integer rank. One keyed window shuffle;
+    // frame size bounds both memory and the per-row sort
+    "w_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-14, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts"), floor(col("value") * 1000000).cast("long").as("v"))
+        .withColumn("frame", sort_array(collect_list(col("v")).over(w)))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"),
+          expr("element_at(frame, cast((n + 1) div 2 as int))")
+            .as("rolling_median_micros"))
+    }),
+
     // offsets — the time-decayed feature shape (sliding sums without
     // self-joins; one shuffle on the partition key)
     "w_range_rolling" -> ((s, dir) => {
@@ -3295,6 +3315,31 @@ object SparkEntry {
       graft.operators.Sketches.quantilesFromSketches(s, path,
         Seq("l_returnflag"))
     }),
+
+    // At-rest FREQUENCY sketch tables (count-min): one kilobyte CMS per
+    // (flag, status) built in one fact scan, persisted; any point
+    // "how often did partkey X occur" over any rollup of the keys is
+    // answered by EXACT counter-wise merges + a probe, zero fact reads.
+    // Rows-only (sketch internals); never-undercount, the e/width·N
+    // bound, and the byte-exact disjoint-merge law are pinned in
+    // SketchesSpec; the exact twin below answers the same probes green
+    "a_freq_sketch_rollup" -> ((s, dir) => {
+      val path = graft.operators.Sketches.cmsTableFor(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"), col("l_partkey")),
+        Seq("l_returnflag", "l_linestatus"), "l_partkey",
+        key = s"li-fsk-$dir", spark = s)
+      graft.operators.Sketches.frequenciesFromSketches(s, path,
+        Seq("l_returnflag"), probeKeys = Seq(1L, 2L, 3L, 4L, 5L))
+    }),
+
+    // the exact twin of the CMS probe set — what the sketch rollup's
+    // estimates are measured against in SketchesSpec
+    "a_freq_exact_probe" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_partkey").isin(1L, 2L, 3L, 4L, 5L))
+        .groupBy(col("l_returnflag"), col("l_partkey").as("probe_key"))
+        .agg(count(lit(1)).as("n_exact"))),
 
     // Native session windows (Spark's SessionWindowing operator, the
     // same merge semantics Structured Streaming uses): per-user sessions

@@ -3001,6 +3001,22 @@ private[graft] object SparkEntryOracles {
         |                WHERE event_type = 'purchase') b
         |  ON a.user_id = b.user_id AND a.ts <= b.ts""".stripMargin,
 
+    // rolling median replayed with DuckDB's windowed list + list_sort;
+    // lower median by the same (n+1)//2 integer rank
+    "w_rolling_median" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(list_sort(list(v) OVER w)[
+        |    CAST((count(*) OVER w + 1) // 2 AS BIGINT)] AS BIGINT)
+        |    AS rolling_median_micros
+        |FROM v
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "w_range_rolling" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
@@ -3710,6 +3726,12 @@ private[graft] object SparkEntryOracles {
         |FROM fp""".stripMargin,
 
     // completeness twin: the same single-pass null/empty reductions
+    "a_freq_exact_probe" ->
+      """SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS probe_key,
+        |  CAST(count(*) AS BIGINT) AS n_exact
+        |FROM lineitem WHERE l_partkey IN (1, 2, 3, 4, 5)
+        |GROUP BY 1, 2""".stripMargin,
+
     // rule suite replayed with identical NOT coalesce(pred, false) logic
     "dq_rule_violations" -> {
       val rules = Seq(

@@ -127,6 +127,29 @@ object GraftSql {
       arity("kll_sketch_n", es, 1)
       org.apache.spark.sql.graft.KllSketchN(es.head)
     },
+    // count-min sketch family — point-FREQUENCY estimates for arbitrary
+    // keys (the Misra-Gries pass covers only the heavy ones); exact
+    // counter-wise merge
+    "cms_sketch_agg" -> { es =>
+      arity("cms_sketch_agg", es, 3)
+      org.apache.spark.sql.graft.CmsSketchAgg(es.head,
+        intLit(es(1), "cms_sketch_agg", 1),
+        intLit(es(2), "cms_sketch_agg", 2))
+    },
+    "cms_merge_agg" -> { es =>
+      arity("cms_merge_agg", es, 3)
+      org.apache.spark.sql.graft.CmsMergeAgg(es.head,
+        intLit(es(1), "cms_merge_agg", 1),
+        intLit(es(2), "cms_merge_agg", 2))
+    },
+    "cms_estimate" -> { es =>
+      arity("cms_estimate", es, 2)
+      org.apache.spark.sql.graft.CmsEstimate(es.head, es(1))
+    },
+    "cms_sketch_n" -> { es =>
+      arity("cms_sketch_n", es, 1)
+      org.apache.spark.sql.graft.CmsSketchN(es.head)
+    },
     // theta sketch family — the set-algebra sibling (HLL unions; theta
     // also intersects and differences at-rest segment sketches)
     "theta_sketch_agg" -> { es =>

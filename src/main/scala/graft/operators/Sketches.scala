@@ -120,6 +120,73 @@ object Sketches {
         ranks.map { case (name, r) => kllQuantile(col("m"), r).as(name) }: _*)
   }
 
+  // ---- count-min sketches — point-FREQUENCY estimates for ARBITRARY
+  // ---- keys (Misra-Gries keeps only heavy hitters; CMS answers "how
+  // ---- often did key X occur" for any X in depth·width·8 bytes,
+  // ---- never undercounting), with an EXACT counter-wise merge law
+
+  import org.apache.spark.sql.graft.{CmsEstimate, CmsMergeAgg, CmsSketchAgg, CmsSketchN}
+
+  /** `cms_sketch_agg(key, depth, width)` as a DSL Column. */
+  def cmsSketchAgg(key: Column, depth: Int = 4, width: Int = 2048): Column =
+    GraftBridge.column(
+      CmsSketchAgg(GraftBridge.expression(key.cast("long")), depth, width)
+        .toAggregateExpression())
+
+  /** `cms_merge_agg(sketchBytes, depth, width)` as a DSL Column. */
+  def cmsMergeAgg(sketch: Column, depth: Int = 4,
+                  width: Int = 2048): Column =
+    GraftBridge.column(
+      CmsMergeAgg(GraftBridge.expression(sketch), depth, width)
+        .toAggregateExpression())
+
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    GraftBridge.column(CmsEstimate(GraftBridge.expression(sketch),
+      GraftBridge.expression(key.cast("long"))))
+
+  def cmsN(sketch: Column): Column =
+    GraftBridge.column(CmsSketchN(GraftBridge.expression(sketch)))
+
+  /** One CMS per `groupCols` tuple over `keyCol` — same one-fact-scan,
+    * merge-forever contract as the HLL/KLL tables. */
+  def cmsTable(df: DataFrame, groupCols: Seq[String], keyCol: String,
+               depth: Int = 4, width: Int = 2048): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(cmsSketchAgg(col(keyCol), depth, width).as("fsketch"))
+
+  private val builtC = new graft.SessionMemo[String, String]()
+
+  /** Build the frequency-sketch table ONCE per dataset key and persist
+    * it as parquet (binary sketch column). */
+  def cmsTableFor(df: => DataFrame, groupCols: Seq[String], keyCol: String,
+                  key: String, spark: SparkSession, depth: Int = 4,
+                  width: Int = 2048): String =
+    builtC.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-fsketches", key)
+      cmsTable(df, groupCols, keyCol, depth, width).write.mode("overwrite")
+        .parquet(path)
+      path
+    }
+
+  /** Point-frequency estimates for `probeKeys` over any GROUP BY of a
+    * subset of the sketch table's keys: kilobyte merges, zero fact
+    * reads. One output row per (rollup group, probe key). */
+  def frequenciesFromSketches(spark: SparkSession, path: String,
+                              rollupCols: Seq[String],
+                              probeKeys: Seq[Long], depth: Int = 4,
+                              width: Int = 2048): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(cmsMergeAgg(col("fsketch"), depth, width).as("m"))
+    val probes = explode(array(probeKeys.map(lit): _*)).as("probe_key")
+    merged
+      .select(rollupCols.map(col) ++
+        Seq(cmsN(col("m")).as("n"), col("m"), probes): _*)
+      .select(rollupCols.map(col) ++ Seq(col("n"),
+        col("probe_key").cast("long").as("probe_key"),
+        cmsEstimate(col("m"), col("probe_key")).as("est_count")): _*)
+  }
+
   // ---- theta sketches — SET ALGEBRA over at-rest sketches: HLL unions,
   // ---- theta also intersects and differences ("did A and B", "did A but
   // ---- never B" answered from kilobyte per-segment sketches)

@@ -202,4 +202,62 @@ class SketchesSpec extends SparkSpec {
       .as[Double].head()
     assert(est === 20000.0, s"est=$est")
   }
+
+  test("CMS never undercounts and stays inside e/width·N on real keys; " +
+    "n is exact") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
+    val path = Sketches.cmsTableFor(li,
+      Seq("l_returnflag", "l_linestatus"), "l_partkey",
+      key = "spec-li-cms", spark = spark)
+    val probes = (1L to 40L)
+    val est = Sketches.frequenciesFromSketches(spark, path,
+        Seq("l_returnflag"), probes)
+      .select(col("l_returnflag"), col("probe_key"), col("n"),
+        col("est_count"))
+      .as[(String, Long, Long, Long)].collect()
+    val exact = li.where(col("l_partkey").isin(probes: _*))
+      .groupBy("l_returnflag", "l_partkey").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (f, k, c) => (f, k) -> c }.toMap
+    val totals = li.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    assert(est.nonEmpty)
+    est.foreach { case (f, k, n, e) =>
+      val t = exact.getOrElse((f, k), 0L)
+      assert(e >= t, s"($f,$k): est $e undercounts true $t")
+      assert(n === totals(f), s"($f): n $n != ${totals(f)}")
+      // deterministic measured bound: the classic e/width·N slack
+      val slack = math.ceil(2.7182818 / 2048.0 * totals(f)).toLong
+      assert(e - t <= slack, s"($f,$k): est $e true $t slack $slack")
+    }
+  }
+
+  test("CMS merge is EXACT: disjoint halves merge to the byte-identical " +
+    "whole-input sketch, in the DSL and from SQL text") {
+    import spark.implicits._
+    val df = (1L to 30000L).map(v => ("g", v % 997)).toDF("g", "k")
+    val whole = df.groupBy("g")
+      .agg(Sketches.cmsSketchAgg(col("k"), 4, 512).as("sk"))
+      .select("sk").as[Array[Byte]].head()
+    val halves = df.where(col("k") % 2 === 0)
+      .groupBy("g").agg(Sketches.cmsSketchAgg(col("k"), 4, 512).as("sk"))
+      .unionByName(df.where(col("k") % 2 === 1)
+        .groupBy("g").agg(Sketches.cmsSketchAgg(col("k"), 4, 512).as("sk")))
+    val merged = halves.agg(Sketches.cmsMergeAgg(col("sk"), 4, 512).as("m"))
+      .select("m").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(whole, merged))
+    // SQL surface round-trips and the estimate of a known-count key is
+    // >= truth (k=7 occurs ceil/floor of 30000/997 times)
+    df.createOrReplaceTempView("cms_in")
+    val (n, e) = spark.sql(
+      """SELECT cms_sketch_n(m), cms_estimate(m, CAST(7 AS BIGINT)) FROM (
+        |  SELECT cms_merge_agg(sk, 4, 512) AS m FROM (
+        |    SELECT cms_sketch_agg(k, 4, 512) AS sk FROM cms_in GROUP BY g))
+        |""".stripMargin).as[(Long, Long)].head()
+    assert(n === 30000L)
+    val truth = df.where(col("k") === 7).count()
+    assert(e >= truth && e <= truth + math.ceil(2.72 / 512 * 30000).toLong)
+  }
 }
