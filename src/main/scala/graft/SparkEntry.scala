@@ -3341,6 +3341,49 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_partkey").as("probe_key"))
         .agg(count(lit(1)).as("n_exact"))),
 
+    // At-rest EXACT distinct tables (Roaring64 bitmaps, from Spark's own
+    // jars): the HLL table's contract — build per-(status, month) once,
+    // answer any rollup by kilobyte merges, zero fact reads — but the
+    // OR-merge loses NOTHING, so this rollup verifies under the plain
+    // count(DISTINCT) oracle hash-exactly where a_sketch_rollup is
+    // rows-only. The tradeoff (bitmap size grows with distinct keys) is
+    // the scaladoc's point; pick by key density and exactness need
+    "a_bitmap_rollup" -> ((s, dir) => {
+      val path = graft.operators.Sketches.bitmapTableFor(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"),
+          col("o_custkey")),
+        Seq("o_orderstatus", "yyyymm"), "o_custkey",
+        key = s"orders-bm-$dir", spark = s)
+      graft.operators.Sketches.distinctFromBitmaps(s, path,
+        Seq("o_orderstatus"))
+    }),
+
+    // Join-SIZE estimation from two kilobyte at-rest CMS sketches over
+    // the join keys (the inner-product estimator — never undercounts):
+    // the pre-flight the engine can run before committing to a join's
+    // shuffle. Rows-only (estimator internals); ≥-exact and the measured
+    // slack are pinned in SketchesSpec against the green exact twin
+    "j_join_size_estimate" -> ((s, dir) => {
+      val w = 65536
+      val liSk = t(s, dir, "lineitem").groupBy()
+        .agg(graft.operators.Sketches
+          .cmsSketchAgg(col("l_orderkey"), 4, w).as("a"))
+      val ordSk = t(s, dir, "orders").groupBy()
+        .agg(graft.operators.Sketches
+          .cmsSketchAgg(col("o_orderkey"), 4, w).as("b"))
+      liSk.crossJoin(broadcast(ordSk))
+        .select(graft.operators.Sketches
+          .cmsInnerProduct(col("a"), col("b")).as("est_join_rows"))
+    }),
+
+    "j_join_size_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_join_rows"))),
+
     // Native session windows (Spark's SessionWindowing operator, the
     // same merge semantics Structured Streaming uses): per-user sessions
     // with a 30-minute inactivity gap — window end = last event + gap,

@@ -3726,6 +3726,17 @@ private[graft] object SparkEntryOracles {
         |FROM fp""".stripMargin,
 
     // completeness twin: the same single-pass null/empty reductions
+    // the bitmap rollup is EXACT, so it answers under the plain
+    // count(DISTINCT) — the whole point vs the rows-only HLL twin
+    "a_bitmap_rollup" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "j_join_size_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_join_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
     "a_freq_exact_probe" ->
       """SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS probe_key,
         |  CAST(count(*) AS BIGINT) AS n_exact

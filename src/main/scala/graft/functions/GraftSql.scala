@@ -150,6 +150,23 @@ object GraftSql {
       arity("cms_sketch_n", es, 1)
       org.apache.spark.sql.graft.CmsSketchN(es.head)
     },
+    "cms_inner_product" -> { es =>
+      arity("cms_inner_product", es, 2)
+      org.apache.spark.sql.graft.CmsInnerProduct(es.head, es(1))
+    },
+    // exact mergeable distinct bitmaps (Roaring64 — in Spark's own jars)
+    "bitmap_agg" -> { es =>
+      arity("bitmap_agg", es, 1)
+      org.apache.spark.sql.graft.BitmapAgg(es.head)
+    },
+    "bitmap_or_agg" -> { es =>
+      arity("bitmap_or_agg", es, 1)
+      org.apache.spark.sql.graft.BitmapOrAgg(es.head)
+    },
+    "bitmap_count" -> { es =>
+      arity("bitmap_count", es, 1)
+      org.apache.spark.sql.graft.BitmapCount(es.head)
+    },
     // theta sketch family — the set-algebra sibling (HLL unions; theta
     // also intersects and differences at-rest segment sketches)
     "theta_sketch_agg" -> { es =>

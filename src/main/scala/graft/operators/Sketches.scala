@@ -187,6 +187,57 @@ object Sketches {
         cmsEstimate(col("m"), col("probe_key")).as("est_count")): _*)
   }
 
+  /** CMS inner product — the join-SIZE estimator (never undercounts). */
+  def cmsInnerProduct(a: Column, b: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.CmsInnerProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  // ---- roaring bitmaps — the EXACT mergeable distinct structure: the
+  // ---- at-rest contract of the HLL tables with a hash-verifiable
+  // ---- answer; size grows with distinct keys (HLL stays kilobytes)
+
+  import org.apache.spark.sql.graft.{BitmapAgg, BitmapCount, BitmapOrAgg}
+
+  def bitmapAgg(key: Column): Column =
+    GraftBridge.column(
+      BitmapAgg(GraftBridge.expression(key.cast("long")))
+        .toAggregateExpression())
+
+  def bitmapOrAgg(bitmap: Column): Column =
+    GraftBridge.column(
+      BitmapOrAgg(GraftBridge.expression(bitmap)).toAggregateExpression())
+
+  def bitmapCount(bitmap: Column): Column =
+    GraftBridge.column(BitmapCount(GraftBridge.expression(bitmap)))
+
+  /** One bitmap per `groupCols` tuple over `keyCol`. */
+  def bitmapTable(df: DataFrame, groupCols: Seq[String],
+                  keyCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bitmapAgg(col(keyCol)).as("bm"))
+
+  private val builtB = new graft.SessionMemo[String, String]()
+
+  /** Build the bitmap table ONCE per dataset key, persist as parquet. */
+  def bitmapTableFor(df: => DataFrame, groupCols: Seq[String],
+                     keyCol: String, key: String,
+                     spark: SparkSession): String =
+    builtB.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-bitmaps", key)
+      bitmapTable(df, groupCols, keyCol).write.mode("overwrite")
+        .parquet(path)
+      path
+    }
+
+  /** EXACT distinct counts for any GROUP BY over a subset of the bitmap
+    * table's keys: OR-merges, zero fact reads — and unlike the HLL twin
+    * this answers under the count(DISTINCT) oracle hash-exactly. */
+  def distinctFromBitmaps(spark: SparkSession, path: String,
+                          rollupCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(bitmapCount(bitmapOrAgg(col("bm"))).as("n_distinct"))
+
   // ---- theta sketches — SET ALGEBRA over at-rest sketches: HLL unions,
   // ---- theta also intersects and differences ("did A and B", "did A but
   // ---- never B" answered from kilobyte per-segment sketches)

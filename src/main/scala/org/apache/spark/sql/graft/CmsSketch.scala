@@ -228,6 +228,56 @@ case class CmsEstimate(left: Expression, right: Expression)
       l: Expression, r: Expression): CmsEstimate = copy(left = l, right = r)
 }
 
+/** Join-size estimate from two CMS sketches over the join keys: the
+  * classic inner-product estimator — `|A ⋈ B| ≈ min over rows r of
+  * Σ_w a[r][w]·b[r][w]`. NEVER undercounts (every colliding pair only
+  * adds), overcounts by ≤ ε·Nₐ·N_b w.h.p. — a size check the engine can
+  * run from two KILOBYTE at-rest sketches before committing to a join's
+  * shuffle (the broadcast-vs-SMJ call, skew alarms). Arithmetic uses
+  * `Math.multiplyExact`/`addExact`: past int64 the estimate fails loudly
+  * rather than wrapping (the PrefixScan discipline). */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "cms_inner_product"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_inner_product needs (binary, binary), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = CmsState.deserialize(a.asInstanceOf[Array[Byte]])
+    val sb = CmsState.deserialize(b.asInstanceOf[Array[Byte]])
+    require(sa.depth == sb.depth && sa.width == sb.width,
+      s"cms shape mismatch: (${sa.depth},${sa.width}) vs " +
+        s"(${sb.depth},${sb.width})")
+    var est = Long.MaxValue
+    var r = 0
+    while (r < sa.depth) {
+      var sum = 0L
+      var w = 0
+      while (w < sa.width) {
+        sum = Math.addExact(sum, Math.multiplyExact(
+          sa.counters(r * sa.width + w), sb.counters(r * sb.width + w)))
+        w += 1
+      }
+      if (sum < est) est = sum
+      r += 1
+    }
+    est
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsInnerProduct =
+    copy(left = l, right = r)
+}
+
 /** Exact stream length `n` recorded by a serialized CMS sketch —
   * conserved exactly under any merge tree. */
 case class CmsSketchN(child: Expression)

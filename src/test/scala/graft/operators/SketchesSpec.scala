@@ -260,4 +260,55 @@ class SketchesSpec extends SparkSpec {
     val truth = df.where(col("k") === 7).count()
     assert(e >= truth && e <= truth + math.ceil(2.72 / 512 * 30000).toLong)
   }
+
+  test("bitmap rollup is EXACTLY count(DISTINCT); disjoint OR-merge " +
+    "equals the whole; SQL surface round-trips") {
+    import spark.implicits._
+    val orders = Tables(spark, sfDir, "orders").select(
+      col("o_orderstatus"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("yyyymm"),
+      col("o_custkey"))
+    val path = Sketches.bitmapTableFor(orders,
+      Seq("o_orderstatus", "yyyymm"), "o_custkey",
+      key = "spec-orders-bm", spark = spark)
+    val got = Sketches.distinctFromBitmaps(spark, path, Seq("o_orderstatus"))
+      .as[(String, Long)].collect().toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === exact) // EXACT, not within-error
+    // disjoint halves OR to the whole count; SQL text works
+    (1L to 9999L).map(v => ("g", v * 7 % 5000)).toDF("g", "k")
+      .createOrReplaceTempView("bm_in")
+    val whole = spark.sql(
+      """SELECT bitmap_count(bitmap_or_agg(bm)) FROM (
+        |  SELECT bitmap_agg(k) AS bm FROM bm_in WHERE k % 2 = 0 GROUP BY g
+        |  UNION ALL
+        |  SELECT bitmap_agg(k) AS bm FROM bm_in WHERE k % 2 = 1 GROUP BY g)
+        |""".stripMargin).as[Long].head()
+    val direct = spark.sql(
+      "SELECT count(DISTINCT k) FROM bm_in").as[Long].head()
+    assert(whole === direct)
+  }
+
+  test("CMS inner product never undercounts the true join size and stays " +
+    "inside the e/width * Na * Nb slack") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    val w = 65536
+    val a = li.groupBy()
+      .agg(Sketches.cmsSketchAgg(col("l_orderkey"), 4, w).as("a"))
+    val b = ord.groupBy()
+      .agg(Sketches.cmsSketchAgg(col("o_orderkey"), 4, w).as("b"))
+    val est = a.crossJoin(broadcast(b))
+      .select(Sketches.cmsInnerProduct(col("a"), col("b")).as("e"))
+      .as[Long].head()
+    val truth = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val na = li.count(); val nb = ord.count()
+    assert(est >= truth, s"est $est undercounts true $truth")
+    val slack = math.ceil(2.7182818 / w * na * nb).toLong
+    assert(est - truth <= slack, s"est $est true $truth slack $slack")
+  }
 }
