@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Sketches
+
+/** Streaming maintenance of the AT-REST frequency-sketch tables: each
+  * micro-batch builds its OWN per-group CMS sketches (one aggregate over
+  * the batch only) and merges them into the persisted table through the
+  * crash-safe snapshot protocol — the fact stream is read once, at
+  * arrival; every later frequency question is kilobyte merges.
+  *
+  * CMS merge is a counter SUM, not idempotent — a replayed micro-batch
+  * would double-count (unlike the bitmap tables' OR, which is idempotent
+  * by algebra) — and foreachBatch is at-least-once, so the applied-batch
+  * watermark rides the table itself (`_batch`, the `maintainAggSnapshot`
+  * marker discipline) and replays of an already-applied batch are
+  * no-ops. Crash safety comes from [[graft.sources.Sinks.snapshotOverwrite]]:
+  * the merged table stages first (it READS the current target), then
+  * swaps by renames with recover-on-open.
+  *
+  * The correctness anchor is the CMS exact-merge law: applying batches
+  * B₁…Bₙ yields counter-for-counter the same sketches as one build over
+  * B₁∪…∪Bₙ — pinned byte-exactly in `SketchStreamsSpec`. */
+object SketchStreams {
+
+  /** Start the sketch-maintenance stream over `newRows`. */
+  def cmsIngest(newRows: DataFrame, target: String, backupRoot: String,
+                checkpoint: String, groupCols: Seq[String], keyCol: String,
+                depth: Int = 4, width: Int = 2048,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCmsBatch(batch, batchId, target, backupRoot, groupCols,
+          keyCol, depth, width)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One micro-batch — separated so replay idempotence is directly
+    * testable (the `applyAggBatch` pattern). */
+  def applyCmsBatch(batch: DataFrame, batchId: Long, target: String,
+                    backupRoot: String, groupCols: Seq[String],
+                    keyCol: String, depth: Int, width: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Sinks.recover(spark, target)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
+    val prev = if (exists) Some(spark.read.parquet(target)) else None
+    val lastApplied = prev match {
+      case Some(p) if p.columns.contains("_batch") =>
+        p.select(max(col("_batch"))).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+      case _ => -1L
+    }
+    if (batchId > lastApplied) {
+      val batchSk = Sketches
+        .cmsTable(batch, groupCols, keyCol, depth, width)
+      val union = prev match {
+        case Some(p) =>
+          p.select((groupCols.map(col) :+ col("fsketch")): _*)
+            .unionByName(batchSk)
+        case None => batchSk
+      }
+      val merged = union
+        .groupBy(groupCols.map(col): _*)
+        .agg(Sketches.cmsMergeAgg(col("fsketch"), depth, width)
+          .as("fsketch"))
+        .withColumn("_batch", lit(batchId))
+      graft.sources.Sinks.snapshotOverwrite(spark, merged, target,
+        backupRoot)
+    }
+  }
+
+  /** Read the maintained sketch table (marker column dropped). */
+  def readSketchTable(spark: org.apache.spark.sql.SparkSession,
+                      target: String): DataFrame = {
+    graft.sources.Sinks.recover(spark, target)
+    spark.read.parquet(target).drop("_batch")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Sketches
+
+class SketchStreamsSpec extends SparkSpec {
+
+  test("streamed CMS table equals a one-shot whole-input build BYTE-" +
+    "exactly; a replayed batch is a no-op; estimates answer from the " +
+    "maintained table") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).cache()
+    val tmp = Files.createTempDirectory("cms-stream").toString
+    val target = s"$tmp/fsk"
+    val (d, w) = (4, 512)
+    // three deterministic disjoint batches
+    val parts = Seq(
+      li.where(col("l_partkey") % 3 === 0),
+      li.where(col("l_partkey") % 3 === 1),
+      li.where(col("l_partkey") % 3 === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      SketchStreams.applyCmsBatch(b, i.toLong, target, s"$tmp/backups",
+        Seq("l_returnflag"), "l_partkey", d, w)
+    }
+    val streamed = SketchStreams.readSketchTable(spark, target)
+      .as[(String, Array[Byte])].collect().toMap
+    val whole = Sketches.cmsTable(li, Seq("l_returnflag"), "l_partkey",
+        d, w)
+      .as[(String, Array[Byte])].collect().toMap
+    assert(streamed.keySet === whole.keySet)
+    streamed.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, whole(k)),
+        s"group $k streamed != whole-input")
+    }
+    // REPLAY batch 1: the applied-batch watermark must make it a no-op
+    // (CMS sums are not idempotent — without the marker this would
+    // double-count every batch-1 key)
+    SketchStreams.applyCmsBatch(parts(1), 1L, target, s"$tmp/backups",
+      Seq("l_returnflag"), "l_partkey", d, w)
+    val afterReplay = SketchStreams.readSketchTable(spark, target)
+      .as[(String, Array[Byte])].collect().toMap
+    afterReplay.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, whole(k)), s"replay mutated $k")
+    }
+    // point estimates from the maintained table behave like CMS: never
+    // under the truth
+    val flag = afterReplay.keys.head
+    val probe = li.where(col("l_returnflag") === flag)
+      .groupBy("l_partkey").count().orderBy(col("count").desc)
+      .as[(Long, Long)].head()
+    val got = SketchStreams.readSketchTable(spark, target)
+      .where(col("l_returnflag") === flag)
+      .select(Sketches.cmsEstimate(col("fsketch"), lit(probe._1))
+        .as("e")).as[Long].head()
+    assert(got >= probe._2)
+  }
+
+  test("cmsIngest end-to-end over a MemoryStream: micro-batches maintain " +
+    "the table; estimates match the batch-built sketches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("cms-stream2").toString
+    val target = s"$tmp/fsk"
+    val rows = (1L to 4000L).map(v => ("g" + (v % 2), v % 97))
+    val (b0, b1) = rows.splitAt(2000)
+    val stream = MemoryStream[(String, Long)]
+    val q = SketchStreams.cmsIngest(
+      stream.toDF().toDF("g", "k"), target, s"$tmp/backups", s"$tmp/cp",
+      Seq("g"), "k", depth = 4, width = 256,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(b0: _*)
+      q.processAllAvailable()
+      stream.addData(b1: _*) // a SECOND micro-batch proves maintenance
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = SketchStreams.readSketchTable(spark, target)
+      .as[(String, Array[Byte])].collect().toMap
+    val whole = Sketches.cmsTable(rows.toDF("g", "k"), Seq("g"), "k",
+        4, 256)
+      .as[(String, Array[Byte])].collect().toMap
+    assert(streamed.keySet === whole.keySet && streamed.keySet === Set(
+      "g0", "g1"))
+    streamed.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, whole(k)), s"group $k differs")
+    }
+  }
+}
