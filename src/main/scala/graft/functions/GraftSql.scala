@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.IntegerType
   *     quantile sketch build / rollup aggregates
   *   - `kll_quantile(sk, rank)` / `kll_rank(sk, v)` / `kll_sketch_n(sk)`
   *     — KLL sketch readers
+  *   - `theta_sketch_agg(v, lgK)` / `theta_union_agg(sk, lgK)` +
+  *     `theta_intersect` / `theta_a_not_b` / `theta_estimate` — theta
+  *     sketch set algebra
+  *   - `cms_sketch_agg(k, d, w)` / `cms_merge_agg(sk, d, w)` +
+  *     `cms_estimate(sk, k)` / `cms_sketch_n(sk)` /
+  *     `cms_inner_product(a, b)` — count-min point frequencies and the
+  *     join-size inner-product estimator
+  *   - `bitmap_agg(k)` / `bitmap_or_agg(bm)` / `bitmap_count(bm)` —
+  *     EXACT mergeable distinct bitmaps (Roaring64)
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
   * structural (codegen'd loop bounds), not per-row data.
