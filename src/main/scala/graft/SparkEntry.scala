@@ -1969,9 +1969,11 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("ts"), floor(col("value") * 1000000).cast("long").as("v"))
         .withColumn("frame", sort_array(collect_list(col("v")).over(w)))
-        .withColumn("n", count(lit(1)).over(w))
+        // rank off size(frame), NOT a count over the window: collect_list
+        // drops NULLs, so a count of frame ROWS would mis-index the
+        // median (or overrun the list) the moment a value is null
         .select(col("event_id"), col("user_id"),
-          expr("element_at(frame, cast((n + 1) div 2 as int))")
+          expr("element_at(frame, cast((size(frame) + 1) div 2 as int))")
             .as("rolling_median_micros"))
     }),
 

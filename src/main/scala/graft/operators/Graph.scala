@@ -296,15 +296,27 @@ object Graph {
     * Output: (node, core_degree) for core members — core_degree is the
     * node's degree INSIDE the core (≥ k by construction), the exact
     * integer that makes the result hash-verifiable. Empty when the graph
-    * has no k-core. */
+    * has no k-core.
+    *
+    * Input is normalized to a SIMPLE graph first (self-loops dropped,
+    * duplicate edge rows deduped): a self-loop would add 2 to its node's
+    * degree and duplicate rows would double-count, keeping nodes in the
+    * "core" without k distinct core neighbors. If `maxRounds` is
+    * exhausted before the fixpoint, the residual is NOT a k-core
+    * (sub-k nodes remain) — the method FAILS LOUDLY rather than emit
+    * rows that break the ≥ k contract; peel depth can be graph-diameter
+    * deep on path-like graphs, so raise `maxRounds` for those. */
   def kCore(edges: DataFrame, uCol: String, vCol: String, k: Long,
             maxRounds: Int = 20): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     require(maxRounds >= 1, "at least one peel round")
     var sym = edges
       .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
       .unionByName(edges
-        .select(col(vCol).cast("long").as("u"), col(uCol).cast("long").as("v")))
+        .select(col(vCol).cast("long").as("u"), col(uCol).cast("long").as("v"))
+        .where(col("u") =!= col("v")))
+      .distinct()
       .localCheckpoint()
     var edgeCount = sym.count()
     var round = 0
@@ -322,6 +334,10 @@ object Graph {
       edgeCount = prunedCount
       round += 1
     }
+    require(stable,
+      s"k-core did not converge in $maxRounds rounds ($edgeCount edges " +
+        "remain with sub-k nodes); raise maxRounds — emitting the " +
+        "residual would violate the core_degree >= k contract")
     sym.groupBy("u").agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("node"), col("core_degree"))
   }

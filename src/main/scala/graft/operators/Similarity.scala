@@ -982,7 +982,12 @@ object Similarity {
                              idCol: String, vecCol: String, k: Int,
                              centroids: Seq[Seq[Long]], nprobe: Int = 2,
                              excludeSelf: Boolean = true): DataFrame = {
+    // cache the probe plan: it is executed twice — once collected for the
+    // partition-pruning cell list, once as the ranking join's broadcast
+    // side — and without the cache the posexplode-over-codebook work ran
+    // twice per call (queries are small by contract, so the cache is tiny)
     val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
+      .localCheckpoint()
     // query-side cells, driver-collected (queries are small by contract)
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq

@@ -941,9 +941,15 @@ object TextAnalysis {
                      terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "at least one query term")
     val distinctTerms = terms.distinct
-    val tfCols = distinctTerms.map { t =>
-      sum(when(col("term") === t, col("tf")).otherwise(0L))
-        .as("tf_" + t.replaceAll("[^A-Za-z0-9]", "_"))
+    val names = distinctTerms.map(t =>
+      "tf_" + t.replaceAll("[^A-Za-z0-9]", "_"))
+    // distinct terms can sanitize onto one column name ("a-b" and "a_b"
+    // both become tf_a_b) — fail loudly instead of emitting ambiguous
+    // duplicate columns
+    require(names.distinct.size == names.size,
+      s"query terms collide after sanitization: $distinctTerms -> $names")
+    val tfCols = distinctTerms.zip(names).map { case (t, n) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(n)
     }
     spark.read.parquet(path)
       .where(col("term").isin(distinctTerms: _*))

@@ -197,15 +197,22 @@ object Layouts {
     * read time, same hashing). One bloom per file (~1.2 MB per million
     * keys at 1% fpp) — the same order of driver state as a table
     * format's stats manifest, memoized per (session, path, column). */
-  private val bloomManifests = new graft.SessionMemo[(String, String),
-    Array[(String, org.apache.spark.util.sketch.BloomFilter)]]()
+  // keyed by EVERY parameter that shapes the filters, not just
+  // (path, keyCol): a later call asking for a tighter fpp must not be
+  // silently served the looser cached manifest (results stay correct —
+  // no false negatives either way — but the requested pruning strength
+  // would be ignored)
+  private val bloomManifests =
+    new graft.SessionMemo[(String, String, Long, Double),
+      Array[(String, org.apache.spark.util.sketch.BloomFilter)]]()
 
   def bloomManifestFor(spark: org.apache.spark.sql.SparkSession,
                        path: String, keyCol: String,
                        expectedPerFile: Long = 1000000L,
                        fpp: Double = 0.01)
       : Array[(String, org.apache.spark.util.sketch.BloomFilter)] =
-    bloomManifests.getOrCompute(spark, (path, keyCol)) {
+    bloomManifests.getOrCompute(spark,
+      (path, keyCol, expectedPerFile, fpp)) {
       import org.apache.spark.sql.GraftBridge
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

@@ -86,7 +86,10 @@ case class VectorGramAgg(
           buffer(1 + i) = Math.addExact(buffer(1 + i), q(i))
           var j = i
           while (j < dim) {
-            buffer(at) = Math.addExact(buffer(at), q(i) * q(j))
+            // multiplyExact too: a component past ~3e6 (scale 1000) would
+            // wrap the PRODUCT before addExact ever saw it
+            buffer(at) = Math.addExact(buffer(at),
+              Math.multiplyExact(q(i), q(j)))
             at += 1; j += 1
           }
           i += 1

@@ -136,6 +136,21 @@ class GraphSpec extends SparkSpec {
     val again = Graph.kCore(edges.repartition(7), "u", "v", k = 2L)
       .as[(Long, Long)].collect().toMap
     assert(again === core2)
+    // self-loops and duplicate rows must not inflate degrees: node 7
+    // with a self-loop and one real neighbor is NOT in the 2-core
+    val dirty = edges
+      .unionByName(Seq((7L, 7L), (7L, 1L), (1L, 2L)).toDF("u", "v"))
+    val cleaned = Graph.kCore(dirty, "u", "v", k = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(cleaned === core2)
+    // an exhausted maxRounds FAILS LOUDLY instead of emitting a residual
+    // that violates core_degree >= k: a 12-node path peels 2 endpoints
+    // per round, needing 6 rounds to empty its (nonexistent) 2-core
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path, "u", "v", k = 2L, maxRounds = 3).collect()
+    }
+    assert(Graph.kCore(path, "u", "v", k = 2L, maxRounds = 10).isEmpty)
   }
 
   test("kCore: converges within the oracle's unroll depth on the real " +
