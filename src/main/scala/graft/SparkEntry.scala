@@ -1895,6 +1895,30 @@ object SparkEntry {
         maxHamming = 8, metric = "phash_buckets")
     }),
 
+    // The image pipeline completed to CLUSTERS: pHash pairs feed the same
+    // connected-components + summary shape the text dedup path uses —
+    // transitively-linked near-dup images form one cluster labeled by its
+    // min id. Rows-only like its pair stage; the planted structure (12
+    // texture groups of 4) is pinned in MultimodalSpec
+    "mm_phash_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 48).as[Long]
+        .map { id =>
+          val variant = (id / 12).toInt
+          val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
+          (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
+        }.toDF("doc_id", "payload")
+      val fps = Multimodal.perceptualHashes(assets, "doc_id", "payload")
+        .toDF().where(col("ok"))
+      val pairs = Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
+        maxHamming = 8, metric = "phash_buckets")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc")).as("max_member"))
+    }),
+
     // ---------- change capture / SCD2 (incremental maintenance) ----------
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)

@@ -14,7 +14,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
-    assert(SparkEntry.queries.size === 254)
+    assert(SparkEntry.queries.size === 255)
     assert(SparkEntry.oracleSql.size === 231)
   }
 

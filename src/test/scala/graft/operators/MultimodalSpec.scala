@@ -268,5 +268,18 @@ class MultimodalSpec extends SparkSpec {
     // found pair IS a same-texture pair (12 groups of 4 -> 72 pairs)
     assert(brute.size === 72)
     assert(brute.forall { case (a, b, _) => a % 12 === b % 12 })
+    // clusters: the pairs close transitively into exactly the 12 texture
+    // groups, labeled by their min member (the registry mm_phash_clusters
+    // shape)
+    val clusters = Dedup.connectedComponents(
+      Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
+        maxHamming = 8, metric = "phash_buckets"), "id_a", "id_b")
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    assert(clusters.size === 12)
+    clusters.foreach { case (c, members) =>
+      assert(members === (0L until 4L).map(v => c + v * 12).toSet,
+        s"cluster $c: $members")
+    }
   }
 }
