@@ -1802,7 +1802,11 @@ object SparkEntry {
     // generated executor-side, then javax.sound PCM decode + an 8-band
     // Goertzel power spectrum runs as the partition-mapped batch
     // (rows-only: PCM decode has no SQL twin; the sine at band center
-    // (doc_id%8) must dominate band doc_id%8 — pinned in MultimodalSpec)
+    // (doc_id%8) must dominate band doc_id%8 — pinned in MultimodalSpec.
+    // The 8 band energies are emitted as SCALAR columns, not an
+    // array<long> — the driver's pandas canonicalizer sorts every output
+    // column and cannot sort ndarrays, so an array column makes the whole
+    // entry unreportable; round-9 lesson)
     "mm_audio_spectrum" -> ((s, dir) => {
       import s.implicits._
       val assets = t(s, dir, "documents")
@@ -1810,12 +1814,13 @@ object SparkEntry {
         .map(id => (id, Multimodal.buildSineWav(
           freqHz = 250.0 + (id % 8) * 500.0)))
         .toDF("doc_id", "payload")
+      val bands = (0 until 8).map(i =>
+        element_at(col("band_energy_milli"), i + 1).as(s"band${i}_milli"))
       Multimodal.audioSpectrum(assets, "doc_id", "payload").toDF()
-        .select(col("asset_id"), col("ok"),
+        .select(Seq(col("asset_id"), col("ok"),
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_samples"), col("rms_milli"), col("zero_crossings"),
-          col("dominant_band").cast("long").as("dominant_band"),
-          col("band_energy_milli"))
+          col("dominant_band").cast("long").as("dominant_band")) ++ bands: _*)
     }),
 
     // ---------- model-eval metrics (exact-integer, ppm) ----------

@@ -795,7 +795,7 @@ private[graft] object SparkEntryOracles {
     "o_skyline" ->
       """WITH pts AS (
         |  SELECT o_custkey,
-        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
         |         COUNT(*) AS n_orders
         |  FROM orders GROUP BY o_custkey)
         |SELECT s.o_custkey, s.spend_cents, s.n_orders

@@ -38,6 +38,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("every query's output columns are atomic (driver-canonicalizable)") {
+    // The driver canonicalizes EVERY dump (rows-only included) by
+    // sort_values over all columns; pandas cannot sort ndarray/dict cells,
+    // so an array/map/struct output column makes the entry report nothing
+    // at all (round 9: mm_audio_spectrum). Flatten to scalar columns or
+    // posexplode instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((name, fn) <- SparkEntry.queries) {
+      val nonAtomic = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+      }
+      assert(nonAtomic.isEmpty,
+        s"$name emits non-atomic output columns ${nonAtomic.mkString(", ")}")
+    }
+  }
+
   test("knn broadcasts the query side, never shuffles the corpus for the join") {
     val plan = formatted(SparkEntry.queries("knn_brute")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

@@ -13,4 +13,7 @@ OUT_DIR="${2:-/tmp/verify_out_$(date +%Y%m%d_%H%M%S)}"
 rm -rf "$OUT_DIR"
 echo "== verify_local: sf=$SF_DIR out=$OUT_DIR sha=$(git rev-parse --short HEAD)"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+# Mechanized oracle-type audit (HUGEINT class — the twice-shipped
+# regression the local fetchall compare cannot reproduce).
+python3 tools/audit_oracle_types.py "$OUT_DIR/oracle_sql.json" "$SF_DIR"
 python3 tools/check_correctness.py "$OUT_DIR" "$SF_DIR"
