@@ -1484,6 +1484,25 @@ object SparkEntry {
       graft.operators.Embeddings.pcaProject(t(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, r = 8)),
 
+    // Fixed-basis PCA projection twin (the knn_ivf_fixed trick): a pinned
+    // exactly-representable loading matrix (±1/8 by the Knuth sign hash,
+    // the emb_random_projection convention) and mean (1/2) drive the REAL
+    // PcaProjectExpr path — floor(x·1000)/1000 quantization, referenced-
+    // object loadings, fixed index-order DOUBLE accumulation — and the
+    // oracle replays the identical fold with list_reduce, bit-for-bit.
+    // This oracles the projection MACHINERY exactly; the Jacobi eigensolve
+    // that feeds emb_pca_project stays spec-pinned (EmbeddingsSpec laws).
+    "emb_pca_project_fixed" -> ((s, dir) => {
+      val dim = 64
+      val mean = Array.fill(dim)(0.5)
+      val vecs = Array.tabulate(8, dim) { (j, i) =>
+        if ((j * 1024L + i) * 2654435761L % 4294967296L >= 2147483648L)
+          0.125 else -0.125
+      }
+      graft.operators.Embeddings.pcaProjectWith(
+        t(s, dir, "embeddings"), "vec_id", "embedding", mean, vecs, dim)
+    }),
+
     // BM25 ranked retrieval for a fixed query-term bag; per-term scores
     // quantized to integer micro-units before the per-doc sum
     "text_bm25_topk" -> ((s, dir) =>
@@ -2625,6 +2644,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvfPq(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+    }),
+
+    // FIXED-codebook twins of the PQ tier (the knn_ivf_fixed trick one
+    // level down): one-hot sub-books make encode (integer argmax per
+    // subspace), the ADC LUT and the scan-side scoring all exact-integer
+    // and SQL-replayable, so the PQ encode→LUT→ADC→top-k dataflow gets a
+    // full hash oracle; the learned tiers above keep their recall pins
+    "knn_pq_adc_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnPqAdcFixed(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 64)
+    }),
+
+    "knn_ivf_pq_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfPqFixed(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        dims = 64)
     }),
 
     // Integer-quantized PageRank over the symmetrized customer–supplier

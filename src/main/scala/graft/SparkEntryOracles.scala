@@ -190,6 +190,90 @@ private[graft] object SparkEntryOracles {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Shared pieces of the fixed-PQ twins (dsub = 4 → m = 16 over 64
+    * dims, weight 100): one-hot sub-books collapse PQ encode to
+    * code_j = argmax_c q[4j+c] (ties smallest — the CASE chain replays
+    * the struct-greatest tiebreak) and the ADC score to
+    * Σ_j 100·q_q[4j+code_j], all BIGINT. */
+  private def pqFixedCodes: String =
+    """list_transform(generate_series(0, 15), j ->
+      |    CASE WHEN q[j*4+1] >= q[j*4+2] AND q[j*4+1] >= q[j*4+3]
+      |              AND q[j*4+1] >= q[j*4+4] THEN 0
+      |         WHEN q[j*4+2] >= q[j*4+3] AND q[j*4+2] >= q[j*4+4] THEN 1
+      |         WHEN q[j*4+3] >= q[j*4+4] THEN 2 ELSE 3 END) AS codes""".stripMargin
+
+  private def pqFixedScore: String =
+    """CAST(list_sum(list_transform(generate_series(0, 15),
+      |      j -> 100 * p.qq[j*4 + c.codes[j+1] + 1])) AS BIGINT)""".stripMargin
+
+  private def pqFixedTopK: String =
+    """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+      |FROM (
+      |  SELECT query_id, neighbor_id, score, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+      |    AS rank
+      |  FROM cand)
+      |WHERE rank <= 5""".stripMargin
+
+  private lazy val knnPqAdcFixedSql: String =
+    s"""WITH iq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |codes AS (SELECT vec_id, $pqFixedCodes
+       |  FROM iq),
+       |qs AS (SELECT vec_id AS query_id, q AS qq FROM iq WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    $pqFixedScore AS score
+       |  FROM codes c, qs p WHERE c.vec_id <> p.query_id)
+       |$pqFixedTopK""".stripMargin
+
+  /** IVF(fixed coarse codebook) + PQ(fixed one-hot sub-books): the cell
+    * pruning replays exactly as in [[knnIvfFixedSql]], the candidate
+    * scoring as in [[knnPqAdcFixedSql]]. */
+  private lazy val knnIvfPqFixedSql: String = {
+    val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+    def dot(a: String, lits: Seq[Long]): String =
+      s"CAST(list_sum(list_transform(list_zip($a, " +
+        lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+    val scores = cents.zipWithIndex
+      .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+    val probeUnion = cents.indices
+      .map(j => s"SELECT vec_id, q, $j AS cell, s$j AS cs " +
+        "FROM scored WHERE vec_id < 20")
+      .mkString("\n      UNION ALL ")
+    s"""WITH iq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |scored AS (SELECT vec_id, q,
+       |  $scores
+       |  FROM iq),
+       |cells AS (SELECT vec_id, q,
+       |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+       |       WHEN s1>=s2 AND s1>=s3 THEN 1
+       |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
+       |  FROM scored),
+       |codes AS (SELECT vec_id, cell, $pqFixedCodes
+       |  FROM cells),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, q AS qq, cell FROM (
+       |    SELECT vec_id, q, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
+       |    FROM (
+       |      $probeUnion))
+       |  WHERE pr <= 2),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    $pqFixedScore AS score
+       |  FROM qprobe p JOIN codes c USING (cell)
+       |  WHERE c.vec_id <> p.query_id)
+       |$pqFixedTopK""".stripMargin
+  }
+
   // Seq, not Map — duplicates fail loudly (see SparkEntry.queryList)
   private lazy val sqlList: Seq[(String, String)] = Seq(
     "s7_scan_pushdown" ->
@@ -1314,6 +1398,10 @@ private[graft] object SparkEntryOracles {
     // both keys, which is exactly the claim (append is invisible)
     "knn_ivf_append" -> knnIvfFixedSql,
 
+    "knn_pq_adc_fixed" -> knnPqAdcFixedSql,
+
+    "knn_ivf_pq_fixed" -> knnIvfPqFixedSql,
+
     "text_language_id" -> {
       val markers = TextAnalysis.markers
       val scoreCols = markers.map { case (lang, ws) =>
@@ -1622,6 +1710,28 @@ private[graft] object SparkEntryOracles {
     // multiplicative hash of j*1024+i; the fold runs in index order in
     // DOUBLE on both sides (list_reduce seeds with element 1, matching
     // Spark's 0.0 + x1 exactly — IEEE 0.0 + x == x)
+    // fixed-basis PCA projection twin: same Knuth sign hash as the random
+    // projection but ±1/8 loadings, mean 1/2, and the PcaProjectExpr
+    // quantization floor(x*1000)/1000 — the list_reduce fold runs in the
+    // same index order in DOUBLE as the expression's loop, so the sum is
+    // bit-identical; the true value is an exact integer (±(125q − 62500)
+    // terms), so round == rint
+    "emb_pca_project_fixed" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(list_transform(generate_series(0, 7), j -> {
+        |    'pos': j,
+        |    'proj_e6': CAST(round(list_reduce(
+        |      list_transform(generate_series(1, 64),
+        |        i -> (CASE WHEN ((j * 1024 + i - 1) * 2654435761) % 4294967296
+        |                        >= 2147483648
+        |              THEN 0.125 ELSE -0.125 END) *
+        |             (floor(CAST(embedding[i] AS DOUBLE) * 1000) / 1000 - 0.5)),
+        |      (a, b) -> a + b) * 1000000) AS BIGINT)})) AS u
+        |  FROM embeddings)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(u.pos AS BIGINT) AS pos,
+        |  u.proj_e6 AS proj_e6
+        |FROM x""".stripMargin,
+
     "emb_random_projection" ->
       """WITH x AS (
         |  SELECT vec_id, unnest(list_transform(generate_series(0, 15), j -> {

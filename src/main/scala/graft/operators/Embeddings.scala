@@ -317,8 +317,23 @@ object Embeddings {
   def pcaProject(embs: DataFrame, idCol: String, vecCol: String,
                  dim: Int, r: Int = 8, scale: Int = 1000): DataFrame = {
     val (mean, _, vecs) = pcaModel(embs, vecCol, dim, r, scale)
+    pcaProjectWith(embs, idCol, vecCol, mean, vecs, dim, scale)
+  }
+
+  /** [[pcaProject]] with a CALLER-SUPPLIED loading model — the frozen-
+    * basis seam (the `knn_ivf_fixed` trick): with `mean`/`vecs` pinned to
+    * exactly-representable constants, the full projection path —
+    * `floor(x·s)/s` quantization, referenced-object loadings, the fixed
+    * index-order DOUBLE loop in [[org.apache.spark.sql.graft
+    * .PcaProjectExpr]] — becomes bit-replayable by a second engine's
+    * `list_reduce` fold, so the machinery gets an exact hash oracle and
+    * only the Jacobi eigensolve remains spec-pinned. */
+  def pcaProjectWith(embs: DataFrame, idCol: String, vecCol: String,
+                     mean: Array[Double], vecs: Array[Array[Double]],
+                     dim: Int, scale: Int = 1000): DataFrame = {
     val outs = GraftBridge.column(org.apache.spark.sql.graft.PcaProjectExpr(
-      GraftBridge.expression(col(vecCol)), mean, vecs.flatten, r, dim, scale))
+      GraftBridge.expression(col(vecCol)), mean, vecs.flatten, vecs.length,
+      dim, scale))
     embs.select(col(idCol).cast("long").as("vec_id"),
         posexplode(outs).as(Seq("pos", "proj_e6")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),

@@ -956,6 +956,92 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** PQ code of subspace `j` under the FIXED one-hot sub-books, on the
+    * milli-quantized vector: sub-book j's codeword c puts weight `w` on
+    * local dimension c and 0 elsewhere (ksub == dsub — [[fixedCodebook]]'s
+    * axis-group construction one level down), so argmin-L2 == argmax of
+    * the codeword dot == argmax_c q[j·dsub+c] (the ‖c‖² term is constant
+    * across c and the ‖q‖² term across codewords), ties to the smallest
+    * code. Same lambda-free struct-greatest shape as [[fixedCell]]. */
+  private def fixedPqCode(iq: Column, j: Int, dsub: Int): Column = {
+    val scored = (0 until dsub).map { c =>
+      struct(element_at(iq, j * dsub + c + 1).as("s"), lit(-c).as("nc"))
+    }
+    (-greatest(scored: _*).getField("nc")).cast("long")
+  }
+
+  /** All m fixed-book PQ codes of the milli-quantized vector. */
+  private def fixedPqCodes(iq: Column, m: Int, dsub: Int): Column =
+    array((0 until m).map(j => fixedPqCode(iq, j, dsub)): _*)
+
+  /** Shared ADC scoring tail of the fixed-PQ tier: candidates carry the
+    * corpus side's `_codes` and the query side's `q_iq`; the asymmetric-
+    * distance score is Σ_j lut[j][code_j] where the one-hot LUT collapses
+    * to `weight · q_iq[j·dsub + code_j]` — m integer array lookups + adds
+    * per row, all codegen'd, exactly replayable in SQL. */
+  private def pqAdcFixedRank(kept: DataFrame, k: Int, m: Int, dsub: Int,
+                             weight: Long): DataFrame = {
+    val score = (0 until m).map(j =>
+      lit(weight) * element_at(col("q_iq"),
+        (element_at(col("_codes"), j + 1) + lit(j * dsub + 1)).cast("int")))
+      .reduce(_ + _)
+    kept.withColumn("score", score)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** PQ + ADC over FIXED one-hot sub-codebooks with exact-integer scoring
+    * — the PQ twin of [[knnIvfFixed]]: encode (integer argmax per
+    * subspace), LUT build and ADC scan are all replayable in ANSI SQL, so
+    * the driver's hash oracle covers the complete PQ dataflow end-to-end;
+    * the learned-codebook [[knnPqAdc]] pins recall in spec instead. Same
+    * scale shape: the corpus scans once as m-long code rows, queries
+    * broadcast. Output (query_id, neighbor_id, rank, score), all BIGINT. */
+  def knnPqAdcFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dims: Int, dsub: Int = 4,
+                    weight: Long = 100L,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(dims % dsub == 0, "dims must split into dsub-wide subspaces")
+    val m = dims / dsub
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"))
+      .select(col("neighbor_id"), fixedPqCodes(col("c_iq"), m, dsub).as("_codes"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      quantizeMilli(col(vecCol)).as("q_iq"))
+    val joined = assigned.crossJoin(broadcast(q))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    pqAdcFixedRank(kept, k, m, dsub, weight)
+  }
+
+  /** IVF + PQ/ADC composed over FIXED structures — the oracle-able twin
+    * of [[knnIvfPq]]: the literal coarse codebook prunes to `nprobe`
+    * cells, candidates score on fixed-book PQ codes, everything integer-
+    * exact and SQL-replayable. */
+  def knnIvfPqFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, centroids: Seq[Seq[Long]],
+                    dims: Int, dsub: Int = 4, weight: Long = 100L,
+                    nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(dims % dsub == 0, "dims must split into dsub-wide subspaces")
+    val m = dims / dsub
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"))
+      .select(col("neighbor_id"),
+        fixedCell(col("c_iq"), centroids).as("cell"),
+        fixedPqCodes(col("c_iq"), m, dsub).as("_codes"))
+    val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    pqAdcFixedRank(kept, k, m, dsub, weight)
+  }
+
   /** Cell-partitioned at-rest layout of the FIXED-codebook tier — the
     * oracle-able twin of [[writeIvf]]: assignment is the deterministic
     * integer argmax, so queries over the layout replay exactly in SQL.
