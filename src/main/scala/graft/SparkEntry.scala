@@ -2533,6 +2533,17 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
 
+    // The HEAD of the merge table under a full hash oracle: 3 unrolled
+    // merge rounds replay in SQL (the graph_kcore unroll treatment) —
+    // words as double-space-delimited symbol strings, pair counts via
+    // adjacent-symbol explode, the winning merge applied with left-to-
+    // right non-overlapping replace(' l  r ' -> ' lr '), which is exactly
+    // the driver loop's greedy scan. Oracles the merge selection, the
+    // tie order and the re-segmentation; the 50-deep table above stays
+    // rows-only (spec-pinned)
+    "bpe_merges_head" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 3)),
+
     // CAPSTONE — the whole corpus-curation pipeline in one query: quality
     // gate -> near-dup survivor selection -> benchmark decontamination,
     // with per-stage retention counts. Each stage reuses the registry's

@@ -274,6 +274,55 @@ private[graft] object SparkEntryOracles {
        |$pqFixedTopK""".stripMargin
   }
 
+  /** 3-round unrolled BPE-head twin (the graph_kcore unroll treatment):
+    * words live as double-space-delimited symbol strings bounded by
+    * single spaces (' a  b  c '), so a pair occurrence is the literal
+    * ' l  r ' and DuckDB's replace() — left-to-right, non-overlapping —
+    * applies the merge with exactly the driver loop's greedy semantics
+    * ([[graft.operators.TextAnalysis.bpeMerges]]); symbol boundaries on
+    * both sides of the pattern kill suffix false-matches ('xa  b' never
+    * matches ' a  b '), and adjacent occurrences don't share pattern
+    * characters, so 'a a a' merges to 'aa a' on both engines. */
+  private lazy val bpeHeadSql: String = {
+    def pairsCte(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+         |      i -> {'l': s[i], 'r': s[i+1]})) AS u
+         |    FROM (SELECT string_split(trim(sp), '  ') AS s, n FROM $src))
+         |  GROUP BY 1, 2)""".stripMargin
+    def bestCte(src: String, out: String) =
+      s"$out AS (SELECT l, r, cnt FROM $src ORDER BY cnt DESC, l, r LIMIT 1)"
+    def applyCte(spSrc: String, bSrc: String, out: String) =
+      s"""$out AS (
+         |  SELECT replace(sp, ' ' || b.l || '  ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' ') AS sp, n
+         |  FROM $spSrc, $bSrc b)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+       |  WHERE length(w) > 0 GROUP BY w
+       |  ORDER BY n DESC, w ASC LIMIT 50000),
+       |sp0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+       |    AS sp, n
+       |  FROM wc),
+       |${pairsCte("sp0", "p1")},
+       |${bestCte("p1", "b1")},
+       |${applyCte("sp0", "b1", "sp1")},
+       |${pairsCte("sp1", "p2")},
+       |${bestCte("p2", "b2")},
+       |${applyCte("sp1", "b2", "sp2")},
+       |${pairsCte("sp2", "p3")},
+       |${bestCte("p3", "b3")}
+       |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+       |  cnt AS pair_count FROM b1
+       |UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM b2
+       |UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM b3""".stripMargin
+  }
+
   // Seq, not Map — duplicates fail loudly (see SparkEntry.queryList)
   private lazy val sqlList: Seq[(String, String)] = Seq(
     "s7_scan_pushdown" ->
@@ -1401,6 +1450,8 @@ private[graft] object SparkEntryOracles {
     "knn_pq_adc_fixed" -> knnPqAdcFixedSql,
 
     "knn_ivf_pq_fixed" -> knnIvfPqFixedSql,
+
+    "bpe_merges_head" -> bpeHeadSql,
 
     "text_language_id" -> {
       val markers = TextAnalysis.markers

@@ -194,24 +194,26 @@ object Layouts {
     * Built in ONE distributed pass: group by `input_file_name()` and
     * aggregate Spark's own BloomFilterAggregate (the engine's runtime-
     * filter sketch — `putLong` build here, `mightContainLong` probe at
-    * read time, same hashing). One bloom per file (~1.2 MB per million
-    * keys at 1% fpp) — the same order of driver state as a table
-    * format's stats manifest, memoized per (session, path, column). */
+    * read time, same hashing), then written AT REST as a parquet index
+    * table (f, bf) — the inverted-index/sketch-table pattern. The driver
+    * holds only the index PATH: at 100 TB (10⁵–10⁶ files × ~100 KB–1 MB
+    * of filter at useful fpp) a driver-resident manifest is GBs of heap —
+    * the one residency that grew with corpus size — while the min/max
+    * manifest (24 B/file) may stay in memory. Probes run as a distributed
+    * scan of the index; only SURVIVING file names return to the driver. */
   // keyed by EVERY parameter that shapes the filters, not just
   // (path, keyCol): a later call asking for a tighter fpp must not be
-  // silently served the looser cached manifest (results stay correct —
+  // silently served the looser cached index (results stay correct —
   // no false negatives either way — but the requested pruning strength
   // would be ignored)
-  private val bloomManifests =
-    new graft.SessionMemo[(String, String, Long, Double),
-      Array[(String, org.apache.spark.util.sketch.BloomFilter)]]()
+  private val bloomIndexes =
+    new graft.SessionMemo[(String, String, Long, Double), String]()
 
-  def bloomManifestFor(spark: org.apache.spark.sql.SparkSession,
-                       path: String, keyCol: String,
-                       expectedPerFile: Long = 1000000L,
-                       fpp: Double = 0.01)
-      : Array[(String, org.apache.spark.util.sketch.BloomFilter)] =
-    bloomManifests.getOrCompute(spark,
+  def bloomIndexFor(spark: org.apache.spark.sql.SparkSession,
+                    path: String, keyCol: String,
+                    expectedPerFile: Long = 1000000L,
+                    fpp: Double = 0.01): String =
+    bloomIndexes.getOrCompute(spark,
       (path, keyCol, expectedPerFile, fpp)) {
       import org.apache.spark.sql.GraftBridge
       import org.apache.spark.sql.catalyst.expressions.Literal
@@ -223,15 +225,31 @@ object Layouts {
           GraftBridge.expression(col(keyCol).cast("long")),
           Literal(expectedPerFile), Literal(numBits))
           .toAggregateExpression())
+      val indexPath = graft.TmpArtifacts.path("graft-bloomidx",
+        s"$path#$keyCol#$expectedPerFile#$fpp")
       spark.read.parquet(path)
         .groupBy(input_file_name().as("f"))
         .agg(bloomAgg.as("bf"))
-        .collect()
-        .map(r => r.getString(0) ->
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            r.getAs[Array[Byte]](1)))
-        .sortBy(_._1)
+        .write.mode("overwrite").parquet(indexPath)
+      indexPath
     }
+
+  /** The files of `path` whose at-rest bloom might contain `value`: a
+    * distributed probe of the index table (each executor deserializes its
+    * partition's filters), returning only the surviving names — driver
+    * memory is O(survivors), never O(all files). */
+  def bloomSurvivors(spark: org.apache.spark.sql.SparkSession,
+                     path: String, keyCol: String,
+                     value: Long): Array[String] = {
+    import spark.implicits._
+    val idx = bloomIndexFor(spark, path, keyCol)
+    spark.read.parquet(idx).select("f", "bf").as[(String, Array[Byte])]
+      .filter { fb: (String, Array[Byte]) =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(fb._2)).mightContainLong(value)
+      }
+      .map(_._1).collect().sorted
+  }
 
   /** Point lookup with bloom FILE skipping: read only the files whose
     * bloom might contain `value`, then apply the exact residual filter.
@@ -240,8 +258,7 @@ object Layouts {
     * reads, bounded by fpp. */
   def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
                       path: String, keyCol: String, value: Long): DataFrame = {
-    val keep = bloomManifestFor(spark, path, keyCol)
-      .filter(_._2.mightContainLong(value)).map(_._1)
+    val keep = bloomSurvivors(spark, path, keyCol, value)
     val base = spark.read.parquet(path)
     if (keep.isEmpty) base.where(lit(false))
     else spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*)

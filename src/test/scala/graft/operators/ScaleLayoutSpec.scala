@@ -234,13 +234,16 @@ class ScaleLayoutSpec extends SparkSpec {
     val mmKept = minMax.count { case (_, lo, hi) => lo <= key && key <= hi }
     assert(mmKept === minMax.length,
       s"premise: min/max should prune NOTHING here, kept $mmKept of ${minMax.length}")
-    // the bloom prunes to the files that actually might hold the key
-    val blooms = graft.sources.Layouts.bloomManifestFor(spark, path,
-      "l_orderkey")
-    assert(blooms.length === 8)
-    val kept = blooms.count(_._2.mightContainLong(key))
-    assert(kept >= 1 && kept < blooms.length,
-      s"expected a proper subset of files, got $kept of ${blooms.length}")
+    // the bloom index lives AT REST as a parquet (f, bf) table — the
+    // driver residency that used to grow with file count is now a path
+    // string; probes are a distributed scan returning ONLY survivors
+    val idx = graft.sources.Layouts.bloomIndexFor(spark, path, "l_orderkey")
+    assert(spark.read.parquet(idx).count() === 8)
+    assert(spark.read.parquet(idx).columns.sorted.toSeq === Seq("bf", "f"))
+    val kept = graft.sources.Layouts.bloomSurvivors(spark, path,
+      "l_orderkey", key)
+    assert(kept.length >= 1 && kept.length < 8,
+      s"expected a proper subset of files, got ${kept.length} of 8")
     // no false negatives: the pruned read returns the exact row set
     val got = graft.sources.Layouts.bloomPrunedRead(spark, path,
         "l_orderkey", key)
@@ -253,7 +256,8 @@ class ScaleLayoutSpec extends SparkSpec {
     // always 0 of 8; bound loosely so the pin never flakes) and returns
     // an empty, correctly-shaped frame
     val absent = -42L
-    assert(blooms.count(_._2.mightContainLong(absent)) <= 2)
+    assert(graft.sources.Layouts.bloomSurvivors(spark, path,
+      "l_orderkey", absent).length <= 2)
     val empty = graft.sources.Layouts.bloomPrunedRead(spark, path,
       "l_orderkey", absent)
     assert(empty.isEmpty)
