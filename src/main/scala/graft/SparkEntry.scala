@@ -3347,6 +3347,26 @@ object SparkEntry {
     // min/max stats and dictionaries like parquet, and the filter reaches
     // the scan through the same PushedFilters surface (pinned in
     // FormatScanSpec). Oracle replays the filter on the parquet table
+    // Avro scan: part re-encoded ONCE into object-container files via the
+    // from-scratch writer (no spark-avro module on this classpath), then
+    // read schema-first — the DDL compiles to the Avro reader schema so
+    // drift fails at open. Avro is row-major interchange with no column
+    // stats (nothing prunes); the oracle replays the filter+agg on the
+    // plain parquet table, proving the re-encode round-trips rows exactly
+    "s_avro_scan" -> ((s, dir) => {
+      val path = graft.sources.Avro.layoutFor(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("long").as("p_size"),
+          cents(col("p_retailprice")).as("price_cents")),
+        key = s"part-$dir")
+      graft.sources.Avro.readAvro(s, path,
+          "p_partkey bigint, p_brand string, p_size bigint, price_cents bigint")
+        .where(col("p_size") > 25)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("price_cents")).as("sum_cents"))
+    }),
+
     "s_orc_scan" -> ((s, dir) => {
       val path = graft.sources.Formats.layoutFor(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),

@@ -4145,6 +4145,14 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,
 
+    // avro round-trip twin: the filter+agg replays on the plain parquet
+    // table — a hash match proves the container re-encode loses nothing
+    "s_avro_scan" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM part WHERE p_size > 25 GROUP BY p_brand""".stripMargin,
+
     // simhash-md5 twin: vote sums and bit packing generated from the
     // same loop bounds as the Spark plan; md5 is the shared hash
     "dedup_simhash_md5" -> {

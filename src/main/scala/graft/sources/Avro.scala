@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro object-container interchange path, built directly on the Avro
+  * core library — there is no spark-avro module on this classpath, and
+  * the container format (header schema + deflate-compressed record
+  * blocks + sync markers) is simple enough that the reader/writer is the
+  * same from-scratch treatment as the XLSX/XML stack. Schema-first like
+  * the JSON/CSV paths in [[Formats]]: the caller's DDL is the CONTRACT,
+  * compiled to the Avro reader schema so drift fails loudly at open
+  * (Avro schema resolution rejects incompatible writer schemas) instead
+  * of silently nulling columns.
+  *
+  * Scale shape: the write runs one task per input partition, each
+  * streaming its rows into one container file through the Hadoop
+  * FileSystem API — rows never collect. The read runs one task per
+  * container file; blocks stream through `DataFileStream`, a file is
+  * never loaded wholesale. Avro is row-major with NO column statistics —
+  * predicates cannot prune files or skip columns, which is the scaladoc-
+  * level reason this path is for INTERCHANGE, never an at-rest
+  * analytical layout (re-encode to parquet at the door). */
+object Avro {
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Avro interchange type: ${other.catalogString}")
+  }
+
+  /** Avro record schema of a flat Spark struct; nullable fields map to
+    * union(null, T), the standard Avro idiom. */
+  def avroSchemaOf(st: StructType, name: String = "GraftRecord"): Schema = {
+    import scala.jdk.CollectionConverters._
+    val fields = st.fields.map { f =>
+      val base = avroType(f.dataType)
+      val t =
+        if (f.nullable) Schema.createUnion(
+          java.util.Arrays.asList(Schema.create(Schema.Type.NULL), base))
+        else base
+      new Schema.Field(f.name, t, null, null.asInstanceOf[Object])
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toSeq.asJava)
+  }
+
+  /** Distributed container write: each input partition encodes one
+    * `part-NNNNN.avro` under `path` (deflate blocks — java.util.zip, no
+    * extra codec dependency). Executor-side streaming; the driver only
+    * clears the target directory and triggers the job. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    val schemaJson = avroSchemaOf(st).toString
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val width = st.length
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      // tasks run on the same filesystem the driver prepared; a fresh
+      // Configuration resolves it identically (the parquetFooterManifest
+      // precedent in Layouts)
+      val schema = new Schema.Parser().parse(schemaJson)
+      val p = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.avro")
+      val out = p.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).create(p, true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.setCodec(CodecFactory.deflateCodec(6))
+      w.create(schema, out)
+      var n = 0L
+      rows.foreach { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < width) {
+          rec.put(i, if (r.isNullAt(i)) null else r.get(i))
+          i += 1
+        }
+        w.append(rec)
+        n += 1
+      }
+      w.close()
+      Iterator.single(n)
+    }.count(): Unit
+  }
+
+  /** Schema-first container read: `schemaDdl` compiles to the Avro READER
+    * schema, so field lookup is by name (writer reorder is fine) and an
+    * incompatible writer schema fails at first record — FAILFAST, the
+    * [[Formats]] contract. One task per file via `binaryFiles`; records
+    * stream block-by-block. */
+  def readAvro(spark: SparkSession, path: String, schemaDdl: String): DataFrame = {
+    val st = StructType.fromDDL(schemaDdl)
+    val schemaJson = avroSchemaOf(st).toString
+    val width = st.length
+    val rows = spark.sparkContext.binaryFiles(s"$path/*.avro")
+      .flatMap { case (_, pds) =>
+        val reader = new Schema.Parser().parse(schemaJson)
+        val din = new DataFileStream(pds.open(),
+          new GenericDatumReader[GenericRecord](null, reader))
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = din.hasNext
+            if (!h) din.close()
+            h
+          }
+          def next(): Row = {
+            val rec = din.next()
+            Row.fromSeq((0 until width).map { i =>
+              rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case b: java.nio.ByteBuffer =>
+                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                case x => x
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, st)
+  }
+
+  /** "Encode once per dataset, query many" memo — the [[Formats]]
+    * contract for the non-Spark-native format. */
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def layoutFor(df: DataFrame, key: String): String = {
+    val full = s"avro:$key:${Formats.fingerprint(df)}"
+    val hit = built.get(full)
+    if (hit != null) hit
+    else synchronized {
+      val again = built.get(full)
+      if (again != null) again
+      else {
+        val path = graft.TmpArtifacts.path("graft-formats", full)
+        writeAvro(df, path)
+        built.put(full, path)
+        path
+      }
+    }
+  }
+}

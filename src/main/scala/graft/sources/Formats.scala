@@ -28,7 +28,7 @@ object Formats {
     * driver does this between rounds) misses the memo and re-encodes,
     * instead of serving stale files that only the oracle would catch.
     * Driver-side file listing only — no job runs. */
-  private def fingerprint(df: DataFrame): String = {
+  private[sources] def fingerprint(df: DataFrame): String = {
     val stats = df.inputFiles.sorted.map { f =>
       val local = try {
         val uri = new java.net.URI(f)

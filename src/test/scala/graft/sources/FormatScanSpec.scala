@@ -58,6 +58,39 @@ class FormatScanSpec extends SparkSpec {
     intercept[Throwable] { bad.collect() }
   }
 
+  test("avro roundtrip is lossless (nulls included) and FAILFAST on drift") {
+    import spark.implicits._
+    // nullable string + long columns round-trip, null stays null
+    val df = Seq((1L, Some("a"), Some(10L)), (2L, None, Some(20L)),
+      (3L, Some("c"), None)).toDF("k", "v", "n")
+    val path = graft.TmpArtifacts.path("graft-formats", "avro-spec-fixture")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path, "k bigint, v string, n bigint")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(back.toSeq === Seq((1L, Some("a"), Some(10L)),
+      (2L, None, Some(20L)), (3L, Some("c"), None)))
+    // a type-drifted reader contract fails loudly at resolution, never
+    // nulls: long column read as string
+    val bad = Avro.readAvro(spark, path, "k string, v string, n bigint")
+    intercept[Throwable] { bad.collect() }
+  }
+
+  test("avro registry scan matches the parquet-side computation") {
+    val viaAvro = SparkEntry.queries("s_avro_scan")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val direct = Tables(spark, sfDir, "part")
+      .where(col("p_size").cast("long") > 25)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("p_retailprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(viaAvro.nonEmpty && viaAvro.toSeq === direct.toSeq)
+  }
+
   test("orc scan pushes the filter (PushedFilters) and matches parquet") {
     val df = SparkEntry.queries("s_orc_scan")(spark, sfDir)
     val plan = df.queryExecution.explainString(
