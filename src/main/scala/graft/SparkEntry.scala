@@ -1320,6 +1320,21 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // IVF,SQ8 over the FIXED literal codebook — the composed dataflow
+    // (cell pruning × int8 scoring × fp32 re-rank) under ONE hash oracle;
+    // each piece reuses a replay already proven green in isolation
+    // (knn_ivf_fixed / knn_int8_rerank / knn_brute). The learned
+    // knn_ivf_sq8 keeps its recall pin.
+    "knn_ivf_sq8_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnIvfSq8Fixed(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        candidates = 25)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnIvf(emb, emb.where(col("vec_id") < 20),

@@ -323,6 +323,87 @@ private[graft] object SparkEntryOracles {
        |UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM b3""".stripMargin
   }
 
+  /** IVF(fixed literal codebook) + SQ8, composed: cells/probes replay as
+    * in [[knnIvfFixedSql]] (exact integer dots), candidate scoring as in
+    * the `knn_int8_rerank` twin (round(x·127/maxabs) codes, integer-ratio
+    * cosine — same IEEE divide/sqrt both engines), re-rank as in the
+    * `knn_brute` twin (fp32 cosine, ties by neighbor). */
+  private lazy val knnIvfSq8FixedSql: String = {
+    val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+    def dot(a: String, lits: Seq[Long]): String =
+      s"CAST(list_sum(list_transform(list_zip($a, " +
+        lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+    val scores = cents.zipWithIndex
+      .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+    val probeUnion = cents.indices
+      .map(j => s"SELECT vec_id, $j AS cell, s$j AS cs " +
+        "FROM scored WHERE vec_id < 20")
+      .mkString("\n      UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+       |    list_max(list_transform(embedding,
+       |      e -> abs(CAST(e AS DOUBLE)))) AS m
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, embedding, q, v,
+       |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(v,
+       |           x -> CAST(round(x * 127 / m) AS BIGINT)) END AS c8
+       |  FROM base),
+       |scored AS (SELECT vec_id, q,
+       |  $scores
+       |  FROM codes),
+       |cells AS (SELECT vec_id,
+       |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+       |       WHEN s1>=s2 AND s1>=s3 THEN 1
+       |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
+       |  FROM scored),
+       |corpus AS (
+       |  SELECT c.vec_id, c.v, c.c8, cl.cell
+       |  FROM codes c JOIN cells cl USING (vec_id)
+       |  WHERE len(list_filter(c.embedding, x -> x <> 0)) > 0),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
+       |    FROM (
+       |      $probeUnion))
+       |  WHERE pr <= 2),
+       |qside AS (
+       |  SELECT vec_id AS query_id, v AS qv, c8 AS q8 FROM codes
+       |  WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT p.query_id, s.qv, c.vec_id AS neighbor_id, c.v AS cv,
+       |    list_sum(list_transform(list_zip(s.q8, c.c8),
+       |      z -> z[1]*z[2])) AS dot,
+       |    list_sum(list_transform(s.q8, x -> x*x)) AS na,
+       |    list_sum(list_transform(c.c8, x -> x*x)) AS nb
+       |  FROM qprobe p JOIN qside s USING (query_id)
+       |       JOIN corpus c USING (cell)
+       |  WHERE c.vec_id <> p.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, qv, cv,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE CAST(dot AS DOUBLE) /
+       |           sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS ic
+       |  FROM pairs),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ic DESC, neighbor_id) AS cr
+       |    FROM approx) WHERE cr <= 25),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   // Seq, not Map — duplicates fail loudly (see SparkEntry.queryList)
   private lazy val sqlList: Seq[(String, String)] = Seq(
     "s7_scan_pushdown" ->
@@ -1448,6 +1529,8 @@ private[graft] object SparkEntryOracles {
     "knn_ivf_append" -> knnIvfFixedSql,
 
     "knn_pq_adc_fixed" -> knnPqAdcFixedSql,
+
+    "knn_ivf_sq8_fixed" -> knnIvfSq8FixedSql,
 
     "knn_ivf_pq_fixed" -> knnIvfPqFixedSql,
 

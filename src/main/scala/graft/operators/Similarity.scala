@@ -1042,6 +1042,37 @@ object Similarity {
     pqAdcFixedRank(kept, k, m, dsub, weight)
   }
 
+  /** IVF + SQ8 over the FIXED literal codebook — the oracle-able twin of
+    * [[knnIvfSq8]], composing three individually-proven-replayable
+    * pieces under ONE hash oracle: literal-codebook cell pruning (exact
+    * integers — the `knn_ivf_fixed` replay), int8-code candidate scoring
+    * (round(x·127/maxabs) codes + the integer-ratio cosine — the
+    * `knn_int8_rerank` replay) and the exact fp32 re-rank (the
+    * `knn_brute` replay). Same scale shape as the learned tier: corpus
+    * partitions by cell, probes broadcast, fp32 touched only for the
+    * top-`candidates` survivors. */
+  def knnIvfSq8Fixed(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     centroids: Seq[Seq[Long]], nprobe: Int = 2,
+                     candidates: Int = 25,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val assigned = corpus
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        int8Codes(col(vecCol)).as("c8"),
+        fixedCell(quantizeMilli(col(vecCol)), centroids).as("cell"))
+    val qFull = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"), int8Codes(col(vecCol)).as("q8"))
+    val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
+      .select("query_id", "cell")
+      .join(broadcast(qFull.select(col("query_id"), col("q8"))), "query_id")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    int8CutAndRerank(kept, corpus, qFull, idCol, vecCol, k, candidates)
+  }
+
   /** Cell-partitioned at-rest layout of the FIXED-codebook tier — the
     * oracle-able twin of [[writeIvf]]: assignment is the deterministic
     * integer argmax, so queries over the layout replay exactly in SQL.

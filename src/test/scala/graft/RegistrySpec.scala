@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
-    assert(SparkEntry.queries.size === 260)
-    assert(SparkEntry.oracleSql.size === 236)
+    assert(SparkEntry.queries.size === 261)
+    assert(SparkEntry.oracleSql.size === 237)
   }
 
   test("every query name is a lowercase identifier (driver artifact-path safe)") {
