@@ -18,6 +18,26 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size === 237)
   }
 
+  test("rows-only keys (no oracle) are a deliberate, pinned set") {
+    // Every key here is rows-only for a REASON recorded in SURVEY §2:
+    // sketch/hash internals with a green md5/exact twin, learned-codebook
+    // ANN with a green fixed twin + recall pins, driver-loop BPE with the
+    // green head oracle, stub-codec multimodal with fixture-law pins, or
+    // the Jacobi eigensolve behind the green fixed-basis projection twin.
+    // Adding a query WITHOUT an oracle must be a deliberate edit here —
+    // the round-9 lesson was a registry row silently reporting nothing.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set(
+      "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
+      "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
+      "decontaminate_hashed", "dedup_minhash_lsh", "dedup_simhash",
+      "emb_pca_project", "events_trailing_distinct_sketch",
+      "events_user_overlap_sketch", "j_join_size_estimate", "knn_ivf",
+      "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
+      "mm_audio_spectrum", "mm_decode", "mm_phash_clusters",
+      "mm_phash_neardup", "mm_video_frames", "text_fingerprints"))
+  }
+
   test("every query name is a lowercase identifier (driver artifact-path safe)") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("[a-z0-9_]+"))
     assert(bad === Set.empty[String])
