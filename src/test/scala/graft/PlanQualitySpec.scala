@@ -69,6 +69,15 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus must not shuffle on cell:\n$plan")
   }
 
+  test("fixed PQ/SQ8 tiers: probes broadcast, the corpus never shuffles on cell") {
+    for (name <- Seq("knn_ivf_pq_fixed", "knn_ivf_sq8_fixed")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"$name corpus must not shuffle on cell:\n$plan")
+    }
+  }
+
   test("salted skew join: the physical join key carries the salt") {
     val plan = SparkEntry.queries("j_skew_salted")(spark, sfDir)
       .queryExecution.executedPlan.toString
