@@ -182,8 +182,13 @@ object Bench {
     // the full interleaved pass has quiesced, and the flag survives only
     // if the re-run's BEST time still regresses. Environmental pressure
     // (GC from 250+ prior queries, memo churn) does not reproduce on a
-    // quiet re-run; a genuinely worse plan does.
-    val regressions = flagged.flatMap { case (name, p, med) =>
+    // quiet re-run; a genuinely worse plan does. Confirmation is capped
+    // at the 12 worst flags by ratio so a machine-wide slowdown (every
+    // query flagged) cannot double the run — uncapped flags pass through
+    // unconfirmed, which is the conservative direction (kept, reported).
+    val (toConfirm, unconfirmed) =
+      flagged.sortBy { case (_, p, med) => -(med / p) }.splitAt(12)
+    val regressions = unconfirmed ++ toConfirm.flatMap { case (name, p, med) =>
       val fn = SparkEntry.queries(name)
       val rerun = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
