@@ -72,9 +72,19 @@ object Avro {
       // Configuration resolves it identically (the parquetFooterManifest
       // precedent in Layouts)
       val schema = new Schema.Parser().parse(schemaJson)
-      val p = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.avro")
-      val out = p.getFileSystem(
-        new org.apache.hadoop.conf.Configuration()).create(p, true)
+      // Task-commit discipline: stream into an attempt-unique DOT-file
+      // (invisible to readAvro's *.avro glob), rename to the final name
+      // only after a clean close. A crashed or re-executed attempt then
+      // leaves at most an ignored temp, never a PARTIAL container a later
+      // read would decode — the same stage-then-publish rule the repo's
+      // snapshot sinks follow.
+      val att = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new org.apache.hadoop.fs.Path(
+        f"$path/.part-$pid%05d.avro.tmp-$att")
+      val fin = new org.apache.hadoop.fs.Path(f"$path/part-$pid%05d.avro")
+      val fs = tmp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(tmp, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(CodecFactory.deflateCodec(6))
       w.create(schema, out)
@@ -90,6 +100,8 @@ object Avro {
         n += 1
       }
       w.close()
+      if (fs.exists(fin)) fs.delete(fin, false) // lost-attempt leftover
+      require(fs.rename(tmp, fin), s"publish failed: $tmp -> $fin")
       Iterator.single(n)
     }.count(): Unit
   }
