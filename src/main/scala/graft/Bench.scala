@@ -188,6 +188,10 @@ object Bench {
     // unconfirmed, which is the conservative direction (kept, reported).
     val (toConfirm, unconfirmed) =
       flagged.sortBy { case (_, p, med) => -(med / p) }.splitAt(12)
+    unconfirmed.foreach { case (name, p, med) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: $p%.3fs -> $med%.3fs (${med / p}%.1fx), kept UNCONFIRMED (past the re-run cap)")
+    }
     val regressions = unconfirmed ++ toConfirm.flatMap { case (name, p, med) =>
       val fn = SparkEntry.queries(name)
       val rerun = (1 to reps).map { _ =>

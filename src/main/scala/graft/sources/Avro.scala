@@ -120,6 +120,12 @@ object Avro {
         val reader = new Schema.Parser().parse(schemaJson)
         val din = new DataFileStream(pds.open(),
           new GenericDatumReader[GenericRecord](null, reader))
+        // a LIMITed scan abandons the iterator before exhaustion — close
+        // on task completion so the stream can't leak
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try din.close() catch { case _: Exception => () }
+          })
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = din.hasNext
