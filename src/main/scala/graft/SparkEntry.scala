@@ -1429,6 +1429,25 @@ object SparkEntry {
         Seq("train" -> 8, "valid" -> 1, "test" -> 1))
         .select("doc_id", "split")),
 
+    // LEAKAGE-SAFE splits: near-dup cluster members share one split —
+    // independent per-row assignment leaks test docs into train through
+    // their near-copies, the eval-contamination failure dedup exists to
+    // prevent. Assignment = the proven md5 split keyed on the CLUSTER
+    // REPRESENTATIVE (closure min-id; singletons represent themselves).
+    // Fully oracled by composing the dedup_clusters recursive-CTE closure
+    // with the sample_splits threshold replay
+    "sample_splits_cluster_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.ngramClustersFor(docs, "doc_id", "text",
+        k = 2, minJaccard = 0.8, key = dir)
+        .select(col("doc").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("rep"))
+      graft.operators.Sampling.clusterSafeSplit(
+        docs.select(col("doc_id")), "doc_id", clusters,
+        Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+        .select("doc_id", "rep_id", "split")
+    }),
+
     // Product analytics over events: conversion funnel and cohort
     // retention, both one-shuffle groupBy(user) shapes (no per-stage
     // self-joins); oracles replay them as the textbook join chains

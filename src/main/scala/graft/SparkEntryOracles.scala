@@ -2312,6 +2312,36 @@ private[graft] object SparkEntryOracles {
         |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // leakage-safe twin: the dedup_clusters recursive closure gives each
+    // clustered doc its component min-id representative; singletons
+    // represent themselves; then the sample_splits md5 replay keys on the
+    // representative
+    "sample_splits_cluster_safe" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), clus AS (
+         |  SELECT u AS doc_id, CAST(min(v) AS BIGINT) AS rep FROM reach
+         |  GROUP BY 1
+         |), reps AS (
+         |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN clus c USING (doc_id))
+         |SELECT doc_id, rep_id, CASE
+         |  WHEN substr(md5('split' || CAST(rep_id AS VARCHAR)), 1, 8)
+         |    < 'cccccccc' THEN 'train'
+         |  WHEN substr(md5('split' || CAST(rep_id AS VARCHAR)), 1, 8)
+         |    < 'e6666666' THEN 'valid'
+         |  ELSE 'test' END AS split
+         |FROM reps""".stripMargin,
+
     // per-group cap twin: identical md5-prefix order (hex compare is
     // lexicographic on both engines), identical id tiebreak
     "sample_cap_per_group" ->

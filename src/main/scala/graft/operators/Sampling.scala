@@ -33,19 +33,47 @@ object Sampling {
     * assignment — the last split absorbs the remainder unconditionally,
     * so coverage is total by construction. */
   def split(df: DataFrame, idCol: String, weights: Seq[(String, Int)],
-            salt: String = "split"): DataFrame = {
+            salt: String = "split"): DataFrame =
+    df.withColumn("split", splitAssign(col(idCol), weights, salt))
+
+  /** The [[split]] assignment as a Column over an arbitrary key
+    * expression — the seam [[clusterSafeSplit]] uses to assign by the
+    * cluster representative instead of the row's own id. */
+  def splitAssign(key: Column, weights: Seq[(String, Int)],
+                  salt: String = "split"): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
     val total = weights.map(_._2).sum
     val prefix = substring(md5(concat(lit(salt),
-      col(idCol).cast("string")).cast("binary")), 1, 8)
+      key.cast("string")).cast("binary")), 1, 8)
     val cuts = weights.scanLeft(0)(_ + _._2).tail
-    val expr = weights.init.zip(cuts.init)
+    weights.init.zip(cuts.init)
       .foldRight(lit(weights.last._1): Column) {
         case (((name, _), cut), els) =>
           when(prefix < hexThreshold(cut.toDouble / total), name).otherwise(els)
       }
-    df.withColumn("split", expr)
   }
+
+  /** LEAKAGE-SAFE splits: near-duplicate documents must land in the SAME
+    * split — assigning independently per row leaks test examples into
+    * train through their near-copies, the classic eval-contamination
+    * failure a dedup pipeline exists to prevent. Assignment is
+    * [[splitAssign]]'s md5 order computed on the row's CLUSTER
+    * REPRESENTATIVE: `clusters` carries (`idCol`, `rep`) for every row
+    * that belongs to a near-dup component (rep = the component's min id,
+    * the closure's convention); rows absent from it represent
+    * themselves. Every member of a component then shares its split by
+    * construction. Adds (`rep_id`, `split`).
+    *
+    * Scale shape: one left equi-join against the cluster list (only
+    * clustered docs — typically a few % of the corpus; AQE broadcasts it
+    * when small) plus the row-local hash assignment. */
+  def clusterSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       weights: Seq[(String, Int)],
+                       salt: String = "split"): DataFrame =
+    df.join(clusters.withColumnRenamed("rep", "_rep"), Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("_rep"), col(idCol)))
+      .withColumn("split", splitAssign(col("rep_id"), weights, salt))
+      .drop("_rep")
 
   /** Per-stratum deterministic downsampling: each stratum value keeps its
     * own fraction (class rebalancing). Strata absent from `fractions` are

@@ -40,6 +40,29 @@ class SamplingSpec extends SparkSpec {
     assert(half.forall { case (id, sp) => full(id) === sp })
   }
 
+  test("clusterSafeSplit: every near-dup cluster lands in exactly one split") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("sample_splits_cluster_safe")(
+      spark, sfDir)
+    // leakage law: one distinct split per representative, clustered or not
+    val perRep = out.groupBy("rep_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .as[(Long, Long)].collect()
+    assert(perRep.nonEmpty && perRep.forall(_._2 === 1L))
+    // the composition is non-trivial on this corpus: some cluster has >1
+    // member, and the cover is total
+    val sizes = out.groupBy("rep_id").count().as[(Long, Long)].collect()
+    assert(sizes.exists(_._2 > 1L), "fixture premise: a real cluster exists")
+    assert(out.count() === docs.count())
+    // a clustered member's split equals its representative's own-id split
+    val bySelf = Sampling.split(docs, "doc_id",
+      Seq("train" -> 8, "valid" -> 1, "test" -> 1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val members = out.select("doc_id", "rep_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(members.forall { case (_, rep, sp) => bySelf(rep) === sp })
+  }
+
   test("stratified sampling keeps unlisted strata whole and downsamples listed ones") {
     import spark.implicits._
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
