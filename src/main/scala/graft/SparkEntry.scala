@@ -1679,6 +1679,19 @@ object SparkEntry {
         "doc_id", "source", cap = 10)
         .select("doc_id", "source")),
 
+    // Per-source TOKEN budget — the token-mass capPerGroup: each source
+    // keeps its lowest-md5 docs until ~5k ws-tokens fill (the crossing
+    // doc stays: exclusive prefix < budget). Row caps treat a tweet and
+    // a book as equal; token caps are the quota a corpus mix needs
+    "sample_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tok"))
+      graft.operators.Sampling.capTokensPerGroup(docs, "doc_id", "source",
+        "n_tok", budget = 5000L)
+        .select("doc_id", "source", "n_tok")
+    }),
+
     // C4-style line-level boilerplate removal (token floor + marker
     // phrases; the terminal-punctuation rule is off because the synthetic
     // corpus has none — strict mode is spec-pinned), cleaned doc + counts

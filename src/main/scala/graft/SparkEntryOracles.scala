@@ -2342,6 +2342,24 @@ private[graft] object SparkEntryOracles {
          |  ELSE 'test' END AS split
          |FROM reps""".stripMargin,
 
+    // token-budget twin: same md5 order + id tiebreak as the row cap,
+    // exact integer exclusive running sum, crossing doc kept (< budget)
+    "sample_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok,
+        |    substr(md5('captok' || CAST(doc_id AS VARCHAR)), 1, 8) AS pfx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    coalesce(CAST(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY pfx, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS tok_before
+        |  FROM tok)
+        |SELECT doc_id, source, n_tok FROM c WHERE tok_before < 5000""".stripMargin,
+
     // per-group cap twin: identical md5-prefix order (hex compare is
     // lexicographic on both engines), identical id tiebreak
     "sample_cap_per_group" ->

@@ -184,6 +184,32 @@ object Sampling {
       .drop("_cap_rn")
   }
 
+  /** Per-group TOKEN-budget cap — [[capPerGroup]] weighted by token mass:
+    * each group keeps its lowest-md5 docs until the group's token budget
+    * fills; the doc that CROSSES the budget is still kept (exclusive
+    * running total < budget), so every non-empty group keeps at least one
+    * doc and the kept mass overshoots by at most one document. This is
+    * the domain-quota curation move ("at most ~N tokens per source") —
+    * row caps treat a tweet and a book as equal, token caps don't.
+    * Deterministic, retry-safe, engine-replayable: md5-prefix order with
+    * id tiebreak, exact integer running sums.
+    *
+    * Scale shape: ONE hash shuffle on `groupCol` + a sorted window scan
+    * per group, identical cost to [[capPerGroup]]/[[packBatches]]. */
+  def capTokensPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                        tokensCol: String, budget: Long,
+                        salt: String = "captok"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(prefix.asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_tok_before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .where(col("_tok_before") < budget)
+      .drop("_tok_before")
+  }
+
   /** Token-budget batch packing PLAN: within each `partCol` stream, docs in
     * `idCol` order are assigned to consecutive batches of ~`budget` tokens
     * — `batch_id = floor(exclusive-running-token-total / budget)`, i.e. a
