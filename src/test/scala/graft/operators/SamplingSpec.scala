@@ -75,6 +75,21 @@ class SamplingSpec extends SparkSpec {
     assert(enFrac < 0.4 && enFrac > 0.05, s"en kept $enFrac")
   }
 
+  test("capTokensPerGroup: budget fills, crossing doc kept, small groups whole") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L),
+      (10L, "b", 5L)).toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.capTokensPerGroup(df, "doc_id", "source", "n_tok",
+        budget = 150L)
+      .as[(Long, String, Long)].collect()
+    // group a: whatever the md5 order, exclusive prefixes are 0/100/200 —
+    // the crossing doc (prefix 100 < 150) stays, the third (200) drops
+    assert(kept.count(_._2 == "a") === 2)
+    // group b is smaller than the budget: kept whole
+    assert(kept.count(_._2 == "b") === 1)
+  }
+
   test("packBatches assigns consecutive token-budget batches per stream") {
     import spark.implicits._
     val df = Seq(
