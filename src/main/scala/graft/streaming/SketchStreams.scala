@@ -40,6 +40,50 @@ object SketchStreams {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the AT-REST exact-distinct BITMAP tables —
+    * the idempotent sibling of [[cmsIngest]]: bitmap merge is a set OR,
+    * so a replayed micro-batch converges to the SAME table by algebra
+    * and no applied-batch watermark is needed at all. The contrast is
+    * the point: pick the marker discipline when the merge is a sum
+    * (CMS), skip it when the merge is idempotent (bitmap/HLL) — replay
+    * safety then costs nothing. Crash safety is still the snapshot
+    * protocol's. */
+  def bitmapIngest(newRows: DataFrame, target: String, backupRoot: String,
+                   checkpoint: String, groupCols: Seq[String],
+                   keyCol: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBitmapBatch(batch, target, backupRoot, groupCols, keyCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One bitmap micro-batch — OR the batch's own per-group bitmaps into
+    * the persisted table. Applying the same batch twice is a set-algebra
+    * no-op (A ∪ B ∪ B = A ∪ B), pinned count-exactly in
+    * `SketchStreamsSpec`. */
+  def applyBitmapBatch(batch: DataFrame, target: String, backupRoot: String,
+                       groupCols: Seq[String], keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Sinks.recover(spark, target)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
+    val batchBm = Sketches.bitmapTable(batch, groupCols, keyCol)
+    val union =
+      if (exists)
+        spark.read.parquet(target)
+          .select((groupCols.map(col) :+ col("bm")): _*)
+          .unionByName(batchBm)
+      else batchBm
+    val merged = union
+      .groupBy(groupCols.map(col): _*)
+      .agg(Sketches.bitmapOrAgg(col("bm")).as("bm"))
+    graft.sources.Sinks.snapshotOverwrite(spark, merged, target, backupRoot)
+  }
+
   /** One micro-batch — separated so replay idempotence is directly
     * testable (the `applyAggBatch` pattern). */
   def applyCmsBatch(batch: DataFrame, batchId: Long, target: String,

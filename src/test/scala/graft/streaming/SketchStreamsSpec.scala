@@ -61,6 +61,38 @@ class SketchStreamsSpec extends SparkSpec {
     assert(got >= probe._2)
   }
 
+  test("streamed bitmap table: exact counts equal one-shot build; a " +
+    "replayed batch is a set-algebra no-op WITHOUT any marker") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).cache()
+    val tmp = Files.createTempDirectory("bm-stream").toString
+    val target = s"$tmp/bmt"
+    // three deterministic OVERLAPPING batches (overlap is the point: the
+    // OR absorbs re-seen keys exactly like a replay would)
+    val parts = Seq(
+      li.where(col("l_partkey") % 3 =!= 2),
+      li.where(col("l_partkey") % 3 =!= 0),
+      li.where(col("l_partkey") % 3 === 2))
+    parts.foreach { b =>
+      SketchStreams.applyBitmapBatch(b, target, s"$tmp/backups",
+        Seq("l_returnflag"), "l_partkey")
+    }
+    def counts(): Map[String, Long] = spark.read.parquet(target)
+      .select(col("l_returnflag"),
+        Sketches.bitmapCount(col("bm")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val streamed = counts()
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed === exact)
+    // replay batch 1: OR is idempotent — no watermark, still a no-op
+    SketchStreams.applyBitmapBatch(parts(1), target, s"$tmp/backups",
+      Seq("l_returnflag"), "l_partkey")
+    assert(counts() === exact)
+  }
+
   test("cmsIngest end-to-end over a MemoryStream: micro-batches maintain " +
     "the table; estimates match the batch-built sketches") {
     import spark.implicits._
