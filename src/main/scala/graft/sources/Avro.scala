@@ -93,7 +93,15 @@ object Avro {
         val rec = new GenericData.Record(schema)
         var i = 0
         while (i < width) {
-          rec.put(i, if (r.isNullAt(i)) null else r.get(i))
+          val v =
+            if (r.isNullAt(i)) null
+            else r.get(i) match {
+              // Avro's BYTES datum is a ByteBuffer, not byte[] — an
+              // unwrapped array throws "Unknown datum type [B"
+              case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+              case x => x
+            }
+          rec.put(i, v)
           i += 1
         }
         w.append(rec)

@@ -77,6 +77,31 @@ class FormatScanSpec extends SparkSpec {
     intercept[Throwable] { bad.collect() }
   }
 
+  test("avro roundtrip holds at the edges: extreme longs, NaN/Inf/-0.0, " +
+    "unicode and empty strings, binary") {
+    import spark.implicits._
+    val df = Seq(
+      (Long.MinValue, "", 0.0, Array[Byte]()),
+      (Long.MaxValue, "héllо 世界", -0.0, Array[Byte](0, -1, 127)),
+      (0L, "plain", Double.NaN, Array[Byte](42)),
+      (-1L, "q\"uote\nline", Double.PositiveInfinity, Array[Byte](-128)))
+      .toDF("k", "s", "d", "b")
+    val path = graft.TmpArtifacts.path("graft-formats", "avro-edge-fixture")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path, "k bigint, s string, d double, b binary")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    // NaN != NaN — compare bit patterns for the double column
+    assert(back.length === want.length)
+    back.zip(want).foreach { case ((k1, s1, d1, b1), (k2, s2, d2, b2)) =>
+      assert(k1 === k2 && s1 === s2 && b1 === b2)
+      assert(java.lang.Double.doubleToLongBits(d1) ===
+        java.lang.Double.doubleToLongBits(d2), s"double bits for k=$k1")
+    }
+  }
+
   test("avro registry scan matches the parquet-side computation") {
     val viaAvro = SparkEntry.queries("s_avro_scan")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
