@@ -35,6 +35,12 @@ object Avro {
     case StringType  => Schema.create(Schema.Type.STRING)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // the standard Avro logical annotations over their carrier types —
+    // epoch days / epoch micros, exactly Spark's own internal encodings
+    case DateType => org.apache.avro.LogicalTypes.date()
+      .addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
     case other => throw new IllegalArgumentException(
       s"unsupported Avro interchange type: ${other.catalogString}")
   }
@@ -99,6 +105,21 @@ object Avro {
               // Avro's BYTES datum is a ByteBuffer, not byte[] — an
               // unwrapped array throws "Unknown datum type [B"
               case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+              // date/timestamp carry as their Avro logical encodings
+              // (epoch days int / epoch micros long); both external Java
+              // forms handled — which one appears depends on
+              // spark.sql.datetime.java8API.enabled
+              case d: java.sql.Date => java.lang.Integer.valueOf(
+                d.toLocalDate.toEpochDay.toInt)
+              case d: java.time.LocalDate => java.lang.Integer.valueOf(
+                d.toEpochDay.toInt)
+              case t: java.sql.Timestamp => java.lang.Long.valueOf(
+                Math.addExact(Math.multiplyExact(
+                  Math.floorDiv(t.getTime, 1000L), 1000000L),
+                  (t.getNanos / 1000).toLong))
+              case t: java.time.Instant => java.lang.Long.valueOf(
+                Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+                  (t.getNano / 1000).toLong))
               case x => x
             }
           rec.put(i, v)
@@ -123,6 +144,11 @@ object Avro {
     val st = StructType.fromDDL(schemaDdl)
     val schemaJson = avroSchemaOf(st).toString
     val width = st.length
+    val fieldTypes = st.fields.map(_.dataType)
+    // which external Java form the Row encoder expects for date/timestamp
+    // is conf-dependent; match it so createDataFrame never class-casts
+    val java8 = spark.conf
+      .get("spark.sql.datetime.java8API.enabled", "false").toBoolean
     val rows = spark.sparkContext.binaryFiles(s"$path/*.avro")
       .flatMap { case (_, pds) =>
         val reader = new Schema.Parser().parse(schemaJson)
@@ -148,7 +174,23 @@ object Avro {
                 case u: org.apache.avro.util.Utf8 => u.toString
                 case b: java.nio.ByteBuffer =>
                   val a = new Array[Byte](b.remaining()); b.get(a); a
-                case x => x
+                case x => fieldTypes(i) match {
+                  case DateType =>
+                    val ld = java.time.LocalDate.ofEpochDay(
+                      x.asInstanceOf[Number].longValue())
+                    if (java8) ld else java.sql.Date.valueOf(ld)
+                  case TimestampType =>
+                    val us = x.asInstanceOf[Number].longValue()
+                    val sec = Math.floorDiv(us, 1000000L)
+                    val nano = (Math.floorMod(us, 1000000L) * 1000L).toInt
+                    if (java8) java.time.Instant.ofEpochSecond(sec, nano.toLong)
+                    else {
+                      val t = new java.sql.Timestamp(sec * 1000L)
+                      t.setNanos(nano)
+                      t
+                    }
+                  case _ => x
+                }
               }
             })
           }

@@ -102,6 +102,28 @@ class FormatScanSpec extends SparkSpec {
     }
   }
 
+  test("avro date/timestamp logical types round-trip to the microsecond") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("1994-02-01"),
+        java.sql.Timestamp.valueOf("1994-02-01 12:34:56.789123")),
+      (2L, java.sql.Date.valueOf("1969-12-31"), // pre-epoch: floorDiv path
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.000001")))
+      .toDF("k", "d", "ts")
+    val path = graft.TmpArtifacts.path("graft-formats", "avro-dates-fixture")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path, "k bigint, d date, ts timestamp")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getTimestamp(2).getTime, r.getTimestamp(2).getNanos))
+      .sortBy(_._1)
+    assert(back(0) === ((1L, "1994-02-01",
+      java.sql.Timestamp.valueOf("1994-02-01 12:34:56.789123").getTime,
+      789123000)))
+    assert(back(1) === ((2L, "1969-12-31",
+      java.sql.Timestamp.valueOf("1969-12-31 23:59:59.000001").getTime,
+      1000)))
+  }
+
   test("avro registry scan matches the parquet-side computation") {
     val viaAvro = SparkEntry.queries("s_avro_scan")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
