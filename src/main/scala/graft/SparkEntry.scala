@@ -3414,6 +3414,24 @@ object SparkEntry {
           sum(col("price_cents")).as("sum_cents"))
     }),
 
+    // The Avro date/timestamp LOGICAL-type path under the oracle: orders
+    // re-encode with the raw timestamp AND its to_date projection, read
+    // back schema-first, aggregate — a hash match proves epoch-micros /
+    // epoch-days carry through the container bit-exactly
+    "s_avro_dates" -> ((s, dir) => {
+      val path = graft.sources.Avro.layoutFor(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+          to_date(col("o_orderdate")).as("o_day"), col("o_orderstatus")),
+        key = s"orders-dates-$dir")
+      graft.sources.Avro.readAvro(s, path,
+          "o_orderkey bigint, o_orderdate timestamp_ntz, o_day date, " +
+            "o_orderstatus string")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_day")).as("first_day"),
+          max(col("o_orderdate")).as("last_ts"))
+    }),
+
     "s_orc_scan" -> ((s, dir) => {
       val path = graft.sources.Formats.layoutFor(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),

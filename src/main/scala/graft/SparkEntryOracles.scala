@@ -4276,6 +4276,14 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin,
 
+    // avro logical-type twin: date/timestamp aggregate replays on the
+    // plain parquet table
+    "s_avro_dates" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS first_day,
+        |  max(o_orderdate) AS last_ts
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // avro round-trip twin: the filter+agg replays on the plain parquet
     // table — a hash match proves the container re-encode loses nothing
     "s_avro_scan" ->

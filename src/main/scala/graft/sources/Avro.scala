@@ -41,6 +41,8 @@ object Avro {
       .addToSchema(Schema.create(Schema.Type.INT))
     case TimestampType => org.apache.avro.LogicalTypes.timestampMicros()
       .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType => org.apache.avro.LogicalTypes
+      .localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case other => throw new IllegalArgumentException(
       s"unsupported Avro interchange type: ${other.catalogString}")
   }
@@ -120,6 +122,11 @@ object Avro {
               case t: java.time.Instant => java.lang.Long.valueOf(
                 Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
                   (t.getNano / 1000).toLong))
+              // TIMESTAMP_NTZ's external form: local epoch micros
+              case t: java.time.LocalDateTime => java.lang.Long.valueOf(
+                Math.addExact(Math.multiplyExact(
+                  t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+                  (t.getNano / 1000).toLong))
               case x => x
             }
           rec.put(i, v)
@@ -189,6 +196,12 @@ object Avro {
                       t.setNanos(nano)
                       t
                     }
+                  case TimestampNTZType =>
+                    val us = x.asInstanceOf[Number].longValue()
+                    java.time.LocalDateTime.ofEpochSecond(
+                      Math.floorDiv(us, 1000000L),
+                      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                      java.time.ZoneOffset.UTC)
                   case _ => x
                 }
               }
