@@ -3432,6 +3432,21 @@ object SparkEntry {
           max(col("o_orderdate")).as("last_ts"))
     }),
 
+    // The Avro DECIMAL logical-type path under the oracle: money carried
+    // as unscaled bytes at a declared (precision, scale) — the customs-
+    // duty domain's safe interchange — then summed as exact decimal
+    "s_avro_decimal" -> ((s, dir) => {
+      val path = graft.sources.Avro.layoutFor(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price")),
+        key = s"lineitem-decimal-$dir")
+      graft.sources.Avro.readAvro(s, path,
+          "l_orderkey bigint, l_returnflag string, price decimal(12,2)")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("decimal(22,2)").as("sum_price"))
+    }),
+
     "s_orc_scan" -> ((s, dir) => {
       val path = graft.sources.Formats.layoutFor(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"),

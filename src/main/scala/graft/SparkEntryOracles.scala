@@ -4284,6 +4284,12 @@ private[graft] object SparkEntryOracles {
         |  max(o_orderdate) AS last_ts
         |FROM orders GROUP BY 1""".stripMargin,
 
+    // avro decimal twin: exact decimal sum at scale 2 on both sides
+    "s_avro_decimal" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // avro round-trip twin: the filter+agg replays on the plain parquet
     // table — a hash match proves the container re-encode loses nothing
     "s_avro_scan" ->

@@ -43,6 +43,11 @@ object Avro {
       .addToSchema(Schema.create(Schema.Type.LONG))
     case TimestampNTZType => org.apache.avro.LogicalTypes
       .localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    // money-safe interchange: Avro decimal = unscaled two's-complement
+    // big-endian bytes under a (precision, scale) annotation
+    case d: DecimalType => org.apache.avro.LogicalTypes
+      .decimal(d.precision, d.scale)
+      .addToSchema(Schema.create(Schema.Type.BYTES))
     case other => throw new IllegalArgumentException(
       s"unsupported Avro interchange type: ${other.catalogString}")
   }
@@ -107,6 +112,19 @@ object Avro {
               // Avro's BYTES datum is a ByteBuffer, not byte[] — an
               // unwrapped array throws "Unknown datum type [B"
               case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+              // decimal: unscaled bytes at the DECLARED scale — setScale
+              // throws on a scale mismatch that would need rounding
+              // (FAILFAST) rather than silently changing the value
+              case bd: java.math.BigDecimal =>
+                val s = st.fields(i).dataType
+                  .asInstanceOf[DecimalType].scale
+                java.nio.ByteBuffer.wrap(
+                  bd.setScale(s).unscaledValue().toByteArray)
+              case bd: scala.math.BigDecimal =>
+                val s = st.fields(i).dataType
+                  .asInstanceOf[DecimalType].scale
+                java.nio.ByteBuffer.wrap(
+                  bd.underlying().setScale(s).unscaledValue().toByteArray)
               // date/timestamp carry as their Avro logical encodings
               // (epoch days int / epoch micros long); both external Java
               // forms handled — which one appears depends on
@@ -180,7 +198,12 @@ object Avro {
                 case null => null
                 case u: org.apache.avro.util.Utf8 => u.toString
                 case b: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](b.remaining()); b.get(a); a
+                  val a = new Array[Byte](b.remaining()); b.get(a)
+                  fieldTypes(i) match {
+                    case d: DecimalType => new java.math.BigDecimal(
+                      new java.math.BigInteger(a), d.scale)
+                    case _ => a
+                  }
                 case x => fieldTypes(i) match {
                   case DateType =>
                     val ld = java.time.LocalDate.ofEpochDay(

@@ -124,6 +124,21 @@ class FormatScanSpec extends SparkSpec {
       1000)))
   }
 
+  test("avro decimal round-trips exactly, negatives included") {
+    import spark.implicits._
+    val df = Seq("12345.67", "-0.01", "0.00", "-99999999.99")
+      .zipWithIndex.map { case (v, i) => (i.toLong, BigDecimal(v)) }
+      .toDF("k", "m").select(col("k"),
+        col("m").cast("decimal(12,2)").as("m"))
+    val path = graft.TmpArtifacts.path("graft-formats", "avro-decimal-fixture")
+    Avro.writeAvro(df, path)
+    val back = Avro.readAvro(spark, path, "k bigint, m decimal(12,2)")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+      .sortBy(_._1).toSeq
+    assert(back === Seq((0L, "12345.67"), (1L, "-0.01"), (2L, "0.00"),
+      (3L, "-99999999.99")))
+  }
+
   test("avro registry scan matches the parquet-side computation") {
     val viaAvro = SparkEntry.queries("s_avro_scan")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
