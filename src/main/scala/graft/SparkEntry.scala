@@ -357,6 +357,29 @@ object SparkEntry {
         .select("event_id", "user_id", "purchase_id")
     }),
 
+    // Interval x interval overlap join: same-customer order pairs whose
+    // 30-day fulfillment windows [orderdate, orderdate+30d] overlap
+    // (concurrent in-flight orders), via the bucketed overlap join —
+    // canonical-bucket dedup, no distinct pass, oracled by a plain
+    // overlap self-join. Order dates are midnight stamps, so exact
+    // epoch DAYS; the 45-day bucket keeps each interval in <= 2 buckets
+    "j_interval_overlap" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      def side(p: String) = ord.select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as(s"${p}_id"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as(s"${p}_start"),
+        (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") + 30L)
+          .as(s"${p}_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+        side("a"), side("b"), "custkey",
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = 45L)
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("n_overlap_pairs"))
+    }),
+
     "j_outer_counts" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"),
@@ -837,6 +860,49 @@ object SparkEntry {
         .intersect(
           t(s, dir, "customer").select(col("c_custkey").as("custkey"))
             .distinct())),
+
+    // Bag-semantics set ops (multiplicity-preserving): INTERSECT ALL
+    // keeps min(multiplicities), EXCEPT ALL subtracts them — Spark plans
+    // both as a single aggregate over the union (no join), same as the
+    // DISTINCT forms plus a count column. Reduced to per-key counts so
+    // the multiplicity arithmetic itself is what's hash-pinned
+    "set_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "orders").where(col("o_totalprice") > 100000.0)
+        .select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).groupBy("custkey")
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
+    "set_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey").as("custkey"))
+      val b = t(s, dir, "orders").where(col("o_totalprice") > 100000.0)
+        .select(col("o_custkey").as("custkey"))
+      a.exceptAll(b).groupBy("custkey")
+        .agg(count(lit(1)).as("n_left"))
+    }),
+
+    // Misc aggregate surface in one row: count_if, bool_and/bool_or,
+    // any_value (deterministic: keys are constant within each group),
+    // min_by/max_by with total tie-break
+    "a_misc_aggs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          bool_and(col("o_totalprice") > 850.0).as("all_nontrivial"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          any_value(col("o_orderpriority")).as("prio_again"),
+          // tie-broken total order packed into one long (price cents
+          // dominate, orderkey disambiguates) — portable to the oracle
+          min_by(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long") * 10000000L +
+              col("o_orderkey")).as("cheapest_key"),
+          max_by(col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long") * 10000000L +
+              col("o_orderkey")).as("priciest_key"))),
 
     // ---------- scalar functions ----------
     "f_clean_keys" -> ((s, dir) =>
@@ -1390,6 +1456,21 @@ object SparkEntry {
     // shuffles; integer metrics + boolean flag -> hash-exact oracle
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Gopher-style compressibility signal: per-doc DEFLATE ratio in
+    // milli-units. Rows-only at the gate (zlib bytes aren't pinned
+    // across builds); ordering laws spec-pinned in TextAnalysisSpec
+    "text_compress_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionSignal(t(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // Model-inference quality filter: integer-quantized linear
+    // classifier over exact SQL-replayable text features — the
+    // "score every document with the trained quality model" pass,
+    // hash-oracled end to end (features, margin, and decision)
+    "ml_quality_score" -> ((s, dir) =>
+      graft.operators.ModelScore.linearQualityScore(
+        t(s, dir, "documents"), "doc_id", "text")),
 
     // PII detect + redact: portable regexes, counts + scrubbed text
     "text_pii_scrub" -> ((s, dir) =>
@@ -2906,6 +2987,13 @@ object SparkEntry {
     "dq_key_skew" -> ((s, dir) =>
       graft.operators.DataQuality.keySkew(
         t(s, dir, "lineitem").select(col("l_suppkey")), "l_suppkey")),
+
+    // k-anonymity release audit on (lang, source, n_chars) quasi-
+    // identifiers: equivalence-class size histogram + violation flag,
+    // two hash-aggs, fact scanned once
+    "dq_k_anonymity" -> ((s, dir) =>
+      graft.operators.DataQuality.kAnonymity(
+        t(s, dir, "documents"), Seq("lang", "source", "n_chars"), k = 5)),
 
     // EXACT-proportion stratified splits per language: rank on the
     // portable md5-prefix order inside each stratum, assign by integer

@@ -646,6 +646,17 @@ private[graft] object SparkEntryOracles {
         | AND a.ts BETWEEN b.ts - INTERVAL 300 SECOND
         |               AND b.ts + INTERVAL 300 SECOND""".stripMargin,
 
+    // overlap self-join twin: timestamp comparisons are equivalent to
+    // the engine's exact epoch-second comparisons (inclusive both sides)
+    "j_interval_overlap" ->
+      """SELECT a.o_custkey AS o_custkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+        | AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1""".stripMargin,
+
     "j_outer_counts" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items
         |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
@@ -1031,6 +1042,42 @@ private[graft] object SparkEntryOracles {
       """SELECT DISTINCT o_custkey AS custkey FROM orders
         |INTERSECT
         |SELECT DISTINCT c_custkey AS custkey FROM customer""".stripMargin,
+
+    // bag-semantics twins spelled as explicit multiplicity arithmetic
+    // (min / saturating difference of per-key counts) — an independent
+    // derivation of what intersectAll/exceptAll must compute
+    "set_intersect_all" ->
+      """WITH a AS (SELECT o_custkey AS custkey, count(*) AS ca
+        |           FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1),
+        |     b AS (SELECT o_custkey AS custkey, count(*) AS cb
+        |           FROM orders WHERE o_totalprice > 100000 GROUP BY 1)
+        |SELECT a.custkey AS custkey, CAST(least(ca, cb) AS BIGINT) AS n_kept
+        |FROM a JOIN b USING (custkey)""".stripMargin,
+
+    "set_except_all" ->
+      """WITH a AS (SELECT o_custkey AS custkey, count(*) AS ca
+        |           FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1),
+        |     b AS (SELECT o_custkey AS custkey, count(*) AS cb
+        |           FROM orders WHERE o_totalprice > 100000 GROUP BY 1)
+        |SELECT a.custkey AS custkey,
+        |       CAST(ca - coalesce(cb, 0) AS BIGINT) AS n_left
+        |FROM a LEFT JOIN b USING (custkey)
+        |WHERE ca > coalesce(cb, 0)""".stripMargin,
+
+    // misc aggregate surface: FILTER'd count, bool aggs, any_value over a
+    // group-constant column, min_by/max_by on the packed total order
+    "a_misc_aggs" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+        |    AS n_big,
+        |  bool_and(o_totalprice > 850) AS all_nontrivial,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  any_value(o_orderpriority) AS prio_again,
+        |  min_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    * 10000000 + o_orderkey) AS cheapest_key,
+        |  max_by(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |    * 10000000 + o_orderkey) AS priciest_key
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "f_clean_keys" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -1562,6 +1609,31 @@ private[graft] object SparkEntryOracles {
          |  CASE WHEN n_han >= 3 THEN 'zh' ELSE $pred END AS lang_pred
          |FROM scored""".stripMargin
     },
+
+    // model-inference twin: identical integer features (length/replace
+    // deltas) and the same milli-unit margin arithmetic — bigint ops
+    // never widen in DuckDB, casts are belt-and-braces
+    "ml_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS f_chars,
+        |    CAST(length(text) - length(replace(text, ' ', ''))
+        |      AS BIGINT) AS f_spaces,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS f_digits,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+        |      AS BIGINT) AS f_punct,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |      AS BIGINT) AS f_upper
+        |  FROM documents
+        |), s AS (
+        |  SELECT *, 500 - f_chars + 12 * f_spaces - 8 * f_digits
+        |    + 25 * f_punct - 3 * f_upper AS score
+        |  FROM f)
+        |SELECT doc_id, f_chars, f_spaces, f_digits, f_punct, f_upper,
+        |  CAST(score AS BIGINT) AS score_milli,
+        |  CAST(score >= 1200 AS BIGINT) AS label
+        |FROM s""".stripMargin,
 
     "text_quality" -> {
       val enStop = TextAnalysis.markers.toMap.apply("en")
@@ -3697,6 +3769,18 @@ private[graft] object SparkEntryOracles {
         |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top_share_ppm,
         |  CAST(max_cnt * 1000000 // median_cnt AS BIGINT) AS skew_ppm
         |FROM stats, med""".stripMargin,
+
+    // k-anonymity twin: same two-level aggregation; SUM widens to
+    // HUGEINT -> outer BIGINT cast (SURVEY §5 discipline)
+    "dq_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT lang, source, n_chars, count(*) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(class_size AS BIGINT) AS class_size,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  CAST(class_size < 5 AS BIGINT) AS violates_k
+        |FROM classes GROUP BY class_size""".stripMargin,
 
     // exact-split twin: same per-stratum md5-prefix order, same integer
     // rank cuts (rn·10 ≤ n·8 / n·9)

@@ -229,4 +229,31 @@ object DataQuality {
         expr("cast(cast(max_cnt as decimal(38,0)) * 1000000 " +
           "div median_cnt as bigint)").as("skew_ppm"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate a
+    * curation pipeline runs before releasing a dataset: every row must be
+    * indistinguishable from at least k-1 others on the quasi-identifiers
+    * (Sweeney, k-anonymity; the standard re-identification risk measure).
+    *
+    * Output is the equivalence-class SIZE HISTOGRAM — one row per
+    * distinct class size with how many classes and rows sit at that size
+    * and whether it violates k — rather than the class list itself: the
+    * histogram is what the release decision reads, it's tiny (≤ distinct
+    * sizes), and it never echoes the quasi-identifier values of the
+    * small, most-identifying classes into the report.
+    *
+    * Scale shape: fact → hash-agg to equivalence classes (|classes| ≪
+    * |rows|), then a second hash-agg over the CLASS table — two map-side-
+    * combining aggregations, no window, no join; the fact is scanned
+    * once. */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("violates_k", (col("class_size") < k).cast("long"))
+  }
 }

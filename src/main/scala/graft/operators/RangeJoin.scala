@@ -37,4 +37,44 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** Interval x interval overlap join (inclusive endpoints) sharing `key`,
+    * without a cross product and without a dedup pass.
+    *
+    * Both sides explode to every fixed-width bucket their interval
+    * touches and the join runs on (key, bucket) with the exact overlap
+    * predicate (`aStart <= bEnd && bStart <= aEnd`) as a residual filter.
+    * Overlapping pairs share MANY buckets, so the naive plan emits
+    * duplicates; instead of a `distinct` (a second shuffle over the full
+    * result), each pair is kept only in the canonical bucket containing
+    * `greatest(aStart, bStart)` — a point that lies inside both intervals
+    * whenever they overlap, so exactly one copy survives, filtered before
+    * anything downstream sees the row. Shuffle volume scales with
+    * interval-width / bucket-width per side (same trade as
+    * [[pointInInterval]]); at 100 TB the bucket width is tuned so the
+    * per-(key,bucket) group fits an executor and no key degenerates to
+    * |A| x |B|.
+    *
+    * Start/end columns must be LONG (callers cast dates to epoch days or
+    * timestamps to epoch seconds — keeps the bucket arithmetic exact and
+    * the operator agnostic to the time unit). Column sets must be
+    * disjoint apart from `key`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, key: String,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(overlap.isEmpty, s"column collision: $overlap")
+    val a = left.withColumn("_bucket",
+      explode(sequence(floor(col(lStart) / bucketWidth),
+        floor(col(lEnd) / bucketWidth))))
+    val b = right.withColumn("_bucket",
+      explode(sequence(floor(col(rStart) / bucketWidth),
+        floor(col(rEnd) / bucketWidth))))
+    a.join(b, Seq(key, "_bucket"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_bucket") === floor(greatest(col(lStart), col(rStart)) / bucketWidth))
+      .drop("_bucket")
+  }
 }

@@ -960,6 +960,53 @@ object TextAnalysis {
       .drop("_nt")
   }
 
+  /** Per-document DEFLATE compression ratio — the Gopher-family "too
+    * compressible" quality signal (templated/boilerplate text compresses
+    * far below prose; random or already-compressed junk barely at all).
+    * Reported in integer milli-units: `ratio_milli = compressed_bytes *
+    * 1000 / raw_bytes` over the UTF-8 encoding, plus both byte counts so
+    * downstream thresholds can re-derive any cut.
+    *
+    * Row-local `mapPartitions` with ONE `Deflater` reused per partition
+    * (native zlib allocation per row would dominate) — zero shuffles, a
+    * pure scan-side filter pass like the rest of this surface. DEFLATE
+    * output is deterministic for a fixed level within a JVM, but is NOT
+    * pinned across zlib builds, so this query is rows-only at the oracle
+    * gate; the ordering laws (repetition compresses below prose, random
+    * hex above it, ratio bounded by deflate's worst-case overhead) are
+    * spec-pinned instead. */
+  def compressionSignal(df: DataFrame, idCol: String, textCol: String,
+                        level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, "deflate level in 1..9")
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[CompressSignal]
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        // native zlib state — release at task end, not GC time
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 1000L else compressed * 1000L / raw.length
+          CompressSignal(id, raw.length.toLong, compressed, ratio)
+        }
+      }.toDF()
+  }
+
+  case class CompressSignal(doc_id: Long, raw_bytes: Long,
+                            deflate_bytes: Long, ratio_milli: Long)
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, k0: Int = 60,
               topN: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "at least one ranking")

@@ -120,4 +120,19 @@ class DataQualitySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
     assert(got === ((5L, 16L, 10L, 2L, 625000L, 5000000L)))
   }
+
+  test("kAnonymity: class-size histogram and violation flags on planted classes") {
+    import spark.implicits._
+    // equivalence classes on (zip, age): sizes 3, 3, 2, 1, 1, 1
+    val rows = Seq(
+      ("10115", 30, "r1"), ("10115", 30, "r2"), ("10115", 30, "r3"),
+      ("10117", 40, "r4"), ("10117", 40, "r5"), ("10117", 40, "r6"),
+      ("10119", 30, "r7"), ("10119", 30, "r8"),
+      ("10121", 50, "r9"), ("10123", 60, "r10"), ("10125", 70, "r11")
+    ).toDF("zip", "age", "payload")
+    val got = DataQuality.kAnonymity(rows, Seq("zip", "age"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // (class_size, n_classes, n_rows, violates_k)
+    assert(got === Array((1L, 3L, 3L, 1L), (2L, 1L, 2L, 1L), (3L, 2L, 6L, 0L)))
+  }
 }

@@ -6,6 +6,31 @@ import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("compressionSignal: ordering laws, bounds, determinism") {
+    import spark.implicits._
+    val repetitive = "spark " * 400 // near-pure repetition
+    val prose = (1 to 40).map(i =>
+      s"Sentence number $i talks about a slightly different topic.").mkString(" ")
+    // incompressible-ish: decimal digits of a fixed LCG stream
+    val noise = Iterator.iterate(48271L)(x => x * 48271L % 2147483647L)
+      .take(600).mkString("")
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // repetition compresses far below prose; prose below noise
+    assert(got(1L)._4 < got(2L)._4 && got(2L)._4 < got(3L)._4)
+    // deflate worst-case overhead stays bounded for non-trivial input
+    assert(got(3L)._4 <= 1100L)
+    // raw_bytes is the UTF-8 length; empty text pins ratio at 1000
+    assert(got(2L)._2 === prose.getBytes("UTF-8").length.toLong)
+    assert(got(4L) === ((4L, 0L, got(4L)._3, 1000L)))
+    // deterministic within a JVM: a second run is byte-identical
+    val again = TextAnalysis.compressionSignal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
   test("languageId: marker languages, Han-script zh, und fallback") {
     import spark.implicits._
     val docs = Seq(
