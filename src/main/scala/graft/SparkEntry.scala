@@ -2024,6 +2024,30 @@ object SparkEntry {
           col("n_chars").as("score")),
         "y", "score")),
 
+    // Fleiss' kappa over a deterministic many-rater panel: orders with
+    // EXACTLY 4 lineitems are the items, their 4 lines the raters, the
+    // line's returnflag the assigned category — chance-corrected
+    // agreement in exact ppm arithmetic
+    "ml_fleiss_kappa" -> ((s, dir) => {
+      val ratings = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val eligible = ratings.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("nl")).where(col("nl") === 4)
+        .select("l_orderkey")
+      graft.operators.EvalMetrics.fleissKappa(
+        ratings.join(eligible, Seq("l_orderkey"), "left_semi"),
+        "l_orderkey", "l_returnflag", nRaters = 4)
+    }),
+
+    // Poisson-bootstrap CI for mean order value (cents): per-row
+    // Poisson(1) weights from pinned md5 CDF thresholds, 100 replicates,
+    // shuffle is O(partitions x reps) via map-side partial sums
+    "ml_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.EvalMetrics.poissonBootstrapCI(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderkey", "cents", reps = 100)),
+
     // Perceptual near-duplicate detection over IMAGES: deterministic PNG
     // fixtures (12 broadband seeded textures × 4 noise variants, built
     // executor-side like the sine WAVs), a 64-bit integer-DCT pHash per
@@ -2459,6 +2483,19 @@ object SparkEntry {
                 |div (cast(n as decimal(38,0)) *
                 |  cast(n - 1 as decimal(38,0)))""".stripMargin)
             .as("cov_q_cents"))),
+
+    // Full exact covariance MATRIX over four integer-quantized lineitem
+    // measures in ONE scan — all 10 unordered pairs' power sums accrue in
+    // a single map-side-combined aggregate, then the rows explode out of
+    // the 1-row frame (never one pass per pair)
+    "a_cov_matrix" -> ((s, dir) =>
+      graft.operators.Moments.covMatrix(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          floor(col("l_discount") * 10000).cast("long").as("disc_bp"),
+          floor(col("l_tax") * 10000).cast("long").as("tax_bp")),
+        Seq("qty", "price_cents", "disc_bp", "tax_bp"))),
 
     // Exact per-group median by integer rank selection (lower median, a
     // total order inside each group) — the exact twin of the approximate

@@ -2227,6 +2227,40 @@ private[graft] object SparkEntryOracles {
         |    // (n * (n - 1)) AS BIGINT) AS cov_q_cents
         |FROM s""".stripMargin,
 
+    // covariance-matrix twin: identical power sums from one aggregated
+    // CTE, one UNION ALL branch per unordered pair; the signed division
+    // uses the (x - x%y) // y spelling so flooring (//) and Spark's
+    // truncating div agree on negative covariances
+    "a_cov_matrix" -> {
+      val vars = Seq(
+        "qty" -> "CAST(l_quantity AS BIGINT)",
+        "price_cents" -> "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+        "disc_bp" -> "CAST(floor(l_discount * 10000) AS BIGINT)",
+        "tax_bp" -> "CAST(floor(l_tax * 10000) AS BIGINT)")
+      val names = vars.map(_._1)
+      val exprOf = vars.toMap
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i <= j
+      } yield (names(i), names(j))
+      val sumCols = vars.map { case (n, e) => s"sum($e) AS s_$n" } ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST(${exprOf(a)} AS HUGEINT) * (${exprOf(b)})) AS p_${a}_$b"
+        }
+      val branches = pairs.map { case (a, b) =>
+        val num = s"((CAST(n AS HUGEINT) * p_${a}_$b - " +
+          s"CAST(s_$a AS HUGEINT) * s_$b) * 1)"
+        val den = "nullif(CAST(n AS HUGEINT) * (n - 1), 0)"
+        s"""SELECT '$a' AS var_x, '$b' AS var_y, n,
+           |  CAST(s_$a AS BIGINT) AS sum_x, CAST(s_$b AS BIGINT) AS sum_y,
+           |  CAST(($num - $num % $den) // $den AS BIGINT) AS cov FROM s"""
+          .stripMargin
+      }
+      s"""WITH s AS (
+         |  SELECT count(*) AS n, ${sumCols.mkString(",\n    ")}
+         |  FROM lineitem)
+         |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // exact heavy hitters: same ceil threshold, same truncating ppm share
     "a_heavy_hitters" ->
       """WITH tot AS (SELECT count(*) AS t FROM lineitem)
@@ -2926,6 +2960,71 @@ private[graft] object SparkEntryOracles {
         |  CAST((cum_tp * 1000000) // nullif(all_tp, 0) AS BIGINT)
         |    AS recall_ppm
         |FROM cum""".stripMargin,
+
+    // Fleiss-kappa twin: same three-level aggregation (cells -> category
+    // marginals -> one row); kappa can be negative -> (x - x%y) // y
+    "ml_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_returnflag FROM lineitem
+        |  WHERE l_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 4)
+        |), cells AS (
+        |  SELECT l_orderkey, l_returnflag, count(*) AS nij
+        |  FROM r GROUP BY 1, 2
+        |), cats AS (
+        |  SELECT l_returnflag, sum(nij) AS cj, sum(nij * nij) AS sj
+        |  FROM cells GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(cj) AS HUGEINT) AS t,
+        |    CAST(sum(sj) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS c2
+        |  FROM cats)
+        |SELECT CAST(t // 4 AS BIGINT) AS n_items,
+        |  CAST(4 AS BIGINT) AS n_raters,
+        |  CAST(((s - t) * 1000000) // (t * 3) AS BIGINT) AS pbar_ppm,
+        |  CAST((c2 * 1000000) // (t * t) AS BIGINT) AS pe_ppm,
+        |  CAST(((((s - t) * t - c2 * 3) * 1000000)
+        |      - (((s - t) * t - c2 * 3) * 1000000)
+        |        % nullif(3 * (t * t - c2), 0))
+        |    // nullif(3 * (t * t - c2), 0) AS BIGINT) AS kappa_ppm
+        |FROM g""".stripMargin,
+
+    // Poisson-bootstrap twin: the same md5('boot:rep:id') 6-hex uniform
+    // against the same pinned CDF thresholds, same truncating per-rep
+    // mean and the same rank picks (3/50/98 of 100, ties by rep)
+    "ml_bootstrap_ci" ->
+      """WITH w AS (
+        |  SELECT r.range AS rep,
+        |    substr(md5('boot:' || CAST(r.range AS VARCHAR) || ':'
+        |      || CAST(o_orderkey AS VARCHAR)), 1, 6) AS u,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders, range(1, 101) r
+        |), wt AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN u < '5e2d58' THEN 0 WHEN u < 'bc5ab1' THEN 1
+        |         WHEN u < 'eb715e' THEN 2 WHEN u < 'fb2397' THEN 3
+        |         WHEN u < 'ff1025' THEN 4 WHEN u < 'ffd90f' THEN 5
+        |         WHEN u < 'fffa8b' THEN 6 ELSE 7 END AS w
+        |  FROM w
+        |), m AS (
+        |  SELECT rep,
+        |    CAST(sum(CAST(w AS HUGEINT) * cents)
+        |      // nullif(sum(w), 0) AS BIGINT) AS m
+        |  FROM wt GROUP BY 1
+        |), rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, rep) AS rn FROM m
+        |), ci AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(max(CASE WHEN rn = 3 THEN m END) AS BIGINT) AS lo,
+        |    CAST(max(CASE WHEN rn = 50 THEN m END) AS BIGINT) AS med,
+        |    CAST(max(CASE WHEN rn = 98 THEN m END) AS BIGINT) AS hi
+        |  FROM rk
+        |), pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS HUGEINT))
+        |      // count(*) AS BIGINT) AS mean
+        |  FROM orders)
+        |SELECT n, mean, n_reps, lo, med, hi FROM pt, ci""".stripMargin,
 
     // Keyed snapshot diff: full outer join on the key, null-safe column
     // compare (IS DISTINCT FROM = Spark's <=> negated), unchanged keys drop

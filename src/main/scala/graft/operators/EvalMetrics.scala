@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -194,4 +194,124 @@ object EvalMetrics {
         expr("cast((cast(cum_tp as decimal(38,0)) * 1000000) " +
           "div nullif(all_tp, 0) as bigint)").as("recall_ppm"))
   }
+
+  /** Fleiss' kappa: chance-corrected agreement among a FIXED number of
+    * raters per item over any number of categories — [[cohensKappa]]'s
+    * many-rater generalization (annotation quality for labeling
+    * campaigns). `df` is one row per (item, rating); every item must
+    * carry exactly `nRaters` rows (the caller filters — the formula is
+    * undefined otherwise).
+    *
+    * With n_ij the per-item-category counts, T = N·n total ratings,
+    * S = Σ n_ij², C2 = Σ_j (Σ_i n_ij)²:
+    * P̄ = (S − T) / (T(n−1)), P_e = C2 / T², and after clearing the
+    * shared factor T, κ = ((S−T)·T − C2·(n−1)) / ((n−1)·(T² − C2)).
+    * Everything is integral; kappa can be NEGATIVE, so the division uses
+    * the `(x − x%y) div y` spelling (truncate == floor on exact
+    * multiples, the [[cohensKappa]] portability trick).
+    *
+    * Scale shape: ratings → (item, category) cells is one map-side-
+    * combining hash agg; cells → per-category marginals is a second agg
+    * over the CELL table (≤ N·categories rows); the final row is a
+    * global agg over the CATEGORY table (tiny). No window, no join. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "need at least two raters")
+    df.groupBy(col(itemCol), col(catCol))
+      .agg(count(lit(1)).as("nij"))
+      .groupBy(col(catCol))
+      .agg(sum(col("nij")).as("cj"),
+        sum(col("nij") * col("nij")).as("sj"))
+      .groupBy()
+      .agg(sum(col("cj")).as("t"),
+        sum(col("sj")).cast("decimal(38,0)").as("s"),
+        sum(col("cj").cast("decimal(38,0)") * col("cj")
+          .cast("decimal(38,0)")).as("c2"))
+      .select(
+        expr(s"cast(t div $nRaters as bigint)").as("n_items"),
+        lit(nRaters.toLong).as("n_raters"),
+        expr(s"""cast(((s - t) * 1000000)
+                | div (cast(t as decimal(38,0)) * ${nRaters - 1})
+                | as bigint)""".stripMargin).as("pbar_ppm"),
+        expr("""cast((c2 * 1000000)
+               | div (cast(t as decimal(38,0)) * t) as bigint)"""
+          .stripMargin).as("pe_ppm"),
+        expr(fleissKappaExpr(nRaters)).as("kappa_ppm"))
+  }
+
+  private def fleissKappaExpr(nRaters: Int): String = {
+    val num = s"(((s - t) * cast(t as decimal(38,0)) " +
+      s"- c2 * ${nRaters - 1}) * 1000000)"
+    val den = s"nullif(cast(${nRaters - 1} as decimal(38,0)) " +
+      "* (cast(t as decimal(38,0)) * t - c2), 0)"
+    s"cast(($num - $num % $den) div $den as bigint)"
+  }
+
+  /** Poisson bootstrap confidence interval for a mean — THE distributed
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams"; Kleiner et al.'s BLB is the heavier sibling):
+    * classic resampling draws N rows WITH replacement per replicate,
+    * which cannot be done independently per partition, but each row's
+    * multiplicity in a replicate is ≈ Poisson(1), which CAN — each task
+    * weights its own rows with no coordination, and a map-side-combined
+    * per-replicate partial sum leaves a shuffle of O(partitions × reps)
+    * rows, never O(rows × reps).
+    *
+    * Determinism/portability: the Poisson draw inverts the pinned CDF
+    * thresholds below against the first 6 hex chars of
+    * md5(salt:rep:id) — the same engine-portable md5 idiom as the
+    * sampling surface, so DuckDB replays the exact weights (lexicographic
+    * hex compare; thresholds are ⌊CDF·16⁶⌋ in 6-digit hex). Weights cap
+    * at 7 (P(X≥8) < 1e-5 — at most a ±1-count perturbation per ~10⁵
+    * replicate-rows, far inside the CI's own resolution).
+    *
+    * Output: one row — point mean, the replicate-mean order statistics
+    * at ranks ⌈0.025R⌉ / ⌈0.5R⌉ / ⌈0.975R⌉ (ties broken by rep id), all
+    * in the value column's integer units via truncating division. The
+    * rank window runs over R rows (a constant), not data. */
+  def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                         reps: Int = 100,
+                         salt: String = "boot"): DataFrame = {
+    require(reps >= 4, "need enough replicates to take percentiles")
+    val u = substring(md5(concat(lit(salt), lit(":"),
+      col("_rep").cast("string"), lit(":"),
+      col(idCol).cast("string")).cast("binary")), 1, 6)
+    // ⌊CDF_{Poisson(1)}(k)·16⁶⌋, k = 0..6, as 6-digit hex
+    val w = poissonCdfHex6.zipWithIndex
+      .foldRight(lit(7L): Column) { case ((cut, k), els) =>
+        when(u < lit(cut), k.toLong).otherwise(els)
+      }
+    val perRep = df
+      .select(col(idCol), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rep", explode(sequence(lit(1), lit(reps))))
+      .withColumn("_w", w)
+      .groupBy("_rep")
+      .agg(sum(col("_w")).as("sw"),
+        sum(col("_w").cast("decimal(38,0)") * col("_v")).as("sv"))
+      .select(col("_rep"),
+        expr("cast(sv div nullif(sw, 0) as bigint)").as("m"))
+    // constant-but-not-foldable partition key (the prCurve idiom): the
+    // window is over R = `reps` rows, a constant, never data-scaled
+    val ranked = perRep.withColumn("rn",
+      row_number().over(Window.partitionBy(pmod(col("_rep"), lit(1)))
+        .orderBy(col("m").asc, col("_rep").asc)))
+    val point = df.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("sv"))
+      .select(col("n"),
+        expr("cast(sv div nullif(n, 0) as bigint)").as("mean"))
+    def rankOf(q: Double) = math.ceil(q * reps).toLong
+    point.crossJoin(
+      ranked.groupBy()
+        .agg(count(lit(1)).as("n_reps"),
+          max(when(col("rn") === rankOf(0.025), col("m"))).as("lo"),
+          max(when(col("rn") === rankOf(0.5), col("m"))).as("med"),
+          max(when(col("rn") === rankOf(0.975), col("m"))).as("hi")))
+  }
+
+  /** ⌊CDF_{Poisson(1)}(k)·16⁶⌋ for k = 0..6 in 6-digit hex — pinned
+    * literals shared verbatim with the DuckDB twin. */
+  val poissonCdfHex6: Seq[String] =
+    Seq("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f",
+      "fffa8b")
 }

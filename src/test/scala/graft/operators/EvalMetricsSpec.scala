@@ -159,4 +159,71 @@ class EvalMetricsSpec extends SparkSpec {
     assert(recalls.last === 1000000L)
     assert(recalls.sameElements(recalls.sorted))
   }
+
+  test("fleissKappa: hand-computed 3-item 2-rater panel") {
+    import spark.implicits._
+    // i1: a,a; i2: a,b; i3: b,b -> S=10, T=6, C2=18
+    // Pbar = 4/6, Pe = 1/2, kappa = (4*6 - 18)/(36 - 18) = 1/3
+    val d = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (3L, "b")).toDF("item", "cat")
+    val got = EvalMetrics.fleissKappa(d, "item", "cat", nRaters = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((3L, 2L, 666666L, 500000L, 333333L)))
+  }
+
+  test("fleissKappa: systematic disagreement is exactly -1e6; unanimity 1e6") {
+    import spark.implicits._
+    val disagree = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("item", "cat")
+    val g1 = EvalMetrics.fleissKappa(disagree, "item", "cat", 2)
+      .select("kappa_ppm").as[Long].collect().head
+    assert(g1 === -1000000L)
+    // unanimous on DIFFERENT categories per item: Pbar = 1, Pe < 1
+    val unanimous = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    val g2 = EvalMetrics.fleissKappa(unanimous, "item", "cat", 2)
+      .select("kappa_ppm").as[Long].collect().head
+    assert(g2 === 1000000L)
+  }
+
+  test("poissonBootstrapCI: constant values collapse the CI to the point") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, 4200L)).toDF("id", "v")
+    val got = EvalMetrics.poissonBootstrapCI(d, "id", "v", reps = 40)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // (n, mean, n_reps, lo, med, hi)
+    assert(got === ((300L, 4200L, 40L, 4200L, 4200L, 4200L)))
+  }
+
+  test("poissonBootstrapCI: deterministic, ordered, and covers the mean") {
+    import spark.implicits._
+    val d = (1L to 500L).map(i => (i, i * 10L)).toDF("id", "v")
+    val run1 = EvalMetrics.poissonBootstrapCI(d, "id", "v", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val run2 = EvalMetrics.poissonBootstrapCI(d, "id", "v", reps = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(run1 === run2) // pure function of (data, salt)
+    val (_, mean, nReps, lo, med, hi) = run1
+    assert(nReps === 100L && lo <= med && med <= hi)
+    // the 95% CI of the mean of 1..500 (x10) straddles the true mean
+    assert(lo <= mean && mean <= hi)
+    // and it is a genuine interval, not a collapsed point
+    assert(lo < hi)
+  }
+
+  test("poissonBootstrapCI: replicate blowup stays inside the scan stage " +
+    "(pruned read, map-side partial aggregate before any exchange)") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val plan = EvalMetrics.poissonBootstrapCI(orders, "o_orderkey", "cents")
+      .queryExecution.executedPlan.toString
+    // only the two needed columns reach the parquet scan
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      plan)
+    // the per-rep reduction partially aggregates before its shuffle:
+    // partial HashAggregate appears below the first Exchange in the
+    // per-rep branch (keys=[_rep...], partial merge functions)
+    assert("HashAggregate\\(keys=\\[_rep".r.findAllIn(plan).size >= 2, plan)
+  }
 }
