@@ -3032,6 +3032,23 @@ object SparkEntry {
       graft.operators.DataQuality.kAnonymity(
         t(s, dir, "documents"), Seq("lang", "source", "n_chars"), k = 5)),
 
+    // FD-strength audit: how strongly does l_partkey determine
+    // l_suppkey (TPC-H: each part has 4 suppliers, so the FD is badly
+    // violated — a non-trivial g3); exact Kivinen-Mannila g3 in ppm
+    "dq_fd_strength" -> ((s, dir) =>
+      graft.operators.DataQuality.fdStrength(
+        t(s, dir, "lineitem"), Seq("l_partkey"), "l_suppkey")),
+
+    // CUSUM changepoint per event type over the daily count series:
+    // scaled integer statistic Ck*n = n*Pk - k*S, argmax |C| with
+    // earliest-day tie-break via the packed-long max
+    "events_changepoint" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cusumChangepoint(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x")),
+        "event_type", "day", "x")),
+
     // EXACT-proportion stratified splits per language: rank on the
     // portable md5-prefix order inside each stratum, assign by integer
     // rank cuts — per-stratum counts are deterministic integers, not

@@ -3869,6 +3869,51 @@ private[graft] object SparkEntryOracles {
         |  CAST(max_cnt * 1000000 // median_cnt AS BIGINT) AS skew_ppm
         |FROM stats, med""".stripMargin,
 
+    // FD-strength twin: same shrinking (lhs, rhs) cells -> per-lhs
+    // max/sum -> one-row reduction; every aggregate BIGINT-cast
+    "dq_fd_strength" ->
+      """WITH cells AS (
+        |  SELECT l_partkey, l_suppkey, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), per AS (
+        |  SELECT l_partkey, sum(c) AS ng, max(c) AS keep,
+        |    count(*) AS nrhs
+        |  FROM cells GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(ng) AS BIGINT) AS n_rows,
+        |  CAST(sum(ng - keep) AS BIGINT) AS n_rows_to_delete,
+        |  CAST((sum(ng - keep) * 1000000) // nullif(sum(ng), 0) AS BIGINT)
+        |    AS g3_ppm
+        |FROM per""".stripMargin,
+
+    // CUSUM twin: identical scaled-integer statistic and the identical
+    // packed-long argmax (|C|*1e5 + reversed epoch day, max, unpack)
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), seq AS (
+        |  SELECT event_type, d, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS k,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS s
+        |  FROM daily
+        |), c AS (
+        |  SELECT event_type, n, s,
+        |    abs(n * p - k * s) * 100000
+        |      + (99999 - datediff('day', DATE '1970-01-01', d)) AS pack
+        |  FROM seq)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_periods,
+        |  CAST(max(s) AS BIGINT) AS total,
+        |  CAST(99999 - max(pack) % 100000 AS BIGINT) AS change_epoch_day,
+        |  CAST(max(pack) // 100000 AS BIGINT) AS peak_abs_scaled
+        |FROM c GROUP BY 1""".stripMargin,
+
     // k-anonymity twin: same two-level aggregation; SUM widens to
     // HUGEINT -> outer BIGINT cast (SURVEY §5 discipline)
     "dq_k_anonymity" ->

@@ -246,6 +246,35 @@ object DataQuality {
     * |rows|), then a second hash-agg over the CLASS table — two map-side-
     * combining aggregations, no window, no join; the fact is scanned
     * once. */
+  /** Functional-dependency strength audit: does `lhsCols → rhsCol` hold,
+    * and how badly is it violated? Reports the exact g3 measure — the
+    * minimum fraction of rows to delete for the FD to hold exactly
+    * (Kivinen–Mannila; the error measure TANE-style FD discovery ranks
+    * by): g3 = (N − Σ_g max-RHS-frequency-in-g) / N, in ppm.
+    *
+    * Output is ONE summary row (group counts, violating-group count,
+    * g3_ppm) — never the violating values themselves, so the report is
+    * bounded at any corpus size. Two shrinking map-side-combining hash
+    * aggs ((lhs, rhs) cells → per-lhs max/sum → one row); the fact is
+    * scanned once, no window, no join. */
+  def fdStrength(df: DataFrame, lhsCols: Seq[String],
+                 rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "need at least one determinant column")
+    df.groupBy((lhsCols :+ rhsCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(lhsCols.map(col): _*)
+      .agg(sum(col("c")).as("ng"), max(col("c")).as("keep"),
+        count(lit(1)).as("nrhs"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nrhs") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(col("ng")).as("n_rows"),
+        sum(col("ng") - col("keep")).as("n_rows_to_delete"))
+      .withColumn("g3_ppm", expr(
+        """cast((cast(n_rows_to_delete as decimal(38,0)) * 1000000)
+          | div nullif(n_rows, 0) as bigint)""".stripMargin))
+  }
+
   def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame = {
     require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
     require(k >= 1, "k must be >= 1")

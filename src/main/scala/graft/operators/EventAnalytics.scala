@@ -303,4 +303,51 @@ object EventAnalytics {
           .stripMargin))
       .drop("_vm", "_arr")
   }
+
+  /** CUSUM changepoint estimate per group — "when did this metric's level
+    * shift?" over a per-period series (Page's cumulative-sum statistic;
+    * the standard first-look shift detector for pipeline telemetry).
+    *
+    * For the group's ordered values x₁..xₙ with prefix sums Pₖ and total
+    * S, the mean-centered cumulative sum is Cₖ = Σᵢ≤ₖ(xᵢ − S/n); scaling
+    * by n clears the fraction: Cₖ·n = n·Pₖ − k·S, exact integers. The
+    * changepoint estimate is the period at max |Cₖ| (the classic CUSUM
+    * argmax; ties → EARLIEST period, pinned via the packed-order max).
+    *
+    * Scale shape: the raw series is assumed pre-aggregated (per-period
+    * counts — periods per group, not rows); one window Exchange on the
+    * group key computes rank/prefix/totals in a single pass, then a hash
+    * agg reduces to one row per group. The argmax is the packed-long
+    * max trick (|C|·10⁵ + reversed epoch-day) — no second window, no
+    * join, and the same packing replays in ANSI SQL. Periods-per-group
+    * is calendar-bounded (e.g. days), so the window partition never
+    * scales with corpus size. */
+  def cusumChangepoint(series: DataFrame, groupCol: String, dayCol: String,
+                       valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(dayCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)) // same key: one Exchange for all four
+    series
+      .withColumn("_day", datediff(col(dayCol), lit("1970-01-01"))
+        .cast("long"))
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_p", sum(col(valueCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions
+          .Window.currentRow)))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("_s", sum(col(valueCol)).over(whole))
+      .withColumn("_ac", abs(col("_n") * col("_p") - col("_k") * col("_s")))
+      // pack (|C| major, earliest-day-on-ties minor) into one long:
+      // reversed day = 99999 − epoch-day keeps max-pack = earliest day
+      .withColumn("_pack",
+        col("_ac") * 100000L + (lit(99999L) - col("_day")))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n")).as("n_periods"), max(col("_s")).as("total"),
+        max(col("_pack")).as("_mp"))
+      .select(col(groupCol), col("n_periods"), col("total"),
+        (lit(99999L) - pmod(col("_mp"), lit(100000L))).as("change_epoch_day"),
+        expr("_mp div 100000").as("peak_abs_scaled"))
+  }
 }

@@ -121,6 +121,25 @@ class DataQualitySpec extends SparkSpec {
     assert(got === ((5L, 16L, 10L, 2L, 625000L, 5000000L)))
   }
 
+  test("fdStrength: exact g3 on a hand-built violation") {
+    import spark.implicits._
+    // lhs a -> {x, x, y}: keep 2 of 3; lhs b -> {z}: holds
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"))
+      .toDF("lhs", "rhs")
+    val got = DataQuality.fdStrength(df, Seq("lhs"), "rhs")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // (n_groups, n_violating_groups, n_rows, n_rows_to_delete, g3_ppm)
+    assert(got === ((2L, 1L, 4L, 1L, 250000L)))
+  }
+
+  test("fdStrength: an exactly-holding FD reports zero everywhere") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val got = DataQuality.fdStrength(df, Seq("k"), "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((2L, 0L, 3L, 0L, 0L)))
+  }
+
   test("kAnonymity: class-size histogram and violation flags on planted classes") {
     import spark.implicits._
     // equivalence classes on (zip, age): sizes 3, 3, 2, 1, 1, 1

@@ -203,4 +203,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(run(2) === Set(
       (1L, 1L, 1000000L), (2L, 2L, 1666666L), (3L, 2L, 3333333L)))
   }
+
+  test("cusumChangepoint: planted level shift is located at the last " +
+    "pre-shift period with the exact scaled peak") {
+    import spark.implicits._
+    // 10 @ level 10 then 5 days @ 20: |C·n| peaks at day 5 with 250
+    val series = (1 to 10).map { d =>
+      ("g", java.sql.Date.valueOf(f"2024-01-$d%02d"),
+        if (d <= 5) 10L else 20L)
+    }.toDF("g", "day", "x")
+    val got = EventAnalytics.cusumChangepoint(series, "g", "day", "x")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val day5 = java.sql.Date.valueOf("2024-01-05").toLocalDate.toEpochDay
+    assert(got === (("g", 10L, 150L, day5, 250L)))
+  }
+
+  test("cusumChangepoint: ties break to the EARLIEST period") {
+    import spark.implicits._
+    // x = (20,10,20,10): |C| = 20 at day 1 AND day 3 -> day 1 wins
+    val series = Seq(
+      ("g", java.sql.Date.valueOf("2024-03-01"), 20L),
+      ("g", java.sql.Date.valueOf("2024-03-02"), 10L),
+      ("g", java.sql.Date.valueOf("2024-03-03"), 20L),
+      ("g", java.sql.Date.valueOf("2024-03-04"), 10L)).toDF("g", "day", "x")
+    val got = EventAnalytics.cusumChangepoint(series, "g", "day", "x")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val day1 = java.sql.Date.valueOf("2024-03-01").toLocalDate.toEpochDay
+    assert(got === (("g", 4L, 60L, day1, 20L)))
+  }
 }
