@@ -2048,6 +2048,44 @@ object SparkEntry {
           floor(col("o_totalprice") * 100).cast("long").as("cents")),
         "o_orderkey", "cents", reps = 100)),
 
+    // nDCG@10 per language: system ranking = n_chars desc (doc_id ties),
+    // graded relevance = source index mod 4; discounts are the pinned
+    // floor(1e6/log2(k+1)) ppm literals, exact integers end to end
+    "ml_ndcg" -> ((s, dir) =>
+      graft.operators.EvalMetrics.ndcgAtK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          (substring(col("source"), 4, 10).cast("long") % 4).as("rel")),
+        "lang", "rel",
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 10)),
+
+    // Fellegi-Sunter record linkage: customer x supplier candidate
+    // pairs blocked on nationkey, three agreement fields with pinned
+    // milli log-odds weights, three-way match/possible/nonmatch bands;
+    // the gate row is the bounded per-band summary
+    "ml_record_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey").as("nk"),
+        floor(col("c_acctbal") * 100).cast("long").as("c_cents"))
+      val supp = t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_nationkey").as("nk"),
+        floor(col("s_acctbal") * 100).cast("long").as("s_cents"))
+      val pairs = cust.join(supp, Seq("nk"))
+      import graft.operators.FuzzyMatch.FsField
+      graft.operators.FuzzyMatch.fellegiSunterScore(pairs, Seq(
+        FsField("bal_close", abs(col("c_cents") - col("s_cents")) <= 10000L,
+          2800L, -150L),
+        FsField("key_tail", col("c_custkey") % 100 === col("s_suppkey") % 100,
+          1200L, -300L),
+        FsField("bal_sign", (col("c_cents") >= 0L) === (col("s_cents") >= 0L),
+          900L, -400L)),
+        matchMin = 3000L, possibleMin = 0L)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("score_milli")).as("min_score"),
+          max(col("score_milli")).as("max_score"))
+    }),
+
     // Perceptual near-duplicate detection over IMAGES: deterministic PNG
     // fixtures (12 broadband seeded textures × 4 noise variants, built
     // executor-side like the sine WAVs), a 64-bit integer-DCT pHash per

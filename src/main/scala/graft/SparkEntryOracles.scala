@@ -3026,6 +3026,63 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |SELECT n, mean, n_reps, lo, med, hi FROM pt, ci""".stripMargin,
 
+    // nDCG twin: identical pinned floor(1e6/log2(k+1)) discount list,
+    // 1-based list indexing, same two rankings and tie-breaks
+    "ml_ndcg" -> {
+      val lits = graft.operators.EvalMetrics.ndcgDiscountPpm
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(substr(source, 4) AS BIGINT) % 4 AS rel
+         |  FROM documents
+         |), rk AS (
+         |  SELECT lang, rel,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_chars DESC, doc_id) AS rs,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY rel DESC, n_chars DESC, doc_id) AS ri
+         |  FROM base
+         |), terms AS (
+         |  SELECT lang, rel,
+         |    CASE WHEN rs <= 10 THEN rel * ($lits[rs]) ELSE 0 END AS dt,
+         |    CASE WHEN ri <= 10 THEN rel * ($lits[ri]) ELSE 0 END AS it
+         |  FROM rk)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(dt) AS BIGINT) AS dcg_ppm,
+         |  CAST(sum(it) AS BIGINT) AS idcg_ppm,
+         |  CAST((CAST(sum(dt) AS HUGEINT) * 1000000)
+         |    // nullif(sum(it), 0) AS BIGINT) AS ndcg_ppm
+         |FROM terms GROUP BY 1""".stripMargin
+    },
+
+    // Fellegi-Sunter twin: same blocked pairs, same pinned milli
+    // log-odds per agreement CASE, same three-way banding
+    "ml_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nk,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents
+        |  FROM customer
+        |), s AS (
+        |  SELECT s_suppkey, s_nationkey AS nk,
+        |    CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents
+        |  FROM supplier
+        |), sc AS (
+        |  SELECT
+        |    CASE WHEN abs(c_cents - s_cents) <= 10000
+        |      THEN 2800 ELSE -150 END
+        |    + CASE WHEN c_custkey % 100 = s_suppkey % 100
+        |      THEN 1200 ELSE -300 END
+        |    + CASE WHEN (c_cents >= 0) = (s_cents >= 0)
+        |      THEN 900 ELSE -400 END AS score
+        |  FROM c JOIN s USING (nk))
+        |SELECT CASE WHEN score >= 3000 THEN 'match'
+        |            WHEN score >= 0 THEN 'possible'
+        |            ELSE 'nonmatch' END AS band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM sc GROUP BY 1""".stripMargin,
+
     // Keyed snapshot diff: full outer join on the key, null-safe column
     // compare (IS DISTINCT FROM = Spark's <=> negated), unchanged keys drop
     // upsert twin: anti-join + union replay

@@ -314,4 +314,51 @@ object EvalMetrics {
   val poissonCdfHex6: Seq[String] =
     Seq("5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f",
       "fffa8b")
+
+  /** nDCG@k per group — graded ranking quality of a retrieval/ordering
+    * against integer relevance labels. The irrational log₂ discounts are
+    * PINNED as ⌊10⁶/log₂(k+1)⌋ ppm literals (shared verbatim with the
+    * SQL twin), so DCG, ideal DCG and their ratio are exact integer
+    * arithmetic end to end — the same quantize-the-constants move as the
+    * Poisson CDF above.
+    *
+    * `orderCols` is the system ranking under evaluation (must totalize
+    * the order — include a tie-break); the ideal ranking sorts relevance
+    * descending (its tie-break cannot change the ideal DCG, but is fixed
+    * for determinism anyway). Groups with zero total relevance in the
+    * ideal top-k yield NULL (no ranking question).
+    *
+    * Scale shape: both rankings are windows over the SAME partition key
+    * — one Exchange; per-group output is one row. Top-k trimming happens
+    * before the discount join (an array-literal lookup, codegen'd). */
+  def ndcgAtK(df: DataFrame, groupCol: String, relCol: String,
+              orderCols: Seq[Column], k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountPpm.length,
+      s"1 <= k <= ${ndcgDiscountPpm.length} (extend the pinned table)")
+    val discounts = array(ndcgDiscountPpm.map(lit): _*)
+    val sys = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val ideal = Window.partitionBy(col(groupCol))
+      .orderBy(col(relCol).desc +: orderCols: _*)
+    df.withColumn("_rn_sys", row_number().over(sys))
+      .withColumn("_rn_ideal", row_number().over(ideal))
+      .withColumn("_dcg_term",
+        when(col("_rn_sys") <= k, col(relCol).cast("long") *
+          element_at(discounts, col("_rn_sys"))).otherwise(0L))
+      .withColumn("_idcg_term",
+        when(col("_rn_ideal") <= k, col(relCol).cast("long") *
+          element_at(discounts, col("_rn_ideal"))).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_dcg_term")).as("dcg_ppm"),
+        sum(col("_idcg_term")).as("idcg_ppm"))
+      .withColumn("ndcg_ppm", expr(
+        """cast((cast(dcg_ppm as decimal(38,0)) * 1000000)
+          | div nullif(idcg_ppm, 0) as bigint)""".stripMargin))
+  }
+
+  /** ⌊10⁶ / log₂(k+1)⌋ for k = 1..10 — pinned ppm discount literals
+    * shared verbatim with the DuckDB twin. */
+  val ndcgDiscountPpm: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
+      315464L, 301029L, 289064L)
 }

@@ -45,4 +45,49 @@ object FuzzyMatch {
       .select(dcols.map(col) :+ col("_best.m").as("match")
         :+ col("_best.d").cast("long").as("distance"): _*)
   }
+
+  /** One agreement field of a Fellegi–Sunter comparison vector: the
+    * predicate plus its integer milli log-odds weights (≈ log(m/u) /
+    * log((1−m)/(1−u)) from a trained or hand-set m-u model — like
+    * [[graft.operators.ModelScore]], the trained parameters bake into
+    * the plan as literals). */
+  final case class FsField(name: String, agree: org.apache.spark.sql.Column,
+                           wAgreeMilli: Long, wDisagreeMilli: Long)
+
+  /** Fellegi–Sunter record-linkage scoring over pre-BLOCKED candidate
+    * pairs (Fellegi & Sunter 1969, the standard probabilistic
+    * record-linkage decision model). Each field's
+    * agreement adds its log-odds weight, disagreement its (negative)
+    * counterpart; the summed `score_milli` lands each pair in the
+    * classic three-way decision: `match` / `possible` (clerical review)
+    * / `nonmatch`.
+    *
+    * NULL-safe: a NULL on either side of a predicate counts as
+    * DISAGREEMENT (no evidence ≠ evidence of sameness). All weights are
+    * integer milli-units, so the whole decision surface is exact and
+    * SQL-replayable.
+    *
+    * Scale shape: scoring is a pure codegen'd projection over the
+    * blocked pair stream — no shuffle of its own; the blocking join
+    * upstream (equi-join on block keys, broadcast when one side is a
+    * dimension) owns the data movement. Never call this on an unblocked
+    * cross product. */
+  def fellegiSunterScore(pairs: DataFrame, fields: Seq[FsField],
+                         matchMin: Long, possibleMin: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(matchMin > possibleMin, "matchMin must exceed possibleMin")
+    val withInd = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"agree_${f.name}",
+        coalesce(f.agree, lit(false)).cast("long"))
+    }
+    val score = fields.map { f =>
+      when(col(s"agree_${f.name}") === 1L, lit(f.wAgreeMilli))
+        .otherwise(lit(f.wDisagreeMilli))
+    }.reduce(_ + _)
+    withInd.withColumn("score_milli", score)
+      .withColumn("band",
+        when(col("score_milli") >= matchMin, "match")
+          .when(col("score_milli") >= possibleMin, "possible")
+          .otherwise("nonmatch"))
+  }
 }

@@ -211,6 +211,41 @@ class EvalMetricsSpec extends SparkSpec {
     assert(lo < hi)
   }
 
+  test("ndcgAtK: perfect ranking is exactly 1e6; hand-computed reversal") {
+    import spark.implicits._
+    // rel (3,2,0); system order by key desc. Perfect: keys align with rel
+    val perfect = Seq((1L, 30L, 3L), (2L, 20L, 2L), (3L, 10L, 0L))
+      .toDF("id", "key", "rel").withColumn("g", lit("q"))
+    val p = EvalMetrics.ndcgAtK(perfect, "g", "rel",
+      Seq(col("key").desc, col("id").asc), k = 10).collect().head
+    assert(p.getAs[Long]("ndcg_ppm") === 1000000L)
+    // reversal: dcg = 3*w3 + 2*w2 = 2761858, idcg = 3*w1 + 2*w2 = 4261858
+    val reversed = Seq((1L, 10L, 3L), (2L, 20L, 2L), (3L, 30L, 0L))
+      .toDF("id", "key", "rel").withColumn("g", lit("q"))
+    val r = EvalMetrics.ndcgAtK(reversed, "g", "rel",
+      Seq(col("key").desc, col("id").asc), k = 10).collect().head
+    assert(r.getAs[Long]("dcg_ppm") === 2761858L)
+    assert(r.getAs[Long]("idcg_ppm") === 4261858L)
+    assert(r.getAs[Long]("ndcg_ppm") === 648040L)
+  }
+
+  test("ndcgAtK: zero-relevance group yields NULL; top-k trims the tail") {
+    import spark.implicits._
+    val zero = Seq((1L, 5L, 0L), (2L, 4L, 0L)).toDF("id", "key", "rel")
+      .withColumn("g", lit("z"))
+    val z = EvalMetrics.ndcgAtK(zero, "g", "rel",
+      Seq(col("key").desc, col("id").asc), k = 10).collect().head
+    assert(z.isNullAt(z.fieldIndex("ndcg_ppm")))
+    // rank-11 relevance contributes nothing at k=10
+    val tail = ((1 to 10).map(i => (i.toLong, 100L - i, 0L)) :+
+      (11L, 1L, 3L)).toDF("id", "key", "rel").withColumn("g", lit("t"))
+    val t = EvalMetrics.ndcgAtK(tail, "g", "rel",
+      Seq(col("key").desc, col("id").asc), k = 10).collect().head
+    assert(t.getAs[Long]("dcg_ppm") === 0L) // the only rel sits at rank 11
+    assert(t.getAs[Long]("idcg_ppm") === 3000000L) // ideal puts it first
+    assert(t.getAs[Long]("ndcg_ppm") === 0L)
+  }
+
   test("poissonBootstrapCI: replicate blowup stays inside the scan stage " +
     "(pruned read, map-side partial aggregate before any exchange)") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
