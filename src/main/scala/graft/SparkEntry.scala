@@ -3077,6 +3077,14 @@ object SparkEntry {
       graft.operators.DataQuality.fdStrength(
         t(s, dir, "lineitem"), Seq("l_partkey"), "l_suppkey")),
 
+    // Daily TWAP of the event value per type: irregular samples hold
+    // until the next sample (last holds to midnight); exact epoch-sec
+    // durations x milli values, one shared (type, day) Exchange
+    "events_twap" -> ((s, dir) =>
+      graft.operators.EventAnalytics.twapDaily(
+        t(s, dir, "events").where(col("value").isNotNull),
+        "event_type", "ts", "value")),
+
     // CUSUM changepoint per event type over the daily count series:
     // scaled integer statistic Ck*n = n*Pk - k*S, argmax |C| with
     // earliest-day tie-break via the packed-long max

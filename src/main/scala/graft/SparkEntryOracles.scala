@@ -2989,16 +2989,17 @@ private[graft] object SparkEntryOracles {
         |    // nullif(3 * (t * t - c2), 0) AS BIGINT) AS kappa_ppm
         |FROM g""".stripMargin,
 
-    // Poisson-bootstrap twin: the same md5('boot:rep:id') 6-hex uniform
-    // against the same pinned CDF thresholds, same truncating per-rep
-    // mean and the same rank picks (3/50/98 of 100, ties by rep)
+    // Poisson-bootstrap twin: the same 5-uniforms-per-digest harvest —
+    // replicate b*5+s+1 reads slot s of md5('boot:id:b') — against the
+    // same pinned CDF thresholds, same truncating per-rep mean and the
+    // same rank picks (3/50/98 of 100, ties by rep)
     "ml_bootstrap_ci" ->
       """WITH w AS (
-        |  SELECT r.range AS rep,
-        |    substr(md5('boot:' || CAST(r.range AS VARCHAR) || ':'
-        |      || CAST(o_orderkey AS VARCHAR)), 1, 6) AS u,
+        |  SELECT b.range * 5 + s.range + 1 AS rep,
+        |    substr(md5('boot:' || CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(b.range AS VARCHAR)), s.range * 6 + 1, 6) AS u,
         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders, range(1, 101) r
+        |  FROM orders, range(20) b, range(5) s
         |), wt AS (
         |  SELECT rep, cents,
         |    CASE WHEN u < '5e2d58' THEN 0 WHEN u < 'bc5ab1' THEN 1
@@ -3944,6 +3945,28 @@ private[graft] object SparkEntryOracles {
         |  CAST((sum(ng - keep) * 1000000) // nullif(sum(ng), 0) AS BIGINT)
         |    AS g3_ppm
         |FROM per""".stripMargin,
+
+    // TWAP twin: same lead-to-next/day-end hold durations in epoch
+    // seconds, same milli quantization and truncating division
+    "events_twap" ->
+      """WITH base AS (
+        |  SELECT event_type, ts,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL
+        |), seq AS (
+        |  SELECT event_type, d, vm,
+        |    coalesce(lead(sec) OVER (PARTITION BY event_type, d
+        |      ORDER BY ts, vm), (d + 1) * 86400) - sec AS dt
+        |  FROM base)
+        |SELECT event_type, CAST(d AS BIGINT) AS epoch_day,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(dt) AS BIGINT) AS covered_sec,
+        |  CAST((sum(CAST(vm AS HUGEINT) * dt)
+        |      - sum(CAST(vm AS HUGEINT) * dt) % nullif(sum(dt), 0))
+        |    // nullif(sum(dt), 0) AS BIGINT) AS twap_milli
+        |FROM seq GROUP BY 1, 2""".stripMargin,
 
     // CUSUM twin: identical scaled-integer statistic and the identical
     // packed-long argmax (|C|*1e5 + reversed epoch day, max, unpack)

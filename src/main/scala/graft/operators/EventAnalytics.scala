@@ -322,6 +322,49 @@ object EventAnalytics {
     * join, and the same packing replays in ANSI SQL. Periods-per-group
     * is calendar-bounded (e.g. days), so the window partition never
     * scales with corpus size. */
+  /** Daily time-weighted average (TWAP) of an irregularly-sampled value
+    * per group — the metric a monitoring/pricing pass wants when sample
+    * spacing is uneven (a plain AVG over-weights bursts). Each sample
+    * holds its value until the NEXT sample in the same (group, day);
+    * the day's last sample holds until midnight, so the denominator
+    * covers first-sample → day-end exactly once.
+    *
+    * Exact integers throughout: epoch-second durations × milli-quantized
+    * values, truncating division (UTC session; `ts.cast(long)` and the
+    * day arithmetic agree with a naive-timestamp SQL engine verbatim).
+    *
+    * Scale shape: one window Exchange on (group, day) for the lead()
+    * lookahead, then a hash agg on the SAME key — Catalyst reuses the
+    * partitioning, so the agg is exchange-free. Samples-per-(group, day)
+    * bounds the window partition, never the corpus. */
+  def twapDaily(df: DataFrame, groupCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    // the window and the final agg share the (group, _day) key so the
+    // agg reuses the window's Exchange
+    // tie-break on the QUANTIZED value: rows tying on (ts, _vm) are
+    // interchangeable in every output sum, so the order is total enough
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_day"))
+      .orderBy(col(tsCol).asc, col("_vm").asc)
+    df.withColumn("_day",
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long"))
+      .withColumn("_sec", col(tsCol).cast("long"))
+      .withColumn("_vm", floor(col(valueCol) * 1000).cast("long"))
+      .withColumn("_next", coalesce(
+        lead(col("_sec"), 1).over(w), (col("_day") + 1L) * 86400L))
+      .withColumn("_dt", col("_next") - col("_sec"))
+      .groupBy(col(groupCol), col("_day").as("epoch_day"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("_dt")).as("covered_sec"),
+        // negative values are legal -> the (x - x%y) div y spelling keeps
+        // truncating (Spark) and flooring (DuckDB) division identical
+        expr("""cast((sum(cast(_vm as decimal(38,0)) * _dt)
+               |  - sum(cast(_vm as decimal(38,0)) * _dt)
+               |    % nullif(sum(_dt), 0))
+               | div nullif(sum(_dt), 0) as bigint)""".stripMargin)
+          .as("twap_milli"))
+  }
+
   def cusumChangepoint(series: DataFrame, groupCol: String, dayCol: String,
                        valueCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -204,6 +204,33 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 1L, 1000000L), (2L, 2L, 1666666L), (3L, 2L, 3333333L)))
   }
 
+  test("twapDaily: hand-computed hold durations; last sample holds to " +
+    "midnight; plain AVG would differ") {
+    import spark.implicits._
+    // one group, one day: v=10.0 at 00:00, v=40.0 at 18:00 ->
+    // 10 held 64800s, 40 held 21600s: twap = (10000*64800 + 40000*21600)
+    //   / 86400 = 17500 milli — a plain AVG would say 25000
+    val df = Seq(
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 18:00:00"), 40.0)
+    ).toDF("g", "ts", "v")
+    val got = EventAnalytics.twapDaily(df, "g", "ts", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val day = java.sql.Date.valueOf("2024-01-01").toLocalDate.toEpochDay
+    assert(got === (("g", day, 2L, 86400L, 17500L)))
+  }
+
+  test("twapDaily: late-starting day covers first-sample to midnight only") {
+    import spark.implicits._
+    // single sample at 23:00 -> held 3600s, twap = its own value
+    val df = Seq(
+      ("g", java.sql.Timestamp.valueOf("2024-02-02 23:00:00"), 7.5)
+    ).toDF("g", "ts", "v")
+    val got = EventAnalytics.twapDaily(df, "g", "ts", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got._4 === 3600L && got._5 === 7500L)
+  }
+
   test("cusumChangepoint: planted level shift is located at the last " +
     "pre-shift period with the exact scaled peak") {
     import spark.implicits._
