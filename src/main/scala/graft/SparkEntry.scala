@@ -2319,6 +2319,23 @@ object SparkEntry {
             .as("price_cents"))
     }),
 
+    // Quantile-balanced range layout: KLL-sketch cuts (one kilobyte pass,
+    // never a sort) make every bucket directory ~1/n of the rows even
+    // under skew; a price-range scan prunes whole directories via the
+    // memoized cuts. Pruning is IO-only — the oracle is the plain
+    // filtered aggregate; balance + fewer-dirs pins in ScaleLayoutSpec
+    "s_balanced_layout" -> ((s, dir) => {
+      val layout = graft.sources.Layouts.balancedLayoutFor(
+        t(s, dir, "lineitem").withColumn("price_cents",
+          cents(col("l_extendedprice"))),
+        "price_cents", key = s"balanced-$dir")
+      graft.sources.Layouts.balancedPrunedRead(
+          s, layout, "price_cents", lo = 100000L, hi = 2000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"))
+    }),
+
     // Merge-on-read deletes: two tombstone batches land as key files
     // (never a base rewrite), the read anti-joins them away. Tombstones
     // only remove exactly the keyed rows, so the oracle is the plain

@@ -3278,6 +3278,17 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_orderkey = 515""".stripMargin,
 
+    // Balanced-layout twin: directory pruning is IO-only, so the replay
+    // is the plain filtered aggregate on the same cents quantization
+    "s_balanced_layout" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM lineitem
+        |WHERE CAST(round(l_extendedprice * 100) AS BIGINT)
+        |  BETWEEN 100000 AND 2000000
+        |GROUP BY 1""".stripMargin,
+
     // Merge-on-read twin: tombstones remove exactly the keyed rows —
     // replay as the plain filtered aggregate
     "s_mor_deletes" ->

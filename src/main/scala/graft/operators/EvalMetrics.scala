@@ -264,8 +264,9 @@ object EvalMetrics {
     * ⌊CDF·16⁶⌋ in 6-digit hex). One 32-hex digest yields FIVE
     * independent 6-hex uniforms, so each row hashes ⌈reps/5⌉ times, not
     * `reps` times — md5 dominates this operator's cost and the harvest
-    * measured 4.6× faster at sf0.1 with identical statistics (replicate
-    * r reads slot (r−1)%5 of digest ⌈r/5⌉ of md5(salt:id:block)).
+    * measured 2.7× faster at sf0.1 (22.3 s → 8.2 s) with identical
+    * statistics (replicate r reads slot (r−1)%5 of digest ⌈r/5⌉ of
+    * md5(salt:id:block)).
     * Weights cap at 7 (P(X≥8) < 1e-5 — at most a ±1-count perturbation
     * per ~10⁵ replicate-rows, far inside the CI's own resolution).
     *

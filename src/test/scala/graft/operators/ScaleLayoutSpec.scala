@@ -289,4 +289,45 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(got.as[(String, Long)].collect().toMap === expect)
     assert(expect.nonEmpty)
   }
+
+  test("balanced layout: KLL cuts keep bucket sizes near 1/n even under " +
+    "skew; a range scan reads a proper subset of directories; results " +
+    "match the plain filter") {
+    import spark.implicits._
+    // heavily skewed synthetic values: 80% of rows in [0, 100), a long
+    // tail to 100000 — fixed-width ranges would put 80% in one bucket
+    val rows = (0 until 20000).map { i =>
+      val v = if (i % 5 != 0) (i * 37 % 100).toLong
+              else (100L + (i.toLong * 9973 % 99900))
+      (i.toLong, v)
+    }.toDF("id", "v")
+    val nBuckets = 8
+    val (path, cuts) = graft.sources.Layouts.balancedLayoutFor(
+      rows, "v", key = "spec-balanced-skew", nBuckets = nBuckets)
+    assert(cuts.length === nBuckets - 1 && cuts === cuts.sorted)
+    // balance: every non-empty bucket within 3x of the ideal 1/n share
+    val sizes = spark.read.parquet(path).groupBy("_bucket").count()
+      .as[(Int, Long)].collect().toMap
+    val ideal = 20000.0 / nBuckets
+    sizes.values.foreach { n =>
+      assert(n <= ideal * 3, s"bucket of $n vs ideal $ideal: $sizes")
+    }
+    assert(sizes.size >= nBuckets / 2, s"too few buckets used: $sizes")
+    // pruning: a narrow range SELECTS a proper subset of partition dirs
+    // at the scan (inputFiles ignores pushed filters — read the scan's
+    // own selectedPartitions instead)
+    val pruned = graft.sources.Layouts.balancedPrunedRead(
+      spark, (path, cuts), "v", 0L, 50L)
+    val nParts = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.head
+    assert(nParts < sizes.size,
+      s"expected a proper subset, scan selected $nParts of ${sizes.size}")
+    // semantics identical to the plain filter
+    val got = pruned.select("id").as[Long].collect().sorted
+    val expect = rows.where(col("v").between(0L, 50L))
+      .select("id").as[Long].collect().sorted
+    assert(got === expect && expect.nonEmpty)
+  }
 }
