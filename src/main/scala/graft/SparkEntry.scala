@@ -2048,6 +2048,17 @@ object SparkEntry {
           floor(col("o_totalprice") * 100).cast("long").as("cents")),
         "o_orderkey", "cents", reps = 100)),
 
+    // Two-sample KS statistic per language: how separable are low- vs
+    // high-index sources on the n_chars axis — exact on tie cells,
+    // denominator-cleared integers, argmax threshold via packed max
+    "ml_ks_statistic" -> ((s, dir) =>
+      graft.operators.EvalMetrics.ksStatistic(
+        t(s, dir, "documents").select(col("lang"),
+          (substring(col("source"), 4, 10).cast("long") < 10L)
+            .cast("long").as("y"),
+          col("n_chars").as("score")),
+        "lang", "y", "score")),
+
     // nDCG@10 per language: system ranking = n_chars desc (doc_id ties),
     // graded relevance = source index mod 4; discounts are the pinned
     // floor(1e6/log2(k+1)) ppm literals, exact integers end to end

@@ -3027,6 +3027,40 @@ private[graft] object SparkEntryOracles {
         |  FROM orders)
         |SELECT n, mean, n_reps, lo, med, hi FROM pt, ci""".stripMargin,
 
+    // KS twin: same tie cells, same denominator-cleared distance and
+    // the same packed-max argmax (lowest score on ties)
+    "ml_ks_statistic" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+        |      THEN 1 ELSE 0 END AS y,
+        |    n_chars AS score
+        |  FROM documents
+        |), cells AS (
+        |  SELECT lang, score, count(*) AS c, sum(y) AS p
+        |  FROM base GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT lang, score,
+        |    sum(p) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c - p) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+        |    sum(p) OVER (PARTITION BY lang) AS n1,
+        |    sum(c - p) OVER (PARTITION BY lang) AS n0
+        |  FROM cells
+        |), packed AS (
+        |  SELECT lang, n1, n0,
+        |    abs(CAST(cum1 AS HUGEINT) * n0 - CAST(cum0 AS HUGEINT) * n1)
+        |      * 10000000 + (9999999 - score) AS pack
+        |  FROM cum)
+        |SELECT lang, CAST(max(n1) AS BIGINT) AS n_pos,
+        |  CAST(max(n0) AS BIGINT) AS n_neg,
+        |  CAST(9999999 - max(pack) % 10000000 AS BIGINT) AS ks_at_score,
+        |  CAST((max(pack) // 10000000) * 1000000
+        |    // nullif(CAST(max(n1) AS HUGEINT) * max(n0), 0) AS BIGINT)
+        |    AS ks_ppm
+        |FROM packed GROUP BY 1""".stripMargin,
+
     // nDCG twin: identical pinned floor(1e6/log2(k+1)) discount list,
     // 1-based list indexing, same two rankings and tie-breaks
     "ml_ndcg" -> {

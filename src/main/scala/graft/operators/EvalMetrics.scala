@@ -371,4 +371,44 @@ object EvalMetrics {
   val ndcgDiscountPpm: Seq[Long] =
     Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
       315464L, 301029L, 289064L)
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `labelCol`=1 and
+    * =0 score distributions — "how separable are the two classes at the
+    * single best threshold" (the KS chart next to AUC in every scorecard
+    * review). Exact under ties: KS = maxₛ |F₁(s) − F₂(s)| evaluated on
+    * the DISTINCT-score tie cells; clearing denominators keeps it
+    * integral — d(s) = |cum₁(s)·n₀ − cum₀(s)·n₁|, KS_ppm =
+    * 10⁶·max d / (n₁·n₀). Also reports the argmax threshold (lowest
+    * score on ties — the packed-max trick again).
+    *
+    * Scale shape: the [[aucByGroup]] cells-first discipline — one hash
+    * agg to (group, score) cells, a running window over the CELL table
+    * (bounded by the quantized score axis), one final row per group.
+    * Degenerate groups (one class absent) yield NULL. */
+  def ksStatistic(df: DataFrame, groupCol: String, labelCol: String,
+                  scoreCol: String): DataFrame = {
+    val run = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(groupCol))
+    df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("c"), sum(col(labelCol)).as("p"))
+      .withColumn("cum1", sum(col("p")).over(run))
+      .withColumn("cum0", sum(col("c") - col("p")).over(run))
+      .withColumn("n1", sum(col("p")).over(whole))
+      .withColumn("n0", sum(col("c") - col("p")).over(whole))
+      .withColumn("d", abs(col("cum1").cast("decimal(38,0)") * col("n0") -
+        col("cum0").cast("decimal(38,0)") * col("n1")))
+      // pack (d major, lowest-score-on-ties minor); scores are quantized
+      // non-negative longs in practice — require so the pack is total
+      .withColumn("_pack", col("d") * lit(10000000L) +
+        (lit(9999999L) - col(scoreCol).cast("decimal(38,0)")))
+      .groupBy(col(groupCol))
+      .agg(max(col("n1")).as("n_pos"), max(col("n0")).as("n_neg"),
+        max(col("_pack")).as("_mp"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        expr("cast(9999999 - _mp % 10000000 as bigint)").as("ks_at_score"),
+        expr("""cast((_mp div 10000000) * 1000000
+               | div nullif(cast(n_pos as decimal(38,0)) * n_neg, 0)
+               | as bigint)""".stripMargin).as("ks_ppm"))
+  }
 }

@@ -186,6 +186,28 @@ class EvalMetricsSpec extends SparkSpec {
     assert(g2 === 1000000L)
   }
 
+  test("ksStatistic: perfect separation is 1e6 at the boundary score; " +
+    "tied maxima break to the LOWEST score; degenerate group is NULL") {
+    import spark.implicits._
+    // pos at {1,2}, neg at {3,4} -> KS=1 at s=2
+    val sep = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))
+      .toDF("score", "y").withColumn("g", lit("s"))
+    val s1 = EvalMetrics.ksStatistic(sep, "g", "y", "score").collect().head
+    assert(s1.getAs[Long]("ks_ppm") === 1000000L)
+    assert(s1.getAs[Long]("ks_at_score") === 2L)
+    // interleaved: max d=2 at s=1 AND s=3 -> argmax reports 1
+    val mix = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L))
+      .toDF("score", "y").withColumn("g", lit("m"))
+    val m = EvalMetrics.ksStatistic(mix, "g", "y", "score").collect().head
+    assert(m.getAs[Long]("ks_ppm") === 500000L)
+    assert(m.getAs[Long]("ks_at_score") === 1L)
+    // one-class group: no distance to measure
+    val one = Seq((1L, 1L), (2L, 1L)).toDF("score", "y")
+      .withColumn("g", lit("d"))
+    val d = EvalMetrics.ksStatistic(one, "g", "y", "score").collect().head
+    assert(d.isNullAt(d.fieldIndex("ks_ppm")))
+  }
+
   test("poissonBootstrapCI: constant values collapse the CI to the point") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, 4200L)).toDF("id", "v")
