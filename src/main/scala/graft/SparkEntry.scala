@@ -1160,6 +1160,13 @@ object SparkEntry {
       Dedup.ngramPairsFor(t(s, dir, "documents"), "doc_id", "text",
         k = 2, minJaccard = 0.8, key = dir)),
 
+    // ASYMMETRIC containment: contained-doc pairs symmetric Jaccard
+    // can't see (quote-inside-article, boilerplate wrapping); prefix
+    // blocking on the contained side only, directional output
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, minContainment = 0.8)),
+
     // Sorted-neighborhood blocking (Hernández–Stolfo): global order on a
     // normalized text prefix via the distributed range-sort sequence
     // numbers, candidates = the 5 successors of each doc in that order

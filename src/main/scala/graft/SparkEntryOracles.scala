@@ -1247,6 +1247,22 @@ private[graft] object SparkEntryOracles {
          |SELECT id_a, id_b, intersection, size_a, size_b
          |FROM pairs""".stripMargin,
 
+    // containment twin: same shingle algebra, DIRECTIONAL pairs, the
+    // threshold spelled as the same ceil(t*|A|) overlap bound
+    "dedup_containment" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |inter AS (
+         |  SELECT a.doc_id AS ca, b.doc_id AS cb, count(*) AS i
+         |  FROM ex a JOIN ex b USING (shingle)
+         |  WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+         |SELECT ca AS contained_id, cb AS container_id,
+         |  CAST(i AS BIGINT) AS intersection,
+         |  sa.n AS size_a, sb.n AS size_b,
+         |  CAST(i * 1000000 // sa.n AS BIGINT) AS containment_ppm
+         |FROM inter JOIN sizes sa ON ca = sa.doc_id
+         |           JOIN sizes sb ON cb = sb.doc_id
+         |WHERE i >= ceil(0.8 * sa.n)""".stripMargin,
+
     // sorted-neighborhood replay: identical blocking-key total order
     // (substr of normalized text, doc_id tiebreak), rank distance 1..5
     // via a row_number self-join, same shingle algebra as the jaccard

@@ -207,6 +207,90 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** ASYMMETRIC containment pairs: (contained, container) where
+    * |A∩B| ≥ ⌈t·|A|⌉ — the dedup question symmetric Jaccard CANNOT ask:
+    * a tweet quoted inside an article, boilerplate wrapping a kept doc, a
+    * chunk re-shipped inside a bigger crawl page all have LOW Jaccard
+    * (the union is dominated by the big side) but containment ≈ 1.
+    * Output is DIRECTIONAL — identical sets contain each other and emit
+    * both orders.
+    *
+    * Blocking is the PPJoin prefix on the CONTAINED side only: sort each
+    * set by global (df, hash), a set missing all of its |A|−⌈t·|A|⌉+1
+    * rarest-first prefix elements from B cannot reach the overlap bound,
+    * so candidates come from joining that short prefix (rare shingles by
+    * construction — bounded fan-out) against the full exploded table;
+    * the container side needs no prefix (its bound depends on |A|, which
+    * varies per pair). `|B| ≥ ⌈t·|A|⌉` prunes before the exact
+    * array-intersect confirm. Exact-identical sets collapse first and
+    * member expansion restores them, like every operator of this family. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, minContainment: Double): DataFrame =
+    containmentPairsFromGroups(
+      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
+      minContainment)
+
+  def containmentPairsFromGroups(groups: DataFrame,
+                                 minContainment: Double): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      "minContainment in (0, 1]")
+    val t = minContainment
+    val exploded = groups
+      .select(col("rep").as("doc"), explode(col("key")).as("h"))
+    val dfTab = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    // sorted sets, one materialization for prefix + both verify sides
+    val sets = exploded.join(dfTab, "h")
+      .select(col("doc"), struct(col("df"), col("h")).as("e"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("e"))).as("es"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    val prefixes = sets.select(col("doc").as("a"), col("n").as("na"),
+      explode(transform(slice(col("es"), lit(1), prefixLen),
+        e => e.getField("h"))).as("h"))
+    val full = exploded.select(col("doc").as("b"), col("h"))
+    val cand = prefixes.join(full, "h")
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val hashed = sets.select(col("doc"),
+      transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
+    val repPairs = cand
+      .join(hashed.select(col("doc").as("a"), col("hs").as("hs_a"),
+        col("n").as("size_a")), "a")
+      .join(hashed.select(col("doc").as("b"), col("hs").as("hs_b"),
+        col("n").as("size_b")), "b")
+      .where(col("size_b") >= ceil(lit(t) * col("size_a")))
+      .withColumn("intersection",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .where(col("intersection") >= ceil(lit(t) * col("size_a")))
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        col("intersection"), col("size_a"), col("size_b"))
+    // members: every member of rep a is contained in every member of rep
+    // b; identical sets (same rep, n_same > 1) contain each other BOTH
+    // ways — emit ordered pairs in both directions
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("contained_id"), col("m").as("ma")),
+        "contained_id")
+      .join(memb.select(col("rep").as("container_id"), col("m").as("mb")),
+        "container_id")
+      .select(col("ma").as("contained_id"), col("mb").as("container_id"),
+        col("intersection"), col("size_a"), col("size_b"))
+    val n = size(col("key")).cast("long")
+    val intra = groups.where(col("n_same") > 1)
+      .select(col("ids"), n.as("nn"))
+      .select(col("ids"), explode(col("ids")).as("ma"), col("nn"))
+      .select(col("ma"), explode(col("ids")).as("mb"), col("nn"))
+      .where(col("ma") =!= col("mb"))
+      .select(col("ma").as("contained_id"), col("mb").as("container_id"),
+        col("nn").as("intersection"), col("nn").as("size_a"),
+        col("nn").as("size_b"))
+    cross.unionByName(intra)
+      .withColumn("containment_ppm",
+        expr("cast(intersection * 1000000 div size_a as bigint)"))
+  }
+
   /** MinHash + LSH near-duplicate pairs: n-hash signatures split into
     * `bands`, candidate pairs from band-bucket collisions, then an EXACT
     * Jaccard confirmation on the candidates (so precision is 1; recall is

@@ -419,4 +419,49 @@ class DedupSpec extends SparkSpec {
     assert(got === expect)
     assert(got.exists(_._3), "expected at least one semantic dup at cos>=0.4")
   }
+
+  test("containmentPairs: finds the quote-inside-article pair symmetric " +
+    "Jaccard misses; equals brute force; identical docs contain BOTH ways") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = (1 to 40).map(i => s"w$i")
+    val big = words.mkString(" ") // 39 bigrams
+    val small = words.take(12).mkString(" ") // 11 bigrams, all inside big
+    val other = (100 to 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other), (4L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 2,
+      minContainment = 0.8)
+      .select("contained_id", "container_id", "intersection", "size_a",
+        "size_b", "containment_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // 2 ⊂ 1 (11/11), NOT 1 ⊂ 2 (11/39); identical 3,4 both ways
+    assert(got === Set(
+      (2L, 1L, 11L, 11L, 39L, 1000000L),
+      (3L, 4L, 20L, 20L, 20L, 1000000L),
+      (4L, 3L, 20L, 20L, 20L, 1000000L)))
+    // Jaccard at the same threshold misses the asymmetric pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2,
+      minJaccard = 0.8).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    assert(jac.contains((3L, 4L)))
+    // blocked == brute force on a denser corpus (several partial overlaps)
+    val dense = (0 until 30).map { i =>
+      val start = i * 3 % 20
+      (i.toLong, words.slice(start, start + 10 + i % 8).mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.containmentPairs(dense, "doc_id", "text", 2, 0.8)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet
+    def bigrams(s: String) =
+      s.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val txt = dense.as[(Long, String)].collect().toMap
+    val brute = (for {
+      a <- txt.keys; b <- txt.keys if a != b
+      sa = bigrams(txt(a)); sb = bigrams(txt(b))
+      if sa.intersect(sb).size >= math.ceil(0.8 * sa.size)
+    } yield (a, b)).toSet
+    assert(blocked === brute && brute.nonEmpty)
+  }
 }
