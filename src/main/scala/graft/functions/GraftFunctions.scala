@@ -183,6 +183,14 @@ object GraftFunctions {
     GraftBridge.column(
       ShingleHashes(GraftBridge.expression(tokens(c)), k))
 
+  /** |A ∩ B| of two SORTED long arrays by a codegen'd merge walk — the
+    * dedup confirm-join inner loop; replaces `size(array_intersect)`
+    * (hash-set build + materialized intersection per pair) with zero
+    * allocation. Arrays MUST be sorted ascending. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** One MinHash value: min over shingles of a seeded 64-bit hash. Seeding
     * is done by prepending the seed to the hashed tuple, so each of the n
     * signature positions is an independent permutation approximation. */

@@ -68,6 +68,10 @@ object GraftSql {
     "cosine_sim" -> { es =>
       arity("cosine_sim", es, 2); CosineSimilarity(es.head, es(1))
     },
+    "sorted_intersect_count" -> { es =>
+      arity("sorted_intersect_count", es, 2)
+      org.apache.spark.sql.graft.SortedIntersectCount(es.head, es(1))
+    },
     "shingle_hashes" -> { es =>
       arity("shingle_hashes", es, 2)
       // text in, like the DSL: tokenize (lower + whitespace split) inline

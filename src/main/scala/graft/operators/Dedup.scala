@@ -174,15 +174,18 @@ object Dedup {
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
           ceil(lit(alphaFactor) * (col("a.n") + col("b.n"))))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
+    // re-sort by VALUE (es is df-ordered): one sort per distinct set buys
+    // the codegen'd merge-walk intersect on every candidate pair
     val hashed = sets.select(col("doc"),
-      transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
+      sort_array(transform(col("es"), e => e.getField("h"))).as("hs"),
+      col("n"))
     val repPairs = cand
       .join(hashed.select(col("doc").as("id_a"), col("hs").as("hs_a"),
         col("n").as("size_a")), "id_a")
       .join(hashed.select(col("doc").as("id_b"), col("hs").as("hs_b"),
         col("n").as("size_b")), "id_b")
       .withColumn("intersection",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("intersection") / (col("size_a") + col("size_b") - col("intersection")))
       .where(col("jaccard") >= minJaccard)
@@ -246,15 +249,24 @@ object Dedup {
         count(lit(1)).as("n"))
       .localCheckpoint()
     val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    // positions ride along on BOTH sides (the shared df-sorted order), so
+    // the PPJoin positional residual prunes before the distinct: a match
+    // at (pa, pb) bounds the remaining possible overlap by
+    // min(na−pa, nb−pb), which must still reach ⌈t·na⌉
     val prefixes = sets.select(col("doc").as("a"), col("n").as("na"),
-      explode(transform(slice(col("es"), lit(1), prefixLen),
-        e => e.getField("h"))).as("h"))
-    val full = exploded.select(col("doc").as("b"), col("h"))
+      posexplode(transform(slice(col("es"), lit(1), prefixLen),
+        e => e.getField("h"))).as(Seq("pa", "h")))
+    val full = sets.select(col("doc").as("b"), col("n").as("nb"),
+      posexplode(transform(col("es"), e => e.getField("h")))
+        .as(Seq("pb", "h")))
     val cand = prefixes.join(full, "h")
-      .where(col("a") =!= col("b"))
+      .where(col("a") =!= col("b") &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) >=
+          ceil(lit(t) * col("na")))
       .select("a", "b").distinct()
     val hashed = sets.select(col("doc"),
-      transform(col("es"), e => e.getField("h")).as("hs"), col("n"))
+      sort_array(transform(col("es"), e => e.getField("h"))).as("hs"),
+      col("n"))
     val repPairs = cand
       .join(hashed.select(col("doc").as("a"), col("hs").as("hs_a"),
         col("n").as("size_a")), "a")
@@ -262,7 +274,7 @@ object Dedup {
         col("n").as("size_b")), "b")
       .where(col("size_b") >= ceil(lit(t) * col("size_a")))
       .withColumn("intersection",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        sortedIntersectCount(col("hs_a"), col("hs_b")))
       .where(col("intersection") >= ceil(lit(t) * col("size_a")))
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("intersection"), col("size_a"), col("size_b"))
@@ -423,7 +435,7 @@ object Dedup {
       .withColumn("seq_b", col("seq") + col("off"))
       .join(right, "seq_b")
       .withColumn("intersection",
-        size(array_intersect(col("sh"), col("sh_b"))).cast("long"))
+        sortedIntersectCount(col("sh"), col("sh_b")))
       .withColumn("sa", size(col("sh")).cast("long"))
       .withColumn("sb", size(col("sh_b")).cast("long"))
       .where(col("intersection") / (col("sa") + col("sb") -
@@ -488,7 +500,8 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("intersection", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("intersection",
+        sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("union_size",
         size(col("sh_a")) + size(col("sh_b")) - col("intersection"))
       .withColumn("jaccard", col("intersection") / col("union_size"))
@@ -1001,7 +1014,7 @@ object Dedup {
       .join(rSets.select(col("doc").as("ref_id"), col("sh").as("sh_r")),
         "ref_id")
       .withColumn("intersection",
-        size(array_intersect(col("sh_n"), col("sh_r"))).cast("long"))
+        sortedIntersectCount(col("sh_n"), col("sh_r")))
       .withColumn("size_new", size(col("sh_n")).cast("long"))
       .withColumn("size_ref", size(col("sh_r")).cast("long"))
       .where(col("intersection") /

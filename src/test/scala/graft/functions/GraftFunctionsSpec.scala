@@ -178,4 +178,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(both.where($"fast" =!= $"slow").count() === 0L)
     docs.unpersist()
   }
+
+  test("sortedIntersectCount == size(array_intersect) on random sorted " +
+    "sets; null-safe; stays in whole-stage codegen") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    // deterministic random-ish sorted distinct sets, varied sizes incl 0
+    val rows = (0 until 400).map { i =>
+      def set(seed: Long, n: Int) =
+        (0 until n).map(j => (seed * 31 + j * j * 7919) % 1000).distinct
+          .sorted.map(_.toLong)
+      (i.toLong, set(i, i % 23), set(i * 13 + 5, (i * 7) % 19))
+    }.toDF("id", "a", "b")
+    val both = rows.select(
+      sortedIntersectCount($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0L)
+    // nulls propagate (BinaryExpression null-intolerance)
+    val n = rows.select(
+      sortedIntersectCount(lit(null).cast("array<long>"), $"b").as("v"))
+      .where($"v".isNull).count()
+    assert(n === 400L)
+    // the merge walk stays inside a WholeStageCodegen span over a REAL
+    // scan (a local relation constant-folds the whole projection away)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planned = docs.select(sortedIntersectCount(
+      sort_array(graft.functions.GraftFunctions.shingleHashes($"text", 2)),
+      sort_array(graft.functions.GraftFunctions.shingleHashes($"text", 3)))
+      .as("v"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan) // the codegen-span marker
+    assert(planned.where($"v" >= 0).count() > 0)
+  }
 }

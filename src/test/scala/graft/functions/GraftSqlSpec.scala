@@ -34,6 +34,10 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT size(minhash_signature(shingle_hashes('a b c', 2), 16)) AS v")
       .as[Int].head() === 16)
     assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), " +
+        "array(2L, 3L, 7L, 9L)) AS v")
+      .as[Long].head() === 2L)
+    assert(spark.sql(
       "SELECT size(char_ngram_counts('ab', 2)) AS v") // " a","ab","b ","a","b"
       .as[Int].head() === 5)
     assert(spark.sql(
