@@ -3491,6 +3491,15 @@ object SparkEntry {
         window = 16)
         .select("event_id", "user_id", "n", "ewma_micros")),
 
+    // Brown's double smoothing + one-step forecast (dyadic alpha makes
+    // the trend term exactly s1 - s2): two windows, one Exchange
+    "events_double_ewma" -> ((s, dir) =>
+      graft.operators.EventAnalytics.doubleEwmaIntWindow(
+        t(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value",
+        window = 16)
+        .select("event_id", "user_id", "n", "ewma_micros",
+          "dewma_micros", "forecast_micros")),
+
     // Conversion-lag SLA percentiles per nation: the lag table (an
     // already-oracled stage) joined to the broadcast customer dim, then
     // exact nearest-rank percentile selection per nation

@@ -4285,6 +4285,41 @@ private[graft] object SparkEntryOracles {
         |    // ((1::BIGINT << len(arr)) - 1) AS ewma_micros
         |FROM w""".stripMargin,
 
+    // double-EWMA twin: the identical truncating power-series smoothing
+    // applied twice (second window over the s1 column), dyadic trend
+    "events_double_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL
+        |), w1 AS (
+        |  SELECT event_id, user_id, ts,
+        |    list(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM e
+        |), s1t AS (
+        |  SELECT event_id, user_id, ts, CAST(len(arr) AS BIGINT) AS n,
+        |    CAST(list_sum(list_transform(generate_series(1, len(arr)),
+        |      j -> arr[j] * (1::BIGINT << (j - 1)))) AS BIGINT)
+        |      // ((1::BIGINT << len(arr)) - 1) AS s1
+        |  FROM w1
+        |), w2 AS (
+        |  SELECT event_id, user_id, n, s1,
+        |    list(s1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr2
+        |  FROM s1t
+        |)
+        |SELECT event_id, user_id, n, CAST(s1 AS BIGINT) AS ewma_micros,
+        |  CAST(list_sum(list_transform(generate_series(1, len(arr2)),
+        |    j -> arr2[j] * (1::BIGINT << (j - 1)))) AS BIGINT)
+        |    // ((1::BIGINT << len(arr2)) - 1) AS dewma_micros,
+        |  CAST(3 * s1 - 2 * (
+        |    CAST(list_sum(list_transform(generate_series(1, len(arr2)),
+        |      j -> arr2[j] * (1::BIGINT << (j - 1)))) AS BIGINT)
+        |      // ((1::BIGINT << len(arr2)) - 1)) AS BIGINT)
+        |    AS forecast_micros
+        |FROM w2""".stripMargin,
+
     // Phrase-search twin: the identical positional lambda over the same
     // empty-filtered token list (sequence bounds clamp the same way:
     // greatest(n-2, 0) vs generate_series on a possibly-negative bound

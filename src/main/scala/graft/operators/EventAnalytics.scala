@@ -304,6 +304,46 @@ object EventAnalytics {
       .drop("_vm", "_arr")
   }
 
+  /** Brown's DOUBLE exponential smoothing over the [[ewmaIntWindow]]
+    * machinery: s₂ = EWMA(EWMA(x)) with the same dyadic weights, so a
+    * trending series — where single EWMA lags systematically — gets a
+    * level + trend estimate. With the dyadic α = 1/2 weighting the
+    * classic Brown trend term (s₁−s₂)·α/(1−α) is exactly s₁ − s₂, so
+    * the one-step-ahead forecast is `3·s₁ − 2·s₂`, still exact integer
+    * micros end to end (both smoothings use the truncating power-series
+    * division, replayed verbatim by the SQL twin).
+    *
+    * Scale shape: two window passes over the SAME (key, order)
+    * partitioning — one Exchange, the second window reuses it; per-row
+    * state is the ≤`window`-element frame array, same as the single
+    * smoothing. */
+  def doubleEwmaIntWindow(df: DataFrame, keyCol: String,
+                          orderCols: Seq[String], valueCol: String,
+                          window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62, "1 <= window <= 62 (2^n in long)")
+    def smooth(arr: String) =
+      s"""aggregate(
+         |  transform(sequence(1, size($arr)),
+         |    j -> element_at($arr, j) *
+         |         shiftleft(cast(1 as bigint), j - 1)),
+         |  cast(0 as bigint), (a, x) -> a + x)
+         |div (shiftleft(cast(1 as bigint), size($arr)) - 1)""".stripMargin
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(-(window - 1), org.apache.spark.sql.expressions
+        .Window.currentRow)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("_vm", floor(col(valueCol) * 1000000).cast("long"))
+      .withColumn("_arr", collect_list(col("_vm")).over(w))
+      .withColumn("n", size(col("_arr")).cast("long"))
+      .withColumn("ewma_micros", expr(smooth("_arr")))
+      .withColumn("_arr2", collect_list(col("ewma_micros")).over(w))
+      .withColumn("dewma_micros", expr(smooth("_arr2")))
+      .withColumn("forecast_micros",
+        lit(3L) * col("ewma_micros") - lit(2L) * col("dewma_micros"))
+      .drop("_vm", "_arr", "_arr2")
+  }
+
   /** CUSUM changepoint estimate per group — "when did this metric's level
     * shift?" over a per-period series (Page's cumulative-sum statistic;
     * the standard first-look shift detector for pipeline telemetry).

@@ -204,6 +204,26 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 1L, 1000000L), (2L, 2L, 1666666L), (3L, 2L, 3333333L)))
   }
 
+  test("doubleEwmaIntWindow: constant series is a fixed point; " +
+    "hand-computed ramp; forecast leads the lagging smoother") {
+    import spark.implicits._
+    val const = (1 to 5).map(i => (1L, i.toLong, 7.0)).toDF("u", "seq", "v")
+    val c = EventAnalytics.doubleEwmaIntWindow(const, "u", Seq("seq"), "v")
+      .select("ewma_micros", "dewma_micros", "forecast_micros")
+      .as[(Long, Long, Long)].collect()
+    assert(c.forall(_ == ((7000000L, 7000000L, 7000000L))))
+    // ramp 1.0, 2.0: row2 s1 = (1e6 + 2*2e6) div 3 = 1666666,
+    // s2 = (1e6 + 2*1666666) div 3 = 1444444, f = 3*s1 - 2*s2 = 2111110
+    val ramp = Seq((1L, 1L, 1.0), (1L, 2L, 2.0)).toDF("u", "seq", "v")
+    val r = EventAnalytics.doubleEwmaIntWindow(ramp, "u", Seq("seq"), "v")
+      .where($"seq" === 2L)
+      .select("ewma_micros", "dewma_micros", "forecast_micros")
+      .as[(Long, Long, Long)].collect().head
+    assert(r === ((1666666L, 1444444L, 2111110L)))
+    // on a rising series the forecast sits above the lagging s1
+    assert(r._3 > r._1)
+  }
+
   test("twapDaily: hand-computed hold durations; last sample holds to " +
     "midnight; plain AVG would differ") {
     import spark.implicits._
