@@ -1934,6 +1934,40 @@ object SparkEntry {
     // the RIFF walk + per-frame ImageIO decode runs as the partition-mapped
     // batch (rows-only: JPEG decode has no SQL twin; dims/colors/spacing
     // pinned in MultimodalSpec)
+    // Landmark constellation fingerprints (the Shazam mechanic) over 8
+    // deterministic tone-sequence WAVs; rows-only (Goertzel doubles have
+    // no SQL twin), clip-matches-source laws pinned in MultimodalSpec
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
+        .map(id => (id, Multimodal.buildToneSequenceWav(
+          (0 until 8).map(j => 300.0 + ((id * 7 + j * 3) % 12) * 250.0))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioFingerprints(assets, "doc_id", "payload")
+    }),
+
+    // Clip-to-source matching over the landmark index: probes are tone
+    // subsequences (segments 2..5) of their references — the offset
+    // histogram must re-align each probe to its source
+    "mm_audio_match" -> ((s, dir) => {
+      import s.implicits._
+      def seqOf(id: Long) =
+        (0 until 8).map(j => 300.0 + ((id * 7 + j * 3) % 12) * 250.0)
+      val refs = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
+        .map(id => (id, Multimodal.buildToneSequenceWav(seqOf(id))))
+        .toDF("doc_id", "payload")
+      val probes = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 4).as[Long]
+        .map(id => (id + 100L,
+          Multimodal.buildToneSequenceWav(seqOf(id).slice(2, 6))))
+        .toDF("doc_id", "payload")
+      Multimodal.audioMatch(
+        Multimodal.audioFingerprints(probes, "doc_id", "payload"),
+        Multimodal.audioFingerprints(refs, "doc_id", "payload"))
+    }),
+
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
       val assets = t(s, dir, "documents")

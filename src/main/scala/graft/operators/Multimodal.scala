@@ -389,27 +389,26 @@ object Multimodal {
   /** Decode 16-bit PCM and compute [[AudioSpectrum]] with `nBands`
     * Goertzel probes at band-center frequencies below Nyquist. Multi-
     * channel audio is mono-mixed (integer average) before analysis. */
-  def audioSpectrumOne(assetId: Long, bytes: Array[Byte],
-                       nBands: Int = 8): AudioSpectrum = {
-    val fail = AudioSpectrum(assetId, ok = false, 0, 0L, 0L, 0L, 0,
-      new Array[Long](nBands))
-    if (!looksLikeAudio(bytes)) return fail
+  /** Decode a 16-bit PCM payload to (sampleRate, integer mono mix) —
+    * the shared front half of the spectrum and fingerprint paths. */
+  private[operators] def decodePcmMono(
+      bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (!looksLikeAudio(bytes)) return None
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => return fail }
+      catch { case _: Exception => return None }
     try {
       val fmt = in.getFormat
       val bigEndian = fmt.isBigEndian
       if (fmt.getSampleSizeInBits != 16 ||
         fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        return fail
+        return None
       val raw = in.readAllBytes()
       val ch = fmt.getChannels
       val frameBytes = 2 * ch
       val n = raw.length / frameBytes
-      if (n == 0) return fail
-      // mono mix in integers
+      if (n == 0) return None
       val mono = new Array[Int](n)
       var i = 0
       while (i < n) {
@@ -426,47 +425,71 @@ object Multimodal {
         mono(i) = acc / ch
         i += 1
       }
-      // RMS (exact integer sum of squares) + zero crossings
-      var sq = 0L
-      var zc = 0L
-      i = 0
-      while (i < n) {
-        val v = mono(i)
-        sq += v.toLong * v
-        if (i > 0 && ((mono(i - 1) >= 0) != (v >= 0))) zc += 1
-        i += 1
-      }
-      val rmsMilli = math.round(math.sqrt(sq.toDouble / n) / 32768.0 * 1000)
-      // Goertzel power at each band center (b + 0.5) * nyquist / nBands;
-      // fixed iteration order keeps the double accumulation deterministic
-      val sr = math.round(fmt.getSampleRate)
-      val power = new Array[Double](nBands)
-      var b = 0
-      while (b < nBands) {
-        val freq = (b + 0.5) * (sr / 2.0) / nBands
-        val w = 2.0 * math.Pi * freq / sr
-        val coeff = 2.0 * StrictMath.cos(w)
-        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
-        i = 0
-        while (i < n) {
-          s0 = mono(i) + coeff * s1 - s2
-          s2 = s1; s1 = s0
-          i += 1
-        }
-        power(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
-        b += 1
-      }
-      val total = power.sum
-      val shares =
-        if (total <= 0) new Array[Long](nBands)
-        else power.map(p => math.round(p / total * 1000))
-      var dom = 0
-      b = 1
-      while (b < nBands) { if (power(b) > power(dom)) dom = b; b += 1 }
-      AudioSpectrum(assetId, ok = true, sr, n.toLong, rmsMilli, zc,
-        dom, shares)
-    } catch { case _: Exception => fail }
+      Some((math.round(fmt.getSampleRate), mono))
+    } catch { case _: Exception => None }
     finally in.close()
+  }
+
+  /** Goertzel power of `mono(from until from+len)` at band center
+    * (b + 0.5)·nyquist/nBands — fixed iteration order, StrictMath trig:
+    * bit-identical on every JVM. */
+  private def goertzelPower(mono: Array[Int], from: Int, len: Int,
+                            b: Int, nBands: Int, sr: Int): Double = {
+    val freq = (b + 0.5) * (sr / 2.0) / nBands
+    val w = 2.0 * math.Pi * freq / sr
+    val coeff = 2.0 * StrictMath.cos(w)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+    var i = from
+    val end = from + len
+    while (i < end) {
+      s0 = mono(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  def audioSpectrumOne(assetId: Long, bytes: Array[Byte],
+                       nBands: Int = 8): AudioSpectrum = {
+    val fail = AudioSpectrum(assetId, ok = false, 0, 0L, 0L, 0L, 0,
+      new Array[Long](nBands))
+    decodePcmMono(bytes) match {
+      case None => fail
+      case Some((sr, mono)) => audioSpectrumOf(assetId, sr, mono, nBands)
+    }
+  }
+
+  private def audioSpectrumOf(assetId: Long, sr: Int, mono: Array[Int],
+                              nBands: Int): AudioSpectrum = {
+    val n = mono.length
+    // RMS (exact integer sum of squares) + zero crossings
+    var sq = 0L
+    var zc = 0L
+    var i = 0
+    while (i < n) {
+      val v = mono(i)
+      sq += v.toLong * v
+      if (i > 0 && ((mono(i - 1) >= 0) != (v >= 0))) zc += 1
+      i += 1
+    }
+    val rmsMilli = math.round(math.sqrt(sq.toDouble / n) / 32768.0 * 1000)
+    // Goertzel power at each band center (b + 0.5) * nyquist / nBands;
+    // fixed iteration order keeps the double accumulation deterministic
+    val power = new Array[Double](nBands)
+    var b = 0
+    while (b < nBands) {
+      power(b) = goertzelPower(mono, 0, n, b, nBands, sr)
+      b += 1
+    }
+    val total = power.sum
+    val shares =
+      if (total <= 0) new Array[Long](nBands)
+      else power.map(p => math.round(p / total * 1000))
+    var dom = 0
+    b = 1
+    while (b < nBands) { if (power(b) > power(dom)) dom = b; b += 1 }
+    AudioSpectrum(assetId, ok = true, sr, n.toLong, rmsMilli, zc,
+      dom, shares)
   }
 
   /** Partition-mapped [[audioSpectrumOne]] over (id, payload) rows. */
@@ -505,6 +528,132 @@ object Multimodal {
       i += 1
     }
     bos.toByteArray
+  }
+
+  /** Deterministic multi-tone WAV: `freqs` sine segments of `segSamples`
+    * each, concatenated — the fixture for fingerprint matching (a tone
+    * SEQUENCE is what gives each asset a distinctive constellation; a
+    * single pure tone has a constant peak track). */
+  def buildToneSequenceWav(freqs: Seq[Double], sampleRate: Int = 8000,
+                           segSamples: Int = 1024,
+                           amp: Int = 12000): Array[Byte] = {
+    val nSamples = freqs.length * segSamples
+    val dataLen = nSamples * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def wcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    wcc("RIFF"); w32(36 + dataLen); wcc("WAVE")
+    wcc("fmt "); w32(16); w16(1); w16(1)
+    w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
+    wcc("data"); w32(dataLen)
+    var s = 0
+    while (s < freqs.length) {
+      val f = freqs(s)
+      var i = 0
+      while (i < segSamples) {
+        val v = math.round(
+          amp * StrictMath.sin(2.0 * math.Pi * f * i / sampleRate)).toInt
+        w16(v)
+        i += 1
+      }
+      s += 1
+    }
+    bos.toByteArray
+  }
+
+  // ---- audio fingerprinting: peak-pair constellation hashing ----
+  // The Shazam mechanic (Wang 2003, "An Industrial-Strength Audio Search
+  // Algorithm"): per frame, the spectral PEAK band; landmarks = (anchor
+  // peak, target peak, frame gap) triples hashed into an integer; a clip
+  // matches its source when many landmark hashes agree at ONE aligned
+  // time offset. Deterministic here: Goertzel peaks via StrictMath,
+  // argmax ties to the lowest band.
+
+  /** One landmark row: `hash` packs (anchor band, target band, gap). */
+  case class AudioLandmark(asset_id: Long, ok: Boolean, hash: Long, t: Long)
+
+  /** Frame-peak constellation landmarks of one payload. */
+  def audioFingerprintOne(assetId: Long, bytes: Array[Byte],
+                          frameLen: Int = 256, hop: Int = 128,
+                          nBands: Int = 16,
+                          fanout: Int = 4): Seq[AudioLandmark] = {
+    decodePcmMono(bytes) match {
+      case None => Seq(AudioLandmark(assetId, ok = false, 0L, 0L))
+      case Some((sr, mono)) =>
+        val nFrames = if (mono.length < frameLen) 0
+          else (mono.length - frameLen) / hop + 1
+        if (nFrames < 2) return Seq(AudioLandmark(assetId, ok = false, 0L, 0L))
+        val peaks = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var best = 0; var bestP = Double.NegativeInfinity
+          var b = 0
+          while (b < nBands) {
+            val p = goertzelPower(mono, f * hop, frameLen, b, nBands, sr)
+            if (p > bestP) { bestP = p; best = b }
+            b += 1
+          }
+          peaks(f) = best
+          f += 1
+        }
+        val out = Seq.newBuilder[AudioLandmark]
+        f = 0
+        while (f < nFrames) {
+          var j = f + 1
+          val end = math.min(f + fanout, nFrames - 1)
+          while (j <= end) {
+            val hash = (peaks(f).toLong << 16) |
+              (peaks(j).toLong << 8) | (j - f).toLong
+            out += AudioLandmark(assetId, ok = true, hash, f.toLong)
+            j += 1
+          }
+          f += 1
+        }
+        out.result()
+    }
+  }
+
+  /** Partition-mapped landmark extraction over (id, payload) rows. */
+  def audioFingerprints(assets: DataFrame, idCol: String, binCol: String,
+                        frameLen: Int = 256, hop: Int = 128,
+                        nBands: Int = 16, fanout: Int = 4): DataFrame = {
+    implicit val enc = Encoders.product[AudioLandmark]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+      .flatMap { case (id, bytes) =>
+        audioFingerprintOne(id, bytes, frameLen, hop, nBands, fanout) }
+      .toDF()
+  }
+
+  /** Match probe landmark tables against a reference landmark table: an
+    * equi-join on `hash`, votes counted per (probe, ref, time offset) —
+    * the offset histogram — and each probe keeps its best (votes, then
+    * lowest ref/offset for determinism) alignment.
+    *
+    * Scale shape: the landmark tables are the at-rest index (rows, not
+    * audio); the match is one hash equi-join + two shrinking aggregates.
+    * A planetary reference index would pre-partition by hash; nothing
+    * here assumes the refs fit anywhere in particular. */
+  def audioMatch(probes: DataFrame, refs: DataFrame): DataFrame = {
+    val p = probes.where(col("ok"))
+      .select(col("asset_id").as("probe_id"), col("hash"),
+        col("t").as("pt"))
+    val r = refs.where(col("ok"))
+      .select(col("asset_id").as("ref_id"), col("hash"), col("t").as("rt"))
+    p.join(r, "hash")
+      .groupBy(col("probe_id"), col("ref_id"),
+        (col("rt") - col("pt")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("probe_id"))
+      .agg(max(struct(col("votes"), (-col("ref_id")).as("nr"),
+        (-col("offset")).as("no"))).as("w"))
+      .select(col("probe_id"), (-col("w.nr")).as("ref_id"),
+        (-col("w.no")).as("offset"), col("w.votes").as("votes"))
   }
 
   // ---- perceptual image hash (pHash): 32×32 integer DCT, 8×8 low band ----

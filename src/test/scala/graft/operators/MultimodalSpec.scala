@@ -282,4 +282,42 @@ class MultimodalSpec extends SparkSpec {
         s"cluster $c: $members")
     }
   }
+
+  test("audio fingerprint: a clip matches its SOURCE at the expected " +
+    "offset; wrong sources lose the vote; deterministic; bad payload ok=false") {
+    import spark.implicits._
+    def seqOf(id: Long) =
+      (0 until 8).map(j => 300.0 + ((id * 7 + j * 3) % 12) * 250.0)
+    val refs = (0L until 4L).map(id =>
+      (id, Multimodal.buildToneSequenceWav(seqOf(id))))
+      .toDF("doc_id", "payload")
+    // probe = segments 2..5 of ref 1: landmark times shift by exactly
+    // 2 * (1024 / 128) = 16 frames
+    val probe = Seq((101L,
+      Multimodal.buildToneSequenceWav(seqOf(1L).slice(2, 6))))
+      .toDF("doc_id", "payload")
+    val rfp = Multimodal.audioFingerprints(refs, "doc_id", "payload")
+    val pfp = Multimodal.audioFingerprints(probe, "doc_id", "payload")
+    val m = Multimodal.audioMatch(pfp, rfp)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m.length === 1)
+    val (probeId, refId, offset, votes) = m.head
+    assert(probeId === 101L && refId === 1L)
+    assert(offset === 16L, s"offset $offset")
+    // the aligned vote must dominate ANY (ref, offset) cell of the
+    // other references
+    val others = pfp.join(rfp.where($"asset_id" =!= 1L)
+        .select($"asset_id".as("ref_id"), $"hash", $"t".as("rt")), "hash")
+      .groupBy($"ref_id", ($"rt" - $"t").as("off"))
+      .agg(count(lit(1)).as("v"))
+      .agg(coalesce(max($"v"), lit(0L))).as[Long].collect().head
+    assert(votes > others, s"aligned $votes vs best-other $others")
+    // deterministic across runs
+    val m2 = Multimodal.audioMatch(pfp, rfp)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m2.toSeq === m.toSeq)
+    // undecodable payload yields the ok=false marker row
+    val bad = Multimodal.audioFingerprintOne(7L, Array[Byte](1, 2, 3))
+    assert(bad === Seq(Multimodal.AudioLandmark(7L, ok = false, 0L, 0L)))
+  }
 }
