@@ -421,16 +421,22 @@ object EventAnalytics {
           .Window.currentRow)))
       .withColumn("_n", count(lit(1)).over(whole))
       .withColumn("_s", sum(col(valueCol)).over(whole))
-      .withColumn("_ac", abs(col("_n") * col("_p") - col("_k") * col("_s")))
-      // pack (|C| major, earliest-day-on-ties minor) into one long:
+      // decimal cross products: n·P reaches ~3.6e15 at 100 TB daily
+      // counts, and the ×10⁵ pack below would overflow int64 — decimal
+      // keeps both exact at any scale
+      .withColumn("_ac", abs(
+        col("_n").cast("decimal(38,0)") * col("_p") -
+          col("_k").cast("decimal(38,0)") * col("_s")))
+      // pack (|C| major, earliest-day-on-ties minor) in decimal(38,0):
       // reversed day = 99999 − epoch-day keeps max-pack = earliest day
       .withColumn("_pack",
-        col("_ac") * 100000L + (lit(99999L) - col("_day")))
+        col("_ac") * lit(100000L) + (lit(99999L) - col("_day")))
       .groupBy(col(groupCol))
       .agg(max(col("_n")).as("n_periods"), max(col("_s")).as("total"),
         max(col("_pack")).as("_mp"))
       .select(col(groupCol), col("n_periods"), col("total"),
-        (lit(99999L) - pmod(col("_mp"), lit(100000L))).as("change_epoch_day"),
-        expr("_mp div 100000").as("peak_abs_scaled"))
+        (lit(99999L) - pmod(col("_mp"), lit(100000L))).cast("long")
+          .as("change_epoch_day"),
+        expr("cast(_mp div 100000 as bigint)").as("peak_abs_scaled"))
   }
 }
