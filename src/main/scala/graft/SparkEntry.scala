@@ -1464,6 +1464,12 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
 
+    // N-gram novelty/originality: fraction of each doc's shingles with
+    // corpus df=1, ppm — the complement axis of the duplication signals
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        k = 2)),
+
     // Gopher-style compressibility signal: per-doc DEFLATE ratio in
     // milli-units. Rows-only at the gate (zlib bytes aren't pinned
     // across builds); ordering laws spec-pinned in TextAnalysisSpec
@@ -3138,6 +3144,14 @@ object SparkEntry {
     "dq_k_anonymity" -> ((s, dir) =>
       graft.operators.DataQuality.kAnonymity(
         t(s, dir, "documents"), Seq("lang", "source", "n_chars"), k = 5)),
+
+    // Missing-id gap ranges over lineitem's orderkey sequence (orders
+    // with no lines are REAL holes — ~257 at sf0.01, so the green is
+    // non-trivial): distributed range-sort sequence numbers + successor
+    // equi-join, no global window
+    "dq_id_gaps" -> ((s, dir) =>
+      graft.operators.DataQuality.idGaps(
+        t(s, dir, "lineitem"), "l_orderkey")),
 
     // FD-strength audit: how strongly does l_partkey determine
     // l_suppkey (TPC-H: each part has 4 suppliers, so the FD is badly

@@ -3988,6 +3988,31 @@ private[graft] object SparkEntryOracles {
         |  CAST(max_cnt * 1000000 // median_cnt AS BIGINT) AS skew_ppm
         |FROM stats, med""".stripMargin,
 
+    // novelty twin: the shared shingle algebra, df table, df=1 share
+    "text_ngram_novelty" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |dftab AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM ex e JOIN dftab d USING (shingle)
+         |GROUP BY 1""".stripMargin,
+
+    // id-gaps twin: row_number + the same successor self-join
+    "dq_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        |seqd AS (
+        |  SELECT id, row_number() OVER (ORDER BY id) AS seq FROM ids),
+        |p AS (
+        |  SELECT a.id, b.id AS next_id
+        |  FROM seqd a JOIN seqd b ON b.seq = a.seq + 1)
+        |SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+        |  CAST(next_id - 1 AS BIGINT) AS gap_end,
+        |  CAST(next_id - id - 1 AS BIGINT) AS gap_len
+        |FROM p WHERE next_id > id + 1""".stripMargin,
+
     // FD-strength twin: same shrinking (lhs, rhs) cells -> per-lhs
     // max/sum -> one-row reduction; every aggregate BIGINT-cast
     "dq_fd_strength" ->

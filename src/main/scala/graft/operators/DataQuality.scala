@@ -275,6 +275,27 @@ object DataQuality {
           | div nullif(n_rows, 0) as bigint)""".stripMargin))
   }
 
+  /** Gap ranges in an integer id sequence — "which ids are missing"
+    * (dropped batches, lost messages, broken sequence generators). Emits
+    * one row per maximal missing run: (gap_start, gap_end, gap_len).
+    *
+    * Scale shape: the classic windowed lead() needs a GLOBAL order — a
+    * single-partition window at corpus scale. Instead: distributed
+    * range-sort sequence numbers ([[Ranking.globalRowNumbers]]), then
+    * successor pairing as a plain EQUI-JOIN on seq = seq+1 — every step
+    * hash/range-partitions; no window anywhere. */
+  def idGaps(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+    val seqd = Ranking.globalRowNumbers(ids, Seq("id"))
+    val nxt = seqd.select((col("seq") - 1L).as("seq"),
+      col("id").as("next_id"))
+    seqd.join(nxt, "seq")
+      .where(col("next_id") > col("id") + 1L)
+      .select((col("id") + 1L).as("gap_start"),
+        (col("next_id") - 1L).as("gap_end"),
+        (col("next_id") - col("id") - 1L).as("gap_len"))
+  }
+
   def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame = {
     require(quasiIdCols.nonEmpty, "need at least one quasi-identifier")
     require(k >= 1, "k must be >= 1")

@@ -975,6 +975,31 @@ object TextAnalysis {
     * gate; the ordering laws (repetition compresses below prose, random
     * hex above it, ratio bounded by deflate's worst-case overhead) are
     * spec-pinned instead. */
+  /** N-gram NOVELTY score — "how much of this document appears nowhere
+    * else in the corpus": the fraction of a doc's distinct word-k-shingle
+    * hashes with corpus document-frequency 1, in ppm. The complement of
+    * the duplication signals: boilerplate and templated docs score near
+    * 0, original prose near 10⁶ — the originality axis a curation mix
+    * actually balances on.
+    *
+    * Scale shape: the dedup family's shingle algebra reused — one explode
+    * + df hash-agg over (shingle → df), one join back, one per-doc agg;
+    * no pairs, no windows. Empty-shingle docs (single word) drop, like
+    * the dedup operators. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions
+        .shingleHashes(col(textCol), k)).as("h"))
+    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    ex.join(dfTab, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "cast(n_novel * 1000000 div n_shingles as bigint)"))
+  }
+
   def compressionSignal(df: DataFrame, idCol: String, textCol: String,
                         level: Int = 6): DataFrame = {
     require(level >= 1 && level <= 9, "deflate level in 1..9")

@@ -121,6 +121,17 @@ class DataQualitySpec extends SparkSpec {
     assert(got === ((5L, 16L, 10L, 2L, 625000L, 5000000L)))
   }
 
+  test("idGaps: planted gap ranges; duplicates collapse; no gaps -> empty") {
+    import spark.implicits._
+    // ids {1,2,3, 7, 9,10, 15} with a duplicate 7
+    val df = Seq(1L, 2L, 3L, 7L, 7L, 9L, 10L, 15L).toDF("id")
+    val got = DataQuality.idGaps(df, "id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((4L, 6L, 3L), (8L, 8L, 1L), (11L, 14L, 4L)))
+    val dense = (5L to 9L).toDF("id")
+    assert(DataQuality.idGaps(dense, "id").count() === 0L)
+  }
+
   test("fdStrength: exact g3 on a hand-built violation") {
     import spark.implicits._
     // lhs a -> {x, x, y}: keep 2 of 3; lhs b -> {z}: holds

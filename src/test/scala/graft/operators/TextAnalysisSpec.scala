@@ -6,6 +6,24 @@ import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("ngramNovelty: hand-computed shares; boilerplate scores 0, " +
+    "unique prose 1e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), // bigrams all unique -> 1e6
+      (2L, "copy me now"), // shared with doc 3 -> 0
+      (3L, "copy me now"),
+      (4L, "copy me later") // "copy me" df=3, "me later" df=1 -> 500000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, 1000000L)))
+    assert(got(2L) === ((2L, 2L, 0L, 0L)))
+    assert(got(3L) === ((3L, 2L, 0L, 0L)))
+    assert(got(4L) === ((4L, 2L, 1L, 500000L)))
+  }
+
   test("compressionSignal: ordering laws, bounds, determinism") {
     import spark.implicits._
     val repetitive = "spark " * 400 // near-pure repetition
