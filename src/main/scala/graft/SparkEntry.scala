@@ -2377,6 +2377,27 @@ object SparkEntry {
             .as("price_cents"))
     }),
 
+    // Schema-evolution merged read: generation 1 lacks the priority
+    // column, generation 2 carries it; mergeSchema presents the union
+    // schema with NULLs for pre-evolution rows — grouped here so the
+    // NULL-backfill semantics are what the oracle checks
+    "s_evolved_schema_scan" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val path = graft.sources.Layouts.evolvedSchemaLayoutFor(
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), cents(col("o_totalprice"))
+            .as("price_cents")),
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .select(col("o_orderkey"), cents(col("o_totalprice"))
+            .as("price_cents"), col("o_orderpriority")),
+        key = s"evolved-$dir")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("sum_cents"))
+    }),
+
     // Quantile-balanced range layout: KLL-sketch cuts (one kilobyte pass,
     // never a sort) make every bucket directory ~1/n of the rows even
     // under skew; a price-range scan prunes whole directories via the

@@ -3328,6 +3328,16 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem
         |WHERE l_orderkey = 515""".stripMargin,
 
+    // evolved-schema twin: generation membership replayed by the same
+    // key parity; pre-evolution rows carry the NULL-backfill label
+    "s_evolved_schema_scan" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+        |            ELSE o_orderpriority END AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // Balanced-layout twin: directory pruning is IO-only, so the replay
     // is the plain filtered aggregate on the same cents quantization
     "s_balanced_layout" ->

@@ -290,6 +290,28 @@ object Layouts {
       path
     })
 
+  /** Per-JVM registry of schema-evolved append layouts. */
+  private val evolvedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** An at-rest table written in TWO schema generations — `batch1` with
+    * the original columns, `batch2` appended after a column was added
+    * (the S8 evolution case as a QUERYABLE layout, not just a writer
+    * test). Readers use `mergeSchema` and see the union schema with
+    * NULLs for pre-evolution rows — the lakehouse contract Delta/Iceberg
+    * formalize, expressed in plain parquet. */
+  def evolvedSchemaLayoutFor(batch1: => DataFrame, batch2: => DataFrame,
+                             key: String,
+                             baseDir: String =
+                               sys.props("java.io.tmpdir") + "/graft-evolved")
+      : String =
+    evolvedLayouts.computeIfAbsent(key, { _ =>
+      val path = graft.TmpArtifacts.under(baseDir, key)
+      batch1.write.mode("overwrite").parquet(path)
+      batch2.write.mode("append").parquet(path)
+      path
+    })
+
   /** Per-JVM registry of quantile-balanced range layouts: (path, cuts). */
   private val balancedLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Long])]()
