@@ -1955,18 +1955,24 @@ object SparkEntry {
 
     // Clip-to-source matching over the landmark index: probes are tone
     // subsequences (segments 2..5) of their references — the offset
-    // histogram must re-align each probe to its source
+    // histogram must re-align each probe to its source.
+    // SPARK_GRAFT_AUDIO_SCALE=N (default 1, the registry/oracle shape)
+    // multiplies the reference-index and probe-set sizes — the SCALE.md
+    // blowup harness's knob for the landmark-join family, whose inputs
+    // are generated fixtures the parquet blowup cannot grow
     "mm_audio_match" -> ((s, dir) => {
       import s.implicits._
+      val scale = sys.env.getOrElse("SPARK_GRAFT_AUDIO_SCALE", "1").toLong
       def seqOf(id: Long) =
         (0 until 8).map(j => 300.0 + ((id * 7 + j * 3) % 12) * 250.0)
+      val probeBase = math.max(100L, 8L * scale)
       val refs = t(s, dir, "documents")
-        .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
+        .select(col("doc_id")).where(col("doc_id") < 8 * scale).as[Long]
         .map(id => (id, Multimodal.buildToneSequenceWav(seqOf(id))))
         .toDF("doc_id", "payload")
       val probes = t(s, dir, "documents")
-        .select(col("doc_id")).where(col("doc_id") < 4).as[Long]
-        .map(id => (id + 100L,
+        .select(col("doc_id")).where(col("doc_id") < 4 * scale).as[Long]
+        .map(id => (id + probeBase,
           Multimodal.buildToneSequenceWav(seqOf(id).slice(2, 6))))
         .toDF("doc_id", "payload")
       Multimodal.audioMatch(
@@ -1991,12 +1997,14 @@ object SparkEntry {
           col("mean_luma_milli"))
     }),
 
-    // REAL audio decode + spectral features: deterministic synthetic sine
-    // WAVs keyed by doc_id (StrictMath — bit-identical on any JVM) are
-    // generated executor-side, then javax.sound PCM decode + an 8-band
-    // Goertzel power spectrum runs as the partition-mapped batch
-    // (rows-only: PCM decode has no SQL twin; the sine at band center
-    // (doc_id%8) must dominate band doc_id%8 — pinned in MultimodalSpec.
+    // REAL audio decode + spectral features, EXACT-INTEGER end to end:
+    // band-tone WAVs keyed by doc_id are generated executor-side from the
+    // milli-quantized sine table (pure integer samples), javax.sound PCM
+    // decode + the 8-band integer-DFT spectrum runs as the partition-
+    // mapped batch, and because every intermediate is integer the WHOLE
+    // generate→WAV→decode→analyze chain replays in DuckDB — the oracle
+    // inlines the 32-entry table and recomputes band shares from doc_id
+    // (round-10 ADVICE item: the last spectrum-family rows-only hole).
     // The 8 band energies are emitted as SCALAR columns, not an
     // array<long> — the driver's pandas canonicalizer sorts every output
     // column and cannot sort ndarrays, so an array column makes the whole
@@ -2005,15 +2013,14 @@ object SparkEntry {
       import s.implicits._
       val assets = t(s, dir, "documents")
         .select(col("doc_id")).where(col("doc_id") < 16).as[Long]
-        .map(id => (id, Multimodal.buildSineWav(
-          freqHz = 250.0 + (id % 8) * 500.0)))
+        .map(id => (id, Multimodal.buildBandToneWav((id % 8).toInt)))
         .toDF("doc_id", "payload")
       val bands = (0 until 8).map(i =>
         element_at(col("band_energy_milli"), i + 1).as(s"band${i}_milli"))
       Multimodal.audioSpectrum(assets, "doc_id", "payload").toDF()
         .select(Seq(col("asset_id"), col("ok"),
           col("sample_rate").cast("long").as("sample_rate"),
-          col("n_samples"), col("rms_milli"), col("zero_crossings"),
+          col("n_samples"), col("ms_ppm"), col("zero_crossings"),
           col("dominant_band").cast("long").as("dominant_band")) ++ bands: _*)
     }),
 

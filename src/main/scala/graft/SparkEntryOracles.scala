@@ -1136,6 +1136,85 @@ private[graft] object SparkEntryOracles {
         |   NOT lower(trim(c_mktsegment)) IN ('nan', 'none', '')) AS seg_real
         |FROM customer""".stripMargin,
 
+    // audio-spectrum twin: a FULL replay of the exact-integer chain —
+    // the WAV samples regenerate from doc_id via the inlined 32-entry
+    // milli-quantized sine table (16-bit PCM round-trips losslessly, so
+    // decode is the identity on sample values), the per-band power is
+    // the same integer DFT (cos = sin shifted 8 entries), and shares/
+    // ms_ppm use the same floor-division roundings. HUGEINT only in
+    // intermediates (squares reach ~10²¹); every output is BIGINT.
+    // All `//` numerators are nonnegative (DuckDB's // truncates, which
+    // equals floor only for nonnegative operands); the one signed
+    // rounding (sample amplitude) goes through floor() instead.
+    "mm_audio_spectrum" ->
+      """WITH tab(j, s) AS (VALUES
+        |  (0,0),(1,195),(2,383),(3,556),(4,707),(5,831),(6,924),(7,981),
+        |  (8,1000),(9,981),(10,924),(11,831),(12,707),(13,556),(14,383),
+        |  (15,195),(16,0),(17,-195),(18,-383),(19,-556),(20,-707),
+        |  (21,-831),(22,-924),(23,-981),(24,-1000),(25,-981),(26,-924),
+        |  (27,-831),(28,-707),(29,-556),(30,-383),(31,-195)),
+        |ids AS (
+        |  SELECT doc_id AS id, doc_id % 8 AS m FROM documents
+        |  WHERE doc_id < 16),
+        |samp AS (
+        |  SELECT ids.id, r.i,
+        |    CAST(floor((2*12000*t.s + 1000) / 2000.0) AS BIGINT) AS v
+        |  FROM ids
+        |  CROSS JOIN range(0, 2000) r(i)
+        |  JOIN tab t ON t.j = (r.i * (2*ids.m + 1)) % 32),
+        |zcs AS (
+        |  SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+        |  FROM samp),
+        |base AS (
+        |  SELECT id, count(*) AS n, sum(v*v) AS sq,
+        |    sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) != (v >= 0))
+        |        THEN 1 ELSE 0 END) AS zc
+        |  FROM zcs GROUP BY id),
+        |terms AS (
+        |  SELECT s.id, b.b, s.v, ts.s AS sv, tc.s AS cv
+        |  FROM samp s
+        |  CROSS JOIN range(0, 8) b(b)
+        |  JOIN tab ts ON ts.j = (s.i * (2*b.b + 1)) % 32
+        |  JOIN tab tc ON tc.j = ((s.i * (2*b.b + 1)) + 8) % 32),
+        |pw AS (
+        |  SELECT id, b,
+        |    CAST(SUM(v*cv) AS HUGEINT)*CAST(SUM(v*cv) AS HUGEINT)
+        |    + CAST(SUM(v*sv) AS HUGEINT)*CAST(SUM(v*sv) AS HUGEINT) AS p
+        |  FROM terms GROUP BY id, b),
+        |tot AS (SELECT id, SUM(p) AS tp FROM pw GROUP BY id),
+        |sh AS (
+        |  SELECT pw.id, pw.b,
+        |    CAST((pw.p * 2000 + t.tp) // (t.tp * 2) AS BIGINT) AS share,
+        |    row_number() OVER (PARTITION BY pw.id
+        |      ORDER BY pw.p DESC, pw.b ASC) AS rk
+        |  FROM pw JOIN tot t ON pw.id = t.id)
+        |SELECT b0.id AS asset_id, TRUE AS ok,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(b0.n AS BIGINT) AS n_samples,
+        |  CAST((CAST(b0.sq AS HUGEINT) * 1000000)
+        |    // (b0.n * 1073741824) AS BIGINT) AS ms_ppm,
+        |  CAST(b0.zc AS BIGINT) AS zero_crossings,
+        |  CAST(max(CASE WHEN sh.rk = 1 THEN sh.b END) AS BIGINT)
+        |    AS dominant_band,
+        |  CAST(max(CASE WHEN sh.b = 0 THEN sh.share END) AS BIGINT)
+        |    AS band0_milli,
+        |  CAST(max(CASE WHEN sh.b = 1 THEN sh.share END) AS BIGINT)
+        |    AS band1_milli,
+        |  CAST(max(CASE WHEN sh.b = 2 THEN sh.share END) AS BIGINT)
+        |    AS band2_milli,
+        |  CAST(max(CASE WHEN sh.b = 3 THEN sh.share END) AS BIGINT)
+        |    AS band3_milli,
+        |  CAST(max(CASE WHEN sh.b = 4 THEN sh.share END) AS BIGINT)
+        |    AS band4_milli,
+        |  CAST(max(CASE WHEN sh.b = 5 THEN sh.share END) AS BIGINT)
+        |    AS band5_milli,
+        |  CAST(max(CASE WHEN sh.b = 6 THEN sh.share END) AS BIGINT)
+        |    AS band6_milli,
+        |  CAST(max(CASE WHEN sh.b = 7 THEN sh.share END) AS BIGINT)
+        |    AS band7_milli
+        |FROM base b0 JOIN sh ON sh.id = b0.id
+        |GROUP BY b0.id, b0.n, b0.sq, b0.zc""".stripMargin,
+
     // pixel-features twin: the corpus payloads are text bytes, so the
     // contract is "no false decode" — every row must be the ok=false stub
     // (the true-decode path is pinned on generated PNGs in MultimodalSpec)

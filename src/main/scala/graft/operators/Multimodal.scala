@@ -369,20 +369,27 @@ object Multimodal {
 
   // ---- audio: PCM decode + spectral features (JDK-only) ----
   // WAV decode is real (`javax.sound.sampled` ships a PCM codec); the
-  // "embedding" is an n-band Goertzel power spectrum — the deterministic
-  // stand-in for a model forward pass with the same schema, partitioning
-  // and batch shape. All trig goes through StrictMath (bit-identical on
-  // every JVM), accumulation is fixed-order IEEE, outputs are rounded to
-  // integer milli-units: the features are reproducible anywhere.
+  // "embedding" is an n-band power spectrum probed at band centers — the
+  // deterministic stand-in for a model forward pass with the same
+  // schema, partitioning and batch shape. The SPECTRUM path is
+  // EXACT-INTEGER end to end (the pHash/DCT treatment): band-center
+  // phases are exact rationals of a turn, so one milli-unit quantized
+  // sine table of 4·nBands entries drives an all-integer DFT whose every
+  // intermediate is a long/BigInt — replayable bit-for-bit in ANY engine
+  // with integer arithmetic, which is what gives `mm_audio_spectrum` a
+  // DuckDB oracle. (The fingerprint path keeps StrictMath Goertzel
+  // doubles: peak ARGMAX only needs determinism, not replayability.)
 
   /** Spectral features of one decoded audio payload. `ok = false` rows
-    * carry zeros (payload wasn't decodable 16-bit PCM). `rms_milli` is
-    * relative to full scale (32768); `band_energy_milli` holds each
-    * band's share of total spectral power in milli-fractions (sums to
-    * ~1000); `dominant_band` is the argmax (ties → lowest). */
+    * carry zeros (payload wasn't decodable 16-bit PCM). `ms_ppm` is the
+    * mean square in parts-per-million of full-scale² (exact integer —
+    * the rms in disguise without the irrational sqrt);
+    * `band_energy_milli` holds each band's share of total spectral power
+    * in milli-fractions (sums to ~1000); `dominant_band` is the argmax
+    * (ties → lowest). */
   case class AudioSpectrum(asset_id: Long, ok: Boolean,
                            sample_rate: Int, n_samples: Long,
-                           rms_milli: Long, zero_crossings: Long,
+                           ms_ppm: Long, zero_crossings: Long,
                            dominant_band: Int,
                            band_energy_milli: Array[Long])
 
@@ -459,10 +466,19 @@ object Multimodal {
     }
   }
 
+  /** Milli-unit quantized sine over `m` equal divisions of the turn:
+    * tab(j) = round(1000·sin(2πj/m)). StrictMath makes the BUILD
+    * bit-identical on any JVM, and once quantized every downstream
+    * operation is integer — the table for nBands bands has 4·nBands
+    * entries (tiny enough to inline as literals in an oracle SQL). */
+  private[operators] def sinMilliTable(m: Int): Array[Long] =
+    Array.tabulate(m)(j =>
+      math.round(1000.0 * StrictMath.sin(2.0 * math.Pi * j / m)))
+
   private def audioSpectrumOf(assetId: Long, sr: Int, mono: Array[Int],
                               nBands: Int): AudioSpectrum = {
     val n = mono.length
-    // RMS (exact integer sum of squares) + zero crossings
+    // mean square (exact integer sum of squares) + zero crossings
     var sq = 0L
     var zc = 0L
     var i = 0
@@ -472,23 +488,46 @@ object Multimodal {
       if (i > 0 && ((mono(i - 1) >= 0) != (v >= 0))) zc += 1
       i += 1
     }
-    val rmsMilli = math.round(math.sqrt(sq.toDouble / n) / 32768.0 * 1000)
-    // Goertzel power at each band center (b + 0.5) * nyquist / nBands;
-    // fixed iteration order keeps the double accumulation deterministic
-    val power = new Array[Double](nBands)
+    // ms_ppm = floor(10⁶·(sq/n)/32768²) — BigInt keeps sq·10⁶ exact for
+    // arbitrarily long audio (sq alone can reach n·2³⁰)
+    val msPpm = (BigInt(sq) * 1000000L /
+      (BigInt(n) * 1073741824L)).toLong
+    // Exact-integer DFT power at each band center (b+0.5)·nyquist/nBands:
+    // the phase of sample i is (2b+1)·i/(4·nBands) TURNS — an exact
+    // rational independent of the sample rate — so the milli-quantized
+    // table indexed by an integer phase accumulator replaces all FPU
+    // work. |re| ≤ n·2¹⁵·10³ (long-safe past 10¹¹ samples); the squares
+    // go through BigInt.
+    val m = 4 * nBands
+    val tab = sinMilliTable(m)
+    val power = new Array[BigInt](nBands)
     var b = 0
     while (b < nBands) {
-      power(b) = goertzelPower(mono, 0, n, b, nBands, sr)
+      val step = 2 * b + 1
+      var re = 0L
+      var im = 0L
+      var idx = 0
+      i = 0
+      while (i < n) {
+        val v = mono(i).toLong
+        im += v * tab(idx)
+        re += v * tab((idx + nBands) % m) // cos = sin shifted a quarter turn
+        idx += step
+        if (idx >= m) idx -= m
+        i += 1
+      }
+      power(b) = BigInt(re) * re + BigInt(im) * im
       b += 1
     }
-    val total = power.sum
+    val total = power.foldLeft(BigInt(0))(_ + _)
+    // share = round(1000·p/total) as pure integer: floor((2000p+t)/2t)
     val shares =
       if (total <= 0) new Array[Long](nBands)
-      else power.map(p => math.round(p / total * 1000))
+      else power.map(p => ((p * 2000 + total) / (total * 2)).toLong)
     var dom = 0
     b = 1
     while (b < nBands) { if (power(b) > power(dom)) dom = b; b += 1 }
-    AudioSpectrum(assetId, ok = true, sr, n.toLong, rmsMilli, zc,
+    AudioSpectrum(assetId, ok = true, sr, n.toLong, msPpm, zc,
       dom, shares)
   }
 
@@ -502,12 +541,10 @@ object Multimodal {
         audioSpectrumOne(id, bytes, nBands) })
   }
 
-  /** Deterministic synthetic 16-bit mono WAV: a pure sine at `freqHz`,
-    * amplitude `amp` (of 32767), `nSamples` samples at `sampleRate` Hz —
-    * the executor-side audio fixture (StrictMath.sin: bit-identical on
-    * every JVM). */
-  def buildSineWav(freqHz: Double, sampleRate: Int = 8000,
-                   nSamples: Int = 2000, amp: Int = 12000): Array[Byte] = {
+  /** 16-bit mono PCM WAV container around `nSamples` generated samples —
+    * the shared writer of every audio fixture builder. */
+  private def monoWavBytes(nSamples: Int, sampleRate: Int)(
+      sample: Int => Int): Array[Byte] = {
     val dataLen = nSamples * 2
     val bos = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = {
@@ -521,13 +558,38 @@ object Multimodal {
     w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
     wcc("data"); w32(dataLen)
     var i = 0
-    while (i < nSamples) {
-      val v = math.round(
-        amp * StrictMath.sin(2.0 * math.Pi * freqHz * i / sampleRate)).toInt
-      w16(v)
-      i += 1
-    }
+    while (i < nSamples) { w16(sample(i)); i += 1 }
     bos.toByteArray
+  }
+
+  /** Deterministic synthetic 16-bit mono WAV: a pure sine at `freqHz`,
+    * amplitude `amp` (of 32767), `nSamples` samples at `sampleRate` Hz —
+    * the executor-side audio fixture (StrictMath.sin: bit-identical on
+    * every JVM). */
+  def buildSineWav(freqHz: Double, sampleRate: Int = 8000,
+                   nSamples: Int = 2000, amp: Int = 12000): Array[Byte] =
+    monoWavBytes(nSamples, sampleRate)(i => math.round(
+      amp * StrictMath.sin(2.0 * math.Pi * freqHz * i / sampleRate)).toInt)
+
+  /** Deterministic 16-bit mono WAV whose samples come from the SAME
+    * milli-quantized sine table the spectrum probe uses: a tone at band
+    * center (bandIdx + 0.5)·nyquist/nBands, sample i =
+    * round(amp·tab((2·bandIdx+1)·i mod 4·nBands)/1000) — PURE INTEGER
+    * generation, so the whole generate→WAV→decode→analyze chain of
+    * `mm_audio_spectrum` is replayable in SQL (the oracle inlines the
+    * 4·nBands-entry table; round(x/1000) = floorDiv(2x+1000, 2000) on
+    * both sides). The phase quantization to 1/(4·nBands) turns is what a
+    * numerically-controlled oscillator with a 2-bit-per-band phase
+    * accumulator emits; spectrally it is still a tone centered on the
+    * band (the spec pins that band's dominance). */
+  def buildBandToneWav(bandIdx: Int, nBands: Int = 8, sampleRate: Int = 8000,
+                       nSamples: Int = 2000, amp: Int = 12000): Array[Byte] = {
+    val m = 4 * nBands
+    val tab = sinMilliTable(m)
+    monoWavBytes(nSamples, sampleRate) { i =>
+      val s = tab((((2L * bandIdx + 1) * i) % m).toInt)
+      Math.floorDiv(2L * amp * s + 1000L, 2000L).toInt
+    }
   }
 
   /** Deterministic multi-tone WAV: `freqs` sine segments of `segSamples`

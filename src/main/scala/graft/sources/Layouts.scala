@@ -103,15 +103,16 @@ object Layouts {
     * an integer-typed top-level column.
     *
     * Scale shape: the file list distributes over executors
-    * (`spark.read.parquet` never runs), the manifest is one row per FILE
-    * — bounded enough to collect and prune driver-side, exactly what a
-    * table format's transaction log holds. Footer edge cases stay
+    * (`spark.read.parquet` never runs) and the result is a DATAFRAME of
+    * one row per file, persisted at rest by [[minMaxIndexFor]] — never
+    * collected whole (at 10⁶ files the manifest is real data; the driver
+    * holds a path string, like the bloom index). Footer edge cases stay
     * conservative: a zero-row file is dropped (nothing to read), a chunk
     * without stats widens to the full long range (never pruned, never
     * wrong). */
-  def parquetFooterManifest(spark: org.apache.spark.sql.SparkSession,
+  private def footerStatsDF(spark: org.apache.spark.sql.SparkSession,
                             path: String, statCol: String)
-      : Array[(String, Long, Long)] = {
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new HPath(path)
@@ -152,18 +153,51 @@ object Layouts {
           } finally r.close()
         }
       }
-    rdd.collect().sortBy(_._1)
+    spark.createDataFrame(rdd).toDF("f", "lo", "hi")
   }
 
-  /** Memoized [[parquetFooterManifest]] per (session, path, statCol) —
-    * the manifest is an index artifact of the layout, built once. */
-  private val manifests =
-    new graft.SessionMemo[(String, String), Array[(String, Long, Long)]]()
+  /** At-rest min/max skipping index: [[footerStatsDF]] persisted as a
+    * parquet (f, lo, hi) table, memoized BY PATH per (session, layout,
+    * column) — the same residency contract as [[bloomIndexFor]]. At 24 B
+    * a file this was the last manifest the driver kept whole (~24 MB at
+    * 10⁶ files, GBs with wider stats structs at table-format scale);
+    * now the driver holds a string and pruning runs as a distributed
+    * scan of the index. */
+  private val minMaxIndexes =
+    new graft.SessionMemo[(String, String), String]()
 
+  def minMaxIndexFor(spark: org.apache.spark.sql.SparkSession,
+                     path: String, statCol: String): String =
+    minMaxIndexes.getOrCompute(spark, (path, statCol)) {
+      val indexPath = graft.TmpArtifacts.path("graft-minmaxidx",
+        s"$path#$statCol")
+      footerStatsDF(spark, path, statCol)
+        .write.mode("overwrite").parquet(indexPath)
+      indexPath
+    }
+
+  /** The files of `path` whose footer [lo, hi] zone OVERLAPS the probe
+    * range: a distributed filter over the at-rest index, returning only
+    * the surviving names — driver memory is O(survivors), never
+    * O(all files). */
+  def manifestSurvivors(spark: org.apache.spark.sql.SparkSession,
+                        path: String, statCol: String,
+                        lo: Long, hi: Long): Array[String] = {
+    import spark.implicits._
+    spark.read.parquet(minMaxIndexFor(spark, path, statCol))
+      .where(col("hi") >= lo && col("lo") <= hi)
+      .select("f").as[String].collect().sorted
+  }
+
+  /** Whole-index diagnostic read (spec assertions over per-file zones);
+    * registry paths prune through [[manifestSurvivors]] instead and
+    * never materialize the full manifest driver-side. */
   def manifestFor(spark: org.apache.spark.sql.SparkSession,
-                  path: String, statCol: String): Array[(String, Long, Long)] =
-    manifests.getOrCompute(spark, (path, statCol))(
-      parquetFooterManifest(spark, path, statCol))
+                  path: String, statCol: String): Array[(String, Long, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(minMaxIndexFor(spark, path, statCol))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+  }
 
   /** Range scan with FILE skipping: keep only files whose footer [lo, hi]
     * overlaps `[lo, hi]`, read just those, and apply the residual filter
@@ -174,9 +208,7 @@ object Layouts {
   def manifestPrunedRead(spark: org.apache.spark.sql.SparkSession,
                          path: String, statCol: String,
                          lo: Long, hi: Long): DataFrame = {
-    val keep = manifestFor(spark, path, statCol)
-      .filter { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
-      .map(_._1)
+    val keep = manifestSurvivors(spark, path, statCol, lo, hi)
     val base = spark.read.parquet(path)
     if (keep.isEmpty) base.where(lit(false))
     else spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*)

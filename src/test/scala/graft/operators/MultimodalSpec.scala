@@ -205,8 +205,9 @@ class MultimodalSpec extends SparkSpec {
       // nearly the whole share budget (sums to ~1000)
       assert(a.band_energy_milli(band) >= 900, s"asset $id share")
       assert(math.abs(a.band_energy_milli.sum - 1000L) <= 8)
-      // RMS of A·sin is A/sqrt(2): 12000/32768/1.4142 ≈ 0.2589
-      assert(math.abs(a.rms_milli - 259L) <= 3, s"asset $id rms")
+      // mean square of A·sin is A²/2: (12000/32768)²/2 ≈ 0.06705 →
+      // ~67054 ppm of full-scale²
+      assert(math.abs(a.ms_ppm - 67054L) <= 150, s"asset $id ms")
       // 2 crossings per cycle: 2 * f * n / sr (±2 for endpoints)
       val f = 250.0 + band * 500.0
       val expectZc = math.round(2.0 * f * n / sr)
@@ -219,7 +220,23 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(a => a.asset_id -> a).toMap
     Seq(0L, 5L, 9L).foreach { id =>
       assert(again(id).band_energy_milli.toSeq === got(id).band_energy_milli.toSeq)
-      assert(again(id).rms_milli === got(id).rms_milli)
+      assert(again(id).ms_ppm === got(id).ms_ppm)
+    }
+  }
+
+  test("audio spectrum: table-driven band tones (the exact-integer " +
+    "fixture the oracle replays) dominate their band at every band") {
+    import spark.implicits._
+    val rows = (0 until 8).map(b =>
+      (b.toLong, Multimodal.buildBandToneWav(b))).toDF("doc_id", "payload")
+    val got = Multimodal.audioSpectrum(rows, "doc_id", "payload")
+      .collect().map(a => a.asset_id -> a).toMap
+    (0 until 8).foreach { b =>
+      val a = got(b.toLong)
+      assert(a.ok && a.dominant_band === b, s"band $b")
+      assert(a.band_energy_milli(b) >= 900, s"band $b share")
+      // quantized sine keeps the sine's A²/2 mean square to ~1%
+      assert(math.abs(a.ms_ppm - 67054L) <= 700, s"band $b ms")
     }
   }
 

@@ -195,14 +195,25 @@ class ScaleLayoutSpec extends SparkSpec {
     val li = Tables(spark, sfDir, "lineitem")
     val path = graft.sources.Layouts.sortedLayoutFor(
       li, "l_orderkey", key = s"$sfDir#spec_manifest", numFiles = 8)
+    // the manifest lives AT REST as a parquet (f, lo, hi) index — the
+    // driver holds a path string, not the per-file array (the bloom-index
+    // residency contract, item: last O(all-files) driver residency)
+    val idx = graft.sources.Layouts.minMaxIndexFor(spark, path, "l_orderkey")
+    assert(spark.read.parquet(idx).count() === 8)
+    assert(spark.read.parquet(idx).columns.sorted.toSeq === Seq("f", "hi", "lo"))
     val man = graft.sources.Layouts.manifestFor(spark, path, "l_orderkey")
     assert(man.length === 8, man.mkString(","))
     // the range-sorted layout gives nearly disjoint per-file ranges, so a
-    // narrow key range must overlap STRICTLY fewer files than exist
+    // narrow key range must overlap STRICTLY fewer files than exist; the
+    // probe is the distributed index scan returning ONLY survivors
     val (lo, hi) = (100L, 300L)
-    val kept = man.count { case (_, fLo, fHi) => fHi >= lo && fLo <= hi }
+    val survivors = graft.sources.Layouts.manifestSurvivors(
+      spark, path, "l_orderkey", lo, hi)
+    val kept = survivors.length
     assert(kept >= 1 && kept < man.length,
       s"expected a proper subset of files, got $kept of ${man.length}")
+    assert(survivors.toSet === man.filter { case (_, fLo, fHi) =>
+      fHi >= lo && fLo <= hi }.map(_._1).toSet)
     // skipping can only drop provably-empty files: results identical
     val got = graft.sources.Layouts
       .manifestPrunedRead(spark, path, "l_orderkey", lo, hi)
