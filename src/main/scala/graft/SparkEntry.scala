@@ -31,6 +31,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Shared pHash image fixture: 12·4·scale pattern PNGs — 12 textures ×
+    * (4·scale) noise variants, so near-dup groups are planted by
+    * construction. SPARK_GRAFT_PHASH_SCALE=N (default 1, the registry
+    * shape) is the SCALE.md blowup knob for the pigeonhole-blocked
+    * hamming join, whose inputs are generated fixtures the parquet
+    * blowup cannot grow. */
+  private def phashAssets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scale = sys.env.getOrElse("SPARK_GRAFT_PHASH_SCALE", "1").toLong
+    t(s, dir, "documents")
+      .select(col("doc_id")).where(col("doc_id") < 48 * scale).as[Long]
+      .map { id =>
+        val variant = (id / 12).toInt
+        val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
+        (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
+      }.toDF("doc_id", "payload")
+  }
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
     * reference's end-to-end "knowledge extraction" pipeline (E3,
     * ref `src/batch_train.py:54-176`) re-expressed on the test star schema. */
@@ -2160,16 +2178,8 @@ object SparkEntry {
     // (same texture ≤ 6 bits apart, different textures ≥ 20) and
     // banded == brute-force equality are pinned in MultimodalSpec
     "mm_phash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val assets = t(s, dir, "documents")
-        .select(col("doc_id")).where(col("doc_id") < 48).as[Long]
-        .map { id =>
-          val variant = (id / 12).toInt
-          val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
-          (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
-        }.toDF("doc_id", "payload")
-      val fps = Multimodal.perceptualHashes(assets, "doc_id", "payload")
-        .toDF().where(col("ok"))
+      val fps = Multimodal.perceptualHashes(
+        phashAssets(s, dir), "doc_id", "payload").toDF().where(col("ok"))
       Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
         maxHamming = 8, metric = "phash_buckets")
     }),
@@ -2180,16 +2190,8 @@ object SparkEntry {
     // min id. Rows-only like its pair stage; the planted structure (12
     // texture groups of 4) is pinned in MultimodalSpec
     "mm_phash_clusters" -> ((s, dir) => {
-      import s.implicits._
-      val assets = t(s, dir, "documents")
-        .select(col("doc_id")).where(col("doc_id") < 48).as[Long]
-        .map { id =>
-          val variant = (id / 12).toInt
-          val amp = if (variant == 0) 0 else if (variant == 3) 8 else 4
-          (id, Multimodal.buildPatternPng((id % 12).toInt, id, amp))
-        }.toDF("doc_id", "payload")
-      val fps = Multimodal.perceptualHashes(assets, "doc_id", "payload")
-        .toDF().where(col("ok"))
+      val fps = Multimodal.perceptualHashes(
+        phashAssets(s, dir), "doc_id", "payload").toDF().where(col("ok"))
       val pairs = Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
         maxHamming = 8, metric = "phash_buckets")
       Dedup.connectedComponents(pairs, "id_a", "id_b")

@@ -191,6 +191,15 @@ object GraftFunctions {
     GraftBridge.column(org.apache.spark.sql.graft.SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Σ aᵢ·bᵢ of two `array<long>` columns as one fused codegen'd loop —
+    * the quantized-vector scoring inner loop (semantic dedup, fixed-
+    * codebook IVF); replaces `aggregate(zip_with(a, b, _*_), 0, _+_)`
+    * (a materialized product array per pair) with zero allocation.
+    * Integer math → combine-order-free → hash-oracle-exact. */
+  def dotLong(a: Column, b: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.DotProductLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** One MinHash value: min over shingles of a seeded 64-bit hash. Seeding
     * is done by prepending the seed to the hashed tuple, so each of the n
     * signature positions is an independent permutation approximation. */

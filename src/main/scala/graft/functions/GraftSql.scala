@@ -72,6 +72,10 @@ object GraftSql {
       arity("sorted_intersect_count", es, 2)
       org.apache.spark.sql.graft.SortedIntersectCount(es.head, es(1))
     },
+    "dot_long" -> { es =>
+      arity("dot_long", es, 2)
+      org.apache.spark.sql.graft.DotProductLong(es.head, es(1))
+    },
     "shingle_hashes" -> { es =>
       arity("shingle_hashes", es, 2)
       // text in, like the DSL: tokenize (lower + whitespace split) inline

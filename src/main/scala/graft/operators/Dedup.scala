@@ -671,10 +671,25 @@ object Dedup {
                      minCosine: Double, exact: Boolean = false,
                      signDims: Int = 4): DataFrame = {
     val base = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    // EXACT-COLLAPSE first — the uniform defense of every blocking family
+    // (the 10× identical-copy blowup measured this path at ~30× before:
+    // k byte-identical crawl-copy embeddings multiplied every bucket's
+    // candidate join k²). Identical vectors form ONE group keyed by the
+    // raw array; only representatives enter the bucket join, and member
+    // expansion afterwards reconstructs the per-row pair output exactly
+    // (cross pairs of matched groups are real output; intra-group pairs
+    // qualify iff the group's own self-cosine passes — computed with the
+    // same IEEE expression the uncollapsed pair would have used, so
+    // zero vectors still never match and results stay bit-identical).
+    val groups = base.groupBy(col("v"))
+      .agg(min(col("vid")).as("rep"), collect_list(col("vid")).as("ids"),
+        count(lit(1)).as("n_same"))
+      .localCheckpoint()
+    val reps = groups.select(col("rep").as("vid"), col("v"))
     val candidates =
       if (exact) {
-        base.select(col("vid").as("id_a"), col("v").as("v_a"))
-          .crossJoin(base.select(col("vid").as("id_b"), col("v").as("v_b")))
+        reps.select(col("vid").as("id_a"), col("v").as("v_a"))
+          .crossJoin(reps.select(col("vid").as("id_b"), col("v").as("v_b")))
           .where(col("id_a") < col("id_b"))
       } else {
         // ASYMMETRIC multi-probe: only the left side probes its Hamming-1
@@ -687,21 +702,34 @@ object Dedup {
         // extra (mostly below-threshold) candidates. The embedding lineage
         // is a bare scan, so the two-sided join beats carrying fat vector
         // arrays through a collect_list.
-        val probed = base.select(
+        val probed = reps.select(
           explode(Similarity.probeBuckets(col("v"), signDims,
             multiProbe = true)).as("bucket"),
           col("vid").as("id_a"), col("v").as("v_a"))
-        val own = base.select(
+        val own = reps.select(
           Similarity.signBucket(col("v"), signDims).as("bucket"),
           col("vid").as("id_b"), col("v").as("v_b"))
         probed.join(own, Seq("bucket"))
           .where(col("id_a") < col("id_b"))
           .select("id_a", "id_b", "v_a", "v_b")
       }
-    candidates
+    val repPairs = candidates
       .withColumn("cos", cosineSim(col("v_a"), col("v_b")))
       .where(col("cos") >= minCosine)
       .select("id_a", "id_b")
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("id_a"), col("m").as("ma")), "id_a")
+      .join(memb.select(col("rep").as("id_b"), col("m").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"))
+    val intra = groups.where(col("n_same") > 1 &&
+        cosineSim(col("v"), col("v")) >= minCosine)
+      .select(col("ids"), explode(col("ids")).as("ma"))
+      .select(col("ma"), explode(col("ids")).as("mb"))
+      .where(col("ma") < col("mb"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"))
+    cross.unionByName(intra)
   }
 
   /** SEMANTIC deduplication, SemDeDup-style (Abbas et al. 2023,
@@ -782,8 +810,7 @@ object Dedup {
     require(simSqPpm >= 0 && simSqPpm <= 1000000L,
       "simSqPpm is cos² in parts-per-million: [0, 1000000]")
     val base = assigned
-    val sized = base.withColumn("n2",
-      aggregate(col("iq"), lit(0L), (a, x) => a + x * x))
+    val sized = base.withColumn("n2", dotLong(col("iq"), col("iq")))
     // one row per DISTINCT vector per cell
     val groups = sized.groupBy(col("cell"), col("iq"), col("n2"))
       .agg(min(col("vec_id")).as("gmin"))
@@ -803,9 +830,7 @@ object Dedup {
     // n2 > 0 filter preserves the zero-vector non-match)
     val crossHeads = joinable.join(prior, Seq("cell"))
       .where(col("gmin") =!= col("head_b"))
-      .withColumn("score",
-        aggregate(zip_with(col("iq"), col("iq_b"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("score", dotLong(col("iq"), col("iq_b")))
       .where(col("score") > 0 &&
         d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
           d(lit(simSqPpm)) * d(col("n2")) * d(col("n2_b")))

@@ -882,8 +882,7 @@ object Similarity {
   /** Integer dot product of a quantized vector column against a literal
     * integer vector. */
   private def intDotLit(iq: Column, cent: Seq[Long]): Column =
-    aggregate(zip_with(iq, typedLit(cent), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    dotLong(iq, typedLit(cent))
 
   /** Deterministic cell of `vec` under the literal integer codebook —
     * the public form of the fixed-codebook assignment, shared by the
@@ -947,8 +946,7 @@ object Similarity {
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
     val scored = kept.withColumn("score",
-      aggregate(zip_with(col("q_iq"), col("c_iq"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      dotLong(col("q_iq"), col("c_iq")))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))

@@ -210,4 +210,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan) // the codegen-span marker
     assert(planned.where($"v" >= 0).count() > 0)
   }
+
+  test("dotLong == aggregate(zip_with) on random long vectors; " +
+    "null-safe; prefix on mismatched lengths; stays in codegen") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.dotLong
+    val rows = (0 until 400).map { i =>
+      def vec(seed: Long, n: Int) =
+        (0 until n).map(j => ((seed * 31 + j * 7919) % 2001) - 1000L)
+      (i.toLong, vec(i, i % 17), vec(i * 13 + 5, (i * 7) % 17))
+    }.toDF("id", "a", "b")
+    val both = rows.select(
+      dotLong($"a", $"b").as("fast"),
+      aggregate(
+        zip_with(slice($"a", lit(1), least(size($"a"), size($"b"))),
+          slice($"b", lit(1), least(size($"a"), size($"b"))),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("slow"))
+    assert(both.where($"fast" =!= $"slow").count() === 0L)
+    val n = rows.select(
+      dotLong(lit(null).cast("array<long>"), $"b").as("v"))
+      .where($"v".isNull).count()
+    assert(n === 400L)
+    // fused loop stays inside a WholeStageCodegen span over a REAL scan
+    // (CreateArray inputs — `transform` lambdas are non-codegen and would
+    // break any span, custom expression or not)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planned = docs.select(dotLong(
+      array($"n_chars", $"doc_id"), array($"doc_id", $"n_chars")).as("v"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(planned.where($"v" >= 0).count() > 0)
+  }
 }

@@ -38,6 +38,9 @@ class GraftSqlSpec extends SparkSpec {
         "array(2L, 3L, 7L, 9L)) AS v")
       .as[Long].head() === 2L)
     assert(spark.sql(
+      "SELECT dot_long(array(2L, -3L, 5L), array(7L, 1L, 10L)) AS v")
+      .as[Long].head() === 61L)
+    assert(spark.sql(
       "SELECT size(char_ngram_counts('ab', 2)) AS v") // " a","ab","b ","a","b"
       .as[Int].head() === 5)
     assert(spark.sql(

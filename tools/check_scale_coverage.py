@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Mechanized blowup discipline: every BLOCKING registry query must have a
+measured scale row in SCALE.md.
+
+Round-9 hid a k²-per-copy join in dedup_semantic, round-10 shipped
+dedup_containment without its 10x point — both times the rule "run the
+blowup on every new blocking operator" existed but lived in prose. This
+check makes it structural: it derives the blocking-operator list FROM THE
+CODE (registry entries in SparkEntry.scala whose body calls a
+pair-generator of Dedup/Multimodal — the family whose candidate growth
+depends on data distribution, not plan shape) and fails if any such query
+name never appears in SCALE.md's measured tables.
+
+Run by tools/verify_local.sh; exits 1 on an unmeasured blocking query.
+"""
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pair_generators():
+    """Names of the candidate-pair generator family, derived from the
+    operator sources so a new generator is picked up automatically."""
+    names = set()
+    for rel in ("src/main/scala/graft/operators/Dedup.scala",
+                "src/main/scala/graft/operators/Multimodal.scala"):
+        with open(os.path.join(ROOT, rel)) as fh:
+            src = fh.read()
+        names |= set(re.findall(r"def (\w*[Pp]airs\w*)\(", src))
+        names |= set(re.findall(r"def (audioMatch)\(", src))
+        names |= set(re.findall(r"def (\w*[Cc]lusters\w*)\(", src))
+    # intraPairs is the bounded within-group expansion helper every
+    # generator shares, not a blocking strategy of its own
+    names.discard("intraPairs")
+    return names
+
+
+def blocking_queries(gens):
+    """Registry query names whose entry body calls a pair generator."""
+    with open(os.path.join(ROOT, "src/main/scala/graft/SparkEntry.scala")) as fh:
+        src = fh.read()
+    # split on registry keys: "name" -> ((s, dir) => ...  up to the next key
+    entries = re.split(r'"([a-z0-9_]+)" -> \(\(s, dir\)', src)
+    out = []
+    for i in range(1, len(entries), 2):
+        name, body = entries[i], entries[i + 1]
+        if any(re.search(r"\b%s\b" % g, body) for g in gens):
+            out.append(name)
+    return out
+
+
+def measured_names():
+    with open(os.path.join(ROOT, "SCALE.md")) as fh:
+        return set(re.findall(r"`([a-z0-9_]+)`", fh.read()))
+
+
+def main():
+    gens = pair_generators()
+    blocking = blocking_queries(gens)
+    if not blocking:
+        print("[scale-coverage] ERROR: derived zero blocking queries — "
+              "the extractor regex no longer matches SparkEntry.scala")
+        return 1
+    measured = measured_names()
+    missing = [q for q in blocking if q not in measured]
+    print(f"[scale-coverage] {len(blocking)} blocking queries "
+          f"(generators: {len(gens)}), {len(blocking) - len(missing)} "
+          f"measured in SCALE.md")
+    if missing:
+        print("[scale-coverage] UNMEASURED blocking queries (add a blowup "
+              "row to SCALE.md — tools/make_blowup.py + "
+              "SPARK_GRAFT_BENCH_ONLY):")
+        for q in missing:
+            print(f"  - {q}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

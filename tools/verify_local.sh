@@ -16,4 +16,8 @@ sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
 # Mechanized oracle-type audit (HUGEINT class — the twice-shipped
 # regression the local fetchall compare cannot reproduce).
 python3 tools/audit_oracle_types.py "$OUT_DIR/oracle_sql.json" "$SF_DIR"
+# Blowup discipline: every blocking (pair-generator) registry query must
+# have a measured scale row in SCALE.md — the twice-hit gap (r9 semantic
+# k², r10 containment) is now structural, not prose.
+python3 tools/check_scale_coverage.py
 python3 tools/check_correctness.py "$OUT_DIR" "$SF_DIR"
