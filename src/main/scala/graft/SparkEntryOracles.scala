@@ -26,6 +26,109 @@ private[graft] object SparkEntryOracles {
     linkKeySql("'m-' || CAST(l_orderkey AS VARCHAR)",
       "'h/' || CAST(l_orderkey AS VARCHAR)")
 
+  /** Milli-quantized sine tables as SQL VALUES lists — the literal twins
+    * of `Multimodal.sinMilliTable(64)` (fingerprint band analysis) and
+    * `(160)` (tone-sequence fixture generation on the 50 Hz grid). */
+  private val sin64Sql: String =
+    """t64(j, s) AS (VALUES
+      |  (0,0),(1,98),(2,195),(3,290),(4,383),(5,471),(6,556),(7,634),
+      |  (8,707),(9,773),(10,831),(11,882),(12,924),(13,957),(14,981),
+      |  (15,995),(16,1000),(17,995),(18,981),(19,957),(20,924),(21,882),
+      |  (22,831),(23,773),(24,707),(25,634),(26,556),(27,471),(28,383),
+      |  (29,290),(30,195),(31,98),(32,0),(33,-98),(34,-195),(35,-290),
+      |  (36,-383),(37,-471),(38,-556),(39,-634),(40,-707),(41,-773),
+      |  (42,-831),(43,-882),(44,-924),(45,-957),(46,-981),(47,-995),
+      |  (48,-1000),(49,-995),(50,-981),(51,-957),(52,-924),(53,-882),
+      |  (54,-831),(55,-773),(56,-707),(57,-634),(58,-556),(59,-471),
+      |  (60,-383),(61,-290),(62,-195),(63,-98))""".stripMargin
+
+  private val sin160Sql: String =
+    """t160(j, s) AS (VALUES
+      |  (0,0),(1,39),(2,78),(3,118),(4,156),(5,195),(6,233),(7,271),
+      |  (8,309),(9,346),(10,383),(11,419),(12,454),(13,489),(14,522),
+      |  (15,556),(16,588),(17,619),(18,649),(19,679),(20,707),(21,734),
+      |  (22,760),(23,785),(24,809),(25,831),(26,853),(27,872),(28,891),
+      |  (29,908),(30,924),(31,938),(32,951),(33,962),(34,972),(35,981),
+      |  (36,988),(37,993),(38,997),(39,999),(40,1000),(41,999),(42,997),
+      |  (43,993),(44,988),(45,981),(46,972),(47,962),(48,951),(49,938),
+      |  (50,924),(51,908),(52,891),(53,872),(54,853),(55,831),(56,809),
+      |  (57,785),(58,760),(59,734),(60,707),(61,679),(62,649),(63,619),
+      |  (64,588),(65,556),(66,522),(67,489),(68,454),(69,419),(70,383),
+      |  (71,346),(72,309),(73,271),(74,233),(75,195),(76,156),(77,118),
+      |  (78,78),(79,39),(80,0),(81,-39),(82,-78),(83,-118),(84,-156),
+      |  (85,-195),(86,-233),(87,-271),(88,-309),(89,-346),(90,-383),
+      |  (91,-419),(92,-454),(93,-489),(94,-522),(95,-556),(96,-588),
+      |  (97,-619),(98,-649),(99,-679),(100,-707),(101,-734),(102,-760),
+      |  (103,-785),(104,-809),(105,-831),(106,-853),(107,-872),
+      |  (108,-891),(109,-908),(110,-924),(111,-938),(112,-951),
+      |  (113,-962),(114,-972),(115,-981),(116,-988),(117,-993),
+      |  (118,-997),(119,-999),(120,-1000),(121,-999),(122,-997),
+      |  (123,-993),(124,-988),(125,-981),(126,-972),(127,-962),
+      |  (128,-951),(129,-938),(130,-924),(131,-908),(132,-891),
+      |  (133,-872),(134,-853),(135,-831),(136,-809),(137,-785),
+      |  (138,-760),(139,-734),(140,-707),(141,-679),(142,-649),
+      |  (143,-619),(144,-588),(145,-556),(146,-522),(147,-489),
+      |  (148,-454),(149,-419),(150,-383),(151,-346),(152,-309),
+      |  (153,-271),(154,-233),(155,-195),(156,-156),(157,-118),
+      |  (158,-78),(159,-39))""".stripMargin
+
+  /** Shared CTE prefix of the audio-fingerprint oracles: regenerates the
+    * tone-sequence fixtures from doc_id (160-entry table, segment steps
+    * k = f/50 on the 50 Hz grid), runs the 16-band integer DFT over
+    * 256-sample frames at hop 128 (64-entry table), takes per-frame peak
+    * bands (ties → lowest) and emits the landmark table (hash, t) with
+    * fanout 4 — the complete Spark chain in SQL. `withProbes` adds the
+    * 4 probe clips (segments 2..5 of their source, asset_id = id+100). */
+  private def audioLandmarkCtes(withProbes: Boolean): String = {
+    val probeAssets =
+      if (withProbes)
+        """
+          |  UNION ALL SELECT doc_id + 100, TRUE, 4 FROM documents
+          |  WHERE doc_id < 4""".stripMargin
+      else ""
+    s"""WITH $sin64Sql,
+       |$sin160Sql,
+       |assets AS (
+       |  SELECT doc_id AS aid, FALSE AS pr, 8 AS nseg FROM documents
+       |  WHERE doc_id < 8$probeAssets),
+       |segs AS (
+       |  SELECT aid, nseg, g.s AS seg,
+       |    6 + (((CASE WHEN pr THEN aid - 100 ELSE aid END) * 7
+       |      + (g.s + CASE WHEN pr THEN 2 ELSE 0 END) * 3) % 12) * 5 AS k
+       |  FROM assets CROSS JOIN range(0, 8) g(s) WHERE g.s < nseg),
+       |samp AS (
+       |  SELECT segs.aid, segs.seg * 1024 + r.i AS a,
+       |    CAST(floor((2*12000*t.s + 1000) / 2000.0) AS BIGINT) AS v
+       |  FROM segs
+       |  CROSS JOIN range(0, 1024) r(i)
+       |  JOIN t160 t ON t.j = (segs.k * r.i) % 160),
+       |fr AS (
+       |  SELECT a2.aid, f.f FROM assets a2
+       |  CROSS JOIN range(0, 63) f(f) WHERE f.f <= a2.nseg * 8 - 2),
+       |terms AS (
+       |  SELECT fr.aid, fr.f, b.b, s.v, ts.s AS sv, tc.s AS cv
+       |  FROM fr
+       |  CROSS JOIN range(0, 16) b(b)
+       |  CROSS JOIN range(0, 256) r(r)
+       |  JOIN samp s ON s.aid = fr.aid AND s.a = fr.f * 128 + r.r
+       |  JOIN t64 ts ON ts.j = (r.r * (2*b.b + 1)) % 64
+       |  JOIN t64 tc ON tc.j = (r.r * (2*b.b + 1) + 16) % 64),
+       |pw AS (
+       |  SELECT aid, f, b,
+       |    CAST(SUM(v*cv) AS HUGEINT)*CAST(SUM(v*cv) AS HUGEINT)
+       |    + CAST(SUM(v*sv) AS HUGEINT)*CAST(SUM(v*sv) AS HUGEINT) AS p
+       |  FROM terms GROUP BY aid, f, b),
+       |pk AS (
+       |  SELECT aid, f, b AS peak FROM (
+       |    SELECT aid, f, b, row_number() OVER (PARTITION BY aid, f
+       |      ORDER BY p DESC, b ASC) AS rk FROM pw) WHERE rk = 1),
+       |lm AS (
+       |  SELECT pa.aid,
+       |    pa.peak*65536 + pb.peak*256 + (pb.f - pa.f) AS hash, pa.f AS t
+       |  FROM pk pa JOIN pk pb ON pa.aid = pb.aid
+       |    AND pb.f BETWEEN pa.f + 1 AND pa.f + 4)""".stripMargin
+  }
+
   private val e3Sql: String =
     s"""WITH a AS (
        |  SELECT $e3KeySql AS link_key, p_name AS desc_raw,
@@ -1135,6 +1238,39 @@ private[graft] object SparkEntryOracles {
         |  (c_mktsegment IS NOT NULL AND
         |   NOT lower(trim(c_mktsegment)) IN ('nan', 'none', '')) AS seg_real
         |FROM customer""".stripMargin,
+
+    // audio-fingerprint twin: the landmark table replayed end to end —
+    // tone-sequence fixtures regenerate from doc_id via the 160-entry
+    // table, per-frame peak bands come from the same 16-band integer DFT
+    // (64-entry table), landmarks are the (peak, peak, gap) fanout pairs
+    "mm_audio_fingerprint" ->
+      (audioLandmarkCtes(withProbes = false) +
+        """
+          |SELECT aid AS asset_id, TRUE AS ok,
+          |  CAST(hash AS BIGINT) AS hash, CAST(t AS BIGINT) AS t
+          |FROM lm""".stripMargin),
+
+    // audio-match twin: probe landmarks (clip segments 2..5, id+100)
+    // equi-join the reference landmark table on hash, votes count per
+    // (probe, ref, offset), each probe keeps its best alignment with the
+    // Spark tie order (votes desc, ref asc, offset asc)
+    "mm_audio_match" ->
+      (audioLandmarkCtes(withProbes = true) +
+        """,
+          |votes AS (
+          |  SELECT p.aid AS probe_id, r.aid AS ref_id,
+          |    r.t - p.t AS off, count(*) AS votes
+          |  FROM lm p JOIN lm r ON p.hash = r.hash
+          |  WHERE p.aid >= 100 AND r.aid < 100
+          |  GROUP BY 1, 2, 3),
+          |best AS (
+          |  SELECT probe_id, ref_id, off, votes, row_number() OVER (
+          |    PARTITION BY probe_id
+          |    ORDER BY votes DESC, ref_id ASC, off ASC) AS rk
+          |  FROM votes)
+          |SELECT probe_id, ref_id, CAST(off AS BIGINT) AS "offset",
+          |  CAST(votes AS BIGINT) AS votes
+          |FROM best WHERE rk = 1""".stripMargin),
 
     // audio-spectrum twin: a FULL replay of the exact-integer chain —
     // the WAV samples regenerate from doc_id via the inlined 32-entry

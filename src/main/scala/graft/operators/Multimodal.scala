@@ -437,23 +437,31 @@ object Multimodal {
     finally in.close()
   }
 
-  /** Goertzel power of `mono(from until from+len)` at band center
-    * (b + 0.5)·nyquist/nBands — fixed iteration order, StrictMath trig:
-    * bit-identical on every JVM. */
-  private def goertzelPower(mono: Array[Int], from: Int, len: Int,
-                            b: Int, nBands: Int, sr: Int): Double = {
-    val freq = (b + 0.5) * (sr / 2.0) / nBands
-    val w = 2.0 * math.Pi * freq / sr
-    val coeff = 2.0 * StrictMath.cos(w)
-    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
-    var i = from
-    val end = from + len
-    while (i < end) {
-      s0 = mono(i) + coeff * s1 - s2
-      s2 = s1; s1 = s0
-      i += 1
+  /** Exact-integer DFT power of `mono(from until from+len)` at band
+    * center (b + 0.5)·nyquist/nBands: the phase of the j-th sample is
+    * (2b+1)·j/(4·nBands) TURNS — an exact rational independent of the
+    * sample rate — so `tab` (the 4·nBands-entry milli-quantized sine,
+    * [[sinMilliTable]]) indexed by an integer phase accumulator replaces
+    * all FPU work; squares go through BigInt (|re| ≤ len·2¹⁵·10³, re²
+    * past int64 at frame lengths ≥ ~256). Shared by the spectrum AND
+    * fingerprint paths — both are SQL-replayable because of it. */
+  private def intBandPower(mono: Array[Int], from: Int, len: Int,
+                           b: Int, nBands: Int, tab: Array[Long]): BigInt = {
+    val m = 4 * nBands
+    val step = 2 * b + 1
+    var re = 0L
+    var im = 0L
+    var idx = 0
+    var j = 0
+    while (j < len) {
+      val v = mono(from + j).toLong
+      im += v * tab(idx)
+      re += v * tab((idx + nBands) % m) // cos = sin shifted a quarter turn
+      idx += step
+      if (idx >= m) idx -= m
+      j += 1
     }
-    s1 * s1 + s2 * s2 - coeff * s1 * s2
+    BigInt(re) * re + BigInt(im) * im
   }
 
   def audioSpectrumOne(assetId: Long, bytes: Array[Byte],
@@ -492,31 +500,12 @@ object Multimodal {
     // arbitrarily long audio (sq alone can reach n·2³⁰)
     val msPpm = (BigInt(sq) * 1000000L /
       (BigInt(n) * 1073741824L)).toLong
-    // Exact-integer DFT power at each band center (b+0.5)·nyquist/nBands:
-    // the phase of sample i is (2b+1)·i/(4·nBands) TURNS — an exact
-    // rational independent of the sample rate — so the milli-quantized
-    // table indexed by an integer phase accumulator replaces all FPU
-    // work. |re| ≤ n·2¹⁵·10³ (long-safe past 10¹¹ samples); the squares
-    // go through BigInt.
-    val m = 4 * nBands
-    val tab = sinMilliTable(m)
+    // exact-integer DFT power at each band center ([[intBandPower]])
+    val tab = sinMilliTable(4 * nBands)
     val power = new Array[BigInt](nBands)
     var b = 0
     while (b < nBands) {
-      val step = 2 * b + 1
-      var re = 0L
-      var im = 0L
-      var idx = 0
-      i = 0
-      while (i < n) {
-        val v = mono(i).toLong
-        im += v * tab(idx)
-        re += v * tab((idx + nBands) % m) // cos = sin shifted a quarter turn
-        idx += step
-        if (idx >= m) idx -= m
-        i += 1
-      }
-      power(b) = BigInt(re) * re + BigInt(im) * im
+      power(b) = intBandPower(mono, 0, n, b, nBands, tab)
       b += 1
     }
     val total = power.foldLeft(BigInt(0))(_ + _)
@@ -599,32 +588,23 @@ object Multimodal {
   def buildToneSequenceWav(freqs: Seq[Double], sampleRate: Int = 8000,
                            segSamples: Int = 1024,
                            amp: Int = 12000): Array[Byte] = {
-    val nSamples = freqs.length * segSamples
-    val dataLen = nSamples * 2
-    val bos = new java.io.ByteArrayOutputStream()
-    def w32(v: Int): Unit = {
-      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
-      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    // Table-driven, PURE-INTEGER generation (the [[buildBandToneWav]]
+    // treatment): each segment's frequency quantizes to the
+    // sampleRate/160 grid — EXACT for the registry fixtures (multiples
+    // of 50 Hz at 8 kHz) — so every sample is a 160-entry milli-sine
+    // lookup and the whole fixture replays in SQL (the fingerprint
+    // oracles inline the table). Phase restarts at 0 per segment, as the
+    // StrictMath form did.
+    val m = 160
+    val tab = sinMilliTable(m)
+    val steps = freqs.map(f =>
+      math.round(f * m / sampleRate).toInt).toArray
+    monoWavBytes(freqs.length * segSamples, sampleRate) { a =>
+      val s = a / segSamples
+      val i = a % segSamples
+      val t = tab(((steps(s).toLong * i) % m).toInt)
+      Math.floorDiv(2L * amp * t + 1000L, 2000L).toInt
     }
-    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
-    def wcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
-    wcc("RIFF"); w32(36 + dataLen); wcc("WAVE")
-    wcc("fmt "); w32(16); w16(1); w16(1)
-    w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
-    wcc("data"); w32(dataLen)
-    var s = 0
-    while (s < freqs.length) {
-      val f = freqs(s)
-      var i = 0
-      while (i < segSamples) {
-        val v = math.round(
-          amp * StrictMath.sin(2.0 * math.Pi * f * i / sampleRate)).toInt
-        w16(v)
-        i += 1
-      }
-      s += 1
-    }
-    bos.toByteArray
   }
 
   // ---- audio fingerprinting: peak-pair constellation hashing ----
@@ -649,14 +629,19 @@ object Multimodal {
         val nFrames = if (mono.length < frameLen) 0
           else (mono.length - frameLen) / hop + 1
         if (nFrames < 2) return Seq(AudioLandmark(assetId, ok = false, 0L, 0L))
+        val tab = sinMilliTable(4 * nBands)
         val peaks = new Array[Int](nFrames)
         var f = 0
         while (f < nFrames) {
-          var best = 0; var bestP = Double.NegativeInfinity
+          // per-frame peak band via the exact-integer DFT (ties → lowest
+          // band) — integer end to end, so the landmark table replays in
+          // SQL, which is what gives the fingerprint queries an oracle
+          var best = 0
+          var bestP: BigInt = null
           var b = 0
           while (b < nBands) {
-            val p = goertzelPower(mono, f * hop, frameLen, b, nBands, sr)
-            if (p > bestP) { bestP = p; best = b }
+            val p = intBandPower(mono, f * hop, frameLen, b, nBands, tab)
+            if (bestP == null || p > bestP) { bestP = p; best = b }
             b += 1
           }
           peaks(f) = best
