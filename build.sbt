@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout straight through: sbt's default logger
+// prefixes every child line with [info] (warnings with [error]), which
+// breaks any consumer scanning for a bare JSON line — the bench
+// driver's `parsed` field came back null every round because of it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

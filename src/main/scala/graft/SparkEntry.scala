@@ -1959,8 +1959,9 @@ object SparkEntry {
     // batch (rows-only: JPEG decode has no SQL twin; dims/colors/spacing
     // pinned in MultimodalSpec)
     // Landmark constellation fingerprints (the Shazam mechanic) over 8
-    // deterministic tone-sequence WAVs; rows-only (Goertzel doubles have
-    // no SQL twin), clip-matches-source laws pinned in MultimodalSpec
+    // deterministic tone-sequence WAVs; EXACT ORACLE — the integer-DFT
+    // landmark chain replays in DuckDB (clip-matches-source laws are
+    // additionally pinned in MultimodalSpec)
     "mm_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val assets = t(s, dir, "documents")

@@ -26,69 +26,39 @@ private[graft] object SparkEntryOracles {
     linkKeySql("'m-' || CAST(l_orderkey AS VARCHAR)",
       "'h/' || CAST(l_orderkey AS VARCHAR)")
 
-  /** Milli-quantized sine tables as SQL VALUES lists — the literal twins
-    * of `Multimodal.sinMilliTable(64)` (fingerprint band analysis) and
-    * `(160)` (tone-sequence fixture generation on the 50 Hz grid). */
-  private val sin64Sql: String =
-    """t64(j, s) AS (VALUES
-      |  (0,0),(1,98),(2,195),(3,290),(4,383),(5,471),(6,556),(7,634),
-      |  (8,707),(9,773),(10,831),(11,882),(12,924),(13,957),(14,981),
-      |  (15,995),(16,1000),(17,995),(18,981),(19,957),(20,924),(21,882),
-      |  (22,831),(23,773),(24,707),(25,634),(26,556),(27,471),(28,383),
-      |  (29,290),(30,195),(31,98),(32,0),(33,-98),(34,-195),(35,-290),
-      |  (36,-383),(37,-471),(38,-556),(39,-634),(40,-707),(41,-773),
-      |  (42,-831),(43,-882),(44,-924),(45,-957),(46,-981),(47,-995),
-      |  (48,-1000),(49,-995),(50,-981),(51,-957),(52,-924),(53,-882),
-      |  (54,-831),(55,-773),(56,-707),(57,-634),(58,-556),(59,-471),
-      |  (60,-383),(61,-290),(62,-195),(63,-98))""".stripMargin
-
-  private val sin160Sql: String =
-    """t160(j, s) AS (VALUES
-      |  (0,0),(1,39),(2,78),(3,118),(4,156),(5,195),(6,233),(7,271),
-      |  (8,309),(9,346),(10,383),(11,419),(12,454),(13,489),(14,522),
-      |  (15,556),(16,588),(17,619),(18,649),(19,679),(20,707),(21,734),
-      |  (22,760),(23,785),(24,809),(25,831),(26,853),(27,872),(28,891),
-      |  (29,908),(30,924),(31,938),(32,951),(33,962),(34,972),(35,981),
-      |  (36,988),(37,993),(38,997),(39,999),(40,1000),(41,999),(42,997),
-      |  (43,993),(44,988),(45,981),(46,972),(47,962),(48,951),(49,938),
-      |  (50,924),(51,908),(52,891),(53,872),(54,853),(55,831),(56,809),
-      |  (57,785),(58,760),(59,734),(60,707),(61,679),(62,649),(63,619),
-      |  (64,588),(65,556),(66,522),(67,489),(68,454),(69,419),(70,383),
-      |  (71,346),(72,309),(73,271),(74,233),(75,195),(76,156),(77,118),
-      |  (78,78),(79,39),(80,0),(81,-39),(82,-78),(83,-118),(84,-156),
-      |  (85,-195),(86,-233),(87,-271),(88,-309),(89,-346),(90,-383),
-      |  (91,-419),(92,-454),(93,-489),(94,-522),(95,-556),(96,-588),
-      |  (97,-619),(98,-649),(99,-679),(100,-707),(101,-734),(102,-760),
-      |  (103,-785),(104,-809),(105,-831),(106,-853),(107,-872),
-      |  (108,-891),(109,-908),(110,-924),(111,-938),(112,-951),
-      |  (113,-962),(114,-972),(115,-981),(116,-988),(117,-993),
-      |  (118,-997),(119,-999),(120,-1000),(121,-999),(122,-997),
-      |  (123,-993),(124,-988),(125,-981),(126,-972),(127,-962),
-      |  (128,-951),(129,-938),(130,-924),(131,-908),(132,-891),
-      |  (133,-872),(134,-853),(135,-831),(136,-809),(137,-785),
-      |  (138,-760),(139,-734),(140,-707),(141,-679),(142,-649),
-      |  (143,-619),(144,-588),(145,-556),(146,-522),(147,-489),
-      |  (148,-454),(149,-419),(150,-383),(151,-346),(152,-309),
-      |  (153,-271),(154,-233),(155,-195),(156,-156),(157,-118),
-      |  (158,-78),(159,-39))""".stripMargin
+  /** Milli-quantized sine tables as SQL constant-list literals —
+    * generated from the very `Multimodal.sinMilliTable` the Spark side
+    * reads, so the oracle and the engine can never drift. They are
+    * consumed via `list_extract(tab, idx + 1)` (pure scalar compute):
+    * round 11 shipped them as VALUES CTEs joined on computed keys, and
+    * DuckDB nested-looped those joins — mm_audio_fingerprint alone ran
+    * >15 min and emptied the driver's correctness artifact. As constant
+    * lists the same replay is ~0.3 s. */
+  private def sinListSql(m: Int): String =
+    graft.operators.Multimodal.sinMilliTable(m).mkString("[", ",", "]")
 
   /** Shared CTE prefix of the audio-fingerprint oracles: regenerates the
-    * tone-sequence fixtures from doc_id (160-entry table, segment steps
-    * k = f/50 on the 50 Hz grid), runs the 16-band integer DFT over
-    * 256-sample frames at hop 128 (64-entry table), takes per-frame peak
-    * bands (ties → lowest) and emits the landmark table (hash, t) with
-    * fanout 4 — the complete Spark chain in SQL. `withProbes` adds the
-    * 4 probe clips (segments 2..5 of their source, asset_id = id+100). */
+    * tone-sequence fixtures from doc_id (160-entry milli-sine list,
+    * segment steps k = f/50 on the 50 Hz grid), assigns each sample to
+    * its ≤2 covering 256-sample frames at hop 128 (f = a//128 - d for
+    * d ∈ {0,1} — NOT a frame×sample cross join; see sinListSql note),
+    * runs the 16-band integer DFT per frame (64-entry list), takes
+    * per-frame peak bands (ties → lowest) and emits the landmark table
+    * (hash, t) with fanout 4 — the complete Spark chain in SQL.
+    * `withProbes` adds the 4 probe clips (segments 2..5 of their
+    * source, asset_id = id+100). Frames run 0..nseg·8-2: the final hop
+    * would start a partial window, exactly `audioFingerprintOne`'s
+    * (len-frameLen)/hop+1 bound. */
   private def audioLandmarkCtes(withProbes: Boolean): String = {
+    val l64 = sinListSql(64)
+    val l160 = sinListSql(160)
     val probeAssets =
       if (withProbes)
         """
           |  UNION ALL SELECT doc_id + 100, TRUE, 4 FROM documents
           |  WHERE doc_id < 4""".stripMargin
       else ""
-    s"""WITH $sin64Sql,
-       |$sin160Sql,
-       |assets AS (
+    s"""WITH assets AS (
        |  SELECT doc_id AS aid, FALSE AS pr, 8 AS nseg FROM documents
        |  WHERE doc_id < 8$probeAssets),
        |segs AS (
@@ -97,22 +67,24 @@ private[graft] object SparkEntryOracles {
        |      + (g.s + CASE WHEN pr THEN 2 ELSE 0 END) * 3) % 12) * 5 AS k
        |  FROM assets CROSS JOIN range(0, 8) g(s) WHERE g.s < nseg),
        |samp AS (
-       |  SELECT segs.aid, segs.seg * 1024 + r.i AS a,
-       |    CAST(floor((2*12000*t.s + 1000) / 2000.0) AS BIGINT) AS v
-       |  FROM segs
-       |  CROSS JOIN range(0, 1024) r(i)
-       |  JOIN t160 t ON t.j = (segs.k * r.i) % 160),
-       |fr AS (
-       |  SELECT a2.aid, f.f FROM assets a2
-       |  CROSS JOIN range(0, 63) f(f) WHERE f.f <= a2.nseg * 8 - 2),
+       |  SELECT segs.aid, segs.nseg * 8 - 2 AS fmax,
+       |    segs.seg * 1024 + r.i AS a,
+       |    CAST(floor((2*12000*list_extract($l160,
+       |      CAST((segs.k * r.i) % 160 AS INT) + 1) + 1000) / 2000.0)
+       |      AS BIGINT) AS v
+       |  FROM segs CROSS JOIN range(0, 1024) r(i)),
+       |sf AS (
+       |  SELECT s.aid, s.a // 128 - d.d AS f,
+       |    s.a - (s.a // 128 - d.d) * 128 AS r, s.v
+       |  FROM samp s CROSS JOIN (VALUES (0),(1)) d(d)
+       |  WHERE s.a // 128 - d.d >= 0 AND s.a // 128 - d.d <= s.fmax),
        |terms AS (
-       |  SELECT fr.aid, fr.f, b.b, s.v, ts.s AS sv, tc.s AS cv
-       |  FROM fr
-       |  CROSS JOIN range(0, 16) b(b)
-       |  CROSS JOIN range(0, 256) r(r)
-       |  JOIN samp s ON s.aid = fr.aid AND s.a = fr.f * 128 + r.r
-       |  JOIN t64 ts ON ts.j = (r.r * (2*b.b + 1)) % 64
-       |  JOIN t64 tc ON tc.j = (r.r * (2*b.b + 1) + 16) % 64),
+       |  SELECT sf.aid, sf.f, b.b, sf.v,
+       |    list_extract($l64,
+       |      CAST((sf.r * (2*b.b + 1)) % 64 AS INT) + 1) AS sv,
+       |    list_extract($l64,
+       |      CAST((sf.r * (2*b.b + 1) + 16) % 64 AS INT) + 1) AS cv
+       |  FROM sf CROSS JOIN range(0, 16) b(b)),
        |pw AS (
        |  SELECT aid, f, b,
        |    CAST(SUM(v*cv) AS HUGEINT)*CAST(SUM(v*cv) AS HUGEINT)
@@ -128,6 +100,7 @@ private[graft] object SparkEntryOracles {
        |  FROM pk pa JOIN pk pb ON pa.aid = pb.aid
        |    AND pb.f BETWEEN pa.f + 1 AND pa.f + 4)""".stripMargin
   }
+
 
   private val e3Sql: String =
     s"""WITH a AS (
@@ -1274,30 +1247,27 @@ private[graft] object SparkEntryOracles {
 
     // audio-spectrum twin: a FULL replay of the exact-integer chain —
     // the WAV samples regenerate from doc_id via the inlined 32-entry
-    // milli-quantized sine table (16-bit PCM round-trips losslessly, so
+    // milli-quantized sine list (16-bit PCM round-trips losslessly, so
     // decode is the identity on sample values), the per-band power is
     // the same integer DFT (cos = sin shifted 8 entries), and shares/
     // ms_ppm use the same floor-division roundings. HUGEINT only in
     // intermediates (squares reach ~10²¹); every output is BIGINT.
     // All `//` numerators are nonnegative (DuckDB's // truncates, which
     // equals floor only for nonnegative operands); the one signed
-    // rounding (sample amplitude) goes through floor() instead.
+    // rounding (sample amplitude) goes through floor() instead. The
+    // sine lookups are list_extract on a constant list, NOT joins on a
+    // VALUES CTE — DuckDB nested-loops the latter (see sinListSql).
     "mm_audio_spectrum" ->
-      """WITH tab(j, s) AS (VALUES
-        |  (0,0),(1,195),(2,383),(3,556),(4,707),(5,831),(6,924),(7,981),
-        |  (8,1000),(9,981),(10,924),(11,831),(12,707),(13,556),(14,383),
-        |  (15,195),(16,0),(17,-195),(18,-383),(19,-556),(20,-707),
-        |  (21,-831),(22,-924),(23,-981),(24,-1000),(25,-981),(26,-924),
-        |  (27,-831),(28,-707),(29,-556),(30,-383),(31,-195)),
-        |ids AS (
+      s"""WITH ids AS (
         |  SELECT doc_id AS id, doc_id % 8 AS m FROM documents
         |  WHERE doc_id < 16),
         |samp AS (
         |  SELECT ids.id, r.i,
-        |    CAST(floor((2*12000*t.s + 1000) / 2000.0) AS BIGINT) AS v
+        |    CAST(floor((2*12000*list_extract(${sinListSql(32)},
+        |      CAST((r.i * (2*ids.m + 1)) % 32 AS INT) + 1)
+        |      + 1000) / 2000.0) AS BIGINT) AS v
         |  FROM ids
-        |  CROSS JOIN range(0, 2000) r(i)
-        |  JOIN tab t ON t.j = (r.i * (2*ids.m + 1)) % 32),
+        |  CROSS JOIN range(0, 2000) r(i)),
         |zcs AS (
         |  SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
         |  FROM samp),
@@ -1307,11 +1277,13 @@ private[graft] object SparkEntryOracles {
         |        THEN 1 ELSE 0 END) AS zc
         |  FROM zcs GROUP BY id),
         |terms AS (
-        |  SELECT s.id, b.b, s.v, ts.s AS sv, tc.s AS cv
+        |  SELECT s.id, b.b, s.v,
+        |    list_extract(${sinListSql(32)},
+        |      CAST((s.i * (2*b.b + 1)) % 32 AS INT) + 1) AS sv,
+        |    list_extract(${sinListSql(32)},
+        |      CAST(((s.i * (2*b.b + 1)) + 8) % 32 AS INT) + 1) AS cv
         |  FROM samp s
-        |  CROSS JOIN range(0, 8) b(b)
-        |  JOIN tab ts ON ts.j = (s.i * (2*b.b + 1)) % 32
-        |  JOIN tab tc ON tc.j = ((s.i * (2*b.b + 1)) + 8) % 32),
+        |  CROSS JOIN range(0, 8) b(b)),
         |pw AS (
         |  SELECT id, b,
         |    CAST(SUM(v*cv) AS HUGEINT)*CAST(SUM(v*cv) AS HUGEINT)

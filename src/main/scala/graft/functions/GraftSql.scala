@@ -25,14 +25,16 @@ import org.apache.spark.sql.types.IntegerType
   *     quantile sketch build / rollup aggregates
   *   - `kll_quantile(sk, rank)` / `kll_rank(sk, v)` / `kll_sketch_n(sk)`
   *     — KLL sketch readers
-  *   - `theta_sketch_agg(v, lgK)` / `theta_union_agg(sk, lgK)` +
+  *   - `graft_theta_sketch_agg(v, lgK)` / `graft_theta_union_agg(sk,
+  *     lgK)` +
   *     `theta_intersect` / `theta_a_not_b` / `theta_estimate` — theta
   *     sketch set algebra
   *   - `cms_sketch_agg(k, d, w)` / `cms_merge_agg(sk, d, w)` +
   *     `cms_estimate(sk, k)` / `cms_sketch_n(sk)` /
   *     `cms_inner_product(a, b)` — count-min point frequencies and the
   *     join-size inner-product estimator
-  *   - `bitmap_agg(k)` / `bitmap_or_agg(bm)` / `bitmap_count(bm)` —
+  *   - `bitmap_agg(k)` / `graft_bitmap_or_agg(bm)` /
+  *     `graft_bitmap_count(bm)` —
   *     EXACT mergeable distinct bitmaps (Roaring64)
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
@@ -50,6 +52,8 @@ object GraftSql {
     require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
 
   /** All (name, builder) pairs — one place so register() and docs agree. */
+  private[graft] def builderNames: Seq[String] = builders.map(_._1)
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "nfkc_normalize" -> { es =>
       arity("nfkc_normalize", es, 1); NfkcNormalize(es.head)
@@ -171,30 +175,36 @@ object GraftSql {
       arity("cms_inner_product", es, 2)
       org.apache.spark.sql.graft.CmsInnerProduct(es.head, es(1))
     },
-    // exact mergeable distinct bitmaps (Roaring64 — in Spark's own jars)
+    // exact mergeable distinct bitmaps (Roaring64 — in Spark's own
+    // jars). The or/count names carry a graft_ prefix: Spark 4 ships
+    // BUILT-INS called bitmap_or_agg/bitmap_count (and theta_*_agg)
+    // with incompatible byte formats — shadowing them would silently
+    // change what a user's existing SQL computes, and re-registering
+    // over a built-in WARNs on every session init. Pinned by
+    // GraftSqlSpec's no-shadowing test against FunctionRegistry.builtin.
     "bitmap_agg" -> { es =>
       arity("bitmap_agg", es, 1)
       org.apache.spark.sql.graft.BitmapAgg(es.head)
     },
-    "bitmap_or_agg" -> { es =>
-      arity("bitmap_or_agg", es, 1)
+    "graft_bitmap_or_agg" -> { es =>
+      arity("graft_bitmap_or_agg", es, 1)
       org.apache.spark.sql.graft.BitmapOrAgg(es.head)
     },
-    "bitmap_count" -> { es =>
-      arity("bitmap_count", es, 1)
+    "graft_bitmap_count" -> { es =>
+      arity("graft_bitmap_count", es, 1)
       org.apache.spark.sql.graft.BitmapCount(es.head)
     },
     // theta sketch family — the set-algebra sibling (HLL unions; theta
     // also intersects and differences at-rest segment sketches)
-    "theta_sketch_agg" -> { es =>
-      arity("theta_sketch_agg", es, 2)
+    "graft_theta_sketch_agg" -> { es =>
+      arity("graft_theta_sketch_agg", es, 2)
       org.apache.spark.sql.graft.ThetaSketchAgg(es.head,
-        intLit(es(1), "theta_sketch_agg", 1))
+        intLit(es(1), "graft_theta_sketch_agg", 1))
     },
-    "theta_union_agg" -> { es =>
-      arity("theta_union_agg", es, 2)
+    "graft_theta_union_agg" -> { es =>
+      arity("graft_theta_union_agg", es, 2)
       org.apache.spark.sql.graft.ThetaUnionAgg(es.head,
-        intLit(es(1), "theta_union_agg", 1))
+        intLit(es(1), "graft_theta_union_agg", 1))
     },
     "theta_estimate" -> { es =>
       arity("theta_estimate", es, 1)
@@ -214,7 +224,22 @@ object GraftSql {
   def register(spark: SparkSession): Unit = {
     val registry = GraftBridge.registry(spark)
     builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+      // idempotent: re-registering a name WE already own (via a prior
+      // register() call or the GraftExtensions inject path) makes Spark
+      // log a "replaced a previously registered function" WARN per
+      // function per session re-init — noise that buries real warnings.
+      // The ownership check is by ExpressionInfo className, NOT bare
+      // functionExists: a name held by something else (e.g. a Spark
+      // built-in) must still be replaced, loudly.
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      val ours = registry.lookupFunction(ident).exists(
+        _.getClassName == "graft.functions.GraftSql")
+      if (!ours) {
+        registry.registerFunction(ident,
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft.functions.GraftSql", name),
+          b)
+      }
     }
   }
 

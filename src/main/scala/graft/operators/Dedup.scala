@@ -681,10 +681,15 @@ object Dedup {
     // qualify iff the group's own self-cosine passes — computed with the
     // same IEEE expression the uncollapsed pair would have used, so
     // zero vectors still never match and results stay bit-identical).
+    // persist, NOT localCheckpoint: groups is consumed three times
+    // (reps, member expansion, intra pairs), but localCheckpoint is
+    // eager (runs a job even if never consumed) and its blocks are
+    // non-recomputable — an executor loss on a real cluster would fail
+    // the downstream query instead of recomputing (round-11 ADVICE).
     val groups = base.groupBy(col("v"))
       .agg(min(col("vid")).as("rep"), collect_list(col("vid")).as("ids"),
         count(lit(1)).as("n_same"))
-      .localCheckpoint()
+      .persist()
     val reps = groups.select(col("rep").as("vid"), col("v"))
     val candidates =
       if (exact) {

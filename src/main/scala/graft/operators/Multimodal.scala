@@ -377,8 +377,8 @@ object Multimodal {
   // sine table of 4·nBands entries drives an all-integer DFT whose every
   // intermediate is a long/BigInt — replayable bit-for-bit in ANY engine
   // with integer arithmetic, which is what gives `mm_audio_spectrum` a
-  // DuckDB oracle. (The fingerprint path keeps StrictMath Goertzel
-  // doubles: peak ARGMAX only needs determinism, not replayability.)
+  // DuckDB oracle. The FINGERPRINT path shares the same integer DFT
+  // ([[intBandPower]]), so its landmark table replays in SQL too.
 
   /** Spectral features of one decoded audio payload. `ok = false` rows
     * carry zeros (payload wasn't decodable 16-bit PCM). `ms_ppm` is the
@@ -479,7 +479,7 @@ object Multimodal {
     * bit-identical on any JVM, and once quantized every downstream
     * operation is integer — the table for nBands bands has 4·nBands
     * entries (tiny enough to inline as literals in an oracle SQL). */
-  private[operators] def sinMilliTable(m: Int): Array[Long] =
+  private[graft] def sinMilliTable(m: Int): Array[Long] =
     Array.tabulate(m)(j =>
       math.round(1000.0 * StrictMath.sin(2.0 * math.Pi * j / m)))
 
@@ -597,6 +597,15 @@ object Multimodal {
     // StrictMath form did.
     val m = 160
     val tab = sinMilliTable(m)
+    // the table-driven oscillator only hits exact frequencies on the
+    // sampleRate/160 grid (50 Hz at 8 kHz); silently rounding an
+    // off-grid request (e.g. 440 Hz -> 450 Hz) would be a lie in a
+    // public builder, so reject it instead (round-11 ADVICE item)
+    freqs.foreach { f =>
+      require((f * m) % sampleRate == 0.0,
+        s"buildToneSequenceWav: $f Hz is off the ${sampleRate.toDouble / m} " +
+          s"Hz grid (frequencies must be multiples of sampleRate/$m)")
+    }
     val steps = freqs.map(f =>
       math.round(f * m / sampleRate).toInt).toArray
     monoWavBytes(freqs.length * segSamples, sampleRate) { a =>
@@ -612,8 +621,9 @@ object Multimodal {
   // Algorithm"): per frame, the spectral PEAK band; landmarks = (anchor
   // peak, target peak, frame gap) triples hashed into an integer; a clip
   // matches its source when many landmark hashes agree at ONE aligned
-  // time offset. Deterministic here: Goertzel peaks via StrictMath,
-  // argmax ties to the lowest band.
+  // time offset. Exact here: per-frame peaks via the integer DFT
+  // ([[intBandPower]]), argmax ties to the lowest band — the whole
+  // landmark table replays in SQL (the fingerprint oracles).
 
   /** One landmark row: `hash` packs (anchor band, target band, gap). */
   case class AudioLandmark(asset_id: Long, ok: Boolean, hash: Long, t: Long)

@@ -125,16 +125,22 @@ object TextAnalysis {
     val floorQ = math.round(floorLogp * 1e6)
     // (doc, gram, count) comes pre-aggregated out of the expression: the
     // join and every shuffle see distinct grams per doc, not occurrences.
-    // The total-grams branch re-reads the (column-pruned) corpus rather
-    // than materializing the gram table: measured identical at sf0.1, and
-    // at scale a pruned re-scan beats storing the exploded grams. (A
-    // lambda-based per-row total alongside the explode measured 12x WORSE
-    // than the extra scan — the HOF dropped the whole projection out of
-    // codegen; see RepetitionSignals' scaladoc for the pattern.)
+    // The per-doc gram TOTAL (the unmatched floor penalty's denominator)
+    // is a scan-side codegen'd scalar on ITS OWN pruned branch
+    // (CharNgramTotal == sum(cnt) by construction, TextAnalysisSpec-
+    // pinned): the prior shape derived it from the exploded pairs — a
+    // second explode + 7M-row aggregation. Do NOT fold the total into
+    // the explode's own projection: the optimizer re-sites the scalar
+    // ABOVE the Generate (once per gram row, not per doc) — measured
+    // 10x WORSE. And the lambda-based per-row total was 12x worse still
+    // (the HOF dropped the whole projection out of codegen).
+    val total = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.CharNgramTotal(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), n))
     val grams = docs.select(col(idCol).as("_id"),
       explode(gramCounts(col(textCol), n)).as("e"))
       .select(col("_id"), col("e.g").as("g"), col("e.cnt").as("cnt"))
-    val nGrams = grams.groupBy("_id").agg(sum("cnt").as("n_grams"))
+    val nGrams = docs.select(col(idCol).as("_id"), total.as("n_grams"))
     val best = grams.join(broadcast(profiles), "g")
       .groupBy(col("_id"), col("lang"))
       .agg(sum(col("logp_q") * col("cnt")).as("logp_sum_q"),

@@ -54,6 +54,43 @@ case class CharNgramCounts(child: Expression, maxN: Int)
     copy(child = newChild)
 }
 
+/** TOTAL n-gram occurrences (lengths 1..maxN, all-space grams skipped)
+  * of the same padded/lowercased text [[CharNgramCounts]] emits — by
+  * construction equal to `sum(cnt)` over its output, but computed as one
+  * allocation-free scan-side pass. The language classifier needs this
+  * total per document for its unmatched-gram floor penalty; deriving it
+  * from the exploded pairs cost a second scan + aggregation + join
+  * (measured ~15% of `text_language_profile`). A codegen'd primitive,
+  * unlike the HOF formulation that dropped the projection out of
+  * whole-stage codegen (see the 12x note in TextAnalysis). */
+case class CharNgramTotal(child: Expression, maxN: Int)
+    extends UnaryExpression {
+
+  require(maxN > 0, "maxN must be positive")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "char_ngram_total"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_total needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharNgramCounts.computeTotal(input.asInstanceOf[UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CharNgramCounts.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, s => s"$cls.computeTotal($s, $maxN)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramTotal =
+    copy(child = newChild)
+}
+
 object CharNgramCounts {
   private val Space = UTF8String.fromString(" ")
 
@@ -109,5 +146,47 @@ object CharNgramCounts {
       w += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** `Σ cnt` over [[compute]]'s output, allocation-free: the same
+    * pad/boundary/all-space-skip walk, counting positions instead of
+    * building gram strings. Kept adjacent so the two loops can only
+    * drift together. */
+  def computeTotal(s: UTF8String, maxN: Int): Long = {
+    val padded = UTF8String.concat(Space, s.toLowerCase, Space)
+    val b = padded.getBytes
+    var chars = 0
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    val bounds = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xC0) != 0x80) { bounds(c) = i; c += 1 }
+      i += 1
+    }
+    bounds(chars) = b.length
+    var total = 0L
+    var k = 1
+    while (k <= maxN) {
+      var p = 0
+      while (p + k <= chars) {
+        val from = bounds(p)
+        val until = bounds(p + k)
+        var q = from
+        var allSpace = true
+        while (allSpace && q < until) {
+          if (b(q) != ' ') allSpace = false
+          q += 1
+        }
+        if (!allSpace) total += 1L
+        p += 1
+      }
+      k += 1
+    }
+    total
   }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * Integer arithmetic makes the result combine-order-free, so it is
   * hash-oracle-exact like the composed form it replaces.
   *
-  * Mismatched lengths use the common prefix; arrays must be null-free
-  * (the quantization paths construct them so). */
+  * Mismatched lengths use the common prefix. A NULL ELEMENT in either
+  * array (within the common prefix) nulls the whole result — the same
+  * propagation the composed form has, so the SQL-registered `dot_long`
+  * never silently treats a null as 0 (round-11 ADVICE item). */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -28,13 +30,27 @@ case class DotProductLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
+  // null even with non-null inputs when an ELEMENT is null
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    containsNulls
+  private def containsNulls: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -42,11 +58,21 @@ case class DotProductLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // the element-null check only compiles in when the input schema
+      // says nulls are possible — the quantization paths' null-free
+      // arrays keep the tight two-load loop
+      val guard =
+        if (containsNulls)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; ${ev.value} = 0L; break;
+             |  }
+             |  """.stripMargin
+        else ""
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  $guard${ev.value} += $a.getLong($i) * $b.getLong($i);
          |}
        """.stripMargin
     })

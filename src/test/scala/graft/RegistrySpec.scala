@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 289)
-    assert(SparkEntry.oracleSql.size === 262)
+    assert(SparkEntry.oracleSql.size === 265)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -34,11 +34,8 @@ class RegistrySpec extends AnyFunSuite {
       "emb_pca_project", "events_trailing_distinct_sketch",
       "events_user_overlap_sketch", "j_join_size_estimate", "knn_ivf",
       "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
-      "mm_audio_spectrum", "mm_decode", "mm_phash_clusters",
+      "mm_decode", "mm_phash_clusters",
       "mm_phash_neardup", "mm_video_frames", "text_fingerprints",
-      // Goertzel peak doubles have no SQL twin; clip-matches-source and
-      // determinism laws pinned in MultimodalSpec
-      "mm_audio_fingerprint", "mm_audio_match",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))

@@ -40,6 +40,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT dot_long(array(2L, -3L, 5L), array(7L, 1L, 10L)) AS v")
       .as[Long].head() === 61L)
+    // a null ELEMENT nulls the result (matches the composed
+    // aggregate(zip_with) form it replaced) — it must never count as 0
+    assert(spark.sql(
+      "SELECT dot_long(array(2L, NULL, 5L), array(7L, 1L, 10L)) AS v")
+      .head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT dot_long(array(2L), CAST(NULL AS array<bigint>)) AS v")
+      .head().isNullAt(0))
     assert(spark.sql(
       "SELECT size(char_ngram_counts('ab', 2)) AS v") // " a","ab","b ","a","b"
       .as[Int].head() === 5)
@@ -73,6 +81,32 @@ class GraftSqlSpec extends SparkSpec {
     val viaDsl = docs.select(GraftFunctions.normalizeText($"text").as("v"))
     assert(viaSql.except(viaDsl).count() === 0L)
     assert(viaDsl.except(viaSql).count() === 0L)
+  }
+
+  test("no registered name shadows a Spark built-in function") {
+    // Spark 4 ships bitmap_or_agg / bitmap_count / theta_*_agg built-ins
+    // with byte formats incompatible with ours — shadowing one silently
+    // changes what a user's existing SQL computes, and re-registering
+    // over a built-in WARNs at every session init. Colliding names carry
+    // a graft_ prefix instead; this pin catches new collisions when the
+    // Spark version moves.
+    val builtin =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    val shadowed = graft.functions.GraftSql.builderNames.filter(n =>
+      builtin.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+    assert(shadowed === Seq.empty[String])
+  }
+
+  test("register() is idempotent and keeps ours over same-name built-ins") {
+    GraftSql.register(spark)
+    GraftSql.register(spark) // second call must be a no-op, not a replace
+    import spark.implicits._
+    // graft_bitmap_count reads OUR Roaring64 bytes (bitmap_agg output)
+    val n = spark.sql(
+      "SELECT graft_bitmap_count(bitmap_agg(id)) FROM range(100)")
+      .as[Long].head()
+    assert(n === 100L)
   }
 
   test("structural int parameters must be literals") {

@@ -129,6 +129,55 @@ class DedupSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("embedding pairs: exact-collapse reconstructs the full pair set under planted clones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The sf corpora carry ZERO byte-identical embeddings, so the k²
+    // exact-collapse added in round 11 ran only on singleton groups in
+    // every other test — a broken cross/intra member expansion would
+    // ship invisibly (round-11 ADVICE). Plant clones and derive the
+    // expected output ANALYTICALLY from the un-cloned run: for every
+    // base pair (a,b) all four {a,a'}×{b,b'} combinations are real
+    // pairs, every nonzero vector pairs with its own clone (self-cosine
+    // ≈ 1), and a zero vector must NOT pair with its byte-identical
+    // clone (0/0 cosine is NaN, never ≥ threshold).
+    val off = 100000L
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val zeros = Seq((900001L, Array.fill(dim)(0.0f)),
+      (900002L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val clones = emb.select((col("vec_id") + off).as("vec_id"),
+      col("embedding"))
+    val both = emb.unionByName(clones).unionByName(zeros)
+
+    def expand(pairs: Set[(Long, Long)]): Set[(Long, Long)] =
+      pairs.flatMap { case (a, b) =>
+        Seq(a, a + off).flatMap(x => Seq(b, b + off).map(y =>
+          (math.min(x, y), math.max(x, y)))) }
+    val selfPairs = emb
+      .where(exists(col("embedding"), (e: org.apache.spark.sql.Column) =>
+        e =!= 0.0f))
+      .select("vec_id").as[Long].collect()
+      .map(id => (id, id + off)).toSet
+    assert(selfPairs.nonEmpty)
+
+    val baseExact = pairSet(
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3, exact = true))
+    val cloneExact = pairSet(
+      Dedup.embeddingPairs(both, "vec_id", "embedding", 0.3, exact = true))
+    assert(cloneExact === (expand(baseExact) ++ selfPairs))
+    assert(!cloneExact.contains((900001L, 900002L)))
+    // blocked path: group reps carry the ORIGINAL ids (min of group), so
+    // the candidate join equals the un-cloned one and the same expansion
+    // law must hold — this is the path the 10x blowup measures
+    val baseBlocked = pairSet(
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3))
+    val cloneBlocked = pairSet(
+      Dedup.embeddingPairs(both, "vec_id", "embedding", 0.3))
+    assert(cloneBlocked === (expand(baseBlocked) ++ selfPairs))
+  }
+
   test("connected components: chains merge transitively, labels are component minima") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain), {10,11}, and 20-21-22 via a hub

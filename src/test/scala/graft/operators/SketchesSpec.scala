@@ -193,11 +193,11 @@ class SketchesSpec extends SparkSpec {
     // exact mode end to end (20k distinct < 2^15): the halves must union
     // to EXACTLY the whole count, and estimates are exact integers
     val est = spark.sql(
-      """SELECT theta_estimate(theta_union_agg(sk, 15)) AS e
-        |FROM (SELECT theta_sketch_agg(v, 15) AS sk
+      """SELECT theta_estimate(graft_theta_union_agg(sk, 15)) AS e
+        |FROM (SELECT graft_theta_sketch_agg(v, 15) AS sk
         |      FROM theta_in WHERE v % 2 = 0 GROUP BY g
         |      UNION ALL
-        |      SELECT theta_sketch_agg(v, 15) AS sk
+        |      SELECT graft_theta_sketch_agg(v, 15) AS sk
         |      FROM theta_in WHERE v % 2 = 1 GROUP BY g)""".stripMargin)
       .as[Double].head()
     assert(est === 20000.0, s"est=$est")
@@ -282,7 +282,7 @@ class SketchesSpec extends SparkSpec {
     (1L to 9999L).map(v => ("g", v * 7 % 5000)).toDF("g", "k")
       .createOrReplaceTempView("bm_in")
     val whole = spark.sql(
-      """SELECT bitmap_count(bitmap_or_agg(bm)) FROM (
+      """SELECT graft_bitmap_count(graft_bitmap_or_agg(bm)) FROM (
         |  SELECT bitmap_agg(k) AS bm FROM bm_in WHERE k % 2 = 0 GROUP BY g
         |  UNION ALL
         |  SELECT bitmap_agg(k) AS bm FROM bm_in WHERE k % 2 = 1 GROUP BY g)

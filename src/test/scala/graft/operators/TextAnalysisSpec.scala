@@ -130,6 +130,28 @@ class TextAnalysisSpec extends SparkSpec {
       === docs.count())
   }
 
+  test("char_ngram_total equals sum(cnt) over char_ngram_counts on real docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the classifier's floor penalty relies on this identity (the total
+    // is a separate allocation-free loop — this pin keeps the two loops
+    // from drifting apart), incl. multi-byte text and the und fixture
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((900L, "孩子们在 学校里"), (901L, "@@@@~~~~^^^^||||"),
+        (902L, ""), (903L, "   "), (904L, "a")).toDF("doc_id", "text"))
+    def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftBridge.column(e)
+    val expr = org.apache.spark.sql.GraftBridge.expression($"text")
+    val bad = docs.select(
+      bridge(org.apache.spark.sql.graft.CharNgramTotal(expr, 3)).as("t"),
+      aggregate(
+        bridge(org.apache.spark.sql.graft.CharNgramCounts(expr, 3)),
+        lit(0L), (acc, e) => acc + e.getField("cnt")).as("s"))
+      .where($"t" =!= $"s")
+    assert(bad.count() === 0L)
+  }
+
   test("topTerms: rare repeated terms outrank ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(

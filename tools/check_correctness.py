@@ -14,8 +14,16 @@ Pass --allow-stale to downgrade the refusal to a loud warning. The output
 JSON embeds the git SHA and every mtime so "what was actually checked" is
 reconstructible after the fact.
 """
-import sys, os, json, math, time, subprocess
+import sys, os, json, math, time, threading, subprocess
 import duckdb
+
+# Per-oracle runtime budget (seconds). Round 11 shipped two oracles
+# DuckDB could not finish in 15+ minutes; the driver's gate timed out
+# and emitted an EMPTY correctness artifact for the whole round. Type
+# safety (audit_oracle_types.py) wasn't enough — COST is a gate
+# property too: any oracle breaching the budget is a hard failure here,
+# so it can never reach the driver.
+ORACLE_BUDGET_SEC = float(os.environ.get("GRAFT_ORACLE_BUDGET_SEC", "30"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -138,9 +146,17 @@ def main():
         scols, srows = list(rel.columns), rel.fetchall()
         entry = {"rows": len(srows), "cols": sorted(scols)}
         if name in oracle:
+            # watchdog: interrupt the connection if the oracle exceeds
+            # the budget — an infeasible oracle must fail HERE, loudly,
+            # not time out the driver's whole gate (round-11 lesson)
+            timer = threading.Timer(ORACLE_BUDGET_SEC, con.interrupt)
+            t0 = time.monotonic()
             try:
+                timer.start()
                 orel = con.sql(oracle[name])
                 ocols, orows = list(orel.columns), orel.fetchall()
+                timer.cancel()
+                entry["oracle_sec"] = round(time.monotonic() - t0, 2)
                 entry["oracle_rows"] = len(orows)
                 entry["rows_match"] = len(srows) == len(orows)
                 entry["schema_match"] = sorted(scols) == sorted(ocols)
@@ -152,7 +168,17 @@ def main():
                     entry["spark_only"] = diff_s
                     entry["oracle_only"] = diff_o
             except Exception as e:
-                entry["oracle_error"] = str(e)[:500]
+                timer.cancel()
+                elapsed = time.monotonic() - t0
+                entry["oracle_sec"] = round(elapsed, 2)
+                if elapsed >= ORACLE_BUDGET_SEC - 0.5:
+                    entry["oracle_error"] = (
+                        f"ORACLE-TIMEOUT: exceeded {ORACLE_BUDGET_SEC}s "
+                        f"budget at sf0.01 — infeasible for the driver "
+                        f"gate; restructure the SQL or demote to "
+                        f"rows-only ({str(e)[:200]})")
+                else:
+                    entry["oracle_error"] = str(e)[:500]
         else:
             entry["rows_only"] = True
         results[name] = entry
@@ -189,6 +215,19 @@ def main():
     for name in sorted(missing):
         bad += 1
         print(f"✗ NO-OUTPUT {name} (query failed in Verify)")
+    # cost telemetry: surface the slowest oracles every run so a drift
+    # toward the budget is visible long before it breaches
+    timed = sorted(((e["oracle_sec"], n) for n, e in results.items()
+                    if "oracle_sec" in e), reverse=True)
+    if timed:
+        total_sec = round(sum(t for t, _ in timed), 1)
+        tops = ", ".join(f"{n}={t}s" for t, n in timed[:5])
+        print(f"  oracle cost: {total_sec}s total over {len(timed)}; "
+              f"slowest: {tops} (budget {ORACLE_BUDGET_SEC}s each)")
+        for t, n in timed:
+            if t > ORACLE_BUDGET_SEC / 2 and not results[n].get("oracle_error"):
+                print(f"  WARNING: oracle {n} at {t}s is past half "
+                      f"the {ORACLE_BUDGET_SEC}s budget")
     print(f"\n{ok} match, {bad} bad, {rows_only} rows-only  "
           f"[sha {str(meta.get('git_sha'))[:9]}"
           f"{' DIRTY' if meta.get('git_dirty') else ''}"

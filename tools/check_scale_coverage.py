@@ -52,8 +52,26 @@ def blocking_queries(gens):
 
 
 def measured_names():
+    """Backticked names appearing in SCALE.md MARKDOWN TABLE ROWS that
+    also carry a digit in another cell — a measurement, not prose. (The
+    round-11 version accepted any backticked token anywhere, so pasting
+    this tool's own UNMEASURED backlog into prose satisfied the gate.)"""
+    names = set()
     with open(os.path.join(ROOT, "SCALE.md")) as fh:
-        return set(re.findall(r"`([a-z0-9_]+)`", fh.read()))
+        for line in fh:
+            line = line.strip()
+            if not line.startswith("|"):
+                continue
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            row_names = set()
+            has_number = False
+            for c in cells:
+                row_names |= set(re.findall(r"`([a-z0-9_]+)`", c))
+                if re.search(r"\d", re.sub(r"`[^`]*`", "", c)):
+                    has_number = True
+            if has_number:
+                names |= row_names
+    return names
 
 
 def main():
