@@ -1245,6 +1245,50 @@ private[graft] object SparkEntryOracles {
           |  CAST(votes AS BIGINT) AS votes
           |FROM best WHERE rk = 1""".stripMargin),
 
+    // audio-segmentation twin: regenerate the tone/silence fixtures from
+    // doc_id (freq 0 -> step 0 -> tab(0)=0 -> floor(1000/2000)=0: true
+    // digital silence, no special case needed), frame into 256-sample
+    // non-overlapping energies, flag silence by integer cross-multiply,
+    // and collapse constant-state runs gaps-and-islands style — the
+    // complete Spark chain in SQL
+    "mm_audio_segments" ->
+      s"""WITH assets AS (
+        |  SELECT doc_id AS aid FROM documents WHERE doc_id < 8),
+        |segs AS (
+        |  SELECT aid, g.s AS seg,
+        |    CASE WHEN (aid * 5 + g.s * 7) % 4 = 0 THEN 0
+        |    ELSE 6 + ((aid * 7 + g.s * 3) % 12) * 5 END AS k
+        |  FROM assets CROSS JOIN range(0, 8) g(s)),
+        |samp AS (
+        |  SELECT segs.aid, segs.seg * 1024 + r.i AS a,
+        |    CAST(floor((2*12000*list_extract(${sinListSql(160)},
+        |      CAST((segs.k * r.i) % 160 AS INT) + 1) + 1000) / 2000.0)
+        |      AS BIGINT) AS v
+        |  FROM segs CROSS JOIN range(0, 1024) r(i)),
+        |fe AS (
+        |  SELECT aid, a // 256 AS f, SUM(v*v) AS sq
+        |  FROM samp GROUP BY aid, a // 256),
+        |fl AS (
+        |  SELECT aid, f, sq,
+        |    sq * 1000000 < CAST(1000 AS BIGINT) * 256 * 1073741824 AS sil
+        |  FROM fe),
+        |runs AS (
+        |  SELECT aid, sil, f, sq, f - row_number() OVER (
+        |      PARTITION BY aid, sil ORDER BY f) AS run
+        |  FROM fl),
+        |gr AS (
+        |  SELECT aid, sil, run, MIN(f) AS start_frame,
+        |    MAX(f) AS end_frame, COUNT(*) AS n_frames, SUM(sq) AS sq_sum
+        |  FROM runs GROUP BY aid, sil, run)
+        |SELECT aid AS asset_id,
+        |  CAST(row_number() OVER (PARTITION BY aid ORDER BY start_frame)
+        |    AS BIGINT) AS seg_no,
+        |  sil AS is_silent, CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sq_sum AS BIGINT) AS sq_sum
+        |FROM gr""".stripMargin,
+
     // audio-spectrum twin: a FULL replay of the exact-integer chain —
     // the WAV samples regenerate from doc_id via the inlined 32-entry
     // milli-quantized sine list (16-bit PCM round-trips losslessly, so

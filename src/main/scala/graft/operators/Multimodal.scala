@@ -687,6 +687,81 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- audio activity segmentation (VAD): energy runs over frames ----
+  // The speech-pipeline primitive ("cut on silence, keep voiced spans"):
+  // non-overlapping frame energies, a silence threshold in mean-square
+  // ppm of full-scale², and gaps-and-islands run grouping. EXACT
+  // integer end to end (per-frame Σv² is a long; the threshold compare
+  // is cross-multiplied, never divided), so the whole chain — sample
+  // regeneration, framing, thresholding, run grouping — replays in SQL
+  // (registry key `mm_audio_segments`).
+
+  /** One per-frame energy row (non-overlapping `frameLen` frames; the
+    * trailing partial frame is dropped — a fixed-length energy grid). */
+  case class AudioFrameEnergy(asset_id: Long, ok: Boolean, frame: Long,
+                              sq: Long)
+
+  /** Partition-mapped per-frame integer energies over (id, payload). */
+  def audioFrameEnergies(assets: DataFrame, idCol: String, binCol: String,
+                         frameLen: Int = 256): Dataset[AudioFrameEnergy] = {
+    implicit val enc = Encoders.product[AudioFrameEnergy]
+    assets.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY))
+      .flatMap { case (id, bytes) =>
+        decodePcmMono(bytes) match {
+          case None => Seq(AudioFrameEnergy(id, ok = false, 0L, 0L))
+          case Some((_, mono)) =>
+            val nFrames = mono.length / frameLen
+            if (nFrames == 0) Seq(AudioFrameEnergy(id, ok = false, 0L, 0L))
+            else (0 until nFrames).map { f =>
+              var sq = 0L
+              var j = f * frameLen
+              val end = j + frameLen
+              while (j < end) {
+                sq += mono(j).toLong * mono(j); j += 1
+              }
+              AudioFrameEnergy(id, ok = true, f.toLong, sq)
+            }
+        }
+      }
+  }
+
+  /** Collapse a frame-energy table into maximal constant-activity RUNS:
+    * a frame is silent iff its mean square is below `silencePpm`
+    * parts-per-million of full-scale² (integer cross-multiplied:
+    * sq·10⁶ < ppm·frameLen·2³⁰), and consecutive same-state frames
+    * merge (gaps-and-islands: frame − row_number within state is
+    * constant per run). Output one row per run with its frame span and
+    * exact energy sum; `seg_no` numbers runs per asset.
+    *
+    * Scale shape: windows partition by asset (an asset's frame count is
+    * bounded by its duration, never by corpus size); everything else is
+    * per-run aggregation. The frame table itself can be the at-rest
+    * artifact for re-segmentation under a different threshold. */
+  def audioSegments(frames: Dataset[AudioFrameEnergy],
+                    frameLen: Int = 256,
+                    silencePpm: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = frames.toDF().where(col("ok"))
+      .withColumn("is_silent",
+        col("sq") * lit(1000000L) <
+          lit(silencePpm) * lit(frameLen.toLong) * lit(1073741824L))
+    val byState = Window.partitionBy("asset_id", "is_silent")
+      .orderBy("frame")
+    val runs = flagged
+      .withColumn("_run", col("frame") - row_number().over(byState))
+      .groupBy(col("asset_id"), col("is_silent"), col("_run"))
+      .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("sq").as("sq_sum"))
+    runs
+      .withColumn("seg_no", row_number().over(
+        Window.partitionBy("asset_id").orderBy("start_frame")))
+      .select(col("asset_id"), col("seg_no").cast("long").as("seg_no"),
+        col("is_silent"), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("sq_sum"))
+  }
+
   /** Match probe landmark tables against a reference landmark table: an
     * equi-join on `hash`, votes counted per (probe, ref, time offset) —
     * the offset histogram — and each probe keeps its best (votes, then

@@ -300,6 +300,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio segments: planted silence spans found exactly, runs merge, " +
+    "bad payload drops") {
+    import spark.implicits._
+    // asset 0 of the registry fixture: segments j=0 and j=4 are silent
+    // ((0 + 7j) % 4 == 0), each segment is exactly 4 non-overlapping
+    // 256-sample frames -> runs silent[0-3] voiced[4-15] silent[16-19]
+    // voiced[20-31]
+    val assets = Seq(
+      (0L, Multimodal.buildToneSequenceWav((0 until 8).map(j =>
+        if ((j * 7) % 4 == 0) 0.0 else 300.0 + ((j * 3) % 12) * 250.0))),
+      (1L, Array[Byte](1, 2, 3)) // undecodable
+    ).toDF("doc_id", "payload")
+    val segs = Multimodal.audioSegments(
+      Multimodal.audioFrameEnergies(assets, "doc_id", "payload"))
+      .orderBy("asset_id", "seg_no")
+      .select("asset_id", "seg_no", "is_silent", "start_frame",
+        "end_frame", "n_frames")
+      .as[(Long, Long, Boolean, Long, Long, Long)].collect()
+    assert(segs.toSeq === Seq(
+      (0L, 1L, true, 0L, 3L, 4L), (0L, 2L, false, 4L, 15L, 12L),
+      (0L, 3L, true, 16L, 19L, 4L), (0L, 4L, false, 20L, 31L, 12L)))
+    // a silent frame's energy is EXACTLY zero on this fixture (freq 0 is
+    // on the table grid), and voiced frames clear the 1000-ppm threshold
+    // by orders of magnitude — threshold placement is not delicate
+    val sq = Multimodal.audioFrameEnergies(assets, "doc_id", "payload")
+      .where($"ok" && $"asset_id" === 0L)
+      .select("sq").as[Long].collect()
+    assert(sq.count(_ == 0L) === 8)
+    assert(sq.filter(_ != 0L).forall(_ > 1000L * 256 * 1073741824L / 1000000L))
+  }
+
   test("audio fingerprint: a clip matches its SOURCE at the expected " +
     "offset; wrong sources lose the vote; deterministic; bad payload ok=false") {
     import spark.implicits._
