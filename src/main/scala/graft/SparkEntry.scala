@@ -1878,6 +1878,22 @@ object SparkEntry {
         "doc_id", "text", 4, thresholdPct = 10)
     }),
 
+    // SEMANTIC decontamination: corpus embeddings flagged when a
+    // benchmark embedding in their codebook cell is cosine-similar —
+    // the paraphrase-robust complement of the n-gram passes. Benchmark
+    // = every 50th vector, which ALSO stays in the corpus: those rows
+    // flag themselves (leaked-verbatim case, cos² = 1) and their
+    // near-dups flag too, while the rest stay clean — both verdicts
+    // exercised, integer math end to end, hash-exact oracle
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Decontamination.semanticContamination(
+        emb, emb.where(pmod(col("vec_id"), lit(50)) === 7),
+        "vec_id", "embedding",
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        simSqPpm = 160000L)
+    }),
+
     // Same pass over 64-bit shingle hashes — the at-scale form (rows-only:
     // xxhash64 keys; agreement with `decontaminate` pinned by spec)
     "decontaminate_hashed" -> ((s, dir) => {

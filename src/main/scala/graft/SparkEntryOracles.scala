@@ -1701,6 +1701,52 @@ private[graft] object SparkEntryOracles {
          |FROM base b LEFT JOIN dups d ON b.vec_id = d.vec_id""".stripMargin
     },
 
+    // semantic-decontamination twin: the dedup_semantic replay pointed
+    // across corpora — benchmark rows (vec_id % 50 = 7, which also stay
+    // in the corpus) quantize + cell-assign identically, cell-blocked
+    // integer-dot similarity flags contaminated corpus rows with their
+    // smallest flagging benchmark id
+    "decontaminate_semantic" -> {
+      val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+      def dot(a: String, lits: Seq[Long]): String =
+        s"CAST(list_sum(list_transform(list_zip($a, " +
+          lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+      val scores = cents.zipWithIndex
+        .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+      s"""WITH iq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |scored AS (SELECT vec_id, q,
+         |  $scores
+         |  FROM iq),
+         |base AS (SELECT vec_id, q,
+         |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+         |       WHEN s1>=s2 AND s1>=s3 THEN 1
+         |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell,
+         |  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+         |  FROM scored),
+         |bench AS (SELECT vec_id AS bench_id, q AS qb, cell, n2 AS nb2
+         |  FROM base WHERE vec_id % 50 = 7),
+         |hits AS (
+         |  SELECT c.vec_id, min(b.bench_id) AS contaminant_id
+         |  FROM base c JOIN bench b ON c.cell = b.cell
+         |  WHERE CAST(list_sum(list_transform(list_zip(c.q, b.qb),
+         |      z -> z[1]*z[2])) AS BIGINT) > 0
+         |    AND CAST(list_sum(list_transform(list_zip(c.q, b.qb),
+         |      z -> z[1]*z[2])) AS HUGEINT)
+         |      * CAST(list_sum(list_transform(list_zip(c.q, b.qb),
+         |      z -> z[1]*z[2])) AS BIGINT) * 1000000
+         |      >= 160000 * CAST(c.n2 AS HUGEINT) * b.nb2
+         |  GROUP BY c.vec_id)
+         |SELECT c.vec_id, c.cell,
+         |  CAST(CASE WHEN h.contaminant_id IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS contaminated,
+         |  h.contaminant_id
+         |FROM base c LEFT JOIN hits h ON c.vec_id = h.vec_id""".stripMargin
+    },
+
     "knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 20),

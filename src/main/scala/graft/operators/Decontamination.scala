@@ -101,4 +101,54 @@ object Decontamination {
       .groupBy(col(idCol))
       .agg(countDistinct(col("gk")).as("n_distinct_hits"))
   }
+
+  /** SEMANTIC decontamination: a corpus row is contaminated iff some
+    * benchmark EMBEDDING in its codebook cell is cosine-similar above
+    * the threshold — the paraphrase-robust complement of the n-gram
+    * passes above (a reworded eval question shares no shingles but sits
+    * next to the original in embedding space; SemDeDup's mechanic,
+    * Abbas et al. 2023, pointed across corpora instead of within one).
+    *
+    * EXACT integer math end to end, the [[Dedup.semanticDedup]] idiom
+    * verbatim: milli-quantized vectors, integer dot products, the
+    * similarity test cross-multiplied in decimal(38,0) — so the whole
+    * pass replays in SQL (registry key `decontaminate_semantic`).
+    * Output per corpus row: (vec_id, cell, contaminated 0/1,
+    * contaminant_id = smallest flagging benchmark id, null when clean).
+    * Zero vectors are never contaminated (score > 0 guard, the NaN-free
+    * integer form of "0/0 cosine matches nothing").
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of rows
+    * against a 100 TB corpus — so its quantized cells BROADCAST and the
+    * corpus probes map-side within its own cell; candidate count is
+    * Σ_cell |corpus_cell|·|bench_cell| ≤ |corpus|·max_cell(bench):
+    * LINEAR in the corpus, no pair blowup to collapse. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            centroids: Seq[Seq[Long]],
+                            simSqPpm: Long = 810000L): DataFrame = {
+    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
+      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
+    import graft.functions.GraftFunctions.dotLong
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"),
+      Similarity.quantizeMilli(col(vecCol)).as("iq"),
+      Similarity.cellOf(col(vecCol), centroids).as("cell"))
+    val b = benchmark.select(col(idCol).cast("long").as("bench_id"),
+      Similarity.quantizeMilli(col(vecCol)).as("iq_b"),
+      Similarity.cellOf(col(vecCol), centroids).as("cell"))
+    val d = (x: Column) => x.cast("decimal(19,0)")
+    val hits = c.join(broadcast(b), Seq("cell"))
+      .withColumn("score", dotLong(col("iq"), col("iq_b")))
+      .where(col("score") > 0 &&
+        d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
+          d(lit(simSqPpm)) * d(dotLong(col("iq"), col("iq"))) *
+            d(dotLong(col("iq_b"), col("iq_b"))))
+      .groupBy("vec_id").agg(min("bench_id").as("contaminant_id"))
+    c.select("vec_id", "cell")
+      .join(hits, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("contaminant_id").isNotNull, 1L).otherwise(0L)
+          .as("contaminated"),
+        col("contaminant_id"))
+  }
 }

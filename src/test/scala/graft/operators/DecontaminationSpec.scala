@@ -52,4 +52,49 @@ class DecontaminationSpec extends SparkSpec {
     assert(md5k === str)
     assert(str.nonEmpty, "test corpus must exercise the overlap path")
   }
+
+  test("semantic contamination: leaked copies and paraphrase-neighbors " +
+    "flag, anti-similar and zero vectors stay clean") {
+    import spark.implicits._
+    val dims = 64
+    def vec(f: Int => Float) = Array.tabulate(dims)(f)
+    val e1 = vec(i => if (i % 4 == 0) 1.0f else 0.0f) // cell 0 axis
+    val near = vec(i => if (i % 4 == 0) 0.95f
+      else if (i % 4 == 1) 0.05f else 0.0f) // cos ~0.999 with e1
+    // all-negative but LEAST negative on cell 0's axis -> lands in cell 0
+    // (argmax dot) with dot(anti, e1) < 0: exercises the score>0 guard
+    // within the candidate cell, not just cell mismatch
+    val anti = vec(i => if (i % 4 == 0) -0.5f else -1.0f)
+    val ortho = vec(i => if (i % 4 == 1) 1.0f else 0.0f) // different cell
+    val zero = vec(_ => 0.0f)
+    val corpus = Seq(
+      (1L, e1),      // verbatim leak of bench 100 -> contaminated by 100
+      (2L, near),    // paraphrase neighbor -> contaminated by 100
+      (3L, anti),    // anti-parallel: score > 0 guard keeps it clean
+      (4L, ortho),   // other cell, never a candidate
+      (5L, zero)     // zero vector: never contaminated
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, e1), (101L, zero))
+      .toDF("vec_id", "embedding")
+    val got = Decontamination.semanticContamination(
+      corpus, bench, "vec_id", "embedding",
+      Similarity.fixedCodebook(4, dims), simSqPpm = 810000L)
+      .select("vec_id", "contaminated", "contaminant_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, Some(100L))), 2L -> ((1L, Some(100L))),
+      3L -> ((0L, None)), 4L -> ((0L, None)), 5L -> ((0L, None))))
+    // threshold monotonicity: raising the bar can only shrink the flag set
+    val loose = Decontamination.semanticContamination(
+      corpus, bench, "vec_id", "embedding",
+      Similarity.fixedCodebook(4, dims), simSqPpm = 100000L)
+      .where($"contaminated" === 1L).select("vec_id").as[Long].collect().toSet
+    val strict = Decontamination.semanticContamination(
+      corpus, bench, "vec_id", "embedding",
+      Similarity.fixedCodebook(4, dims), simSqPpm = 999999L)
+      .where($"contaminated" === 1L).select("vec_id").as[Long].collect().toSet
+    assert(strict.subsetOf(loose))
+  }
 }
