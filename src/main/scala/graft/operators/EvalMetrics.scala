@@ -262,11 +262,13 @@ object EvalMetrics {
     * engine-portable idiom as the sampling surface, so DuckDB replays
     * the exact weights (lexicographic hex compare; thresholds are
     * ⌊CDF·16⁶⌋ in 6-digit hex). One 32-hex digest yields FIVE
-    * independent 6-hex uniforms, so each row hashes ⌈reps/5⌉ times, not
-    * `reps` times — md5 dominates this operator's cost and the harvest
-    * measured 2.7× faster at sf0.1 (22.3 s → 8.2 s) with identical
-    * statistics (replicate r reads slot (r−1)%5 of digest ⌈r/5⌉ of
-    * md5(salt:id:block)).
+    * independent 6-hex uniforms (replicate r reads slot (r−1)%5 of
+    * digest ⌈r/5⌉ of md5(salt:id:block)); the whole harvest runs as one
+    * fused codegen kernel per row ([[org.apache.spark.sql.graft
+    * .PoissonWeights]]) over raw digest bytes. The cost curve at sf0.1:
+    * naive one-hash-per-replicate 22.3 s → 5-slot harvest 8.2 s →
+    * fused kernel + long-first two-phase reduction 3.0 s, identical
+    * statistics at every step (the oracle hash-compares them).
     * Weights cap at 7 (P(X≥8) < 1e-5 — at most a ±1-count perturbation
     * per ~10⁵ replicate-rows, far inside the CI's own resolution).
     *
@@ -278,26 +280,34 @@ object EvalMetrics {
                          reps: Int = 100,
                          salt: String = "boot"): DataFrame = {
     require(reps >= 4, "need enough replicates to take percentiles")
-    val nBlocks = (reps + 4) / 5
-    // ⌊CDF_{Poisson(1)}(k)·16⁶⌋, k = 0..6, as 6-digit hex
-    val w = poissonCdfHex6.zipWithIndex
-      .foldRight(lit(7L): Column) { case ((cut, k), els) =>
-        when(col("_u") < lit(cut), k.toLong).otherwise(els)
-      }
+    // all `reps` weights of a row come out of ONE fused codegen'd pass
+    // over the raw md5 digest bytes ([[org.apache.spark.sql.graft
+    // .PoissonWeights]] — bit-identical to the hex-substring form the
+    // oracle replays); the only explode is the final skinny (rep, w)
+    // posexplode. The earlier two-Generate form (blocks × slots, digest
+    // hex strings riding every row) measured ~2× slower.
+    val wcol = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.PoissonWeights(
+        org.apache.spark.sql.GraftBridge.expression(
+          concat(lit(salt), lit(":"), col(idCol).cast("string"),
+            lit(":"))), reps))
+    // two-phase reduction: the inner aggregate keys on (rep, partition)
+    // so its LONG sums are exact by construction (|Σ w·v| per partition
+    // ≤ 7·rows_per_partition·|v| — at 10⁷-row partitions that allows
+    // |v| up to ~10¹⁴, far past any money/metric column), and only the
+    // O(partitions × reps) partials meet the decimal(38,0) widening.
+    // Folding decimal arithmetic into the 15M-row phase instead
+    // measured ~25% of the query.
     val perRep = df
-      .select(col(idCol), col(valueCol).cast("long").as("_v"))
-      .withColumn("_blk", explode(sequence(lit(0), lit(nBlocks - 1))))
-      .withColumn("_h", md5(concat(lit(salt), lit(":"),
-        col(idCol).cast("string"), lit(":"),
-        col("_blk").cast("string")).cast("binary")))
-      .withColumn("_slot", explode(sequence(lit(0), lit(4))))
-      .withColumn("_rep", col("_blk") * 5 + col("_slot") + 1)
-      .where(col("_rep") <= reps)
-      .withColumn("_u", expr("substr(_h, _slot * 6 + 1, 6)"))
-      .withColumn("_w", w)
+      .select(col(valueCol).cast("long").as("_v"), wcol.as("_ws"))
+      .select(col("_v"), posexplode(col("_ws")).as(Seq("_rep0", "_w")))
+      .withColumn("_rep", col("_rep0") + 1)
+      .groupBy(col("_rep"), spark_partition_id().as("_part"))
+      .agg(sum(col("_w").cast("long")).as("psw"),
+        sum(col("_w").cast("long") * col("_v")).as("psv"))
       .groupBy("_rep")
-      .agg(sum(col("_w")).as("sw"),
-        sum(col("_w").cast("decimal(38,0)") * col("_v")).as("sv"))
+      .agg(sum(col("psw")).as("sw"),
+        sum(col("psv").cast("decimal(38,0)")).as("sv"))
       .select(col("_rep"),
         expr("cast(sv div nullif(sw, 0) as bigint)").as("m"))
     // constant-but-not-foldable partition key (the prCurve idiom): the

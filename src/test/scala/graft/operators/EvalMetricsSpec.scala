@@ -268,6 +268,12 @@ class EvalMetricsSpec extends SparkSpec {
     assert(t.getAs[Long]("ndcg_ppm") === 0L)
   }
 
+  test("PoissonWeights.cdf24 is the integer reading of poissonCdfHex6 " +
+    "(the fused kernel and the SQL twin share one pinned CDF)") {
+    assert(org.apache.spark.sql.graft.PoissonWeights.cdf24.toSeq ===
+      EvalMetrics.poissonCdfHex6.map(Integer.parseInt(_, 16)))
+  }
+
   test("poissonBootstrapCI: replicate blowup stays inside the scan stage " +
     "(pruned read, map-side partial aggregate before any exchange)") {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
