@@ -106,9 +106,15 @@ object Embeddings {
                   dim: Int, k: Int = 4, iters: Int = 2,
                   scale: Int = 1000): DataFrame = {
     require(k >= 1 && iters >= 0 && dim >= 1)
+    // KnownNoNullElements: every element is provably floor(x·scale) of a
+    // present float — keeps dot_long's assignment loop guard-free (the
+    // quantizeMilli treatment; transform() always infers containsNull)
     val base = embs.select(col(idCol).cast("long").as("vec_id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.KnownNoNullElements(
+          org.apache.spark.sql.GraftBridge.expression(
+            transform(col(vecCol),
+              x => floor(x.cast("double") * scale).cast("long"))))).as("q"))
 
     var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
@@ -116,16 +122,22 @@ object Embeddings {
 
     // (squared-distance, cell) argmin as ONE least-of-structs expression:
     // lexicographic struct order = min distance, ties to min cell id
-    // (k=1: least() needs two args — every row is trivially cell 0)
-    def cellCol: Column =
+    // (k=1: least() needs two args — every row is trivially cell 0).
+    // The distance is the EXPANDED form −2·q·c + |c|² (the common |q|²
+    // cannot change an argmin or its ties): each cell is one fused
+    // dot_long loop against a literal vector instead of `dim`
+    // element_at-diff-square nodes — the k×dim-node tree version blew
+    // past what whole-stage codegen compiles into tight code (measured
+    // 2x slower at k=4, dim=64)
+    def cellCol: Column = {
+      import graft.functions.GraftFunctions.dotLong
       if (k == 1) lit(0L)
       else least(cents.zipWithIndex.map { case (c, j) =>
-        val dist = (0 until dim).map { d =>
-          val diff = element_at(col("q"), d + 1) - lit(c(d))
-          diff * diff
-        }.reduce(_ + _)
-        struct(dist.as("d"), lit(j).as("j"))
+        val score = lit(-2L) * dotLong(col("q"), typedLit(c.toSeq)) +
+          lit(c.map(x => x * x).sum)
+        struct(score.as("d"), lit(j).as("j"))
       }: _*).getField("j").cast("long")
+    }
 
     for (_ <- 1 to iters) {
       val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
