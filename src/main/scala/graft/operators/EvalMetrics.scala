@@ -298,9 +298,16 @@ object EvalMetrics {
     // O(partitions × reps) partials meet the decimal(38,0) widening.
     // Folding decimal arithmetic into the 15M-row phase instead
     // measured ~25% of the query.
+    // posexplode_OUTER: the inner form makes the optimizer infer a
+    // `size(_ws) > 0 AND isnotnull(_ws)` filter under the Generate that
+    // RE-EVALUATES the whole md5 kernel once more per row (no cross-
+    // operator subexpression elimination). The weights array is always
+    // non-null and `reps` long for a non-null id, so with the explicit
+    // id guard the outer form emits identical rows — at half the hashes.
     val perRep = df
+      .where(col(idCol).isNotNull)
       .select(col(valueCol).cast("long").as("_v"), wcol.as("_ws"))
-      .select(col("_v"), posexplode(col("_ws")).as(Seq("_rep0", "_w")))
+      .select(col("_v"), posexplode_outer(col("_ws")).as(Seq("_rep0", "_w")))
       .withColumn("_rep", col("_rep0") + 1)
       .groupBy(col("_rep"), spark_partition_id().as("_part"))
       .agg(sum(col("_w").cast("long")).as("psw"),

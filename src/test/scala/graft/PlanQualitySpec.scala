@@ -185,6 +185,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination broadcasts the benchmark side, corpus never shuffles for it") {
+    val plan = formatted(
+      SparkEntry.queries("decontaminate_semantic")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark (eval-set) side must broadcast:\n$plan")
+    // the only SortMergeJoin allowed is the final per-row verdict join
+    // back on vec_id — the CELL-blocked similarity probe must not
+    // sort-merge (that would shuffle the whole corpus by cell)
+    val smjKeys = "SortMergeJoin \\[([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(smjKeys.subsetOf(Set("vec_id")),
+      s"only the verdict join may sort-merge, got keys $smjKeys:\n$plan")
+  }
+
+  test("audio segmentation windows partition per asset — no single-partition window") {
+    val plan = formatted(SparkEntry.queries("mm_audio_segments")(spark, sfDir))
+    assert(!plan.contains("SinglePartition"),
+      s"run-grouping windows must partition by asset:\n$plan")
+  }
+
+  test("bootstrap CI: the 15M-row replicate phase aggregates in longs; " +
+    "decimal only after the per-partition reduction") {
+    val plan = formatted(SparkEntry.queries("ml_bootstrap_ci")(spark, sfDir))
+    // inner aggregate keys on (_rep, SPARK_PARTITION_ID()): partial sums
+    // stay long (the id shows up aliased _nondeterministic in plans)
+    assert(plan.contains("SPARK_PARTITION_ID()"),
+      s"inner aggregate must key on the partition id:\n$plan")
+    // the decimal widening reads the inner aggregate's output (psv),
+    // never the exploded per-row weights
+    assert(!plan.contains("cast(_w#") || !plan.contains("decimal(38,0)) * _v"),
+      s"no per-row decimal products in the replicate phase:\n$plan")
+    // the md5 kernel must be evaluated ONCE per row: an inferred
+    // size()>0 filter under the Generate would re-run it (outer explode
+    // + id guard prevents that)
+    assert(!plan.contains("size(poisson_weights"),
+      s"inferred generator filter re-evaluates the md5 kernel:\n$plan")
+  }
+
   test("curation funnel is one corpus scan, no joins of report outputs") {
     val plan = formatted(SparkEntry.queries("text_funnel")(spark, sfDir))
     val scans = plan.linesIterator
