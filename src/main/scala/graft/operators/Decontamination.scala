@@ -31,7 +31,13 @@ object Decontamination {
     val bench = benchmark
       .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
     corpus
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      // explode_OUTER: the inner form makes the optimizer infer a
+      // size(shingles(text))>0 filter under the Generate that builds
+      // the whole shingle array a second time per row (the
+      // ml_bootstrap_ci lesson, PlanQualitySpec-pinned registry-wide).
+      // The null gram rows outer emits for short docs die at the
+      // gram equi-join — identical output at half the shingling.
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("gram"))
       .join(broadcast(bench), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"),
@@ -51,8 +57,14 @@ object Decontamination {
                            thresholdPct: Int): DataFrame = {
     val hits = contamination(corpus, benchmark, idCol, textCol, n)
     corpus
+      // coalesce makes n_grams provably NON-NULL (null text -> 0 grams,
+      // 0 hits -> clean): otherwise a downstream filter on `contaminated`
+      // infers isnotnull(n_grams), which re-runs the whole shingle
+      // kernel inside the Filter (the inferred-filter class
+      // PlanQualitySpec sweeps for)
       .select(col(idCol),
-        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+        coalesce(size(shingles(col(textCol), n)).cast("long"), lit(0L))
+          .as("n_grams"))
       .join(hits.select(col(idCol), col("n_hits")), Seq(idCol), "left_outer")
       .select(col(idCol), col("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

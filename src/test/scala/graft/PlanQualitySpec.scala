@@ -223,6 +223,29 @@ class PlanQualitySpec extends SparkSpec {
       s"inferred generator filter re-evaluates the md5 kernel:\n$plan")
   }
 
+  test("no query's plan re-evaluates an expensive kernel inside an " +
+    "inferred generator filter (registry-wide)") {
+    // explode(expensiveKernel(...)) lets InferFiltersFromGenerate plant a
+    // size(kernel(...))>0 Filter that runs the whole kernel once more per
+    // row — there is no cross-operator subexpression elimination. The
+    // fix at each site is explode_outer + a guard. This sweeps every
+    // registry plan's Filter conditions for the kernel names.
+    val kernels = Seq("char_ngram_counts", "shingle_hashes", "shingles(",
+      "poisson_weights", "minhash_signature", "char_ngram_total",
+      "repetition_signals", "int8_codes", "simhash64")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // plan-build failures are owned by the correctness gate, not here
+        scala.util.Try(formatted(fn(spark, sfDir))).toOption.flatMap { plan =>
+          val conds = plan.linesIterator
+            .filter(_.trim.startsWith("Condition :")).mkString("\n")
+          val hits = kernels.filter(k => conds.contains(s"size($k"))
+          if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("curation funnel is one corpus scan, no joins of report outputs") {
     val plan = formatted(SparkEntry.queries("text_funnel")(spark, sfDir))
     val scans = plan.linesIterator
