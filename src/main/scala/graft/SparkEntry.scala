@@ -1196,8 +1196,8 @@ object SparkEntry {
     // can't see (quote-inside-article, boilerplate wrapping); prefix
     // blocking on the contained side only, directional output
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 2, minContainment = 0.8)),
+      Dedup.containmentPairsFor(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, minContainment = 0.8, key = dir)),
 
     // Sorted-neighborhood blocking (Hernández–Stolfo): global order on a
     // normalized text prefix via the distributed range-sort sequence

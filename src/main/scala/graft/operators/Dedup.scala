@@ -234,20 +234,50 @@ object Dedup {
       minContainment)
 
   def containmentPairsFromGroups(groups: DataFrame,
-                                 minContainment: Double): DataFrame = {
-    require(minContainment > 0 && minContainment <= 1,
-      "minContainment in (0, 1]")
-    val t = minContainment
+                                 minContainment: Double): DataFrame =
+    containmentFromSets(groups,
+      containmentSets(groups).localCheckpoint(), minContainment)
+
+  /** Per-JVM cache of the df-sorted containment SETS table — derived
+    * from the [[shingleGroupsFor]] collapse and INDEPENDENT of the
+    * containment threshold, so repeated queries over the same corpus
+    * (any threshold) reuse one build; the same index-artifact contract
+    * as [[shingleGroupsFor]] itself. */
+  private val containSetsCache =
+    new graft.SessionMemo[(String, Int), DataFrame]()
+
+  /** [[containmentPairs]] riding the per-dataset memos (the registry
+    * form, the [[ngramPairsFor]] contract): the shingle collapse AND the
+    * df-sorted sets build at most once per (session, key, k). */
+  def containmentPairsFor(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minContainment: Double,
+                          key: String): DataFrame = {
+    val groups = shingleGroupsFor(docs, idCol, textCol, k, key)
+    val sets = containSetsCache.getOrCompute(
+      docs.sparkSession, (key, k))(
+      containmentSets(groups).localCheckpoint())
+    containmentFromSets(groups, sets, minContainment)
+  }
+
+  /** The threshold-independent half: global df per shingle hash, each
+    * set sorted by (df, h) with its size — one materialization serves
+    * the prefix AND both verify sides. */
+  private def containmentSets(groups: DataFrame): DataFrame = {
     val exploded = groups
       .select(col("rep").as("doc"), explode(col("key")).as("h"))
     val dfTab = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-    // sorted sets, one materialization for prefix + both verify sides
-    val sets = exploded.join(dfTab, "h")
+    exploded.join(dfTab, "h")
       .select(col("doc"), struct(col("df"), col("h")).as("e"))
       .groupBy("doc")
       .agg(sort_array(collect_list(col("e"))).as("es"),
         count(lit(1)).as("n"))
-      .localCheckpoint()
+  }
+
+  private def containmentFromSets(groups: DataFrame, sets: DataFrame,
+                                  minContainment: Double): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      "minContainment in (0, 1]")
+    val t = minContainment
     val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
     // positions ride along on BOTH sides (the shared df-sorted order), so
     // the PPJoin positional residual prunes before the distinct: a match
