@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+class AudioStreamsSpec extends SparkSpec {
+
+  /** The registry fixture's frame-energy rows, timestamped on the real
+    * frame clock (non-overlapping 256-sample frames at 8 kHz = 32 ms). */
+  private def fixtureFrames: Seq[AudioStreams.FrameRow] = {
+    import spark.implicits._
+    val assets = (0L until 8L).map(id =>
+      (id, Multimodal.buildToneSequenceWav((0 until 8).map(j =>
+        if ((id * 5 + j * 7) % 4 == 0) 0.0
+        else 300.0 + ((id * 7 + j * 3) % 12) * 250.0))))
+      .toDF("doc_id", "payload")
+    Multimodal.audioFrameEnergies(assets, "doc_id", "payload")
+      .where($"ok").collect().map(e => AudioStreams.FrameRow(
+        e.asset_id, new Timestamp(1700000000000L + e.frame * 32L),
+        e.frame, e.sq)).toSeq
+  }
+
+  private def batchSegments: Set[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val assets = (0L until 8L).map(id =>
+      (id, Multimodal.buildToneSequenceWav((0 until 8).map(j =>
+        if ((id * 5 + j * 7) % 4 == 0) 0.0
+        else 300.0 + ((id * 7 + j * 3) % 12) * 250.0))))
+      .toDF("doc_id", "payload")
+    Multimodal.audioSegments(
+      Multimodal.audioFrameEnergies(assets, "doc_id", "payload"))
+      .as[(Long, Long, Boolean, Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def runStream(bursts: Seq[Seq[AudioStreams.FrameRow]],
+                        name: String): Set[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[AudioStreams.FrameRow]
+    val q = AudioStreams.segments(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      for (b <- bursts) { stream.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+      .as[(Long, Long, Boolean, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("streaming VAD's closed runs equal the batch segments minus each " +
+    "asset's trailing open run") {
+    val batch = batchSegments
+    val streamed = runStream(Seq(fixtureFrames), "vad_one")
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"stream-only rows: ${(streamed -- batch).take(3)}")
+    // exactly the per-asset trailing run (max seg_no) stays open
+    val missing = batch -- streamed
+    val lastSegNo = batch.groupBy(_._1).map { case (a, rs) =>
+      a -> rs.map(_._2).max }
+    assert(missing === batch.filter(r => r._2 === lastSegNo(r._1)),
+      s"missing must be exactly the open tails: $missing")
+  }
+
+  test("a run split across micro-batches still closes as ONE batch-equal row") {
+    val frames = fixtureFrames.sortBy(f => (f.asset_id, f.frame))
+    // split mid-run: first 10 frames of every asset, then the rest —
+    // frames 0..9 of asset 0 span silent[0-3] + part of voiced[4-15]
+    val (first, rest) = frames.partition(_.frame < 10)
+    val streamed = runStream(Seq(first, rest), "vad_split")
+    val batch = batchSegments
+    assert(streamed.subsetOf(batch))
+    // the voiced[4-15] run of asset 0 crossed the batch boundary and
+    // must still have closed as one merged row
+    assert(streamed.exists(r => r._1 == 0L && r._4 == 4L && r._5 == 15L),
+      s"cross-batch run must merge: ${streamed.filter(_._1 == 0L)}")
+  }
+}
