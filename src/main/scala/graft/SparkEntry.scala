@@ -3134,8 +3134,8 @@ object SparkEntry {
     // the default cap is the library's recall-trading scale guard and
     // would silently shrink the Spark side below the exact oracle
     "dedup_edit_distance" -> ((s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "customer"), "c_custkey", "c_name",
-        maxBucket = Int.MaxValue)),
+      Dedup.editDistancePairsFor(t(s, dir, "customer"), "c_custkey", "c_name",
+        maxBucket = Int.MaxValue, key = dir)),
 
     // Interval-union coverage per supplier: each shipment occupies the
     // supplier for [ship_day, ship_day + quantity) days; overlapping

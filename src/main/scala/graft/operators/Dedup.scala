@@ -1128,7 +1128,32 @@ object Dedup {
     * near-typo regime where FastSS blocking is exact. */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         maxDistance: Int = 1,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    editDistanceFromIndex(
+      editDistanceIndex(docs, idCol, strCol, maxDistance, maxBucket),
+      maxDistance)
+
+  /** Per-JVM cache of the deletion-neighborhood INDEX (the FastSS
+    * artifact: every string grouped under itself + its single-deletion
+    * variants) — corpus-keyed like [[shingleGroupsFor]]; the pair
+    * expansion + banded-DP confirm stay per-query. */
+  private val editIndexCache =
+    new graft.SessionMemo[(String, Int), DataFrame]()
+
+  /** [[editDistancePairs]] riding the per-dataset index memo (the
+    * registry form, the [[ngramPairsFor]] contract). */
+  def editDistancePairsFor(docs: DataFrame, idCol: String, strCol: String,
+                           maxDistance: Int = 1, maxBucket: Int = 1000,
+                           key: String): DataFrame =
+    editDistanceFromIndex(
+      editIndexCache.getOrCompute(docs.sparkSession, (key, maxDistance))(
+        editDistanceIndex(docs, idCol, strCol, maxDistance, maxBucket)
+          .localCheckpoint()),
+      maxDistance)
+
+  private def editDistanceIndex(docs: DataFrame, idCol: String,
+                                strCol: String, maxDistance: Int,
+                                maxBucket: Int): DataFrame = {
     require(maxDistance == 1, "editDistancePairs supports maxDistance = 1")
     val base = docs.select(col(idCol).as("doc_id"),
       col(strCol).cast("string").as("s"))
@@ -1142,7 +1167,11 @@ object Dedup {
         .as("v"))
     val grouped = del.groupBy("v")
       .agg(collect_set(struct(col("doc_id"), col("s"))).as("ms"))
-    val capped = capBuckets(grouped, maxBucket, "edit_distance_buckets")
+    capBuckets(grouped, maxBucket, "edit_distance_buckets")
+  }
+
+  private def editDistanceFromIndex(capped: DataFrame,
+                                    maxDistance: Int): DataFrame = {
     capped
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
