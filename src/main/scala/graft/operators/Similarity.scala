@@ -596,11 +596,18 @@ object Similarity {
   private def cutAndRerank(scored: DataFrame, corpus: DataFrame,
                            qFull: DataFrame, idCol: String, vecCol: String,
                            k: Int, candidates: Int): DataFrame = {
-    val wA = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col("neighbor_id").asc)
-    val cands = scored
-      .withColumn("crank", row_number().over(wA))
-      .where(col("crank") <= candidates)
+    // candidate cut through the engine's own map-side-partial top-k
+    // operator instead of a rank window: each task keeps ≤ `candidates`
+    // rows per query BEFORE the exchange, so the shuffle carries
+    // O(tasks × queries × candidates) skinny rows, never the full scored
+    // relation (at 100 TB the scored relation is corpus-sized). The
+    // order (approx desc, neighbor_id asc) is TOTAL per query, so the
+    // shortlist is identical to the window form — the fixed tiers'
+    // oracles hash-pin it.
+    val cands = org.apache.spark.sql.graft.TopKPerKeyOps.topKPerKey(
+      scored.select("query_id", "neighbor_id", "approx"),
+      Seq("query_id"), Seq(("approx", false), ("neighbor_id", true)),
+      candidates)
       .select("query_id", "neighbor_id")
     val withVecs = cands
       .join(corpus.select(col(idCol).as("neighbor_id"),
