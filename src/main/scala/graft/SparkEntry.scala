@@ -1537,6 +1537,18 @@ object SparkEntry {
           col("n_ws_tokens").cast("long").as("n_ws_tokens"),
           col("n_bpe_tokens").cast("long").as("n_bpe_tokens"))),
 
+    // Standard BPE encoding under the FROZEN merge table — exact token
+    // counts under the real tokenizer (codegen'd replace chain, zero
+    // shuffles; one left-to-right pass per rank IS that rank's fixpoint)
+    "bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Gopher-family duplicate-n-gram char fractions: top-gram mass for
+    // n=2..4, duplicate-gram mass for n=5..8 (ppm of doc chars); one
+    // generator + three shrinking hash aggs, rows linear in tokens
+    "text_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")),
+
     "text_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 

@@ -207,6 +207,81 @@ private[graft] object SparkEntryOracles {
 
   private val jaccardCtes = jaccardCtesFrom("documents")
 
+  /** Twin of [[TextAnalysis.bpeEncode]]: the replace chain is GENERATED
+    * from the same [[TextAnalysis.frozenMerges]] constant the engine
+    * folds over, so the two sides cannot drift — same boundary-wrapped
+    * symbol string, same rank order, same left-to-right non-overlapping
+    * `replace` semantics (Java `UTF8String.replace` == DuckDB `replace`). */
+  private lazy val bpeEncodeSql: String = {
+    val chain = TextAnalysis.frozenMerges.foldLeft("s0") {
+      case (s, (a, b)) => s"replace($s, '>$a<>$b<', '>$a$b<')"
+    }
+    s"""WITH enc AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      regexp_extract_all(translate(lower(coalesce(text, '')),
+       |        '<>|', ''), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+       |      w -> regexp_replace(w, '(.)', '>\\1<', 'g')), '|') AS s0
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(s0) - length(replace(s0, '<', '')) AS BIGINT)
+       |    AS n_symbols,
+       |  CAST(length($chain) - length(replace($chain, '<', '')) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM enc""".stripMargin
+  }
+
+  /** Twin of [[TextAnalysis.dupNgramStats]]: per-length gram blocks are
+    * generated for the same n = 2..8 set; the packed-long argmax and the
+    * post-pivot integer `//` divisions replay the Spark side exactly. */
+  private lazy val dupNgramsSql: String = {
+    val gramBlocks = (2 to 8).map { n =>
+      s"""  SELECT doc_id, n_chars, $n AS n,
+         |    unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |      i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+         |  FROM toks WHERE len(tk) >= $n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val pivot = ((2 to 4).flatMap { n =>
+      Seq(
+        s"coalesce(max(CASE WHEN n = $n THEN packed END) // 1000000000, 0)" +
+          s" AS top${n}_cnt",
+        s"coalesce(max(CASE WHEN n = $n THEN packed END) % 1000000000, 0)" +
+          s" * 1000000 // n_chars AS top${n}_ppm")
+    } ++ (5 to 8).map { n =>
+      s"coalesce(max(CASE WHEN n = $n THEN dupmass END), 0)" +
+        s" * 1000000 // n_chars AS dup${n}_ppm"
+    }).mkString(",\n    ")
+    val outCols = ((2 to 4).flatMap { n =>
+      Seq(s"top${n}_cnt", s"top${n}_ppm")
+    } ++ (5 to 8).map(n => s"dup${n}_ppm"))
+      .map(c => s"CAST(coalesce(w.$c, 0) AS BIGINT) AS $c")
+      .mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       |    list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+       |      '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |g AS (
+       |$gramBlocks),
+       |c AS (
+       |  SELECT doc_id, n_chars, n, gram, count(*) AS cnt,
+       |    CAST(length(gram) AS BIGINT) AS glen
+       |  FROM g GROUP BY doc_id, n_chars, n, gram),
+       |p AS (
+       |  SELECT doc_id, n_chars, n,
+       |    max(cnt * 1000000000 + cnt * glen) AS packed,
+       |    sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS dupmass
+       |  FROM c GROUP BY doc_id, n_chars, n),
+       |w AS (
+       |  SELECT doc_id, n_chars,
+       |    $pivot
+       |  FROM p GROUP BY doc_id, n_chars)
+       |SELECT d.doc_id,
+       |  $outCols
+       |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = {
     val m = sqlList.toMap
     require(m.size == sqlList.size,
@@ -1974,6 +2049,10 @@ private[graft] object SparkEntryOracles {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
         |    AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    "bpe_encode" -> bpeEncodeSql,
+
+    "text_dup_ngrams" -> dupNgramsSql,
 
     // the md5 fingerprint half replays exactly (same normalize as
     // dedup_exact; the rolling xxhash64 half stays rows-only)

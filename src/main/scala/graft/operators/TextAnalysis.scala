@@ -1054,4 +1054,137 @@ object TextAnalysis {
       .withColumn("rank", monotonically_increasing_id() + 1)
       .select(col(idCol), col("rrf_score"), col("rank"))
   }
+
+  /** Frozen BPE merge table for [[bpeEncode]]: rank-ordered pairs over the
+    * common English letter sequences, the shape `bpeMerges` learns. The
+    * list is a FIXED tokenizer artifact (what "tokenize with the trained
+    * tokenizer" means in a training pipeline) — data-independent so the
+    * encoding replays exactly in the SQL oracle. Later ranks may consume
+    * symbols earlier ranks create (`th`+`e`, `an`+`d`, `in`+`g`). */
+  val frozenMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "an" -> "d", "in" -> "g", "e" -> "d", "s" -> "t",
+    "a" -> "r", "o" -> "f", "t" -> "o", "i" -> "s", "o" -> "u")
+
+  /** Character-per-symbol boundary wrapping: `cat` -> `>c<>a<>t<`. The
+    * `<` / `>` / `|` delimiter chars are STRIPPED from the text first
+    * ([[bpeEncode]]) so a document can never forge a symbol boundary or
+    * inflate the `<`-count token metric; no merge pair contains them, so
+    * the strip cannot change which merges fire. */
+  private def wrapSymbols(w: Column): Column =
+    regexp_replace(w, "(.)", ">$1<")
+
+  /** Standard BPE ENCODING under a frozen merge table — the per-document
+    * operation every training pipeline runs (exact token counts under the
+    * real tokenizer, not the whitespace/regex proxy of [[tokenCounts]]).
+    *
+    * Mechanics: pre-tokenize like `tokenCounts` (letter runs / digit runs
+    * / single punctuation), wrap every character as a `>sym<` boundary
+    * unit, join words with `|` (merges can never cross it), then apply
+    * each merge `(a,b) -> ab` as ONE left-to-right `replace` of
+    * `>a<>b<` with `>ab<`. One pass per rank IS that rank's fixpoint: a
+    * merged symbol `ab` can never recreate its own input pair (that would
+    * need `ab == a` or `ab == b`, i.e. an empty side), and left-to-right
+    * non-overlapping replacement is exactly the greedy order BPE
+    * specifies. Token count = occurrences of `<`.
+    *
+    * Whole chain is codegen'd string expressions over one scan — zero
+    * shuffles, a pure filter-pass shape at any corpus size; the oracle
+    * replays the identical replace chain generated from the same
+    * [[frozenMerges]] constant (see `SparkEntryOracles.bpeEncodeSql`). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = frozenMerges): DataFrame = {
+    val safe = translate(lower(coalesce(col(textCol), lit(""))),
+      "<>|", "")
+    val toks = regexp_extract_all(safe,
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val s0 = array_join(transform(toks, wrapSymbols(_)), "|")
+    val encoded = merges.foldLeft(s0) { case (s, (a, b)) =>
+      replace(s, lit(">" + a + "<>" + b + "<"), lit(">" + a + b + "<"))
+    }
+    def nSym(s: Column) =
+      (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")
+    docs.select(col(idCol),
+      nSym(s0).as("n_symbols"),
+      nSym(encoded).as("n_bpe_tokens"))
+  }
+
+  /** Gopher-family duplicate-n-gram signals (Rae et al. 2021 §A1.1):
+    * per document, the occurrence count and character mass (ppm of doc
+    * chars) of the MOST FREQUENT word n-gram for n = 2..4, and the
+    * character mass of ALL n-grams occurring >= 2 times for n = 5..8 —
+    * the repetition filters a corpus-quality pass actually applies,
+    * complementing the line-level `repetitionStats`. (Simplified from the
+    * paper in one documented way: duplicate char mass sums count x gram
+    * length without overlap adjustment.)
+    *
+    * Shape: ONE scan, one generator emitting all seven gram lengths
+    * (rows ~ 7 x token count — linear in the corpus, never pairs), then
+    * three SHRINKING hash aggs: (doc, n, gram) counts -> per-(doc, n)
+    * packed argmax / duplicate mass -> per-doc wide row, left-joined back
+    * so gram-free docs keep zeroed metrics. The top-gram tie is made
+    * deterministic by the packed-long max idiom (count * 1e9 + char mass;
+    * exact while count x len < 1e9, i.e. docs under ~128 MB). */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = 2 to 4
+    val dupNs = 5 to 8
+    val allNs = 2 to 8
+    val tk = filter(tokens(col(textCol)), t => length(t) > 0)
+    val base = docs.select(col(idCol),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
+      tk.as("tk"))
+    // array-of-arrays indexed by (n - 2); empty slot when the doc is
+    // shorter than n tokens (sequence() would go DESCENDING on stop<start)
+    val arrs = array(allNs.map { n =>
+      when(size(col("tk")) >= n,
+        transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }: _*)
+    val exploded = base
+      .select(col(idCol), col("n_chars"),
+        posexplode(arrs).as(Seq("pos", "grams")))
+      .select(col(idCol), col("n_chars"), (col("pos") + 2).as("n"),
+        explode(col("grams")).as("gram"))
+    val counts = exploded
+      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("cnt") * length(col("gram")))
+    val perN = counts
+      .groupBy(col(idCol), col("n_chars"), col("n"))
+      .agg(
+        max(col("cnt") * 1000000000L + col("mass")).as("packed"),
+        sum(when(col("cnt") >= 2, col("mass")).otherwise(0L)).as("dupmass"))
+    // raw per-(doc, n) values pivot to one wide row per doc; ppm is
+    // computed AFTER the pivot over named columns so the division is the
+    // exact integer `div` (all inputs non-negative: trunc == floor == //)
+    val rawCols: Seq[Column] = topNs.flatMap { n =>
+      val p = max(when(col("n") === n, col("packed")))
+      Seq(coalesce((p.cast("long") - pmod(p, lit(1000000000L))) / 1000000000L,
+          lit(0L)).cast("long").as(s"top${n}_cnt"),
+        coalesce(pmod(p, lit(1000000000L)), lit(0L)).as(s"top${n}_mass"))
+    } ++ dupNs.map { n =>
+      coalesce(max(when(col("n") === n, col("dupmass"))), lit(0L))
+        .as(s"dup${n}_mass")
+    }
+    val wide = perN.groupBy(col(idCol), col("n_chars"))
+      .agg(rawCols.head, rawCols.tail: _*)
+    val outCols: Seq[(String, Column)] = topNs.flatMap { n =>
+      Seq(s"top${n}_cnt" -> col(s"top${n}_cnt"),
+        s"top${n}_ppm" ->
+          expr(s"cast(top${n}_mass * 1000000 div n_chars as bigint)"))
+    } ++ dupNs.map { n =>
+      s"dup${n}_ppm" ->
+        expr(s"cast(dup${n}_mass * 1000000 div n_chars as bigint)")
+    }
+    val scored = wide.select(col(idCol) +:
+      outCols.map { case (nm, c) => c.as(nm) }: _*)
+    // docs too short for even a bigram fall out of the generator: join
+    // them back with zeroed metrics so the output keys the full corpus
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol) +: outCols.map { case (nm, _) =>
+        coalesce(col(nm), lit(0L)).as(nm)
+      }: _*)
+  }
 }

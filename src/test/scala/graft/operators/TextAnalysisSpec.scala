@@ -580,4 +580,85 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "text", key = s"textidx-spec-$sfDir", spark = spark)
     assert(again === path)
   }
+
+  test("bpeEncode: hand-traced merges, pre-tok classes, delimiter strip, " +
+    "monotone in the merge list") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theater"), // the->1; theater: th|e->the,a,t,e,r; e+r; a+t -> 3
+      (2L, "zq xv"),       // no merge applies: 4 symbols stay 4 tokens
+      (3L, "a1b2! c"),     // letter/digit/punct runs split: 6 single symbols
+      (4L, "<<>>||"),      // delimiter chars are stripped -> empty
+      (5L, "that onto"),   // th,at = 2; o+n? no: t-o wins later? hand: below
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 10L, 4L)))
+    assert(got(2L) === ((2L, 4L, 4L)))
+    assert(got(3L) === ((3L, 6L, 6L)))
+    assert(got(4L) === ((4L, 0L, 0L)))
+    // "that": t,h,a,t -> th,a,t (rank 1) -> th,at (rank 8) = 2
+    // "onto": o,n,t,o -> on,t,o (rank 6) -> on,to (rank 18) = 2
+    assert(got(5L) === ((5L, 8L, 4L)))
+    assert(got(6L) === ((6L, 0L, 0L)))
+    // each added merge can only shrink (or keep) every doc's token count
+    val prefixes = (0 to TextAnalysis.frozenMerges.size).map { k =>
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.frozenMerges.take(k))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    }
+    prefixes.sliding(2).foreach { case Seq(a, b) =>
+      a.keys.foreach(k => assert(b(k) <= a(k)))
+    }
+    // zero merges leaves every symbol a token
+    assert(prefixes.head.values.toSeq.sorted ===
+      got.values.map(_._2).toSeq.sorted)
+  }
+
+  test("bpeEncode: left-to-right greedy pass per rank (consecutive pairs)") {
+    import spark.implicits._
+    // merge (t,o) twice in "tototo": greedy left-to-right -> to,to,to;
+    // "ototo" -> o,to,to (first char unpaired)
+    val docs = Seq((1L, "tototo"), (2L, "ototo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) === 3L)
+    assert(got(2L) === 3L)
+  }
+
+  test("dupNgramStats: hand-computed top-gram mass, dup mass, short docs " +
+    "zeroed, packed tie-break determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a b": bigram "a b" x3 (packed winner), "b a" x2;
+      // 5-grams both distinct -> dup5 = 0; n_chars = 11
+      (1L, "a b a b a b"),
+      (2L, "hi"), // one token: no grams at any n -> all zeros
+      // 8 tokens of one word: every n-gram duplicates for n <= 6;
+      // 7-gram x2 -> dup7 > 0; single 8-gram -> dup8 = 0
+      (3L, "w w w w w w w w"),
+      (4L, "") // empty: all zeros via the left join
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramStats(docs, "doc_id", "text")
+    val cols = out.columns.toSeq
+    assert(cols === Seq("doc_id", "top2_cnt", "top2_ppm", "top3_cnt",
+      "top3_ppm", "top4_cnt", "top4_ppm", "dup5_ppm", "dup6_ppm",
+      "dup7_ppm", "dup8_ppm"))
+    val got = out.collect().map(r => r.getLong(0) ->
+      cols.tail.map(c => r.getAs[Long](c))).toMap
+    // doc 1: top2 "a b" cnt 3, mass 9 -> 9e6/11 = 818181
+    assert(got(1L)(0) === 3L && got(1L)(1) === 818181L)
+    // top3: "a b a" x2 vs "b a b" x2 — equal cnt AND mass: packed equal,
+    // ppm well-defined: mass 10 -> 909090
+    assert(got(1L)(2) === 2L && got(1L)(3) === 909090L)
+    assert(got(1L)(6) === 0L && got(1L)(7) === 0L) // dup5, dup6
+    assert(got(2L) === Seq.fill(10)(0L))
+    assert(got(4L) === Seq.fill(10)(0L))
+    // doc 3 (n_chars 15): dup7 mass = 2 * 13 = 26 -> 26e6/15 = 1733333
+    assert(got(3L)(8) === 1733333L)
+    assert(got(3L)(9) === 0L) // dup8: the single 8-gram is not duplicate
+    // dup5: 4 occurrences of the one distinct 5-gram, mass 4*9=36
+    assert(got(3L)(6) === 36L * 1000000L / 15L)
+  }
 }
