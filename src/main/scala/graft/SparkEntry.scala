@@ -1543,6 +1543,12 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Per-language tokenizer fertility (BPE tokens per whitespace word,
+    // ppm): one scan + one language-keyed hash agg
+    "bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(t(s, dir, "documents"), "doc_id", "text",
+        "lang")),
+
     // Gopher-family duplicate-n-gram char fractions: top-gram mass for
     // n=2..4, duplicate-gram mass for n=5..8 (ppm of doc chars); one
     // generator + three shrinking hash aggs, rows linear in tokens
@@ -3438,6 +3444,13 @@ object SparkEntry {
     // document pairs, hot shingles (df > 20) capped before the pair join
     "text_repeated_spans" -> ((s, dir) =>
       TextAnalysis.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 16, maxDf = 20)),
+
+    // Exact-substring dedup CUT (Lee et al. 2021 applied): per document,
+    // tokens a remove-verbatim-repeats rewrite cuts (earliest doc keeps
+    // its copy; overlapping marked intervals union before counting)
+    "dedup_substring_cut" -> ((s, dir) =>
+      TextAnalysis.substringCut(t(s, dir, "documents"), "doc_id", "text",
         k = 8, minSpanTokens = 16, maxDf = 20)),
 
     "text_truncate_budget" -> ((s, dir) =>

@@ -212,7 +212,9 @@ private[graft] object SparkEntryOracles {
     * folds over, so the two sides cannot drift — same boundary-wrapped
     * symbol string, same rank order, same left-to-right non-overlapping
     * `replace` semantics (Java `UTF8String.replace` == DuckDB `replace`). */
-  private lazy val bpeEncodeSql: String = {
+  /** The boundary-wrapped symbol string + applied-merge-chain CTE shared
+    * by the BPE oracles: `bpe(doc_id, n_symbols, n_bpe_tokens)`. */
+  private lazy val bpeCtes: String = {
     val chain = TextAnalysis.frozenMerges.foldLeft("s0") {
       case (s, (a, b)) => s"replace($s, '>$a<>$b<', '>$a$b<')"
     }
@@ -222,14 +224,107 @@ private[graft] object SparkEntryOracles {
        |      regexp_extract_all(translate(lower(coalesce(text, '')),
        |        '<>|', ''), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
        |      w -> regexp_replace(w, '(.)', '>\\1<', 'g')), '|') AS s0
-       |  FROM documents)
-       |SELECT doc_id,
-       |  CAST(length(s0) - length(replace(s0, '<', '')) AS BIGINT)
-       |    AS n_symbols,
-       |  CAST(length($chain) - length(replace($chain, '<', '')) AS BIGINT)
-       |    AS n_bpe_tokens
-       |FROM enc""".stripMargin
+       |  FROM documents
+       |), bpe AS (
+       |  SELECT doc_id,
+       |    CAST(length(s0) - length(replace(s0, '<', '')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(length($chain) - length(replace($chain, '<', '')) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM enc)""".stripMargin
   }
+
+  private lazy val bpeEncodeSql: String =
+    s"""$bpeCtes
+       |SELECT doc_id, n_symbols, n_bpe_tokens FROM bpe""".stripMargin
+
+  /** Twin of [[TextAnalysis.bpeFertility]]: same frozen-merge chain via
+    * [[bpeCtes]], whitespace word counts, exact integer `//` ppm. */
+  private lazy val bpeFertilitySql: String =
+    s"""$bpeCtes,
+       |ws AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN text IS NULL THEN 0 ELSE
+       |      len(list_filter(string_split(text, ' '), x -> x <> ''))
+       |    END AS ws
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws.ws) AS BIGINT) AS sum_ws_tokens,
+       |  CAST(sum(b.n_bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(sum(b.n_bpe_tokens) * 1000000
+       |    // greatest(sum(ws.ws), 1) AS BIGINT) AS fertility_ppm
+       |FROM ws JOIN bpe b USING (doc_id)
+       |GROUP BY lang""".stripMargin
+
+  /** Twin of [[TextAnalysis.substringCut]]: the [[SparkEntryOracles]]
+    * repeated-spans chain (same k=8 / minSpan=16 / maxDf=20 constants as
+    * `text_repeated_spans`) extended with the doc_b-side interval union
+    * (sorted running-max gaps-and-islands) and the per-doc accounting. */
+  private lazy val substringCutSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), sized AS (
+      |  SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 8
+      |), pos AS (
+      |  SELECT doc_id AS doc, u.pos AS pos, u.sh AS sh
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, n - 7),
+      |        i -> {'pos': i,
+      |              'sh': substr(md5(array_to_string(toks[i:i+7], ' ')),
+      |                           1, 16)})) AS u
+      |    FROM sized)
+      |), cold AS (
+      |  SELECT * FROM pos WHERE sh NOT IN (
+      |    SELECT sh FROM pos GROUP BY 1 HAVING count(*) > 20)
+      |), pr AS (
+      |  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a,
+      |    b.pos AS pos_b, a.pos - b.pos AS diag
+      |  FROM cold a JOIN cold b USING (sh) WHERE a.doc < b.doc
+      |), isl AS (
+      |  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+      |    pos_a - row_number() OVER (
+      |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+      |  FROM pr
+      |), spans AS (
+      |  SELECT doc_b AS doc, min(pos_b) AS s,
+      |    min(pos_b) + count(*) + 7 - 1 AS e
+      |  FROM isl GROUP BY doc_a, doc_b, diag, island
+      |  HAVING count(*) + 7 >= 16
+      |), iv AS (
+      |  SELECT DISTINCT doc, s, e FROM spans
+      |), marked AS (
+      |  SELECT doc, s, e,
+      |    CASE WHEN s > coalesce(max(e) OVER (
+      |        PARTITION BY doc ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM iv
+      |), unioned AS (
+      |  SELECT doc, s, e, sum(ni) OVER (
+      |      PARTITION BY doc ORDER BY s, e
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked
+      |), removed AS (
+      |  SELECT doc, CAST(sum(len) AS BIGINT) AS dup_tokens FROM (
+      |    SELECT doc, island, max(e) - min(s) + 1 AS len
+      |    FROM unioned GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), nt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NULL THEN 0 ELSE
+      |      len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    END AS n_tokens
+      |  FROM documents)
+      |SELECT nt.doc_id,
+      |  CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(r.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(nt.n_tokens - coalesce(r.dup_tokens, 0) AS BIGINT)
+      |    AS kept_tokens
+      |FROM nt LEFT JOIN removed r ON nt.doc_id = r.doc""".stripMargin
 
   /** Twin of [[TextAnalysis.dupNgramStats]]: per-length gram blocks are
     * generated for the same n = 2..8 set; the packed-long argmax and the
@@ -2051,6 +2146,10 @@ private[graft] object SparkEntryOracles {
         |FROM documents""".stripMargin,
 
     "bpe_encode" -> bpeEncodeSql,
+
+    "bpe_fertility" -> bpeFertilitySql,
+
+    "dedup_substring_cut" -> substringCutSql,
 
     "text_dup_ngrams" -> dupNgramsSql,
 

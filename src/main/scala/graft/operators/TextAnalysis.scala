@@ -906,6 +906,65 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** Exact-substring dedup CUT — the transform on top of
+    * [[repeatedSpans]] detection: for every document, how many tokens a
+    * remove-verbatim-repeats pass would cut, keeping the EARLIEST
+    * (smallest-id) document's copy corpus-wide. This is the budget
+    * question a curation pipeline asks before committing to the rewrite
+    * ("how much of shard X is verbatim repeats of earlier shards?") and
+    * the per-doc kept/removed accounting the rewrite itself needs.
+    *
+    * Semantics: [[repeatedSpans]] emits spans with `doc_a < doc_b`, so
+    * the doc_b side is always the later copy — its interval
+    * `[start_b, start_b + span − 1]` (filtered-token coordinates) is
+    * marked for removal. A document repeated against several earlier
+    * partners loses the UNION of the marked intervals (no double
+    * counting on overlap): distinct intervals -> per-doc sorted
+    * gaps-and-islands merge (an interval starts a new island iff it
+    * begins past the running max end) -> summed island lengths.
+    *
+    * Scale shape: everything downstream of the span join is per-doc
+    * interval arithmetic — rows bounded by span count, never token
+    * count. The one window is keyed by doc and each doc holds at most
+    * (its span partners) rows; the running-max-end island idiom is the
+    * same bounded pattern as [[repeatedSpans]]' diagonal merge. Intra-doc
+    * self-repeats are out of scope by construction (doc_a < doc_b is
+    * strict) — that's [[dupNgramStats]]' signal.
+    *
+    * Output: one row per input document (span-free docs keep zeros) —
+    * (idCol, n_tokens, dup_tokens, kept_tokens). */
+  def substringCut(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minSpanTokens: Int = 16,
+                   maxDf: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxDf)
+    // two earlier partners can mark the IDENTICAL interval — distinct
+    // first so the union never sees duplicate rows
+    val iv = spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
+      (col("start_b") + col("span_tokens") - 1L).as("e")).distinct()
+    val w = Window.partitionBy("doc").orderBy("s", "e")
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val removed = iv
+      .withColumn("island",
+        sum(when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+          .over(w))
+      .groupBy("doc", "island")
+      .agg((max(col("e")) - min(col("s")) + 1L).as("len"))
+      .groupBy("doc")
+      .agg(sum(col("len")).as("dup_tokens"))
+    docs
+      .select(col(idCol),
+        when(col(textCol).isNull, 0L)
+          .otherwise(size(filter(split(col(textCol), " "),
+            x => x =!= "")).cast("long")).as("n_tokens"))
+      .join(removed.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L)))
+          .as("kept_tokens"))
+  }
+
   // ---- at-rest inverted index: posting lists as a term-sorted layout ----
 
   /** Built inverted-index layouts, once per (session, dataset). */
@@ -1095,19 +1154,60 @@ object TextAnalysis {
     * [[frozenMerges]] constant (see `SparkEntryOracles.bpeEncodeSql`). */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)] = frozenMerges): DataFrame = {
-    val safe = translate(lower(coalesce(col(textCol), lit(""))),
-      "<>|", "")
+    val s0 = bpeSymbolString(col(textCol))
+    docs.select(col(idCol),
+      bpeSymbolCount(s0).as("n_symbols"),
+      bpeSymbolCount(bpeApplyMerges(s0, merges)).as("n_bpe_tokens"))
+  }
+
+  /** The boundary-wrapped symbol string `>c<>a<>t<|...` [[bpeEncode]]
+    * starts from (delimiters stripped, pre-tokenized, chars wrapped). */
+  private def bpeSymbolString(text: Column): Column = {
+    val safe = translate(lower(coalesce(text, lit(""))), "<>|", "")
     val toks = regexp_extract_all(safe,
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
-    val s0 = array_join(transform(toks, wrapSymbols(_)), "|")
-    val encoded = merges.foldLeft(s0) { case (s, (a, b)) =>
+    array_join(transform(toks, wrapSymbols(_)), "|")
+  }
+
+  /** One left-to-right `replace` per merge rank (that rank's fixpoint —
+    * see [[bpeEncode]]'s proof sketch). */
+  private def bpeApplyMerges(s0: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(s0) { case (s, (a, b)) =>
       replace(s, lit(">" + a + "<>" + b + "<"), lit(">" + a + b + "<"))
     }
-    def nSym(s: Column) =
-      (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")
-    docs.select(col(idCol),
-      nSym(s0).as("n_symbols"),
-      nSym(encoded).as("n_bpe_tokens"))
+
+  /** Symbol count of a boundary-wrapped string = its `<` count. */
+  private def bpeSymbolCount(s: Column): Column =
+    (length(s) - length(replace(s, lit("<"), lit("")))).cast("long")
+
+  /** Per-language tokenizer FERTILITY — BPE tokens per whitespace word
+    * under the frozen merge table, the standard "how well does this
+    * tokenizer fit each language" diagnostic (fertility creep on a
+    * language means its text costs more context budget per word). All
+    * integer: summed token counts per language plus a ppm ratio by exact
+    * integer division. One scan, one tiny hash agg keyed by language —
+    * the same filter-pass shape as [[bpeEncode]] at any corpus size.
+    *
+    * Output: (lang, n_docs, sum_ws_tokens, sum_bpe_tokens,
+    * fertility_ppm = sum_bpe * 1e6 div max(sum_ws, 1)). */
+  def bpeFertility(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String,
+      merges: Seq[(String, String)] = frozenMerges): DataFrame = {
+    val s0 = bpeSymbolString(col(textCol))
+    docs
+      .select(col(langCol).as("lang"),
+        when(col(textCol).isNull, 0L)
+          .otherwise(size(filter(split(col(textCol), " "),
+            x => x =!= "")).cast("long")).as("ws"),
+        bpeSymbolCount(bpeApplyMerges(s0, merges)).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"))
+      .withColumn("fertility_ppm", expr(
+        "cast(sum_bpe_tokens * 1000000 div greatest(sum_ws_tokens, 1)" +
+          " as bigint)"))
   }
 
   /** Gopher-family duplicate-n-gram signals (Rae et al. 2021 §A1.1):

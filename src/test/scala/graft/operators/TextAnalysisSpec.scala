@@ -661,4 +661,59 @@ class TextAnalysisSpec extends SparkSpec {
     // dup5: 4 occurrences of the one distinct 5-gram, mass 4*9=36
     assert(got(3L)(6) === 36L * 1000000L / 15L)
   }
+
+  test("substringCut: earliest doc keeps its copy; later docs lose the " +
+    "interval UNION of marked spans (identical and overlapping marks " +
+    "never double-count); short and null docs zeroed") {
+    import spark.implicits._
+    def toks(p: String, a: Int, b: Int) =
+      (a until b).map(i => s"$p$i").mkString(" ")
+    val run = toks("r", 0, 20) // the 20-token verbatim repeat
+    val docs = Seq(
+      (1L, toks("a", 0, 10) + " " + run + " " + toks("a", 10, 20)), // 40 tk
+      (2L, toks("b", 0, 7) + " " + run + " " + toks("b", 7, 12)),   // 32 tk
+      (3L, toks("c", 0, 5) + " " + run),                            // 25 tk
+      (4L, "short text"),
+      (5L, null.asInstanceOf[String]),
+      // overlap-union block: 9 is the source; 10/11 copy halves; 12 is a
+      // full clone and collects THREE marks ([1,30], [1,20], [11,30])
+      (9L, toks("s", 0, 30)),
+      (10L, toks("s", 0, 20)),
+      (11L, toks("s", 10, 30)),
+      (12L, toks("s", 0, 30))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.substringCut(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 9)
+    assert(got(1L) === ((1L, 40L, 0L, 40L))) // smallest id: keeps all
+    assert(got(2L) === ((2L, 32L, 20L, 12L)))
+    // marked identically by docs 1 AND 2 at [6, 25] — one interval
+    assert(got(3L) === ((3L, 25L, 20L, 5L)))
+    assert(got(4L) === ((4L, 2L, 0L, 2L)))
+    assert(got(5L) === ((5L, 0L, 0L, 0L)))
+    assert(got(9L) === ((9L, 30L, 0L, 30L)))
+    assert(got(10L) === ((10L, 20L, 20L, 0L)))
+    // vs 9: full [1,20]; vs 10 only 10 shared tokens — below minSpan
+    assert(got(11L) === ((11L, 20L, 20L, 0L)))
+    // three overlapping marks union to [1, 30], counted once
+    assert(got(12L) === ((12L, 30L, 30L, 0L)))
+  }
+
+  test("bpeFertility: per-language integer sums and exact ppm ratio; " +
+    "empty-language guard divides by 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the theater"), // ws 2; bpe 1 + 3 = 4
+      (2L, "en", "that onto"),   // ws 2; bpe 2 + 2 = 4
+      (3L, "xx", "zq xv"),       // ws 2; bpe 4 (no merge applies)
+      (4L, "nn", null.asInstanceOf[String]) // ws 0; bpe 0 -> ppm 0
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis
+      .bpeFertility(docs, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 2L, 4L, 8L, 2000000L)))
+    assert(got("xx") === (("xx", 1L, 2L, 4L, 2000000L)))
+    assert(got("nn") === (("nn", 1L, 0L, 0L, 0L)))
+  }
 }
