@@ -27,6 +27,7 @@ object SparkEntry {
     * dataset) — the append MUST happen exactly once per built layout or
     * the grown corpus would hold duplicate rows. */
   private val ivfAppendLayouts = new SessionMemo[String, String]()
+  private val ivfFilteredLayouts = new SessionMemo[String, String]()
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
@@ -1395,6 +1396,36 @@ object SparkEntry {
       Similarity.knnIvfFixedPartitioned(s, path,
         emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
         centroids = cb, nprobe = 2)
+    }),
+
+    // FILTERED ANN over the at-rest fixed-codebook layout: the layout
+    // carries the label column, so the search-time metadata predicate
+    // (label <= 4) reaches the parquet reader as a pushed row-group
+    // filter UNDER the probe-cell partition pruning — the "search only
+    // documents matching X" production shape. Full hash oracle: the
+    // fixed-codebook replay with the same corpus-side predicate
+    "knn_ivf_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.fixedCodebook(nlist = 4, dims = 64)
+      val path = SparkEntry.ivfFilteredLayouts.getOrCompute(s, dir) {
+        val p = graft.TmpArtifacts.path("graft-ivf-filtered", dir)
+        Similarity.writeIvfFixed(emb, "vec_id", "embedding", p, cb,
+          extraCols = Seq("label"))
+        p
+      }
+      Similarity.knnIvfFixedPartitioned(s, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        centroids = cb, nprobe = 2,
+        preFilter = Some(col("label") <= 4))
+    }),
+
+    // Matryoshka truncation recall: per probe, how many exact top-5
+    // cosine neighbors survive truncating every embedding to its first
+    // 32 of 64 components — the prefix-index viability measurement
+    "emb_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 32)
     }),
 
     // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned

@@ -390,7 +390,11 @@ private[graft] object SparkEntryOracles {
     * literal codebook replays the whole IVF dataflow in SQL, and the
     * appended at-rest layout must be result-identical to the in-memory
     * query over the full corpus — so ONE oracle serves both keys. */
-  private lazy val knnIvfFixedSql: String = {
+  /** The fixed-codebook IVF replay, parameterized by an extra corpus-side
+    * candidate predicate (`c` is the cells alias; "" = unfiltered) — one
+    * body so `knn_ivf_fixed` / `knn_ivf_append` / `knn_ivf_filtered`
+    * cannot drift. */
+  private def knnIvfFixedSqlWhere(candFilter: String): String = {
     val cents = graft.operators.Similarity.fixedCodebook(4, 64)
     def dot(a: String, lits: Seq[Long]): String =
       s"CAST(list_sum(list_transform(list_zip($a, " +
@@ -402,14 +406,14 @@ private[graft] object SparkEntryOracles {
         "FROM scored WHERE vec_id < 20")
       .mkString("\n      UNION ALL ")
     s"""WITH iq AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, label,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
        |  FROM embeddings),
-       |scored AS (SELECT vec_id, q,
+       |scored AS (SELECT vec_id, label, q,
        |  $scores
        |  FROM iq),
-       |cells AS (SELECT vec_id, q,
+       |cells AS (SELECT vec_id, label, q,
        |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
        |       WHEN s1>=s2 AND s1>=s3 THEN 1
        |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
@@ -426,7 +430,7 @@ private[graft] object SparkEntryOracles {
        |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
        |      z -> z[1]*z[2])) AS BIGINT) AS score
        |  FROM qprobe p JOIN cells c USING (cell)
-       |  WHERE p.query_id <> c.vec_id)
+       |  WHERE p.query_id <> c.vec_id$candFilter)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
        |FROM (
        |  SELECT query_id, neighbor_id, score, row_number() OVER (
@@ -435,6 +439,38 @@ private[graft] object SparkEntryOracles {
        |  FROM cand)
        |WHERE rank <= 5""".stripMargin
   }
+
+  private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
+
+  /** Twin of [[Similarity.matryoshkaRecall]]: both exact top-5 rankings
+    * replay with the same DOUBLE cosine and (cos DESC, id) tiebreak as
+    * `knn_brute`; the truncated side slices each list to its first 32
+    * components. */
+  private lazy val matryoshkaRecallSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |full_r AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (
+      |      PARTITION BY q.query_id ORDER BY
+      |        list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+      |          CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+      |  WHERE rank <= 5),
+      |short_r AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (
+      |      PARTITION BY q.query_id ORDER BY
+      |        list_cosine_similarity(CAST(q.qv[1:32] AS DOUBLE[]),
+      |          CAST(e.embedding[1:32] AS DOUBLE[])) DESC, e.vec_id) AS rank
+      |    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+      |  WHERE rank <= 5)
+      |SELECT q.query_id,
+      |  CAST(coalesce(o.n, 0) AS BIGINT) AS overlap_at_5
+      |FROM q LEFT JOIN (
+      |  SELECT query_id, count(*) AS n
+      |  FROM full_r JOIN short_r USING (query_id, neighbor_id)
+      |  GROUP BY 1) o USING (query_id)""".stripMargin
 
   /** Shared pieces of the fixed-PQ twins (dsub = 4 → m = 16 over 64
     * dims, weight 100): one-hot sub-books collapse PQ encode to
@@ -2037,6 +2073,12 @@ private[graft] object SparkEntryOracles {
     // fixed-codebook query over the full corpus — one SQL oracle serves
     // both keys, which is exactly the claim (append is invisible)
     "knn_ivf_append" -> knnIvfFixedSql,
+
+    // filtered ANN: same replay, corpus side restricted by the metadata
+    // predicate (the probe side stays unfiltered, exactly like the engine)
+    "knn_ivf_filtered" -> knnIvfFixedSqlWhere("\n    AND c.label <= 4"),
+
+    "emb_matryoshka_recall" -> matryoshkaRecallSql,
 
     "knn_pq_adc_fixed" -> knnPqAdcFixedSql,
 

@@ -49,6 +49,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Matryoshka truncation recall (Kusupati et al. 2022, arXiv:2205.13147):
+    * per query, how many of the exact top-`k` cosine neighbors survive
+    * when every vector is truncated to its first `dims` components — THE
+    * measurement behind "can we store/search the short prefix instead?"
+    * (an MRL-trained embedder front-loads information, so high overlap at
+    * small `dims` licenses a 1/2–1/4 scan-bandwidth index at 100 TB).
+    *
+    * Both sides reuse [[knnBruteForce]]'s exact ranking (same tiebreak),
+    * so overlap is well-defined; the output is an integer overlap count
+    * per query (0..k), joined back to every query so a zero-overlap query
+    * still reports. Cost: two corpus scans with broadcast probes — the
+    * same shape as `knn_brute`, twice. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       dims: Int): DataFrame = {
+    def truncate(d: DataFrame) = d.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val full = knnBruteForce(corpus, queries, idCol, vecCol, k)
+    val short = knnBruteForce(truncate(corpus), truncate(queries),
+      idCol, vecCol, k)
+    val overlap = full.select("query_id", "neighbor_id")
+      .join(short.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(idCol).cast("long").as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as(s"overlap_at_$k"))
+  }
+
   /** Materialize the corpus PARTITIONED BY sign bucket — the at-rest layout
     * for ANN at scale: a query's candidate set lives in one partition
     * directory, so the scan prunes to ~1/2^dims of the files before any
@@ -1094,8 +1125,13 @@ object Similarity {
     * no drift caveat at all — append is ALWAYS equivalent to a rebuild. */
   def writeIvfFixed(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, centroids: Seq[Seq[Long]],
-                    append: Boolean = false): Unit =
-    corpus.select(col(idCol), col(vecCol))
+                    append: Boolean = false,
+                    extraCols: Seq[String] = Nil): Unit =
+    // extraCols: metadata the layout carries for FILTERED search (labels,
+    // timestamps, source tags) — plain parquet columns inside each cell
+    // partition, so a search-time predicate on them gets row-group
+    // min/max skipping on top of the cell partition pruning
+    corpus.select(col(idCol) +: col(vecCol) +: extraCols.map(col): _*)
       .withColumn("cell", fixedCell(quantizeMilli(col(vecCol)), centroids))
       .write.partitionBy("cell")
       .mode(if (append) "append" else "overwrite")
@@ -1110,7 +1146,8 @@ object Similarity {
                              path: String, queries: DataFrame,
                              idCol: String, vecCol: String, k: Int,
                              centroids: Seq[Seq[Long]], nprobe: Int = 2,
-                             excludeSelf: Boolean = true): DataFrame = {
+                             excludeSelf: Boolean = true,
+                             preFilter: Option[Column] = None): DataFrame = {
     // cache the probe plan: it is executed twice — once collected for the
     // partition-pruning cell list, once as the ranking join's broadcast
     // side — and without the cache the posexplode-over-codebook work ran
@@ -1120,8 +1157,13 @@ object Similarity {
     // query-side cells, driver-collected (queries are small by contract)
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$path/data")
+    // preFilter: FILTERED ANN — a metadata predicate over the layout's
+    // extra columns, applied on the raw scan so it reaches the parquet
+    // reader (PushedFilters row-group skipping) UNDER the cell partition
+    // pruning; candidates that fail it never quantize, score, or rank
+    val base = spark.read.parquet(s"$path/data")
       .where(col("cell").isin(probeCells: _*)) // partition pruning
+    val assigned = preFilter.fold(base)(base.where)
       .select(col(idCol).cast("long").as("neighbor_id"),
         quantizeMilli(col(vecCol)).as("c_iq"), col("cell"))
     ivfFixedRank(assigned, probes, k, excludeSelf)

@@ -385,4 +385,45 @@ class SimilaritySpec extends SparkSpec {
     val spread = coded.select(countDistinct($"c0")).as[Long].head()
     assert(spread >= 4L, s"subspace 0 uses only $spread of 16 codes")
   }
+
+  test("filtered ANN at rest: equals the in-memory search over the " +
+    "pre-filtered corpus, every neighbor satisfies the predicate, and " +
+    "the label predicate is PUSHED into the pruned parquet scan") {
+    import spark.implicits._
+    val cb = Similarity.fixedCodebook(nlist = 4, dims = 64)
+    val path = graft.TmpArtifacts.path("graft-ivf-filtered-spec", sfDir)
+    Similarity.writeIvfFixed(emb, "vec_id", "embedding", path, cb,
+      extraCols = Seq("label"))
+    val q = emb.where($"vec_id" < 20)
+    val got = Similarity.knnIvfFixedPartitioned(spark, path, q,
+      "vec_id", "embedding", k = 5, centroids = cb, nprobe = 2,
+      preFilter = Some($"label" <= 4)).cache()
+    // semantics: identical to the in-memory fixed tier over the
+    // label-filtered corpus (probes stay unfiltered on both sides)
+    val twin = Similarity.knnIvfFixed(emb.where($"label" <= 4), q,
+      "vec_id", "embedding", k = 5, centroids = cb, nprobe = 2)
+    assert(got.collect().toSet === twin.collect().toSet)
+    // no neighbor escapes the predicate
+    val labels = emb.select($"vec_id".as("neighbor_id"), $"label")
+    assert(got.join(labels, "neighbor_id").where($"label" > 4).count() === 0L)
+    // the predicate reaches the reader: pushed filter + partition prune
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(label,4)"), plan.take(2000))
+    assert(plan.contains("cell"), plan.take(2000))
+  }
+
+  test("matryoshka recall: full-width truncation is a perfect 5, a " +
+    "planted prefix-heavy corpus keeps overlap, counts bounded 0..k") {
+    import spark.implicits._
+    val got = Similarity.matryoshkaRecall(emb, emb.where($"vec_id" < 20),
+      "vec_id", "embedding", k = 5, dims = 32).cache()
+    assert(got.count() === 20L)
+    assert(got.where($"overlap_at_5" < 0 || $"overlap_at_5" > 5)
+      .count() === 0L)
+    // dims = full width: the two rankings are identical, overlap == k
+    val full = Similarity.matryoshkaRecall(emb, emb.where($"vec_id" < 3),
+      "vec_id", "embedding", k = 5, dims = 64)
+    assert(full.select(min($"overlap_at_5")).as[Long].head() === 5L)
+  }
 }
