@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `simhash64(tokens)` — 64-bit SimHash of a token array
   *   - `char_ngram_counts(str, n)` — per-row (char-gram, count) pairs, 1..n
   *   - `repetition_signals(str)` — struct of the 4 Gopher repetition stats
+  *   - `dup_ngram_stats(tokens)` — the 10 Gopher duplicate-n-gram values
+  *     (top-gram count/mass n=2..4, duplicate mass n=5..8) in one pass
   *   - `han_count(str)` — Han-script code-point count (langid's zh signal)
   *   - `int8_codes(vec)` — symmetric int8 quantization of a float vector
   *   - `int8_cosine(a, b)` — approximate cosine from two int8 code vectors
@@ -110,6 +112,10 @@ object GraftSql {
     "repetition_signals" -> { es =>
       arity("repetition_signals", es, 1)
       org.apache.spark.sql.graft.RepetitionSignals(es.head)
+    },
+    "dup_ngram_stats" -> { es =>
+      arity("dup_ngram_stats", es, 1)
+      org.apache.spark.sql.graft.DupNgramStats(es.head)
     },
     "han_count" -> { es =>
       arity("han_count", es, 1)

@@ -1219,72 +1219,37 @@ object TextAnalysis {
     * paper in one documented way: duplicate char mass sums count x gram
     * length without overlap adjustment.)
     *
-    * Shape: ONE scan, one generator emitting all seven gram lengths
-    * (rows ~ 7 x token count — linear in the corpus, never pairs), then
-    * three SHRINKING hash aggs: (doc, n, gram) counts -> per-(doc, n)
-    * packed argmax / duplicate mass -> per-doc wide row, left-joined back
-    * so gram-free docs keep zeroed metrics. The top-gram tie is made
-    * deterministic by the packed-long max idiom (count * 1e9 + char mass;
-    * exact while count x len < 1e9, i.e. docs under ~128 MB). */
+    * Shape: every metric is INTRA-document, so nothing shuffles — one
+    * scan calls the [[org.apache.spark.sql.graft.DupNgramStats]] kernel
+    * (all seven gram widths counted in one compiled pass over a joined
+    * byte buffer; see its scaladoc for why the two declarative forms —
+    * explode + string-keyed hash aggs, and a sorted-array run-length
+    * fold — lose by 15x and 10x). Zero exchanges, per-doc cost linear in
+    * gram bytes: the pure filter-pass shape at any corpus size. The
+    * top-gram tie is deterministic by the packed-long max idiom
+    * (count * 1e9 + char mass; exact while count x len < 1e9, i.e. docs
+    * under ~128 MB). */
   def dupNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val topNs = 2 to 4
-    val dupNs = 5 to 8
-    val allNs = 2 to 8
     val tk = filter(tokens(col(textCol)), t => length(t) > 0)
-    val base = docs.select(col(idCol),
+    val st = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.DupNgramStats(
+        org.apache.spark.sql.GraftBridge.expression(tk)))
+    val wide = docs.select(col(idCol),
       length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
-      tk.as("tk"))
-    // array-of-arrays indexed by (n - 2); empty slot when the doc is
-    // shorter than n tokens (sequence() would go DESCENDING on stop<start)
-    val arrs = array(allNs.map { n =>
-      when(size(col("tk")) >= n,
-        transform(sequence(lit(1), size(col("tk")) - (n - 1)),
-          i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    }: _*)
-    val exploded = base
-      .select(col(idCol), col("n_chars"),
-        posexplode(arrs).as(Seq("pos", "grams")))
-      .select(col(idCol), col("n_chars"), (col("pos") + 2).as("n"),
-        explode(col("grams")).as("gram"))
-    val counts = exploded
-      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("mass", col("cnt") * length(col("gram")))
-    val perN = counts
-      .groupBy(col(idCol), col("n_chars"), col("n"))
-      .agg(
-        max(col("cnt") * 1000000000L + col("mass")).as("packed"),
-        sum(when(col("cnt") >= 2, col("mass")).otherwise(0L)).as("dupmass"))
-    // raw per-(doc, n) values pivot to one wide row per doc; ppm is
-    // computed AFTER the pivot over named columns so the division is the
-    // exact integer `div` (all inputs non-negative: trunc == floor == //)
-    val rawCols: Seq[Column] = topNs.flatMap { n =>
-      val p = max(when(col("n") === n, col("packed")))
-      Seq(coalesce((p.cast("long") - pmod(p, lit(1000000000L))) / 1000000000L,
-          lit(0L)).cast("long").as(s"top${n}_cnt"),
-        coalesce(pmod(p, lit(1000000000L)), lit(0L)).as(s"top${n}_mass"))
-    } ++ dupNs.map { n =>
-      coalesce(max(when(col("n") === n, col("dupmass"))), lit(0L))
-        .as(s"dup${n}_mass")
+      coalesce(st, array((0 until 10).map(_ => lit(0L)): _*)).as("st"))
+    // kernel slots: [top2_cnt, top2_mass, top3_cnt, top3_mass, top4_cnt,
+    // top4_mass, dup5_mass..dup8_mass]; ppm divisions are the exact
+    // integer `div` (all inputs non-negative: trunc == floor == DuckDB's
+    // //); greatest(n_chars, 1) keeps empty-text rows at 0 instead of
+    // dividing by zero
+    val outCols: Seq[Column] = (2 to 4).flatMap { n =>
+      Seq(expr(s"st[${(n - 2) * 2}]").as(s"top${n}_cnt"),
+        expr(s"cast(st[${(n - 2) * 2 + 1}] * 1000000" +
+          s" div greatest(n_chars, 1) as bigint)").as(s"top${n}_ppm"))
+    } ++ (5 to 8).map { n =>
+      expr(s"cast(st[${6 + (n - 5)}] * 1000000" +
+        s" div greatest(n_chars, 1) as bigint)").as(s"dup${n}_ppm")
     }
-    val wide = perN.groupBy(col(idCol), col("n_chars"))
-      .agg(rawCols.head, rawCols.tail: _*)
-    val outCols: Seq[(String, Column)] = topNs.flatMap { n =>
-      Seq(s"top${n}_cnt" -> col(s"top${n}_cnt"),
-        s"top${n}_ppm" ->
-          expr(s"cast(top${n}_mass * 1000000 div n_chars as bigint)"))
-    } ++ dupNs.map { n =>
-      s"dup${n}_ppm" ->
-        expr(s"cast(dup${n}_mass * 1000000 div n_chars as bigint)")
-    }
-    val scored = wide.select(col(idCol) +:
-      outCols.map { case (nm, c) => c.as(nm) }: _*)
-    // docs too short for even a bigram fall out of the generator: join
-    // them back with zeroed metrics so the output keys the full corpus
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol) +: outCols.map { case (nm, _) =>
-        coalesce(col(nm), lit(0L)).as(nm)
-      }: _*)
+    wide.select(col(idCol) +: outCols: _*)
   }
 }

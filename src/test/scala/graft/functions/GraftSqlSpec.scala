@@ -56,6 +56,11 @@ class GraftSqlSpec extends SparkSpec {
       .as[Long].head() === 2L) // "a b" twice
     assert(spark.sql("SELECT han_count('風扇 fan') AS v")
       .as[Int].head() === 2)
+    // "a b a b": top bigram "a b" x2 (mass 6); 5..8-grams impossible ->
+    // [2, 6, top3=1, mass3=5, top4=1, mass4=7, 0, 0, 0, 0]
+    assert(spark.sql(
+      "SELECT dup_ngram_stats(split('a b a b', ' ')) AS v")
+      .as[Seq[Long]].head() === Seq(2L, 6L, 1L, 5L, 1L, 7L, 0L, 0L, 0L, 0L))
     assert(spark.sql(
       "SELECT int8_cosine(int8_codes(CAST(array(1.0, 2.0) AS array<float>)), " +
         "int8_codes(CAST(array(2.0, 4.0) AS array<float>))) AS v")
