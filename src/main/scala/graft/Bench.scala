@@ -94,7 +94,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the graded environment (local[32]); SPARK_GRAFT_CPUS
+    // overrides for constrained triage runs — artifacts record the value
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -240,7 +242,7 @@ object Bench {
     // triaged subset.
     if (only.isEmpty) {
       val fullJson =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -262,7 +264,13 @@ object Bench {
       .distinctBy(_._1).sortBy(_._1)
       .map { case (n, m) => "\"" + n + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"families":$families,"queries":$headline,"regressions":$regs$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val stdoutLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline,"regressions":$regs$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // print AFTER spark.stop(): the shutdown's INFO flood otherwise lands
+    // between this line and process exit, displacing it from a harness
+    // that keeps only the output tail (BENCH_r11 "parsed": null)
     spark.stop()
+    println(stdoutLine)
+    System.out.flush()
   }
 }
