@@ -3474,15 +3474,16 @@ object SparkEntry {
     // dedup): maximal shared k=8-token runs of >= 16 tokens between
     // document pairs, hot shingles (df > 20) capped before the pair join
     "text_repeated_spans" -> ((s, dir) =>
-      TextAnalysis.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, minSpanTokens = 16, maxDf = 20)),
+      TextAnalysis.repeatedSpansFor(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 16, maxDf = 20, key = dir)),
 
     // Exact-substring dedup CUT (Lee et al. 2021 applied): per document,
     // tokens a remove-verbatim-repeats rewrite cuts (earliest doc keeps
-    // its copy; overlapping marked intervals union before counting)
+    // its copy; overlapping marked intervals union before counting).
+    // Shares the memoized span table with text_repeated_spans.
     "dedup_substring_cut" -> ((s, dir) =>
       TextAnalysis.substringCut(t(s, dir, "documents"), "doc_id", "text",
-        k = 8, minSpanTokens = 16, maxDf = 20)),
+        k = 8, minSpanTokens = 16, maxDf = 20, key = Some(dir))),
 
     "text_truncate_budget" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -906,6 +906,21 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** Per-JVM cache of the repeated-spans table — one positional-shingle
+    * build serves every consumer over the same corpus (the span DETECTION
+    * and the cut TRANSFORM registry rows share it; the same index-artifact
+    * contract as `Dedup.shingleGroupsFor`). */
+  private val spanCache =
+    new graft.SessionMemo[(String, Int, Int, Int), DataFrame]()
+
+  /** [[repeatedSpans]] riding the per-dataset memo (the registry form). */
+  def repeatedSpansFor(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, minSpanTokens: Int, maxDf: Int,
+                       key: String): DataFrame =
+    spanCache.getOrCompute(docs.sparkSession, (key, k, minSpanTokens, maxDf))(
+      repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxDf)
+        .localCheckpoint())
+
   /** Exact-substring dedup CUT — the transform on top of
     * [[repeatedSpans]] detection: for every document, how many tokens a
     * remove-verbatim-repeats pass would cut, keeping the EARLIEST
@@ -935,9 +950,13 @@ object TextAnalysis {
     * (idCol, n_tokens, dup_tokens, kept_tokens). */
   def substringCut(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, minSpanTokens: Int = 16,
-                   maxDf: Int = 20): DataFrame = {
+                   maxDf: Int = 20, key: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxDf)
+    val spans = key match {
+      case Some(kk) =>
+        repeatedSpansFor(docs, idCol, textCol, k, minSpanTokens, maxDf, kk)
+      case None => repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxDf)
+    }
     // two earlier partners can mark the IDENTICAL interval — distinct
     // first so the union never sees duplicate rows
     val iv = spans.select(col("doc_b").as("doc"), col("start_b").as("s"),
