@@ -442,7 +442,12 @@ class PlanQualitySpec extends SparkSpec {
 
   test("repeated spans: hot-shingle cap is a broadcast anti-join, the " +
     "pair join is an equi join") {
-    val plan = SparkEntry.queries("text_repeated_spans")(spark, sfDir)
+    // pinned on the LIVE computation: the registry entry rides the
+    // per-corpus memo whose localCheckpoint collapses the plan to a
+    // Scan ExistingRDD (same pattern as the label-propagation pin)
+    val plan = graft.operators.TextAnalysis.repeatedSpans(
+        graft.Tables(spark, sfDir, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 16, maxDf = 20)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"the tiny hot set must broadcast into the anti-join:\n$plan")

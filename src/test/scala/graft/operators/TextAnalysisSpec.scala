@@ -662,6 +662,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)(6) === 36L * 1000000L / 15L)
   }
 
+  test("DupNgramStats kernel equals a from-scratch reference over seeded " +
+    "random token arrays (small vocab -> dense duplicates; unicode " +
+    "tokens pin code-point vs UTF-16 length)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(toks: Seq[String]): Seq[Long] = {
+      val out = Array.fill(10)(0L)
+      for (g <- 2 to 8; if toks.size >= g) {
+        val counts = toks.sliding(g).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        def chars(s: String) = s.codePointCount(0, s.length).toLong
+        if (g <= 4) {
+          val top = counts
+            .map { case (k, c) => c * 1000000000L + c * chars(k) }
+            .foldLeft(0L)(math.max)
+          out((g - 2) * 2) = top / 1000000000L
+          out((g - 2) * 2 + 1) = top % 1000000000L
+        } else out(6 + g - 5) = counts.collect {
+          case (k, c) if c >= 2 => c * chars(k)
+        }.sum
+      }
+      out.toSeq
+    }
+    // vocab mixes ascii, CJK and an astral-plane emoji (UTF-16 length 2,
+    // code-point length 1 — a chars-vs-utf16 bug shows immediately)
+    val vocab = Vector("t0", "t1", "風扇", "😀", "longertoken5")
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 300) {
+      val n = rnd.nextInt(30)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val got = org.apache.spark.sql.graft.DupNgramStats
+        .compute(new GenericArrayData(
+          toks.map(UTF8String.fromString).toArray[Any]))
+        .toLongArray().toSeq
+      assert(got === reference(toks), s"trial $trial toks=$toks")
+    }
+  }
+
   test("substringCut: earliest doc keeps its copy; later docs lose the " +
     "interval UNION of marked spans (identical and overlapping marks " +
     "never double-count); short and null docs zeroed") {
