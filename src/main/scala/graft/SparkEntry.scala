@@ -1419,6 +1419,15 @@ object SparkEntry {
         preFilter = Some(col("label") <= 4))
     }),
 
+    // Deterministic negative sampling for contrastive training: 5
+    // md5-ordered picks per anchor, anti-joined against the exact top-10
+    // cosine neighbors (the false-negative guard); fully replayable draw
+    "emb_negative_samples" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.negativeSamples(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, excludeTopM = 10)
+    }),
+
     // Matryoshka truncation recall: per probe, how many exact top-5
     // cosine neighbors survive truncating every embedding to its first
     // 32 of 64 components — the prefix-index viability measurement

@@ -442,6 +442,38 @@ private[graft] object SparkEntryOracles {
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
 
+  /** Twin of [[Similarity.negativeSamples]]: the exact top-10 cosine
+    * exclusion replays like `knn_brute`, the pick order is the identical
+    * md5('neg':query:candidate) string (DuckDB md5 = hex, compared as
+    * text on both sides), ties impossible (candidate ids unique per
+    * query). */
+  private lazy val negativeSamplesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |near AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (
+      |      PARTITION BY q.query_id ORDER BY
+      |        list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+      |          CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS r
+      |    FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+      |  WHERE r <= 10),
+      |cand AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id
+      |  FROM q CROSS JOIN embeddings e
+      |  WHERE e.vec_id <> q.query_id
+      |    AND NOT EXISTS (SELECT 1 FROM near n
+      |      WHERE n.query_id = q.query_id AND n.neighbor_id = e.vec_id))
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+      |  neighbor_id AS negative_id
+      |FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY
+      |      md5('neg:' || query_id || ':' || neighbor_id) ASC,
+      |      neighbor_id ASC) AS rank
+      |  FROM cand)
+      |WHERE rank <= 5""".stripMargin
+
   /** Twin of [[Similarity.matryoshkaRecall]]: both exact top-5 rankings
     * replay with the same DOUBLE cosine and (cos DESC, id) tiebreak as
     * `knn_brute`; the truncated side slices each list to its first 32
@@ -2079,6 +2111,8 @@ private[graft] object SparkEntryOracles {
     "knn_ivf_filtered" -> knnIvfFixedSqlWhere("\n    AND c.label <= 4"),
 
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
+
+    "emb_negative_samples" -> negativeSamplesSql,
 
     "knn_pq_adc_fixed" -> knnPqAdcFixedSql,
 

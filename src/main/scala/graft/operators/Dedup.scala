@@ -271,6 +271,11 @@ object Dedup {
       .groupBy("doc")
       .agg(sort_array(collect_list(col("e"))).as("es"),
         count(lit(1)).as("n"))
+      // the hash-sorted set rides in the memoized table: the verify join
+      // needs it per query, and recomputing it there re-sorted every
+      // array per candidate side on each threshold query
+      .withColumn("hs",
+        sort_array(transform(col("es"), e => e.getField("h"))))
   }
 
   private def containmentFromSets(groups: DataFrame, sets: DataFrame,
@@ -294,9 +299,9 @@ object Dedup {
         least(col("na") - col("pa"), col("nb") - col("pb")) >=
           ceil(lit(t) * col("na")))
       .select("a", "b").distinct()
-    val hashed = sets.select(col("doc"),
-      sort_array(transform(col("es"), e => e.getField("h"))).as("hs"),
-      col("n"))
+    // hs is precomputed in the memoized sets table (one sort per set per
+    // corpus, not per threshold query)
+    val hashed = sets.select(col("doc"), col("hs"), col("n"))
     val repPairs = cand
       .join(hashed.select(col("doc").as("a"), col("hs").as("hs_a"),
         col("n").as("size_a")), "a")

@@ -80,6 +80,44 @@ object Similarity {
         coalesce(col("n_overlap"), lit(0L)).as(s"overlap_at_$k"))
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training: per query,
+    * `k` pseudo-random corpus vectors that are provably NOT near neighbors
+    * — the anchors' negatives a contrastive objective (InfoNCE, triplet)
+    * trains against. "Random" is the md5 order on (salt, query, candidate)
+    * — replayable in the SQL oracle and stable across runs/partitionings,
+    * the same pinned-draw discipline as the Poisson bootstrap; "not near"
+    * is an anti-join against the exact top-`excludeTopM` cosine neighbors
+    * (false negatives — near-dups sampled as negatives — are the failure
+    * mode this guard exists for).
+    *
+    * Scale shape: one corpus scan against broadcast queries (the
+    * [[knnBruteForce]] contract — queries small by construction), the
+    * exclusion set is |queries| × m rows (broadcast anti-join), and the
+    * per-query rank window is the same |queries| × |corpus| shuffle as
+    * `knn_brute` — for big query sets switch the candidate source to the
+    * bucketed variant exactly as that operator documents.
+    *
+    * Output: (query_id, rank 1..k, negative_id), fully deterministic. */
+  def negativeSamples(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      excludeTopM: Int, salt: String = "neg"): DataFrame = {
+    val near = knnBruteForce(corpus, queries, idCol, vecCol, excludeTopM)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).cast("long").as("query_id"))
+    val cand = corpus.select(col(idCol).cast("long").as("neighbor_id"))
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(near, Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy("query_id").orderBy(
+      md5(concat_ws(":", lit(salt), col("query_id"), col("neighbor_id"))
+        .cast("binary")).asc,
+      col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id").as("negative_id"))
+  }
+
   /** Materialize the corpus PARTITIONED BY sign bucket — the at-rest layout
     * for ANN at scale: a query's candidate set lives in one partition
     * directory, so the scan prunes to ~1/2^dims of the files before any

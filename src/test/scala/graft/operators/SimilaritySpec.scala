@@ -413,6 +413,29 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("cell"), plan.take(2000))
   }
 
+  test("negative samples: k per anchor, never self, DISJOINT from the " +
+    "top-m exclusion zone, deterministic across runs, salt-sensitive") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val neg = Similarity.negativeSamples(emb, q, "vec_id", "embedding",
+      k = 5, excludeTopM = 10).cache()
+    assert(neg.count() === 20L * 5)
+    assert(neg.where($"query_id" === $"negative_id").count() === 0L)
+    val near = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id".as("negative_id"))
+    assert(neg.join(near, Seq("query_id", "negative_id")).count() === 0L,
+      "a sampled negative sat inside the exclusion zone")
+    // pinned draw: identical across executions
+    val again = Similarity.negativeSamples(emb, q, "vec_id", "embedding",
+      k = 5, excludeTopM = 10)
+    assert(neg.collect().toSet === again.collect().toSet)
+    // a different salt draws a (generally) different set — the draw
+    // really is keyed on the salt, not incidental ordering
+    val other = Similarity.negativeSamples(emb, q, "vec_id", "embedding",
+      k = 5, excludeTopM = 10, salt = "neg2")
+    assert(other.collect().toSet !== neg.collect().toSet)
+  }
+
   test("matryoshka recall: full-width truncation is a perfect 5, a " +
     "planted prefix-heavy corpus keeps overlap, counts bounded 0..k") {
     import spark.implicits._
