@@ -1598,6 +1598,19 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Winnowing fingerprints (Schleimer 2003 / MOSS): window-min char
+    // k-gram hashes — any shared >= k+w-1-char substring leaves a shared
+    // fingerprint at ~2/(w+1) the index size; one scan, zero exchanges
+    "text_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 5, w = 4)),
+
+    // The MOSS match step: pairs sharing >= 8 winnow fingerprints, hot
+    // fingerprints (df > 20) dropped before the bounded pair join
+    "dedup_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 8, maxDf = 20)),
+
     // The md5 half of the fingerprint pair as its own ORACLED query (the
     // rolling xxhash64 signature above stays rows-only — no DuckDB twin)
     "text_fingerprints_md5" -> ((s, dir) =>
@@ -3054,6 +3067,20 @@ object SparkEntry {
     "lm_doc_score" -> ((s, dir) =>
       TextAnalysis.docLmScore(t(s, dir, "documents"), "doc_id", "text",
         topN = 200, cacheKey = Some(dir))),
+
+    // DSIR (Xie 2023): per-doc log importance ratio between the lang='en'
+    // target bigram LM and the raw-corpus LM, integer micro-nats. The raw
+    // model's memo key is (dir, 200) — shared with lm_doc_score's model
+    "lm_importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", topN = 200,
+        cacheKeys = Some((dir + "#dsir_en", dir)))),
+
+    // the selection step: top-100 docs by weight, md5-prefix tiebreak
+    "sample_dsir" -> ((s, dir) =>
+      TextAnalysis.sampleDsir(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", k = 100, topN = 200,
+        cacheKeys = Some((dir + "#dsir_en", dir)))),
 
     // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
     // recall vs brute force pinned in SimilaritySpec) ----------

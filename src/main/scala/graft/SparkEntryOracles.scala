@@ -442,6 +442,107 @@ private[graft] object SparkEntryOracles {
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
 
+  /** The winnowing CTE chain shared by both MOSS twins: canonical
+    * [a-z0-9] stream, 16-hex md5-prefix char-5-gram hashes, window-4
+    * minima, distinct — positions and slice widths mirror the Spark
+    * expressions index-for-index. */
+  /** The DSIR CTE chain shared by both twins: the lm_doc_score micro-nat
+    * model chain run twice (target = lang='en' rows, raw = all docs),
+    * differenced per bigram occurrence with the -12e6 floor per
+    * out-of-model side. A def (order-independent): `val sql` above forces
+    * twin strings during object init — see winnowCtes' lazy note. */
+  private def dsirCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+')
+      |    AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, lang, CASE WHEN len(t) >= 2
+      |              THEN list_transform(range(len(t) - 1),
+      |                     i -> t[i+1] || ' ' || t[i+2])
+      |              ELSE [] END AS bigrams
+      |  FROM base
+      |), db AS (
+      |  SELECT doc_id, lang, unnest(bigrams) AS bigram FROM bg
+      |), tcnt AS (
+      |  SELECT bigram, count(*) AS n FROM db WHERE lang = 'en' GROUP BY 1
+      |), ttop AS (
+      |  SELECT bigram, n FROM (
+      |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+      |      AS r FROM tcnt) WHERE r <= 200
+      |), ttot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ttop
+      |), tlm AS (
+      |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+      |    AS logp_t_q
+      |  FROM ttop, ttot
+      |), rcnt AS (
+      |  SELECT bigram, count(*) AS n FROM db GROUP BY 1
+      |), rtop AS (
+      |  SELECT bigram, n FROM (
+      |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+      |      AS r FROM rcnt) WHERE r <= 200
+      |), rtot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM rtop
+      |), rlm AS (
+      |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+      |    AS logp_r_q
+      |  FROM rtop, rtot
+      |), sc AS (
+      |  SELECT db.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(coalesce(tlm.logp_t_q, -12000000)
+      |           - coalesce(rlm.logp_r_q, -12000000)) AS BIGINT) AS lw_q
+      |  FROM db LEFT JOIN tlm USING (bigram) LEFT JOIN rlm USING (bigram)
+      |  GROUP BY 1
+      |), w AS (
+      |  SELECT d.doc_id,
+      |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |    coalesce(s.lw_q, 0) AS logw_q
+      |  FROM documents d LEFT JOIN sc s USING (doc_id))""".stripMargin
+
+  private def dsirWeightsSql: String =
+    s"""$dsirCtes
+       |SELECT doc_id, n_bigrams, logw_q FROM w""".stripMargin
+
+  // lazy: `val sql` (declared above) forces the twin strings during
+  // object init, BEFORE this line's initializer would run — a plain val
+  // here interpolates as "null" (shipped once; caught by the gate)
+  private lazy val winnowCtes: String =
+    """WITH cs AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
+      |      AS s
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN length(s) >= 5 THEN
+      |      list_transform(range(1, length(s) - 3),
+      |        i -> substr(md5(substring(s, i, 5)), 1, 16))
+      |    ELSE [] END AS grams
+      |  FROM cs),
+      |fp AS (
+      |  SELECT doc_id, CASE WHEN len(grams) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(grams) - 2),
+      |        j -> list_aggregate(grams[j:j+3], 'min')))
+      |    ELSE [] END AS fp
+      |  FROM g)""".stripMargin
+
+  /** Twin of [[TextAnalysis.winnowFingerprints]]. */
+  private lazy val winnowFingerprintsSql: String =
+    s"""$winnowCtes
+       |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+       |  md5(array_to_string(list_sort(fp), ',')) AS fp_digest
+       |FROM fp""".stripMargin
+
+  /** Twin of [[TextAnalysis.winnowPairs]]. */
+  private lazy val winnowPairsSql: String =
+    s"""$winnowCtes,
+       |ex AS (SELECT doc_id AS doc, unnest(fp) AS f FROM fp),
+       |cold AS (
+       |  SELECT * FROM ex WHERE f NOT IN (
+       |    SELECT f FROM ex GROUP BY 1 HAVING count(*) > 20))
+       |SELECT a.doc AS id_a, b.doc AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cold a JOIN cold b USING (f) WHERE a.doc < b.doc
+       |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin
+
   /** Twin of [[Similarity.negativeSamples]]: the exact top-10 cosine
     * exclusion replays like `knn_brute`, the pick order is the identical
     * md5('neg':query:candidate) string (DuckDB md5 = hex, compared as
@@ -2228,6 +2329,10 @@ private[graft] object SparkEntryOracles {
     "dedup_substring_cut" -> substringCutSql,
 
     "text_dup_ngrams" -> dupNgramsSql,
+
+    "text_winnowing" -> winnowFingerprintsSql,
+
+    "dedup_winnowing" -> winnowPairsSql,
 
     // the md5 fingerprint half replays exactly (same normalize as
     // dedup_exact; the rolling xxhash64 half stays rows-only)
@@ -4391,6 +4496,18 @@ private[graft] object SparkEntryOracles {
         |  coalesce(s.n_bigrams, 0) AS n_bigrams,
         |  coalesce(s.score_q, 0) AS lm_score_q
         |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin,
+
+    // DSIR: same micro-nat chain as lm_doc_score, run twice — target
+    // model over lang='en' rows, raw model over all — and differenced
+    // per bigram occurrence with the same -12e6 floor on either side
+    "lm_importance_weights" -> dsirWeightsSql,
+
+    "sample_dsir" ->
+      s"""$dsirCtes
+         |SELECT doc_id, logw_q FROM w
+         |ORDER BY logw_q DESC,
+         |  substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |LIMIT 100""".stripMargin,
 
     // the k lowest md5 prefixes, id tiebreak — the same portable order as
     // sample_cap_per_group, global instead of per group

@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `repetition_signals(str)` — struct of the 4 Gopher repetition stats
   *   - `dup_ngram_stats(tokens)` — the 10 Gopher duplicate-n-gram values
   *     (top-gram count/mass n=2..4, duplicate mass n=5..8) in one pass
+  *   - `winnow_fingerprints(str, k, w)` — the MOSS winnowing fingerprint
+  *     set (sorted distinct window-min char-k-gram md5 prefixes)
   *   - `han_count(str)` — Han-script code-point count (langid's zh signal)
   *   - `int8_codes(vec)` — symmetric int8 quantization of a float vector
   *   - `int8_cosine(a, b)` — approximate cosine from two int8 code vectors
@@ -116,6 +118,12 @@ object GraftSql {
     "dup_ngram_stats" -> { es =>
       arity("dup_ngram_stats", es, 1)
       org.apache.spark.sql.graft.DupNgramStats(es.head)
+    },
+    "winnow_fingerprints" -> { es =>
+      arity("winnow_fingerprints", es, 3)
+      org.apache.spark.sql.graft.WinnowFingerprints(es.head,
+        intLit(es(1), "winnow_fingerprints", 1),
+        intLit(es(2), "winnow_fingerprints", 2))
     },
     "han_count" -> { es =>
       arity("han_count", es, 1)

@@ -289,6 +289,80 @@ object TextAnalysis {
       rolling.as("rolling_fp"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * algorithm): per document, the distinct set of window-minimum char
+    * k-gram hashes. Winnowing GUARANTEES any shared substring of length
+    * ≥ k + w − 1 chars leaves at least one shared fingerprint, while
+    * sampling only ~2/(w+1) of positions — the index-size/recall contract
+    * that makes document-similarity indexes affordable at corpus scale
+    * (the all-shingles table is 1/density times bigger for the same
+    * guarantee).
+    *
+    * Determinism: text canonicalizes to its [a-z0-9] character stream
+    * (whitespace/punct-insensitive, the classic treatment), gram hashes
+    * are 16-hex-char md5 prefixes (string order is ASCII-hex — identical
+    * in the SQL twin), window-min per sliding window, then distinct. All
+    * row-local expressions: one scan, zero exchanges. Output:
+    * (idCol, n_fingerprints, fp_digest = md5 of the comma-joined sorted
+    * fingerprint set — a stable whole-set signature). */
+  /** The per-doc winnow set as a DataFrame (idCol, fp): one codegen'd
+    * [[org.apache.spark.sql.graft.WinnowFingerprints]] kernel call per
+    * row. The declarative HOF form (a `transform` of md5 grams + a
+    * `transform` of array_min(slice) windows) ran interpreted AND
+    * re-evaluated the canonicalizing regex per lambda element — O(L²)
+    * regex work per document, ~20 s per registry query at sf0.1; the
+    * kernel is one linear byte pass (see its scaladoc). fp is sorted
+    * ascending by the kernel's contract — the digest below relies on it. */
+  private def winnowFp(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame =
+    docs.select(col(idCol), org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.WinnowFingerprints(
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col(textCol), lit(""))), k, w)).as("fp"))
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame =
+    winnowFp(docs, idCol, textCol, k, w)
+      .select(col(idCol),
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        // fp arrives sorted (kernel contract, spec-pinned) — no sort_array
+        md5(concat_ws(",", col("fp")).cast("binary"))
+          .as("fp_digest"))
+
+  /** Winnowing-candidate pairs: documents sharing at least `minShared`
+    * winnow fingerprints — the MOSS match step. Fingerprints hotter than
+    * `maxDf` docs drop before the pair join (boilerplate n-grams; same
+    * recall-trading cap as the shingle family — a dropped hot gram can
+    * hide a pair only if ALL its shared grams are that common). Join
+    * fan-out is bounded by df² per fingerprint; the winnowed table is
+    * ~2/(w+1) the size of the all-grams table for the same ≥ k+w−1
+    * substring guarantee. Output: (id_a < id_b, n_shared). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Int = 8,
+                  maxDf: Int = 20): DataFrame = {
+    // the exploded fingerprint table is consumed three times (df agg +
+    // both sides of the pair join) — persist the winnow scan once
+    // (recomputable, unlike localCheckpoint — the consumer-fan-out rule
+    // in SCALE.md's concessions list).
+    // explode_OUTER: the inner form lets InferFiltersFromGenerate plant a
+    // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
+    // window minima) once more per row — the inferred-generator-filter
+    // class PlanQualitySpec sweeps for. The null f rows outer emits for
+    // short docs die at the pair equi-join (and never match `hot`).
+    val ex = winnowFp(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
+      .persist()
+    val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("f")
+    val cold = ex.join(broadcast(hot), Seq("f"), "left_anti")
+    cold.select(col("f"), col("doc").as("id_a"))
+      .join(cold.select(col("f"), col("doc").as("id_b")), "f")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ---- decision columns shared with the curation funnel ----------------
   // Each mirrors its report operator's published decision EXACTLY (the
   // agreement is spec-pinned), so the funnel is one scan over the corpus
@@ -734,6 +808,78 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("hit_count_sum"), lit(0L)).as("hit_count_sum"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): per
+    * document, the hashed-n-gram log importance ratio
+    * `log w = Σ_bigram (log P_target(b) − log P_raw(b))` — the data
+    * SELECTION signal for steering a 100-TB raw crawl toward a target
+    * domain distribution. Both LMs are the corpus' own top-`topN` bigram
+    * models ([[bigramLm]]): the target model fit on `targetPred` rows
+    * only, the raw model on everything; each side quantizes to integer
+    * micro-nats (`round(ln(n/total)·1e6)`, the proven cross-engine-exact
+    * form) with the same quantized floor per out-of-model occurrence as
+    * [[docLmScore]] — so the whole weight is an integer SUM,
+    * combine-order-free and hash-oracled end to end. Positive = more
+    * target-like than corpus-typical.
+    *
+    * Scale shape: both models are `topN` rows; they FULL-OUTER merge into
+    * one ≤ 2·topN-row table that BROADCASTS into the single corpus scan,
+    * so the only corpus-sized shuffle is the per-doc aggregation — the
+    * same shape as [[docLmScore]] at any corpus size. Docs with < 2
+    * tokens weigh 0 over 0 bigrams via the left join back to the doc
+    * list. Output: (idCol, n_bigrams, logw_q). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, topN: Int = 200,
+                        floorLogp: Double = -12.0,
+                        cacheKeys: Option[(String, String)] = None): DataFrame = {
+    val floorQ = math.round(floorLogp * 1e6)
+    def quantized(lm0: DataFrame, out: String): DataFrame = {
+      val tot = lm0.agg(sum(col("n")).as("_tot"))
+      lm0.crossJoin(broadcast(tot))
+        .select(col("bigram"),
+          round(log(col("n") / col("_tot")) * lit(1e6)).cast("long").as(out))
+    }
+    val target = docs.where(targetPred)
+    val lmT = quantized(cacheKeys.map(ks => bigramLmFor(target, textCol, topN, ks._1))
+      .getOrElse(bigramLm(target, textCol, topN)), "logp_t_q")
+    val lmR = quantized(cacheKeys.map(ks => bigramLmFor(docs, textCol, topN, ks._2))
+      .getOrElse(bigramLm(docs, textCol, topN)), "logp_r_q")
+    val merged = lmT.join(lmR, Seq("bigram"), "full_outer")
+    val db = docs
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
+    val weights = db.join(broadcast(merged), Seq("bigram"), "left_outer")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("logp_t_q"), lit(floorQ)) -
+          coalesce(col("logp_r_q"), lit(floorQ))).as("logw_q"))
+    docs.select(col(idCol).as("_id"))
+      .join(weights, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logw_q"), lit(0L)).as("logw_q"))
+  }
+
+  /** DSIR selection: the `k` documents with the highest importance weight
+    * ([[importanceWeights]]), ties broken by the engine-portable
+    * md5('dsir' || id) prefix order then id — a distributed top-k
+    * (TakeOrderedAndProject), never a global sort. This is the
+    * temperature→0 (greedy MAP) reading of the paper's Gumbel-top-k
+    * resampling, chosen so the draw replays EXACTLY in ANSI SQL; the
+    * paper's stochastic variant is one additive noise column away and
+    * trades the oracle for sampling diversity. Output: (idCol, logw_q),
+    * the selected ids with their weights. */
+  def sampleDsir(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, k: Int, topN: Int = 200,
+                 floorLogp: Double = -12.0,
+                 cacheKeys: Option[(String, String)] = None): DataFrame =
+    importanceWeights(docs, idCol, textCol, targetPred, topN, floorLogp,
+      cacheKeys)
+      .orderBy(col("logw_q").desc,
+        substring(md5(concat(lit("dsir"),
+          col(idCol).cast("string")).cast("binary")), 1, 8),
+        col(idCol))
+      .limit(k)
+      .select(col(idCol), col("logw_q"))
 
   /** Top collocations (candidate multiword expressions) by pointwise
     * mutual information over ADJACENT word pairs:

@@ -232,7 +232,8 @@ class PlanQualitySpec extends SparkSpec {
     // registry plan's Filter conditions for the kernel names.
     val kernels = Seq("char_ngram_counts", "shingle_hashes", "shingles(",
       "poisson_weights", "minhash_signature", "char_ngram_total",
-      "repetition_signals", "int8_codes", "simhash64")
+      "repetition_signals", "int8_codes", "simhash64",
+      "winnow_fingerprints")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // plan-build failures are owned by the correctness gate, not here

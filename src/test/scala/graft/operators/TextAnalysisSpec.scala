@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSpec
 
@@ -698,6 +698,119 @@ class TextAnalysisSpec extends SparkSpec {
         .toLongArray().toSeq
       assert(got === reference(toks), s"trial $trial toks=$toks")
     }
+  }
+
+  test("DSIR importance weights: identity predicate zeroes every weight, " +
+    "target-like docs outrank off-target ones, short/null docs zero, " +
+    "and sampleDsir is deterministic with |result| <= k") {
+    import spark.implicits._
+    // two sub-languages: target docs repeat "alpha beta", raw noise docs
+    // repeat "gamma delta" — the target model loves one, the raw model
+    // splits its mass, so target docs must carry strictly higher logw_q
+    val docs = (
+      (1L to 10L).map(i => (i, "alpha beta alpha beta alpha beta", "en")) ++
+      (11L to 20L).map(i => (i, "gamma delta gamma delta gamma delta", "de")) ++
+      Seq((21L, "alpha", "en"), (22L, null.asInstanceOf[String], "de"))
+    ).toDF("doc_id", "text", "lang")
+    // law 1: target == whole corpus -> both models identical -> logw_q 0
+    val ident = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+      lit(true), topN = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(ident.forall(_._3 === 0L), ident.mkString(","))
+    // law 2: en-target weights separate the sub-languages
+    val w = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", topN = 50)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert((1L to 10L).forall(i => w(i)._3 > w(11L)._3),
+      w.values.toSeq.sortBy(_._1).mkString(","))
+    // law 3: <2 tokens / null text -> 0 bigrams, 0 weight
+    assert(w(21L)._2 === 0L && w(21L)._3 === 0L)
+    assert(w(22L)._2 === 0L && w(22L)._3 === 0L)
+    // law 4: selection keeps the k highest and replays identically
+    val pick = TextAnalysis.sampleDsir(docs, "doc_id", "text",
+      col("lang") === "en", k = 10, topN = 50)
+      .as[(Long, Long)].collect()
+    assert(pick.length === 10 && pick.forall(_._1 <= 10L), pick.mkString(","))
+    val again = TextAnalysis.sampleDsir(docs, "doc_id", "text",
+      col("lang") === "en", k = 10, topN = 50)
+      .as[(Long, Long)].collect()
+    assert(pick.toSeq === again.toSeq)
+  }
+
+  test("WinnowFingerprints kernel equals a from-scratch reference over " +
+    "seeded random texts across (k, w), including w=1, empty, and " +
+    "multi-byte chars (dropped whole by the byte-level canonicalizer)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(text: String, k: Int, w: Int): Seq[String] = {
+      val canon = text.toLowerCase.filter(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+      if (canon.length < k) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val grams = canon.sliding(k).map { g =>
+        val d = md.digest(g.getBytes("UTF-8"))
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString
+      }.toVector
+      if (grams.length < w) Seq.empty
+      else grams.sliding(w).map(_.min).toVector.distinct.sorted
+    }
+    // vocab: ascii case/digits/punct/space + CJK and an astral emoji
+    // (multi-byte — every byte >= 0x80, so the kernel drops the char
+    // exactly like the reference's filter; no U+212A/U+0130-class chars,
+    // whose exotic lower-case folds are documented out of scope)
+    val vocab = "aAbBzZ059 .,-!風😀"
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 300) {
+      val text = Seq.fill(rnd.nextInt(200))(
+        vocab(rnd.nextInt(vocab.length))).mkString
+      val k = 3 + rnd.nextInt(4)
+      val w = 1 + rnd.nextInt(5)
+      val got = org.apache.spark.sql.graft.WinnowFingerprints
+        .compute(UTF8String.fromString(text), k, w)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(got === reference(text, k, w), s"trial $trial k=$k w=$w text=$text")
+      assert(got === got.sorted, "kernel output must be sorted (digest relies on it)")
+    }
+  }
+
+  test("winnowing: the >= k+w-1 shared-substring guarantee holds, the " +
+    "canonicalization is whitespace/punct-insensitive, short docs " +
+    "zeroed, and the pair step finds plants without inventing pairs") {
+    import spark.implicits._
+    // k=5, w=4: any shared canonical substring of >= 8 chars must leave
+    // a shared fingerprint. Docs 1/2 share "sharedrun..." (>= 8 canonical
+    // chars) inside different surroundings; doc 3 shares with doc 1 only
+    // via DIFFERENT spacing/punct (canonicalization must erase that);
+    // doc 4 is unrelated; doc 5 too short; doc 6 null.
+    val shared = "sharedrunofcharacters"
+    val docs = Seq(
+      (1L, "alpha " + shared + " omega"),
+      (2L, "zzz prefix " + shared + " and more words here"),
+      (3L, "ALPHA!! " + shared.grouped(4).mkString(" ") + "-omega"),
+      (4L, "completely unrelated content block qqq"),
+      (5L, "hi"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(fps(5L)._2 === 0L && fps(6L)._2 === 0L)
+    assert(fps(5L)._3 === fps(6L)._3) // both digest the empty set
+    assert(fps(1L)._2 > 0L && fps(1L)._2 <= 22L) // <= window count
+    // doc 3 canonicalizes to the same char stream as doc 1 -> identical
+    // fingerprint SET (surroundings differ only in case/punct/spacing)
+    assert(fps(1L)._3 === fps(3L)._3)
+    // guarantee + pair step: every plant found with a low minShared, and
+    // the unrelated doc never pairs
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 20)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"guarantee violated: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+    // determinism across runs
+    val again = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(again === fps)
   }
 
   test("substringCut: earliest doc keeps its copy; later docs lose the " +

@@ -25,7 +25,8 @@ def pair_generators():
     operator sources so a new generator is picked up automatically."""
     names = set()
     for rel in ("src/main/scala/graft/operators/Dedup.scala",
-                "src/main/scala/graft/operators/Multimodal.scala"):
+                "src/main/scala/graft/operators/Multimodal.scala",
+                "src/main/scala/graft/operators/TextAnalysis.scala"):
         with open(os.path.join(ROOT, rel)) as fh:
             src = fh.read()
         names |= set(re.findall(r"def (\w*[Pp]airs\w*)\(", src))
