@@ -1975,6 +1975,17 @@ object SparkEntry {
         "doc_id", "text", 4)
     }),
 
+    // Winnowing decontamination: k=12, w=8 — any verbatim >= 19-char
+    // canonical run shared with the benchmark is guaranteed caught, and
+    // whitespace/punct/case re-flow can't launder it
+    "decontaminate_winnow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontamination.contaminationWinnow(
+        docs.where(pmod(col("doc_id"), lit(50)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", k = 12, w = 8)
+    }),
+
     // The hashed-key decontamination dataflow under the FULL oracle gate:
     // grams travel as portable md5-prefix keys (any engine computes the
     // same 16 hex chars), so broadcast-probe-aggregate is hash-replayable

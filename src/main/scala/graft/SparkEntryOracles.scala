@@ -502,27 +502,32 @@ private[graft] object SparkEntryOracles {
     s"""$dsirCtes
        |SELECT doc_id, n_bigrams, logw_q FROM w""".stripMargin
 
+  /** The winnowing CTE chain parameterized by (k, w) — positions and
+    * slice widths mirror the WinnowFingerprints kernel index-for-index.
+    * A def (order-independent; see the dsirCtes note). */
+  private def winnowCtesFor(k: Int, w: Int): String =
+    s"""WITH cs AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
+       |      AS s
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN length(s) >= $k THEN
+       |      list_transform(range(1, length(s) - ${k - 2}),
+       |        i -> substr(md5(substring(s, i, $k)), 1, 16))
+       |    ELSE [] END AS grams
+       |  FROM cs),
+       |fp AS (
+       |  SELECT doc_id, CASE WHEN len(grams) >= $w THEN
+       |      list_distinct(list_transform(range(1, len(grams) - ${w - 2}),
+       |        j -> list_aggregate(grams[j:j+${w - 1}], 'min')))
+       |    ELSE [] END AS fp
+       |  FROM g)""".stripMargin
+
   // lazy: `val sql` (declared above) forces the twin strings during
   // object init, BEFORE this line's initializer would run — a plain val
   // here interpolates as "null" (shipped once; caught by the gate)
-  private lazy val winnowCtes: String =
-    """WITH cs AS (
-      |  SELECT doc_id,
-      |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
-      |      AS s
-      |  FROM documents),
-      |g AS (
-      |  SELECT doc_id, CASE WHEN length(s) >= 5 THEN
-      |      list_transform(range(1, length(s) - 3),
-      |        i -> substr(md5(substring(s, i, 5)), 1, 16))
-      |    ELSE [] END AS grams
-      |  FROM cs),
-      |fp AS (
-      |  SELECT doc_id, CASE WHEN len(grams) >= 4 THEN
-      |      list_distinct(list_transform(range(1, len(grams) - 2),
-      |        j -> list_aggregate(grams[j:j+3], 'min')))
-      |    ELSE [] END AS fp
-      |  FROM g)""".stripMargin
+  private lazy val winnowCtes: String = winnowCtesFor(5, 4)
 
   /** Twin of [[TextAnalysis.winnowFingerprints]]. */
   private lazy val winnowFingerprintsSql: String =
@@ -2333,6 +2338,17 @@ private[graft] object SparkEntryOracles {
     "text_winnowing" -> winnowFingerprintsSql,
 
     "dedup_winnowing" -> winnowPairsSql,
+
+    // winnow decontamination: the k=12/w=8 fingerprint chain, benchmark =
+    // the doc_id % 50 = 7 slice (the decontaminate family's split)
+    "decontaminate_winnow" ->
+      s"""${winnowCtesFor(12, 8)},
+         |ex AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+         |bench AS (SELECT DISTINCT f FROM ex WHERE doc_id % 50 = 7)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
+         |FROM ex e JOIN bench USING (f)
+         |WHERE e.doc_id % 50 != 7
+         |GROUP BY 1""".stripMargin,
 
     // the md5 fingerprint half replays exactly (same normalize as
     // dedup_exact; the rolling xxhash64 half stays rows-only)

@@ -44,6 +44,36 @@ object Decontamination {
         countDistinct(col("gram")).as("n_distinct_hits"))
   }
 
+  /** Winnowing-based decontamination (Schleimer 2003 fingerprints via
+    * [[TextAnalysis.winnowFp]]): corpus documents sharing winnow
+    * fingerprints with the benchmark, with the count of shared DISTINCT
+    * fingerprints per document. Unlike the word-n-gram passes this
+    * carries a GUARANTEE: any verbatim shared canonical substring of
+    * ≥ k+w−1 characters leaves at least one shared fingerprint, and the
+    * fingerprints hash the [a-z0-9] character stream — so re-flowing a
+    * benchmark excerpt's whitespace, punctuation or case (the classic
+    * contamination laundering that word-token shingles miss) cannot hide
+    * the overlap. Index cost is ~2/(w+1) of the all-grams table.
+    *
+    * Scale shape: same as [[contamination]] — the benchmark fingerprint
+    * set is tiny and BROADCAST, the corpus side is one kernel scan whose
+    * exploded rows probe the broadcast map-side and only hits aggregate
+    * per doc. explode_outer keeps the optimizer from re-running the
+    * winnow kernel inside an inferred filter; the null rows short docs
+    * emit die at the equi-join. */
+  def contaminationWinnow(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 12, w: Int = 8): DataFrame = {
+    val bench = TextAnalysis.winnowFp(benchmark, idCol, textCol, k, w)
+      .select(explode_outer(col("fp")).as("f"))
+      .where(col("f").isNotNull).distinct()
+    TextAnalysis.winnowFp(corpus, idCol, textCol, k, w)
+      .select(col(idCol), explode_outer(col("fp")).as("f"))
+      .join(broadcast(bench), "f")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Actionable contamination VERDICT per corpus document: the hit counts
     * of [[contamination]] joined back to every document's total gram
     * count, with `contaminated = 1` when more than `thresholdPct`% of the

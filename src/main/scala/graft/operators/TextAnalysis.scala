@@ -313,8 +313,9 @@ object TextAnalysis {
     * regex work per document, ~20 s per registry query at sf0.1; the
     * kernel is one linear byte pass (see its scaladoc). fp is sorted
     * ascending by the kernel's contract — the digest below relies on it. */
-  private def winnowFp(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int, w: Int): DataFrame =
+  private[operators] def winnowFp(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  k: Int, w: Int): DataFrame =
     docs.select(col(idCol), org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.graft.WinnowFingerprints(
         org.apache.spark.sql.GraftBridge.expression(

@@ -23,6 +23,35 @@ class DecontaminationSpec extends SparkSpec {
     assert(got === Map(1L -> ((2L, 1L))))
   }
 
+  test("winnow decontamination: verbatim excerpts are caught even when " +
+    "whitespace/punct/case re-flow launders them, clean docs stay clean, " +
+    "and sub-guarantee overlaps may escape") {
+    import spark.implicits._
+    // k=12, w=8: any shared canonical substring >= 19 chars is guaranteed
+    val excerpt = "the seventeen quick brown foxes jumped over all dogs"
+    val bench = Seq((100L, excerpt)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim inclusion -> guaranteed hit
+      (1L, "preamble text " + excerpt + " postamble words"),
+      // LAUNDERED copy: case flipped, punctuation injected, whitespace
+      // re-flowed — same canonical [a-z0-9] stream -> still guaranteed
+      (2L, "THE SEVENTEEN... quick!brown?foxes  JUMPED; over(all)dogs"),
+      // shares only an 11-char canonical run ("quickbrownf") < 19 -> may
+      // escape; with these params it must NOT be flagged via that run
+      (3L, "nothing here but quick brown f and other words"),
+      (4L, "completely unrelated content with no shared substrings at all")
+    ).toDF("doc_id", "text")
+    val got = Decontamination
+      .contaminationWinnow(corpus, bench, "doc_id", "text", k = 12, w = 8)
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.contains(1L) && got(1L) >= 1L, got.toString)
+    assert(got.contains(2L) && got(2L) >= 1L, got.toString)
+    assert(!got.contains(4L), got.toString)
+    // docs 1 and 2 canonicalize the excerpt identically -> doc 2's shared
+    // set within the excerpt is a superset-or-equal... assert both found;
+    // exact counts differ with surroundings, so only the >=1 law is pinned
+  }
+
   test("hashed variant agrees with the string variant's distinct hits") {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
