@@ -185,6 +185,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("winnow decontamination broadcasts the benchmark fingerprints and " +
+    "runs the kernel once per side, never inside a Filter") {
+    val plan = formatted(
+      SparkEntry.queries("decontaminate_winnow")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark fingerprint set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the exploded corpus must not shuffle for the probe:\n$plan")
+    // one kernel call per side (corpus scan + benchmark build), and the
+    // registry-wide inferred-filter sweep keeps it out of Conditions
+    val kernelCalls = plan.linesIterator
+      .filter(_.contains("winnow_fingerprints")).size
+    assert(kernelCalls <= 2, s"winnow kernel evaluated $kernelCalls times:\n$plan")
+  }
+
+  test("DSIR: the merged two-model table broadcasts; only the per-doc " +
+    "aggregation (and the sampler's top-k) touch corpus-sized data") {
+    val plan = formatted(
+      SparkEntry.queries("lm_importance_weights")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the merged target/raw LM must broadcast into the scan:\n$plan")
+    val pick = formatted(SparkEntry.queries("sample_dsir")(spark, sfDir))
+    assert(pick.contains("TakeOrderedAndProject"),
+      s"selection must be a distributed top-k, not a global sort:\n$pick")
+  }
+
   test("semantic decontamination broadcasts the benchmark side, corpus never shuffles for it") {
     val plan = formatted(
       SparkEntry.queries("decontaminate_semantic")(spark, sfDir))
