@@ -1611,6 +1611,14 @@ object SparkEntry {
       TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, minShared = 8, maxDf = 20)),
 
+    // MOSS cluster closure: connected components over the winnow pair
+    // graph — the winnowing complement of dedup_clusters' Jaccard closure
+    "dedup_winnow_clusters" -> ((s, dir) =>
+      TextAnalysis.winnowClustersFor(t(s, dir, "documents"), "doc_id",
+        "text", k = 5, w = 4, minShared = 8, maxDf = 20, key = dir)
+        .select(col("doc").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster_id"))),
+
     // The md5 half of the fingerprint pair as its own ORACLED query (the
     // rolling xxhash64 signature above stays rows-only — no DuckDB twin)
     "text_fingerprints_md5" -> ((s, dir) =>

@@ -330,6 +330,24 @@ object TextAnalysis {
         md5(concat_ws(",", col("fp")).cast("binary"))
           .as("fp_digest"))
 
+  private val winnowClusterCache =
+    new graft.SessionMemo[(String, Int, Int, Int, Int), DataFrame]()
+
+  /** Session-memoized winnow cluster closure: connected components over
+    * [[winnowPairs]]' graph — the winnowing complement of the Jaccard
+    * closure (`Dedup.ngramClustersFor`), same memo discipline (the CC
+    * label table is tiny — pair-graph nodes only — and
+    * `connectedComponents` returns an eagerly checkpointed frame). */
+  def winnowClustersFor(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int, minShared: Int, maxDf: Int,
+                        key: String): DataFrame =
+    winnowClusterCache.getOrCompute(docs.sparkSession,
+      (key, k, w, minShared, maxDf)) {
+      Dedup.connectedComponents(
+        winnowPairs(docs, idCol, textCol, k, w, minShared, maxDf)
+          .select(col("id_a"), col("id_b")), "id_a", "id_b")
+    }
+
   /** Winnowing-candidate pairs: documents sharing at least `minShared`
     * winnow fingerprints — the MOSS match step. Fingerprints hotter than
     * `maxDf` docs drop before the pair join (boilerplate n-grams; same

@@ -811,6 +811,15 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
       .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
     assert(again === fps)
+    // cluster closure: 1-2 and 1-3 pairs close {1,2,3} into one cluster
+    // labeled by its min id; the unrelated doc never appears
+    val cl = Dedup.connectedComponents(
+      TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        minShared = 1, maxDf = 20).select($"id_a", $"id_b"),
+      "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(cl.get(_).contains(1L)), cl.toString)
+    assert(!cl.contains(4L), cl.toString)
   }
 
   test("substringCut: earliest doc keeps its copy; later docs lose the " +
