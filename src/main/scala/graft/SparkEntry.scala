@@ -1611,6 +1611,16 @@ object SparkEntry {
       TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, minShared = 8, maxDf = 20)),
 
+    // Dedup-on-arrival under the MOSS guarantee: new batch (doc_id%10>=8)
+    // probes the session-memoized df-capped reference winnow index
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.winnowIncrementalVerdict(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8),
+        docs.where(pmod(col("doc_id"), lit(10)) < 8),
+        "doc_id", "text", refKey = Some(dir))
+    }),
+
     // MOSS cluster closure: connected components over the winnow pair
     // graph — the winnowing complement of dedup_clusters' Jaccard closure
     "dedup_winnow_clusters" -> ((s, dir) =>

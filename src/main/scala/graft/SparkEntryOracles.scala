@@ -2371,6 +2371,28 @@ private[graft] object SparkEntryOracles {
 
     "dedup_winnow_clusters" -> winnowClustersSql,
 
+    // incremental winnow twin: same split as dedup_incremental (new =
+    // doc_id%10 >= 8, ref = < 8); the df cap is computed on the REFERENCE
+    // side only, mirroring the once-per-corpus index
+    "dedup_winnow_incremental" ->
+      s"""$winnowCtes,
+         |ex AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+         |refex AS (SELECT * FROM ex WHERE doc_id % 10 < 8),
+         |cold AS (
+         |  SELECT * FROM refex WHERE f NOT IN (
+         |    SELECT f FROM refex GROUP BY 1 HAVING count(*) > 20)),
+         |newex AS (SELECT * FROM ex WHERE doc_id % 10 >= 8),
+         |mm AS (
+         |  SELECT n.doc_id AS nid, c.doc_id AS rid, count(*) AS sh
+         |  FROM newex n JOIN cold c USING (f) GROUP BY 1, 2),
+         |m AS (SELECT nid, count(*) AS nm FROM mm WHERE sh >= 8 GROUP BY 1)
+         |SELECT d.doc_id AS new_id,
+         |  CAST(coalesce(m.nm, 0) AS BIGINT) AS n_matches,
+         |  CAST(CASE WHEN coalesce(m.nm, 0) > 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS dropped
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.nid
+         |WHERE d.doc_id % 10 >= 8""".stripMargin,
+
     // winnow decontamination: the k=12/w=8 fingerprint chain, benchmark =
     // the doc_id % 50 = 7 slice (the decontaminate family's split)
     "decontaminate_winnow" ->

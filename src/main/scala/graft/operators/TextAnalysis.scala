@@ -348,6 +348,51 @@ object TextAnalysis {
           .select(col("id_a"), col("id_b")), "id_a", "id_b")
     }
 
+  private val winnowRefCache =
+    new graft.SessionMemo[(String, Int, Int, Int), DataFrame]()
+
+  /** Incremental winnow dedup: per NEW document, how many REFERENCE
+    * documents share ≥ `minShared` winnow fingerprints, plus the drop
+    * verdict — the dedup-on-arrival gate (`dedup_incremental`'s contract)
+    * under the MOSS guarantee instead of Jaccard. With `refKey` the
+    * reference side's df-capped exploded fingerprint table is built once
+    * per corpus generation (the [[bigramLmFor]] memo contract) — an
+    * arriving batch pays only its own kernel scan plus the fingerprint
+    * equi-join, whose fan-out the reference-side df>maxDf drop bounds.
+    * The join hash-partitions on the fingerprint (the reference index is
+    * corpus-sized — never broadcast); only (new, ref) hit pairs
+    * aggregate. Output: (new_id, n_matches, dropped). */
+  def winnowIncrementalVerdict(newDocs: DataFrame, refDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 5, w: Int = 4, minShared: Int = 8,
+                               maxDf: Int = 20,
+                               refKey: Option[String] = None): DataFrame = {
+    def exploded(d: DataFrame) = winnowFp(d, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
+    def coldRef = {
+      val ex = exploded(refDocs).persist()
+      val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("f")
+      ex.join(broadcast(hot), Seq("f"), "left_anti")
+    }
+    val ref = refKey match {
+      case Some(key) => winnowRefCache.getOrCompute(newDocs.sparkSession,
+        (key, k, w, maxDf))(coldRef.localCheckpoint())
+      case None => coldRef
+    }
+    val matches = exploded(newDocs)
+      .join(ref.select(col("f"), col("doc").as("rid")), "f")
+      .groupBy(col("doc").as("new_id"), col("rid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .groupBy("new_id").agg(count(lit(1)).as("m"))
+    newDocs.select(col(idCol).as("new_id"))
+      .join(matches, Seq("new_id"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("m"), lit(0L)).as("n_matches"),
+        (coalesce(col("m"), lit(0L)) > 0).cast("long").as("dropped"))
+  }
+
   /** Winnowing-candidate pairs: documents sharing at least `minShared`
     * winnow fingerprints — the MOSS match step. Fingerprints hotter than
     * `maxDf` docs drop before the pair join (boilerplate n-grams; same

@@ -700,6 +700,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("winnow incremental verdict: a new doc sharing a long verbatim run " +
+    "with a reference doc drops, clean and too-short docs pass, and the " +
+    "memoized-ref path equals the uncached one") {
+    import spark.implicits._
+    val excerpt = "a very long shared run of characters for the index"
+    val ref = Seq(
+      (1L, "ref doc says " + excerpt + " and more"),
+      (2L, "another unrelated reference document entirely")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "incoming copy with " + excerpt + " inside"),   // -> dropped
+      (11L, "totally novel incoming content qqq zzz"),       // -> kept
+      (12L, "hi")                                            // too short
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowIncrementalVerdict(fresh, ref,
+      "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._2 >= 1L && got(10L)._3 === 1L, got.toString)
+    assert(got(11L) === ((11L, 0L, 0L)) && got(12L) === ((12L, 0L, 0L)))
+    val cached = TextAnalysis.winnowIncrementalVerdict(fresh, ref,
+      "doc_id", "text", minShared = 1, refKey = Some("winc-test"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cached === got)
+  }
+
   test("DSIR importance weights: identity predicate zeroes every weight, " +
     "target-like docs outrank off-target ones, short/null docs zero, " +
     "and sampleDsir is deterministic with |result| <= k") {
