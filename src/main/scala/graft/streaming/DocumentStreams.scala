@@ -36,13 +36,51 @@ object DocumentStreams {
                   checkpointDir: String, idCol: String, textCol: String,
                   k: Int, minJaccard: Double,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    dedupIngestWith(newDocs, refDir, outDir, checkpointDir, idCol, trigger,
+      pairsOf = b => Dedup.ngramJaccardPairs(b, idCol, textCol, k,
+        minJaccard),
+      verdictOf = (kept, ref) => Dedup.incrementalVerdict(kept, ref, idCol,
+        textCol, k, minJaccard))
+
+  /** [[dedupIngest]] under the MOSS winnowing guarantee instead of
+    * Jaccard: within-batch collapse over [[TextAnalysis.winnowPairs]]'
+    * graph, corpus judgment via
+    * [[TextAnalysis.winnowIncrementalVerdict]] — re-flowed verbatim
+    * copies (whitespace/punct/case laundering) cannot slip past the
+    * gate. The verdict runs UNCACHED on purpose: the kept corpus grows
+    * every batch, so a memoized reference index would judge against
+    * stale data (the batch API's `refKey` memo is for a FROZEN corpus
+    * generation). */
+  def dedupIngestWinnow(newDocs: DataFrame, refDir: String, outDir: String,
+                        checkpointDir: String, idCol: String,
+                        textCol: String, k: Int = 5, w: Int = 4,
+                        minShared: Int = 8, maxDf: Int = 20,
+                        trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import graft.operators.TextAnalysis
+    dedupIngestWith(newDocs, refDir, outDir, checkpointDir, idCol, trigger,
+      pairsOf = b => TextAnalysis.winnowPairs(b, idCol, textCol, k, w,
+        minShared, maxDf).select(col("id_a"), col("id_b")),
+      verdictOf = (kept, ref) => TextAnalysis.winnowIncrementalVerdict(
+        kept, ref, idCol, textCol, k, w, minShared, maxDf))
+  }
+
+  /** The shared ingest body: `pairsOf` generates the within-batch
+    * candidate pair graph (columns id_a, id_b), `verdictOf` judges batch
+    * survivors against the kept corpus (columns new_id, n_matches,
+    * dropped). */
+  private def dedupIngestWith(newDocs: DataFrame, refDir: String,
+                              outDir: String, checkpointDir: String,
+                              idCol: String, trigger: Trigger,
+                              pairsOf: DataFrame => DataFrame,
+                              verdictOf: (DataFrame, DataFrame) => DataFrame)
+      : StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         // (1) within-batch collapse: near-dup clusters -> min-id survivor
         // (unpaired docs are their own cluster and survive trivially)
-        val pairs = Dedup.ngramJaccardPairs(batch, idCol, textCol, k,
-          minJaccard)
+        val pairs = pairsOf(batch)
         val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
           .where(col("doc") =!= col("cluster"))
           .select(col("doc").as(idCol))
@@ -50,8 +88,7 @@ object DocumentStreams {
           .localCheckpoint() // consumed by the verdict AND the append
         // (2) judge the batch survivors against the kept corpus
         val ref = spark.read.parquet(refDir)
-        val verdict = Dedup.incrementalVerdict(batchKept, ref, idCol,
-          textCol, k, minJaccard).localCheckpoint()
+        val verdict = verdictOf(batchKept, ref).localCheckpoint()
         verdict
           .withColumn("reason", when(col("dropped") === 1, "corpus_dup")
             .otherwise("kept"))
