@@ -65,6 +65,16 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT int8_cosine(int8_codes(CAST(array(1.0, 2.0) AS array<float>)), " +
         "int8_codes(CAST(array(2.0, 4.0) AS array<float>))) AS v")
       .as[Double].head() === 1.0) // parallel vectors -> identical codes
+    // winnowing: "abcdefgh" with k=5,w=4 -> grams of 5 chars (4 of them),
+    // one window -> exactly 1 fingerprint; case/punct-insensitive
+    assert(spark.sql(
+      "SELECT size(winnow_fingerprints('abcdefgh', 5, 4)) AS v")
+      .as[Int].head() === 1)
+    assert(spark.sql(
+      "SELECT winnow_fingerprints('A-b C!d EF... gh', 5, 4) AS v")
+      .as[Seq[String]].head() ===
+      spark.sql("SELECT winnow_fingerprints('abcdefgh', 5, 4) AS v")
+        .as[Seq[String]].head())
     // SQL call equals the Scala DSL result
     val viaSql = spark.sql(
       "SELECT simhash64(split('hello world', ' ')) AS v").as[Long].head()
