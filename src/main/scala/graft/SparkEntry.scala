@@ -1611,6 +1611,38 @@ object SparkEntry {
       TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, minShared = 8, maxDf = 20)),
 
+    // Capstone #3 — DATA SELECTION end to end: quality gate -> winnow
+    // near-dup survivors (min-id per MOSS cluster) -> winnow benchmark
+    // decontamination -> DSIR top-k selection. Every stage is an
+    // individually-oracled operator; the oracle replays the whole chain
+    // (including the selected set's total weight), so a green hash proves
+    // the COMPOSITION exact end-to-end
+    "pipeline_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
+        .localCheckpoint()
+      val losers = TextAnalysis.winnowClustersFor(q1, "doc_id", "text",
+        k = 5, w = 4, minShared = 8, maxDf = 20, key = s"$dir#pdsir-q1")
+        .where(col("doc") =!= col("cluster"))
+        .select(col("doc").as("doc_id"))
+      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      val contaminated = graft.operators.Decontamination.contaminationWinnow(
+        q2, docs.where(pmod(col("doc_id"), lit(50)) === 7),
+        "doc_id", "text", k = 12, w = 8).select("doc_id")
+      val q3 = q2.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val picked = TextAnalysis.sampleDsir(q3, "doc_id", "text",
+        col("lang") === "en", k = 100, topN = 200)
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(q1.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(q2.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(q3.agg(count(lit(1)).as("n_decontaminated")))
+        .crossJoin(picked.agg(count(lit(1)).as("n_selected"),
+          sum(col("logw_q")).as("sum_logw_q")))
+    }),
+
     // Dedup-on-arrival under the MOSS guarantee: new batch (doc_id%10>=8)
     // probes the session-memoized df-capped reference winnow index
     "dedup_winnow_incremental" -> ((s, dir) => {

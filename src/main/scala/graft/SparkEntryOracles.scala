@@ -451,11 +451,11 @@ private[graft] object SparkEntryOracles {
     * differenced per bigram occurrence with the -12e6 floor per
     * out-of-model side. A def (order-independent): `val sql` above forces
     * twin strings during object init — see winnowCtes' lazy note. */
-  private def dsirCtes: String =
-    """WITH base AS (
-      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+')
+  private def dsirCtes(from: String = "documents"): String =
+    s"""base AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+')
       |    AS t
-      |  FROM documents
+      |  FROM $from
       |), bg AS (
       |  SELECT doc_id, lang, CASE WHEN len(t) >= 2
       |              THEN list_transform(range(len(t) - 1),
@@ -496,38 +496,39 @@ private[graft] object SparkEntryOracles {
       |  SELECT d.doc_id,
       |    coalesce(s.n_bigrams, 0) AS n_bigrams,
       |    coalesce(s.lw_q, 0) AS logw_q
-      |  FROM documents d LEFT JOIN sc s USING (doc_id))""".stripMargin
+      |  FROM $from d LEFT JOIN sc s USING (doc_id))""".stripMargin
 
   private def dsirWeightsSql: String =
-    s"""$dsirCtes
+    s"""WITH ${dsirCtes()}
        |SELECT doc_id, n_bigrams, logw_q FROM w""".stripMargin
 
   /** The winnowing CTE chain parameterized by (k, w) — positions and
     * slice widths mirror the WinnowFingerprints kernel index-for-index.
     * A def (order-independent; see the dsirCtes note). */
-  private def winnowCtesFor(k: Int, w: Int): String =
-    s"""WITH cs AS (
+  private def winnowCtesFor(k: Int, w: Int, from: String = "documents",
+                            prefix: String = ""): String =
+    s"""${prefix}cs AS (
        |  SELECT doc_id,
        |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g')
        |      AS s
-       |  FROM documents),
-       |g AS (
+       |  FROM $from),
+       |${prefix}g AS (
        |  SELECT doc_id, CASE WHEN length(s) >= $k THEN
        |      list_transform(range(1, length(s) - ${k - 2}),
        |        i -> substr(md5(substring(s, i, $k)), 1, 16))
        |    ELSE [] END AS grams
-       |  FROM cs),
-       |fp AS (
+       |  FROM ${prefix}cs),
+       |${prefix}fp AS (
        |  SELECT doc_id, CASE WHEN len(grams) >= $w THEN
        |      list_distinct(list_transform(range(1, len(grams) - ${w - 2}),
        |        j -> list_aggregate(grams[j:j+${w - 1}], 'min')))
        |    ELSE [] END AS fp
-       |  FROM g)""".stripMargin
+       |  FROM ${prefix}g)""".stripMargin
 
   // lazy: `val sql` (declared above) forces the twin strings during
   // object init, BEFORE this line's initializer would run — a plain val
   // here interpolates as "null" (shipped once; caught by the gate)
-  private lazy val winnowCtes: String = winnowCtesFor(5, 4)
+  private lazy val winnowCtes: String = "WITH " + winnowCtesFor(5, 4)
 
   /** Twin of [[TextAnalysis.winnowFingerprints]]. */
   private lazy val winnowFingerprintsSql: String =
@@ -541,29 +542,32 @@ private[graft] object SparkEntryOracles {
     * edge directions), and DuckDB inlines CTEs by default — re-running
     * the whole winnow chain per reference — so the closure variant asks
     * for MATERIALIZED (measured 15.6 s → ~8 s at sf0.01). */
-  private def winnowPairCtes(materialized: Boolean = false): String = {
+  private def winnowPairCtes(materialized: Boolean = false,
+                             from: String = "documents",
+                             prefix: String = ""): String = {
     val mat = if (materialized) "MATERIALIZED " else ""
-    s"""$winnowCtes,
-       |ex AS (SELECT doc_id AS doc, unnest(fp) AS f FROM fp),
-       |cold AS (
-       |  SELECT * FROM ex WHERE f NOT IN (
-       |    SELECT f FROM ex GROUP BY 1 HAVING count(*) > 20)),
-       |pairs AS $mat(
+    val p = prefix
+    s"""${winnowCtesFor(5, 4, from, p)},
+       |${p}ex AS (SELECT doc_id AS doc, unnest(fp) AS f FROM ${p}fp),
+       |${p}cold AS (
+       |  SELECT * FROM ${p}ex WHERE f NOT IN (
+       |    SELECT f FROM ${p}ex GROUP BY 1 HAVING count(*) > 20)),
+       |${p}pairs AS $mat(
        |  SELECT a.doc AS id_a, b.doc AS id_b,
        |    CAST(count(*) AS BIGINT) AS n_shared
-       |  FROM cold a JOIN cold b USING (f) WHERE a.doc < b.doc
+       |  FROM ${p}cold a JOIN ${p}cold b USING (f) WHERE a.doc < b.doc
        |  GROUP BY 1, 2 HAVING count(*) >= 8)""".stripMargin
   }
 
   /** Twin of [[TextAnalysis.winnowPairs]]. */
   private lazy val winnowPairsSql: String =
-    s"""${winnowPairCtes()}
+    s"""WITH ${winnowPairCtes()}
        |SELECT id_a, id_b, n_shared FROM pairs""".stripMargin
 
   /** Twin of the winnow cluster closure: the dedup_clusters recursive
     * reachability over the winnow pair list instead of the Jaccard one. */
   private lazy val winnowClustersSql: String =
-    s"""WITH RECURSIVE ${winnowPairCtes(materialized = true).stripPrefix("WITH ")},
+    s"""WITH RECURSIVE ${winnowPairCtes(materialized = true)},
        |edges AS (
        |  SELECT id_a AS u, id_b AS v FROM pairs
        |  UNION
@@ -2371,6 +2375,66 @@ private[graft] object SparkEntryOracles {
 
     "dedup_winnow_clusters" -> winnowClustersSql,
 
+    // capstone #3 twin: the full selection chain — quality expression as
+    // in pipeline_retention (the qualityOk twin), winnow pair closure
+    // over q1, k=12/w=8 decontamination of q2 vs the benchmark slice,
+    // DSIR weights fit ON q3, top-100 pick with the md5 tiebreak; the
+    // final row carries the per-stage counts AND the selected set's
+    // summed weight (pinning WHICH docs were picked, not just how many)
+    "pipeline_dsir" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 7
+         |), q1 AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |    FROM corpus) x
+         |  WHERE len(toks) >= 10
+         |    AND CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g'))
+         |        AS DOUBLE) / len(toks) >= 2.0
+         |    AND length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+         |        * 5 <= length(text)
+         |), ${winnowPairCtes(materialized = true, from = "q1")},
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM pairs
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), losers AS (
+         |  SELECT u AS doc_id FROM (
+         |    SELECT u, min(v) AS c FROM reach GROUP BY 1) WHERE u <> c
+         |), q2 AS (
+         |  SELECT doc_id, text, lang FROM q1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |), bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 7
+         |), ${winnowCtesFor(12, 8, "q2", "d")},
+         |${winnowCtesFor(12, 8, "bench", "bn")},
+         |dex AS (SELECT doc_id, unnest(fp) AS f FROM dfp),
+         |bex AS (SELECT DISTINCT unnest(fp) AS f FROM bnfp),
+         |contaminated AS (SELECT DISTINCT doc_id FROM dex JOIN bex USING (f)),
+         |q3 AS (
+         |  SELECT doc_id, text, lang FROM q2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), ${dsirCtes("q3")},
+         |picked AS (
+         |  SELECT doc_id, logw_q FROM w
+         |  ORDER BY logw_q DESC,
+         |    substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |  LIMIT 100)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_input,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q1) AS n_quality,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q2) AS n_dedup,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q3) AS n_decontaminated,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM picked) AS n_selected,
+         |  (SELECT CAST(sum(logw_q) AS BIGINT) FROM picked) AS sum_logw_q""".stripMargin,
+
     // incremental winnow twin: same split as dedup_incremental (new =
     // doc_id%10 >= 8, ref = < 8); the df cap is computed on the REFERENCE
     // side only, mirroring the once-per-corpus index
@@ -2396,7 +2460,7 @@ private[graft] object SparkEntryOracles {
     // winnow decontamination: the k=12/w=8 fingerprint chain, benchmark =
     // the doc_id % 50 = 7 slice (the decontaminate family's split)
     "decontaminate_winnow" ->
-      s"""${winnowCtesFor(12, 8)},
+      s"""WITH ${winnowCtesFor(12, 8)},
          |ex AS (SELECT doc_id, unnest(fp) AS f FROM fp),
          |bench AS (SELECT DISTINCT f FROM ex WHERE doc_id % 50 = 7)
          |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
@@ -4573,7 +4637,7 @@ private[graft] object SparkEntryOracles {
     "lm_importance_weights" -> dsirWeightsSql,
 
     "sample_dsir" ->
-      s"""$dsirCtes
+      s"""WITH ${dsirCtes()}
          |SELECT doc_id, logw_q FROM w
          |ORDER BY logw_q DESC,
          |  substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
