@@ -67,6 +67,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
 object WinnowFingerprints {
 
+  // one shared zero-length result is safe to return from every row and
+  // thread: GenericArrayData is never mutated by consumers, and there is
+  // nothing to mutate at length 0
   private val empty = new GenericArrayData(Array.empty[Any])
 
   // MessageDigest is stateful; codegen calls this from every task thread
