@@ -442,10 +442,6 @@ private[graft] object SparkEntryOracles {
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
 
-  /** The winnowing CTE chain shared by both MOSS twins: canonical
-    * [a-z0-9] stream, 16-hex md5-prefix char-5-gram hashes, window-4
-    * minima, distinct — positions and slice widths mirror the Spark
-    * expressions index-for-index. */
   /** The DSIR CTE chain shared by both twins: the lm_doc_score micro-nat
     * model chain run twice (target = lang='en' rows, raw = all docs),
     * differenced per bigram occurrence with the -12e6 floor per

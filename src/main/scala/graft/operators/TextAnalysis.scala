@@ -289,22 +289,6 @@ object TextAnalysis {
       rolling.as("rolling_fp"))
   }
 
-  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
-    * algorithm): per document, the distinct set of window-minimum char
-    * k-gram hashes. Winnowing GUARANTEES any shared substring of length
-    * ≥ k + w − 1 chars leaves at least one shared fingerprint, while
-    * sampling only ~2/(w+1) of positions — the index-size/recall contract
-    * that makes document-similarity indexes affordable at corpus scale
-    * (the all-shingles table is 1/density times bigger for the same
-    * guarantee).
-    *
-    * Determinism: text canonicalizes to its [a-z0-9] character stream
-    * (whitespace/punct-insensitive, the classic treatment), gram hashes
-    * are 16-hex-char md5 prefixes (string order is ASCII-hex — identical
-    * in the SQL twin), window-min per sliding window, then distinct. All
-    * row-local expressions: one scan, zero exchanges. Output:
-    * (idCol, n_fingerprints, fp_digest = md5 of the comma-joined sorted
-    * fingerprint set — a stable whole-set signature). */
   /** The per-doc winnow set as a DataFrame (idCol, fp): one codegen'd
     * [[org.apache.spark.sql.graft.WinnowFingerprints]] kernel call per
     * row. The declarative HOF form (a `transform` of md5 grams + a
@@ -321,6 +305,22 @@ object TextAnalysis {
         org.apache.spark.sql.GraftBridge.expression(
           coalesce(col(textCol), lit(""))), k, w)).as("fp"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * algorithm): per document, the distinct set of window-minimum char
+    * k-gram hashes. Winnowing GUARANTEES any shared substring of length
+    * ≥ k + w − 1 chars leaves at least one shared fingerprint, while
+    * sampling only ~2/(w+1) of positions — the index-size/recall contract
+    * that makes document-similarity indexes affordable at corpus scale
+    * (the all-shingles table is 1/density times bigger for the same
+    * guarantee).
+    *
+    * Determinism: text canonicalizes to its [a-z0-9] character stream
+    * (whitespace/punct-insensitive, the classic treatment), gram hashes
+    * are 16-hex-char md5 prefixes (string order is ASCII-hex — identical
+    * in the SQL twin), window-min per sliding window, then distinct. All
+    * row-local expressions: one scan, zero exchanges. Output:
+    * (idCol, n_fingerprints, fp_digest = md5 of the comma-joined sorted
+    * fingerprint set — a stable whole-set signature). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, w: Int = 4): DataFrame =
     winnowFp(docs, idCol, textCol, k, w)
@@ -370,10 +370,17 @@ object TextAnalysis {
     def exploded(d: DataFrame) = winnowFp(d, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
     def coldRef = {
-      val ex = exploded(refDocs).persist()
+      // localCheckpoint, not persist: the uncached path runs once per
+      // streaming micro-batch, and a CacheManager entry is never GC'd —
+      // checkpoint blocks free with the RDD (the connectedComponents
+      // rule; cluster form = reliable checkpoint, SCALE.md concessions).
+      // hot is NOT force-broadcast: its size grows with corpus
+      // boilerplate, so the planner (AQE) picks broadcast only while it
+      // actually fits — the Dedup.ngramJaccardPairsFromGroups treatment
+      val ex = exploded(refDocs).localCheckpoint()
       val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf).select("f")
-      ex.join(broadcast(hot), Seq("f"), "left_anti")
+      ex.join(hot, Seq("f"), "left_anti")
     }
     val ref = refKey match {
       case Some(key) => winnowRefCache.getOrCompute(newDocs.sparkSession,
@@ -405,20 +412,24 @@ object TextAnalysis {
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20): DataFrame = {
     // the exploded fingerprint table is consumed three times (df agg +
-    // both sides of the pair join) — persist the winnow scan once
-    // (recomputable, unlike localCheckpoint — the consumer-fan-out rule
-    // in SCALE.md's concessions list).
+    // both sides of the pair join) — materialize the winnow scan once.
+    // localCheckpoint, not persist: this runs per call (incl. per
+    // streaming micro-batch through dedupIngestWinnow), and a
+    // CacheManager entry is never GC'd — checkpoint blocks free with
+    // the RDD (cluster form = reliable checkpoint; SCALE.md concessions).
     // explode_OUTER: the inner form lets InferFiltersFromGenerate plant a
     // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
     // window minima) once more per row — the inferred-generator-filter
     // class PlanQualitySpec sweeps for. The null f rows outer emits for
     // short docs die at the pair equi-join (and never match `hot`).
+    // hot is NOT force-broadcast (it grows with corpus boilerplate; let
+    // AQE broadcast only while it fits).
     val ex = winnowFp(docs, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
-      .persist()
+      .localCheckpoint()
     val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("f")
-    val cold = ex.join(broadcast(hot), Seq("f"), "left_anti")
+    val cold = ex.join(hot, Seq("f"), "left_anti")
     cold.select(col("f"), col("doc").as("id_a"))
       .join(cold.select(col("f"), col("doc").as("id_b")), "f")
       .where(col("id_a") < col("id_b"))
@@ -790,6 +801,19 @@ object TextAnalysis {
     lmCache.getOrCompute(docs.sparkSession, (key, topN))(
       bigramLm(docs, textCol, topN).localCheckpoint())
 
+  /** The micro-nat quantized model projection shared by [[docLmScore]]
+    * and the DSIR weights — ONE implementation on purpose:
+    * `round(ln(n/total)·1e6)` in exactly this shape (one division, one
+    * ln, one round) is the cross-engine-exactness contract BOTH oracles
+    * replay; a drift in one copy would silently break the other's
+    * parity. */
+  private def quantizedLm(lm0: DataFrame, out: String): DataFrame = {
+    val tot = lm0.agg(sum(col("n")).as("_tot"))
+    lm0.crossJoin(broadcast(tot))
+      .select(col("bigram"),
+        round(log(col("n") / col("_tot")) * lit(1e6)).cast("long").as(out))
+  }
+
   def bigramLm(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     val counts = docs
       .select(explode(bigrams(col(textCol))).as("bigram"))
@@ -835,11 +859,7 @@ object TextAnalysis {
     val floorQ = math.round(floorLogp * 1e6)
     val lm0 = cacheKey.map(k => bigramLmFor(docs, textCol, topN, k))
       .getOrElse(bigramLm(docs, textCol, topN))
-    val tot = lm0.agg(sum(col("n")).as("_tot"))
-    val lm = lm0.crossJoin(broadcast(tot))
-      .select(col("bigram"),
-        round(log(col("n") / col("_tot")) * lit(1e6)).cast("long")
-          .as("logp_q"))
+    val lm = quantizedLm(lm0, "logp_q")
     val db = docs
       .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
     val scores = db.join(broadcast(lm), Seq("bigram"), "left_outer")
@@ -897,16 +917,12 @@ object TextAnalysis {
                         floorLogp: Double = -12.0,
                         cacheKeys: Option[(String, String)] = None): DataFrame = {
     val floorQ = math.round(floorLogp * 1e6)
-    def quantized(lm0: DataFrame, out: String): DataFrame = {
-      val tot = lm0.agg(sum(col("n")).as("_tot"))
-      lm0.crossJoin(broadcast(tot))
-        .select(col("bigram"),
-          round(log(col("n") / col("_tot")) * lit(1e6)).cast("long").as(out))
-    }
     val target = docs.where(targetPred)
-    val lmT = quantized(cacheKeys.map(ks => bigramLmFor(target, textCol, topN, ks._1))
+    val lmT = quantizedLm(cacheKeys.map(ks =>
+      bigramLmFor(target, textCol, topN, ks._1))
       .getOrElse(bigramLm(target, textCol, topN)), "logp_t_q")
-    val lmR = quantized(cacheKeys.map(ks => bigramLmFor(docs, textCol, topN, ks._2))
+    val lmR = quantizedLm(cacheKeys.map(ks =>
+      bigramLmFor(docs, textCol, topN, ks._2))
       .getOrElse(bigramLm(docs, textCol, topN)), "logp_r_q")
     val merged = lmT.join(lmR, Seq("bigram"), "full_outer")
     val db = docs
