@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 import graft.operators.{Dedup, GroupedMode, LinkAlign, Multimodal, Similarity, TextAnalysis}
+import graft.Checkpoints.PinOps
 
 /** Driver contract: one named query per implemented operator of SURVEY.md §2
   * plus the extended (LLM-data-pipeline) surface, each with a DuckDB-oracle
@@ -61,7 +62,7 @@ object SparkEntry {
     val scale = sys.env.getOrElse("SPARK_GRAFT_PHASH_SCALE", "1")
     phashTables.getOrCompute(s, s"$dir#phash-$scale")(
       Multimodal.perceptualHashes(phashAssets(s, dir), "doc_id", "payload")
-        .toDF().where(col("ok")).localCheckpoint())
+        .toDF().where(col("ok")).pin())
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows > 0): the
@@ -1621,18 +1622,22 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
         .select(col("doc_id"), col("text"), col("lang"))
+      // stage pins are LAZY: each q_i is consumed by the next stage AND
+      // the final count row, so the pin stops double-execution — but no
+      // job may fire at plan-build time (round-12 verdict item 7); the
+      // blocks materialize when the first consumer runs
       val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
-        .localCheckpoint()
+        .pinLazy()
       val losers = TextAnalysis.winnowClustersFor(q1, "doc_id", "text",
         k = 5, w = 4, minShared = 8, maxDf = 20, key = s"$dir#pdsir-q1")
         .where(col("doc") =!= col("cluster"))
         .select(col("doc").as("doc_id"))
-      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").pinLazy()
       val contaminated = graft.operators.Decontamination.contaminationWinnow(
         q2, docs.where(pmod(col("doc_id"), lit(50)) === 7),
         "doc_id", "text", k = 12, w = 8).select("doc_id")
       val q3 = q2.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .pinLazy()
       val picked = TextAnalysis.sampleDsir(q3, "doc_id", "text",
         col("lang") === "en", k = 100, topN = 200)
       corpus.agg(count(lit(1)).as("n_input"))
@@ -3042,7 +3047,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("n_chars"))
       // stage 1: quality gate (materialized once — three later consumers)
       val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
-        .localCheckpoint()
+        .pin()
       // stage 2: near-dup clusters over the survivors; drop non-keepers
       val losers = Dedup.ngramClustersFor(q1, "doc_id", "text", k = 2,
         minJaccard = 0.8, key = s"$dir#pipeline-q1")
@@ -3051,7 +3056,7 @@ object SparkEntry {
           .orderBy(col("n_chars").desc, col("doc").asc)))
         .where(col("rk") > 1)
         .select(col("doc").as("doc_id"))
-      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      val q2 = q1.join(losers, Seq("doc_id"), "left_anti").pin()
       // stage 3: benchmark decontamination verdict on what remains
       val keptFinal = graft.operators.Decontamination.contaminationVerdict(
         q2, docs.where(pmod(col("doc_id"), lit(50)) === 7),
@@ -3075,7 +3080,7 @@ object SparkEntry {
       val corpus = docs.where(pmod(col("doc_id"), lit(50)) =!= 7)
         .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
       val q1 = corpus.where(TextAnalysis.qualityOk(col("text")))
-        .localCheckpoint()
+        .pin()
       // same corpus rows as pipeline_retention's stage 2 -> same cache key
       val losers = Dedup.ngramClustersFor(q1, "doc_id", "text", k = 2,
         minJaccard = 0.8, key = s"$dir#pipeline-q1")
@@ -3190,7 +3195,7 @@ object SparkEntry {
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .distinct()
-          .localCheckpoint() // symmetrizing union reads it twice
+          .pin() // symmetrizing union reads it twice
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       }
       graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 3,
@@ -3419,7 +3424,7 @@ object SparkEntry {
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .distinct()
-          .localCheckpoint() // symmetrizing union reads it twice
+          .pin() // symmetrizing union reads it twice
         e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       }
       graft.operators.Graph.shortestPaths(sym, "src", "dst",
@@ -3472,7 +3477,7 @@ object SparkEntry {
       val base = cust.crossJoin(broadcast(maxDay))
         .withColumn("recency_days", col("_maxd") - col("last_day"))
         .drop("_maxd", "last_day")
-        .localCheckpoint() // sequenced three times, one sort per metric
+        .pin() // sequenced three times, one sort per metric
       def score(metric: Column, name: String) =
         graft.operators.Ranking.ntileScores(
           base.select(col("o_custkey"), metric.as("_m")),

@@ -341,10 +341,10 @@ private[graft] object SparkEntryOracles {
         s"coalesce(max(CASE WHEN n = $n THEN packed END) // 1000000000, 0)" +
           s" AS top${n}_cnt",
         s"coalesce(max(CASE WHEN n = $n THEN packed END) % 1000000000, 0)" +
-          s" * 1000000 // n_chars AS top${n}_ppm")
+          s" * 1000000 // greatest(n_chars, 1) AS top${n}_ppm")
     } ++ (5 to 8).map { n =>
       s"coalesce(max(CASE WHEN n = $n THEN dupmass END), 0)" +
-        s" * 1000000 // n_chars AS dup${n}_ppm"
+        s" * 1000000 // greatest(n_chars, 1) AS dup${n}_ppm"
     }).mkString(",\n    ")
     val outCols = ((2 to 4).flatMap { n =>
       Seq(s"top${n}_cnt", s"top${n}_ppm")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.PinOps
 
 /** Declarative data-quality report over a table — the pre-training audit
   * pass of a data pipeline (completeness, uniqueness, domain/range
@@ -209,7 +210,7 @@ object DataQuality {
     // once, and both consumers read the keys-sized table
     val counts = df.groupBy(col(keyCol).as("_k"))
       .agg(count(lit(1)).as("_cnt"))
-      .localCheckpoint()
+      .pin()
     val stats = counts
       .agg(count(lit(1)).as("n_keys"), sum(col("_cnt")).as("n_rows"),
         max(col("_cnt")).as("max_cnt"))

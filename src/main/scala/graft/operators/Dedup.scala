@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
+import graft.Checkpoints.PinOps
 
 /** Corpus deduplication operators for the extended (training-data pipeline)
   * surface: exact, MinHash+LSH, SimHash, exact n-gram Jaccard, and
@@ -117,7 +118,7 @@ object Dedup {
     // CacheManager entry to leak). Callers managing their own persisted
     // groups table use ...FromGroups directly.
     ngramJaccardPairsFromGroups(
-      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
+      shingleGroups(docs, idCol, textCol, k).pin(),
       minJaccard, maxShingleDf, maxBucket)
 
   /** [[ngramJaccardPairs]] over a pre-collapsed (possibly persisted)
@@ -146,7 +147,7 @@ object Dedup {
       .groupBy("doc")
       .agg(sort_array(collect_list(col("e"))).as("es"),
         count(lit(1)).as("n"))
-      .localCheckpoint()
+      .pin()
     val prefixLen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
     // posexplode keeps each prefix element's position for PPJoin-style
     // positional pruning: overlap is bounded by the elements at or after
@@ -230,13 +231,13 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, minContainment: Double): DataFrame =
     containmentPairsFromGroups(
-      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
+      shingleGroups(docs, idCol, textCol, k).pin(),
       minContainment)
 
   def containmentPairsFromGroups(groups: DataFrame,
                                  minContainment: Double): DataFrame =
     containmentFromSets(groups,
-      containmentSets(groups).localCheckpoint(), minContainment)
+      containmentSets(groups).pin(), minContainment)
 
   /** Per-JVM cache of the df-sorted containment SETS table — derived
     * from the [[shingleGroupsFor]] collapse and INDEPENDENT of the
@@ -255,7 +256,7 @@ object Dedup {
     val groups = shingleGroupsFor(docs, idCol, textCol, k, key)
     val sets = containSetsCache.getOrCompute(
       docs.sparkSession, (key, k))(
-      containmentSets(groups).localCheckpoint())
+      containmentSets(groups).pin())
     containmentFromSets(groups, sets, minContainment)
   }
 
@@ -357,7 +358,7 @@ object Dedup {
     // collapse materialized once — same multi-reference rationale as
     // [[ngramJaccardPairs]]
     minhashLshPairsFromGroups(
-      shingleGroups(docs, idCol, textCol, k).localCheckpoint(),
+      shingleGroups(docs, idCol, textCol, k).pin(),
       numHashes, bands, minJaccard, maxBucket)
 
   /** Per-JVM cache of materialized [[shingleGroups]] tables, keyed by a
@@ -378,7 +379,7 @@ object Dedup {
   def shingleGroupsFor(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, key: String): DataFrame =
     groupsCache.getOrCompute(docs.sparkSession, (key, k))(
-      shingleGroups(docs, idCol, textCol, k).localCheckpoint())
+      shingleGroups(docs, idCol, textCol, k).pin())
 
   /** Per-JVM cache of near-dup CLUSTER tables: the n-gram Jaccard pairs +
     * [[connectedComponents]] loop, run at most once per (session, key, k,
@@ -413,7 +414,7 @@ object Dedup {
     pairsCache.getOrCompute(docs.sparkSession, (key, k, minJaccard))(
       ngramJaccardPairsFromGroups(
         shingleGroupsFor(docs, idCol, textCol, k, key), minJaccard)
-        .localCheckpoint())
+        .pin())
 
   /** Near-dup clusters for `docs` under dataset key `key` (same key
     * contract as [[shingleGroupsFor]]): memoized
@@ -716,15 +717,17 @@ object Dedup {
     // qualify iff the group's own self-cosine passes — computed with the
     // same IEEE expression the uncollapsed pair would have used, so
     // zero vectors still never match and results stay bit-identical).
-    // persist, NOT localCheckpoint: groups is consumed three times
-    // (reps, member expansion, intra pairs), but localCheckpoint is
-    // eager (runs a job even if never consumed) and its blocks are
-    // non-recomputable — an executor loss on a real cluster would fail
-    // the downstream query instead of recomputing (round-11 ADVICE).
+    // LAZY pin, not persist: groups is consumed three times (reps,
+    // member expansion, intra pairs). A persist() here leaks — the
+    // CacheManager keys on the plan and holds the entry for the session
+    // lifetime, one per distinct input (round-12 ADVICE). A lazy pin
+    // materializes on first consumption (no plan-build job), its blocks
+    // are ContextCleaner-GC'd with the RDD, and in reliable mode
+    // (spark.graft.checkpoint.mode) it survives executor loss.
     val groups = base.groupBy(col("v"))
       .agg(min(col("vid")).as("rep"), collect_list(col("vid")).as("ids"),
         count(lit(1)).as("n_same"))
-      .persist()
+      .pinLazy()
     val reps = groups.select(col("rep").as("vid"), col("v"))
     val candidates =
       if (exact) {
@@ -945,7 +948,7 @@ object Dedup {
       // the previous plan, and a deep component would grow the logical
       // plan (and its analysis time) linearly with the round count
       val nextLabels = next.select("node", "label")
-      labels = if (it % 5 == 4) nextLabels.localCheckpoint(true) else nextLabels
+      labels = if (it % 5 == 4) nextLabels.pin() else nextLabels
       if (ccLog) System.err.println(
         f"[cc] iter $it changed=$changed ${(System.nanoTime() - itT0) / 1e9}%.2fs")
       it += 1
@@ -957,7 +960,7 @@ object Dedup {
     // returning a frame backed by the loop's persist would leak one
     // entry per invocation in a long-lived driver (Bench reps, notebooks)
     val out = labels.select(col("node").as("doc"), col("label").as("cluster"))
-      .localCheckpoint(true)
+      .pin()
     cached.unpersist()
     out
   }
@@ -1001,7 +1004,7 @@ object Dedup {
         sort_array(shingleHashes(col(textCol), k)).as("sh"))
       .where(size(col("sh")) > 0)
     // the new side is read twice (prefixing + verify join) — materialize
-    val nSets = sets(newDocs).localCheckpoint()
+    val nSets = sets(newDocs).pin()
     val prefixLen =
       (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
     // explode → df join → per-doc (df, hash) sort → positional prefix
@@ -1026,20 +1029,20 @@ object Dedup {
       case Some(key) =>
         refIndexCache.getOrCompute(refDocs.sparkSession,
             (key, k, minJaccard)) {
-          val r = sets(refDocs).localCheckpoint()
+          val r = sets(refDocs).pin()
           val d = r.select(explode(col("sh")).as("h"))
-            .groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
-          (r, d, prefixRows(r, d).localCheckpoint())
+            .groupBy("h").agg(count(lit(1)).as("df")).pin()
+          (r, d, prefixRows(r, d).pin())
         }
       case None =>
         // uncached path (e.g. a per-micro-batch growing corpus): the df
         // table feeds BOTH sides' prefix pipelines and the ref prefix is
         // consumed twice (hot counts + join) — materialize both, same as
         // the cached branch, or each reference pass recomputes 2-3x
-        val r = sets(refDocs).localCheckpoint()
+        val r = sets(refDocs).pin()
         val d = r.select(explode(col("sh")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
-        (r, d, prefixRows(r, d).localCheckpoint())
+          .groupBy("h").agg(count(lit(1)).as("df")).pin()
+        (r, d, prefixRows(r, d).pin())
     }
     // hot-prefix guard on BOTH sides' bucket sizes (each observed): a
     // prefix shingle with more than maxBucket entries on EITHER side is
@@ -1054,7 +1057,7 @@ object Dedup {
             .as("dropped_buckets"))
       counts.where(col("_c") > maxBucket).select("p")
     }
-    val newPrefix = prefixRows(nSets, dfTab).localCheckpoint()
+    val newPrefix = prefixRows(nSets, dfTab).pin()
     val hotP = hotSide(refPrefix, "xcorpus_prefix_buckets")
       .unionByName(hotSide(newPrefix, "xcorpus_prefix_buckets_new"))
       .distinct()
@@ -1153,7 +1156,7 @@ object Dedup {
     editDistanceFromIndex(
       editIndexCache.getOrCompute(docs.sparkSession, (key, maxDistance))(
         editDistanceIndex(docs, idCol, strCol, maxDistance, maxBucket)
-          .localCheckpoint()),
+          .pin()),
       maxDistance)
 
   private def editDistanceIndex(docs: DataFrame, idCol: String,

@@ -275,7 +275,17 @@ object EvalMetrics {
     * Output: one row — point mean, the replicate-mean order statistics
     * at ranks ⌈0.025R⌉ / ⌈0.5R⌉ / ⌈0.975R⌉ (ties broken by rep id), all
     * in the value column's integer units via truncating division. The
-    * rank window runs over R rows (a constant), not data. */
+    * rank window runs over R rows (a constant), not data.
+    *
+    * PRECONDITION (exactness bound): the per-(replicate, partition)
+    * partial Σ w·v accumulates as LONG, so it must stay below 2⁶³ —
+    * with weights ≤ 7 that means `|value| · rows_per_partition` below
+    * ~1.3·10¹⁸ (e.g. |value| ≤ 10¹⁴ at 10⁷-row partitions, 10¹¹ at
+    * 10¹⁰-row partitions). Every money/metric column in integer units is
+    * orders of magnitude inside this; callers summing wider values must
+    * pre-scale or shrink partitions — the overflow is silent. Only the
+    * O(partitions × reps) partials meet the exact decimal(38,0)
+    * widening. */
   def poissonBootstrapCI(df: DataFrame, idCol: String, valueCol: String,
                          reps: Int = 100,
                          salt: String = "boot"): DataFrame = {

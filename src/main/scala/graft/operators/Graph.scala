@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.PinOps
 
 /** Graph analytics over edge lists — the link-analysis tier of a corpus
   * curation pipeline (rank pages/hosts by link structure to weight or
@@ -24,7 +25,7 @@ object Graph {
 
   def edgesFor(spark: org.apache.spark.sql.SparkSession, key: String)
               (build: => DataFrame): DataFrame =
-    edgesCache.getOrCompute(spark, key)(build.localCheckpoint())
+    edgesCache.getOrCompute(spark, key)(build.pin())
 
   /** Per-JVM cache of the PageRank PREPROCESSING artifacts — the
     * degree-annotated edge table and the node list. Both are pure
@@ -60,10 +61,10 @@ object Graph {
     def build(): (DataFrame, DataFrame) = {
       val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ed = e.join(deg, "src").localCheckpoint()
+      val ed = e.join(deg, "src").pin()
       val nd = ed.select(col("src").as("node"))
         .unionByName(ed.select(col("dst").as("node")))
-        .distinct().localCheckpoint()
+        .distinct().pin()
       (ed, nd)
     }
     val (edgesDeg, nodes) = memoKey match {
@@ -89,7 +90,7 @@ object Graph {
       // wash at 3 iterations (the edge build dominates); at scale fewer
       // eager materializations of a corpus-sized rank table is the safe
       // default.
-      if (i % 4 == 3 || i == iters - 1) ranks = ranks.localCheckpoint()
+      if (i % 4 == 3 || i == iters - 1) ranks = ranks.pin()
     }
     ranks
   }
@@ -116,12 +117,12 @@ object Graph {
       col(wCol).as("w"))
     val sym = e0.unionByName(
       e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .localCheckpoint() // read every round
-    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+      .pin() // read every round
+    val nodes = sym.select(col("u").as("node")).distinct().pin()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 0 until iters) {
       labels = lpaRound(sym, labels)
-      if (i % 4 == 3 || i == iters - 1) labels = labels.localCheckpoint()
+      if (i % 4 == 3 || i == iters - 1) labels = labels.pin()
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
@@ -195,7 +196,7 @@ object Graph {
         greatest(col(uCol), col(vCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // read 3x: degrees, orientation, node universe
+      .pin() // read 3x: degrees, orientation, node universe
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -210,7 +211,7 @@ object Graph {
             struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .localCheckpoint() // read 3x: both wedge sides + the closing probe
+      .pin() // read 3x: both wedge sides + the closing probe
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.s") === col("y.s") &&
           (col("x.dt") < col("y.dt") ||
@@ -252,7 +253,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
     var settled = seeds.distinct.toDF("node")
-      .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+      .select(col("node"), lit(0L).as("dist")).pin()
     var frontier = settled
     var hop = 1L
     var exhausted = false
@@ -262,10 +263,10 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
-        .localCheckpoint()
+        .pin()
       if (next.isEmpty) exhausted = true
       else {
-        settled = settled.unionByName(next).localCheckpoint()
+        settled = settled.unionByName(next).pin()
         frontier = next
         hop += 1
       }
@@ -317,7 +318,7 @@ object Graph {
         .select(col(vCol).cast("long").as("u"), col(uCol).cast("long").as("v"))
         .where(col("u") =!= col("v")))
       .distinct()
-      .localCheckpoint()
+      .pin()
     var edgeCount = sym.count()
     var round = 0
     var stable = edgeCount == 0L
@@ -327,7 +328,7 @@ object Graph {
       val pruned = sym
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .pin()
       val prunedCount = pruned.count()
       stable = prunedCount == edgeCount
       sym = pruned

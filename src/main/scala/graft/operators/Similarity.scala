@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
+import graft.Checkpoints.PinOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -951,7 +952,18 @@ object Similarity {
     * float→double is exact and floor(double·1000) is the same IEEE op in
     * every engine, so downstream INTEGER dot products are bit-exact and
     * combine-order-free — the quantization that lets an ANN query carry a
-    * full hash oracle. */
+    * full hash oracle.
+    *
+    * PRECONDITION: `vec` must contain no null ELEMENTS. The result is
+    * wrapped in [[org.apache.spark.sql.graft.KnownNoNullElements]] so
+    * consumers (`dot_long`) compile the tight no-null-guard loop; a null
+    * element would flow through floor() as a null the narrowed schema
+    * declares impossible, and dot_long would read unspecified values —
+    * silently, defeating its null-propagation contract. All engine
+    * callers feed parquet `array<float>` embeddings with
+    * containsNull=false; external callers with nullable elements must
+    * coalesce/filter first. (A defensive per-element coalesce here would
+    * re-add the exact branch the wrapper exists to remove.) */
   def quantizeMilli(vec: Column): Column =
     // KnownNoNullElements: transform() always infers containsNull=true,
     // which would compile a per-element null guard into dot_long's hot
@@ -1191,7 +1203,7 @@ object Similarity {
     // side — and without the cache the posexplode-over-codebook work ran
     // twice per call (queries are small by contract, so the cache is tiny)
     val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
-      .localCheckpoint()
+      .pin()
     // query-side cells, driver-collected (queries are small by contract)
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
+import graft.Checkpoints.PinOps
 
 /** Text-corpus analysis operators: language identification (marker-word
   * heuristic), quality scoring, token counting, and content fingerprinting.
@@ -105,7 +106,7 @@ object TextAnalysis {
   def languageProfilesFor(docs: DataFrame, textCol: String, langCol: String,
                           key: String): DataFrame =
     profileCache.getOrCompute(docs.sparkSession, key)(
-      fitLanguageProfiles(docs, textCol, langCol).localCheckpoint())
+      fitLanguageProfiles(docs, textCol, langCol).pin())
 
   /** Classify documents against fitted [[fitLanguageProfiles]] profiles:
     * per (doc, language), the sum of matched grams' log-probs plus a
@@ -373,18 +374,24 @@ object TextAnalysis {
       // localCheckpoint, not persist: the uncached path runs once per
       // streaming micro-batch, and a CacheManager entry is never GC'd —
       // checkpoint blocks free with the RDD (the connectedComponents
-      // rule; cluster form = reliable checkpoint, SCALE.md concessions).
+      // rule; spark.graft.checkpoint.mode=reliable is the cluster form).
       // hot is NOT force-broadcast: its size grows with corpus
       // boilerplate, so the planner (AQE) picks broadcast only while it
       // actually fits — the Dedup.ngramJaccardPairsFromGroups treatment
-      val ex = exploded(refDocs).localCheckpoint()
+      val ex = exploded(refDocs).pin()
+      // observed df-cap drop, same contract as winnowPairs' metric
       val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
+        .observe("winnow_ref_df_cap",
+          sum(when(col("df") > maxDf, 1L).otherwise(0L))
+            .as("dropped_fingerprints"),
+          sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+            .as("dropped_postings"))
         .where(col("df") > maxDf).select("f")
       ex.join(hot, Seq("f"), "left_anti")
     }
     val ref = refKey match {
       case Some(key) => winnowRefCache.getOrCompute(newDocs.sparkSession,
-        (key, k, w, maxDf))(coldRef.localCheckpoint())
+        (key, k, w, maxDf))(coldRef.pin())
       case None => coldRef
     }
     val matches = exploded(newDocs)
@@ -404,19 +411,23 @@ object TextAnalysis {
     * winnow fingerprints — the MOSS match step. Fingerprints hotter than
     * `maxDf` docs drop before the pair join (boilerplate n-grams; same
     * recall-trading cap as the shingle family — a dropped hot gram can
-    * hide a pair only if ALL its shared grams are that common). Join
+    * hide a pair only if ALL its shared grams are that common); the drop
+    * is counted in the `metric` observed metric (default `winnow_df_cap`:
+    * distinct fingerprints dropped + the posting rows they carried), so a
+    * production run sees the recall it traded. Join
     * fan-out is bounded by df² per fingerprint; the winnowed table is
     * ~2/(w+1) the size of the all-grams table for the same ≥ k+w−1
     * substring guarantee. Output: (id_a < id_b, n_shared). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
-                  maxDf: Int = 20): DataFrame = {
+                  maxDf: Int = 20,
+                  metric: String = "winnow_df_cap"): DataFrame = {
     // the exploded fingerprint table is consumed three times (df agg +
     // both sides of the pair join) — materialize the winnow scan once.
     // localCheckpoint, not persist: this runs per call (incl. per
     // streaming micro-batch through dedupIngestWinnow), and a
     // CacheManager entry is never GC'd — checkpoint blocks free with
-    // the RDD (cluster form = reliable checkpoint; SCALE.md concessions).
+    // the RDD (spark.graft.checkpoint.mode=reliable is the cluster form).
     // explode_OUTER: the inner form lets InferFiltersFromGenerate plant a
     // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
     // window minima) once more per row — the inferred-generator-filter
@@ -426,8 +437,18 @@ object TextAnalysis {
     // AQE broadcast only while it fits).
     val ex = winnowFp(docs, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
-      .localCheckpoint()
+      .pin()
+    // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
+    // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
+    // production run must be able to see the recall it traded —
+    // `dropped_fingerprints` distinct fps dropped, `dropped_postings`
+    // exploded rows they carried (the share of the index shed)
     val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
+      .observe(metric,
+        sum(when(col("df") > maxDf, 1L).otherwise(0L))
+          .as("dropped_fingerprints"),
+        sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+          .as("dropped_postings"))
       .where(col("df") > maxDf).select("f")
     val cold = ex.join(hot, Seq("f"), "left_anti")
     cold.select(col("f"), col("doc").as("id_a"))
@@ -799,7 +820,7 @@ object TextAnalysis {
   def bigramLmFor(docs: DataFrame, textCol: String, topN: Int,
                   key: String): DataFrame =
     lmCache.getOrCompute(docs.sparkSession, (key, topN))(
-      bigramLm(docs, textCol, topN).localCheckpoint())
+      bigramLm(docs, textCol, topN).pin())
 
   /** The micro-nat quantized model projection shared by [[docLmScore]]
     * and the DSIR weights — ONE implementation on purpose:
@@ -1101,7 +1122,7 @@ object TextAnalysis {
       // the tokenize + per-position md5 explode is the expensive scan;
       // unmaterialized it re-runs for the hot-df agg AND each side of the
       // self-join (3x). Checkpoint once — the downstream passes are cheap
-      .localCheckpoint()
+      .pin()
     // hot-shingle cap: the >maxDf fingerprint set is small by definition
     // of "hot" — broadcast it and anti-join, so the big positional table
     // shuffles once (into the pair join), not twice
@@ -1145,7 +1166,7 @@ object TextAnalysis {
                        key: String): DataFrame =
     spanCache.getOrCompute(docs.sparkSession, (key, k, minSpanTokens, maxDf))(
       repeatedSpans(docs, idCol, textCol, k, minSpanTokens, maxDf)
-        .localCheckpoint())
+        .pin())
 
   /** Exact-substring dedup CUT — the transform on top of
     * [[repeatedSpans]] detection: for every document, how many tokens a

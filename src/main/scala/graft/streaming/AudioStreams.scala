@@ -81,7 +81,13 @@ object AudioStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + flushSec * 1000)
+              // clamp to watermark+1: flatMapGroupsWithState does NOT
+              // drop late rows for us, so one late frame on a slow asset
+              // can set lastMs such that the deadline <= watermark —
+              // setTimeoutTimestamp then throws and fails the whole query
+              val deadline = s.lastMs + flushSec * 1000
+              state.setTimeoutTimestamp(
+                math.max(deadline, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

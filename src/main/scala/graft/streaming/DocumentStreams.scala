@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Dedup
+import graft.Checkpoints.PinOps
 
 /** Streaming document ingestion for a continuously growing training
   * corpus: dedup-on-arrival. Each micro-batch is (1) collapsed
@@ -85,10 +86,10 @@ object DocumentStreams {
           .where(col("doc") =!= col("cluster"))
           .select(col("doc").as(idCol))
         val batchKept = batch.join(losers, Seq(idCol), "left_anti")
-          .localCheckpoint() // consumed by the verdict AND the append
+          .pin() // consumed by the verdict AND the append
         // (2) judge the batch survivors against the kept corpus
         val ref = spark.read.parquet(refDir)
-        val verdict = verdictOf(batchKept, ref).localCheckpoint()
+        val verdict = verdictOf(batchKept, ref).pin()
         verdict
           .withColumn("reason", when(col("dropped") === 1, "corpus_dup")
             .otherwise("kept"))

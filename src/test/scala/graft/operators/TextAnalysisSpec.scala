@@ -901,4 +901,82 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("xx") === (("xx", 1L, 2L, 4L, 2000000L)))
     assert(got("nn") === (("nn", 1L, 0L, 0L, 0L)))
   }
+
+  test("winnow df-cap drop is OBSERVED, never silent: a planted hot " +
+    "fingerprint corpus reports dropped_fingerprints/postings and " +
+    "produces no pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // 25 docs (> maxDf = 20) all embed the SAME long canonical run, so
+    // its interior winnow fingerprints have df = 25 and must be dropped;
+    // each doc's unique filler keeps boundary fingerprints distinct, so
+    // with the hot set shed there is NOTHING left to pair on
+    val hotRun = "thisboilerplatefooterisrepeatedverbatimacrosseverysingle" +
+      "documentinthecorpusandkeepsgoingonforawhile"
+    // filler i = 12 copies of letter i: no two docs share any filler
+    // k-gram (digit fillers would — "lead1" is a substring of "lead19")
+    val docs = (1 to 25)
+      .map(i => (i.toLong, ('a' + i - 1).toChar.toString * 12 + " " + hotRun))
+      .toDF("doc_id", "text")
+    val metrics =
+      new java.util.concurrent.ConcurrentHashMap[
+        String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution,
+                             ns: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => metrics.put(n, r) }
+      override def onFailure(f: String, qe: QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    def await(name: String): org.apache.spark.sql.Row = {
+      val deadline = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < deadline) {
+        val r = metrics.get(name)
+        if (r != null) return r
+        Thread.sleep(50)
+      }
+      fail(s"observed metric $name never arrived; saw ${metrics.keySet()}")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // minShared = 8 (the default): window-min selection is context-
+      // dependent near the filler|run boundary, so two docs can share a
+      // stray below-cap fingerprint or two — but only the capped hot run
+      // could ever reach 8 shared
+      val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        minShared = 8, maxDf = 20).collect()
+      assert(pairs.isEmpty,
+        s"hot-capped corpus must yield no pairs, got ${pairs.length}")
+      val m = await("winnow_df_cap")
+      val droppedFps = m.getAs[Long]("dropped_fingerprints")
+      val droppedPost = m.getAs[Long]("dropped_postings")
+      assert(droppedFps >= 1L, "the planted hot fingerprints must be cut")
+      // every dropped fingerprint carried more than maxDf postings
+      assert(droppedPost >= droppedFps * 21L, s"$droppedFps/$droppedPost")
+
+      // the incremental reference index reports through its own metric.
+      // new doc 101 shares a BELOW-cap run with ref doc 3 only (df = 1
+      // in the ref index) -> it must still be caught after the hot run
+      // is shed; new doc 102 matches nothing
+      val rareRun = "araretwentysixletterrunsharedbyexactlyonereference" +
+        "documentandonenewarrivalnothingelse"
+      val fresh = Seq(
+        (101L, "mmmm " + rareRun), (102L, "nnnn unrelated arrival")
+      ).toDF("doc_id", "text")
+      val ref = docs.where($"doc_id" > 2).withColumn("text",
+        concat($"text", when($"doc_id" === 3L, lit(" " + rareRun))
+          .otherwise(lit(""))))
+      val verdicts = TextAnalysis.winnowIncrementalVerdict(
+        fresh, ref, "doc_id", "text", minShared = 8, maxDf = 20)
+        .collect().map(r => r.getAs[Long]("new_id") ->
+          r.getAs[Long]("dropped")).toMap
+      // 101 caught via the rare run; 102 clean — and the 23-doc hot run
+      // was cut from the ref index without hiding the rare match
+      assert(verdicts === Map(101L -> 1L, 102L -> 0L))
+      val rm = await("winnow_ref_df_cap")
+      assert(rm.getAs[Long]("dropped_fingerprints") >= 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -25,6 +25,11 @@ BANNED = {"HUGEINT", "UHUGEINT"}
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: audit_oracle_types.py <oracle_sql.json> [sf_dir]\n"
+              "dump oracle_sql.json via: sbt -batch "
+              '"runMain graft.DumpOracles /tmp/oracle_sql.json"')
+        return 2
     oracle_path = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     oracle = json.load(open(oracle_path))
@@ -50,8 +55,8 @@ def main():
         print(f"✗ DESCRIBE-ERR {name}: {e}")
     print(f"[oracle-type-audit] {len(oracle)} oracles, "
           f"{len(bad)} banned-type, {len(err)} describe-errors")
-    sys.exit(1 if (bad or err) else 0)
+    return 1 if (bad or err) else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

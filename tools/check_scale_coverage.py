@@ -52,11 +52,26 @@ def blocking_queries(gens):
     return out
 
 
-def measured_names():
+# Queries whose SCALE.md story is "~flat at rest" (reads only probe
+# cells / pruned ranges / a capped candidate set, regardless of corpus
+# size). A 10x row cannot certify that claim — these must carry a
+# measured 100x table row too (round-12 verdict item 3: the 100x
+# spot-checks were by hand; this makes them part of the ratchet).
+AT_REST_FLAT = [
+    "knn_ivf_at_rest",
+    "knn_ivf_filtered",
+    "s_balanced_layout",
+    "dedup_winnowing",
+]
+
+
+def measured_names(must_mention=None):
     """Backticked names appearing in SCALE.md MARKDOWN TABLE ROWS that
     also carry a digit in another cell — a measurement, not prose. (The
     round-11 version accepted any backticked token anywhere, so pasting
-    this tool's own UNMEASURED backlog into prose satisfied the gate.)"""
+    this tool's own UNMEASURED backlog into prose satisfied the gate.)
+    With `must_mention`, only rows whose non-name text matches that
+    regex count (e.g. r"100[x×]" for the 100x ratchet)."""
     names = set()
     with open(os.path.join(ROOT, "SCALE.md")) as fh:
         for line in fh:
@@ -66,11 +81,15 @@ def measured_names():
             cells = [c.strip() for c in line.strip("|").split("|")]
             row_names = set()
             has_number = False
+            mentioned = must_mention is None
             for c in cells:
                 row_names |= set(re.findall(r"`([a-z0-9_]+)`", c))
-                if re.search(r"\d", re.sub(r"`[^`]*`", "", c)):
+                stripped = re.sub(r"`[^`]*`", "", c)
+                if re.search(r"\d", stripped):
                     has_number = True
-            if has_number:
+                if must_mention and re.search(must_mention, stripped):
+                    mentioned = True
+            if has_number and mentioned:
                 names |= row_names
     return names
 
@@ -92,6 +111,17 @@ def main():
               "row to SCALE.md — tools/make_blowup.py + "
               "SPARK_GRAFT_BENCH_ONLY):")
         for q in missing:
+            print(f"  - {q}")
+        return 1
+    measured_100x = measured_names(must_mention=r"100[x×]")
+    missing_100x = [q for q in AT_REST_FLAT if q not in measured_100x]
+    print(f"[scale-coverage] {len(AT_REST_FLAT)} at-rest-flat queries, "
+          f"{len(AT_REST_FLAT) - len(missing_100x)} with a 100x row")
+    if missing_100x:
+        print("[scale-coverage] at-rest-flat queries MISSING a measured "
+              "100x SCALE.md row (the ~flat claim needs two orders, "
+              "not one):")
+        for q in missing_100x:
             print(f"  - {q}")
         return 1
     return 0
