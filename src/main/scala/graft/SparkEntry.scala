@@ -3148,6 +3148,40 @@ object SparkEntry {
         col("lang") === "en", k = 100, topN = 200,
         cacheKeys = Some((dir + "#dsir_en", dir)))),
 
+    // CCNet perplexity terciles (Wenzek 2020): per-language head/middle/
+    // tail by per-bigram LM cost — integer micro-nats end to end, rank-
+    // based terciles, hash-oracled
+    "lm_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
+        "text", "lang", topN = 200, cacheKey = Some(dir))),
+
+    // type-token ratio + hapax share — the cheap statistical gibberish/
+    // template signals, integer ppm
+    "text_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id",
+        "text")),
+
+    // Capstone #5 — the CCNet curation pipeline (Wenzek 2020): exact
+    // dedup (min id per text hash) -> per-lang LM perplexity terciles ->
+    // keep head+middle, aggregated per (lang, bucket); the oracle replays
+    // the whole chain, so a green hash proves the COMPOSITION exact
+    "pipeline_ccnet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = docs
+        .groupBy(md5(coalesce(col("text"), lit("")).cast("binary")).as("_fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"), col("lang"))
+      TextAnalysis.perplexityBuckets(survivors, "doc_id", "text", "lang",
+        topN = 200, cacheKey = Some(s"$dir#ccnet"))
+        .where(col("ppl_bucket") =!= "tail")
+        .groupBy(col("lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("mean_cost_q")).as("sum_mean_cost_q"))
+    }),
+
     // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
     // recall vs brute force pinned in SimilaritySpec) ----------
     "knn_pq_adc" -> ((s, dir) => {

@@ -442,6 +442,58 @@ private[graft] object SparkEntryOracles {
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
 
+  /** The CCNet perplexity-bucket CTE chain (lm_doc_score's micro-nat
+    * model over `from`, per-doc mean COST via `//` on the NEGATED score —
+    * non-negative, so DuckDB's floor division equals Spark's truncating
+    * `div` — then rank-based per-lang terciles). Ends at `bucketed`. */
+  private def pplCtes(from: String = "documents"): String =
+    s"""pbase AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+')
+      |    AS t
+      |  FROM $from
+      |), pbg AS (
+      |  SELECT doc_id, lang, CASE WHEN len(t) >= 2
+      |              THEN list_transform(range(len(t) - 1),
+      |                     i -> t[i+1] || ' ' || t[i+2])
+      |              ELSE [] END AS bigrams
+      |  FROM pbase
+      |), pdb AS (
+      |  SELECT doc_id, unnest(bigrams) AS bigram FROM pbg
+      |), pcnt AS (
+      |  SELECT bigram, count(*) AS n FROM pdb GROUP BY 1
+      |), ptop AS (
+      |  SELECT bigram, n FROM (
+      |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+      |      AS r FROM pcnt) WHERE r <= 200
+      |), ptot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ptop
+      |), plm AS (
+      |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+      |    AS logp_q
+      |  FROM ptop, ptot
+      |), psc AS (
+      |  SELECT pdb.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(coalesce(plm.logp_q, -12000000)) AS BIGINT) AS score_q
+      |  FROM pdb LEFT JOIN plm USING (bigram) GROUP BY 1
+      |), perdoc AS (
+      |  SELECT d.doc_id, d.lang,
+      |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 12000000
+      |         ELSE (-s.score_q) // s.n_bigrams END AS mean_cost_q
+      |  FROM $from d LEFT JOIN psc s USING (doc_id)
+      |), pranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY mean_cost_q ASC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS nl
+      |  FROM perdoc
+      |), bucketed AS (
+      |  SELECT doc_id, lang, n_bigrams,
+      |    CAST(mean_cost_q AS BIGINT) AS mean_cost_q,
+      |    CASE WHEN rn * 3 <= nl THEN 'head'
+      |         WHEN rn * 3 <= nl * 2 THEN 'middle'
+      |         ELSE 'tail' END AS ppl_bucket
+      |  FROM pranked)""".stripMargin
+
   /** The DSIR CTE chain shared by both twins: the lm_doc_score micro-nat
     * model chain run twice (target = lang='en' rows, raw = all docs),
     * differenced per bigram occurrence with the -12e6 floor per
@@ -4638,6 +4690,57 @@ private[graft] object SparkEntryOracles {
          |ORDER BY logw_q DESC,
          |  substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
          |LIMIT 100""".stripMargin,
+
+    // CCNet terciles: the lm_doc_score model chain, mean COST per bigram
+    // via // on the negated (non-negative) score, rank-based per-lang
+    // head/middle/tail
+    "lm_perplexity_buckets" ->
+      s"""WITH ${pplCtes()}
+         |SELECT doc_id, lang, n_bigrams, mean_cost_q, ppl_bucket
+         |FROM bucketed""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """WITH tbase AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(t) AS w FROM tbase
+        |), pt AS (
+        |  SELECT doc_id, w, count(*) AS c FROM tok
+        |  WHERE len(w) > 0 GROUP BY 1, 2
+        |), pd AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM pt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, 0) AS n_tokens,
+        |  coalesce(p.n_types, 0) AS n_types,
+        |  coalesce(p.n_hapax, 0) AS n_hapax,
+        |  coalesce(p.n_types, 0) * 1000000
+        |    // greatest(coalesce(p.n_tokens, 0), 1) AS ttr_ppm,
+        |  coalesce(p.n_hapax, 0) * 1000000
+        |    // greatest(coalesce(p.n_types, 0), 1) AS hapax_ppm
+        |FROM documents d LEFT JOIN pd p USING (doc_id)""".stripMargin,
+
+    // the CCNet pipeline capstone: exact dedup (min id per md5(text)) ->
+    // the tercile chain over SURVIVORS (model refit on survivors) ->
+    // keep head+middle -> per-(lang, bucket) rollup
+    "pipeline_ccnet" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(coalesce(text, ''))
+         |), docs2 AS (
+         |  SELECT d.doc_id, d.text, d.lang
+         |  FROM documents d JOIN keep USING (doc_id)
+         |), ${pplCtes("docs2")}
+         |SELECT lang, ppl_bucket,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+         |  CAST(sum(mean_cost_q) AS BIGINT) AS sum_mean_cost_q
+         |FROM bucketed WHERE ppl_bucket != 'tail'
+         |GROUP BY 1, 2""".stripMargin,
 
     // the k lowest md5 prefixes, id tiebreak — the same portable order as
     // sample_cap_per_group, global instead of per group

@@ -982,6 +982,93 @@ object TextAnalysis {
       .limit(k)
       .select(col(idCol), col("logw_q"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): per language, documents split into head / middle
+    * / tail terciles by their per-bigram LM cost — the standard "keep the
+    * head and middle of the perplexity distribution" curation gate for
+    * web-crawl pretraining data. The LM is the corpus' own top-`topN`
+    * bigram model ([[docLmScore]], micro-nat quantized with the same
+    * floor per out-of-model occurrence), so the WHOLE pass is integer
+    * arithmetic and hash-oracled: `mean_cost_q = (−score_q) div
+    * n_bigrams` — cost is non-negative, so Spark's truncating `div` and
+    * the oracle's `//` agree (floor == trunc on non-negatives; dividing
+    * the raw NEGATIVE score would diverge between the engines) — and
+    * bigram-less docs pin to the floor cost (worst). Tercile assignment
+    * is rank-based: `rn·3 ≤ n` → head, `rn·3 ≤ 2n` → middle, else tail
+    * (ties broken by id — deterministic, total).
+    *
+    * Scale shape: the model is broadcast and the per-doc score is one
+    * scan + one keyed aggregation (the [[docLmScore]] shape). The tercile
+    * window partitions by LANGUAGE — exact and oracle-checkable, but a
+    * handful of language partitions each carry a corpus-sized sort at
+    * 100 TB; the at-scale swap (the repo's exact-percentile convention)
+    * is per-lang `approx_percentile(mean_cost_q, array(1/3, 2/3))`
+    * cutoffs broadcast back over one more scan, which buckets ties
+    * together instead of splitting them by rank. Output:
+    * (idCol, langCol, n_bigrams, mean_cost_q, ppl_bucket). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, topN: Int = 200,
+                        floorLogp: Double = -12.0,
+                        cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val floorCostQ = -math.round(floorLogp * 1e6)
+    val scored = docLmScore(docs, idCol, textCol, topN, floorLogp, cacheKey)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(floorCostQ))
+          .otherwise(expr(s"(-lm_score_q) div n_bigrams"))
+          .as("mean_cost_q"))
+    val byLang = Window.partitionBy(col(langCol))
+    val ranked = scored
+      .withColumn("_rn", row_number().over(
+        byLang.orderBy(col("mean_cost_q").asc, col(idCol).asc)))
+      .withColumn("_n", count(lit(1)).over(byLang))
+    ranked.select(col(idCol), col(langCol), col("n_bigrams"),
+      col("mean_cost_q"),
+      when(col("_rn") * 3 <= col("_n"), lit("head"))
+        .when(col("_rn") * 3 <= col("_n") * 2, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** Per-document lexical diversity: type-token ratio and hapax share —
+    * the cheap statistical gibberish/boilerplate signals (template spam
+    * has few types per token; keyboard-mash has all-hapax types). Tokens
+    * are the engine's standard whitespace split of lower(trim(text));
+    * `ttr_ppm = n_types·10⁶ / n_tokens` and
+    * `hapax_ppm = n_hapax·10⁶ / n_types` in truncating integer division
+    * over non-negatives (cross-engine exact), zeros for empty docs via
+    * the join back to the doc list.
+    *
+    * Scale shape: one tokenize scan, one (doc, token) hash aggregation,
+    * one per-doc rollup — shuffles carry (id, token-hashable) pairs and
+    * then (id, 3 longs), never text. The per-doc token-count HOF
+    * alternative is quadratic per row; this is the linear form. */
+  def lexicalDiversity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy("_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      // integer `div` over non-negatives (floor == trunc): the double-/
+      // form would round the quotient before the cast — the one place
+      // the engines could disagree on a boundary
+      .withColumn("ttr_ppm",
+        expr("n_types * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("hapax_ppm",
+        expr("n_hapax * 1000000 div greatest(n_types, 1)"))
+  }
+
   /** Top collocations (candidate multiword expressions) by pointwise
     * mutual information over ADJACENT word pairs:
     * `pmi(x,y) = ln(c_xy·n1² / (n2·c_x·c_y))`, quantized to integer

@@ -979,4 +979,65 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rm.getAs[Long]("dropped_fingerprints") >= 1L)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("lexicalDiversity: hand-computed TTR and hapax share; empty and " +
+    "null docs zeroed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 types, 1 hapax (b)
+      (2L, "x y z"),            // 3 tokens, 3 types, 3 hapax
+      (3L, ""),                 // no tokens
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 2L, 1L, 500000L, 500000L)))
+    assert(got(2L) === ((2L, 3L, 3L, 3L, 1000000L, 1000000L)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) === ((4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("perplexityBuckets: terciles are per-lang, rank-based, " +
+    "deterministic; model-fluent docs land in the head, gibberish and " +
+    "empty docs in the tail") {
+    import spark.implicits._
+    // 6 en docs: 3 made of the corpus' dominant bigram stream (cheap),
+    // 2 of out-of-model gibberish (floor cost), 1 empty (pinned floor);
+    // 3 xx docs bucket independently of the en ranks
+    val fluent = "the cat sat on the mat and the cat sat again"
+    val docs = Seq(
+      (1L, fluent, "en"), (2L, fluent + " the cat sat", "en"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "qq ww ee rr tt yy", "en"), (5L, "zz xx cc vv bb nn", "en"),
+      (6L, "", "en"),
+      (7L, fluent, "xx"), (8L, "uu ii oo pp", "xx"), (9L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.perplexityBuckets(docs, "doc_id", "text",
+      "lang", topN = 50)
+      .select("doc_id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    // en: 6 docs -> ranks 1-2 head, 3-4 middle, 5-6 tail
+    val enBuckets = (1L to 6L).map(got(_)._3)
+    assert(enBuckets.count(_ == "head") === 2)
+    assert(enBuckets.count(_ == "middle") === 2)
+    assert(enBuckets.count(_ == "tail") === 2)
+    // the fluent docs beat the gibberish, gibberish beats nothing: the
+    // empty doc (floor cost) and one gibberish doc are the tail
+    assert(got(6L)._3 === "tail")
+    assert(Seq(got(4L)._3, got(5L)._3).contains("tail"))
+    assert(got(1L)._3 === "head" || got(2L)._3 === "head" ||
+      got(3L)._3 === "head")
+    // xx: 3 docs -> exactly one of each bucket, ranked within xx only
+    val xxBuckets = (7L to 9L).map(got(_)._3)
+    assert(xxBuckets.sorted === Seq("head", "middle", "tail"))
+    assert(got(7L)._3 === "head") // fluent
+    assert(got(9L)._3 === "tail") // empty
+    // determinism
+    val again = TextAnalysis.perplexityBuckets(docs, "doc_id", "text",
+      "lang", topN = 50)
+      .select("doc_id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
