@@ -3161,6 +3161,20 @@ object SparkEntry {
       TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Temperature-scaled (T=2) language mix (Conneau 2019 / XLM-R):
+    // per-lang share of a 400-doc budget ∝ sqrt(n_lang), largest-
+    // remainder apportionment, clamped to group size — integer-exact
+    // after the (IEEE-correctly-rounded) sqrt
+    "sample_temperature_alloc" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureAlloc(t(s, dir, "documents"),
+        "lang", budget = 400L)),
+
+    // the sampler over the allocation: lowest-md5 `alloc` rows per lang
+    "sample_temperature" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(t(s, dir, "documents"),
+        "doc_id", "lang", budget = 400L)
+        .select("doc_id", "lang")),
+
     // Capstone #5 — the CCNet curation pipeline (Wenzek 2020): exact
     // dedup (min id per text hash) -> per-lang LM perplexity terciles ->
     // keep head+middle, aggregated per (lang, bucket); the oracle replays

@@ -442,6 +442,38 @@ private[graft] object SparkEntryOracles {
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
 
+  /** Temperature-allocation CTE chain (ends at `talloc`): sqrt(n) weight
+    * in integer micro-units, Hamilton apportionment of `budget`, clamp
+    * to group size — the Spark side's decimal(38,0) products become
+    * HUGEINT here (intermediate only; every output column casts back to
+    * BIGINT for the type audit). */
+  private def temperatureCtes(budget: Long): String =
+    s"""tc AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+      |), tww AS (
+      |  SELECT lang, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS w_q
+      |  FROM tc
+      |), twt AS (SELECT CAST(sum(w_q) AS BIGINT) AS tw FROM tww
+      |), tb AS (
+      |  SELECT lang, n_docs, w_q,
+      |    CAST(CAST(w_q AS HUGEINT) * $budget // tw AS BIGINT) AS base,
+      |    CAST(CAST(w_q AS HUGEINT) * $budget % tw AS BIGINT) AS trem
+      |  FROM tww, twt
+      |), tl AS (
+      |  SELECT $budget - CAST(sum(base) AS BIGINT) AS leftover FROM tb
+      |), tr AS (
+      |  SELECT tb.*, row_number() OVER (ORDER BY trem DESC, lang ASC)
+      |    AS rk
+      |  FROM tb
+      |), talloc AS (
+      |  SELECT lang, n_docs, w_q,
+      |    least(base + CASE WHEN rk <= (SELECT leftover FROM tl)
+      |                      THEN 1 ELSE 0 END,
+      |          n_docs) AS alloc
+      |  FROM tr)""".stripMargin
+
   /** The CCNet perplexity-bucket CTE chain (lm_doc_score's micro-nat
     * model over `from`, per-doc mean COST via `//` on the NEGATED score —
     * non-negative, so DuckDB's floor division equals Spark's truncating
@@ -4723,6 +4755,23 @@ private[graft] object SparkEntryOracles {
         |  coalesce(p.n_hapax, 0) * 1000000
         |    // greatest(coalesce(p.n_types, 0), 1) AS hapax_ppm
         |FROM documents d LEFT JOIN pd p USING (doc_id)""".stripMargin,
+
+    // temperature mix: sqrt weight (IEEE-exact), HUGEINT intermediates
+    // mirror the Spark side's decimal(38,0), largest-remainder bonus by
+    // (remainder desc, lang asc), clamp to group size
+    "sample_temperature_alloc" ->
+      s"""WITH ${temperatureCtes(400L)}
+         |SELECT lang, n_docs, w_q, alloc FROM talloc""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH ${temperatureCtes(400L)},
+         |sel AS (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8),
+         |      doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang FROM sel JOIN talloc USING (lang)
+         |WHERE rn <= alloc""".stripMargin,
 
     // the CCNet pipeline capstone: exact dedup (min id per md5(text)) ->
     // the tercile chain over SURVIVORS (model refit on survivors) ->

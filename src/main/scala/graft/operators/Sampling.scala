@@ -295,4 +295,72 @@ object Sampling {
         .over(Window.partitionBy(stratumCol)))
       .select(col(idCol), col(stratumCol), assign.as("split"))
   }
+
+  /** Temperature-scaled group allocation (the multilingual-pretraining
+    * sampling mix of Conneau & Lample 2019 / XLM-R): group g's share of a
+    * document `budget` ∝ n_g^(1/T) with T = 2, i.e. weight = √n_g — the
+    * exponent is FIXED at 1/2 by construction because IEEE mandates a
+    * correctly rounded sqrt (identical in every engine) while pow(x, 1/T)
+    * for general T is only faithfully rounded and may differ in the last
+    * ulp between libms, which would break the hash oracle. Weights
+    * quantize to `w_q = floor(√n_g · 10⁶)`; allocations are the
+    * largest-remainder (Hamilton) apportionment of `budget` by w_q —
+    * base = ⌊budget·w_q / W⌋ with the leftover units going to the largest
+    * remainders (ties by group asc) — then clamped to n_g (no
+    * upsampling: a clamp may leave the grand total short of `budget`;
+    * the repetition-based alternative is a caller-side crossJoin of the
+    * deficit). Everything after the sqrt is exact integer/decimal
+    * arithmetic, so the whole allocation replays hash-identically in SQL.
+    *
+    * Scale shape: one group-count aggregation (tiny result: one row per
+    * group); the apportionment windows run over that GROUP table —
+    * constant-sized, never data-scaled — under the constant-partition-key
+    * idiom (pmod(…, 1)) so the plan carries a partition spec. Output:
+    * (groupCol, n_docs, w_q, alloc). */
+  def temperatureAlloc(df: DataFrame, groupCol: String,
+                       budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    // decimal(38,0) for budget·w_q: at 10¹² docs/group and a 10⁹ budget
+    // the long product overflows; the final alloc is back in long range
+    val one = Window.partitionBy(pmod(col("w_q"), lit(1)))
+    val based = counts
+      .withColumn("_W", sum(col("w_q")).over(one))
+      .withColumn("_prod",
+        col("w_q").cast("decimal(38,0)") * lit(budget))
+      .withColumn("base", expr("cast(_prod div _W as bigint)"))
+      .withColumn("_rem", expr("cast(_prod % _W as decimal(38,0))"))
+    val ranked = based
+      .withColumn("_L", lit(budget) - sum(col("base")).over(one))
+      .withColumn("_rk", row_number().over(
+        one.orderBy(col("_rem").desc, col(groupCol).asc)))
+    ranked.select(col(groupCol), col("n_docs"), col("w_q"),
+      least(col("base") +
+        when(col("_rk") <= col("_L"), 1L).otherwise(0L),
+        col("n_docs")).as("alloc"))
+  }
+
+  /** The sampler over [[temperatureAlloc]]: each group keeps its `alloc`
+    * rows with the lowest md5(salt ‖ id) prefix (id tiebreak) — the
+    * [[capPerGroup]] order with a data-derived per-group cap, so the
+    * exact kept rowset replays in SQL. One extra broadcast join of the
+    * group-sized alloc table; same single group-shuffle shape. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        budget: Long,
+                        salt: String = "temp"): DataFrame = {
+    val alloc = temperatureAlloc(df, groupCol, budget)
+      .select(col(groupCol), col("alloc"))
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(prefix.asc, col(idCol).asc)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("alloc"))
+      .drop("_rn", "alloc")
+  }
 }

@@ -81,10 +81,14 @@ object AudioStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              // clamp to watermark+1: flatMapGroupsWithState does NOT
-              // drop late rows for us, so one late frame on a slow asset
-              // can set lastMs such that the deadline <= watermark —
-              // setTimeoutTimestamp then throws and fails the whole query
+              // clamp to watermark+1: setTimeoutTimestamp throws (and
+              // fails the whole query) if the deadline is not past the
+              // current watermark. Spark 4 filters below-watermark rows
+              // BEFORE this function (AudioStreamsSpec pins that), which
+              // makes an un-clamped deadline <= watermark unreachable
+              // with these params — the clamp is defense-in-depth for
+              // a relaxed late-filter or a caller with flushSec below
+              // the in-batch skew
               val deadline = s.lastMs + flushSec * 1000
               state.setTimeoutTimestamp(
                 math.max(deadline, state.getCurrentWatermarkMs() + 1))

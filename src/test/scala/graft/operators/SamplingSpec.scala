@@ -253,4 +253,47 @@ class SamplingSpec extends SparkSpec {
       ("A", "train") -> 400, ("A", "valid") -> 50, ("A", "test") -> 50,
       ("B", "train") -> 5, ("B", "valid") -> 1, ("B", "test") -> 1))
   }
+
+  test("temperatureAlloc: hand-computed Hamilton apportionment of sqrt " +
+    "weights; leftover goes to the largest remainders; clamp engages") {
+    import spark.implicits._
+    // groups a:9 b:4 c:1 -> w_q = 3e6/2e6/1e6, W = 6e6
+    val docs = ((1 to 9).map(i => (i.toLong, "a")) ++
+      (11 to 14).map(i => (i.toLong, "b")) ++ Seq((21L, "c")))
+      .toDF("id", "g")
+    def alloc(budget: Long): Map[String, (Long, Long, Long)] =
+      Sampling.temperatureAlloc(docs, "g", budget)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // budget 5: base 2/1/0 (rem 3e6/4e6/5e6), leftover 2 -> c and b
+    assert(alloc(5L) === Map(
+      "a" -> ((9L, 3000000L, 2L)), "b" -> ((4L, 2000000L, 2L)),
+      "c" -> ((1L, 1000000L, 1L))))
+    // budget 7: base 3/2/1 (rem 3e6/2e6/1e6), leftover 1 -> a
+    assert(alloc(7L) === Map(
+      "a" -> ((9L, 3000000L, 4L)), "b" -> ((4L, 2000000L, 2L)),
+      "c" -> ((1L, 1000000L, 1L))))
+    // budget 12: base 6/4/2 exact (leftover 0); c clamps 2 -> 1 and the
+    // grand total is honestly short (no silent redistribution)
+    val a12 = alloc(12L)
+    assert(a12("c")._3 === 1L && a12("a")._3 === 6L && a12("b")._3 === 4L)
+  }
+
+  test("temperatureSample: per-group counts equal the allocation; " +
+    "deterministic; members are the lowest-md5 rows of each group") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang")
+    val budget = 120L
+    val alloc = Sampling.temperatureAlloc(docs, "lang", budget)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val got = Sampling.temperatureSample(docs, "doc_id", "lang", budget)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.groupBy(_._2).view.mapValues(_.size.toLong).toMap === alloc)
+    assert(alloc.values.sum <= budget)
+    val again = Sampling.temperatureSample(docs, "doc_id", "lang", budget)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
 }

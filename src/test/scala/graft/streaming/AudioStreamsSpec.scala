@@ -80,4 +80,50 @@ class AudioStreamsSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == 0L && r._4 == 4L && r._5 == 15L),
       s"cross-batch run must merge: ${streamed.filter(_._1 == 0L)}")
   }
+
+  test("a frame arriving below the watermark cannot crash the query: " +
+    "Spark drops it before the state function (pinned), and the clamped " +
+    "timeout deadline keeps the query alive either way") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def row(aid: Long, ts: Long, frame: Long, sq: Long) =
+      AudioStreams.FrameRow(aid, new Timestamp(ts), frame, sq)
+    val stream = MemoryStream[AudioStreams.FrameRow]
+    val q = AudioStreams.segments(stream.toDS())
+      .writeStream.format("memory").queryName("vad_late")
+      .outputMode("append").start()
+    try {
+      // push the watermark ~20 min past t0 via a far-future asset
+      stream.addData(Seq(row(1L, t0 + 30L * 60000L, 0L, 1L << 40)))
+      q.processAllAvailable()
+      // late arrival for a NEW asset, 20 min below the watermark — its
+      // flush deadline (ts + 600 s) is below the watermark too;
+      // flatMapGroupsWithState does not drop late rows, so before the
+      // clamp setTimeoutTimestamp threw and failed the whole query
+      stream.addData(Seq(row(2L, t0, 0L, 1L << 40)))
+      q.processAllAvailable()
+      // two more advancing batches: watermark passes the clamped
+      // deadline, the late asset's run times out and closes
+      stream.addData(Seq(row(1L, t0 + 40L * 60000L, 100L, 1L << 40)))
+      q.processAllAvailable()
+      stream.addData(Seq(row(1L, t0 + 60L * 60000L, 200L, 1L << 40)))
+      q.processAllAvailable()
+      val got = spark.table("vad_late")
+        .as[(Long, Long, Boolean, Long, Long, Long, Long)].collect()
+      // PINNED SEMANTICS (Spark 4 flatMapGroupsWithState): the
+      // below-watermark row is filtered BEFORE the state function, so the
+      // late asset creates no state and no output — and the query never
+      // crashes. (With late rows filtered on the same pre-batch watermark
+      // the timeout check uses, an un-clamped deadline <= watermark is
+      // unreachable; the clamp in AudioStreams stays as defense-in-depth
+      // for any future Spark that relaxes the filter.) Asset 1's runs
+      // must close normally around the late arrival.
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      assert(!got.exists(_._1 == 2L),
+        s"late row must be dropped, not stated: ${got.mkString(",")}")
+      assert(got.count(_._1 == 1L) >= 2,
+        s"on-time asset must keep closing runs: ${got.mkString(",")}")
+    } finally q.stop()
+  }
 }
