@@ -1006,18 +1006,55 @@ object TextAnalysis {
     * cutoffs broadcast back over one more scan, which buckets ties
     * together instead of splitting them by rank. Output:
     * (idCol, langCol, n_bigrams, mean_cost_q, ppl_bucket). */
+  /** Per-doc mean LM cost in micro-nats against the (optionally
+    * memoized) corpus bigram model — the scoring half of
+    * [[perplexityBuckets]] without the tercile window, reused by the
+    * streaming quality gate. Non-negative by construction (see the
+    * bucket scaladoc for the div/`//` parity argument); bigram-less docs
+    * pin to the floor cost (worst). Output:
+    * (idCol, n_bigrams, mean_cost_q). */
+  def meanLmCost(docs: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 200, floorLogp: Double = -12.0,
+                 cacheKey: Option[String] = None): DataFrame = {
+    val floorCostQ = -math.round(floorLogp * 1e6)
+    docLmScore(docs, idCol, textCol, topN, floorLogp, cacheKey)
+      .select(col(idCol), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(floorCostQ))
+          .otherwise(expr("(-lm_score_q) div n_bigrams"))
+          .as("mean_cost_q"))
+  }
+
+  private val pplCutoffCache =
+    new graft.SessionMemo[(String, Int), DataFrame]()
+
+  /** Session-memoized per-language quality cutoff: the LARGEST mean cost
+    * still inside the reference corpus' head+middle terciles
+    * ([[perplexityBuckets]]) — the acceptance threshold a CCNet-style
+    * gate applies to arriving documents. One row per language; builds
+    * once per (key, topN) corpus generation, and the underlying LM lands
+    * in the [[bigramLmFor]] memo under the same key so batch scoring
+    * reuses it. */
+  def perplexityCutoffsFor(refDocs: DataFrame, idCol: String,
+                           textCol: String, langCol: String,
+                           topN: Int, key: String): DataFrame =
+    pplCutoffCache.getOrCompute(refDocs.sparkSession, (key, topN)) {
+      perplexityBuckets(refDocs, idCol, textCol, langCol, topN,
+        cacheKey = Some(key))
+        .where(col("ppl_bucket") =!= "tail")
+        .groupBy(col(langCol))
+        .agg(max(col("mean_cost_q")).as("cutoff_cost_q"))
+        .pin()
+    }
+
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         langCol: String, topN: Int = 200,
                         floorLogp: Double = -12.0,
                         cacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val floorCostQ = -math.round(floorLogp * 1e6)
-    val scored = docLmScore(docs, idCol, textCol, topN, floorLogp, cacheKey)
+    val scored = meanLmCost(docs, idCol, textCol, topN, floorLogp, cacheKey)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col(langCol), col("n_bigrams"),
-        when(col("n_bigrams") === 0, lit(floorCostQ))
-          .otherwise(expr(s"(-lm_score_q) div n_bigrams"))
-          .as("mean_cost_q"))
+        col("mean_cost_q"))
     val byLang = Window.partitionBy(col(langCol))
     val ranked = scored
       .withColumn("_rn", row_number().over(

@@ -66,6 +66,58 @@ object DocumentStreams {
         kept, ref, idCol, textCol, k, w, minShared, maxDf))
   }
 
+  /** CCNet-style QUALITY gate on arrival — the streaming twin of the
+    * `pipeline_ccnet` selection step: each arriving document is scored
+    * against a FROZEN reference bigram LM and kept only if its
+    * per-bigram cost is at or below the reference corpus' per-language
+    * head+middle cutoff ([[graft.operators.TextAnalysis
+    * .perplexityCutoffsFor]]). Unlike the dedup ingest (whose reference
+    * corpus GROWS every batch and must be re-read), the quality
+    * reference is a fixed corpus generation — the production CCNet
+    * shape: the target model is trained once and applied to the whole
+    * crawl — so the model and the lang-sized cutoff table are
+    * session-memoized; a micro-batch pays one scan of itself plus a
+    * broadcast join. Documents in a language absent from the reference
+    * are DROPPED (kept = 0, cutoff null) — the CCNet treatment of
+    * unmodeled languages. Audit rows append to `outDir` as
+    * (idCol, langCol, n_bigrams, mean_cost_q, cutoff_cost_q, kept,
+    * batch_id); kept documents append to `keptDir`. */
+  def perplexityGateIngest(newDocs: DataFrame, refDir: String,
+                           outDir: String, keptDir: String,
+                           checkpointDir: String, idCol: String,
+                           textCol: String, langCol: String,
+                           topN: Int = 200,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    import graft.operators.TextAnalysis
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val ref = spark.read.parquet(refDir)
+        val cutoffs = TextAnalysis.perplexityCutoffsFor(ref, idCol,
+          textCol, langCol, topN, key = refDir)
+        val judged = TextAnalysis.meanLmCost(batch, idCol, textCol, topN,
+          cacheKey = Some(refDir))
+          .join(batch.select(col(idCol), col(langCol)), Seq(idCol))
+          .join(broadcast(cutoffs), Seq(langCol), "left_outer")
+          .withColumn("kept", (col("cutoff_cost_q").isNotNull &&
+            col("mean_cost_q") <= col("cutoff_cost_q")).cast("long"))
+          .pin() // consumed by the audit AND the kept append
+        judged.withColumn("batch_id", lit(batchId))
+          .select(col(idCol), col(langCol), col("n_bigrams"),
+            col("mean_cost_q"), col("cutoff_cost_q"), col("kept"),
+            col("batch_id"))
+          .write.mode("append").parquet(outDir)
+        batch.join(judged.where(col("kept") === 1).select(col(idCol)),
+            Seq(idCol))
+          .write.mode("append").parquet(keptDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The shared ingest body: `pairsOf` generates the within-batch
     * candidate pair graph (columns id_a, id_b), `verdictOf` judges batch
     * survivors against the kept corpus (columns new_id, n_matches,

@@ -93,4 +93,61 @@ class DocumentStreamsSpec extends SparkSpec {
       (23L, 0L, "kept", 0L),
       (30L, 1L, "corpus_dup", 1L)))
   }
+
+  test("perplexity gate on arrival: batch-equal verdicts against the " +
+    "frozen reference model, unmodeled languages dropped, verdicts " +
+    "stable across batch arrangements") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("pplgate").toString
+    val refDir = s"$tmp/ref"
+    // reference corpus: the driver documents table (frozen generation)
+    graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang")
+      .write.parquet(refDir)
+    val ref = spark.read.parquet(refDir)
+
+    // the expected verdict, computed BATCH-side with the same public
+    // operators the gate composes
+    val cutoffs = graft.operators.TextAnalysis.perplexityCutoffsFor(
+      ref, "doc_id", "text", "lang", topN = 200, key = refDir)
+      .as[(String, Long)].collect().toMap
+    val fluent = ref.orderBy($"doc_id").select($"text").as[String].head()
+    val arrivals = Seq(
+      (1001L, fluent, "en"),                  // corpus-like -> kept
+      (1002L, "qq ww ee rr tt yy uu ii", "en"), // out-of-model -> floor cost
+      (1003L, fluent, "xx"))                  // unmodeled lang -> dropped
+    def run(bursts: Seq[Seq[(Long, String, String)]],
+            sub: String): Map[Long, (Long, Long)] = {
+      val outDir = s"$tmp/out$sub"
+      val keptDir = s"$tmp/kept$sub"
+      val stream = MemoryStream[(Long, String, String)]
+      val q = DocumentStreams.perplexityGateIngest(
+        stream.toDF().toDF("doc_id", "text", "lang"), refDir, outDir,
+        keptDir, s"$tmp/cp$sub", "doc_id", "text", "lang",
+        trigger = Trigger.ProcessingTime(0))
+      try {
+        for (b <- bursts) { stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.read.parquet(outDir)
+        .select($"doc_id", $"mean_cost_q", $"kept")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    val got = run(Seq(arrivals), "1")
+    // verdicts agree with the batch-side cutoff comparison
+    assert(got(1001L)._2 === 1L, s"corpus-like doc must pass: $got")
+    assert(got(1001L)._1 <= cutoffs("en"))
+    assert(got(1002L)._2 === 0L, s"out-of-model doc must drop: $got")
+    assert(got(1002L)._1 > cutoffs("en"))
+    assert(got(1003L)._2 === 0L, "unmodeled language must drop")
+    // kept dir holds exactly the passing docs
+    assert(spark.read.parquet(s"$tmp/kept1").select("doc_id")
+      .as[Long].collect().toSet === Set(1001L))
+    // arrangement-independence: one burst vs one doc per burst — the
+    // model is frozen, so verdicts cannot depend on batch boundaries
+    val split = run(arrivals.map(Seq(_)), "2")
+    assert(split === got)
+  }
 }
