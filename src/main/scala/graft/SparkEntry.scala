@@ -1338,6 +1338,35 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // RADIUS (range) search: ALL neighbors with cos >= 0.4 of the probe
+    // set (the fixture embeddings are near-orthogonal — 0.4 is the
+    // dedup_semantic threshold) — exact integer test, query side
+    // broadcast into one corpus scan; output size data-determined (the
+    // API top-k cannot express)
+    "knn_radius" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnRadius(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", simSqPpm = 160000L)
+    }),
+
+    // the scale form: radius search reading ONLY the probe cells of the
+    // at-rest fixed-codebook layout (shared with knn_ivf_filtered's
+    // memoized build) — deterministic probes, so even the PRUNED result
+    // is hash-oracled; pruned ⊆ full pinned in SimilaritySpec
+    "knn_radius_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.fixedCodebook(nlist = 4, dims = 64)
+      val path = SparkEntry.ivfFilteredLayouts.getOrCompute(s, dir) {
+        val p = graft.TmpArtifacts.path("graft-ivf-filtered", dir)
+        Similarity.writeIvfFixed(emb, "vec_id", "embedding", p, cb,
+          extraCols = Seq("label"))
+        p
+      }
+      Similarity.knnRadiusFixedPartitioned(s, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding",
+        centroids = cb, nprobe = 2, simSqPpm = 160000L)
+    }),
+
     "knn_bucketed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnBucketed(emb, emb.where(col("vec_id") < 20),
@@ -3155,6 +3184,24 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
         "text", "lang", topN = 200, cacheKey = Some(dir))),
 
+    // the quality GATE as an oracled batch query — the exact decision
+    // the streaming perplexityGateIngest applies on arrival: keep iff
+    // mean cost <= the per-lang head+middle cutoff (model + cutoffs
+    // memoized under the same keys the stream uses)
+    "lm_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.meanLmCost(docs, "doc_id", "text", topN = 200,
+        cacheKey = Some(dir))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(broadcast(TextAnalysis.perplexityCutoffsFor(docs, "doc_id",
+          "text", "lang", topN = 200, key = dir)), Seq("lang"), "left_outer")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("mean_cost_q"), col("cutoff_cost_q"),
+          (col("cutoff_cost_q").isNotNull &&
+            col("mean_cost_q") <= col("cutoff_cost_q")).cast("long")
+            .as("kept"))
+    }),
+
     // type-token ratio + hapax share — the cheap statistical gibberish/
     // template signals, integer ppm
     "text_lexical_diversity" -> ((s, dir) =>
@@ -3185,8 +3232,12 @@ object SparkEntry {
         .groupBy(md5(coalesce(col("text"), lit("")).cast("binary")).as("_fp"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
+      // lazy pin: the bucket chain consumes survivors three times (the
+      // LM build via the memo, the bigram explode, the doc-list join) —
+      // without the pin each consumer re-runs the dedup scan + agg
       val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("text"), col("lang"))
+        .pinLazy()
       TextAnalysis.perplexityBuckets(survivors, "doc_id", "text", "lang",
         topN = 200, cacheKey = Some(s"$dir#ccnet"))
         .where(col("ppl_bucket") =!= "tail")

@@ -2219,6 +2219,74 @@ private[graft] object SparkEntryOracles {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // radius search: the dedup_semantic integer test (milli-quantize,
+    // HUGEINT cross-multiplied cos² >= 0.81) across query × corpus
+    "knn_radius" ->
+      """WITH iq AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+        |  FROM iq),
+        |p AS (
+        |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(c.q, qr.q),
+        |      z -> z[1]*z[2])) AS BIGINT) AS score,
+        |    c.n2 AS n2_c, qr.n2 AS n2_q
+        |  FROM n c CROSS JOIN n qr WHERE qr.vec_id < 20)
+        |SELECT query_id, neighbor_id, score FROM p
+        |WHERE query_id != neighbor_id AND score > 0
+        |  AND CAST(score AS HUGEINT) * score * 1000000
+        |      >= 160000 * CAST(n2_c AS HUGEINT) * n2_q""".stripMargin,
+
+    // at-rest radius: deterministic fixed-codebook cells + top-2 probes
+    // (dot desc, cell asc — the posexplode order), radius test within
+    // the probed candidates only — the PRUNED result replays exactly
+    "knn_radius_ivf" -> {
+      val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+      def dot(a: String, lits: Seq[Long]): String =
+        s"CAST(list_sum(list_transform(list_zip($a, " +
+          lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+      val scores = cents.zipWithIndex
+        .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+      s"""WITH iq AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sc AS (SELECT vec_id, q,
+         |  CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2,
+         |  $scores
+         |  FROM iq),
+         |base AS (SELECT vec_id, q, n2,
+         |  CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+         |       WHEN s1>=s2 AND s1>=s3 THEN 1
+         |       WHEN s2>=s3 THEN 2 ELSE 3 END AS cell
+         |  FROM sc),
+         |qp AS (
+         |  SELECT vec_id AS query_id, q AS qq, n2 AS n2_q, cell AS pcell
+         |  FROM (
+         |    SELECT vec_id, q, n2, u.cell AS cell, u.cs AS cs,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY u.cs DESC, u.cell ASC) AS pr
+         |    FROM sc, unnest([
+         |      {'cell': 0, 'cs': s0}, {'cell': 1, 'cs': s1},
+         |      {'cell': 2, 'cs': s2}, {'cell': 3, 'cs': s3}]) AS t(u)
+         |    WHERE vec_id < 20)
+         |  WHERE pr <= 2),
+         |p AS (
+         |  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(list_zip(c.q, qp.qq),
+         |      z -> z[1]*z[2])) AS BIGINT) AS score,
+         |    c.n2 AS n2_c, qp.n2_q AS n2_q
+         |  FROM base c JOIN qp ON c.cell = qp.pcell)
+         |SELECT query_id, neighbor_id, score FROM p
+         |WHERE query_id != neighbor_id AND score > 0
+         |  AND CAST(score AS HUGEINT) * score * 1000000
+         |      >= 160000 * CAST(n2_c AS HUGEINT) * n2_q""".stripMargin
+    },
+
     "knn_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -4730,6 +4798,20 @@ private[graft] object SparkEntryOracles {
       s"""WITH ${pplCtes()}
          |SELECT doc_id, lang, n_bigrams, mean_cost_q, ppl_bucket
          |FROM bucketed""".stripMargin,
+
+    // the gate decision over the same chain: keep iff mean cost <= the
+    // per-lang max cost inside head+middle
+    "lm_quality_gate" ->
+      s"""WITH ${pplCtes()},
+         |cut AS (
+         |  SELECT lang, max(mean_cost_q) AS cutoff_cost_q
+         |  FROM bucketed WHERE ppl_bucket != 'tail' GROUP BY 1)
+         |SELECT b.doc_id, b.lang, b.n_bigrams, b.mean_cost_q,
+         |  c.cutoff_cost_q,
+         |  CAST(CASE WHEN c.cutoff_cost_q IS NOT NULL
+         |            AND b.mean_cost_q <= c.cutoff_cost_q
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM bucketed b LEFT JOIN cut c USING (lang)""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH tbase AS (

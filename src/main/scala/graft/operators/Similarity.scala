@@ -50,6 +50,46 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** RADIUS (range) similarity search: every corpus vector whose cosine
+    * to the query is at least √(simSqPpm/10⁶) — the "all neighbors
+    * within a similarity ball" API that top-k search cannot express
+    * (a recall-critical dedup/contamination sweep wants EVERYTHING past
+    * the threshold, however many). The test is [[graft.operators.Dedup
+    * .semanticDedup]]'s exact integer form — milli-quantized vectors,
+    * `score²·10⁶ ≥ simSqPpm·|a|²·|b|²` in decimal, `score > 0` guard
+    * (anti-similar and zero vectors never match) — so the full result
+    * set replays hash-exactly in SQL.
+    *
+    * Scale shape: the query set broadcasts into ONE corpus scan — no
+    * shuffle, no window; output size is data-determined (that's the
+    * point of a radius query). For corpus-× -corpus radius joins use the
+    * cell-blocked [[Dedup.semanticDedup]]/`embeddingPairs` family
+    * instead — this is the bounded-query-set form. Output:
+    * (query_id, neighbor_id), plus the integer score for rank-free
+    * downstream ordering. */
+  def knnRadius(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, simSqPpm: Long = 810000L,
+                excludeSelf: Boolean = true): DataFrame = {
+    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
+      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantizeMilli(col(vecCol)).as("iq_c"))
+      .withColumn("n2_c", dotLong(col("iq_c"), col("iq_c")))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantizeMilli(col(vecCol)).as("iq_q"))
+      .withColumn("n2_q", dotLong(col("iq_q"), col("iq_q")))
+    val d = (x: Column) => x.cast("decimal(19,0)")
+    val joined = c.crossJoin(broadcast(q))
+      .withColumn("score", dotLong(col("iq_c"), col("iq_q")))
+      .where(col("score") > 0 &&
+        d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
+          d(lit(simSqPpm)) * d(col("n2_c")) * d(col("n2_q")))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    kept.select(col("query_id"), col("neighbor_id"), col("score"))
+  }
+
   /** Matryoshka truncation recall (Kusupati et al. 2022, arXiv:2205.13147):
     * per query, how many of the exact top-`k` cosine neighbors survive
     * when every vector is truncated to its first `dims` components — THE
@@ -1217,6 +1257,48 @@ object Similarity {
       .select(col(idCol).cast("long").as("neighbor_id"),
         quantizeMilli(col(vecCol)).as("c_iq"), col("cell"))
     ivfFixedRank(assigned, probes, k, excludeSelf)
+  }
+
+  /** Partition-pruned RADIUS search over the at-rest fixed-codebook IVF
+    * layout — [[knnRadius]]'s scale form: only the queries' `nprobe`
+    * nearest cells are READ from disk (cell partition pruning), then the
+    * same exact integer ball test runs within the probed candidates.
+    * Deterministic end to end (fixed codebook → fixed probe cells →
+    * fixed candidate set), so unlike learned-codebook ANN the PRUNED
+    * result itself is hash-oracled. Recall vs the full-scan
+    * [[knnRadius]] trades with `nprobe` exactly as in IVF top-k — a
+    * neighbor whose cell is never probed is missed; the containment law
+    * (pruned ⊆ full) is spec-pinned. */
+  def knnRadiusFixedPartitioned(spark: org.apache.spark.sql.SparkSession,
+                                path: String, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                centroids: Seq[Seq[Long]], nprobe: Int = 2,
+                                simSqPpm: Long = 810000L,
+                                excludeSelf: Boolean = true): DataFrame = {
+    require(simSqPpm >= 0 && simSqPpm <= 1000000L,
+      "simSqPpm is cos² in parts-per-million: [0, 1000000]")
+    val probes = fixedProbes(queries, idCol, vecCol, centroids, nprobe)
+      .pin()
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(probeCells: _*)) // partition pruning
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"), col("cell"))
+    val d = (x: Column) => x.cast("decimal(19,0)")
+    val joined = assigned.join(broadcast(probes), "cell")
+      .withColumn("score", dotLong(col("q_iq"), col("c_iq")))
+      .withColumn("n2_q", dotLong(col("q_iq"), col("q_iq")))
+      .withColumn("n2_c", dotLong(col("c_iq"), col("c_iq")))
+      .where(col("score") > 0 &&
+        d(col("score")) * d(col("score")) * d(lit(1000000L)) >=
+          d(lit(simSqPpm)) * d(col("n2_c")) * d(col("n2_q")))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    // a corpus vector lives in exactly ONE stored cell, so a (query,
+    // neighbor) pair meets at most once — no dedup pass needed
+    kept.select(col("query_id"), col("neighbor_id"), col("score"))
   }
 
   /** Scalar-quantized (SQ8) search: score the WHOLE corpus on int8 codes

@@ -449,4 +449,60 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 5, dims = 64)
     assert(full.select(min($"overlap_at_5")).as[Long].head() === 5L)
   }
+
+  test("knnRadius: exact threshold membership — in-ball pairs found, " +
+    "out-of-ball and zero vectors never, identical vectors always") {
+    import spark.implicits._
+    // hand-built 2-d vectors with clear margins around cos = 0.9:
+    // v2 ~ cos 0.950 to v1 (in), v3 ~ cos 0.70 to v1 / 0.888 to v2
+    // (out), v4 zero (never matches anything, incl. itself), v5 == v1
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.95f, 0.312f)),
+      (3L, Array(0.7f, 0.714f)),
+      (4L, Array(0.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnRadius(emb, emb, "vec_id", "embedding",
+      simSqPpm = 810000L)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L), (2L, 1L), (1L, 5L), (5L, 1L), (2L, 5L), (5L, 2L)))
+    // threshold monotonicity: a looser ball is a superset
+    val loose = Similarity.knnRadius(emb, emb, "vec_id", "embedding",
+      simSqPpm = 360000L) // cos >= 0.6
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(loose))
+    assert(loose.contains((1L, 3L)) && loose.contains((2L, 3L)))
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("knnRadiusFixedPartitioned: pruned result is contained in the " +
+    "full-scan radius result, and probe-2 finds the fixture's neighbors") {
+    import spark.implicits._
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val queries = emb.where($"vec_id" < 20)
+    val full = Similarity.knnRadius(emb, queries, "vec_id", "embedding",
+      simSqPpm = 160000L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cb = Similarity.fixedCodebook(nlist = 4, dims = 64)
+    val path = java.nio.file.Files
+      .createTempDirectory("radius-ivf").toString
+    Similarity.writeIvfFixed(emb, "vec_id", "embedding", path, cb)
+    val pruned = Similarity.knnRadiusFixedPartitioned(spark, path,
+      queries, "vec_id", "embedding", centroids = cb, nprobe = 2,
+      simSqPpm = 160000L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pruned.subsetOf(full),
+      s"pruned must never invent pairs: ${(pruned -- full).take(3)}")
+    assert(pruned.nonEmpty, "fixture corpus has in-ball neighbors")
+    // probing ALL cells removes the prune: equality with the full scan
+    val all = Similarity.knnRadiusFixedPartitioned(spark, path,
+      queries, "vec_id", "embedding", centroids = cb, nprobe = 4,
+      simSqPpm = 160000L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(all === full)
+  }
 }
