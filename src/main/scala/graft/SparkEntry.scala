@@ -3184,6 +3184,28 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id",
         "text", "lang", topN = 200, cacheKey = Some(dir))),
 
+    // per-SOURCE LM cost rollup — the "which crawl sources are
+    // corpus-typical" curation dashboard: raw integer sums (never a mean
+    // of means), cost-per-bigram by truncating div over non-negatives
+    "lm_cost_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.docLmScore(docs, "doc_id", "text", topN = 200,
+        cacheKey = Some(dir))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(-col("lm_score_q")).as("sum_cost_q"))
+        .withColumn("cost_per_bigram_q",
+          expr("sum_cost_q div greatest(sum_bigrams, 1)"))
+    }),
+
+    // embedding-table DQ report per label: null/zero/wrong-dim counts +
+    // exact integer norm² stats incl. a rank-selected lower median
+    "dq_embedding_report" -> ((s, dir) =>
+      graft.operators.DataQuality.embeddingReport(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dims = 64)),
+
     // the quality GATE as an oracled batch query — the exact decision
     // the streaming perplexityGateIngest applies on arrival: keep iff
     // mean cost <= the per-lang head+middle cutoff (model + cutoffs

@@ -4799,6 +4799,61 @@ private[graft] object SparkEntryOracles {
          |SELECT doc_id, lang, n_bigrams, mean_cost_q, ppl_bucket
          |FROM bucketed""".stripMargin,
 
+    // per-source LM cost rollup over the same model chain
+    "lm_cost_by_source" ->
+      s"""WITH ${pplCtes()}
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(coalesce(s.n_bigrams, 0)) AS BIGINT) AS sum_bigrams,
+         |  CAST(sum(-coalesce(s.score_q, 0)) AS BIGINT) AS sum_cost_q,
+         |  CAST(sum(-coalesce(s.score_q, 0))
+         |    // greatest(CAST(sum(coalesce(s.n_bigrams, 0)) AS BIGINT), 1)
+         |    AS BIGINT) AS cost_per_bigram_q
+         |FROM documents d LEFT JOIN psc s USING (doc_id)
+         |GROUP BY 1""".stripMargin,
+
+    // embedding DQ per label: milli-quantized norm² stats, lower median
+    // by rank selection (2r = n or n+1), null/zero/wrong-dim counts
+    "dq_embedding_report" ->
+      """WITH eiq AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))
+        |    END AS q,
+        |    CASE WHEN embedding IS NULL THEN NULL
+        |         ELSE CAST(len(embedding) AS BIGINT) END AS dim
+        |  FROM embeddings
+        |), en AS (
+        |  SELECT vec_id, label, dim,
+        |    CASE WHEN q IS NULL THEN NULL
+        |         ELSE CAST(coalesce(list_sum(
+        |           list_transform(q, x -> x*x)), 0) AS BIGINT)
+        |    END AS n2
+        |  FROM eiq
+        |), er AS (
+        |  SELECT label, n2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY n2 ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS nn
+        |  FROM en WHERE n2 IS NOT NULL
+        |), emed AS (
+        |  SELECT label, n2 AS median_n2 FROM er
+        |  WHERE rn*2 = nn OR rn*2 = nn + 1
+        |), est AS (
+        |  SELECT label, count(*) AS n_vectors,
+        |    CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_vec,
+        |    CAST(sum(CASE WHEN dim IS NOT NULL AND dim != 64
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_vec,
+        |    min(n2) AS min_n2, max(n2) AS max_n2
+        |  FROM en GROUP BY 1)
+        |SELECT est.label, est.n_vectors, est.n_null_vec, est.n_wrong_dim,
+        |  est.n_zero_vec, est.min_n2, est.max_n2, emed.median_n2
+        |FROM est LEFT JOIN emed USING (label)""".stripMargin,
+
     // the gate decision over the same chain: keep iff mean cost <= the
     // per-lang max cost inside head+middle
     "lm_quality_gate" ->

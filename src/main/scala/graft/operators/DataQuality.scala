@@ -307,4 +307,50 @@ object DataQuality {
         sum(col("class_size")).as("n_rows"))
       .withColumn("violates_k", (col("class_size") < k).cast("long"))
   }
+
+  /** Embedding-table quality report per label — the multimodal-side
+    * sibling of the text quality reports (a broken encoder ships
+    * null/zero/truncated vectors; norm drift flags a re-embed): vector
+    * count, null-vector / wrong-dimension / zero-vector counts, and the
+    * min / max / exact lower-MEDIAN of the milli-quantized squared norm.
+    * All integer — n2 = |q(v)|² is exact and the median is rank-selected
+    * (lower median under the (n2, id) total order), so the whole report
+    * is hash-oracled.
+    *
+    * Scale shape: one scan + one label-keyed shuffle; the rank window
+    * partitions per label, so a single giant label carries the
+    * `a_exact_median` caveat (exact/oracle-checkable form here; the
+    * at-scale swap is per-label `approx_percentile`). */
+  def embeddingReport(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.dotLong
+    val base = emb.select(col(idCol).as("_id"), col(labelCol).as("label"),
+        col(vecCol).as("_v"))
+      .withColumn("_iq", when(col("_v").isNotNull,
+        Similarity.quantizeMilli(col("_v"))))
+      .withColumn("_n2", when(col("_iq").isNotNull,
+        dotLong(col("_iq"), col("_iq"))))
+      .withColumn("_dim", when(col("_v").isNotNull,
+        size(col("_v")).cast("long")))
+    // lower-median rank r satisfies 2r == n or 2r == n + 1 — exactly one
+    // row per label either way
+    val ranked = base.where(col("_n2").isNotNull)
+      .withColumn("_rn", row_number().over(Window.partitionBy("label")
+        .orderBy(col("_n2").asc, col("_id").asc)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("label")))
+    val medians = ranked
+      .where(col("_rn") * 2 === col("_n") ||
+        col("_rn") * 2 === col("_n") + 1)
+      .select(col("label"), col("_n2").as("median_n2"))
+    base.groupBy("label").agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(col("_dim").isNotNull && col("_dim") =!= dims, 1L)
+          .otherwise(0L)).as("n_wrong_dim"),
+        sum(when(col("_n2") === 0, 1L).otherwise(0L)).as("n_zero_vec"),
+        min(col("_n2")).as("min_n2"),
+        max(col("_n2")).as("max_n2"))
+      .join(medians, Seq("label"), "left_outer")
+  }
 }
