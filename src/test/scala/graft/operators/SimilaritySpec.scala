@@ -498,6 +498,12 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned.subsetOf(full),
       s"pruned must never invent pairs: ${(pruned -- full).take(3)}")
     assert(pruned.nonEmpty, "fixture corpus has in-ball neighbors")
+    // the at-rest scan must actually prune: PartitionFilters carries the
+    // probe-cell predicate (same pin as the IVF top-k layouts)
+    val plan = Similarity.knnRadiusFixedPartitioned(spark, path,
+      queries, "vec_id", "embedding", centroids = cb, nprobe = 2,
+      simSqPpm = 160000L).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan)
     // probing ALL cells removes the prune: equality with the full scan
     val all = Similarity.knnRadiusFixedPartitioned(spark, path,
       queries, "vec_id", "embedding", centroids = cb, nprobe = 4,
