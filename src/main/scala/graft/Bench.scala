@@ -23,10 +23,15 @@ package graft
   *
   * Regression tracking: when a previous round's bench JSON is present
   * (SPARK_GRAFT_BENCH_PREV=<file>, or the highest BENCH_r*.json in the
-  * working directory), a query is flagged only when BOTH its median and its
-  * best-of-N are slower than 1.5x the previous median by >0.3s absolute — a
-  * real plan regression slows every rep, concurrent load rarely does (the
-  * r4–r6 phantom-regression lesson, encoded).
+  * working directory), TWO gates run. Median gate (`"regressions"`): a
+  * query is flagged only when BOTH its median and its best-of-N are slower
+  * than 1.5x the previous median by >0.3s absolute — a real plan
+  * regression slows every rep, concurrent load rarely does (the r4–r6
+  * phantom-regression lesson, encoded). Min gate (`"regressions_min"`):
+  * best-of-N vs the previous artifact's best-of-N at 1.3x and >0.3s — the
+  * load-immune statistic with the tighter ratio it earns (the r13
+  * `dedup_winnowing` 2.06x min drift slipped the median gate by 3 ms).
+  * Both gates share the quiesced-re-run confirmation discipline.
   *
   * SPARK_GRAFT_BENCH_ONLY=<name,name,...> restricts the run to a subset —
   * the triage loop for exactly such regressions. */
@@ -39,19 +44,44 @@ object Bench {
     (s(n / 2), s(((n - 1) * 0.25).toInt), s(math.ceil((n - 1) * 0.75).toInt))
   }
 
-  /** Pull the per-query medians out of a previous bench artifact. The file
+  /** Pull a named per-query map out of a previous bench artifact. The file
     * may be the raw JSON line or the driver's wrapper (JSON embedded in a
     * "tail" string with escaped quotes) — a regex over both shapes keeps
     * this dependency-free. */
-  private[graft] def previousMedians(text: String): Map[String, Double] = {
+  private[graft] def previousMap(text: String,
+                                 field: String): Map[String, Double] = {
     val unescaped = text.replace("\\\"", "\"")
-    val qBlock = "\"queries\":\\{([^}]*)\\}".r
+    val qBlock = ("\"" + field + "\":\\{([^}]*)\\}").r
     qBlock.findFirstMatchIn(unescaped).map { m =>
       val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
       pair.findAllMatchIn(m.group(1))
         .map(p => p.group(1) -> p.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
   }
+
+  private[graft] def previousMedians(text: String): Map[String, Double] =
+    previousMap(text, "queries")
+
+  /** Per-query best-of-N from a previous artifact (absent in pre-r12
+    * artifacts and in the driver wrapper's truncated tail → empty map,
+    * which disables the min gate rather than fabricating a baseline). */
+  private[graft] def previousMins(text: String): Map[String, Double] =
+    previousMap(text, "queries_min")
+
+  /** The regression rule as a pure seam: flag (name, prev, cur) when the
+    * current statistic is both `ratio`× and `abs` seconds slower than the
+    * previous one. Median gate: 1.5× (interleaved medians are noisy);
+    * min gate: 1.3× (best-of-N is the load-immune statistic — the r13
+    * `dedup_winnowing` 2.06× min drift sat 3 ms under the median gate's
+    * absolute threshold and shipped unflagged). */
+  private[graft] def flagRegressions(
+      cur: Seq[(String, Double)], prev: Map[String, Double],
+      ratio: Double, abs: Double): Seq[(String, Double, Double)] =
+    cur.flatMap { case (name, v) =>
+      prev.get(name)
+        .filter(p => p > 0 && v > ratio * p && v - p > abs)
+        .map(p => (name, p, v))
+    }
 
   private def previousBenchFile(): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)).orElse {
@@ -163,22 +193,27 @@ object Bench {
         .mkString("{", ",", "}")
     val ok = results.filter(_._2._1 >= 0)
     val total = ok.map(_._2._1).sum
-    // Flag regressions vs the previous round's medians (1.5x and >0.3s).
-    val prev = previousBenchFile()
-      .map(f => previousMedians(
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)))
-      .getOrElse(Map.empty)
-    // A query is flagged only when its MEDIAN and its MIN both regress
-    // (1.5x and >0.3s): the median alone trips on concurrent-load noise,
-    // while a real regression (a worse plan) slows the best rep too.
-    val flagged = ok.flatMap { case (name, (med, _, _)) =>
-      val mn = mins.getOrElse(name, med)
-      prev.get(name)
-        .filter(p => p > 0 && med > 1.5 * p && med - p > 0.3 &&
-          mn > 1.5 * p && mn - p > 0.3)
-        .map(p => (name, p, med))
-    }
+    // Flag regressions vs the previous round's medians (1.5x and >0.3s)
+    // AND vs its best-of-N (1.3x and >0.3s) — two independent tables.
+    val prevText = previousBenchFile()
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val prev = prevText.map(previousMedians).getOrElse(Map.empty)
+    val prevMin = prevText.map(previousMins).getOrElse(Map.empty)
+    val curMed = ok.map { case (name, (med, _, _)) => name -> med }
+    val curMin = ok.map { case (name, (med, _, _)) =>
+      name -> mins.getOrElse(name, med) }
+    // Median gate: flagged only when MEDIAN and MIN both regress vs the
+    // previous MEDIAN (the median alone trips on concurrent-load noise,
+    // while a real regression — a worse plan — slows the best rep too).
+    val minAlsoSlow =
+      flagRegressions(curMin, prev, 1.5, 0.3).map(_._1).toSet
+    val flagged = flagRegressions(curMed, prev, 1.5, 0.3)
+      .filter { case (name, _, _) => minAlsoSlow(name) }
+    // Min gate: best-of-N vs previous best-of-N, tighter ratio — the
+    // cleanest signal on a noisy 32-core box (r13 lesson: a 2.06x min
+    // drift shipped because the median table alone was consulted).
+    val minFlagged = flagRegressions(curMin, prevMin, 1.3, 0.3)
     // Confirmation pass (the r9 lesson: four ≥1.6x phantom rows shipped
     // unexplained): every flagged query is re-run `reps` more times AFTER
     // the full interleaved pass has quiesced, and the flag survives only
@@ -188,37 +223,50 @@ object Bench {
     // at the 12 worst flags by ratio so a machine-wide slowdown (every
     // query flagged) cannot double the run — uncapped flags pass through
     // unconfirmed, which is the conservative direction (kept, reported).
-    val (toConfirm, unconfirmed) =
-      flagged.sortBy { case (_, p, med) => -(med / p) }.splitAt(12)
-    unconfirmed.foreach { case (name, p, med) =>
-      System.err.println(
-        f"[bench] REGRESSION $name: $p%.3fs -> $med%.3fs (${med / p}%.1fx), kept UNCONFIRMED (past the re-run cap)")
-    }
-    val regressions = unconfirmed ++ toConfirm.flatMap { case (name, p, med) =>
-      val fn = SparkEntry.queries(name)
-      val rerun = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => Double.MaxValue }
-      }
-      val mn = rerun.min
-      if (mn > 1.5 * p && mn - p > 0.3) {
+    // A query flagged by BOTH gates re-runs once (memoized best).
+    val rerunBest = scala.collection.mutable.Map[String, Double]()
+    def bestOfRerun(name: String): Double =
+      rerunBest.getOrElseUpdate(name, {
+        val fn = SparkEntry.queries(name)
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => Double.MaxValue }
+        }.min
+      })
+    def confirmPass(flags: Seq[(String, Double, Double)], ratio: Double,
+                    gate: String): Seq[(String, Double, Double)] = {
+      val (toConfirm, unconfirmed) =
+        flags.sortBy { case (_, p, v) => -(v / p) }.splitAt(12)
+      unconfirmed.foreach { case (name, p, v) =>
         System.err.println(
-          f"[bench] REGRESSION $name: $p%.3fs -> $med%.3fs (${med / p}%.1fx), confirmed on re-run (best $mn%.3fs)")
-        Some((name, p, math.min(med, mn)))
-      } else {
-        System.err.println(
-          f"[bench] regression NOT confirmed $name: $p%.3fs -> $med%.3fs interleaved, but re-run best $mn%.3fs — environmental")
-        None
+          f"[bench] REGRESSION($gate) $name: $p%.3fs -> $v%.3fs (${v / p}%.1fx), kept UNCONFIRMED (past the re-run cap)")
+      }
+      unconfirmed ++ toConfirm.flatMap { case (name, p, v) =>
+        val mn = bestOfRerun(name)
+        if (mn > ratio * p && mn - p > 0.3) {
+          System.err.println(
+            f"[bench] REGRESSION($gate) $name: $p%.3fs -> $v%.3fs (${v / p}%.1fx), confirmed on re-run (best $mn%.3fs)")
+          Some((name, p, math.min(v, mn)))
+        } else {
+          System.err.println(
+            f"[bench] regression($gate) NOT confirmed $name: $p%.3fs -> $v%.3fs interleaved, but re-run best $mn%.3fs — environmental")
+          None
+        }
       }
     }
-    // The stdout line must survive a 2000-char tail: cap regressions at the
+    val regressions = confirmPass(flagged, 1.5, "median")
+    val regressionsMin = confirmPass(minFlagged, 1.3, "min")
+    // The stdout line must survive a 2000-char tail: cap each table at the
     // 8 worst by ratio (the full list is in BENCH_FULL.json regardless).
-    val regs = regressions.sortBy { case (_, p, c) => -(c / p) }.take(8)
-      .map { case (n, p, c) => "\"" + n + "\":[" + f"$p%.3f,$c%.3f]" }
-      .mkString("{", ",", "}")
+    def regsJson(rs: Seq[(String, Double, Double)]): String =
+      rs.sortBy { case (_, p, c) => -(c / p) }.take(8)
+        .map { case (n, p, c) => "\"" + n + "\":[" + f"$p%.3f,$c%.3f]" }
+        .mkString("{", ",", "}")
+    val regs = regsJson(regressions)
+    val regsMin = regsJson(regressionsMin)
     // Ingestion throughput on the reference's own production zips, the
     // direct comparison point to BASELINE.md's headline 1,457 rows/s
     // (zip->XML ingest, import_xml.log:30277-30281).
@@ -242,7 +290,7 @@ object Bench {
     // triaged subset.
     if (only.isEmpty) {
       val fullJson =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs$ingest$ivfBuild,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -265,7 +313,7 @@ object Bench {
       .map { case (n, m) => "\"" + n + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline,"regressions":$regs$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline,"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // print AFTER spark.stop(): the shutdown's INFO flood otherwise lands
     // between this line and process exit, displacing it from a harness
     // that keeps only the output tail (BENCH_r11 "parsed": null)

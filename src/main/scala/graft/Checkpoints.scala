@@ -20,6 +20,19 @@ import org.apache.spark.sql.Dataset
   *    the correct mode for a 1000-executor cluster with dynamic
   *    allocation, at the cost of one distributed-FS write per pin.
   *
+  * RETENTION (reliable mode): Spark never deletes reliable checkpoint
+  * files by default (`spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is `false`, and it is a context-start conf a library cannot flip at
+  * runtime). The iterative loops here (connected components, PageRank,
+  * LPA, k-core) pin every few rounds, so a long-lived driver accumulates
+  * checkpoint data in the configured directory without bound. Cluster
+  * operators running reliable mode should either (a) set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` at context
+  * start so GC'd pins are reaped, or (b) point `spark.graft.checkpoint
+  * .dir` at a per-run directory and delete it between corpus
+  * generations. Local mode has no such cost (blocks die with the
+  * executors).
+  *
   * Both modes cut the logical plan to a leaf, which is the property every
   * call site actually needs (bounded plan growth in loops, no re-running
   * an expensive kernel per consumer, no CacheManager entry held for the
@@ -36,6 +49,22 @@ object Checkpoints {
     * SparkContext has no checkpoint dir set yet. */
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Reliable-mode dir resolution: a pre-set context dir wins (returns
+    * None — nothing to set); otherwise [[DirKey]] must be configured or
+    * this throws. A seam separate from [[pin]] so the missing-dir error
+    * path stays spec-covered regardless of the (sticky, suite-order-
+    * dependent) `SparkContext.setCheckpointDir` state. */
+  private[graft] def reliableDirToSet(
+      spark: org.apache.spark.sql.SparkSession,
+      contextDir: Option[String]): Option[String] =
+    contextDir match {
+      case Some(_) => None
+      case None => Some(spark.conf.getOption(DirKey).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ModeKey=reliable needs $DirKey (or a pre-set " +
+            "SparkContext.setCheckpointDir)")))
+    }
+
   /** Truncate `ds`'s lineage per the session's configured mode. */
   def pin[T](ds: Dataset[T], eager: Boolean): Dataset[T] = {
     val spark = ds.sparkSession
@@ -43,13 +72,8 @@ object Checkpoints {
       case "local" => ds.localCheckpoint(eager)
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = spark.conf.getOption(DirKey).getOrElse(
-            throw new IllegalArgumentException(
-              s"$ModeKey=reliable needs $DirKey (or a pre-set " +
-                "SparkContext.setCheckpointDir)"))
-          sc.setCheckpointDir(dir)
-        }
+        reliableDirToSet(spark, sc.getCheckpointDir)
+          .foreach(sc.setCheckpointDir)
         ds.checkpoint(eager)
       case other =>
         throw new IllegalArgumentException(

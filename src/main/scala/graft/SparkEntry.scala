@@ -3053,16 +3053,17 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
 
-    // The HEAD of the merge table under a full hash oracle: 3 unrolled
+    // The HEAD of the merge table under a full hash oracle: 8 unrolled
     // merge rounds replay in SQL (the graph_kcore unroll treatment) —
     // words as double-space-delimited symbol strings, pair counts via
     // adjacent-symbol explode, the winning merge applied with left-to-
     // right non-overlapping replace(' l  r ' -> ' lr '), which is exactly
-    // the driver loop's greedy scan. Oracles the merge selection, the
-    // tie order and the re-segmentation; the 50-deep table above stays
-    // rows-only (spec-pinned)
+    // the driver loop's greedy scan. Depth 8 reaches the regime where
+    // merges INTERACT (later winners contain earlier merge products, so
+    // the oracle also proves re-segmentation feeds selection correctly);
+    // the 50-deep table above stays rows-only (spec-pinned)
     "bpe_merges_head" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 3)),
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)),
 
     // CAPSTONE — the whole corpus-curation pipeline in one query: quality
     // gate -> near-dup survivor selection -> benchmark decontamination,

@@ -808,7 +808,7 @@ private[graft] object SparkEntryOracles {
        |$pqFixedTopK""".stripMargin
   }
 
-  /** 3-round unrolled BPE-head twin (the graph_kcore unroll treatment):
+  /** 8-round unrolled BPE-head twin (the graph_kcore unroll treatment):
     * words live as double-space-delimited symbol strings bounded by
     * single spaces (' a  b  c '), so a pair occurrence is the literal
     * ' l  r ' and DuckDB's replace() — left-to-right, non-overlapping —
@@ -816,8 +816,14 @@ private[graft] object SparkEntryOracles {
     * ([[graft.operators.TextAnalysis.bpeMerges]]); symbol boundaries on
     * both sides of the pattern kill suffix false-matches ('xa  b' never
     * matches ' a  b '), and adjacent occurrences don't share pattern
-    * characters, so 'a a a' merges to 'aa a' on both engines. */
+    * characters, so 'a a a' merges to 'aa a' on both engines. Depth 8
+    * covers the merge-interaction regime (winners built FROM earlier
+    * merge products). Each sp_i is referenced twice (next round's pair
+    * count + apply), so they are AS MATERIALIZED — DuckDB would
+    * otherwise inline the whole growing replace() chain per reference
+    * and the unroll would go exponential in the optimizer. */
   private lazy val bpeHeadSql: String = {
+    val depth = 8
     def pairsCte(src: String, out: String) =
       s"""$out AS (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -828,10 +834,23 @@ private[graft] object SparkEntryOracles {
     def bestCte(src: String, out: String) =
       s"$out AS (SELECT l, r, cnt FROM $src ORDER BY cnt DESC, l, r LIMIT 1)"
     def applyCte(spSrc: String, bSrc: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT replace(sp, ' ' || b.l || '  ' || b.r || ' ',
          |                 ' ' || b.l || b.r || ' ') AS sp, n
          |  FROM $spSrc, $bSrc b)""".stripMargin
+    val rounds = (1 to depth).map { i =>
+      val prevSp = s"sp${i - 1}"
+      val apply =
+        if (i < depth) ",\n" + applyCte(prevSp, s"b$i", s"sp$i") else ""
+      s"""${pairsCte(prevSp, s"p$i")},
+         |${bestCte(s"p$i", s"b$i")}$apply""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to depth).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(1 AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+           |  cnt AS pair_count FROM b1""".stripMargin
+      else s"UNION ALL SELECT CAST($i AS BIGINT), l, r, cnt FROM b$i"
+    }.mkString("\n")
     s"""WITH toks AS (
        |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |  FROM documents),
@@ -839,22 +858,12 @@ private[graft] object SparkEntryOracles {
        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
        |  WHERE length(w) > 0 GROUP BY w
        |  ORDER BY n DESC, w ASC LIMIT 50000),
-       |sp0 AS (
+       |sp0 AS MATERIALIZED (
        |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
        |    AS sp, n
        |  FROM wc),
-       |${pairsCte("sp0", "p1")},
-       |${bestCte("p1", "b1")},
-       |${applyCte("sp0", "b1", "sp1")},
-       |${pairsCte("sp1", "p2")},
-       |${bestCte("p2", "b2")},
-       |${applyCte("sp1", "b2", "sp2")},
-       |${pairsCte("sp2", "p3")},
-       |${bestCte("p3", "b3")}
-       |SELECT CAST(1 AS BIGINT) AS merge_rank, l AS "left", r AS "right",
-       |  cnt AS pair_count FROM b1
-       |UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM b2
-       |UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM b3""".stripMargin
+       |$rounds
+       |$union""".stripMargin
   }
 
   /** IVF(fixed literal codebook) + SQ8, composed: cells/probes replay as
@@ -4817,6 +4826,9 @@ private[graft] object SparkEntryOracles {
     "dq_embedding_report" ->
       """WITH eiq AS (
         |  SELECT vec_id, label,
+        |    CASE WHEN embedding IS NOT NULL AND len(list_filter(
+        |           embedding, x -> x IS NULL)) > 0
+        |         THEN TRUE ELSE FALSE END AS null_elem,
         |    CASE WHEN embedding IS NULL THEN NULL
         |         ELSE list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT))
@@ -4825,8 +4837,8 @@ private[graft] object SparkEntryOracles {
         |         ELSE CAST(len(embedding) AS BIGINT) END AS dim
         |  FROM embeddings
         |), en AS (
-        |  SELECT vec_id, label, dim,
-        |    CASE WHEN q IS NULL THEN NULL
+        |  SELECT vec_id, label, dim, null_elem,
+        |    CASE WHEN q IS NULL OR null_elem THEN NULL
         |         ELSE CAST(coalesce(list_sum(
         |           list_transform(q, x -> x*x)), 0) AS BIGINT)
         |    END AS n2
@@ -4844,14 +4856,17 @@ private[graft] object SparkEntryOracles {
         |  SELECT label, count(*) AS n_vectors,
         |    CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_null_vec,
+        |    CAST(sum(CASE WHEN null_elem THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_elem,
         |    CAST(sum(CASE WHEN dim IS NOT NULL AND dim != 64
         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
         |    CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_zero_vec,
         |    min(n2) AS min_n2, max(n2) AS max_n2
         |  FROM en GROUP BY 1)
-        |SELECT est.label, est.n_vectors, est.n_null_vec, est.n_wrong_dim,
-        |  est.n_zero_vec, est.min_n2, est.max_n2, emed.median_n2
+        |SELECT est.label, est.n_vectors, est.n_null_vec, est.n_null_elem,
+        |  est.n_wrong_dim, est.n_zero_vec, est.min_n2, est.max_n2,
+        |  emed.median_n2
         |FROM est LEFT JOIN emed USING (label)""".stripMargin,
 
     // the gate decision over the same chain: keep iff mean cost <= the

@@ -325,9 +325,16 @@ object DataQuality {
                       labelCol: String, dims: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GraftFunctions.dotLong
+    // Element-level nulls are counted explicitly (n_null_elem) and
+    // excluded from the norm path: quantizeMilli's dot product assumes
+    // no-null elements, so feeding it a vector with a NULL element would
+    // produce an unspecified n2 instead of flagging the dirty row — the
+    // one thing a DQ report must never do.
     val base = emb.select(col(idCol).as("_id"), col(labelCol).as("label"),
         col(vecCol).as("_v"))
-      .withColumn("_iq", when(col("_v").isNotNull,
+      .withColumn("_null_elem", col("_v").isNotNull &&
+        exists(col("_v"), x => x.isNull))
+      .withColumn("_iq", when(col("_v").isNotNull && !col("_null_elem"),
         Similarity.quantizeMilli(col("_v"))))
       .withColumn("_n2", when(col("_iq").isNotNull,
         dotLong(col("_iq"), col("_iq"))))
@@ -346,6 +353,7 @@ object DataQuality {
     base.groupBy("label").agg(
         count(lit(1)).as("n_vectors"),
         sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(col("_null_elem"), 1L).otherwise(0L)).as("n_null_elem"),
         sum(when(col("_dim").isNotNull && col("_dim") =!= dims, 1L)
           .otherwise(0L)).as("n_wrong_dim"),
         sum(when(col("_n2") === 0, 1L).otherwise(0L)).as("n_zero_vec"),

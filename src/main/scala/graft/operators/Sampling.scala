@@ -337,7 +337,11 @@ object Sampling {
     val ranked = based
       .withColumn("_L", lit(budget) - sum(col("base")).over(one))
       .withColumn("_rk", row_number().over(
-        one.orderBy(col("_rem").desc, col(groupCol).asc)))
+        // asc_nulls_last: Spark's bare asc sorts NULLs first while the
+        // DuckDB oracle's ORDER BY ... ASC defaults to NULLs last — a
+        // NULL group tying on remainder would take the bonus unit
+        // differently between engines unless the null order is pinned
+        one.orderBy(col("_rem").desc, col(groupCol).asc_nulls_last)))
     ranked.select(col(groupCol), col("n_docs"), col("w_q"),
       least(col("base") +
         when(col("_rk") <= col("_L"), 1L).otherwise(0L),

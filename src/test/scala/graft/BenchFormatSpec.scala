@@ -21,6 +21,37 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.previousMedians(wrapped) === Map("a" -> 1.25, "b" -> 0.125))
   }
 
+  test("previousMins reads queries_min, not the queries block; absent " +
+    "field disables the gate (empty map)") {
+    val raw =
+      """{"metric":"total","queries":{"q1":0.500,"b":2.000},"queries_min":{"q1":0.400,"b":1.500},"regressions":{},"sf":"x"}"""
+    assert(Bench.previousMins(raw) === Map("q1" -> 0.4, "b" -> 1.5))
+    assert(Bench.previousMedians(raw) === Map("q1" -> 0.5, "b" -> 2.0))
+    val pre12 = """{"metric":"total","queries":{"q1":0.500},"sf":"x"}"""
+    assert(Bench.previousMins(pre12) === Map.empty)
+  }
+
+  test("min gate flags a planted slowdown the median gate misses " +
+    "(the r13 dedup_winnowing shape: 0.491 -> 1.011s best-of-N)") {
+    // prev: median 0.786 / min 0.491; cur: median 1.083 / min 1.011.
+    // Median gate (1.5x AND +0.3s on the median): 1.083 < 1.5*0.786 —
+    // not flagged, exactly how r13 shipped the drift. Min gate (1.3x,
+    // +0.3s on best-of-N): 1.011 > 1.3*0.491 and +0.52s — flagged.
+    val prevMed = Map("dedup_winnowing" -> 0.786)
+    val prevMin = Map("dedup_winnowing" -> 0.491)
+    val curMed = Seq("dedup_winnowing" -> 1.083)
+    val curMin = Seq("dedup_winnowing" -> 1.011)
+    assert(Bench.flagRegressions(curMed, prevMed, 1.5, 0.3).isEmpty)
+    assert(Bench.flagRegressions(curMin, prevMin, 1.3, 0.3) ===
+      Seq(("dedup_winnowing", 0.491, 1.011)))
+    // and the min gate stays quiet on a sub-threshold wobble
+    assert(Bench.flagRegressions(Seq("q" -> 0.70), Map("q" -> 0.55),
+      1.3, 0.3).isEmpty, "0.15s absolute drift must not flag")
+    // a failed previous rep (-1.0) can never seed a baseline
+    assert(Bench.flagRegressions(Seq("q" -> 9.9), Map("q" -> -1.0),
+      1.3, 0.3).isEmpty)
+  }
+
   test("every registered query maps to a named family (no 'other')") {
     val unbucketed = SparkEntry.queries.keys.filter(Bench.familyOf(_) == "other")
     assert(unbucketed.isEmpty, s"unbucketed queries: $unbucketed")

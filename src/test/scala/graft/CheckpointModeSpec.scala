@@ -27,17 +27,27 @@ class CheckpointModeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
   }
 
-  // registration order matters: this must run before any test sets the
-  // context's checkpoint dir (setCheckpointDir is sticky on the context)
   test("reliable mode without a dir fails fast with the conf names") {
-    assume(spark.sparkContext.getCheckpointDir.isEmpty)
-    spark.conf.set(Checkpoints.ModeKey, "reliable")
-    try {
-      val e = intercept[IllegalArgumentException] {
-        Checkpoints.pin(spark.range(3).toDF(), eager = true)
-      }
-      assert(e.getMessage.contains(Checkpoints.DirKey))
-    } finally spark.conf.unset(Checkpoints.ModeKey)
+    // the seam covers the error path UNCONDITIONALLY — it takes the
+    // context-dir state as an argument, so no assume / suite-order
+    // dependence (setCheckpointDir is sticky on the shared context)
+    val e = intercept[IllegalArgumentException] {
+      Checkpoints.reliableDirToSet(spark, contextDir = None)
+    }
+    assert(e.getMessage.contains(Checkpoints.DirKey))
+    // a pre-set context dir wins: nothing to set, no DirKey required
+    assert(Checkpoints.reliableDirToSet(spark,
+      contextDir = Some("/pre/set")) === None)
+    // end-to-end variant when the real context still has no dir
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set(Checkpoints.ModeKey, "reliable")
+      try {
+        val e2 = intercept[IllegalArgumentException] {
+          Checkpoints.pin(spark.range(3).toDF(), eager = true)
+        }
+        assert(e2.getMessage.contains(Checkpoints.DirKey))
+      } finally spark.conf.unset(Checkpoints.ModeKey)
+    }
   }
 
   test("unknown mode is rejected, not silently treated as local") {

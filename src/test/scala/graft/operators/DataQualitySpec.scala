@@ -166,25 +166,29 @@ class DataQualitySpec extends SparkSpec {
     assert(got === Array((1L, 3L, 3L, 1L), (2L, 1L, 2L, 1L), (3L, 2L, 6L, 0L)))
   }
 
-  test("embeddingReport: hand-computed per-label norm stats; null, zero " +
-    "and wrong-dimension vectors counted; exact lower median") {
+  test("embeddingReport: hand-computed per-label norm stats; null, zero, " +
+    "null-element and wrong-dimension vectors counted; exact lower median") {
     import spark.implicits._
     val emb = Seq(
-      (1L, Array(0.0f, 0.0f), 1),          // zero vector, n2 = 0
-      (2L, Array(0.001f, 0.0f), 1),        // n2 = 1
-      (3L, Array(0.002f, 0.0f), 1),        // n2 = 4
-      (4L, Array(0.003f, 0.0f), 1),        // n2 = 9
-      (5L, null.asInstanceOf[Array[Float]], 2),
-      (6L, Array(0.001f, 0.001f, 0.001f), 2) // wrong dim (3), n2 = 3
+      (1L, Seq[Option[Float]](Some(0.0f), Some(0.0f)), 1),   // zero, n2 = 0
+      (2L, Seq[Option[Float]](Some(0.001f), Some(0.0f)), 1), // n2 = 1
+      (3L, Seq[Option[Float]](Some(0.002f), Some(0.0f)), 1), // n2 = 4
+      (4L, Seq[Option[Float]](Some(0.003f), Some(0.0f)), 1), // n2 = 9
+      (5L, null.asInstanceOf[Seq[Option[Float]]], 2),
+      (6L, Seq[Option[Float]](Some(0.001f), Some(0.001f),
+        Some(0.001f)), 2),                          // wrong dim (3), n2 = 3
+      (7L, Seq[Option[Float]](Some(0.001f), None), 2) // NULL element — must
+      // be counted, NOT fed into the norm (dot_long skips null guards)
     ).toDF("vec_id", "embedding", "label")
     val got = DataQuality.embeddingReport(emb, "vec_id", "embedding",
       "label", dims = 2)
-      .as[(Int, Long, Long, Long, Long, Option[Long], Option[Long],
+      .as[(Int, Long, Long, Long, Long, Long, Option[Long], Option[Long],
         Option[Long])].collect().map(r => r._1 -> r).toMap
     // label 1: 4 vectors, one zero; n2 in {0,1,4,9} -> lower median 1
-    assert(got(1) === ((1, 4L, 0L, 0L, 1L, Some(0L), Some(9L), Some(1L))))
-    // label 2: null vec counted, wrong-dim counted, median over the one
+    assert(got(1) === ((1, 4L, 0L, 0L, 0L, 1L, Some(0L), Some(9L), Some(1L))))
+    // label 2: null vec counted, null-element vec counted and excluded
+    // from the norm stats, wrong-dim counted; median over the one
     // measurable vector
-    assert(got(2) === ((2, 2L, 1L, 1L, 0L, Some(3L), Some(3L), Some(3L))))
+    assert(got(2) === ((2, 3L, 1L, 1L, 1L, 0L, Some(3L), Some(3L), Some(3L))))
   }
 }

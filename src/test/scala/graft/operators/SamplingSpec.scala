@@ -279,6 +279,21 @@ class SamplingSpec extends SparkSpec {
     assert(a12("c")._3 === 1L && a12("a")._3 === 6L && a12("b")._3 === 4L)
   }
 
+  test("temperatureAlloc: a NULL group tying on remainder sorts LAST " +
+    "(DuckDB default null order) — the bonus unit goes to the named group") {
+    import spark.implicits._
+    // groups a:4 null:4 b:1 -> w_q 2e6/2e6/1e6, W = 5e6. budget 1: all
+    // bases 0, remainders 2e6/2e6/1e6, leftover 1 — a and NULL tie on
+    // remainder, so the tie-break order decides who gets the single unit.
+    val docs = ((1 to 4).map(i => (i.toLong, Some("a"))) ++
+      (11 to 14).map(i => (i.toLong, Option.empty[String])) ++
+      Seq((21L, Some("b")))).toDF("id", "g")
+    val got = Sampling.temperatureAlloc(docs, "g", 1L)
+      .as[(Option[String], Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got === Map(Some("a") -> 1L, None -> 0L, Some("b") -> 0L))
+  }
+
   test("temperatureSample: per-group counts equal the allocation; " +
     "deterministic; members are the lowest-md5 rows of each group") {
     import spark.implicits._
