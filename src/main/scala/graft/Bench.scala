@@ -312,8 +312,15 @@ object Bench {
       .distinctBy(_._1).sortBy(_._1)
       .map { case (n, m) => "\"" + n + "\":" + f"$m%.2f" }
       .mkString("{", ",", "}")
+    // Triage (BENCH_ONLY) runs don't write BENCH_FULL, so surface the
+    // best-of-N inline — the statistic regression triage actually needs
+    // (medians alone made the r13 winnow A/B unreadable). Subset lines
+    // are small; the tail budget concern is the full-registry line only.
+    val minsInline =
+      if (only.isEmpty) ""
+      else s""","queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))}"""
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline,"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline$minsInline,"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // print AFTER spark.stop(): the shutdown's INFO flood otherwise lands
     // between this line and process exit, displacing it from a harness
     // that keeps only the output tail (BENCH_r11 "parsed": null)

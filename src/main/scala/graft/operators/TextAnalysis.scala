@@ -345,7 +345,12 @@ object TextAnalysis {
     winnowClusterCache.getOrCompute(docs.sparkSession,
       (key, k, w, minShared, maxDf)) {
       Dedup.connectedComponents(
-        winnowPairs(docs, idCol, textCol, k, w, minShared, maxDf)
+        // cacheScan=false: the pair graph is consumed ONCE (this CC
+        // build, memoized per corpus key) and then discarded — lineage
+        // pins free with the RDD on GC, a persist() entry would hold the
+        // exploded corpus table for the whole session per generation
+        winnowPairs(docs, idCol, textCol, k, w, minShared, maxDf,
+          cacheScan = false)
           .select(col("id_a"), col("id_b")), "id_a", "id_b")
     }
 
@@ -421,23 +426,33 @@ object TextAnalysis {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20,
-                  metric: String = "winnow_df_cap"): DataFrame = {
+                  metric: String = "winnow_df_cap",
+                  cacheScan: Boolean = true): DataFrame = {
     // the exploded fingerprint table is consumed three times (df agg +
     // both sides of the pair join) — materialize the winnow scan once.
-    // localCheckpoint, not persist: this runs per call (incl. per
-    // streaming micro-batch through dedupIngestWinnow), and a
-    // CacheManager entry is never GC'd — checkpoint blocks free with
-    // the RDD (spark.graft.checkpoint.mode=reliable is the cluster form).
+    // HOW it materializes is the round-14 A/B finding (min-of-5, sf0.1):
+    // Dataset persist() 0.74 s, lazy localCheckpoint 1.22 s, eager 1.33 s,
+    // no materialization 1.58 s (kernel re-runs) — the columnar cache
+    // reads ~2x faster than serialized checkpoint blocks here, and
+    // cached blocks are RECOMPUTABLE from lineage (safe under executor
+    // loss, which localCheckpoint is not). So the default is persist().
+    // The one place persist loses: a CacheManager entry is never GC'd,
+    // so a long-lived STREAMING driver calling this per micro-batch
+    // accumulates entries without bound (the r12 review finding) —
+    // those call sites pass cacheScan=false and take the leak-free
+    // lineage pin (conf-routed: spark.graft.checkpoint.mode=reliable
+    // survives executor loss) at the measured +0.6 s/batch.
     // explode_OUTER: the inner form lets InferFiltersFromGenerate plant a
     // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
     // window minima) once more per row — the inferred-generator-filter
     // class PlanQualitySpec sweeps for. The null f rows outer emits for
     // short docs die at the pair equi-join (and never match `hot`).
     // hot is NOT force-broadcast (it grows with corpus boilerplate; let
-    // AQE broadcast only while it fits).
-    val ex = winnowFp(docs, idCol, textCol, k, w)
+    // AQE broadcast only while it fits — measured free at sf0.1 either
+    // way in the same A/B).
+    val raw = winnowFp(docs, idCol, textCol, k, w)
       .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
-      .pin()
+    val ex = if (cacheScan) raw.persist() else raw.pin()
     // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
     // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
     // production run must be able to see the recall it traded —

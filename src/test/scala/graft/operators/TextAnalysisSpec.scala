@@ -847,6 +847,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!cl.contains(4L), cl.toString)
   }
 
+  test("winnowPairs cacheScan: both materialization strategies return " +
+    "identical pairs; cacheScan=false adds NO CacheManager entry (the " +
+    "streaming per-micro-batch leak-free form)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "THE QUICK  brown fox... jumps over the lazy dog AGAIN and again"),
+      (3L, "completely different content that pairs with nothing here")
+    ).toDF("doc_id", "text")
+    val cached = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 20)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val pinned = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 20, cacheScan = false)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(pinned === cached)
+    assert(cm.isEmpty, "cacheScan=false must not register a cache entry")
+  }
+
   test("substringCut: earliest doc keeps its copy; later docs lose the " +
     "interval UNION of marked spans (identical and overlapping marks " +
     "never double-count); short and null docs zeroed") {
