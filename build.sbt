@@ -33,3 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Measurement-run conf injection (e.g. flipping
+// spark.graft.checkpoint.mode for the reliable-mode cost table):
+// space-separated -D flags for the forked JVM; SparkConf picks up any
+// spark.* system property at session build. Read at sbt LOAD time.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -3231,6 +3231,57 @@ object SparkEntry {
       TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id",
         "text")),
 
+    // Gopher quality rules (Rae 2021 App. A1.1): the canonical document
+    // filter battery as per-doc flags + integer evidence; every ratio
+    // threshold cross-multiplied, so the report is hash-exact
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+
+    // C4 cleaning report (Raffel 2020 §2.2): line-level keeps (terminal
+    // punctuation + >=5 words) and the page-level lorem/brace/javascript/
+    // few-sentences gates
+    "text_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4Filters(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Capstone #6 — the Gopher-style curation front door: quality rules
+    // AND C4 page gates -> exact dedup of the survivors, rolled up per
+    // source. Both filter reports and the dedup are individually oracled
+    // above; the oracle replays the chain, so the green hash proves the
+    // COMPOSITION exact
+    "pipeline_gopher" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flags = docs
+        .select(col("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit("")).cast("binary")).as("_fp"))
+        .join(TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .select(col("doc_id"), col("pass")), Seq("doc_id"))
+        .join(TextAnalysis.c4Filters(docs, "doc_id", "text")
+          .select(col("doc_id"), col("kept")), Seq("doc_id"))
+        .pinLazy() // consumed by the rollup AND the survivor dedup
+      val uniq = flags.where(col("pass") === 1L && col("kept") === 1L)
+        .groupBy("_fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val uniqBySource = flags.join(uniq, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("n_unique"))
+      flags.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pass")).as("n_gopher_pass"),
+          sum(col("kept")).as("n_c4_kept"),
+          sum(when(col("pass") === 1L && col("kept") === 1L, 1L)
+            .otherwise(0L)).as("n_both"))
+        .join(uniqBySource, Seq("source"), "left_outer")
+        .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+    }),
+
+    // Prototypicality pruning (Sorscher 2022): per fixed-codebook cell,
+    // rank by exact integer closeness to the cell centroid and prune the
+    // top fifth (the redundant near-center examples) — the data-pruning
+    // complement of SemDeDup, hash-oracled end to end
+    "emb_prototype_prune" -> ((s, dir) =>
+      graft.operators.Embeddings.prototypePrune(t(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64))),
+
     // Temperature-scaled (T=2) language mix (Conneau 2019 / XLM-R):
     // per-lang share of a 400-doc budget ∝ sqrt(n_lang), largest-
     // remainder apportionment, clamped to group size — integer-exact

@@ -808,6 +808,152 @@ private[graft] object SparkEntryOracles {
        |$pqFixedTopK""".stripMargin
   }
 
+  /** Gopher-rule CTE chain (g* prefix; final relation `gpass`): the
+    * engine's [[graft.operators.TextAnalysis.gopherRules]] replayed —
+    * whitespace tokens of lower(trim(text)), newline lines, replace()-
+    * delta character counts, cross-multiplied ratio flags. Shared by the
+    * standalone report and the `pipeline_gopher` capstone. */
+  private lazy val gopherCtes: String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopSum = stops.map(sw =>
+      s"(CASE WHEN list_contains(ws, '$sw') THEN 1 ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""gbase AS (
+       |  SELECT doc_id, coalesce(text, '') AS t,
+       |    lower(trim(coalesce(text, ''))) AS lt
+       |  FROM documents),
+       |gtok AS (
+       |  SELECT doc_id, t, lt,
+       |    list_filter(string_split_regex(lt, '\\s+'),
+       |      w -> len(w) > 0) AS ws,
+       |    string_split(t, chr(10)) AS ls
+       |  FROM gbase),
+       |gcnt AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(lt, '\\s+', '', 'g')) AS BIGINT)
+       |      AS sum_chars,
+       |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+       |      AS n_hash,
+       |    CAST((length(t) - length(replace(t, '...', ''))) // 3
+       |      + (length(t) - length(replace(t, '…', ''))) AS BIGINT)
+       |      AS n_ellipsis,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+       |      OR starts_with(ltrim(l), '*')
+       |      OR starts_with(ltrim(l), '•'))) AS BIGINT)
+       |      AS n_bullet_lines,
+       |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS BIGINT)
+       |      AS n_ellipsis_lines,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+       |      AS BIGINT) AS n_alpha_words,
+       |    CAST($stopSum AS BIGINT) AS n_stopword_hits
+       |  FROM gtok),
+       |gflag AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN n_words < 50 OR n_words > 100000
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       |    CAST(CASE WHEN 3 * n_words > sum_chars
+       |              OR sum_chars > 10 * n_words
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_mean_wlen,
+       |    CAST(CASE WHEN 10 * (n_hash + n_ellipsis) > n_words
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_symbol_ratio,
+       |    CAST(CASE WHEN 10 * n_bullet_lines > 9 * n_lines
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+       |    CAST(CASE WHEN 10 * n_ellipsis_lines > 3 * n_lines
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+       |    CAST(CASE WHEN 5 * n_alpha_words < 4 * n_words
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+       |    CAST(CASE WHEN n_stopword_hits < 2
+       |         THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords
+       |  FROM gcnt),
+       |gpass AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN r_word_count + r_mean_wlen + r_symbol_ratio
+       |      + r_bullet + r_ellipsis + r_alpha + r_stopwords = 0
+       |      THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |  FROM gflag)""".stripMargin
+  }
+
+  /** C4-filter CTE chain (k* prefix; final relation `kout`): kept lines
+    * end in terminal punctuation AND carry >= 5 words; page gates are
+    * membership tests over the case-folded text. */
+  private lazy val c4Ctes: String =
+    """kbase AS (
+      |  SELECT doc_id, coalesce(text, '') AS t,
+      |    lower(coalesce(text, '')) AS lt,
+      |    string_split(coalesce(text, ''), chr(10)) AS ls
+      |  FROM documents),
+      |kkept AS (
+      |  SELECT doc_id, t, lt, ls,
+      |    list_filter(ls, l -> (ends_with(rtrim(l), '.')
+      |      OR ends_with(rtrim(l), '!') OR ends_with(rtrim(l), '?')
+      |      OR ends_with(rtrim(l), '"'))
+      |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+      |        w -> len(w) > 0)) >= 5) AS kls
+      |  FROM kbase),
+      |kcnt AS (
+      |  SELECT doc_id,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(kls) AS BIGINT) AS n_kept_lines,
+      |    CAST(coalesce(list_sum(list_transform(kls, l -> length(l))), 0)
+      |      AS BIGINT) AS kept_chars,
+      |    CAST(length(t) - length(translate(t, '.!?', '')) AS BIGINT)
+      |      AS n_sentences,
+      |    CAST(CASE WHEN contains(lt, 'lorem ipsum') THEN 1 ELSE 0 END
+      |      AS BIGINT) AS f_lorem,
+      |    CAST(CASE WHEN contains(lt, '{') THEN 1 ELSE 0 END AS BIGINT)
+      |      AS f_brace,
+      |    CAST(CASE WHEN contains(lt, 'javascript') THEN 1 ELSE 0 END
+      |      AS BIGINT) AS f_javascript
+      |  FROM kkept),
+      |kout AS (
+      |  SELECT *,
+      |    CAST(CASE WHEN n_sentences < 3 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS f_few_sentences,
+      |    CAST(CASE WHEN n_sentences >= 3 AND f_lorem = 0 AND f_brace = 0
+      |      AND f_javascript = 0 AND n_kept_lines > 0
+      |      THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |  FROM kcnt)""".stripMargin
+
+  /** Prototypicality-prune twin: the fixed-codebook cells of
+    * `knn_ivf_fixed` (exact integer dots, argmax ties to the smallest
+    * index), score = the max dot, rank/cut per cell at the top fifth. */
+  private lazy val embPrototypePruneSql: String = {
+    val cents = graft.operators.Similarity.fixedCodebook(4, 64)
+    def dot(a: String, lits: Seq[Long]): String =
+      s"CAST(list_sum(list_transform(list_zip($a, " +
+        lits.mkString("[", ",", "]") + "), z -> z[1]*z[2])) AS BIGINT)"
+    val scores = cents.zipWithIndex
+      .map { case (c, j) => s"${dot("q", c)} AS s$j" }.mkString(",\n  ")
+    s"""WITH piq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |psc AS (SELECT vec_id,
+       |  $scores
+       |  FROM piq),
+       |pcell AS (
+       |  SELECT vec_id,
+       |    CAST(CASE WHEN s0>=s1 AND s0>=s2 AND s0>=s3 THEN 0
+       |         WHEN s1>=s2 AND s1>=s3 THEN 1
+       |         WHEN s2>=s3 THEN 2 ELSE 3 END AS BIGINT) AS cell,
+       |    greatest(s0, s1, s2, s3) AS score
+       |  FROM psc),
+       |prk AS (
+       |  SELECT vec_id, cell, score,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rk,
+       |    count(*) OVER (PARTITION BY cell) AS n_cell
+       |  FROM pcell)
+       |SELECT vec_id, cell, score, rk, n_cell,
+       |  CAST(CASE WHEN rk * 5 <= n_cell THEN 1 ELSE 0 END AS BIGINT)
+       |    AS pruned
+       |FROM prk""".stripMargin
+  }
+
   /** 8-round unrolled BPE-head twin (the graph_kcore unroll treatment):
     * words live as double-space-delimited symbol strings bounded by
     * single spaces (' a  b  c '), so a pair occurrence is the literal
@@ -4907,6 +5053,56 @@ private[graft] object SparkEntryOracles {
         |  coalesce(p.n_hapax, 0) * 1000000
         |    // greatest(coalesce(p.n_types, 0), 1) AS hapax_ppm
         |FROM documents d LEFT JOIN pd p USING (doc_id)""".stripMargin,
+
+    // Gopher rule battery: integer evidence + cross-multiplied ratio
+    // flags — no float divide anywhere, so the report hash-replays
+    "text_gopher_rules" ->
+      s"""WITH $gopherCtes
+         |SELECT doc_id, n_words, sum_chars, n_hash, n_ellipsis, n_lines,
+         |  n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+         |  n_stopword_hits, r_word_count, r_mean_wlen, r_symbol_ratio,
+         |  r_bullet, r_ellipsis, r_alpha, r_stopwords, pass
+         |FROM gpass""".stripMargin,
+
+    // C4 cleaning report: line keeps (terminal punct + >=5 words) and
+    // the page gates, all integer/membership tests
+    "text_c4_filters" ->
+      s"""WITH $c4Ctes
+         |SELECT doc_id, n_lines, n_kept_lines, kept_chars, n_sentences,
+         |  f_lorem, f_brace, f_javascript, f_few_sentences, kept
+         |FROM kout""".stripMargin,
+
+    // the Gopher curation front door: both filters -> exact dedup of the
+    // joint survivors -> per-source rollup (the whole chain replayed)
+    "pipeline_gopher" ->
+      s"""WITH $gopherCtes,
+         |$c4Ctes,
+         |pgj AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, md5(coalesce(d.text, '')) AS fp,
+         |    g.pass, k.kept
+         |  FROM documents d JOIN gpass g USING (doc_id)
+         |       JOIN kout k USING (doc_id)),
+         |pgu AS (
+         |  SELECT fp, min(doc_id) AS doc_id FROM pgj
+         |  WHERE pass = 1 AND kept = 1 GROUP BY fp),
+         |pgus AS (
+         |  SELECT j.source, count(*) AS n_unique
+         |  FROM pgj j JOIN pgu u ON j.doc_id = u.doc_id GROUP BY 1),
+         |pgr AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(pass) AS BIGINT) AS n_gopher_pass,
+         |    CAST(sum(kept) AS BIGINT) AS n_c4_kept,
+         |    CAST(sum(CASE WHEN pass = 1 AND kept = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_both
+         |  FROM pgj GROUP BY 1)
+         |SELECT r.source, r.n_docs, r.n_gopher_pass, r.n_c4_kept,
+         |  r.n_both, coalesce(u.n_unique, 0) AS n_unique
+         |FROM pgr r LEFT JOIN pgus u USING (source)""".stripMargin,
+
+    // prototypicality pruning over the fixed codebook: cell = argmax
+    // integer dot (ties to smallest index), score = that max, rank/cut
+    // per cell
+    "emb_prototype_prune" -> embPrototypePruneSql,
 
     // temperature mix: sqrt weight (IEEE-exact), HUGEINT intermediates
     // mirror the Spark side's decimal(38,0), largest-remainder bonus by

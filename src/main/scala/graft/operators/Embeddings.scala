@@ -351,4 +351,49 @@ object Embeddings {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("proj_e6"))
   }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): rank
+    * each example by how close it sits to its cluster's center and prune
+    * the most PROTOTYPICAL fraction — with abundant data, the easy
+    * (redundant, near-center) examples teach the least, and dropping
+    * them beats random subsampling.
+    *
+    * This is the oracle-checkable fixed-codebook form (the
+    * `knn_ivf_fixed` trick): cluster = argmax integer dot against the
+    * literal codebook ([[Similarity.cellOf]]), prototypicality score =
+    * that same exact integer dot, rank per cell by (score desc, id asc),
+    * prune the top `pruneNum/pruneDen` fraction (`pruned` iff
+    * rank · den ≤ n_cell · num — cross-multiplied, no float ratio). The
+    * production swap-in is the learned k-means codebook
+    * ([[kmeansExact]]) with the identical rank-and-cut tail. Output:
+    * (vec_id, cell, score, rk, n_cell, pruned) — all BIGINT.
+    *
+    * Scale shape: one quantize scan, one cell-keyed shuffle for the rank
+    * window (same partitioning the at-rest IVF layouts already use — at
+    * rest the window runs per cell-partition with no extra exchange). A
+    * single giant cell carries the usual single-window caveat; the fixed
+    * interleaved codebook spreads dimensions evenly by construction. */
+  def prototypePrune(embs: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Long]], pruneNum: Int = 1,
+                     pruneDen: Int = 5): DataFrame = {
+    require(pruneNum >= 0 && pruneDen > 0, "prune fraction must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val iq = Similarity.quantizeMilli(col(vecCol))
+    val scored = embs.select(col(idCol).cast("long").as("vec_id"),
+        iq.as("_iq"))
+      .withColumn("cell", Similarity.cellOfQuantized(col("_iq"), centroids))
+      // the score AT the argmax cell is the max dot over the codebook
+      .withColumn("score",
+        Similarity.cellScoreQuantized(col("_iq"), centroids))
+    val w = Window.partitionBy("cell")
+    scored
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("score").desc, col("vec_id").asc)).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("pruned",
+        (col("rk") * pruneDen <= col("n_cell") * pruneNum).cast("long"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("score"), col("rk"), col("n_cell"), col("pruned"))
+  }
 }

@@ -1025,6 +1025,18 @@ object Similarity {
   def cellOf(vec: Column, centroids: Seq[Seq[Long]]): Column =
     fixedCell(quantizeMilli(vec), centroids)
 
+  /** [[cellOf]] over an ALREADY-quantized integer vector (callers that
+    * reuse the quantized form across cell + score, e.g.
+    * [[Embeddings.prototypePrune]]). */
+  def cellOfQuantized(iq: Column, centroids: Seq[Seq[Long]]): Column =
+    fixedCell(iq, centroids)
+
+  /** The exact integer similarity of a quantized vector to its OWN
+    * (argmax) cell centroid — by definition the max dot over the
+    * codebook, so no cell lookup is needed. */
+  def cellScoreQuantized(iq: Column, centroids: Seq[Seq[Long]]): Column =
+    greatest(centroids.map(c => intDotLit(iq, c)): _*)
+
   /** Argmax cell over the literal codebook, ties to the SMALLEST cell
     * index (greatest-struct on (score, -index)). */
   private def fixedCell(iq: Column, centroids: Seq[Seq[Long]]): Column = {

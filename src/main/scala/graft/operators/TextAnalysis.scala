@@ -1121,6 +1121,136 @@ object TextAnalysis {
         expr("n_hapax * 1000000 div greatest(n_types, 1)"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A1.1)
+    * — the canonical pre-training document filter battery, as a per-doc
+    * report: each rule emits a violation flag (1 = fails) plus the
+    * integer evidence it was judged on; `pass` = no rule fired. The
+    * thresholds are the paper's; every ratio test is an exact CROSS-
+    * MULTIPLIED integer comparison (never a float divide), so the whole
+    * report hash-replays in SQL:
+    *
+    *  - `r_word_count`:   n_words outside [50, 100000]
+    *  - `r_mean_wlen`:    mean word length outside [3, 10] chars
+    *  - `r_symbol_ratio`: ('#' + ellipsis count) > 0.1 · n_words
+    *  - `r_bullet`:       > 90% of lines start with a bullet mark
+    *  - `r_ellipsis`:     > 30% of lines end with an ellipsis
+    *  - `r_alpha`:        < 80% of words contain an [a-z] character
+    *  - `r_stopwords`:    < 2 distinct hits among the paper's 8 English
+    *    stop words (the, be, to, of, and, that, have, with)
+    *
+    * Words are the corpus-wide whitespace tokenization (`tokens`); lines
+    * split the RAW text on newline. Character counts come from length
+    * arithmetic over `replace` (left-to-right non-overlapping in both
+    * engines); sum of word lengths is the length of the whitespace-
+    * stripped stream — no per-word fold. Null/empty text reports zero
+    * counts and fails `r_word_count` (the paper drops empty documents).
+    *
+    * Scale shape: one scan, all row-local expressions, zero exchanges.
+    * The line/word HOF filters are interpreted per row but linear in
+    * document length (cf. the `dup_ngrams` kernel lesson — they'd only
+    * earn a compiled kernel if a bench showed them hot). */
+  def gopherRules(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val low = lower(trim(txt))
+    val words = filter(tokens(txt), w => length(w) > 0)
+    val lines = split(txt, "\n")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.select(
+        col(idCol),
+        size(words).cast("long").as("n_words"),
+        length(regexp_replace(low, "\\s+", "")).cast("long")
+          .as("sum_chars"),
+        (length(txt) - length(replace(txt, lit("#"), lit(""))))
+          .cast("long").as("n_hash"),
+        // '...' count: the removed-length delta is a multiple of 3, so
+        // the double divide is exact before the cast; '…' removes one
+        // char per occurrence
+        (((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3)
+          .cast("long") +
+          (length(txt) - length(replace(txt, lit("…"), lit(""))))
+            .cast("long")).as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => ltrim(l).startsWith("-") ||
+          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lines, l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…"))).cast("long").as("n_ellipsis_lines"),
+        size(filter(words, _.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        stops.map(sw => when(array_contains(words, sw), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stopword_hits"))
+      .withColumn("r_word_count",
+        (col("n_words") < 50L || col("n_words") > 100000L).cast("long"))
+      .withColumn("r_mean_wlen",
+        (lit(3L) * col("n_words") > col("sum_chars") ||
+          col("sum_chars") > lit(10L) * col("n_words")).cast("long"))
+      .withColumn("r_symbol_ratio",
+        (lit(10L) * (col("n_hash") + col("n_ellipsis")) >
+          col("n_words")).cast("long"))
+      .withColumn("r_bullet",
+        (lit(10L) * col("n_bullet_lines") >
+          lit(9L) * col("n_lines")).cast("long"))
+      .withColumn("r_ellipsis",
+        (lit(10L) * col("n_ellipsis_lines") >
+          lit(3L) * col("n_lines")).cast("long"))
+      .withColumn("r_alpha",
+        (lit(5L) * col("n_alpha_words") <
+          lit(4L) * col("n_words")).cast("long"))
+      .withColumn("r_stopwords",
+        (col("n_stopword_hits") < 2L).cast("long"))
+      .withColumn("pass",
+        (col("r_word_count") + col("r_mean_wlen") +
+          col("r_symbol_ratio") + col("r_bullet") + col("r_ellipsis") +
+          col("r_alpha") + col("r_stopwords") === 0L).cast("long"))
+  }
+
+  /** C4 line-and-page cleaning report (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2) — the other canonical web-corpus filter. Per
+    * document: how many lines the line-level rule keeps (line ends in a
+    * terminal punctuation mark `. ! ? "` AND carries ≥ 5 whitespace
+    * words), how many characters those kept lines hold, the sentence
+    * count (terminal-mark occurrences in the raw text — the paper's
+    * "fewer than 3 sentences" page gate), and the page-level flags:
+    * `f_lorem` ("lorem ipsum" anywhere, case-folded), `f_brace` (a `{`
+    * — the code-page signal), `f_javascript` (the word in any line),
+    * `f_few_sentences` (< 3). `kept` = all page flags clear AND ≥ 1
+    * kept line. All counts integer; flags are exact membership tests —
+    * the report hash-replays in SQL.
+    *
+    * Scale shape: one scan, row-local line HOFs, zero exchanges. */
+  def c4Filters(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val low = lower(txt)
+    val lines = split(txt, "\n")
+    def keptLine(l: Column): Column = {
+      val t = rtrim(l)
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 5
+    }
+    docs.select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, keptLine _)).cast("long").as("n_kept_lines"),
+        aggregate(filter(lines, keptLine _), lit(0L),
+          (acc, l) => acc + length(l).cast("long")).as("kept_chars"),
+        (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
+          .as("n_sentences"),
+        low.contains("lorem ipsum").cast("long").as("f_lorem"),
+        low.contains("{").cast("long").as("f_brace"),
+        low.contains("javascript").cast("long").as("f_javascript"))
+      .withColumn("f_few_sentences",
+        (col("n_sentences") < 3L).cast("long"))
+      .withColumn("kept",
+        (col("f_lorem") + col("f_brace") + col("f_javascript") +
+          col("f_few_sentences") === 0L && col("n_kept_lines") > 0L)
+          .cast("long"))
+  }
+
   /** Top collocations (candidate multiword expressions) by pointwise
     * mutual information over ADJACENT word pairs:
     * `pmi(x,y) = ln(c_xy·n1² / (n2·c_x·c_y))`, quantized to integer

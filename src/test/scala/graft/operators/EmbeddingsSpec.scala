@@ -196,6 +196,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("prototypePrune: hand-computed cells, scores, ranks and the " +
+    "top-fifth cut; argmax ties go to the smallest cell") {
+    import spark.implicits._
+    // 2-cell × 4-dim codebook: c0 = (100,0,100,0), c1 = (0,100,0,100)
+    val cents = Similarity.fixedCodebook(nlist = 2, dims = 4)
+    assert(cents === Seq(Seq(100L, 0L, 100L, 0L), Seq(0L, 100L, 0L, 100L)))
+    // exactly-representable binary fractions: floor(x·1000) has no
+    // float-rounding surprises (0.005f·1000 would floor to 4, not 5)
+    val emb = Seq(
+      (1L, Array(0.5f, 0f, 0f, 0f)),       // cell 0, q=500, score 50000
+      (2L, Array(0.25f, 0f, 0f, 0f)),      // cell 0, q=250, score 25000
+      (3L, Array(0.125f, 0f, 0f, 0f)),     // cell 0, q=125, score 12500
+      (4L, Array(0.0625f, 0f, 0f, 0f)),    // cell 0, q=62,  score 6200
+      (5L, Array(0.03125f, 0f, 0f, 0f)),   // cell 0, q=31,  score 3100
+      (6L, Array(0f, 0.03125f, 0f, 0f)),   // cell 1, score 3100
+      (7L, Array(0f, 0f, 0f, 0f))          // ZERO vec: tie 0 = 0 -> cell 0
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.prototypePrune(emb, "vec_id", "embedding", cents)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // cell 0 holds {1..5, 7}: n=6, ranks by score desc then id; the top
+    // fifth of 6 is floor via 5*rk <= 6 -> only rk=1 prunes
+    assert(got(1L) === ((1L, 0L, 50000L, 1L, 6L, 1L)))
+    assert(got(2L) === ((2L, 0L, 25000L, 2L, 6L, 0L)))
+    assert(got(5L) === ((5L, 0L, 3100L, 5L, 6L, 0L)))
+    assert(got(7L) === ((7L, 0L, 0L, 6L, 6L, 0L))) // tie -> smallest cell
+    // cell 1 is a singleton: 5*1 > 1 -> never pruned
+    assert(got(6L) === ((6L, 1L, 3100L, 1L, 1L, 0L)))
+    // a 10-member cell prunes exactly its top fifth (2 of 10)
+    val big = (1 to 10).map(i => (100L + i, Array(i * 0.125f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pruned = Embeddings.prototypePrune(big, "vec_id", "embedding", cents)
+      .where($"pruned" === 1L).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(pruned === Seq(109L, 110L)) // the two closest to the centroid
+  }
+
   test("pcaProject stays in whole-stage codegen with fallback disabled") {
     // the literal-fold formulation this expression replaced overflowed
     // janino's method budget and silently dropped to interpreted eval;

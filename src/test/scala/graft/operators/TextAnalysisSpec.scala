@@ -1061,4 +1061,86 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
   }
+
+  test("gopherRules: each rule fires on its planted violation and stays " +
+    "quiet on a clean document; null text fails the word-count gate") {
+    import spark.implicits._
+    // 10 words incl. 4 distinct stop words, all alphabetic, mean wlen
+    // 33/10 chars — repeated 6x = a 60-word clean document
+    val clean = Seq.fill(6)("the cat and the dog have fun with big toys")
+      .mkString(" ")
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n") + "\nplain"
+    val ellipsisDoc = "first line goes on...\nsecond line also trails…\n" +
+      "a plain line\nanother plain line"
+    val docs = Seq(
+      (1L, clean),
+      (2L, "tiny doc"),                 // word count + stopwords
+      (3L, bullets),                    // 9 of 10 lines bulleted -> NOT
+      // flagged (exactly 90% is not > 90%)
+      (4L, (1 to 10).map(i => s"- b $i").mkString("\n")), // 10/10 -> flags
+      (5L, ellipsisDoc),                // 2 of 4 lines -> 50% > 30%
+      (6L, "x ###### y"),               // symbols + non-alpha word
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getValuesMap[Long](Seq(
+        "n_words", "sum_chars", "n_hash", "n_ellipsis", "n_lines",
+        "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+        "n_stopword_hits", "r_word_count", "r_mean_wlen",
+        "r_symbol_ratio", "r_bullet", "r_ellipsis", "r_alpha",
+        "r_stopwords", "pass"))).toMap
+    val d1 = got(1L)
+    assert(d1("n_words") === 60L && d1("sum_chars") === 33L * 6)
+    assert(d1("n_stopword_hits") === 4L && d1("pass") === 1L)
+    val d2 = got(2L)
+    assert(d2("r_word_count") === 1L && d2("r_stopwords") === 1L &&
+      d2("r_mean_wlen") === 0L && d2("pass") === 0L)
+    assert(got(3L)("n_bullet_lines") === 9L && got(3L)("r_bullet") === 0L)
+    assert(got(4L)("r_bullet") === 1L)
+    val d5 = got(5L)
+    assert(d5("n_ellipsis_lines") === 2L && d5("r_ellipsis") === 1L &&
+      d5("n_ellipsis") === 2L)
+    val d6 = got(6L)
+    assert(d6("n_hash") === 6L && d6("r_symbol_ratio") === 1L &&
+      d6("n_alpha_words") === 2L && d6("r_alpha") === 1L)
+    val d7 = got(7L)
+    assert(d7("n_words") === 0L && d7("r_word_count") === 1L &&
+      d7("pass") === 0L)
+  }
+
+  test("c4Filters: line keeps need terminal punctuation AND five words; " +
+    "each page gate fires on its plant; kept_chars sums raw kept lines") {
+    import spark.implicits._
+    val l1 = "This is a good line with punctuation."
+    val l2 = "short line"
+    val l3 = "Another proper sentence line here today!"
+    val l4 = "no terminal punctuation on this long line"
+    val l5 = "A third full sentence appears right here."
+    val good = Seq(l1, l2, l3, l4, l5).mkString("\n")
+    val docs = Seq(
+      (1L, good),
+      (2L, "Plenty of words but Lorem Ipsum lurks inside here today.\n" +
+        "Second proper sentence right here friends.\nThird one lands now."),
+      (3L, "A code block { appears here today.\nMore sentences follow on." +
+        "\nAnd a third one too."),
+      (4L, "Some JavaScript mention appears right here.\nSecond full " +
+        "sentence lands here.\nThird sentence closes it out."),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getValuesMap[Long](Seq(
+        "n_lines", "n_kept_lines", "kept_chars", "n_sentences",
+        "f_lorem", "f_brace", "f_javascript", "f_few_sentences",
+        "kept"))).toMap
+    val d1 = got(1L)
+    assert(d1("n_lines") === 5L && d1("n_kept_lines") === 3L)
+    assert(d1("kept_chars") === (l1.length + l3.length + l5.length).toLong)
+    assert(d1("n_sentences") === 3L && d1("kept") === 1L)
+    assert(got(2L)("f_lorem") === 1L && got(2L)("kept") === 0L)
+    assert(got(3L)("f_brace") === 1L && got(3L)("kept") === 0L)
+    assert(got(4L)("f_javascript") === 1L && got(4L)("kept") === 0L)
+    val d5 = got(5L)
+    assert(d5("n_kept_lines") === 0L && d5("f_few_sentences") === 1L &&
+      d5("kept") === 0L)
+  }
 }

@@ -64,6 +64,19 @@ AT_REST_FLAT = [
     "dedup_winnowing",
 ]
 
+# Blocking queries whose measured sf0.1 -> sf1 ratios were the highest
+# of their class (round-13 table: 5.7 / 3.7 / 3.4 / 3.0 / 2.3): a 10x
+# ratio that high earns a measured 100x row too — one decade can hide
+# the onset of super-linear candidate growth that two expose (round-14
+# verdict item 4 made this part of the ratchet, not prose).
+HIGH_RATIO_100X = [
+    "dedup_winnowing",
+    "pipeline_shards",
+    "dedup_sorted_neighborhood",
+    "pipeline_dsir",
+    "dedup_simhash",
+]
+
 
 def measured_names(must_mention=None):
     """Backticked names appearing in SCALE.md MARKDOWN TABLE ROWS that
@@ -122,6 +135,16 @@ def main():
               "100x SCALE.md row (the ~flat claim needs two orders, "
               "not one):")
         for q in missing_100x:
+            print(f"  - {q}")
+        return 1
+    missing_hr = [q for q in HIGH_RATIO_100X if q not in measured_100x]
+    print(f"[scale-coverage] {len(HIGH_RATIO_100X)} high-ratio blocking "
+          f"queries, {len(HIGH_RATIO_100X) - len(missing_hr)} with a "
+          f"100x row")
+    if missing_hr:
+        print("[scale-coverage] high-sf1-ratio blocking queries MISSING "
+              "a measured 100x SCALE.md row:")
+        for q in missing_hr:
             print(f"  - {q}")
         return 1
     return 0
