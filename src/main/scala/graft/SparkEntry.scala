@@ -3726,24 +3726,41 @@ object SparkEntry {
     // both engines agree on runs of spaces), keep the first 64, report
     // counts — row-local, codegen'd, scan-side
     // Token-level phrase search: exact 3-token phrase occurrences per
-    // document, entirely row-local lambda arithmetic over the filtered
-    // token list (the "distributed grep" shape — at 100 TB a one-off
-    // phrase query IS a scan; repeated-query workloads layer an index)
-    "text_phrase_search" -> ((s, dir) =>
+    // document (the "distributed grep" shape — at 100 TB a one-off
+    // phrase query IS a scan; repeated-query workloads layer an index).
+    // Pure codegen'd STRING arithmetic, no per-position lambda: the
+    // space-collapsed text re-joins with DOUBLE spaces, so the phrase
+    // pattern ' row  column  sort ' is boundary-anchored on both sides
+    // (an 'xrow' token can't match — its preceding char isn't a space)
+    // and adjacent occurrences never share pattern characters (each
+    // separator has two spaces, the pattern consumes one from each
+    // end) — the replace()-delta count is exact, and the first token
+    // index falls out of the space count before the first hit
+    // (prefix holds 2·(i−1)+1 spaces). Measured vs the per-position
+    // interpreted-lambda form it replaced (solo, 5-rep): sf0.1 median
+    // 1.82 -> 0.41 s, sf1 17.6 (r13 interleaved) -> 1.01 s — the
+    // dup_ngrams lesson again, this time with zero custom code.
+    "text_phrase_search" -> ((s, dir) => {
+      val p = " row  column  sort "
+      val plen = p.length
       t(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x != '')").as("_t"))
-        .select(col("doc_id"), expr(
-          """filter(sequence(1, greatest(size(_t) - 2, 0)),
-            |  i -> element_at(_t, i) = 'row' AND
-            |       element_at(_t, i + 1) = 'column' AND
-            |       element_at(_t, i + 2) = 'sort')""".stripMargin)
-          .as("_hits"))
-        .where(size(col("_hits")) > 0)
+          concat(lit("  "),
+            replace(
+              expr("btrim(regexp_replace(text, ' +', ' '), ' ')"),
+              lit(" "), lit("  ")),
+            lit("  ")).as("_s"))
+        .withColumn("_idx", locate(p, col("_s")).cast("long"))
+        .where(col("_idx") > 0L)
+        .withColumn("_pre", substring_index(col("_s"), p, 1))
         .select(col("doc_id"),
-          size(col("_hits")).cast("long").as("n_occ"),
-          element_at(col("_hits"), 1).cast("long").as("first_pos"))),
+          ((length(col("_s")) - length(replace(col("_s"), lit(p),
+            lit("")))) / plen).cast("long").as("n_occ"),
+          (((length(col("_pre")) -
+            length(replace(col("_pre"), lit(" "), lit("")))) - 1) / 2 + 1)
+            .cast("long").as("first_pos"))
+    }),
 
     // Cross-document repeated spans (suffix-array-free exact-substring
     // dedup): maximal shared k=8-token runs of >= 16 tokens between
