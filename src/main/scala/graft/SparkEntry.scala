@@ -3282,6 +3282,21 @@ object SparkEntry {
         "vec_id", "embedding",
         centroids = Similarity.fixedCodebook(nlist = 4, dims = 64))),
 
+    // RHO-loss excess (Mindermann 2022): per training doc, LM cost under
+    // the train-corpus model minus cost under a held-out-split model —
+    // the "learnable, worth learning, not yet learnt" selection signal,
+    // integer micro-nats end to end (holdout = doc_id % 10 == 7)
+    "lm_rho_excess" -> ((s, dir) =>
+      TextAnalysis.rhoExcess(t(s, dir, "documents"), "doc_id", "text",
+        holdoutPred = pmod(col("doc_id"), lit(10)) === 7,
+        cacheKeys = Some((s"$dir#rho_tr", s"$dir#rho_ho")))),
+
+    // the greedy top-150 selection over that excess
+    "sample_rho" -> ((s, dir) =>
+      TextAnalysis.sampleRho(t(s, dir, "documents"), "doc_id", "text",
+        holdoutPred = pmod(col("doc_id"), lit(10)) === 7, k = 150,
+        cacheKeys = Some((s"$dir#rho_tr", s"$dir#rho_ho")))),
+
     // Temperature-scaled (T=2) language mix (Conneau 2019 / XLM-R):
     // per-lang share of a 400-doc budget ∝ sqrt(n_lang), largest-
     // remainder apportionment, clamped to group size — integer-exact

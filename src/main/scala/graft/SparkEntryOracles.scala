@@ -582,6 +582,67 @@ private[graft] object SparkEntryOracles {
     s"""WITH ${dsirCtes()}
        |SELECT doc_id, n_bigrams, logw_q FROM w""".stripMargin
 
+  /** RHO-excess CTE chain (rh* prefix; ends at `rhw`): the dsirCtes
+    * two-model shape with a holdout/train split (doc_id % 10 = 7 is the
+    * held-out fold) — train-model cost minus holdout-model cost per
+    * TRAIN document, mean costs via `//` on the negated (non-negative)
+    * sums. */
+  private def rhoCtes(from: String = "documents"): String =
+    s"""rhbase AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      |  FROM $from
+      |), rhbg AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 2
+      |              THEN list_transform(range(len(t) - 1),
+      |                     i -> t[i+1] || ' ' || t[i+2])
+      |              ELSE [] END AS bigrams
+      |  FROM rhbase
+      |), rhdb AS (
+      |  SELECT doc_id, unnest(bigrams) AS bigram FROM rhbg
+      |), rhtc AS (
+      |  SELECT bigram, count(*) AS n FROM rhdb
+      |  WHERE doc_id % 10 != 7 GROUP BY 1
+      |), rhtt AS (
+      |  SELECT bigram, n FROM (
+      |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+      |      AS r FROM rhtc) WHERE r <= 200
+      |), rhttot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM rhtt
+      |), rhtlm AS (
+      |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+      |    AS logp_tr_q
+      |  FROM rhtt, rhttot
+      |), rhhc AS (
+      |  SELECT bigram, count(*) AS n FROM rhdb
+      |  WHERE doc_id % 10 = 7 GROUP BY 1
+      |), rhht AS (
+      |  SELECT bigram, n FROM (
+      |    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram ASC)
+      |      AS r FROM rhhc) WHERE r <= 200
+      |), rhhtot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM rhht
+      |), rhhlm AS (
+      |  SELECT bigram, CAST(round(ln(n / t) * 1000000) AS BIGINT)
+      |    AS logp_ho_q
+      |  FROM rhht, rhhtot
+      |), rhsc AS (
+      |  SELECT rhdb.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(coalesce(rhtlm.logp_tr_q, -12000000)) AS BIGINT)
+      |      AS s_tr,
+      |    CAST(sum(coalesce(rhhlm.logp_ho_q, -12000000)) AS BIGINT)
+      |      AS s_ho
+      |  FROM rhdb LEFT JOIN rhtlm USING (bigram)
+      |       LEFT JOIN rhhlm USING (bigram)
+      |  WHERE rhdb.doc_id % 10 != 7
+      |  GROUP BY 1
+      |), rhw AS (
+      |  SELECT d.doc_id,
+      |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 12000000
+      |         ELSE (-s.s_tr) // s.n_bigrams END AS cost_train_q,
+      |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 12000000
+      |         ELSE (-s.s_ho) // s.n_bigrams END AS cost_holdout_q
+      |  FROM $from d LEFT JOIN rhsc s USING (doc_id)
+      |  WHERE d.doc_id % 10 != 7)""".stripMargin
+
   /** The winnowing CTE chain parameterized by (k, w) — positions and
     * slice widths mirror the WinnowFingerprints kernel index-for-index.
     * A def (order-independent; see the dsirCtes note). */
@@ -5103,6 +5164,24 @@ private[graft] object SparkEntryOracles {
     // integer dot (ties to smallest index), score = that max, rank/cut
     // per cell
     "emb_prototype_prune" -> embPrototypePruneSql,
+
+    // RHO excess: train-model cost minus holdout-model cost per train
+    // doc (doc_id % 10 = 7 held out), CAST mean costs to BIGINT
+    "lm_rho_excess" ->
+      s"""WITH ${rhoCtes()}
+         |SELECT doc_id, n_bigrams,
+         |  CAST(cost_train_q AS BIGINT) AS cost_train_q,
+         |  CAST(cost_holdout_q AS BIGINT) AS cost_holdout_q,
+         |  CAST(cost_train_q - cost_holdout_q AS BIGINT) AS rho_q
+         |FROM rhw""".stripMargin,
+
+    // the greedy top-150 over that excess, ties by id
+    "sample_rho" ->
+      s"""WITH ${rhoCtes()}
+         |SELECT doc_id, n_bigrams,
+         |  CAST(cost_train_q - cost_holdout_q AS BIGINT) AS rho_q
+         |FROM rhw
+         |ORDER BY rho_q DESC, doc_id ASC LIMIT 150""".stripMargin,
 
     // temperature mix: sqrt weight (IEEE-exact), HUGEINT intermediates
     // mirror the Spark side's decimal(38,0), largest-remainder bonus by

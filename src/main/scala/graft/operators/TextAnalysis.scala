@@ -997,6 +997,74 @@ object TextAnalysis {
       .limit(k)
       .select(col(idCol), col("logw_q"))
 
+  /** RHO-loss excess (Mindermann et al. 2022, arXiv:2206.07137,
+    * "Prioritized Training on Points that are Learnable, Worth
+    * Learning, and Not Yet Learnt"): per TRAINING document, the excess
+    * of its loss under the current-model proxy over its irreducible
+    * loss — here both approximated by bigram LMs in the proven
+    * integer micro-nat form: the "current model" is the train-corpus
+    * LM, the irreducible-loss model is an LM fit on a HELD-OUT split
+    * (`holdoutPred` rows), and
+    * `rho_q = mean_cost_train_q − mean_cost_holdout_q`. High excess =
+    * the document is poorly explained by the training corpus but WELL
+    * explained by held-out data — learnable signal, not noise; low or
+    * negative = already-learnt boilerplate or unlearnable junk. Both
+    * per-bigram mean costs use the [[meanLmCost]] contract (negated
+    * score `div` count — non-negative, so the oracle's `//` agrees;
+    * bigram-less docs pin both sides to the floor, excess 0).
+    *
+    * Scale shape: the [[importanceWeights]] shape exactly — two
+    * `topN`-row models full-outer-merge and BROADCAST into one scan of
+    * the training split; the only corpus-sized shuffle is the per-doc
+    * aggregation. Output:
+    * (idCol, n_bigrams, cost_train_q, cost_holdout_q, rho_q). */
+  def rhoExcess(docs: DataFrame, idCol: String, textCol: String,
+                holdoutPred: Column, topN: Int = 200,
+                floorLogp: Double = -12.0,
+                cacheKeys: Option[(String, String)] = None): DataFrame = {
+    val floorQ = math.round(floorLogp * 1e6)
+    val floorCostQ = -floorQ
+    val train = docs.where(!holdoutPred)
+    val holdout = docs.where(holdoutPred)
+    val lmTr = quantizedLm(cacheKeys.map(ks =>
+      bigramLmFor(train, textCol, topN, ks._1))
+      .getOrElse(bigramLm(train, textCol, topN)), "logp_tr_q")
+    val lmHo = quantizedLm(cacheKeys.map(ks =>
+      bigramLmFor(holdout, textCol, topN, ks._2))
+      .getOrElse(bigramLm(holdout, textCol, topN)), "logp_ho_q")
+    val merged = lmTr.join(lmHo, Seq("bigram"), "full_outer")
+    val db = train
+      .select(col(idCol).as("_id"), explode(bigrams(col(textCol))).as("bigram"))
+    val scores = db.join(broadcast(merged), Seq("bigram"), "left_outer")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("logp_tr_q"), lit(floorQ))).as("_s_tr"),
+        sum(coalesce(col("logp_ho_q"), lit(floorQ))).as("_s_ho"))
+    train.select(col(idCol).as("_id"))
+      .join(scores, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(floorCostQ))
+          .otherwise(expr("(-_s_tr) div n_bigrams")).as("cost_train_q"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(floorCostQ))
+          .otherwise(expr("(-_s_ho) div n_bigrams")).as("cost_holdout_q"))
+      .withColumn("rho_q", col("cost_train_q") - col("cost_holdout_q"))
+  }
+
+  /** RHO selection: the `k` training documents with the highest excess
+    * loss ([[rhoExcess]]), ties by id — a distributed top-k
+    * (TakeOrderedAndProject), never a global sort. The greedy
+    * (deterministic) reading of the paper's per-batch selection, chosen
+    * so the draw replays exactly in ANSI SQL. */
+  def sampleRho(docs: DataFrame, idCol: String, textCol: String,
+                holdoutPred: Column, k: Int, topN: Int = 200,
+                floorLogp: Double = -12.0,
+                cacheKeys: Option[(String, String)] = None): DataFrame =
+    rhoExcess(docs, idCol, textCol, holdoutPred, topN, floorLogp, cacheKeys)
+      .orderBy(col("rho_q").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_bigrams"), col("rho_q"))
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): per language, documents split into head / middle
     * / tail terciles by their per-bigram LM cost — the standard "keep the

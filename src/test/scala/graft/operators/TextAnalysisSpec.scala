@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.SparkSpec
 
@@ -1060,6 +1060,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "lang", "ppl_bucket")
       .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
+  }
+
+  test("rhoExcess: a doc the holdout model explains but the train model " +
+    "doesn't gets POSITIVE excess and wins selection; train-typical docs " +
+    "go negative; holdout docs never appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // train-typical: in train LM, OOV to holdout
+      (2L, "a b a b"),
+      (3L, "h k h k"),       // train-RARE but holdout-common: learnable
+      (7L, "h k h k h k h k") // the held-out fold (doc_id % 10 == 7)
+    ).toDF("doc_id", "text")
+    val ho = pmod(col("doc_id"), lit(10)) === 7
+    // topN=2: train model = {a b, b a}; holdout model = {h k, k h}
+    val got = TextAnalysis.rhoExcess(docs, "doc_id", "text", ho, topN = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "holdout docs must not score")
+    assert(got(3L)._5 > 0L, s"learnable doc must have positive excess: $got")
+    assert(got(1L)._5 < 0L && got(2L)._5 < 0L,
+      s"train-typical docs must have negative excess: $got")
+    assert(got(3L)._2 === 3L) // h k, k h, h k
+    val sel = TextAnalysis.sampleRho(docs, "doc_id", "text", ho, k = 1,
+      topN = 2).select("doc_id").as[Long].collect()
+    assert(sel.toSeq === Seq(3L))
   }
 
   test("gopherRules: each rule fires on its planted violation and stays " +
