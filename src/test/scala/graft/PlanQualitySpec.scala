@@ -289,11 +289,27 @@ class PlanQualitySpec extends SparkSpec {
 
   test("row-local passes plan zero exchanges: chunks, quantize, projection, mixture") {
     for (name <- Seq("text_chunks", "emb_quantize_int8",
-        "emb_random_projection", "sample_mixture")) {
+        "emb_random_projection", "sample_mixture",
+        // the round-14 filter batteries are row-local by construction
+        "text_gopher_rules", "text_c4_filters")) {
       val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
       assert(!plan.contains("Exchange"),
         s"$name should be a shuffle-free scan-side pass:\n$plan")
     }
+  }
+
+  test("prototype pruning: ONE exchange (the cell window) over the quantize scan") {
+    val plan = formatted(SparkEntry.queries("emb_prototype_prune")(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1,
+      s"rank and count windows must share the cell partitioning, got $exchanges:\n$plan")
+  }
+
+  test("rho excess probes the merged two-model table via broadcast, never " +
+    "sort-merges the corpus grams") {
+    val plan = formatted(SparkEntry.queries("lm_rho_excess")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=2·topN-row merged model must broadcast:\n$plan")
   }
 
   test("quantized kNN tiers broadcast the probe side, never nested-loop the corpus") {
