@@ -3153,6 +3153,13 @@ object SparkEntry {
       TextAnalysis.bigramLmFor(t(s, dir, "documents"), "text", 200,
         key = dir)),
 
+    // Interpolated Kneser-Ney smoothing over the corpus' own bigram
+    // table (Chen & Goodman 1998 eq. 4.25, d = 3/4) in the exact-
+    // rational ppb form — the smoothed model every KenLM-style LM
+    // ships, hash-oracled end to end including the backoff mass
+    "lm_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNeyBigrams(t(s, dir, "documents"), "text", 500)),
+
     "lm_doc_coverage" -> ((s, dir) =>
       TextAnalysis.docLmCoverage(t(s, dir, "documents"), "doc_id", "text",
         1000, cacheKey = Some(dir))),
@@ -3310,6 +3317,30 @@ object SparkEntry {
       graft.operators.Sampling.temperatureSample(t(s, dir, "documents"),
         "doc_id", "lang", budget = 400L)
         .select("doc_id", "lang")),
+
+    // Multi-epoch upsampling (the "repeat curated sources" mix): the T=2
+    // apportionment WITHOUT the no-upsampling clamp, each source's
+    // excess turned into full epochs per doc + an md5-ordered partial
+    // epoch — emitted (doc, epoch) rows number exactly the budget
+    "sample_epochs" -> ((s, dir) =>
+      graft.operators.Sampling.epochUpsample(t(s, dir, "documents"),
+        "doc_id", "source", budget = 6000L)),
+
+    // Curriculum interleave: strictly-increasing integer key whose sort
+    // order round-robins the quality-score bands (no long same-band
+    // runs), md5-shuffled within band; ranks via the distributed
+    // global-seq idiom, never a buckets-way window bottleneck
+    "pack_curriculum" -> ((s, dir) => {
+      val scored = graft.operators.ModelScore.linearQualityScore(
+        t(s, dir, "documents"), "doc_id", "text")
+        // fixtures have no null text, but don't let a null score reach
+        // the band sort — engines disagree on null order (asc_nulls_last
+        // precedent in Sampling.temperatureAlloc)
+        .select(col("doc_id"),
+          coalesce(col("score_milli"), lit(0L)).as("score_q"))
+      graft.operators.Sampling.curriculumInterleave(
+        scored, "doc_id", "score_q", buckets = 10)
+    }),
 
     // Capstone #5 — the CCNet curation pipeline (Wenzek 2020): exact
     // dedup (min id per text hash) -> per-lang LM perplexity terciles ->

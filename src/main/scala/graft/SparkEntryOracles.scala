@@ -447,32 +447,35 @@ private[graft] object SparkEntryOracles {
     * to group size — the Spark side's decimal(38,0) products become
     * HUGEINT here (intermediate only; every output column casts back to
     * BIGINT for the type audit). */
-  private def temperatureCtes(budget: Long): String =
+  private def temperatureCtes(budget: Long, group: String = "lang",
+                              clamped: Boolean = true): String = {
+    val raw = "base + CASE WHEN rk <= (SELECT leftover FROM tl)" +
+      " THEN 1 ELSE 0 END"
+    val alloc = if (clamped) s"least($raw, n_docs)" else raw
     s"""tc AS (
-      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+      |  SELECT $group, count(*) AS n_docs FROM documents GROUP BY 1
       |), tww AS (
-      |  SELECT lang, n_docs,
+      |  SELECT $group, n_docs,
       |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
       |      AS w_q
       |  FROM tc
       |), twt AS (SELECT CAST(sum(w_q) AS BIGINT) AS tw FROM tww
       |), tb AS (
-      |  SELECT lang, n_docs, w_q,
+      |  SELECT $group, n_docs, w_q,
       |    CAST(CAST(w_q AS HUGEINT) * $budget // tw AS BIGINT) AS base,
       |    CAST(CAST(w_q AS HUGEINT) * $budget % tw AS BIGINT) AS trem
       |  FROM tww, twt
       |), tl AS (
       |  SELECT $budget - CAST(sum(base) AS BIGINT) AS leftover FROM tb
       |), tr AS (
-      |  SELECT tb.*, row_number() OVER (ORDER BY trem DESC, lang ASC)
+      |  SELECT tb.*, row_number() OVER (ORDER BY trem DESC, $group ASC)
       |    AS rk
       |  FROM tb
       |), talloc AS (
-      |  SELECT lang, n_docs, w_q,
-      |    least(base + CASE WHEN rk <= (SELECT leftover FROM tl)
-      |                      THEN 1 ELSE 0 END,
-      |          n_docs) AS alloc
+      |  SELECT $group, n_docs, w_q,
+      |    $alloc AS alloc
       |  FROM tr)""".stripMargin
+  }
 
   /** The CCNet perplexity-bucket CTE chain (lm_doc_score's micro-nat
     * model over `from`, per-doc mean COST via `//` on the NEGATED score —
@@ -4932,6 +4935,44 @@ private[graft] object SparkEntryOracles {
         |    AS BIGINT) AS rank, bigram, n
         |  FROM cnt) WHERE rank <= 200""".stripMargin,
 
+    // interpolated Kneser-Ney (d = 3/4) in the exact-rational ppb form:
+    // p = [(4*c12-3)*B + 3*N1fwd*N1bwd] / (4*c1*B) — HUGEINT replays the
+    // engine's decimal(38,0) arithmetic bit-exactly
+    "lm_kneser_ney" ->
+      """WITH base AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT CASE WHEN len(t) >= 2
+        |              THEN list_transform(range(len(t) - 1),
+        |                     i -> t[i+1] || ' ' || t[i+2])
+        |              ELSE [] END AS bigrams
+        |  FROM base
+        |), cnt AS (
+        |  SELECT g AS bigram, count(*) AS c12
+        |  FROM (SELECT unnest(bigrams) AS g FROM bg) GROUP BY 1
+        |), sp AS (
+        |  SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+        |         split_part(bigram, ' ', 2) AS w2
+        |  FROM cnt
+        |), w1a AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1p_fwd
+        |  FROM sp GROUP BY 1
+        |), w2a AS (
+        |  SELECT w2, count(*) AS n1p_bwd FROM sp GROUP BY 1
+        |), ty AS (SELECT count(*) AS n_types FROM cnt)
+        |SELECT bigram, c12, c1,
+        |  CAST(n1p_fwd AS BIGINT) AS n1p_fwd,
+        |  CAST(n1p_bwd AS BIGINT) AS n1p_bwd,
+        |  CAST(((4 * c12 - 3)::HUGEINT * n_types
+        |      + 3::HUGEINT * n1p_fwd * n1p_bwd) * 1000000000
+        |    // (4::HUGEINT * c1 * n_types) AS BIGINT) AS p_kn_ppb,
+        |  CAST((3::HUGEINT * n1p_fwd * 1000000000)
+        |    // (4::HUGEINT * c1) AS BIGINT) AS lambda_ppb
+        |FROM sp JOIN w1a USING (w1) JOIN w2a USING (w2) CROSS JOIN ty
+        |ORDER BY c12 DESC, bigram ASC LIMIT 500""".stripMargin,
+
     "lm_doc_coverage" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -5199,6 +5240,59 @@ private[graft] object SparkEntryOracles {
          |  FROM documents)
          |SELECT doc_id, lang FROM sel JOIN talloc USING (lang)
          |WHERE rn <= alloc""".stripMargin,
+
+    // multi-epoch upsampling: the UNCLAMPED apportionment by source;
+    // k = full epochs + the md5-ordered partial-epoch bonus; range(k)
+    // replays the 0-based epoch explode
+    "sample_epochs" ->
+      s"""WITH ${temperatureCtes(6000L, group = "source", clamped = false)},
+         |sel AS (
+         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 8),
+         |      doc_id) AS rn
+         |  FROM documents
+         |), ke AS (
+         |  SELECT doc_id, source,
+         |    CAST(alloc // n_docs AS BIGINT)
+         |      + CASE WHEN rn <= alloc % n_docs THEN 1 ELSE 0 END AS k
+         |  FROM sel JOIN talloc USING (source))
+         |SELECT doc_id, source, CAST(unnest(range(k)) AS BIGINT) AS epoch
+         |FROM ke WHERE k > 0""".stripMargin,
+
+    // curriculum interleave: fixed-width score bands from the corpus
+    // bounds, md5 order within band, key = rn*10 + bucket
+    "pack_curriculum" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS f_chars,
+        |    CAST(length(text) - length(replace(text, ' ', ''))
+        |      AS BIGINT) AS f_spaces,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS f_digits,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+        |      AS BIGINT) AS f_punct,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |      AS BIGINT) AS f_upper
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, coalesce(500 - f_chars + 12 * f_spaces
+        |    - 8 * f_digits + 25 * f_punct - 3 * f_upper, 0) AS score_q
+        |  FROM f
+        |), bounds AS (
+        |  SELECT min(score_q) AS mn, max(score_q) AS mx FROM s
+        |), b AS (
+        |  SELECT doc_id, score_q,
+        |    CAST(((score_q - mn) * 10) // (mx - mn + 1) AS BIGINT) AS bucket
+        |  FROM s, bounds
+        |), r AS (
+        |  SELECT doc_id, score_q, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket
+        |      ORDER BY substr(md5('curr' || CAST(doc_id AS VARCHAR)), 1, 8),
+        |        doc_id) AS BIGINT) AS rn_in_bucket
+        |  FROM b)
+        |SELECT doc_id, CAST(score_q AS BIGINT) AS score_q, bucket,
+        |  rn_in_bucket, rn_in_bucket * 10 + bucket AS curriculum_key
+        |FROM r""".stripMargin,
 
     // the CCNet pipeline capstone: exact dedup (min id per md5(text)) ->
     // the tercile chain over SURVIVORS (model refit on survivors) ->

@@ -318,7 +318,17 @@ object Sampling {
     * idiom (pmod(…, 1)) so the plan carries a partition spec. Output:
     * (groupCol, n_docs, w_q, alloc). */
   def temperatureAlloc(df: DataFrame, groupCol: String,
-                       budget: Long): DataFrame = {
+                       budget: Long): DataFrame =
+    temperatureAllocRaw(df, groupCol, budget)
+      .select(col(groupCol), col("n_docs"), col("w_q"),
+        least(col("alloc_raw"), col("n_docs")).as("alloc"))
+
+  /** The UNCLAMPED Hamilton apportionment behind [[temperatureAlloc]]
+    * (which clamps to n_docs — no upsampling) and [[epochUpsample]]
+    * (which repeats docs to fill the excess — multi-epoch upsampling).
+    * `alloc_raw` sums to `budget` exactly. */
+  private def temperatureAllocRaw(df: DataFrame, groupCol: String,
+                                  budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
     val counts = df.groupBy(col(groupCol))
@@ -343,9 +353,46 @@ object Sampling {
         // differently between engines unless the null order is pinned
         one.orderBy(col("_rem").desc, col(groupCol).asc_nulls_last)))
     ranked.select(col(groupCol), col("n_docs"), col("w_q"),
-      least(col("base") +
-        when(col("_rk") <= col("_L"), 1L).otherwise(0L),
-        col("n_docs")).as("alloc"))
+      (col("base") +
+        when(col("_rk") <= col("_L"), 1L).otherwise(0L)).as("alloc_raw"))
+  }
+
+  /** Multi-epoch upsampling plan + materialization (the "repeat the
+    * high-quality sources" mix every large pretraining run ships — e.g.
+    * curated sources cycled for several epochs while bulk crawl runs
+    * under one): the T=2 temperature apportionment of `budget` WITHOUT
+    * the no-upsampling clamp, converted into per-document repeat counts.
+    * Group g's `alloc_raw` units become `alloc_raw div n_g` full epochs
+    * for every doc plus one extra epoch for the `alloc_raw mod n_g` docs
+    * with the smallest md5(salt‖id) prefix (id tiebreak — the engine's
+    * portable sampling order), so the emitted (doc, epoch) rows number
+    * exactly `budget` and replay hash-identically in SQL. `epoch` is
+    * 0-based; epoch 0 is the deterministic first pass, so truncating a
+    * run after epoch e keeps a valid prefix mix.
+    *
+    * Scale shape: one group-count aggregation (group-sized), the
+    * apportionment windows over that constant-sized table, ONE broadcast
+    * join of the alloc table onto the corpus, one per-group rank window
+    * (the md5 order), then a row-local `sequence` explode — output rows
+    * = budget by construction, never corpus × epochs unless asked. */
+  def epochUpsample(df: DataFrame, idCol: String, groupCol: String,
+                    budget: Long, salt: String = "epoch"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = temperatureAllocRaw(df, groupCol, budget)
+      .select(col(groupCol), col("n_docs"), col("alloc_raw"))
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val w = Window.partitionBy(groupCol).orderBy(prefix.asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(alloc), Seq(groupCol))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("n_epochs", expr("cast(alloc_raw div n_docs as bigint)")
+        + when(col("_rn") <= expr("alloc_raw % n_docs"), 1L).otherwise(0L))
+      .where(col("n_epochs") > 0)
+      .select(col(idCol), col(groupCol), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("_e"))
+      .withColumn("epoch", col("_e") - 1L)
+      .select(col(idCol), col(groupCol), col("epoch"))
   }
 
   /** The sampler over [[temperatureAlloc]]: each group keeps its `alloc`
@@ -366,5 +413,67 @@ object Sampling {
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("alloc"))
       .drop("_rn", "alloc")
+  }
+
+  /** Curriculum interleave order: every document gets a strictly-
+    * increasing `curriculum_key` such that sorting by it round-robins
+    * across `buckets` fixed-width score bands — consecutive training
+    * batches see the full quality spectrum instead of a long run of one
+    * band (the anti-sorted-curriculum guarantee a loss curve actually
+    * cares about), while WITHIN each band documents arrive in the
+    * engine's portable md5(salt‖id) shuffle order. All integer:
+    * `bucket = (score − min)·buckets div (max − min + 1)` (fixed-width
+    * bands from the broadcast 1-row corpus bounds — no global ntile
+    * window), `rn_in_bucket` the md5-order rank within the band, and
+    * `curriculum_key = rn_in_bucket·buckets + bucket` (round r's keys
+    * all precede round r+1's). Hash-replayable in SQL end to end.
+    *
+    * Scale shape: the bounds agg broadcasts one row; ranks within bands
+    * come from [[Ranking.globalRowNumbers]]'s range-partitioned sort +
+    * zipWithIndex over (bucket, prefix, id) MINUS the band's start
+    * offset (exclusive prefix sum of the band counts, a `buckets`-row
+    * broadcast) — full cluster parallelism at any corpus size, never a
+    * `buckets`-way window bottleneck and never a single-partition
+    * global window. */
+  def curriculumInterleave(df0: DataFrame, idCol: String, scoreCol: String,
+                           buckets: Int = 10,
+                           salt: String = "curr"): DataFrame = {
+    import graft.Checkpoints.PinOps
+    require(buckets >= 2, "need at least two curriculum buckets")
+    // the score input is usually an expensive per-doc battery: fan small
+    // scans out, and PIN the banded projection — three consumers (band
+    // counts, the range-partitioned sort, the bounds agg's sibling scan)
+    // would otherwise each re-run the upstream score battery
+    val df = graft.Fanout.maybe(df0, idCol)
+    val bounds = df.agg(min(col(scoreCol)).cast("long").as("_mn"),
+      max(col(scoreCol)).cast("long").as("_mx"))
+    val prefix = substring(md5(concat(lit(salt),
+      col(idCol).cast("string")).cast("binary")), 1, 8)
+    val banded = df.select(col(idCol), col(scoreCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"cast((($scoreCol - _mn) * $buckets)" +
+          " div (_mx - _mn + 1) as bigint)"))
+      .withColumn("_pfx", prefix)
+      .drop("_mn", "_mx")
+      .pinLazy()
+    // exclusive prefix sum of band counts = each band's 0-based start in
+    // the (bucket, _pfx, id)-sorted global order; buckets rows, broadcast
+    val offsets = banded.groupBy("bucket")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", sum(col("_n")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("bucket"), lit(1)))
+          .orderBy(col("bucket").asc)
+          .rowsBetween(Long.MinValue, -1)))
+      .select(col("bucket"), coalesce(col("_off"), lit(0L)).as("_off"))
+    val seqd = Ranking.globalRowNumbers(banded,
+      Seq("bucket", "_pfx", idCol), "_gseq")
+    seqd.join(broadcast(offsets), "bucket")
+      .withColumn("rn_in_bucket", col("_gseq") - col("_off") + 1L)
+      .withColumn("curriculum_key",
+        col("rn_in_bucket") * buckets + col("bucket"))
+      .select(col(idCol), col(scoreCol), col("bucket"),
+        col("rn_in_bucket"), col("curriculum_key"))
   }
 }

@@ -120,9 +120,12 @@ object TextAnalysis {
     * `lang_score_q` is an exact BIGINT, independent of float combine
     * order, so the whole classifier is replayable hash-exactly by an
     * ANSI-SQL oracle. `floorLogp` is quantized the same way. */
-  def classifyLanguage(docs: DataFrame, idCol: String, textCol: String,
+  def classifyLanguage(docs0: DataFrame, idCol: String, textCol: String,
                        profiles: DataFrame, n: Int = 3,
                        floorLogp: Double = -12.0): DataFrame = {
+    // per-doc gram extraction is the expensive kernel; single-row-group
+    // sources would otherwise run it on one task (graft.Fanout)
+    val docs = graft.Fanout.maybe(docs0, idCol)
     val floorQ = math.round(floorLogp * 1e6)
     // (doc, gram, count) comes pre-aggregated out of the expression: the
     // join and every shuffle see distinct grams per doc, not occurrences.
@@ -548,8 +551,11 @@ object TextAnalysis {
     * ONE pass over the corpus (no joins of report outputs), followed by a
     * single-row global aggregate and a literal 4-row expansion — the whole
     * funnel is a scan plus kilobytes. */
-  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+  def curationFunnel(docs0: DataFrame, idCol: String, textCol: String,
                      langCol: String): DataFrame = {
+    // the four stage signals are the engine's heaviest row-local battery;
+    // fan small scans out so they don't run single-task (graft.Fanout)
+    val docs = graft.Fanout.maybe(docs0, idCol)
     val t = col(textCol)
     val stageNames = Seq("quality", "repetition", "pii", "langid")
     // Evaluate each stage signal EXACTLY ONCE per row, as its own
@@ -859,6 +865,59 @@ object TextAnalysis {
     counts.coalesce(1).sortWithinPartitions(col("n").desc, col("bigram").asc)
       .withColumn("rank", monotonically_increasing_id() + 1)
       .select("rank", "bigram", "n")
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 4.25) over the corpus' own bigram table —
+    * the smoothing every KenLM-style n-gram LM actually ships, here in
+    * the exact-rational form so the whole model fits the hash oracle:
+    * with the standard discount d = 3/4 (exact in binary AND in exact
+    * integer arithmetic as 3/4),
+    *
+    *   p_KN(w2|w1) = (c12 − d)/c1 + (d·N1+(w1,·)/c1) · N1+(·,w2)/B
+    *               = [ (4·c12 − 3)·B + 3·N1fwd·N1bwd ] / (4·c1·B)
+    *
+    * (c12 ≥ 1 for every row of the bigram table, so the max(·,0) clamp
+    * never binds). The quoted probability is the exact integer
+    * `p_kn_ppb = floor(10⁹·num/den)` via decimal(38,0) arithmetic —
+    * no floats anywhere, so DuckDB's HUGEINT replays it bit-exactly —
+    * alongside its integer inputs (`c12`, left-context mass `c1`,
+    * continuation fan-outs `n1p_fwd`/`n1p_bwd`) and the backoff mass
+    * `lambda_ppb = floor(10⁹·3·n1p_fwd/(4·c1))` a decoder needs for
+    * unseen continuations. Output: the `topN` bigrams under the
+    * (c12 desc, bigram asc) total order.
+    *
+    * Scale shape (the distributed-KenLM shape): one tokenize scan →
+    * explode → ONE corpus-sized hash aggregation to the bigram-TYPE
+    * table; everything downstream (left/right context aggregates, the
+    * two equi-joins back, the broadcast 1-row type total) runs over the
+    * type table, which is vocabulary-sized, not corpus-sized. The top-N
+    * cut is TakeOrderedAndProject. */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String,
+                       topN: Int): DataFrame = {
+    val cnt = docs
+      .select(explode(bigrams(col(textCol))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      // tokens are \s+-split, so the single interior space is the
+      // bigram's only space — both halves recover exactly
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val byW1 = cnt.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val byW2 = cnt.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val types = cnt.agg(count(lit(1)).as("n_types"))
+    cnt.join(byW1, "w1").join(byW2, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn_ppb", expr(
+        "cast((cast(4*c12 - 3 as decimal(38,0)) * n_types" +
+          " + cast(3*n1p_fwd as decimal(38,0)) * n1p_bwd) * 1000000000" +
+          " div (cast(4*c1 as decimal(38,0)) * n_types) as bigint)"))
+      .withColumn("lambda_ppb", expr(
+        "cast(cast(3*n1p_fwd as decimal(38,0)) * 1000000000" +
+          " div cast(4*c1 as decimal(38,0)) as bigint)"))
+      .orderBy(col("c12").desc, col("bigram").asc).limit(topN)
+      .select("bigram", "c12", "c1", "n1p_fwd", "n1p_bwd",
+        "p_kn_ppb", "lambda_ppb")
   }
 
   /** Per-document LM coverage against the corpus' own top-`topN` bigram
@@ -1751,12 +1810,15 @@ object TextAnalysis {
     * non-overlapping replacement is exactly the greedy order BPE
     * specifies. Token count = occurrences of `<`.
     *
-    * Whole chain is codegen'd string expressions over one scan — zero
-    * shuffles, a pure filter-pass shape at any corpus size; the oracle
-    * replays the identical replace chain generated from the same
+    * Whole chain is codegen'd string expressions over one scan — a pure
+    * filter-pass shape at any corpus size (shuffle-free on multi-split
+    * data; single-row-group sources fan out first via [[graft.Fanout]]
+    * so the replace chain doesn't run single-task); the oracle replays
+    * the identical replace chain generated from the same
     * [[frozenMerges]] constant (see `SparkEntryOracles.bpeEncodeSql`). */
-  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+  def bpeEncode(docs0: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)] = frozenMerges): DataFrame = {
+    val docs = graft.Fanout.maybe(docs0, idCol)
     val s0 = bpeSymbolString(col(textCol))
     docs.select(col(idCol),
       bpeSymbolCount(s0).as("n_symbols"),
@@ -1794,9 +1856,10 @@ object TextAnalysis {
     *
     * Output: (lang, n_docs, sum_ws_tokens, sum_bpe_tokens,
     * fertility_ppm = sum_bpe * 1e6 div max(sum_ws, 1)). */
-  def bpeFertility(docs: DataFrame, idCol: String, textCol: String,
+  def bpeFertility(docs0: DataFrame, idCol: String, textCol: String,
       langCol: String,
       merges: Seq[(String, String)] = frozenMerges): DataFrame = {
+    val docs = graft.Fanout.maybe(docs0, idCol)
     val s0 = bpeSymbolString(col(textCol))
     docs
       .select(col(langCol).as("lang"),
@@ -1827,12 +1890,15 @@ object TextAnalysis {
     * (all seven gram widths counted in one compiled pass over a joined
     * byte buffer; see its scaladoc for why the two declarative forms —
     * explode + string-keyed hash aggs, and a sorted-array run-length
-    * fold — lose by 15x and 10x). Zero exchanges, per-doc cost linear in
-    * gram bytes: the pure filter-pass shape at any corpus size. The
+    * fold — lose by 15x and 10x). Per-doc cost linear in gram bytes: the
+    * pure filter-pass shape at any corpus size (shuffle-free on
+    * multi-split data; small single-row-group scans fan out first via
+    * [[graft.Fanout]]). The
     * top-gram tie is deterministic by the packed-long max idiom
     * (count * 1e9 + char mass; exact while count x len < 1e9, i.e. docs
     * under ~128 MB). */
-  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dupNgramStats(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = graft.Fanout.maybe(docs0, idCol)
     val tk = filter(tokens(col(textCol)), t => length(t) > 0)
     val st = org.apache.spark.sql.GraftBridge.column(
       org.apache.spark.sql.graft.DupNgramStats(

@@ -311,4 +311,91 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "lang").as[(Long, String)].collect()
     assert(got.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("epochUpsample: emits exactly the budget; per-doc epoch counts " +
+    "within a group differ by at most 1; epochs are dense from 0") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val budget = 3000L // ~6 epochs per doc at the 500-doc fixture
+    val got = Sampling.epochUpsample(docs, "doc_id", "source", budget)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect()
+    assert(got.length.toLong === budget)
+    // per-doc epoch sets are dense prefixes 0..k-1
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val es = rows.map(_._3).sorted
+      assert(es === (0L until es.length).toArray, s"doc $id epochs: $es")
+    }
+    // within a group, repeat counts differ by <= 1 (full epochs + a
+    // single partial epoch)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val perDoc = rows.groupBy(_._1).values.map(_.length).toSeq
+      assert(perDoc.max - perDoc.min <= 1, s"source $src: $perDoc")
+    }
+    // deterministic
+    val again = Sampling.epochUpsample(docs, "doc_id", "source", budget)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
+  test("epochUpsample upsamples: with budget > corpus every doc appears " +
+    "in epoch 0, and group totals are the UNCLAMPED apportionment") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val n = docs.count()
+    val budget = 4 * n
+    val got = Sampling.epochUpsample(docs, "doc_id", "source", budget)
+    val epoch0 = got.where($"epoch" === 0).select("doc_id")
+      .as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(epoch0 === all, "epoch 0 must be the full deterministic pass")
+    assert(got.count() === budget)
+  }
+
+  test("curriculumInterleave: keys strictly increasing round-robin over " +
+    "the score bands; ranks match a window-based recompute") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", ($"n_chars" % 997).as("score_q"))
+    val buckets = 10
+    val got = Sampling.curriculumInterleave(docs, "doc_id", "score_q",
+      buckets, salt = "curr")
+      .select("doc_id", "score_q", "bucket", "rn_in_bucket",
+        "curriculum_key")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length.toLong === docs.count())
+    // key arithmetic + uniqueness
+    assert(got.forall(r => r._5 === r._4 * buckets + r._3))
+    assert(got.map(_._5).distinct.length === got.length)
+    assert(got.forall(r => r._3 >= 0 && r._3 < buckets))
+    // ranks are dense 1..n_b within each band
+    got.groupBy(_._3).foreach { case (b, rows) =>
+      val rns = rows.map(_._4).sorted
+      assert(rns === (1L to rows.length).toArray, s"bucket $b")
+    }
+    // window-based recompute of the same definition agrees exactly
+    val sc = docs.crossJoin(broadcast(docs.agg(
+        min($"score_q").as("_mn"), max($"score_q").as("_mx"))))
+      .withColumn("bucket",
+        expr(s"cast(((score_q - _mn) * $buckets) div (_mx - _mn + 1)" +
+          " as bigint)"))
+      .withColumn("_pfx", substring(md5(concat(lit("curr"),
+        $"doc_id".cast("string")).cast("binary")), 1, 8))
+      .withColumn("rn_in_bucket", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+          .orderBy($"_pfx".asc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"bucket", $"rn_in_bucket")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    got.foreach { r =>
+      assert(sc(r._1) === ((r._3, r._4)), s"doc ${r._1}")
+    }
+    // extreme scores land in the extreme bands
+    val mn = got.minBy(_._2); val mx = got.maxBy(_._2)
+    assert(mn._3 === 0L)
+    assert(mx._3 === (buckets - 1).toLong)
+  }
 }

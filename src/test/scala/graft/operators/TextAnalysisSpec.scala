@@ -1168,4 +1168,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d5("n_kept_lines") === 0L && d5("f_few_sentences") === 1L &&
       d5("kept") === 0L)
   }
+
+  test("kneserNeyBigrams: exact BigInt recompute on a planted corpus, " +
+    "and probabilities over the full vocabulary sum to EXACTLY 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "a dog sat on a mat"),
+      (4L, "one-word"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigrams(docs, "text", Int.MaxValue)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+
+    // local brute force with BigInt rational arithmetic
+    val texts = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a mat", "one-word", "")
+    val occ = texts.flatMap { t =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length >= 2) ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val c12 = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val n1f = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val bTypes = c12.size.toLong
+    assert(got.size === c12.size)
+    c12.foreach { case ((w1, w2), c) =>
+      val (gc12, gc1, gn1f, gn1b, pPpb, lPpb) = got(s"$w1 $w2")
+      assert(gc12 === c && gc1 === c1(w1) && gn1f === n1f(w1) &&
+        gn1b === n1b(w2), s"$w1 $w2")
+      val num = BigInt(4 * c - 3) * bTypes + BigInt(3) * n1f(w1) * n1b(w2)
+      val den = BigInt(4) * c1(w1) * bTypes
+      assert(BigInt(pPpb) === num * 1000000000 / den, s"p($w2|$w1)")
+      assert(BigInt(lPpb) ===
+        BigInt(3) * n1f(w1) * 1000000000 / (BigInt(4) * c1(w1)), s"λ($w1)")
+    }
+    // the interpolated-KN normalization law, exactly in rationals: for
+    // every context w1, Σ_{w2 ∈ V} p_KN(w2|w1) = 1, i.e.
+    // Σ_observed [(4c12−3)B + 3·N1f·N1b] + Σ_unseen [3·N1f·N1b] = 4·c1·B
+    val vocabN1b = n1b // pcont is 0 for words never seen as a right side
+    c1.keys.foreach { w1 =>
+      val sum = vocabN1b.map { case (w2, nb) =>
+        val obs = c12.get((w1, w2)).map(c =>
+          BigInt(4 * c - 3) * bTypes).getOrElse(BigInt(0))
+        obs + BigInt(3) * n1f(w1) * nb
+      }.sum
+      assert(sum === BigInt(4) * c1(w1) * bTypes,
+        s"KN normalization broken for context '$w1'")
+    }
+  }
 }
