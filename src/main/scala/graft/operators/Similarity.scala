@@ -16,6 +16,15 @@ import graft.Checkpoints.PinOps
   */
 object Similarity {
 
+  /** Encode-side fan-out for the scan tiers: the per-vector encode
+    * kernels (cell argmax, int8/PQ codes, milli-quantization) are the
+    * expensive part of every ANN scan, and a single-row-group source
+    * would run them single-task; [[graft.Fanout.maybe]] redistributes
+    * only when the scan can't feed the cores (identity on multi-split
+    * data — the 100 TB case — and on streaming frames). */
+  private def fannedCorpus(corpus: DataFrame, idCol: String): DataFrame =
+    graft.Fanout.maybe(corpus, idCol)
+
   /** Deterministic coarse bucket: the sign bits of the first `dims`
     * components packed into an int — a fixed-hyperplane LSH code. At 100 TB
     * this is the partition key: the corpus is written bucketed by this code
@@ -367,7 +376,7 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
       maxTrainVectors, seed)
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       // zero vectors have no cosine direction and can never rank as a
       // neighbor (cos = 0 against everything)
@@ -665,7 +674,7 @@ object Similarity {
     import corpus.sparkSession.implicits._
     val cents = trainCodebook(corpus.select(col(vecCol)), vecCol, nlist,
       maxTrainVectors, seed)
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .select(col(idCol).as("neighbor_id"),
         int8Codes(col(vecCol)).as("c8"),
         assignCell(col(vecCol), cents).as("cell"))
@@ -926,7 +935,7 @@ object Similarity {
     val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
       maxTrainVectors, seed)
     // zero vectors have no cosine direction (same exclusion as knnIvf)
-    val encoded = corpus
+    val encoded = fannedCorpus(corpus, idCol)
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
       .select(col(idCol).as("neighbor_id"),
         pqCodes(col(vecCol), books).as("_codes"))
@@ -956,7 +965,7 @@ object Similarity {
       maxTrainVectors, seed)
     val books = trainPqCodebooks(corpus.select(col(vecCol)), vecCol, m, ksub,
       maxTrainVectors, seed)
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
       .select(col(idCol).as("neighbor_id"),
         assignCell(col(vecCol), cents).as("cell"),
@@ -1059,8 +1068,9 @@ object Similarity {
                   centroids: Seq[Seq[Long]], nprobe: Int = 2,
                   excludeSelf: Boolean = true): DataFrame = {
     require(centroids.size >= 2, "at least two cells")
-    val assigned = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      quantizeMilli(col(vecCol)).as("c_iq"))
+    val assigned = fannedCorpus(corpus, idCol)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"))
       .withColumn("cell", fixedCell(col("c_iq"), centroids))
     ivfFixedRank(assigned, fixedProbes(queries, idCol, vecCol,
       centroids, nprobe), k, excludeSelf)
@@ -1150,7 +1160,7 @@ object Similarity {
                     excludeSelf: Boolean = true): DataFrame = {
     require(dims % dsub == 0, "dims must split into dsub-wide subspaces")
     val m = dims / dsub
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .select(col(idCol).cast("long").as("neighbor_id"),
         quantizeMilli(col(vecCol)).as("c_iq"))
       .select(col("neighbor_id"), fixedPqCodes(col("c_iq"), m, dsub).as("_codes"))
@@ -1173,7 +1183,7 @@ object Similarity {
                     nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
     require(dims % dsub == 0, "dims must split into dsub-wide subspaces")
     val m = dims / dsub
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .select(col(idCol).cast("long").as("neighbor_id"),
         quantizeMilli(col(vecCol)).as("c_iq"))
       .select(col("neighbor_id"),
@@ -1201,7 +1211,7 @@ object Similarity {
                      centroids: Seq[Seq[Long]], nprobe: Int = 2,
                      candidates: Int = 25,
                      excludeSelf: Boolean = true): DataFrame = {
-    val assigned = corpus
+    val assigned = fannedCorpus(corpus, idCol)
       .where(exists(col(vecCol), x => x =!= lit(0.0f)))
       .select(col(idCol).cast("long").as("neighbor_id"),
         int8Codes(col(vecCol)).as("c8"),
