@@ -519,8 +519,19 @@ object TextAnalysis {
     * subexpression elimination cannot help) — passing a raw expression
     * here would re-tokenize the document per reference; an attribute read
     * is free. */
-  private[operators] def langPredFrom(toksD: Column, nHan: Column): Column = {
-    val scores = markers.map { case (lang, ws) => lang -> score(toksD, ws) }
+  private[operators] def langPredFrom(toksD: Column, nHan: Column): Column =
+    langPredFromScores(
+      markers.map { case (lang, ws) => lang -> score(toksD, ws) }, nHan)
+
+  /** [[langPredFrom]] from ALREADY-PROJECTED score columns: the argmax
+    * chain references every score in `greatest()` AND once per
+    * when-branch, so callers on a hot path must pass attribute reads
+    * (project `score(toksD, ws)` once per language first) — inline score
+    * expressions get duplicated ~5x each, outside codegen subexpression
+    * elimination (when-branches), which measured 4x the whole curation
+    * funnel's cost at sf1. */
+  private[operators] def langPredFromScores(scores: Seq[(String, Column)],
+                                            nHan: Column): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val markerPred = scores.foldRight(lit("und")) { case ((lang, sc), els) =>
       when(best > 0 && sc === best, lang).otherwise(els)
@@ -567,6 +578,12 @@ object TextAnalysis {
     // marker scoring references the distinct-token array ~20x, so that
     // array (and the Han count) is ALSO projected first and the
     // prediction built from attribute reads in a second projection.
+    // Stage 2 projects each marker SCORE exactly once from the _td
+    // attribute ([[languageId]]'s shape): building the prediction from
+    // inline score expressions duplicates every score into the greatest()
+    // AND each when-branch comparison (~100 interpreted array_contains
+    // per row — measured 4x the whole funnel's cost at sf1); from
+    // attribute reads the argmax chain is free.
     val flagged = docs
       .select(
         qualityOkCol(t).as("_p0"),
@@ -575,8 +592,14 @@ object TextAnalysis {
         array_distinct(tokens(t)).as("_td"),
         hanCount(t).as("_nh"),
         col(langCol).as("_lang"))
+      .select(Seq(col("_p0"), col("_p1"), col("_p2"), col("_nh"),
+        col("_lang")) ++
+        markers.map { case (lang, ws) =>
+          score(col("_td"), ws).as(s"_s_$lang") }: _*)
       .select(col("_p0"), col("_p1"), col("_p2"),
-        (langPredFrom(col("_td"), col("_nh")) === col("_lang")).as("_p3"))
+        (langPredFromScores(markers.map { case (lang, _) =>
+          lang -> col(s"_s_$lang") }, col("_nh")) === col("_lang"))
+          .as("_p3"))
     val stages = stageNames // names only; signals are the _p columns above
     val n = stages.size
     val firstFail = stages.indices.foldRight(lit(n)) {
