@@ -577,7 +577,10 @@ object Dedup {
   def simhashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
                            bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 60, "md5 prefix provides up to 60 bits")
-    val toks = docs
+    // tokenize + per-token md5 is the map-side cost; fan small scans out
+    // so it doesn't run single-task (graft.Fanout — identity on
+    // multi-split data; the doc-key agg shuffles regardless)
+    val toks = graft.Fanout.maybe(docs, idCol)
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("t"))
@@ -615,7 +618,7 @@ object Dedup {
   def minhashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 2, numHashes: Int = 32): DataFrame = {
     val p = 2147483647L
-    val sh = docs
+    val sh = graft.Fanout.maybe(docs, idCol)
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(col(textCol), k))).as("s"))

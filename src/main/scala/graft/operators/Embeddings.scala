@@ -39,7 +39,10 @@ object Embeddings {
     * arithmetic in DOUBLE from exactly-widened floats, so the codes are
     * bit-reproducible across engines. Row-local: no shuffle at all.
     * All-zero vectors quantize to 0 (guarded division). */
-  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(embs0: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // per-element HOF kernel; single-row-group sources would run it
+    // single-task (graft.Fanout — identity on multi-split data)
+    val embs = graft.Fanout.maybe(embs0, idCol)
     val v = col(vecCol)
     val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
     embs
@@ -61,8 +64,11 @@ object Embeddings {
     * integer millionths. Row-local map; at scale this is the cheap
     * front-door to ANN: 64d -> 16d cuts every downstream distance
     * computation 4x. */
-  def randomProjection(embs: DataFrame, idCol: String, vecCol: String,
+  def randomProjection(embs0: DataFrame, idCol: String, vecCol: String,
                        outDim: Int): DataFrame = {
+    // outDim x dims interpreted multiply-adds per row — the heaviest
+    // row-local kernel in the embedding family (graft.Fanout, as above)
+    val embs = graft.Fanout.maybe(embs0, idCol)
     val v = col(vecCol)
     def sign(j: Column, i: Column): Column =
       when(pmod((j * 1024 + i) * lit(2654435761L), lit(4294967296L)) >=

@@ -287,14 +287,28 @@ class PlanQualitySpec extends SparkSpec {
       s"the k-row cut must be a distributed top-k:\n$plan")
   }
 
-  test("row-local passes plan zero exchanges: chunks, quantize, projection, mixture") {
-    for (name <- Seq("text_chunks", "emb_quantize_int8",
-        "emb_random_projection", "sample_mixture",
+  test("row-local passes plan zero exchanges: chunks, mixture, filter batteries") {
+    for (name <- Seq("text_chunks", "sample_mixture",
         // the round-14 filter batteries are row-local by construction
         "text_gopher_rules", "text_c4_filters")) {
       val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
       assert(!plan.contains("Exchange"),
         s"$name should be a shuffle-free scan-side pass:\n$plan")
+    }
+  }
+
+  test("heavy per-row embedding kernels fan small scans out, and add NOTHING else") {
+    // quantize/projection are row-local, but their per-element HOF
+    // kernels are the expensive part — on the single-row-group bench
+    // fixtures graft.Fanout redistributes (exactly ONE id-hash exchange);
+    // on multi-split data Fanout is the identity and they return to the
+    // zero-exchange shape (FanoutSpec pins the conditional both ways)
+    for (name <- Seq("emb_quantize_int8", "emb_random_projection")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      val exchanges = plan.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+      assert(exchanges === 1,
+        s"$name should carry exactly the fan-out exchange:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
     }
   }
 
