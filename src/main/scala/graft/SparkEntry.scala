@@ -2105,6 +2105,23 @@ object SparkEntry {
           col("text")),
         "doc_id", "source", "n_tokens", "text", 2000L)),
 
+    // Length-bucket padding-waste report: power-of-two caps 16..4096,
+    // per bucket doc count / token mass / padded tokens / waste ppm —
+    // the measurement that motivates length-bucketed batching
+    "pack_length_buckets" -> ((s, dir) =>
+      graft.operators.Sampling.lengthBucketReport(
+        t(s, dir, "documents").select(
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "n_tokens")),
+
+    // Corpus-mix gap: actual per-lang token share vs the T=2 temperature
+    // target share, exact integer ppm — the re-mix monitoring query
+    "dq_mix_gap" -> ((s, dir) =>
+      graft.operators.Sampling.mixGap(
+        t(s, dir, "documents").select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "n_tokens")),
+
     // Percentile stats per language (exact interpolated median/p90) and a
     // fixed-width length histogram — corpus profiling for token budgeting
     "text_length_stats" -> ((s, dir) =>

@@ -3846,6 +3846,60 @@ private[graft] object SparkEntryOracles {
          |  FROM agg""".stripMargin
     },
 
+    // length-bucket padding waste: fixed power-of-two CASE chain; ppm via
+    // HUGEINT (the engine's decimal(38,0)) — padded·10⁶ can pass int64
+    "pack_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |              WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |              WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |              WHEN n_tokens <= 1024 THEN 1024
+        |              WHEN n_tokens <= 2048 THEN 2048
+        |              ELSE 4096 END AS bucket_cap,
+        |         n_tokens
+        |  FROM d
+        |), g AS (
+        |  SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT bucket_cap, n_docs, sum_tokens, max_tokens,
+        |  n_docs * greatest(bucket_cap, max_tokens) - sum_tokens
+        |    AS padded_tokens,
+        |  CAST((n_docs * greatest(bucket_cap, max_tokens)
+        |      - sum_tokens)::HUGEINT * 1000000
+        |    // (n_docs * greatest(bucket_cap, max_tokens)) AS BIGINT)
+        |    AS waste_ppm
+        |FROM g""".stripMargin,
+
+    // corpus-mix gap: actual token share vs the T=2 target share (ppm)
+    "dq_mix_gap" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS w_q
+        |  FROM g
+        |), t AS (
+        |  SELECT CAST(sum(sum_tokens) AS BIGINT) AS tot,
+        |    CAST(sum(w_q) AS BIGINT) AS wtot
+        |  FROM w)
+        |SELECT lang, n_docs, sum_tokens,
+        |  CAST(sum_tokens::HUGEINT * 1000000 // tot AS BIGINT) AS actual_ppm,
+        |  CAST(w_q::HUGEINT * 1000000 // wtot AS BIGINT) AS target_ppm,
+        |  CAST(sum_tokens::HUGEINT * 1000000 // tot
+        |    - w_q::HUGEINT * 1000000 // wtot AS BIGINT) AS gap_ppm
+        |FROM w, t""".stripMargin,
+
     "pack_batches" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -415,6 +415,77 @@ object Sampling {
       .drop("_rn", "alloc")
   }
 
+  /** Length-bucket padding-waste report — the measurement that motivates
+    * length-bucketed (dynamic) batching: batching docs of wildly mixed
+    * lengths pads every sequence to the batch max, and the padded-token
+    * share IS wasted compute. Buckets are power-of-two caps 16..4096
+    * (docs above the last boundary pool into the top bucket) via a fixed
+    * CASE chain — exact integers in any engine. Per bucket: doc count,
+    * real token mass, max length, padded tokens (each bucket pads to
+    * max(cap, its own longest doc) — the cap everywhere but the
+    * open-ended top bucket, and never negative) and the waste share in
+    * ppm (truncating div over non-negatives).
+    *
+    * Scale shape: one row-local bucket projection + ONE bucket-keyed
+    * hash aggregation (≤ 9 groups) — map-side partials do all the work. */
+  def lengthBucketReport(df: DataFrame, nTokensCol: String): DataFrame = {
+    val caps = (4 to 12).map(1 << _) // 16, 32, ..., 4096
+    val n = col(nTokensCol)
+    val cap = caps.init.foldRight(lit(caps.last.toLong)) { (c, els) =>
+      when(n <= c, c.toLong).otherwise(els)
+    }
+    df.select(cap.as("bucket_cap"), n.as("_n"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("sum_tokens"),
+        max(col("_n")).as("max_tokens"))
+      // each bucket pads to max(cap, its own longest doc): identical to
+      // the cap everywhere except the open-ended top bucket, and keeps
+      // padded_tokens >= 0 (a negative would hit the trunc-vs-floor
+      // division divergence between engines)
+      .withColumn("pad_to", greatest(col("bucket_cap"), col("max_tokens")))
+      .withColumn("padded_tokens",
+        col("n_docs") * col("pad_to") - col("sum_tokens"))
+      // decimal(38,0): padded·10⁶ overflows int64 past ~9·10¹² padded
+      // tokens — a single bucket of a 100 TB corpus gets there
+      .withColumn("waste_ppm", expr(
+        "cast(cast(padded_tokens as decimal(38,0)) * 1000000" +
+          " div (n_docs * pad_to) as bigint)"))
+      .drop("pad_to")
+  }
+
+  /** Corpus-mix gap report: how far each group's ACTUAL token share sits
+    * from the T=2 temperature TARGET share ([[temperatureAlloc]]'s w_q
+    * weights — the mix the sampler would produce), in exact integer ppm.
+    * Positive gap = over-represented vs the target (the sampler will
+    * down-weight it), negative = under-represented. The monitoring query
+    * a curation pipeline runs per corpus generation to decide whether a
+    * re-mix is due.
+    *
+    * Scale shape: ONE group-keyed aggregation of the corpus; everything
+    * after runs on the group-sized table under the constant-partition
+    * window idiom. */
+  def mixGap(df: DataFrame, groupCol: String,
+             nTokensCol: String): DataFrame = {
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("sum_tokens"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+      // decimal(38,0): token-mass·10⁶ overflows int64 past ~9·10¹²
+      // corpus tokens — under a 100 TB corpus, not over it
+      .withColumn("actual_ppm", expr(
+        "cast(cast(sum_tokens as decimal(38,0)) * 1000000" +
+          " div (sum(sum_tokens) over " +
+          "(partition by pmod(n_docs, 1))) as bigint)"))
+      .withColumn("target_ppm", expr(
+        "cast(cast(w_q as decimal(38,0)) * 1000000 div (sum(w_q) over " +
+          "(partition by pmod(n_docs, 1))) as bigint)"))
+      .withColumn("gap_ppm", col("actual_ppm") - col("target_ppm"))
+      .select(col(groupCol), col("n_docs"), col("sum_tokens"),
+        col("actual_ppm"), col("target_ppm"), col("gap_ppm"))
+  }
+
   /** Curriculum interleave order: every document gets a strictly-
     * increasing `curriculum_key` such that sorting by it round-robins
     * across `buckets` fixed-width score bands — consecutive training

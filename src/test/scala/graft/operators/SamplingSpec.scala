@@ -355,6 +355,40 @@ class SamplingSpec extends SparkSpec {
     assert(got.count() === budget)
   }
 
+  test("lengthBucketReport: caps are the next power of two, counts and " +
+    "padding reconcile, waste is zero iff every doc fills its cap") {
+    import spark.implicits._
+    val df = Seq(1L, 16L, 17L, 32L, 100L, 5000L, 4096L)
+      .toDF("n_tokens")
+    val got = Sampling.lengthBucketReport(df, "n_tokens")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got(16L) === ((2L, 17L, 16L, 15L, 468750L))) // 1 + 16
+    assert(got(32L) === ((2L, 49L, 32L, 15L, 234375L))) // 17 + 32
+    assert(got(128L) === ((1L, 100L, 100L, 28L, 218750L)))
+    // 5000 pools into the top bucket, which pads to its own max (5000)
+    assert(got(4096L) === ((2L, 9096L, 5000L, 904L, 90400L)))
+    assert(got.values.map(_._1).sum === df.count())
+  }
+
+  test("mixGap: shares sum to ~1e6, gaps sum to ~0, and a group with " +
+    "exactly the target share gaps to zero") {
+    import spark.implicits._
+    // two groups with token masses proportional to sqrt(n_docs) weights:
+    // a has 4 docs (w 2e6), b has 1 doc (w 1e6) -> targets 2/3 and 1/3
+    val df = (Seq.fill(4)("a") :+ "b").zipWithIndex
+      .map { case (g, i) => (g, if (g == "a") 200L else 100L) }
+      .toDF("g", "n_tokens")
+    val got = Sampling.mixGap(df, "g", "n_tokens")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // actual: a = 800/900, b = 100/900; target: a = 2/3, b = 1/3
+    assert(got("a")._1 === 888888L && got("a")._2 === 666666L)
+    assert(got("b")._1 === 111111L && got("b")._2 === 333333L)
+    assert(got("a")._3 === 222222L && got("b")._3 === -222222L)
+  }
+
   test("curriculumInterleave: keys strictly increasing round-robin over " +
     "the score bands; ranks match a window-based recompute") {
     import spark.implicits._
