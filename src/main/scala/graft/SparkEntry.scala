@@ -2872,21 +2872,16 @@ object SparkEntry {
     // Exact per-group median by integer rank selection (lower median, a
     // total order inside each group) — the exact twin of the approximate
     // quantile sketch, viable whenever per-group cardinality fits a sort
-    "a_exact_median" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("qty").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1))
-          .over(Window.partitionBy("l_returnflag")))
-        .where(col("rn") === expr("(cnt + 1) div 2"))
-        .select(col("l_returnflag"), col("qty").as("median_qty"),
-          col("cnt").as("n"))
-    }),
+    "a_exact_median" -> ((s, dir) =>
+      // lower median = nearest-rank p50 ((n+1) div 2 == ceil(n/2)); the
+      // run-collapsed distributed selection, never a 3-task group window
+      graft.operators.Ranking.exactPercentiles(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty")),
+        "qty", groupCols = Seq("l_returnflag"), ps = Seq(50))
+        .select(col("l_returnflag"), col("value").as("median_qty"),
+          col("n"))),
 
     // Percentile-rank normalization in ppm per group — every quantity
     // mapped onto [0, 1e6] within its flag; the rank-based score
@@ -2905,11 +2900,9 @@ object SparkEntry {
     "a_exact_percentiles" -> ((s, dir) =>
       graft.operators.Ranking.exactPercentiles(
         t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_orderkey"),
-            col("l_linenumber"), col("l_quantity").cast("long").as("qty")),
-        "qty", groupCols = Seq("l_returnflag"),
-        tiebreakCols = Seq("l_orderkey", "l_linenumber"),
-        ps = Seq(50, 90, 99))),
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty")),
+        "qty", groupCols = Seq("l_returnflag"), ps = Seq(50, 90, 99))),
 
     // Benford first-digit audit over order prices: observed counts per
     // leading digit plus the expected Benford share in ppm — the
@@ -2936,8 +2929,7 @@ object SparkEntry {
       graft.operators.DataQuality.madOutliers(
         t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderpriority"), cents(col("o_totalprice")).as("value_cents")),
-        "value_cents", groupCols = Seq("o_orderpriority"),
-        tiebreakCols = Seq("o_orderkey"))),
+        "value_cents", groupCols = Seq("o_orderpriority"))),
 
     // Equi-width price histogram in exact-below-2^53 floor math
     "a_histogram" -> ((s, dir) =>
@@ -3688,14 +3680,15 @@ object SparkEntry {
         orderCols = Seq("ts", "event_id"), typeCol = "event_type")),
 
     // Winsorized mean of quantity per return flag: clamp at the exact
-    // nearest-rank p5/p95 cuts (group-max windows broadcast the cuts,
-    // no self-join), then an exact integer sum and ppm mean
+    // nearest-rank p5/p95 cuts selected from the collapsed value-run
+    // table (distributed prefix scan — no group window, no self-join),
+    // then an exact integer sum and ppm mean
     "a_winsorized_mean" -> ((s, dir) =>
       graft.operators.Ranking.winsorizedMean(
         t(s, dir, "lineitem").select(col("l_returnflag"),
-          col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity")),
         valueCol = "l_quantity", groupCols = Seq("l_returnflag"),
-        tiebreakCols = Seq("l_orderkey", "l_linenumber"), loP = 5, hiP = 95)),
+        loP = 5, hiP = 95)),
 
     // RFM customer segmentation: recency/frequency/monetary quartile
     // scores via the DISTRIBUTED ntile (range-sort sequence, never a
@@ -4046,7 +4039,7 @@ object SparkEntry {
           .select(col("c_custkey").as("user_id"), col("c_nationkey"))),
           "user_id"),
         valueCol = "lag_micros", groupCols = Seq("c_nationkey"),
-        tiebreakCols = Seq("user_id"), ps = Seq(50, 90, 99))
+        ps = Seq(50, 90, 99))
     }),
 
     // Whole-schema referential-integrity audit: orphan counts for every

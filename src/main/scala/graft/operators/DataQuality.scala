@@ -120,29 +120,28 @@ object DataQuality {
     * median — and an integer threshold compare), so the verdict is
     * SQL-replayable hash-exactly.
     *
-    * Scale shape: two group-partitioned sort windows (the median and the
-    * MAD extraction) and two joins of the per-group statistics back to
-    * the rows. The statistic tables have |groups| rows and are
-    * explicitly broadcast — the contract is a bounded group dimension
-    * (flags, priorities, languages); for per-entity groups at extreme
-    * cardinality, reformulate with windows instead of joins.
+    * Scale shape: two run-collapsed distributed median selections
+    * ([[Ranking.exactPercentiles]] — no per-group sort task) and two
+    * joins of the per-group statistics back to the rows. The statistic
+    * tables have |groups| rows and are explicitly broadcast — the
+    * contract is a bounded group dimension (flags, priorities,
+    * languages); for per-entity groups at extreme cardinality,
+    * reformulate with windows instead of joins.
     *
-    * `valueCol` must be integral; `tiebreakCols` must complete a total
-    * order within each group. Output: the input columns + `med`, `mad`,
-    * `is_outlier` (0/1 long). */
+    * `valueCol` must be integral. Output: the input columns + `med`,
+    * `mad`, `is_outlier` (0/1 long). */
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                  tiebreakCols: Seq[String], k: Int = 3): DataFrame = {
+                  k: Int = 3): DataFrame = {
     require(k >= 1, "k >= 1")
-    val slim = (groupCols ++ tiebreakCols :+ valueCol).distinct
+    val slim = (groupCols :+ valueCol).distinct
     val medTab = Ranking.exactPercentiles(
-      df.select(slim.map(col): _*), valueCol, groupCols, tiebreakCols,
-      ps = Seq(50))
+      df.select(slim.map(col): _*), valueCol, groupCols, ps = Seq(50))
       .select((groupCols.map(col) :+ col("value").as("med")): _*)
     val withMed = df.join(broadcast(medTab), groupCols)
       .withColumn("_absdev", abs(col(valueCol) - col("med")))
     val madTab = Ranking.exactPercentiles(
-      withMed.select((slim :+ "_absdev").map(col): _*), "_absdev",
-      groupCols, valueCol +: tiebreakCols, ps = Seq(50))
+      withMed.select((groupCols :+ "_absdev").map(col): _*), "_absdev",
+      groupCols, ps = Seq(50))
       .select((groupCols.map(col) :+ col("value").as("mad")): _*)
     withMed.join(broadcast(madTab), groupCols)
       .withColumn("is_outlier",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
@@ -17,6 +17,18 @@ import org.apache.spark.sql.types.LongType
   * of them distributed. This is the `zipWithIndex` pattern; it is also
   * why `buildVocab`-style post-limit rankers are the ONLY sanctioned
   * unpartitioned windows in this codebase (they rank ≤ k rows).
+  *
+  * The same discipline extends to PER-GROUP order statistics: a
+  * `Window.partitionBy(group).orderBy(value)` funnels each group through
+  * ONE task, which is fine for many small groups but dies when a handful
+  * of giant groups hold the table (3 return flags × 2 G rows each). The
+  * exact order-statistic operators here therefore never sort raw rows
+  * per group; they collapse to distinct (group, value) runs first (a
+  * map-side-combining aggregation) and cumulate the run weights with
+  * [[PrefixScan]]'s distributed carry-in scan ([[groupedRuns]]), or —
+  * when every row needs its own rank ([[percentileRanks]]) — rebase a
+  * tie-run-local row_number onto the run's prefix base. No path sorts
+  * a whole group inside a single task.
   */
 object Ranking {
 
@@ -48,6 +60,76 @@ object Ranking {
       sorted.schema.add(seqCol, LongType, nullable = false))
   }
 
+  /** Collapsed value runs with per-group cumulative weights, computed
+    * WITHOUT a per-group window: one map-side-combining aggregation to
+    * distinct (group, value) runs (each carrying its total `weight` as
+    * `_c`), then a [[PrefixScan]] running sum over the GLOBAL (group,
+    * value) order, rebased per group into the group-local `_cum`.
+    * Every pass is distributed; the per-group "sort" happens
+    * inside the range shuffle across ALL tasks, so three 2-billion-row
+    * groups cost the same as six million small ones.
+    *
+    * Everything derives from ONE scanned run table: the group's start
+    * offset is `min(_gx)` over the group (runs sort group-first, so the
+    * group's first run carries the sum of all earlier groups) and the
+    * group total is `max(_gi) − min(_gx)` — no second scan of the input,
+    * no pin (the second consumption of the scanned table re-runs only
+    * the reduce-side sort over reused shuffle output — cheaper than a
+    * checkpoint write of the whole run table).
+    *
+    * Output: groupCols…, `valueCol`, `_c` (run weight), `n` (group
+    * total), `_cum` (inclusive cumulative weight at the END of this
+    * value's run, in ascending value order). NULL values collapse into
+    * one run that sorts first — identical to a window's asc-nulls-first.
+    */
+  private def groupedRuns(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, weight: Column): DataFrame = {
+    val gv = groupCols :+ valueCol
+    val counts = df
+      .select(gv.map(col) :+ weight.cast("long").as("_c"): _*)
+      .groupBy(gv.map(col): _*)
+      .agg(sum(col("_c")).as("_c"))
+    val inc = PrefixScan.runningLong(counts, gv, "_c",
+      PrefixScan.Sum, "_gx", "_gi")
+    // one row per group, from the SAME scanned table — AQE broadcasts it
+    val gstats = inc.groupBy(groupCols.map(col): _*)
+      .agg(min(col("_gx")).as("_off"),
+        (max(col("_gi")) - min(col("_gx"))).as("n"))
+    nullSafeEquiJoin(inc, gstats, groupCols)
+      .withColumn("_cum", col("_gi") - col("_off"))
+      .drop("_gx", "_gi", "_off")
+  }
+
+  /** Inner equi-join on `keys` that MATCHES null keys (`<=>`), keeping
+    * the left side's key columns — a grouped-statistics join must not
+    * silently drop NULL groups the way a plain equi-join would (a window
+    * form keeps them, so must the join form). */
+  private def nullSafeEquiJoin(left: DataFrame, right: DataFrame,
+                               keys: Seq[String]): DataFrame = {
+    val renamed = keys.zipWithIndex.foldLeft(right) { case (r, (k, i)) =>
+      r.withColumnRenamed(k, s"_rk$i")
+    }
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => left(k) <=> renamed(s"_rk$i") }
+      .reduce(_ && _)
+    keys.indices.foldLeft(left.join(renamed, cond)) { (d, i) =>
+      d.drop(s"_rk$i")
+    }
+  }
+
+  /** 1-based nearest-rank cut for percentile `p` (a SQL fragment — a
+    * literal or a column name) of `n` rows: `max(1, ceil(p·n/100))`,
+    * in exact integer `div` over a column named `n`. */
+  private def cutRank(p: String): Column =
+    greatest(lit(1L), expr(s"(($p) * n + 99) div 100"))
+
+  /** Does this run (cumulative `_cum`, weight `_c`) contain rank
+    * `cutRank(p)`? */
+  private def runHas(p: String): Column = {
+    val r = cutRank(p)
+    col("_cum") >= r && (col("_cum") - col("_c")) < r
+  }
+
   /** Per-group percentile rank of EVERY row in ppm:
     * `(rank−1)·1e6 div (n−1)` — 0 for the group minimum, 1,000,000 for
     * the maximum, single-row groups pin to 0. Rank-based normalization
@@ -56,28 +138,43 @@ object Ranking {
     * reciprocal ranks), in pure integer math so the normalized column
     * is SQL-replayable hash-exactly.
     *
-    * One group-partitioned sort window (`row_number` + the group count
-    * share the partitioning — a single shuffle). `tiebreakCols` must
-    * complete a total order so equal values get deterministic distinct
-    * ranks (ties get adjacent ppm values, not equal ones — by design:
-    * the output is a total ordering, not a distribution estimate).
+    * Scale shape: the rank splits into a run base + a tie offset. The
+    * base (`_cum − _c`, rows of the group strictly below this value)
+    * comes from [[groupedRuns]] — collapse + distributed prefix scan —
+    * and joins back on (group, value), which also PARTITIONS the table
+    * by (group, value) for the only window here: a `row_number` over the
+    * TIE RUN (same partitioning — no extra exchange). The single-task
+    * unit is therefore a tie run, never a group: fine as long as no
+    * single (group, value) pair dominates the table — the natural state
+    * of a score column (ties are collisions, not mass). A constant
+    * column is the degenerate case; rank-normalizing a constant is
+    * meaningless, so the contract is documented rather than defended.
+    * `tiebreakCols` must complete a total order so equal values get
+    * deterministic distinct ranks (ties get adjacent ppm values, not
+    * equal ones — by design: the output is a total ordering, not a
+    * distribution estimate).
     * Output: the input columns + `pct_ppm`. */
   def percentileRanks(df: DataFrame, valueCol: String,
                       groupCols: Seq[String],
                       tiebreakCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    require(tiebreakCols.nonEmpty, "tiebreakCols must complete a total order")
+    Seq("_rn", "_c", "_cum", "n").foreach(c =>
+      require(!df.columns.contains(c), s"column $c already exists"))
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy((col(valueCol) +: tiebreakCols.map(col)).map(_.asc): _*)
-    val wg = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(wg))
+    val gv = groupCols :+ valueCol
+    val runs = groupedRuns(df, groupCols, valueCol, lit(1L))
+    val wt = Window.partitionBy(gv.map(col): _*)
+      .orderBy(tiebreakCols.map(col(_).asc): _*)
+    nullSafeEquiJoin(df, runs, gv)
+      .withColumn("_rn",
+        col("_cum") - col("_c") + row_number().over(wt).cast("long"))
       .withColumn("pct_ppm",
-        when(col("_n") === 1L, lit(0L)).otherwise(
+        when(col("n") === 1L, lit(0L)).otherwise(
           // decimal(38,0): rank·10⁶ passes int64 in trillion-row groups
           expr("cast((cast(_rn - 1 as decimal(38,0)) * 1000000) " +
-            "div (_n - 1) as bigint)")))
-      .drop("_rn", "_n")
+            "div (n - 1) as bigint)")))
+      .select(df.columns.map(col) :+ col("pct_ppm"): _*)
   }
 
   /** Exact per-group percentiles by integer rank selection: percentile
@@ -87,38 +184,24 @@ object Ranking {
     * SQL-replayable hash-exactly; the generalization of the lower-median
     * selection (`a_exact_median`) to arbitrary percentile lists.
     *
-    * Scale shape: ONE shuffle — `row_number` and the group count share
-    * the group partitioning; the per-group sort is the unavoidable cost
-    * of exact order statistics (the approximate-quantile sketch is the
-    * at-scale alternative when a per-group sort won't fit). Rows are
-    * first filtered to the |ps| selected ranks (an OR of rank tests,
-    * row-local), and only the ≤ groups·|ps| survivors explode to attach
-    * their percentile label — the explode never multiplies the full
-    * table.
-    *
-    * `tiebreakCols` must make the order total for a deterministic plan,
-    * but any tie order selects the same VALUE at a given rank, so the
-    * output is tie-order-independent. Output: groupCols…, p, value, n. */
+    * Scale shape: [[groupedRuns]] — collapse to distinct (group, value)
+    * runs, distributed prefix-scan the run counts, and pick the runs
+    * containing the selected ranks (a row-local test). Rows explode to
+    * attach percentile labels only AFTER the rank filter, so the explode
+    * touches ≤ groups·|ps| rows. Tie order cannot exist (runs are
+    * distinct values), so the output needs no tiebreak contract at all.
+    * Output: groupCols…, p, value, n. */
   def exactPercentiles(df: DataFrame, valueCol: String,
-                       groupCols: Seq[String], tiebreakCols: Seq[String],
-                       ps: Seq[Int]): DataFrame = {
+                       groupCols: Seq[String], ps: Seq[Int]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       "percentiles must be in 1..100")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy((col(valueCol) +: tiebreakCols.map(col)).map(_.asc): _*)
-    val wg = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = df
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wg))
-    val anyRank = ps.map(p =>
-      col("rn") === greatest(lit(1L), expr(s"($p * n + 99) div 100")))
-      .reduce(_ || _)
-    ranked
-      .where(anyRank)
+    val runs = groupedRuns(df, groupCols, valueCol, lit(1L))
+    val anyHit = ps.map(p => runHas(p.toString)).reduce(_ || _)
+    runs
+      .where(anyHit)
       .withColumn("p", explode(array(ps.map(p => lit(p.toLong)): _*)))
-      .where(col("rn") === greatest(lit(1L), expr("(p * n + 99) div 100")))
+      .where(runHas("p"))
       .select((groupCols.map(col) :+ col("p") :+
         col(valueCol).as("value") :+ col("n")): _*)
   }
@@ -151,26 +234,21 @@ object Ranking {
     * hash-exactly in SQL. The weighted generalization of the exact
     * median — "the price at which half the shipped quantity is cheaper".
     *
-    * Scale shape: ONE shuffle — the cumulative and total windows and the
-    * final agg all key on the group columns; per-group cost is the sort.
-    * Output: (groupCols*, weighted_median, total_weight). */
+    * Scale shape: [[groupedRuns]] with the row weight as the run weight
+    * — collapse, distributed prefix scan, then one bounded aggregation
+    * over the qualifying runs. Output: (groupCols*, weighted_median,
+    * total_weight). */
   def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
                      groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("_v").asc)
-    val wg = Window.partitionBy(groupCols.map(col): _*)
-    df
-      .withColumn("_v", col(valueCol).cast("long"))
-      .withColumn("_w", col(weightCol).cast("long"))
-      .withColumn("_cumw", sum(col("_w")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("_totw", sum(col("_w")).over(wg))
-      .where(col("_cumw") * 2 >= col("_totw"))
+    val slim = df.select(groupCols.map(col) :+
+      col(valueCol).cast("long").as("_v") :+
+      col(weightCol).cast("long").as("_w"): _*)
+    groupedRuns(slim, groupCols, "_v", col("_w"))
+      .where(col("_cum") * 2 >= col("n"))
       .groupBy(groupCols.map(col): _*)
       .agg(min(col("_v")).as("weighted_median"),
-        max(col("_totw")).as("total_weight"))
+        max(col("n")).as("total_weight"))
   }
 
   /** Winsorized mean per group: values are clamped to the [loP, hiP]
@@ -180,31 +258,33 @@ object Ranking {
     * integer: the clamped sum is exact, the mean is ppm-scaled
     * truncating division.
     *
-    * Scale shape: ONE shuffle on the group key feeding a rank window and
-    * the group-max windows that broadcast the two cut values to every
-    * row (no self-join back), then a hash aggregation. `tiebreakCols`
-    * extend the value order to a total order so rank selection is
-    * deterministic. Output: (groupCols*, n, lo_cut, hi_cut, wsum,
+    * Scale shape: [[groupedRuns]] — the cuts fall out of the run table
+    * with a row-local rank test + a per-group aggregation (one row per
+    * group, broadcast back), and the clamped sum is `Σ run_count ·
+    * clamp(value)` over the SAME run table, so no pass ever revisits raw
+    * rows after the initial collapse. The per-run product accumulates in
+    * decimal(38,0) (run_count · value can pass int64 where the per-row
+    * sum never could). Output: (groupCols*, n, lo_cut, hi_cut, wsum,
     * wmean_ppm). */
   def winsorizedMean(df: DataFrame, valueCol: String,
-                     groupCols: Seq[String], tiebreakCols: Seq[String],
+                     groupCols: Seq[String],
                      loP: Int, hiP: Int): DataFrame = {
     require(1 <= loP && loP < hiP && hiP <= 100, "need 1 <= loP < hiP <= 100")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy((col("_v") +: tiebreakCols.map(col)).map(_.asc): _*)
-    val wg = Window.partitionBy(groupCols.map(col): _*)
-    def cut(p: Int) = greatest(lit(1L), expr(s"($p * n + 99) div 100"))
-    df
-      .withColumn("_v", col(valueCol).cast("long"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wg))
-      .withColumn("_lo", max(when(col("rn") === cut(loP), col("_v"))).over(wg))
-      .withColumn("_hi", max(when(col("rn") === cut(hiP), col("_v"))).over(wg))
+    val slim = df.select(groupCols.map(col) :+
+      col(valueCol).cast("long").as("_v"): _*)
+    val runs = groupedRuns(slim, groupCols, "_v", lit(1L))
+    val cuts = runs
       .groupBy(groupCols.map(col): _*)
-      .agg(max(col("n")).as("n"), max(col("_lo")).as("lo_cut"),
-        max(col("_hi")).as("hi_cut"),
-        sum(greatest(col("_lo"), least(col("_hi"), col("_v")))).as("wsum"))
+      .agg(max(col("n")).as("n"),
+        max(when(runHas(loP.toString), col("_v"))).as("lo_cut"),
+        max(when(runHas(hiP.toString), col("_v"))).as("hi_cut"))
+    nullSafeEquiJoin(runs.drop("n"), broadcast(cuts), groupCols) // 1 row/group
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("n")).as("n"), max(col("lo_cut")).as("lo_cut"),
+        max(col("hi_cut")).as("hi_cut"),
+        sum(expr("cast(_c as decimal(38,0))") *
+          greatest(col("lo_cut"), least(col("hi_cut"), col("_v"))))
+          .cast("long").as("wsum"))
       .select(groupCols.map(col) :+ col("n") :+ col("lo_cut") :+
         col("hi_cut") :+ col("wsum") :+
         expr("cast(cast(wsum as decimal(38,0)) * 1000000 div n as bigint)")

@@ -397,23 +397,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("mad outliers: the per-group stat tables broadcast, never sort-merge") {
+  test("mad outliers: the per-group stat tables broadcast onto the rows") {
+    // the med/mad |groups|-row tables carry explicit broadcast() hints;
+    // the run-table joins INSIDE exactPercentiles sit behind the
+    // PrefixScan RDD bridge (unknown static size -> SMJ in the static
+    // plan) and AQE converts them at runtime, so no global no-SMJ pin
     val plan = formatted(SparkEntry.queries("a_mad_outliers")(spark, sfDir))
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("SortMergeJoin"),
-      s"|groups|-row stat tables must broadcast:\n$plan")
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"med and mad stat joins must broadcast:\n$plan")
   }
 
-  test("percentile ranks / exact percentiles: both window functions share ONE shuffle") {
-    for (q <- Seq("w_percentile_ranks", "a_exact_percentiles")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      val exchanges = plan.linesIterator
-        .count(_.contains("Exchange hashpartitioning"))
-      assert(exchanges == 1,
-        s"$q: row_number and count must share the group partitioning " +
-          s"($exchanges exchanges):\n$plan")
-    }
+  test("exact percentiles select from collapsed value runs: no group window at all") {
+    // the rank selection is a row-local test over PrefixScan-cumulated
+    // runs — a per-group sort window (one task per group) must not appear
+    val plan = SparkEntry.queries("a_exact_percentiles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("- Window "),
+      s"expected the run-collapsed shape, found a window:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"PrefixScan's bridged run table must feed the plan:\n$plan")
+  }
+
+  test("percentile ranks: the only window partitions by TIE RUN, never by group alone") {
+    // rank = run prefix base + row_number over the (group, value) tie
+    // run — the window's partition spec must include the value column,
+    // so the single-task unit is a tie run, not a whole group
+    val plan = SparkEntry.queries("w_percentile_ranks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("- Window ")).toSeq
+    assert(windows.nonEmpty, s"expected the tie-run window:\n$plan")
+    assert(windows.forall(_.contains("qty")),
+      s"every window must partition by (group, value):\n$plan")
   }
 
   test("sorted-neighborhood join is an equi join on the shifted sequence, no nested loop") {
@@ -432,14 +446,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("winsorized mean: rank/cut windows and the final agg share ONE shuffle") {
-    // row_number, count, both cut-max windows and the group agg all key
-    // on the group column — one exchange feeds the whole pipeline
+  test("winsorized mean: cut selection and clamped sum run on runs, no group window") {
+    // cuts fall out of the run table with a row-local rank test; the
+    // clamped sum is Σ run_count · clamp(value) over the same runs — no
+    // pass revisits raw rows after the collapse, and no per-group sort
+    // window exists anywhere in the plan
     val plan = SparkEntry.queries("a_winsorized_mean")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("- Window "),
+      s"expected the run-collapsed shape, found a window:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"PrefixScan's bridged run table must feed the plan:\n$plan")
   }
 
   test("interval coverage: windows + island aggs ride the group partitioning") {

@@ -77,7 +77,7 @@ class DataQualitySpec extends SparkSpec {
     val c = (1 to 9).map(i => ("c", 300L + i, 10L)) ++ Seq(("c", 399L, 11L))
     val got = DataQuality.madOutliers(
       (a ++ b ++ c).toDF("g", "id", "v").repartition(7),
-      "v", groupCols = Seq("g"), tiebreakCols = Seq("id"))
+      "v", groupCols = Seq("g"))
       .select("g", "id", "v", "med", "mad", "is_outlier")
       .as[(String, Long, Long, Long, Long, Long)].collect()
     val byGroup = got.groupBy(_._1)

@@ -33,7 +33,7 @@ class RankingSpec extends SparkSpec {
     val ps = Seq(1, 25, 50, 90, 99, 100)
     val got = Ranking.exactPercentiles(
       rows.toDF("g", "id", "v").repartition(13),
-      "v", groupCols = Seq("g"), tiebreakCols = Seq("id"), ps = ps)
+      "v", groupCols = Seq("g"), ps = ps)
       .as[(String, Long, Long, Long)].collect()
       .map { case (g, p, v, n) => (g, p) -> ((v, n)) }.toMap
     val brute = rows.groupBy(_._1).flatMap { case (g, xs) =>
@@ -65,7 +65,7 @@ class RankingSpec extends SparkSpec {
     import spark.implicits._
     val got = Ranking.exactPercentiles(
       Seq(("a", 1L, 42L)).toDF("g", "id", "v"),
-      "v", Seq("g"), Seq("id"), Seq(1, 50, 100))
+      "v", Seq("g"), Seq(1, 50, 100))
       .as[(String, Long, Long, Long)].collect().toSet
     assert(got === Set(("a", 1L, 42L, 1L), ("a", 50L, 42L, 1L),
       ("a", 100L, 42L, 1L)))
@@ -83,7 +83,7 @@ class RankingSpec extends SparkSpec {
       (2 to 9).map(i => ("h", 100L + i, i.toLong)) ++ Seq(("h", 111L, 1000L))
     val got = Ranking.winsorizedMean(
       (g ++ h).toDF("g", "id", "v").repartition(7),
-      "v", Seq("g"), Seq("id"), loP = 10, hiP = 90)
+      "v", Seq("g"), loP = 10, hiP = 90)
       .as[(String, Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(got("g") === ((10L, 1L, 9L, 54L, 5400000L)))
@@ -125,5 +125,30 @@ class RankingSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === Map("g" -> ((3L, 12L)), "h" -> ((2L, 4L)),
       "t" -> ((1L, 6L))))
+  }
+
+  test("NULL group keys are kept by every order statistic (the " +
+    "statistics joins are null-safe, matching a window's behavior)") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L, 1L), (Some("a"), 2L, 2L),
+      (None, 3L, 5L), (None, 4L, 7L)).toDF("g", "id", "v")
+    val pct = Ranking.exactPercentiles(df, "v", Seq("g"), Seq(50, 100))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(pct((None, 50L)) === ((5L, 2L)) &&
+      pct((None, 100L)) === ((7L, 2L)))
+    assert(pct((Some("a"), 50L)) === ((1L, 2L)))
+    val ranks = Ranking.percentileRanks(df, "v", Seq("g"), Seq("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(ranks(3L) === 0L && ranks(4L) === 1000000L)
+    val wm = Ranking.weightedMedian(
+      df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "v", "w", Seq("g"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(wm(None) === 5L && wm(Some("a")) === 1L)
+    val ws = Ranking.winsorizedMean(df, "v", Seq("g"), loP = 50, hiP = 100)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(ws(None) === ((2L, 5L, 7L, 12L)))
   }
 }
