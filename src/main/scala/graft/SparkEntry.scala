@@ -2757,8 +2757,11 @@ object SparkEntry {
     // Salted skew join exercised against a SYNTHESIZED hot key tail (the
     // lines of orders < 100 replicated 20 extra times — the consolidated-
     // bill shape): results are identical to the plain join by construction,
-    // which is exactly what the oracle replays; the salt-spread plan shape
-    // is pinned in ScaleLayoutSpec
+    // which is exactly what the oracle replays. Hot keys are DETECTED by
+    // sampling and only their dim rows replicate ×8 (blanket salting
+    // shipped the whole dimension ×8 through the shuffle); the cold mass
+    // joins plainly. Salt-spread + split plan shapes pinned in
+    // ScaleLayoutSpec / PlanQualitySpec.
     "j_skew_salted" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), cents(col("l_extendedprice")).as("pc"))
@@ -2767,8 +2770,10 @@ object SparkEntry {
       val big = li.unionByName(hot)
       val dim = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-      graft.operators.SkewJoin.saltedJoin(big, dim, "l_orderkey",
-        saltBuckets = 8)
+      // fixture-tuned detection: the planted hot keys carry ~84 lines
+      // each, so a 10% sample sees ≥8 of them w.h.p.
+      graft.operators.SkewJoin.saltedJoinHot(big, dim, "l_orderkey",
+        saltBuckets = 8, sampleFraction = 0.1, hotSampleMin = 8)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("sum_cents"))
     }),

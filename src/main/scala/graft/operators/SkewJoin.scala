@@ -37,4 +37,41 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** [[saltedJoin]] applied ONLY to detected hot keys; the cold mass
+    * takes the plain equi-join. Blanket salting replicates the WHOLE
+    * dimension × saltBuckets through the shuffle — at a 100 TB fact with
+    * a 100 GB dimension that is the dominant cost, paid for every key
+    * when only a handful are hot. Here a cheap deterministic sample of
+    * the fact side estimates key frequencies; keys whose sampled count
+    * reaches `hotSampleMin` split off into the salted path (dim rows
+    * replicated only for THEM), everything else joins plainly, and the
+    * two paths union.
+    *
+    * The classification CANNOT change the result — hot ∪ cold partitions
+    * the key space, and each path computes the exact inner join for its
+    * keys — so the sample only steers the plan: a missed hot key falls
+    * back to AQE's runtime skew split; a false positive costs a few
+    * replicated dim rows. The hot-key set is bounded by construction
+    * (≤ sampled rows / hotSampleMin keys) and broadcast. */
+  def saltedJoinHot(big: DataFrame, dim: DataFrame, key: String,
+                    saltBuckets: Int,
+                    saltCols: Seq[Column] = Seq.empty,
+                    sampleFraction: Double = 1e-3,
+                    hotSampleMin: Int = 8): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1, "bad sampleFraction")
+    require(hotSampleMin >= 2, "hotSampleMin >= 2")
+    import graft.Checkpoints.PinOps
+    val hot = big.select(col(key))
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+      .groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") >= hotSampleMin)
+      .select(col(key))
+      .pinLazy() // bounded table, three consumers — never recomputed
+    val bigHot = big.join(broadcast(hot), Seq(key), "left_semi")
+    val bigCold = big.join(broadcast(hot), Seq(key), "left_anti")
+    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
+    bigCold.join(dim, key)
+      .unionByName(saltedJoin(bigHot, dimHot, key, saltBuckets, saltCols))
+  }
 }

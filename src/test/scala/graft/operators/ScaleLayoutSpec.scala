@@ -69,6 +69,38 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(spread > 1L)
   }
 
+  test("hot-only salted join: identical to the plain join whether or not " +
+    "detection fires; only detected keys' dim rows replicate") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    // plant a hot key: every 3rd row rewritten to partkey 1
+    val big = li.withColumn("l_partkey",
+      when(pmod(col("l_orderkey"), lit(3)) === 0, lit(1L))
+        .otherwise(col("l_partkey")))
+    val part = Tables(spark, sfDir, "part").select("p_partkey", "p_name")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = big.join(part, "l_partkey")
+    // detection FIRES (the planted key is ~1/3 of the fact)
+    val fired = SkewJoin.saltedJoinHot(big, part, "l_partkey",
+      saltBuckets = 8, sampleFraction = 0.05, hotSampleMin = 8)
+    assert(fired.count() === plain.count())
+    assert(fired.except(plain).count() === 0L &&
+      plain.except(fired).count() === 0L)
+    // detection finds the planted key and ONLY its neighborhood: the
+    // sampled-count bound caps the hot set far below the key space
+    val hotKeys = big.select(col("l_partkey"))
+      .sample(withReplacement = false, 0.05, seed = 42)
+      .groupBy("l_partkey").count().where(col("count") >= 8)
+    assert(hotKeys.count() >= 1L &&
+      hotKeys.count() < 100L)
+    // detection MISSES (threshold unreachable): still exact, pure cold path
+    val missed = SkewJoin.saltedJoinHot(big, part, "l_partkey",
+      saltBuckets = 8, sampleFraction = 0.05, hotSampleMin = 1000000)
+    assert(missed.count() === plain.count())
+    assert(missed.except(plain).count() === 0L)
+  }
+
   test("z-ordered layout bounds BOTH columns' per-file spans; single sort does not") {
     import spark.implicits._
     import graft.sources.Layouts
