@@ -599,36 +599,33 @@ object Dedup {
 
   /** Deterministic universal-hash constants for [[minhashMd5Signatures]]:
     * (a_i, b_i) for h_i(x) = (a_i·x + b_i) mod p with p = 2^31 − 1. One
-    * generator feeds BOTH the Spark plan and the SQL oracle's literals,
-    * so the two can never drift. a_i is forced nonzero. */
+    * generator — [[org.apache.spark.sql.graft.MinHashMd5Signature.consts]]
+    * — feeds the kernel, this Spark plan AND the SQL oracle's literals,
+    * so the three can never drift. a_i is forced nonzero. */
   def minhashMd5Consts(n: Int): Seq[(Long, Long)] =
-    (0 until n).map { i =>
-      val a = ((2L * i + 1L) * 2654435761L) % 2147483647L
-      val b = (i.toLong * 40503L * 65537L + 17L) % 2147483647L
-      (if (a == 0L) 1L else a, b)
-    }
+    org.apache.spark.sql.graft.MinHashMd5Signature.consts(n)
 
   /** PORTABLE-hash MinHash signatures (wide: m0..m{n−1} per document):
-    * distinct word-k-shingles → 28-bit md5-prefix integers → n
-    * independent (a·x + b) mod p minima. All arithmetic stays below 2^59
-    * (28-bit base × 31-bit a), exact in int64 on both engines — the
-    * oracle twin of the xxhash64 [[GraftFunctions.minhashSignature]].
-    * Scale shape: one explode + one n-column min aggregation, no
-    * shuffle beyond the doc-key agg. Docs with < k tokens are absent. */
+    * word-k-shingles → 28-bit md5-prefix integers → n independent
+    * (a·x + b) mod p minima, all inside ONE codegen-called kernel
+    * ([[org.apache.spark.sql.graft.MinHashMd5Signature]]) — the oracle
+    * twin of the xxhash64 [[GraftFunctions.minhashSignature]]. The old
+    * dataflow exploded distinct shingles and min-AGGREGATED n columns
+    * back per doc: a row blowup plus a shuffle for row-local arithmetic.
+    * Scale shape now: a pure fanned scan, zero exchanges. Docs with
+    * < k tokens are absent (the kernel returns NULL; filtered). */
   def minhashMd5Signatures(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 2, numHashes: Int = 32): DataFrame = {
-    val p = 2147483647L
-    val sh = graft.Fanout.maybe(docs, idCol)
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.MinHashMd5Signature(
+        org.apache.spark.sql.GraftBridge.expression(
+          shingles(col(textCol), k)), numHashes))
+    graft.Fanout.maybe(docs, idCol)
       .where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("h"))
-    val minCols = minhashMd5Consts(numHashes).zipWithIndex.map {
-      case ((a, b), i) =>
-        min((col("h") * lit(a) + lit(b)) % lit(p)).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol).as("doc_id"), sig.as("_sig"))
+      .where(col("_sig").isNotNull)
+      .select(col("doc_id") +: (0 until numHashes).map(i =>
+        expr(s"_sig[$i]").as(s"m$i")): _*)
   }
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
