@@ -2122,6 +2122,28 @@ object SparkEntry {
           size(tokens(col("text"))).cast("long").as("n_tokens")),
         "lang", "n_tokens")),
 
+    // Length-bucketed packing PLAN: per (bucket, sequence) doc count /
+    // used / truncated / padded tokens — the batch layout that realizes
+    // the savings pack_length_buckets measures; within-bucket ranks via
+    // the distributed range sort (9 giant buckets, never 9 window tasks)
+    "pack_bucketed" -> ((s, dir) =>
+      graft.operators.Sampling.packBucketed(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens")),
+
+    // Vocabulary growth (Heaps' law) curve: new/cumulative word types
+    // and token mass per corpus id-slice — lexical-saturation profiling
+    "lm_vocab_growth" -> ((s, dir) =>
+      graft.operators.TextAnalysis.vocabGrowth(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // Per-source unigram KL divergence from the corpus mix over the
+    // top-300 vocab + one OOV cell, micro-nat integers — source drift
+    "lm_source_divergence" -> ((s, dir) =>
+      graft.operators.TextAnalysis.sourceDivergence(
+        t(s, dir, "documents"), "doc_id", "text", "source")),
+
     // Percentile stats per language (exact interpolated median/p90) and a
     // fixed-width length histogram — corpus profiling for token budgeting
     "text_length_stats" -> ((s, dir) =>

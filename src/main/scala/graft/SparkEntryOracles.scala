@@ -3900,6 +3900,103 @@ private[graft] object SparkEntryOracles {
         |    - w_q::HUGEINT * 1000000 // wtot AS BIGINT) AS gap_ppm
         |FROM w, t""".stripMargin,
 
+    // length-bucketed packing plan: ranks via the same (bucket, doc_id)
+    // order; all divisions over non-negatives (trunc == floor == //)
+    "pack_bucketed" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |    CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |         WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |         WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+        |         ELSE 4096 END AS BIGINT) AS bucket_cap
+        |  FROM d
+        |), r AS (
+        |  SELECT bucket_cap, n,
+        |    row_number() OVER (PARTITION BY bucket_cap ORDER BY doc_id)
+        |      - 1 AS rnk
+        |  FROM b
+        |), s AS (
+        |  SELECT bucket_cap, n,
+        |    CAST(rnk // greatest(1, 4096 // bucket_cap) AS BIGINT)
+        |      AS seq_id
+        |  FROM r)
+        |SELECT bucket_cap, seq_id, count(*) AS n_docs,
+        |  CAST(sum(least(n, bucket_cap)) AS BIGINT) AS used_tokens,
+        |  CAST(sum(greatest(n - bucket_cap, 0)) AS BIGINT)
+        |    AS trunc_tokens,
+        |  count(*) * bucket_cap
+        |    - CAST(sum(least(n, bucket_cap)) AS BIGINT) AS padded_tokens
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // Heaps-law curve: a type's slice = min slice over its occurrences
+    "lm_vocab_growth" ->
+      """WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+        |           FROM documents),
+        |t AS (
+        |  SELECT least(9, CAST(doc_id AS BIGINT) * 10 // (mx + 1))
+        |      AS slice,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents, m
+        |), tt AS (SELECT slice, tok FROM t WHERE length(tok) > 0),
+        |ty AS (SELECT tok, min(slice) AS slice FROM tt GROUP BY 1),
+        |nt AS (SELECT slice, count(*) AS new_types FROM ty GROUP BY 1),
+        |oc AS (SELECT slice, count(*) AS n_tokens FROM tt GROUP BY 1)
+        |SELECT slice,
+        |  CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(COALESCE(new_types, 0)) OVER (ORDER BY slice)
+        |    AS BIGINT) AS cum_types,
+        |  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(sum(COALESCE(n_tokens, 0)) OVER (ORDER BY slice)
+        |    AS BIGINT) AS cum_tokens
+        |FROM nt FULL OUTER JOIN oc USING (slice)""".stripMargin,
+
+    // per-source unigram KL vs the corpus over top-300 vocab + OOV cell;
+    // micro-nat ln quantization (round(ln(int)*1e6)); the mean replays
+    // Spark's trunc-toward-zero div with a sign split (kl can quantize
+    // to a small negative)
+    "lm_source_divergence" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tt AS (SELECT source, tok FROM t WHERE length(tok) > 0),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM tt GROUP BY 1
+        |    ORDER BY c DESC, tok ASC LIMIT 300)
+        |), c AS (
+        |  SELECT source,
+        |    CASE WHEN v.tok IS NOT NULL THEN tt.tok ELSE ' oov' END AS cell
+        |  FROM tt LEFT JOIN v ON tt.tok = v.tok
+        |), bs AS (
+        |  SELECT source, cell, count(*) AS s_cnt FROM c GROUP BY 1, 2
+        |), co AS (SELECT cell, CAST(sum(s_cnt) AS BIGINT) AS c_cnt
+        |          FROM bs GROUP BY 1),
+        |ct AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS c_tot FROM co),
+        |st AS (SELECT source, CAST(sum(s_cnt) AS BIGINT) AS s_tot
+        |       FROM bs GROUP BY 1),
+        |agg AS (
+        |  SELECT bs.source, max(st.s_tot) AS n_tokens,
+        |    count(*) AS n_cells,
+        |    CAST(sum(s_cnt::HUGEINT *
+        |      (CAST(round(ln(s_cnt) * 1e6) AS BIGINT)
+        |       - CAST(round(ln(s_tot) * 1e6) AS BIGINT)
+        |       - CAST(round(ln(c_cnt) * 1e6) AS BIGINT)
+        |       + CAST(round(ln(c_tot) * 1e6) AS BIGINT))) AS BIGINT)
+        |      AS kl_micro
+        |  FROM bs JOIN co USING (cell) JOIN st USING (source)
+        |    CROSS JOIN ct
+        |  GROUP BY 1)
+        |SELECT source, n_tokens, n_cells, kl_micro,
+        |  CASE WHEN kl_micro >= 0 THEN kl_micro // n_tokens
+        |       ELSE -((-kl_micro) // n_tokens) END AS kl_mean_micro
+        |FROM agg""".stripMargin,
+
     "pack_batches" ->
       """WITH d AS (
         |  SELECT doc_id, source,

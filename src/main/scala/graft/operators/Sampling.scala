@@ -429,12 +429,8 @@ object Sampling {
     * Scale shape: one row-local bucket projection + ONE bucket-keyed
     * hash aggregation (≤ 9 groups) — map-side partials do all the work. */
   def lengthBucketReport(df: DataFrame, nTokensCol: String): DataFrame = {
-    val caps = (4 to 12).map(1 << _) // 16, 32, ..., 4096
     val n = col(nTokensCol)
-    val cap = caps.init.foldRight(lit(caps.last.toLong)) { (c, els) =>
-      when(n <= c, c.toLong).otherwise(els)
-    }
-    df.select(cap.as("bucket_cap"), n.as("_n"))
+    df.select(lengthBucketCap(n).as("bucket_cap"), n.as("_n"))
       .groupBy("bucket_cap")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n")).as("sum_tokens"),
@@ -452,6 +448,54 @@ object Sampling {
         "cast(cast(padded_tokens as decimal(38,0)) * 1000000" +
           " div (n_docs * pad_to) as bigint)"))
       .drop("pad_to")
+  }
+
+  /** Power-of-two length-bucket cap 16..4096 (docs above the last
+    * boundary pool into the open-ended top bucket): a fixed CASE chain —
+    * exact integers in any engine, shared by [[lengthBucketReport]] and
+    * [[packBucketed]]. */
+  private def lengthBucketCap(n: Column): Column = {
+    val caps = (4 to 12).map(1 << _) // 16, 32, ..., 4096
+    caps.init.foldRight(lit(caps.last.toLong)) { (c, els) =>
+      when(n <= c, c.toLong).otherwise(els)
+    }
+  }
+
+  /** Length-bucketed packing PLAN: the batch layout that realizes the
+    * savings [[lengthBucketReport]] measures. Docs group by power-of-two
+    * length bucket; within a bucket they pack `per_seq = max(1,
+    * context div cap)` to a training sequence in id order, each padded
+    * to the bucket cap (docs above the top cap truncate to it — the
+    * fixed-context rule). Per (bucket_cap, seq_id): doc count, used
+    * (post-truncation) tokens, truncated tokens, padded tokens — all
+    * exact integers, hash-replayable in SQL.
+    *
+    * Scale shape: the within-bucket rank comes from
+    * [[Ranking.globalRowNumbers]]' range-partitioned sort over
+    * (bucket, id) rebased by the bucket's start offset (a ≤ 9-row
+    * broadcast) — 9 giant buckets never funnel through 9 window tasks —
+    * and the final aggregation keys on (bucket, seq_id). */
+  def packBucketed(df: DataFrame, idCol: String, nTokensCol: String,
+                   contextTokens: Long = 4096L): DataFrame = {
+    require(contextTokens > 0, "contextTokens must be positive")
+    val withB = df
+      .select(col(idCol), col(nTokensCol).cast("long").as("_n"))
+      .withColumn("bucket_cap", lengthBucketCap(col("_n")))
+    val seqd = Ranking.globalRowNumbers(
+      withB, Seq("bucket_cap", idCol), "_seq")
+    val offs = seqd.groupBy(col("bucket_cap"))
+      .agg(min(col("_seq")).as("_off")) // ≤ 9 rows
+    seqd.join(broadcast(offs), "bucket_cap")
+      .withColumn("per_seq",
+        greatest(lit(1L), expr(s"$contextTokens div bucket_cap")))
+      .withColumn("seq_id", expr("(_seq - _off) div per_seq"))
+      .groupBy(col("bucket_cap"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("_n"), col("bucket_cap"))).as("used_tokens"),
+        sum(greatest(col("_n") - col("bucket_cap"), lit(0L)))
+          .as("trunc_tokens"))
+      .withColumn("padded_tokens",
+        col("n_docs") * col("bucket_cap") - col("used_tokens"))
   }
 
   /** Corpus-mix gap report: how far each group's ACTUAL token share sits

@@ -1944,4 +1944,98 @@ object TextAnalysis {
     }
     wide.select(col(idCol) +: outCols: _*)
   }
+
+  /** Vocabulary growth (Heaps' law) curve: the corpus in `buckets` equal
+    * id slices, and per slice the NEW word types (first corpus occurrence
+    * lands in that slice), cumulative types, token occurrences and
+    * cumulative tokens. The curve a tokenizer/corpus plan reads to decide
+    * whether more data still buys vocabulary — a flattening `new_types`
+    * tail means the corpus is lexically saturated.
+    *
+    * Scale shape: one tokenize-explode scan → a token-keyed MIN
+    * aggregation (first slice per type — map-side combining) plus a
+    * slice-keyed occurrence count; everything after runs on the
+    * ≤ `buckets`-row table (the sanctioned bounded window). Exact
+    * integers end to end. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "buckets >= 2")
+    val maxId = docs.agg(max(col(idCol)).cast("long").as("_max"))
+    val toks = docs.crossJoin(broadcast(maxId))
+      .select(least(lit(buckets - 1L),
+        expr(s"cast($idCol as bigint) * $buckets div (_max + 1)"))
+        .as("slice"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val types = toks.groupBy(col("tok"))
+      .agg(min(col("slice")).as("slice"))
+      .groupBy(col("slice")).agg(count(lit(1)).as("new_types"))
+    val occ = toks.groupBy(col("slice")).agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // <= buckets rows: the bounded-window exception (see buildVocab)
+    types.join(occ, Seq("slice"), "full_outer")
+      .select(col("slice"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select("slice", "new_types", "cum_types", "n_tokens", "cum_tokens")
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * "which source's token mix is drifting from the whole" — over the
+    * corpus top-`topK` vocabulary with everything else pooled into one
+    * OOV cell (bounds the cell space; the tail's mass still counts).
+    * KL(source ‖ corpus) = Σ_cell p_s·ln(p_s/p_c), computed in the
+    * micro-nat ln-quantization discipline ([[quantizedLm]]): every ln is
+    * `round(ln(integer)·1e6)` and all combination is integer, so the
+    * report is hash-replayable in ANSI SQL. Emits the total divergence
+    * in token·micro-nats and the per-token mean in micro-nats.
+    *
+    * Scale shape: one tokenize scan → token-keyed corpus counts; the
+    * top-K cut is a distributed TakeOrdered; the vocab (topK rows)
+    * broadcasts back onto a (source, cell) aggregation — the corpus
+    * never shuffles on anything wider than (source, cell). The
+    * token·micro-nat sum accumulates in decimal(38,0): count × ln-diff
+    * passes int64 near 10^12 tokens per source. */
+  def sourceDivergence(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, topK: Int = 300): DataFrame = {
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val toks = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_vc"))
+      .orderBy(col("_vc").desc, col("tok").asc).limit(topK)
+      .select(col("tok"), lit(1L).as("_in_vocab"))
+    val celled = toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .select(col("source"),
+        when(col("_in_vocab").isNotNull, col("tok"))
+          .otherwise(lit(" oov")).as("cell")) // " oov": no token has a space
+    val bySource = celled.groupBy(col("source"), col("cell"))
+      .agg(count(lit(1)).as("s_cnt"))
+      .pinLazy() // three derivations below -- never re-scan the corpus
+    // corpus cell counts and totals DERIVE from the (source, cell)
+    // table: tiny re-aggregations instead of second corpus scans
+    val corpus = bySource.groupBy(col("cell"))
+      .agg(sum(col("s_cnt")).as("c_cnt"))
+    val corpusTot = corpus.agg(sum(col("c_cnt")).as("c_tot"))
+    val sourceTot = bySource.groupBy(col("source"))
+      .agg(sum(col("s_cnt")).as("s_tot"))
+    bySource
+      .join(broadcast(corpus), "cell")
+      .join(sourceTot, "source") // |sources| rows — AQE broadcasts
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("_d", lnq(col("s_cnt")) - lnq(col("s_tot"))
+        - lnq(col("c_cnt")) + lnq(col("c_tot")))
+      .groupBy(col("source"))
+      .agg(max(col("s_tot")).as("n_tokens"),
+        count(lit(1)).as("n_cells"),
+        expr("cast(sum(cast(s_cnt as decimal(38,0)) * _d) as bigint)")
+          .as("kl_micro"))
+      .withColumn("kl_mean_micro", expr("kl_micro div n_tokens"))
+  }
 }

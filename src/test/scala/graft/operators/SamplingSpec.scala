@@ -432,4 +432,26 @@ class SamplingSpec extends SparkSpec {
     assert(mn._3 === 0L)
     assert(mx._3 === (buckets - 1).toLong)
   }
+
+  test("packBucketed: hand-checked buckets, sequence boundaries, " +
+    "truncation in the open top bucket") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 16L), (3L, 12L), (4L, 100L), (5L, 120L),
+      (6L, 5000L)).toDF("doc_id", "n_tokens")
+    val got = Sampling.packBucketed(df, "doc_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bucket 16: docs 1,2,3 all fit one 4096-token sequence (256/seq)
+    assert(got((16L, 0L)) === ((3L, 38L, 0L, 10L)))
+    // bucket 128: docs 4,5 -> used 220, padded 2*128-220
+    assert(got((128L, 0L)) === ((2L, 220L, 0L, 36L)))
+    // top bucket truncates to the context: used 4096, trunc 904, pad 0
+    assert(got((4096L, 0L)) === ((1L, 4096L, 904L, 0L)))
+    // tight context forces sequence boundaries inside a bucket
+    val tight = Sampling.packBucketed(df, "doc_id", "n_tokens",
+      contextTokens = 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tight((16L, 0L)) === 2L && tight((16L, 1L)) === 1L) // 2 per seq
+    assert(tight((128L, 0L)) === 1L && tight((128L, 1L)) === 1L) // 1 per seq
+  }
 }

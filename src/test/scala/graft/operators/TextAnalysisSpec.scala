@@ -1222,4 +1222,42 @@ class TextAnalysisSpec extends SparkSpec {
         s"KN normalization broken for context '$w1'")
     }
   }
+
+  test("vocabGrowth: hand-checked slices, cumulative counts reconcile") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "d e a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // slice 0 = docs 0,1: types a,b,c first appear; 4 tokens
+    assert(got(0L) === ((3L, 3L, 4L, 4L)))
+    // slice 1 = docs 2,3: new types d,e; 5 tokens
+    assert(got(1L) === ((2L, 5L, 5L, 9L)))
+  }
+
+  test("sourceDivergence: one source diverges zero; disjoint vocabularies " +
+    "diverge by exactly the quantized ln 2") {
+    import spark.implicits._
+    val one = (1 to 20).map(i => (i.toLong, "src", s"tok${i % 5} tok${i % 3}"))
+      .toDF("doc_id", "source", "text")
+    val gotOne = TextAnalysis.sourceDivergence(one, "doc_id", "text", "source")
+      .collect()
+    assert(gotOne.length === 1)
+    assert(gotOne.head.getLong(3) === 0L) // s_cnt==c_cnt everywhere -> KL 0
+    // two sources with disjoint single-token vocabularies, equal mass n:
+    // every cell has s_tot = n, c_cnt = s_cnt, c_tot = 2n ->
+    // dd = lnq(2n) - lnq(n) per occurrence
+    val n = 12L
+    val two = ((1 to n.toInt).map(i => (i.toLong, "x", "aaa")) ++
+      (1 to n.toInt).map(i => (100L + i, "y", "bbb")))
+      .toDF("doc_id", "source", "text")
+    val exp = math.round(math.log(2.0 * n) * 1e6) -
+      math.round(math.log(n.toDouble) * 1e6)
+    val got = TextAnalysis.sourceDivergence(two, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("x") === ((n, n * exp, exp)))
+    assert(got("y") === ((n, n * exp, exp)))
+  }
 }
