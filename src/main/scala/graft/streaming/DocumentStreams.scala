@@ -166,4 +166,80 @@ object DocumentStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Streaming corpus-mix monitor — the on-arrival form of
+    * [[graft.operators.Sampling.mixGap]]: per-group (doc count, token
+    * mass) state is maintained across micro-batches in a parquet table
+    * at `stateDir`, and after each batch the full mix-gap report
+    * (actual vs T=2 target share, ppm) recomputes from the GROUP-SIZED
+    * state and appends to `outDir` with the batch id — the live
+    * dashboard that says when the arriving crawl has drifted the corpus
+    * off its target language mix.
+    *
+    * `newRows` must carry (`groupCol`, `nTokensCol`) — project tokens
+    * upstream. Scale shape: a micro-batch pays ONE aggregation of
+    * itself plus a merge with the |groups|-row state; no corpus data is
+    * ever re-read. The merge is a SUM, so replay safety uses the
+    * applied-batch watermark (`_batch` marker — the [[SketchStreams]]
+    * CMS discipline); crash safety is the snapshot protocol's. */
+  def mixGapMonitor(newRows: DataFrame, stateDir: String, outDir: String,
+                    backupRoot: String, checkpointDir: String,
+                    groupCol: String, nTokensCol: String,
+                    trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyMixBatch(batch.toDF(), batchId, stateDir, outDir, backupRoot,
+          groupCol, nTokensCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** One mix-monitor micro-batch — separated so replay idempotence is
+    * directly testable (the `applyCmsBatch` pattern). A replayed batch
+    * id is a no-op: the state merge is a sum, so the applied-batch
+    * watermark is load-bearing, not belt-and-braces. */
+  def applyMixBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                    outDir: String, backupRoot: String,
+                    groupCol: String, nTokensCol: String): Unit = {
+    import graft.operators.Sampling
+    val spark = batch.sparkSession
+    graft.sources.Sinks.recover(spark, stateDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+    val prev = if (exists) Some(spark.read.parquet(stateDir)) else None
+    val lastApplied = prev match {
+      case Some(p) if p.columns.contains("_batch") =>
+        p.select(max(col("_batch"))).first() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+      case _ => -1L
+    }
+    if (batchId > lastApplied) {
+      val batchGroups = batch
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col(nTokensCol)).as("sum_tokens"))
+      val union = prev match {
+        case Some(p) =>
+          p.select(col(groupCol), col("n_docs"), col("sum_tokens"))
+            .unionByName(batchGroups)
+        case None => batchGroups
+      }
+      val merged = union
+        .groupBy(col(groupCol))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_tokens")).as("sum_tokens"))
+        .withColumn("_batch", lit(batchId))
+        .pin() // the overwrite consumes it, then the report reads it
+      graft.sources.Sinks.snapshotOverwrite(spark, merged, stateDir,
+        backupRoot)
+      Sampling.mixGapFromGroups(merged.drop("_batch"), groupCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
+    }
+  }
 }

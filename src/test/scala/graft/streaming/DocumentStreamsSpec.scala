@@ -188,4 +188,47 @@ class DocumentStreamsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(streamed === batch)
   }
+
+  test("mix monitor: streaming state equals a one-shot batch mixGap, " +
+    "reports are versioned per batch, replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("mixmon").toString
+    val b0 = Seq(("en", 100L), ("en", 200L), ("de", 50L))
+    val b1 = Seq(("en", 10L), ("fr", 40L), ("fr", 60L))
+    val stream = MemoryStream[(String, Long)]
+    val q = DocumentStreams.mixGapMonitor(
+      stream.toDF().toDF("lang", "n_tokens"), s"$tmp/state", s"$tmp/out",
+      s"$tmp/bak", s"$tmp/cp", "lang", "n_tokens",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      stream.addData(b0: _*); q.processAllAvailable()
+      stream.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the batch-id-1 report == mixGap over EVERYTHING seen so far
+    val expected = graft.operators.Sampling.mixGap(
+      (b0 ++ b1).toDF("lang", "n_tokens"), "lang", "n_tokens")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val reports = spark.read.parquet(s"$tmp/out")
+    val last = reports.where(col("batch_id") === 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(last === expected)
+    // one report row set per batch: batch 0 covered only b0's groups
+    assert(reports.where(col("batch_id") === 0L).count() === 2L)
+    assert(reports.where(col("batch_id") === 1L).count() === 3L)
+    // replaying an applied batch id is a NO-OP (sum merge + watermark)
+    DocumentStreams.applyMixBatch(b1.toDF("lang", "n_tokens"), 1L,
+      s"$tmp/state", s"$tmp/out", s"$tmp/bak", "lang", "n_tokens")
+    val state = spark.read.parquet(s"$tmp/state")
+      .select("lang", "n_docs", "sum_tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(state === Set(("en", 3L, 310L), ("de", 1L, 50L),
+      ("fr", 2L, 100L)))
+    assert(spark.read.parquet(s"$tmp/out").count() === 5L)
+  }
 }
