@@ -1313,6 +1313,20 @@ object SparkEntry {
       Dedup.minhashMd5Signatures(t(s, dir, "documents"), "doc_id", "text",
         k = 2, numHashes = 32)),
 
+    // The full LSH pair machinery in the PORTABLE hash space: band keys
+    // are raw 4-min tuples, verify on shingle strings — hash-oracled end
+    // to end, the GREEN form of the rows-only dedup_minhash_lsh
+    "dedup_minhash_md5_lsh" -> ((s, dir) =>
+      Dedup.minhashMd5LshPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, numHashes = 32, bands = 8, minJaccard = 0.8)),
+
+    // Measured LSH recall per Jaccard decile vs the exact pair relation
+    // — the corpus' own s-curve; threshold 0.7 so the curve has a tail
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallEval(t(s, dir, "documents"), "doc_id", "text",
+        k = 2, numHashes = 32, bands = 8, minJaccard = 0.7,
+        key = dir)), // memo key includes the threshold; collapse shared
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.4)),

@@ -207,6 +207,38 @@ private[graft] object SparkEntryOracles {
 
   private val jaccardCtes = jaccardCtesFrom("documents")
 
+  /** md5-MinHash signature + banded-candidate CTEs shared by the LSH
+    * oracles: `sigs(doc_id, m0..m31)` from the SAME consts generator the
+    * kernel uses, `cand(id_a, id_b)` = pairs agreeing on some band's raw
+    * 4-min tuple (no bucket hashing — exact equality, like the engine).
+    * Composes with [[shingleCtesFrom]]'s `ex`/`sizes` for the verify. */
+  private lazy val lshCandCtes: String = {
+    val mins = graft.operators.Dedup.minhashMd5Consts(32).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"CAST(min((h * $a + $b) % 2147483647) AS BIGINT) AS m$i" }
+      .mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, m${4 * b} AS k1, m${4 * b + 1} AS k2," +
+        s" m${4 * b + 2} AS k3, m${4 * b + 3} AS k4 FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""hm AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT) AS h
+       |  FROM ex
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hm GROUP BY 1
+       |), bnd AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |      AND a.k3 = b.k3 AND a.k4 = b.k4
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Twin of [[TextAnalysis.bpeEncode]]: the replace chain is GENERATED
     * from the same [[TextAnalysis.frozenMerges]] constant the engine
     * folds over, so the two sides cannot drift — same boundary-wrapped
@@ -2154,6 +2186,49 @@ private[graft] object SparkEntryOracles {
       s"""WITH $jaccardCtes
          |SELECT id_a, id_b, intersection, size_a, size_b
          |FROM pairs""".stripMargin,
+
+    // md5-LSH pairs: banded candidates verified at exact Jaccard >= 0.8
+    "dedup_minhash_md5_lsh" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |$lshCandCtes,
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |    JOIN ex a ON a.doc_id = c.id_a
+         |    JOIN ex b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(i AS BIGINT) AS intersection,
+         |  CAST(sa.n + sb.n - i AS BIGINT) AS union_size
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         |           JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
+
+    // LSH recall per Jaccard decile: exact 0.7-pairs left-joined to the
+    // banded-candidate set (the confirm applies the same exact metric,
+    // so found = candidate membership)
+    "dedup_lsh_recall" ->
+      s"""WITH ${shingleCtesFrom("documents")},
+         |$lshCandCtes,
+         |inter7 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM ex a JOIN ex b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact7 AS (
+         |  SELECT id_a, id_b, CAST(i AS BIGINT) AS i,
+         |    CAST(sa.n + sb.n - i AS BIGINT) AS u
+         |  FROM inter7 JOIN sizes sa ON id_a = sa.doc_id
+         |              JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),
+         |joined AS (
+         |  SELECT least(9, (e.i * 10) // e.u) AS jacc_decile,
+         |    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS found
+         |  FROM exact7 e LEFT JOIN cand c
+         |    ON e.id_a = c.id_a AND e.id_b = c.id_b)
+         |SELECT CAST(jacc_decile AS BIGINT) AS jacc_decile,
+         |  count(*) AS n_exact, CAST(sum(found) AS BIGINT) AS n_found,
+         |  CAST(sum(found)::HUGEINT * 1000000 // count(*) AS BIGINT)
+         |    AS recall_ppm
+         |FROM joined GROUP BY 1""".stripMargin,
 
     // containment twin: same shingle algebra, DIRECTIONAL pairs, the
     // threshold spelled as the same ceil(t*|A|) overlap bound

@@ -628,6 +628,118 @@ object Dedup {
         expr(s"_sig[$i]").as(s"m$i")): _*)
   }
 
+  /** MinHash-LSH pair enumeration in the PORTABLE md5-hash space — the
+    * hash-oracled form of [[minhashLshPairsFromGroups]]: signatures come
+    * from [[org.apache.spark.sql.graft.MinHashMd5Signature]] (the green
+    * `dedup_minhash_md5` kernel), band keys are the RAW rows-per-band
+    * min tuples (exact equality grouping — no bucket hashing, so a hash
+    * collision can never invent a candidate the SQL replay lacks), and
+    * the exact-Jaccard confirm runs on the shingle STRING sets
+    * (`array_intersect` — byte-identical to the oracle's list
+    * intersection, no xxhash-collision caveat). Identical shingle sets
+    * exact-collapse first (clone-adversarial, the house rule); banding
+    * runs on representatives only — sound because a signature is a
+    * function of the SET, so per-member banding would collide
+    * identically.
+    *
+    * Scale shape: one collapse aggregation, one bands-way explode of the
+    * DISTINCT-set table, per-bucket pair generation capped at
+    * `maxBucket` (observed metric `minhash_md5_lsh_buckets`), member
+    * expansion restores clone pairs. Output: (id_a < id_b,
+    * intersection, union_size) for verified pairs with Jaccard ≥
+    * `minJaccard`. */
+  def minhashMd5LshPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                         minJaccard: Double = 0.8,
+                         maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sets = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        sort_array(array_distinct(shingles(col(textCol), k))).as("shs"))
+      .where(size(col("shs")) > 0)
+    val groups = sets.groupBy(col("shs"))
+      .agg(min(col("doc")).as("rep"), collect_list(col("doc")).as("ids"))
+      .pinLazy() // three consumers: banding, member expansion, intra
+    val sig = groups.select(col("rep"), col("shs"),
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.MinHashMd5Signature(
+          org.apache.spark.sql.GraftBridge.expression(col("shs")),
+          numHashes)).as("sig"))
+    val banded = sig
+      .select(struct(col("rep"), col("shs")).as("ds"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rows + 1, rows).as("key"))): _*)).as("bk"))
+      .select(col("ds"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val repPairs = capBuckets(
+      banded.groupBy("band", "key").agg(collect_list(col("ds")).as("ms"))
+        .where(size(col("ms")) > 1),
+      maxBucket, "minhash_md5_lsh_buckets")
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
+        col("a.shs").as("sh_a"), col("b.shs").as("sh_b"))
+      .dropDuplicates("ra", "rb")
+      .withColumn("intersection",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_size",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+          - col("intersection"))
+      .where(col("intersection") / col("union_size") >= minJaccard)
+      .select("ra", "rb", "intersection", "union_size")
+    val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
+    val cross = repPairs
+      .join(memb.select(col("rep").as("ra"), col("m").as("ma")), "ra")
+      .join(memb.select(col("rep").as("rb"), col("m").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("intersection"), col("union_size"))
+    val intra = groups.where(size(col("ids")) > 1)
+      .select(size(col("shs")).cast("long").as("sz"),
+        explode(col("ids")).as("a"), col("ids"))
+      .select(col("sz"), col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("sz").as("intersection"), col("sz").as("union_size"))
+    cross.unionByName(intra)
+  }
+
+  /** Measured LSH recall curve: for every EXACT Jaccard-≥-`minJaccard`
+    * pair ([[ngramPairsFor]] — the green all-pairs relation), was it
+    * FOUND by the banded md5-MinHash candidate generation
+    * ([[minhashMd5LshPairs]] at the same threshold)? Rolled up per
+    * Jaccard decile as (n_exact, n_found, recall_ppm) — the measured
+    * form of the 1−(1−J^r)^b s-curve every LSH parameter choice is
+    * betting on, over the corpus' own pair distribution instead of the
+    * theory. Exact integers end to end (decile = min(9, 10i div u);
+    * found ⊆ exact since the confirm applies the same exact metric).
+    *
+    * Scale shape: both inputs are the already-bounded pair relations;
+    * the eval itself is one pair-keyed join + a ≤10-group rollup. */
+  def lshRecallEval(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                    minJaccard: Double = 0.7, key: String): DataFrame = {
+    val exact = ngramPairsFor(docs, idCol, textCol, k, minJaccard, key)
+      .select(col("id_a"), col("id_b"),
+        col("intersection").cast("long").as("i"),
+        (col("size_a") + col("size_b") - col("intersection"))
+          .cast("long").as("u"))
+    val found = minhashMd5LshPairs(docs, idCol, textCol, k, numHashes,
+      bands, minJaccard)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    exact.join(found, Seq("id_a", "id_b"), "left_outer")
+      .withColumn("jacc_decile", least(lit(9L), expr("(i * 10) div u")))
+      .groupBy(col("jacc_decile"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm", expr(
+        "cast(cast(n_found as decimal(38,0)) * 1000000 div n_exact" +
+          " as bigint)"))
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxHamming`,
     * using the standard pigeonhole blocking: split the 64-bit fingerprint
     * into `maxHamming + 1` chunks — any pair within distance d agrees on at

@@ -513,4 +513,53 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(blocked === brute && brute.nonEmpty)
   }
+
+  test("md5-LSH pairs: planted near-dups found and verified, identical " +
+    "clones expand through the collapse, misses stay out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "red orange yellow green blue violet indigo"),
+      (2L, "red orange yellow green blue violet indigo"), // clone of 1
+      (3L, "red orange yellow green blue violet"),        // j = 5/6 vs 1
+      (4L, "completely different content entirely unrelated here"),
+      (5L, "x")) // too short to shingle -> absent
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashMd5LshPairs(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical sets: intra pair at full overlap (6 shingles)
+    assert(got((1L, 2L)) === ((6L, 6L)))
+    // the j=5/6 pair must be FOUND by banding (identical prefix mins
+    // dominate) and verified: intersection 5, union 6
+    assert(got((1L, 3L)) === ((5L, 6L)))
+    assert(got((2L, 3L)) === ((5L, 6L))) // member expansion of the clone
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("lshRecallEval: deciles partition the exact pairs, found <= exact, " +
+    "identical pairs land in decile 9 with full recall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // high j
+      (4L, "alpha beta gamma delta epsilon kappa mu nu"))    // lower j
+      .toDF("doc_id", "text")
+    val got = Dedup.lshRecallEval(docs, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5,
+      key = "lsh-recall-spec")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every decile: found <= exact and recall consistent
+    got.values.foreach { case (ne, nf, ppm) =>
+      assert(nf <= ne)
+      assert(ppm === nf * 1000000L / ne)
+    }
+    // the identical pair sits in decile 9 and banding cannot miss it
+    val (ne9, nf9, _) = got(9L)
+    assert(ne9 >= 1L && nf9 >= 1L)
+    // exact pair relation at 0.5 has pairs below decile 9 too
+    assert(got.keySet.exists(_ < 9L))
+  }
 }
