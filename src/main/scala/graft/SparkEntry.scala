@@ -1420,6 +1420,17 @@ object SparkEntry {
         nprobe = 2)
     }),
 
+    // Measured IVF recall@k per query: nprobe=2 vs probe-ALL-cells (the
+    // exact integer-dot brute force) — isolates probe misses from
+    // quantization/ties, which are identical in both arms; hash-oracled
+    "knn_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfRecallEval(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5,
+        centroids = Similarity.fixedCodebook(nlist = 4, dims = 64),
+        nprobe = 2)
+    }),
+
     // INCREMENTAL layout growth under the full oracle: the fixed-codebook
     // at-rest layout is built on a BASE slice and grown by appending the
     // remaining rows (frozen literal codebook, existing files untouched),

@@ -426,7 +426,8 @@ private[graft] object SparkEntryOracles {
     * candidate predicate (`c` is the cells alias; "" = unfiltered) — one
     * body so `knn_ivf_fixed` / `knn_ivf_append` / `knn_ivf_filtered`
     * cannot drift. */
-  private def knnIvfFixedSqlWhere(candFilter: String): String = {
+  private def knnIvfFixedSqlWhere(candFilter: String,
+                                  nprobe: Int = 2): String = {
     val cents = graft.operators.Similarity.fixedCodebook(4, 64)
     def dot(a: String, lits: Seq[Long]): String =
       s"CAST(list_sum(list_transform(list_zip($a, " +
@@ -456,7 +457,7 @@ private[graft] object SparkEntryOracles {
        |      PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS pr
        |    FROM (
        |      $probeUnion))
-       |  WHERE pr <= 2),
+       |  WHERE pr <= $nprobe),
        |cand AS (
        |  SELECT p.query_id, c.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
@@ -473,6 +474,25 @@ private[graft] object SparkEntryOracles {
   }
 
   private lazy val knnIvfFixedSql: String = knnIvfFixedSqlWhere("")
+
+  /** IVF recall oracle: the fixed-tier chain at the operating nprobe=2
+    * left-joined under the SAME chain probing ALL 4 cells (= the exact
+    * integer-dot brute force). DuckDB supports a nested WITH inside a
+    * parenthesized CTE body. */
+  private lazy val knnIvfRecallSql: String =
+    s"""WITH exact AS (
+       |${knnIvfFixedSqlWhere("", nprobe = 4)}
+       |), ivf AS (
+       |${knnIvfFixedSqlWhere("", nprobe = 2)}
+       |)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_found,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END)
+       |    ::HUGEINT * 1000000 // count(*) AS BIGINT) AS recall_ppm
+       |FROM exact e LEFT JOIN ivf i
+       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY 1""".stripMargin
 
   /** Temperature-allocation CTE chain (ends at `talloc`): sqrt(n) weight
     * in integer micro-units, Hamilton apportionment of `budget`, clamp
@@ -2680,6 +2700,8 @@ private[graft] object SparkEntryOracles {
     // smallest cell, top-k ties to the smallest neighbor, so the replay is
     // bit-exact end to end.
     "knn_ivf_fixed" -> knnIvfFixedSql,
+
+    "knn_ivf_recall" -> knnIvfRecallSql,
 
     // the at-rest + INCREMENTAL-APPEND twin: the layout is built on a
     // base slice and grown by appendToIvf-style appends under the same

@@ -1092,6 +1092,36 @@ object Similarity {
       .where(col("_pr") <= nprobe)
       .select("query_id", "q_iq", "cell")
 
+  /** Measured IVF recall@k: [[knnIvfFixed]] at the operating `nprobe`
+    * against ITSELF probing EVERY cell — probe-all IS the exact integer-
+    * dot brute force (each corpus vector lives in exactly one cell, so
+    * all cells = all candidates), which isolates the one thing nprobe
+    * trades (probe misses) from quantization, normalization and tie
+    * semantics (identical in both arms by construction). Per query:
+    * (n_exact, n_found, recall_ppm) — the measurement an nprobe choice
+    * should be judged by, on the corpus' own geometry.
+    *
+    * Scale shape: two runs of the fixed tier (the exact arm scores
+    * nlist/nprobe× more candidates — still the bounded-query-set
+    * broadcast shape) + one pair-keyed join of two ≤ |queries|·k
+    * relations. */
+  def ivfRecallEval(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    centroids: Seq[Seq[Long]], nprobe: Int): DataFrame = {
+    val ivf = knnIvfFixed(corpus, queries, idCol, vecCol, k, centroids,
+      nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_f"))
+    val exact = knnIvfFixed(corpus, queries, idCol, vecCol, k, centroids,
+      nprobe = centroids.size)
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_f"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm", expr(
+        "cast(cast(n_found as decimal(38,0)) * 1000000 div n_exact" +
+          " as bigint)"))
+  }
+
   /** Shared scoring tail of the fixed-codebook tier: candidates from the
     * cell equi-join (probes broadcast), exact-integer scores, top-k. One
     * body for the in-memory and at-rest paths so their ranking semantics

@@ -511,4 +511,25 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(all === full)
   }
+
+  test("ivfRecallEval: probe-all arm is exact (recall 1e6 when nprobe = " +
+    "nlist); found <= exact; ppm law holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.fixedCodebook(nlist = 4, dims = 64)
+    val full = Similarity.ivfRecallEval(emb, emb.where($"vec_id" < 8),
+      "vec_id", "embedding", k = 5, cents, nprobe = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(full.length === 8)
+    full.foreach { case (_, ne, nf, ppm) =>
+      assert(ne === 5L && nf === 5L && ppm === 1000000L) }
+    val two = Similarity.ivfRecallEval(emb, emb.where($"vec_id" < 8),
+      "vec_id", "embedding", k = 5, cents, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    two.foreach { case (_, ne, nf, ppm) =>
+      assert(nf <= ne)
+      assert(ppm === nf * 1000000L / ne) }
+  }
 }
