@@ -86,7 +86,11 @@ object Ranking {
                           valueCol: String, weight: Column): DataFrame = {
     val gv = groupCols :+ valueCol
     val counts = df
-      .select(gv.map(col) :+ weight.cast("long").as("_c"): _*)
+      // coalesce(0): a NULL weight contributes nothing to any cumulative
+      // (the window form's sum-skips-nulls behavior); without it a run of
+      // only-null weights would reach PrefixScan's loud null check
+      .select(gv.map(col) :+
+        coalesce(weight.cast("long"), lit(0L)).as("_c"): _*)
       .groupBy(gv.map(col): _*)
       .agg(sum(col("_c")).as("_c"))
     val inc = PrefixScan.runningLong(counts, gv, "_c",

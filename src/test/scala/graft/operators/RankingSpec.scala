@@ -151,4 +151,14 @@ class RankingSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(ws(None) === ((2L, 5L, 7L, 12L)))
   }
+
+  test("weightedMedian: NULL weights contribute nothing, matching the " +
+    "window form's sum-skips-nulls behavior") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, Some(1L)), ("g", 2L, None), ("g", 3L, Some(3L)))
+      .toDF("g", "v", "w")
+    val got = Ranking.weightedMedian(df, "v", "w", Seq("g"))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("g", 3L, 4L)))
+  }
 }
