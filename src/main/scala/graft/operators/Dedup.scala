@@ -172,6 +172,11 @@ object Dedup {
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a.doc") < col("b.doc") &&
+        // PPJoin LENGTH filter — J >= t forces t·|B| <= |A| (and vice
+        // versa); a necessary condition, so no true pair can be lost —
+        // it prunes wildly mismatched sizes before the positional test
+        least(col("a.n"), col("b.n")) >=
+          ceil(lit(minJaccard) * greatest(col("a.n"), col("b.n"))) &&
         least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
           ceil(lit(alphaFactor) * (col("a.n") + col("b.n"))))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b")).distinct()
@@ -1184,7 +1189,11 @@ object Dedup {
       .join(refPrefix.join(broadcast(hotP), Seq("p"), "left_anti")
         .select(col("p"), col("doc").as("ref_id"), col("n").as("rn"),
           col("pos").as("rpos")), "p")
-      .where(least(col("n") - col("pos"), col("rn") - col("rpos")) >=
+      // PPJoin length filter first (see ngramJaccardPairsFromGroups),
+      // then the positional filter — both necessary conditions of J >= t
+      .where(least(col("n"), col("rn")) >=
+        ceil(lit(minJaccard) * greatest(col("n"), col("rn"))) &&
+        least(col("n") - col("pos"), col("rn") - col("rpos")) >=
         ceil(lit(alphaFactor) * (col("n") + col("rn"))))
       .select(col("doc").as("new_id"), col("ref_id"))
       .distinct()
