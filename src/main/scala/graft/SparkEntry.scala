@@ -2169,6 +2169,11 @@ object SparkEntry {
       graft.operators.TextAnalysis.sourceDivergence(
         t(s, dir, "documents"), "doc_id", "text", "source")),
 
+    // Zipf exponent of the rank-frequency curve over the top-300 vocab
+    // (micro units; ~1e6 for natural text) — boilerplate reads low
+    "lm_zipf_fit" -> ((s, dir) =>
+      graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
+
     // Percentile stats per language (exact interpolated median/p90) and a
     // fixed-width length histogram — corpus profiling for token budgeting
     "text_length_stats" -> ((s, dir) =>

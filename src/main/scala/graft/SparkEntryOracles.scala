@@ -4030,6 +4030,38 @@ private[graft] object SparkEntryOracles {
         |    - CAST(sum(least(n, bucket_cap)) AS BIGINT) AS padded_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // Zipf fit: ln-ln least squares over the top-300 rank-frequency
+    // curve; numerator/denominator non-negative (rank-decreasing), so
+    // // == div; micro-nat ln quantization per term
+    "lm_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT tok, count(*) AS cnt FROM t
+        |  WHERE length(tok) > 0 GROUP BY 1
+        |), top AS (
+        |  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 300
+        |), r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC)
+        |    AS rank
+        |  FROM top
+        |), q AS (
+        |  SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
+        |  FROM r
+        |), s AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+        |  FROM q)
+        |SELECT n AS n_types,
+        |  CAST((sx::HUGEINT * sy - n * sxy) * 1000000
+        |    // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT)
+        |    AS zipf_exp_ppm
+        |FROM s""".stripMargin,
+
     // Heaps-law curve: a type's slice = min slice over its occurrences
     "lm_vocab_growth" ->
       """WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx

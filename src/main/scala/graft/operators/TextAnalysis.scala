@@ -1984,6 +1984,48 @@ object TextAnalysis {
       .select("slice", "new_types", "cum_types", "n_tokens", "cum_tokens")
   }
 
+  /** Zipf-law fit over the corpus rank-frequency curve: the least-
+    * squares slope of ln(count) against ln(rank) over the top-`topK`
+    * vocabulary, emitted as the POSITIVE exponent ·10⁶ (natural text
+    * sits near 1.0e6; a flat tail — templated/boilerplate corpora —
+    * reads low, a too-steep head reads high). All arithmetic in the
+    * micro-nat ln discipline + decimal(38,0) normal equations
+    * (`a_linreg_slope`'s shape); numerator and denominator are
+    * non-negative for any rank-decreasing curve, so truncating and
+    * flooring division agree and the single-row report is
+    * hash-replayable.
+    *
+    * Scale shape: one tokenize scan → token-keyed counts → a
+    * distributed TakeOrdered top-K cut; the regression runs on ≤ topK
+    * rows (the post-limit bounded rank, the `buildVocab` idiom). */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 300): DataFrame = {
+    def lnq(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    val top = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+    // post-limit rank over <= topK rows in one partition (see buildVocab)
+    val ranked = top.coalesce(1)
+      .sortWithinPartitions(col("cnt").desc, col("tok").asc)
+      .withColumn("rank", monotonically_increasing_id() + 1)
+    ranked.select(lnq(col("rank")).as("x"), lnq(col("cnt")).as("y"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+          .as("sum_xx"),
+        sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))"))
+          .as("sum_xy"))
+      .select(col("n_types"),
+        expr("""cast((cast(sum_x as decimal(38,0)) *
+              |  cast(sum_y as decimal(38,0)) -
+              |  cast(n_types as decimal(38,0)) * sum_xy) * 1000000
+              |div (cast(n_types as decimal(38,0)) * sum_xx -
+              |  cast(sum_x as decimal(38,0)) *
+              |  cast(sum_x as decimal(38,0))) as bigint)""".stripMargin)
+          .as("zipf_exp_ppm"))
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * "which source's token mix is drifting from the whole" — over the
     * corpus top-`topK` vocabulary with everything else pooled into one

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
-    assert(SparkEntry.queries.size === 333)
-    assert(SparkEntry.oracleSql.size === 309)
+    assert(SparkEntry.queries.size === 334)
+    assert(SparkEntry.oracleSql.size === 310)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {

@@ -1260,4 +1260,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("x") === ((n, n * exp, exp)))
     assert(got("y") === ((n, n * exp, exp)))
   }
+
+  test("zipfFit: hand-computed ln-ln regression on a planted curve; a " +
+    "uniform curve fits exponent zero") {
+    import spark.implicits._
+    // counts 8,4,2,1 over ranks 1..4: y = ln2*(3,2,1,0), x = ln(rank) —
+    // replicate docs so token counts are exact
+    val docs = (Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+      Seq.fill(2)("cc") ++ Seq("dd")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "text")
+      .as[(Long, Long)].collect().head
+    assert(got._1 === 4L)
+    def lnq(v: Double): Long = math.round(math.log(v) * 1e6)
+    val xs = (1 to 4).map(r => lnq(r.toDouble))
+    val ys = Seq(8L, 4L, 2L, 1L).map(c => lnq(c.toDouble))
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val exp = (BigInt(sx) * sy - n * sxy) * 1000000 /
+      (n * sxx - BigInt(sx) * sx)
+    assert(got._2 === exp.toLong)
+    // counts halving per RANK are steeper than Zipf-1 on a ln-ln fit
+    assert(got._2 > 1000000L && got._2 < 2000000L)
+    // uniform counts -> numerator 0 -> exponent 0
+    val uni = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(uni, "text")
+      .as[(Long, Long)].collect().head._2 === 0L)
+  }
 }
