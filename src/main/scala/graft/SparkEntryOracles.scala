@@ -4032,7 +4032,9 @@ private[graft] object SparkEntryOracles {
 
     // Zipf fit: ln-ln least squares over the top-300 rank-frequency
     // curve; numerator/denominator non-negative (rank-decreasing), so
-    // // == div; micro-nat ln quantization per term
+    // // == div; micro-nat ln quantization per term. n >= 2 guard on
+    // BOTH sides: a <=1-type corpus zeroes the denominator (Spark div
+    // -> NULL, DuckDB // -> error) — both engines emit no row instead
     "lm_zipf_fit" ->
       """WITH t AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
@@ -4060,14 +4062,17 @@ private[graft] object SparkEntryOracles {
         |  CAST((sx::HUGEINT * sy - n * sxy) * 1000000
         |    // (n::HUGEINT * sxx - sx::HUGEINT * sx) AS BIGINT)
         |    AS zipf_exp_ppm
-        |FROM s""".stripMargin,
+        |FROM s WHERE n >= 2""".stripMargin,
 
-    // Heaps-law curve: a type's slice = min slice over its occurrences
+    // Heaps-law curve: a type's slice = min slice over its occurrences;
+    // slices rebase on min(doc_id) (the engine's observed-span contract)
     "lm_vocab_growth" ->
-      """WITH m AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx
+      """WITH m AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+        |                  CAST(max(doc_id) AS BIGINT) AS mx
         |           FROM documents),
         |t AS (
-        |  SELECT least(9, CAST(doc_id AS BIGINT) * 10 // (mx + 1))
+        |  SELECT least(9,
+        |      (CAST(doc_id AS BIGINT) - mn) * 10 // (mx - mn + 1))
         |      AS slice,
         |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents, m

@@ -85,12 +85,21 @@ object Ranking {
   private def groupedRuns(df: DataFrame, groupCols: Seq[String],
                           valueCol: String, weight: Column): DataFrame = {
     val gv = groupCols :+ valueCol
+    // coalesce(0): a NULL weight contributes nothing to any cumulative
+    // (the window form's sum-skips-nulls behavior); without it a run of
+    // only-null weights would reach PrefixScan's loud null check
+    val w = coalesce(weight.cast("long"), lit(0L))
     val counts = df
-      // coalesce(0): a NULL weight contributes nothing to any cumulative
-      // (the window form's sum-skips-nulls behavior); without it a run of
-      // only-null weights would reach PrefixScan's loud null check
+      // NON-NEGATIVE weight contract, enforced loudly: the group offset/
+      // total derivation below (min(_gx) / max(_gi) − min(_gx)) is only
+      // valid when prefix sums are monotone — a negative weight would
+      // silently corrupt offsets for every group sorting after it. For
+      // the internal lit(1L) callers the branch constant-folds away.
       .select(gv.map(col) :+
-        coalesce(weight.cast("long"), lit(0L)).as("_c"): _*)
+        when(w < 0, raise_error(concat(
+          lit("groupedRuns: negative weight "), w.cast("string"),
+          lit(" — weights must be non-negative"))))
+          .otherwise(w).as("_c"): _*)
       .groupBy(gv.map(col): _*)
       .agg(sum(col("_c")).as("_c"))
     val inc = PrefixScan.runningLong(counts, gv, "_c",
@@ -237,6 +246,10 @@ object Ranking {
     * the result is deterministic without tiebreak columns and replays
     * hash-exactly in SQL. The weighted generalization of the exact
     * median — "the price at which half the shipped quantity is cheaper".
+    *
+    * Weights must be NON-NEGATIVE (nulls count as zero): the run-collapse
+    * derivation needs monotone prefix sums, and a negative weight raises
+    * a loud runtime error rather than corrupting downstream groups.
     *
     * Scale shape: [[groupedRuns]] with the row weight as the run weight
     * — collapse, distributed prefix scan, then one bounded aggregation

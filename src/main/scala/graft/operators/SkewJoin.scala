@@ -49,16 +49,25 @@ object SkewJoin {
     * two paths union.
     *
     * The classification CANNOT change the result — hot ∪ cold partitions
-    * the key space, and each path computes the exact inner join for its
+    * the key space, and each route computes the exact inner join for its
     * keys — so the sample only steers the plan: a missed hot key falls
     * back to AQE's runtime skew split; a false positive costs a few
     * replicated dim rows. The hot-key set is bounded by construction
-    * (≤ sampled rows / hotSampleMin keys) and broadcast. */
+    * (≤ sampled rows / hotSampleMin keys) and broadcast.
+    *
+    * ONE pass over the fact table beyond the sample: each side takes a
+    * broadcast left-outer flag join against the hot set, cold rows route
+    * to salt 0 on both sides (dim replicates a cold key exactly once),
+    * hot fact rows spread across all `saltBuckets` shards with the dim
+    * key replicated once per shard — a single salted equi-join computes
+    * both routes. The earlier semi/anti + union form scanned `big` twice
+    * more than this; at a 100 TB fact those extra scans dominate. */
   def saltedJoinHot(big: DataFrame, dim: DataFrame, key: String,
                     saltBuckets: Int,
                     saltCols: Seq[Column] = Seq.empty,
                     sampleFraction: Double = 1e-3,
                     hotSampleMin: Int = 8): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
     require(sampleFraction > 0 && sampleFraction <= 1, "bad sampleFraction")
     require(hotSampleMin >= 2, "hotSampleMin >= 2")
     import graft.Checkpoints.PinOps
@@ -66,12 +75,24 @@ object SkewJoin {
       .sample(withReplacement = false, sampleFraction, seed = 42)
       .groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") >= hotSampleMin)
-      .select(col(key))
-      .pinLazy() // bounded table, three consumers — never recomputed
-    val bigHot = big.join(broadcast(hot), Seq(key), "left_semi")
-    val bigCold = big.join(broadcast(hot), Seq(key), "left_anti")
-    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
-    bigCold.join(dim, key)
-      .unionByName(saltedJoin(bigHot, dimHot, key, saltBuckets, saltCols))
+      .select(col(key), lit(true).as("_hot"))
+      .pinLazy() // bounded table, two consumers — never recomputed
+    val spread =
+      if (saltCols.nonEmpty) saltCols
+      else big.columns.map(col).toSeq
+    // _hot is true or null after the outer join; when(null, …) takes the
+    // otherwise branch, so cold keys land on salt 0 on both sides
+    val salted = big.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("_salt",
+        when(col("_hot"),
+          pmod(xxhash64(spread: _*), lit(saltBuckets.toLong)))
+          .otherwise(lit(0L)).cast("int"))
+      .drop("_hot")
+    val replicated = dim.join(broadcast(hot), Seq(key), "left_outer")
+      .withColumn("_salt", explode(
+        when(col("_hot"), sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop("_hot")
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 }

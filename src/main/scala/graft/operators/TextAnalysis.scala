@@ -1961,10 +1961,16 @@ object TextAnalysis {
                   buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 2, "buckets >= 2")
-    val maxId = docs.agg(max(col(idCol)).cast("long").as("_max"))
-    val toks = docs.crossJoin(broadcast(maxId))
+    // rebase on min(id): slices cover the OBSERVED id span, so negative
+    // or high-based id ranges slice evenly instead of collapsing (and
+    // the rebased spread is non-negative, so `div` == the oracle's `//`
+    // and max-id = −1 can't divide by zero); least() clamps the top id
+    val ids = docs.agg(min(col(idCol)).cast("long").as("_min"),
+      max(col(idCol)).cast("long").as("_max"))
+    val toks = docs.crossJoin(broadcast(ids))
       .select(least(lit(buckets - 1L),
-        expr(s"cast($idCol as bigint) * $buckets div (_max + 1)"))
+        expr(s"(cast($idCol as bigint) - _min) * $buckets" +
+          " div (_max - _min + 1)"))
         .as("slice"),
         explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
@@ -1972,9 +1978,12 @@ object TextAnalysis {
       .agg(min(col("slice")).as("slice"))
       .groupBy(col("slice")).agg(count(lit(1)).as("new_types"))
     val occ = toks.groupBy(col("slice")).agg(count(lit(1)).as("n_tokens"))
-    val w = Window.orderBy(col("slice"))
+    // <= buckets rows: the bounded-window exception (see buildVocab);
+    // the non-foldable pmod key keeps WindowExec's "No Partition
+    // Defined" warning out of the logs (house idiom, temperatureAlloc)
+    val w = Window.partitionBy(pmod(col("slice"), lit(1)))
+      .orderBy(col("slice"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // <= buckets rows: the bounded-window exception (see buildVocab)
     types.join(occ, Seq("slice"), "full_outer")
       .select(col("slice"),
         coalesce(col("new_types"), lit(0L)).as("new_types"),
@@ -2009,6 +2018,10 @@ object TextAnalysis {
     val ranked = top.coalesce(1)
       .sortWithinPartitions(col("cnt").desc, col("tok").asc)
       .withColumn("rank", monotonically_increasing_id() + 1)
+    // n_types >= 2 guard: with <= 1 distinct token the normal-equation
+    // denominator is zero — Spark's div would yield NULL while DuckDB's
+    // // raises, so BOTH sides emit no row on the degenerate corpus
+    // (x = lnq(rank) is distinct per rank, so n >= 2 => denominator > 0)
     ranked.select(lnq(col("rank")).as("x"), lnq(col("cnt")).as("y"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
@@ -2024,6 +2037,7 @@ object TextAnalysis {
               |  cast(sum_x as decimal(38,0)) *
               |  cast(sum_x as decimal(38,0))) as bigint)""".stripMargin)
           .as("zipf_exp_ppm"))
+      .where(col("n_types") >= 2)
   }
 
   /** Per-source unigram KL divergence from the corpus distribution —

@@ -161,4 +161,18 @@ class RankingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(got.toSeq === Seq(("g", 3L, 4L)))
   }
+
+  test("weightedMedian: a negative weight raises loudly instead of " +
+    "silently corrupting downstream groups' offsets") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("b", 2L, -1L), ("c", 3L, 4L))
+      .toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Ranking.weightedMedian(df, "v", "w", Seq("g")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative weight")))
+  }
 }

@@ -1236,6 +1236,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === ((2L, 5L, 5L, 9L)))
   }
 
+  test("vocabGrowth: slices rebase on min(id) — high-based and negative " +
+    "id ranges slice exactly like the zero-based corpus") {
+    import spark.implicits._
+    val base = Seq((0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "d e a"))
+    def run(shift: Long) = TextAnalysis.vocabGrowth(
+      base.map { case (i, t) => (i + shift, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expect = run(0L)
+    assert(expect.map(_._1) === Set(0L, 1L)) // both slices populated
+    assert(run(1000000L) === expect) // high base: no last-slice collapse
+    assert(run(-17L) === expect)     // negative ids: no negative slices
+  }
+
   test("sourceDivergence: one source diverges zero; disjoint vocabularies " +
     "diverge by exactly the quantized ln 2") {
     import spark.implicits._
@@ -1289,5 +1304,12 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextAnalysis.zipfFit(uni, "text")
       .as[(Long, Long)].collect().head._2 === 0L)
+    // degenerate corpora (<= 1 distinct token) zero the denominator:
+    // the engine emits NO row — by construction the DuckDB replay (which
+    // would raise on //0) carries the same n >= 2 guard
+    val mono = Seq((1L, "aa aa aa"), (2L, "aa")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(mono, "text").count() === 0L)
+    val empty = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(empty, "text").count() === 0L)
   }
 }
