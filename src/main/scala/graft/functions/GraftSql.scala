@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `simhash64(tokens)` — 64-bit SimHash of a token array
   *   - `char_ngram_counts(str, n)` — per-row (char-gram, count) pairs, 1..n
   *   - `repetition_signals(str)` — struct of the 4 Gopher repetition stats
+  *   - `gopher_stats(str)` — the 9 Gopher rule evidence counts in one pass
+  *   - `c4_stats(str)` — the 7 C4 cleaning counts in one pass
   *   - `dup_ngram_stats(tokens)` — the 10 Gopher duplicate-n-gram values
   *     (top-gram count/mass n=2..4, duplicate mass n=5..8) in one pass
   *   - `winnow_fingerprints(str, k, w)` — the MOSS winnowing fingerprint
@@ -114,6 +116,14 @@ object GraftSql {
     "repetition_signals" -> { es =>
       arity("repetition_signals", es, 1)
       org.apache.spark.sql.graft.RepetitionSignals(es.head)
+    },
+    "gopher_stats" -> { es =>
+      arity("gopher_stats", es, 1)
+      org.apache.spark.sql.graft.GopherStats(es.head)
+    },
+    "c4_stats" -> { es =>
+      arity("c4_stats", es, 1)
+      org.apache.spark.sql.graft.C4Stats(es.head)
     },
     "dup_ngram_stats" -> { es =>
       arity("dup_ngram_stats", es, 1)

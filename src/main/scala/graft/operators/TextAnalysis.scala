@@ -1296,41 +1296,30 @@ object TextAnalysis {
     * stripped stream — no per-word fold. Null/empty text reports zero
     * counts and fails `r_word_count` (the paper drops empty documents).
     *
-    * Scale shape: one scan, all row-local expressions, zero exchanges.
-    * The line/word HOF filters are interpreted per row but linear in
-    * document length (cf. the `dup_ngrams` kernel lesson — they'd only
-    * earn a compiled kernel if a bench showed them hot). */
+    * Scale shape: one scan, all row-local, zero exchanges. The counts
+    * come from the compiled [[org.apache.spark.sql.graft.GopherStats]]
+    * kernel — two linear passes over the text inside whole-stage codegen
+    * (the `dup_ngrams` lesson applied: the interpreted line/word HOF
+    * battery this replaces showed up hot at sf1 — 2.68 s — for what is a
+    * row-local scan); the threshold flags stay declarative below. The
+    * kernel's counting semantics are pinned token-for-token against the
+    * declarative form in `TextAnalysisSpec`. */
   def gopherRules(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
-    val low = lower(trim(txt))
-    val words = filter(tokens(txt), w => length(w) > 0)
-    val lines = split(txt, "\n")
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    docs.select(
-        col(idCol),
-        size(words).cast("long").as("n_words"),
-        length(regexp_replace(low, "\\s+", "")).cast("long")
-          .as("sum_chars"),
-        (length(txt) - length(replace(txt, lit("#"), lit(""))))
-          .cast("long").as("n_hash"),
-        // '...' count: the removed-length delta is a multiple of 3, so
-        // the double divide is exact before the cast; '…' removes one
-        // char per occurrence
-        (((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3)
-          .cast("long") +
-          (length(txt) - length(replace(txt, lit("…"), lit(""))))
-            .cast("long")).as("n_ellipsis"),
-        size(lines).cast("long").as("n_lines"),
-        size(filter(lines, l => ltrim(l).startsWith("-") ||
-          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
-          .cast("long").as("n_bullet_lines"),
-        size(filter(lines, l => rtrim(l).endsWith("...") ||
-          rtrim(l).endsWith("…"))).cast("long").as("n_ellipsis_lines"),
-        size(filter(words, _.rlike("[a-z]"))).cast("long")
-          .as("n_alpha_words"),
-        stops.map(sw => when(array_contains(words, sw), 1L).otherwise(0L))
-          .reduce(_ + _).as("n_stopword_hits"))
+    val st = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.GopherStats(
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col(textCol), lit("")))))
+    // kernel slots: [n_words, sum_chars, n_hash, n_ellipsis, n_lines,
+    // n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopword_hits]
+    val names = Seq("n_words", "sum_chars", "n_hash", "n_ellipsis",
+      "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+      "n_stopword_hits")
+    docs.select(col(idCol), st.as("_g"))
+      .select(col(idCol) +:
+        names.zipWithIndex.map { case (n, k) =>
+          expr(s"_g[$k]").as(n)
+        }: _*)
       .withColumn("r_word_count",
         (col("n_words") < 50L || col("n_words") > 100000L).cast("long"))
       .withColumn("r_mean_wlen",
@@ -1370,29 +1359,26 @@ object TextAnalysis {
     * kept line. All counts integer; flags are exact membership tests —
     * the report hash-replays in SQL.
     *
-    * Scale shape: one scan, row-local line HOFs, zero exchanges. */
+    * Scale shape: one scan, row-local, zero exchanges; counts from the
+    * compiled [[org.apache.spark.sql.graft.C4Stats]] kernel (one linear
+    * pass inside whole-stage codegen, replacing the interpreted line
+    * HOFs — see [[gopherRules]]), kernel == declarative pinned in
+    * `TextAnalysisSpec`. */
   def c4Filters(docs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
-    val txt = coalesce(col(textCol), lit(""))
-    val low = lower(txt)
-    val lines = split(txt, "\n")
-    def keptLine(l: Column): Column = {
-      val t = rtrim(l)
-      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
-        t.endsWith("\"")) &&
-        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 5
-    }
-    docs.select(
-        col(idCol),
-        size(lines).cast("long").as("n_lines"),
-        size(filter(lines, keptLine _)).cast("long").as("n_kept_lines"),
-        aggregate(filter(lines, keptLine _), lit(0L),
-          (acc, l) => acc + length(l).cast("long")).as("kept_chars"),
-        (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
-          .as("n_sentences"),
-        low.contains("lorem ipsum").cast("long").as("f_lorem"),
-        low.contains("{").cast("long").as("f_brace"),
-        low.contains("javascript").cast("long").as("f_javascript"))
+    val st = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.C4Stats(
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col(textCol), lit("")))))
+    // kernel slots: [n_lines, n_kept_lines, kept_chars, n_sentences,
+    // f_lorem, f_brace, f_javascript]
+    val names = Seq("n_lines", "n_kept_lines", "kept_chars",
+      "n_sentences", "f_lorem", "f_brace", "f_javascript")
+    docs.select(col(idCol), st.as("_c"))
+      .select(col(idCol) +:
+        names.zipWithIndex.map { case (n, k) =>
+          expr(s"_c[$k]").as(n)
+        }: _*)
       .withColumn("f_few_sentences",
         (col("n_sentences") < 3L).cast("long"))
       .withColumn("kept",

@@ -1169,6 +1169,101 @@ class TextAnalysisSpec extends SparkSpec {
       d5("kept") === 0L)
   }
 
+  test("GopherStats/C4Stats kernels: count-for-count identical to the " +
+    "declarative expression battery they replaced, on the sf corpus " +
+    "plus adversarial whitespace/unicode fixtures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fixtures = Seq(
+      (9000001L, null.asInstanceOf[String]),
+      (9000002L, ""),
+      (9000003L, "   "),
+      (9000004L, "\n\n\n"),
+      (9000005L, "a\tbc\fd\re f"),          // every \s class
+      (9000006L, "  - leading spaces bullet\n\t- tab before dash\n" +
+        "* star\n• unicode bullet\nplain"),        // ltrim is space-only
+      (9000007L, "ends in dots...\nends in dots...   \n" +
+        "ends in ellipsis…\nends with tab after dots...\t\n......"),
+      (9000008L, "The QUICK Brown FOX has #hash## tags... and…more…"),
+      (9000009L, "😀 emoji words 😀😀 " +
+        "count once. Five words here to keep!"),   // surrogate pairs
+      (9000010L, "İstanbul STRASSE ÄÖÜ weiß"),     // case-fold edge chars
+      (9000011L, "Good sentence line with five words.\nfour words not " +
+        "kept.\nA quoted keeper line it is \"\nShort.\nno terminal here " +
+        "at all\nBrace { page gate\nJAVASCRIPT shouts\nlorem IPSUM mixed"),
+      (9000012L, "trailing newline keeps empty line\n"),
+      (9000013L, "the be to of and that have with"), // all 8 stopwords
+      (9000014L, "汉字没有空格但有句号。!?...")       // CJK + terminal marks
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(fixtures)
+    // the pre-kernel declarative forms, verbatim
+    def declGopher(d: org.apache.spark.sql.DataFrame) = {
+      val txt = coalesce(col("text"), lit(""))
+      val low = lower(trim(txt))
+      val words = filter(graft.functions.GraftFunctions.tokens(txt),
+        w => length(w) > 0)
+      val lines = split(txt, "\n")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      d.select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        length(regexp_replace(low, "\\s+", "")).cast("long").as("sum_chars"),
+        (length(txt) - length(replace(txt, lit("#"), lit(""))))
+          .cast("long").as("n_hash"),
+        (((length(txt) - length(replace(txt, lit("..."), lit("")))) / 3)
+          .cast("long") +
+          (length(txt) - length(replace(txt, lit("…"), lit(""))))
+            .cast("long")).as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => ltrim(l).startsWith("-") ||
+          ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lines, l => rtrim(l).endsWith("...") ||
+          rtrim(l).endsWith("…"))).cast("long").as("n_ellipsis_lines"),
+        size(filter(words, _.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        stops.map(sw => when(array_contains(words, sw), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stopword_hits"))
+    }
+    def declC4(d: org.apache.spark.sql.DataFrame) = {
+      val txt = coalesce(col("text"), lit(""))
+      val low = lower(txt)
+      val lines = split(txt, "\n")
+      def keptLine(l: org.apache.spark.sql.Column) = {
+        val t = rtrim(l)
+        (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+          t.endsWith("\"")) &&
+          size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 5
+      }
+      d.select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, keptLine _)).cast("long").as("n_kept_lines"),
+        aggregate(filter(lines, keptLine _), lit(0L),
+          (acc, l) => acc + length(l).cast("long")).as("kept_chars"),
+        (length(txt) - length(translate(txt, ".!?", ""))).cast("long")
+          .as("n_sentences"),
+        low.contains("lorem ipsum").cast("long").as("f_lorem"),
+        low.contains("{").cast("long").as("f_brace"),
+        low.contains("javascript").cast("long").as("f_javascript"))
+    }
+    val gCols = Seq("n_words", "sum_chars", "n_hash", "n_ellipsis",
+      "n_lines", "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+      "n_stopword_hits")
+    val gGot = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", gCols: _*)
+    assert(gGot.except(declGopher(docs)).count() === 0L &&
+      declGopher(docs).except(gGot).count() === 0L, "gopher kernel drift")
+    val cCols = Seq("n_lines", "n_kept_lines", "kept_chars",
+      "n_sentences", "f_lorem", "f_brace", "f_javascript")
+    val cGot = TextAnalysis.c4Filters(docs, "doc_id", "text")
+      .select("doc_id", cCols: _*)
+    assert(cGot.except(declC4(docs)).count() === 0L &&
+      declC4(docs).except(cGot).count() === 0L, "c4 kernel drift")
+  }
+
   test("kneserNeyBigrams: exact BigInt recompute on a planted corpus, " +
     "and probabilities over the full vocabulary sum to EXACTLY 1") {
     import spark.implicits._
