@@ -2776,6 +2776,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), sum(col("pc")).as("sum_cents"))
     }),
 
+    // Cross-table ATOMIC generation publish — the reference's one-
+    // transaction backup+TRUNCATE+append over ALL knowledge-base tables
+    // (ref batch_train.py:154-176): two derived tables published
+    // TOGETHER across two generations, each generation committed by a
+    // single version-pointer rename; the read resolves the pointer once
+    // and returns both tables of that generation — never a mixed set
+    // (crash-injected at every protocol step in GenerationsSpec).
+    // Publishing preserves rows, so the oracle replays the LAST
+    // generation's derivation over the raw tables
+    "s_generation_publish" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      def state(m: Int) = Map(
+        "by_flag" -> li.where(pmod(col("l_orderkey"), lit(m)) === 0)
+          .groupBy(col("l_returnflag").as("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("v")),
+        "by_status" -> ord.where(pmod(col("o_orderkey"), lit(m)) === 0)
+          .groupBy(col("o_orderstatus").as("k"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("o_totalprice"))).as("v")))
+      val root = graft.sources.Generations.generationChainFor(
+        s, Seq(state(2), state(1)), key = dir)
+      val v = graft.sources.Generations.openVersion(s, root)
+      def read(tbl: String) =
+        graft.sources.Generations.readTableAt(s, root, v, tbl)
+          .select(lit(tbl).as("tbl"), col("k"), col("n"), col("v"))
+      read("by_flag").unionByName(read("by_status"))
+    }),
+
     // Bucket-pruned point lookup over the bucketed at-rest table — the
     // read-side half of the zero-shuffle bucketing story: the scan touches
     // 1 of 16 buckets (SelectedBucketsCount pinned in ScaleLayoutSpec) and

@@ -4697,6 +4697,21 @@ private[graft] object SparkEntryOracles {
         |    AS sum_cents
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // The generation pointer only selects WHICH committed state is
+    // visible; the last published generation is the full-table
+    // derivation, replayed here
+    "s_generation_publish" ->
+      """SELECT 'by_flag' AS tbl, l_returnflag AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS v
+        |FROM lineitem GROUP BY 2
+        |UNION ALL
+        |SELECT 'by_status', o_orderstatus,
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders GROUP BY 2""".stripMargin,
+
     // Bucket pruning only skips files that can't hold the key
     "s_bucket_lookup" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
