@@ -2457,20 +2457,24 @@ object SparkEntry {
     // executor-side like the sine WAVs), a 64-bit integer-DCT pHash per
     // asset, then the SAME pigeonhole chunk blocking the text simhash
     // path uses (Dedup.fingerprintHammingPairs) — hamming ≤ 8 pairs.
-    // Rows-only: the decode/DCT has no SQL twin; measured separation
-    // (same texture ≤ 6 bits apart, different textures ≥ 20) and
-    // banded == brute-force equality are pinned in MultimodalSpec
+    // EXACT ORACLE (r15, was rows-only): PNG is lossless, so the pixel
+    // matrix is the seeded-xorshift formula — the DuckDB twin replays
+    // fixtures + DCT + median threshold in a recursive CTE and takes the
+    // brute-force pair relation (blocked == brute is spec-pinned);
+    // measured separation stays pinned in MultimodalSpec
     "mm_phash_neardup" -> ((s, dir) => {
       val fps = phashTableFor(s, dir)
       Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
         maxHamming = 8, metric = "phash_buckets")
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
     }),
 
     // The image pipeline completed to CLUSTERS: pHash pairs feed the same
     // connected-components + summary shape the text dedup path uses —
     // transitively-linked near-dup images form one cluster labeled by its
-    // min id. Rows-only like its pair stage; the planted structure (12
-    // texture groups of 4) is pinned in MultimodalSpec
+    // min id. EXACT ORACLE (r15, was rows-only): the pair-relation replay
+    // plus a min-label transitive closure in a recursive CTE; the planted
+    // structure (12 texture groups of 4) stays pinned in MultimodalSpec
     "mm_phash_clusters" -> ((s, dir) => {
       val fps = phashTableFor(s, dir)
       val pairs = Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
@@ -4391,8 +4395,10 @@ object SparkEntry {
     // Join-SIZE estimation from two kilobyte at-rest CMS sketches over
     // the join keys (the inner-product estimator — never undercounts):
     // the pre-flight the engine can run before committing to a join's
-    // shuffle. Rows-only (estimator internals); ≥-exact and the measured
-    // slack are pinned in SketchesSpec against the green exact twin
+    // shuffle. EXACT ORACLE (r15, was rows-only): the sketch hashes with
+    // FIXED multiply-shift constants, so the DuckDB twin rebuilds each
+    // row's bucket counts from the raw keys and replays the min-of-dot-
+    // products; ≥-exact and the measured slack stay pinned in SketchesSpec
     "j_join_size_estimate" -> ((s, dir) => {
       val w = 65536
       val liSk = t(s, dir, "lineitem").groupBy()

@@ -37,6 +37,96 @@ private[graft] object SparkEntryOracles {
   private def sinListSql(m: Int): String =
     graft.operators.Multimodal.sinMilliTable(m).mkString("[", ",", "]")
 
+  /** The pHash kernel's 8×32 micro-cosine table flattened k·32+n — the
+    * image siblings of [[sinListSql]] (same constant-list trick). */
+  private def dctCosListSql: String =
+    graft.operators.Multimodal.dctCosMicro.flatten.mkString("[", ",", "]")
+
+  /** `[2^0 … 2^63]` as HUGEINT literals — the pHash bit packer. */
+  private def pow2ListSql: String =
+    (0 until 64).map(i => (BigInt(1) << i).toString + "::HUGEINT")
+      .mkString("[", ",", "]")
+
+  private val K64 = "18446744073709551616::HUGEINT" // 2^64
+  private val S63 = "9223372036854775808::HUGEINT" // 2^63
+
+  /** CTE chain replaying the IMAGE pHash table end to end in SQL: the
+    * texture fixtures regenerate from doc_id (two xorshift64 streams per
+    * asset, iterated 4096 steps in a recursive CTE over mod-2^64 HUGEINT
+    * arithmetic; PNG encode/decode is lossless so decoded pixels ARE the
+    * formula values), grayscale luma is the pixel value exactly
+    * ((299+587+114)v/1000 = v), 2×2 box floor-average to 32×32, the
+    * 8×32-table integer DCT twice, lower-median threshold, and the 64
+    * bits packed with 2^63 wraparound back to a signed BIGINT — the
+    * complete [[graft.operators.Multimodal.perceptualHashOne]] chain.
+    * Assumes the registry/oracle shape (SPARK_GRAFT_PHASH_SCALE=1),
+    * like the audio family. */
+  private def phashCtes: String =
+    s"""WITH RECURSIVE assets AS (
+       |  SELECT doc_id AS id, CAST(doc_id % 12 AS BIGINT) AS pat,
+       |    CASE WHEN doc_id // 12 = 0 THEN 0
+       |         WHEN doc_id // 12 = 3 THEN 8 ELSE 4 END AS amp
+       |  FROM documents WHERE doc_id < 48),
+       |streams AS (
+       |  SELECT DISTINCT 't' || pat AS sid,
+       |    ((pat + 7919)::HUGEINT * 6364136223846793005
+       |      + 1442695040888963407) % $K64 AS s0
+       |  FROM assets
+       |  UNION ALL
+       |  SELECT DISTINCT 'n' || id,
+       |    (id::HUGEINT * 6364136223846793005 + 1442695040888963407)
+       |      % $K64
+       |  FROM assets WHERE amp > 0),
+       |rng AS (
+       |  SELECT sid, 0 AS i, s0 AS s FROM streams
+       |  UNION ALL
+       |  SELECT sid, i + 1, xor(s2, (s2 * 131072) % $K64) AS s
+       |  FROM (SELECT sid, i, xor(s1, s1 // 128) AS s2
+       |        FROM (SELECT sid, i, xor(s, (s * 8192) % $K64) AS s1
+       |              FROM rng WHERE i < 4096))),
+       |px AS (
+       |  SELECT a.id, t.i - 1 AS pix,
+       |    greatest(0, least(255,
+       |      128 + (CASE WHEN t.s >= $S63 THEN t.s - $K64 ELSE t.s END
+       |               % 181 + 181) % 181 - 90
+       |          + CASE WHEN a.amp > 0 THEN
+       |              CAST((CASE WHEN n.s >= $S63 THEN n.s - $K64
+       |                    ELSE n.s END % (2*a.amp+1) + (2*a.amp+1))
+       |                   % (2*a.amp+1) AS BIGINT) - a.amp
+       |            ELSE 0 END)) AS v
+       |  FROM assets a
+       |  JOIN rng t ON t.sid = 't' || a.pat AND t.i >= 1
+       |  LEFT JOIN rng n ON n.sid = 'n' || a.id AND n.i = t.i),
+       |l32 AS (
+       |  SELECT id, (pix // 64) // 2 AS y, (pix % 64) // 2 AS x,
+       |    CAST(SUM(v) // 4 AS BIGINT) AS lum
+       |  FROM px GROUP BY 1, 2, 3),
+       |rdct AS (
+       |  SELECT id, y, k.k AS k,
+       |    SUM(lum * list_extract($dctCosListSql, k.k * 32 + x + 1)) AS rv
+       |  FROM l32 CROSS JOIN range(0, 8) k(k)
+       |  GROUP BY 1, 2, 3),
+       |cdct AS (
+       |  SELECT id, l.l AS l, k,
+       |    SUM(rv * list_extract($dctCosListSql, l.l * 32 + y + 1)) AS cv
+       |  FROM rdct CROSS JOIN range(0, 8) l(l)
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT id, cv AS m FROM (
+       |    SELECT id, cv,
+       |      row_number() OVER (PARTITION BY id ORDER BY cv) AS rk
+       |    FROM cdct) WHERE rk = 32),
+       |ph AS (
+       |  SELECT c.id,
+       |    CAST(CASE WHEN h >= $S63 THEN h - $K64 ELSE h END AS BIGINT)
+       |      AS phash
+       |  FROM (
+       |    SELECT c.id, SUM(CASE WHEN c.cv > med.m
+       |      THEN list_extract($pow2ListSql, c.l * 8 + c.k + 1)
+       |      ELSE 0::HUGEINT END) AS h
+       |    FROM cdct c JOIN med ON c.id = med.id
+       |    GROUP BY 1) c(id, h))""".stripMargin
+
   /** Shared CTE prefix of the audio-fingerprint oracles: regenerates the
     * tone-sequence fixtures from doc_id (160-entry milli-sine list,
     * segment steps k = f/50 on the 50 Hz grid), assigns each sample to
@@ -2095,6 +2185,45 @@ private[graft] object SparkEntryOracles {
         |    AS band7_milli
         |FROM base b0 JOIN sh ON sh.id = b0.id
         |GROUP BY b0.id, b0.n, b0.sq, b0.zc""".stripMargin,
+
+    // pHash near-dup twin: the full hash table replayed via [[phashCtes]]
+    // (the texture fixtures, the DCT, the median threshold — everything),
+    // then the BRUTE-FORCE hamming-<=8 pair relation: the engine's
+    // pigeonhole blocking is pinned blocked==brute in MultimodalSpec, so
+    // the brute relation IS the answer
+    "mm_phash_neardup" ->
+      (phashCtes +
+        """
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b ON a.id < b.id
+          |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin),
+
+    // pHash clusters twin: same hash-table replay, brute pair relation
+    // (MATERIALIZED — the recursive closure below must not re-derive
+    // it per iteration), then connected components as a min-label
+    // transitive closure (UNION-fixpoint recursive CTE; components are
+    // 4-cliques, so the closure converges in 2 rounds)
+    "mm_phash_clusters" ->
+      (phashCtes +
+        """,
+          |pairs AS MATERIALIZED (
+          |  SELECT a.id AS id_a, b.id AS id_b
+          |  FROM ph a JOIN ph b ON a.id < b.id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+          |edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+          |  UNION
+          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+          |comp AS (SELECT u AS doc, min(r) AS cluster FROM reach
+          |         GROUP BY 1)
+          |SELECT CAST(cluster AS BIGINT) AS cluster,
+          |  CAST(count(*) AS BIGINT) AS n_members,
+          |  CAST(max(doc) AS BIGINT) AS max_member
+          |FROM comp GROUP BY 1""".stripMargin),
 
     // pixel-features twin: the corpus payloads are text bytes, so the
     // contract is "no false decode" — every row must be the ok=false stub
@@ -6218,6 +6347,39 @@ private[graft] object SparkEntryOracles {
     "j_join_size_exact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_join_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    // CMS inner-product join-size estimate replayed exactly: the sketch
+    // is deterministic (multiply-shift rows with FIXED constants — the
+    // first 4 splitmix64 outputs of CmsState.A/B, embedded here as
+    // literals), so each row's bucket counts rebuild from the raw keys
+    // ((a·x + b) mod 2^64 >> 48 at width 65536) and the estimate is the
+    // min over rows of the bucket-count dot product — no sketch bytes
+    // cross the engines, just the same integer arithmetic
+    "j_join_size_estimate" -> {
+      val ab = Seq(
+        (0, "7960286522194355701", "16082621929211679388"),
+        (1, "487617019471545679", "17937901347196855910"),
+        (2, "17909611376780542445", "4643173642831778313"),
+        (3, "1961750202426094747", "18073946290115961679"))
+        .map { case (r, a, b) =>
+          s"SELECT $r AS r, $a::HUGEINT AS a, $b::HUGEINT AS b"
+        }
+        .mkString(" UNION ALL ")
+      s"""WITH ab AS ($ab),
+         |la AS (
+         |  SELECT r, (a * l_orderkey + b) % $K64 // 281474976710656
+         |    AS cell, count(*) AS c
+         |  FROM lineitem CROSS JOIN ab GROUP BY 1, 2),
+         |ob AS (
+         |  SELECT r, (a * o_orderkey + b) % $K64 // 281474976710656
+         |    AS cell, count(*) AS c
+         |  FROM orders CROSS JOIN ab GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT la.r, SUM(la.c::HUGEINT * ob.c) AS s
+         |  FROM la JOIN ob ON la.r = ob.r AND la.cell = ob.cell
+         |  GROUP BY 1)
+         |SELECT CAST(min(s) AS BIGINT) AS est_join_rows FROM ip""".stripMargin
+    },
 
     "a_freq_exact_probe" ->
       """SELECT l_returnflag, CAST(l_partkey AS BIGINT) AS probe_key,

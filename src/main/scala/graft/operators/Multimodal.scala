@@ -797,7 +797,7 @@ object Multimodal {
     * quantized to 1e6 via StrictMath — bit-identical on any JVM, and from
     * here on the transform is pure long arithmetic (row pass ≤ 32·255·1e6
     * ≈ 8.2e9, column pass ≤ 32·8.2e9·1e6 ≈ 2.6e17, both inside int64). */
-  private lazy val dctCosMicro: Array[Array[Long]] =
+  private[graft] lazy val dctCosMicro: Array[Array[Long]] =
     Array.tabulate(8, 32) { (k, n) =>
       Math.round(StrictMath.cos(StrictMath.PI * (2 * n + 1) * k / 64.0)
         * 1000000.0)

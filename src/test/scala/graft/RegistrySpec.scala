@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 335)
-    assert(SparkEntry.oracleSql.size === 311)
+    assert(SparkEntry.oracleSql.size === 314)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -32,10 +32,9 @@ class RegistrySpec extends AnyFunSuite {
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
       "decontaminate_hashed", "dedup_minhash_lsh", "dedup_simhash",
       "emb_pca_project", "events_trailing_distinct_sketch",
-      "events_user_overlap_sketch", "j_join_size_estimate", "knn_ivf",
+      "events_user_overlap_sketch", "knn_ivf",
       "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
-      "mm_decode", "mm_phash_clusters",
-      "mm_phash_neardup", "mm_video_frames", "text_fingerprints",
+      "mm_decode", "mm_video_frames", "text_fingerprints",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))
