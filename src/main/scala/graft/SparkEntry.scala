@@ -2485,6 +2485,54 @@ object SparkEntry {
           max(col("doc")).as("max_member"))
     }),
 
+    // Capstone #8 — the MULTIMODAL curation front door (the mm sibling of
+    // pipeline_gopher): image pHash near-dup dedup to cluster
+    // representatives AND an audio VAD voiced-share gate, rolled up per
+    // source (asset_id mod 4). Every stage is individually oracled above
+    // (mm_phash_neardup/clusters, mm_audio_segments); the oracle replays
+    // the WHOLE chain, so the green hash proves the composition exact
+    "pipeline_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val fps = phashTableFor(s, dir)
+      val pairs = Dedup.fingerprintHammingPairs(fps, "asset_id", "phash",
+        maxHamming = 8, metric = "phash_buckets")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val img = fps.select(col("asset_id"))
+        .join(comp.withColumnRenamed("doc", "asset_id"),
+          Seq("asset_id"), "left_outer")
+        .select(col("asset_id"),
+          coalesce(col("cluster"), col("asset_id")).as("rep"))
+      val imgRoll = img
+        .groupBy(pmod(col("asset_id"), lit(4L)).as("source"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("asset_id") === col("rep"), 1L).otherwise(0L))
+            .as("n_unique_images"))
+      val audioAssets = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
+        .map(id => (id, Multimodal.buildToneSequenceWav(
+          (0 until 8).map(j =>
+            if ((id * 5 + j * 7) % 4 == 0) 0.0
+            else 300.0 + ((id * 7 + j * 3) % 12) * 250.0))))
+        .toDF("doc_id", "payload")
+      val aud = Multimodal.audioSegments(
+        Multimodal.audioFrameEnergies(audioAssets, "doc_id", "payload"))
+        .groupBy(col("asset_id"))
+        .agg(sum(when(!col("is_silent"), col("n_frames")).otherwise(0L))
+          .as("voiced"),
+          sum(col("n_frames")).as("total"))
+      val audRoll = aud
+        .groupBy(pmod(col("asset_id"), lit(4L)).as("source"))
+        .agg(count(lit(1)).as("n_audio"),
+          sum(when(col("voiced") * 2 >= col("total"), 1L).otherwise(0L))
+            .as("n_audio_kept"))
+      imgRoll.join(audRoll, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_images"), lit(0L)).as("n_images"),
+          coalesce(col("n_unique_images"), lit(0L)).as("n_unique_images"),
+          coalesce(col("n_audio"), lit(0L)).as("n_audio"),
+          coalesce(col("n_audio_kept"), lit(0L)).as("n_audio_kept"))
+    }),
+
     // ---------- change capture / SCD2 (incremental maintenance) ----------
     // Keyed diff of two deterministic order "snapshots": keys ≡7 (mod 10)
     // exist only in prev (-> D), ≡3 only in next (-> I), and ≡0 (mod 5)

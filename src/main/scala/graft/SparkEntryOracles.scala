@@ -2225,6 +2225,73 @@ private[graft] object SparkEntryOracles {
           |  CAST(max(doc) AS BIGINT) AS max_member
           |FROM comp GROUP BY 1""".stripMargin),
 
+    // multimodal-capstone twin: the WHOLE chain replayed — the pHash
+    // table + brute pairs + min-label closure (image dedup to cluster
+    // representatives, singletons their own rep), the audio fixture +
+    // frame-energy + silence-flag chain (VAD voiced-share >= 1/2 gate),
+    // and the per-source rollups full-outer-joined
+    "pipeline_multimodal" ->
+      (phashCtes +
+        s""",
+          |pairs AS MATERIALIZED (
+          |  SELECT a.id AS id_a, b.id AS id_b
+          |  FROM ph a JOIN ph b ON a.id < b.id
+          |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+          |edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach AS (
+          |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+          |  UNION
+          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+          |comp AS (SELECT u AS doc, min(r) AS cluster FROM reach
+          |         GROUP BY 1),
+          |imgrep AS (
+          |  SELECT p.id, coalesce(c.cluster, p.id) AS rep
+          |  FROM ph p LEFT JOIN comp c ON c.doc = p.id),
+          |imgroll AS (
+          |  SELECT CAST(id % 4 AS BIGINT) AS source,
+          |    CAST(count(*) AS BIGINT) AS n_images,
+          |    CAST(SUM(CASE WHEN id = rep THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_unique_images
+          |  FROM imgrep GROUP BY 1),
+          |aassets AS (
+          |  SELECT doc_id AS aid FROM documents WHERE doc_id < 8),
+          |asegs AS (
+          |  SELECT aid, g.s AS seg,
+          |    CASE WHEN (aid * 5 + g.s * 7) % 4 = 0 THEN 0
+          |    ELSE 6 + ((aid * 7 + g.s * 3) % 12) * 5 END AS k
+          |  FROM aassets CROSS JOIN range(0, 8) g(s)),
+          |asamp AS (
+          |  SELECT asegs.aid, asegs.seg * 1024 + r.i AS a,
+          |    CAST(floor((2*12000*list_extract(${sinListSql(160)},
+          |      CAST((asegs.k * r.i) % 160 AS INT) + 1) + 1000) / 2000.0)
+          |      AS BIGINT) AS v
+          |  FROM asegs CROSS JOIN range(0, 1024) r(i)),
+          |afe AS (
+          |  SELECT aid, a // 256 AS f, SUM(v*v) AS sq
+          |  FROM asamp GROUP BY aid, a // 256),
+          |aud AS (
+          |  SELECT aid,
+          |    SUM(CASE WHEN NOT (sq * 1000000 <
+          |      CAST(1000 AS BIGINT) * 256 * 1073741824)
+          |      THEN 1 ELSE 0 END) AS voiced,
+          |    count(*) AS total
+          |  FROM afe GROUP BY 1),
+          |audroll AS (
+          |  SELECT CAST(aid % 4 AS BIGINT) AS source,
+          |    CAST(count(*) AS BIGINT) AS n_audio,
+          |    CAST(SUM(CASE WHEN 2 * voiced >= total THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_audio_kept
+          |  FROM aud GROUP BY 1)
+          |SELECT source,
+          |  CAST(coalesce(n_images, 0) AS BIGINT) AS n_images,
+          |  CAST(coalesce(n_unique_images, 0) AS BIGINT)
+          |    AS n_unique_images,
+          |  CAST(coalesce(n_audio, 0) AS BIGINT) AS n_audio,
+          |  CAST(coalesce(n_audio_kept, 0) AS BIGINT) AS n_audio_kept
+          |FROM imgroll FULL OUTER JOIN audroll USING (source)""".stripMargin),
+
     // pixel-features twin: the corpus payloads are text bytes, so the
     // contract is "no false decode" — every row must be the ok=false stub
     // (the true-decode path is pinned on generated PNGs in MultimodalSpec)
