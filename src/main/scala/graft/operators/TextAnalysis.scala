@@ -422,7 +422,16 @@ object TextAnalysis {
     * hide a pair only if ALL its shared grams are that common); the drop
     * is counted in the `metric` observed metric (default `winnow_df_cap`:
     * distinct fingerprints dropped + the posting rows they carried), so a
-    * production run sees the recall it traded. Join
+    * production run sees the recall it traded. `maxDf` is an ABSOLUTE
+    * cap and therefore calibrated to a corpus size: the CapBench A/B
+    * (SCALE.md round 15) measured the base-tuned default dropping
+    * near-everything after 3× corpus growth — scale it with expected
+    * per-fingerprint duplication (copies × base-tuned df) and watch the
+    * observed metric. The cap doubles as the operator's precision
+    * filter: df-uncapped, common-vocabulary grams make the ≥ minShared
+    * relation degenerate (7.5M of 12.5M possible pairs on the test
+    * corpus), which is why df-culling is part of the published
+    * winnowing method rather than an optimization. Join
     * fan-out is bounded by df² per fingerprint; the winnowed table is
     * ~2/(w+1) the size of the all-grams table for the same ≥ k+w−1
     * substring guarantee. Output: (id_a < id_b, n_shared). */
