@@ -61,6 +61,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT dup_ngram_stats(split('a b a b', ' ')) AS v")
       .as[Seq[Long]].head() === Seq(2L, 6L, 1L, 5L, 1L, 7L, 0L, 0L, 0L, 0L))
+    // 'The #cat...': 2 words, 10 non-ws chars, 1 hash, 1 '...', 1 line
+    // (not a bullet, ends in dots), both words alphabetic, 'the' hits
+    assert(spark.sql("SELECT gopher_stats('The #cat...') AS v")
+      .as[Seq[Long]].head() === Seq(2L, 10L, 1L, 1L, 1L, 0L, 1L, 2L, 1L))
+    // line 1 kept (terminal '.' + 6 words, 34 chars); 'short' not; one
+    // sentence mark; lorem-ipsum page gate fires
+    assert(spark.sql(
+      "SELECT c4_stats('Lorem ipsum makes five words here.\nshort') AS v")
+      .as[Seq[Long]].head() === Seq(2L, 1L, 34L, 1L, 1L, 0L, 0L))
     assert(spark.sql(
       "SELECT int8_cosine(int8_codes(CAST(array(1.0, 2.0) AS array<float>)), " +
         "int8_codes(CAST(array(2.0, 4.0) AS array<float>))) AS v")
