@@ -2858,6 +2858,27 @@ object SparkEntry {
       read("by_flag").unionByName(read("by_status"))
     }),
 
+    // Streaming generation maintenance replayed in batch mode: three
+    // ordered batches of orders fold through the EXACT foreachBatch body
+    // (each fold publishing by_group + totals + meta as ONE atomic
+    // generation — the §2.9 closure of the generation publish); the read
+    // resolves the pointer once and joins the final generation's two
+    // derived tables. Folding is associative-exact, so the oracle is the
+    // one-shot derivation over all rows; streaming == batch and the
+    // per-generation cross-table law are pinned in GenerationStreamsSpec
+    "s_generation_stream" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderstatus"),
+        cents(col("o_totalprice")).as("pc"), col("o_orderkey"))
+      val batches = (0 until 3).map(i =>
+        o.where(pmod(col("o_orderkey"), lit(3)) === i).drop("o_orderkey"))
+      val root = graft.streaming.GenerationStreams.foldedGenerationsFor(
+        s, batches, "o_orderstatus", "pc", key = dir)
+      val v = graft.sources.Generations.openVersion(s, root)
+      graft.sources.Generations.readTableAt(s, root, v, "by_group")
+        .crossJoin(broadcast(
+          graft.sources.Generations.readTableAt(s, root, v, "totals")))
+    }),
+
     // Bucket-pruned point lookup over the bucketed at-rest table — the
     // read-side half of the zero-shuffle bucketing story: the scan touches
     // 1 of 16 buckets (SelectedBucketsCount pinned in ScaleLayoutSpec) and

@@ -4908,6 +4908,22 @@ private[graft] object SparkEntryOracles {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders GROUP BY 2""".stripMargin,
 
+    // The fold is associative-exact, so the final generation IS the
+    // one-shot derivation; the cross join replays the two-table read
+    "s_generation_stream" ->
+      """WITH bg AS (
+        |  SELECT o_orderstatus AS g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(s) AS BIGINT) AS s_total
+        |  FROM bg)
+        |SELECT g, n, s, n_groups, n_rows, s_total
+        |FROM bg CROSS JOIN t""".stripMargin,
+
     // Bucket pruning only skips files that can't hold the key
     "s_bucket_lookup" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,

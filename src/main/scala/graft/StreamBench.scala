@@ -49,6 +49,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - `ivf_append` — [[streaming.EmbeddingStreams.ivfAppendIngest]]
   *    (frozen-codebook cell assignment + partitioned append; cost ~
   *    batch, never corpus)
+  *  - `gen_publish` — [[streaming.GenerationStreams.generationIngest]]
+  *    (per-batch fold + atomic multi-table generation publish; state ~
+  *    group cardinality, commit O(1) metadata)
   *
   * Usage: SPARK_GRAFT_SF_DIR=<corpus dir> runMain graft.StreamBench
   *   [nBatches] [docBatchRows] [eventBatchRows]
@@ -243,6 +246,21 @@ object StreamBench {
           freshDir(root, "mix_out"), freshDir(root, "mix_backup"),
           freshDir(root, "mix_ckpt"), "source", "n_tokens"))
       report("mix_gap", rows)
+    }
+
+    // ---- gen_publish: atomic generation-set maintenance per batch ----
+    if (wanted("gen_publish")) {
+      val srcDir = freshDir(root, "gen_src")
+      val feed = events.orderBy("event_id").limit(nBatches * evRows)
+        .select(col("event_type"), col("value").cast("long").as("v"),
+          pmod(col("event_id"), lit(nBatches)).cast("int").as("_slice"))
+      writeSlices(feed, "_slice", nBatches, srcDir)
+      val schema = feed.drop("_slice").schema
+      val rows = timedStream(spark, srcDir, schema, src =>
+        streaming.GenerationStreams.generationIngest(src,
+          s"$root/gen_target", freshDir(root, "gen_ckpt"),
+          "event_type", "v"))
+      report("gen_publish", rows)
     }
 
     // time-ordered slicing for the event-time stateful operators: the
