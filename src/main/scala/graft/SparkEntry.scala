@@ -3419,6 +3419,31 @@ object SparkEntry {
     "text_c4_filters" -> ((s, dir) =>
       TextAnalysis.c4Filters(t(s, dir, "documents"), "doc_id", "text")),
 
+    // URL canonicalization + dedup — the crawl-pipeline key dedup that
+    // runs BEFORE content dedup: deterministic messy-URL fixtures from
+    // doc_id (mixed-case hosts, default/explicit ports, trailing
+    // slashes, tracking params, unsorted query, fragments) collapse
+    // under GraftFunctions.urlCanonicalize; the oracle replays both the
+    // fixture and the canonicalization (regex + list ops) in SQL.
+    // Idempotence is spec-pinned in GraftFunctionsSpec
+    "text_url_dedup" -> ((s, dir) => {
+      val i = col("doc_id")
+      val url = concat(
+        when(pmod(i, lit(2)) === 0, lit("http")).otherwise(lit("https")),
+        lit("://Example"), pmod(i, lit(7)).cast("string"), lit(".COM"),
+        when(pmod(i, lit(4)) === 0, lit(":80"))
+          .when(pmod(i, lit(4)) === 1, lit(":443"))
+          .when(pmod(i, lit(4)) === 2, lit(":8080")).otherwise(lit("")),
+        lit("/a/"), pmod(i, lit(5)).cast("string"),
+        when(pmod(i, lit(3)) === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&b="), pmod(i, lit(3)).cast("string"), lit("&a=1"),
+        when(pmod(i, lit(2)) === 0, lit("#sec")).otherwise(lit("")))
+      t(s, dir, "documents").select(i,
+          urlCanonicalize(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min(i).as("keeper"))
+    }),
+
     // Capstone #6 — the Gopher-style curation front door: quality rules
     // AND C4 page gates -> exact dedup of the survivors, rolled up per
     // source. Both filter reports and the dedup are individually oracled

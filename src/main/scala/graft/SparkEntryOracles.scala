@@ -4226,6 +4226,61 @@ private[graft] object SparkEntryOracles {
         |    - CAST(sum(least(n, bucket_cap)) AS BIGINT) AS padded_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // URL dedup twin: fixture URLs rebuild from doc_id, then the same
+    // canonicalization — anchored regexes (single-match, so DuckDB's
+    // first-match regexp_replace equals Spark's replace-all), list
+    // filter/sort/join for the query params (ASCII, binary sort order
+    // agrees), group on the canonical key
+    "text_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) ||
+        |    '://Example' || (doc_id % 7) || '.COM' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |          WHEN doc_id % 4 = 1 THEN ':443'
+        |          WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+        |    '/a/' || (doc_id % 5) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |    '?utm_source=x&b=' || (doc_id % 3) || '&a=1' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |p4 AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        |      '^([^:]*)', 1)) AS host,
+        |    regexp_extract(regexp_extract(rest, '^([^/?]*)', 1),
+        |      ':(\d+)$', 1) AS port,
+        |    regexp_extract(regexp_replace(rest, '^[^/?]*', ''),
+        |      '^([^?]*)', 1) AS path,
+        |    regexp_extract(regexp_replace(rest, '^[^/?]*', ''),
+        |      '\?(.*)$', 1) AS query
+        |  FROM p2),
+        |p5 AS (
+        |  SELECT doc_id, scheme, host,
+        |    CASE WHEN port = '' THEN ''
+        |         WHEN scheme = 'http' AND port = '80' THEN ''
+        |         WHEN scheme = 'https' AND port = '443' THEN ''
+        |         ELSE ':' || port END AS nport,
+        |    CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path, '/+$', '') END AS npath,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+        |        AND NOT starts_with(p, 'fbclid=')
+        |        AND NOT starts_with(p, 'gclid='))), '&') AS q
+        |  FROM p4)
+        |SELECT scheme || '://' || host || nport || npath ||
+        |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+        |  CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM p5 GROUP BY 1""".stripMargin,
+
     // Zipf fit: ln-ln least squares over the top-300 rank-frequency
     // curve; numerator/denominator non-negative (rank-decreasing), so
     // // == div; micro-nat ln quantization per term. n >= 2 guard on

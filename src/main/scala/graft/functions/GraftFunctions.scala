@@ -159,6 +159,44 @@ object GraftFunctions {
   /** Whitespace tokens of lowercased text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Canonical form of an absolute http(s) URL — the crawl-pipeline
+    * dedup key (two fetches of the same resource must collide BEFORE
+    * content dedup ever runs): lowercase scheme and host, drop the
+    * scheme's default port (`:80` http / `:443` https; explicit
+    * non-default ports survive), drop the fragment, strip trailing
+    * slashes from the path (empty path normalizes to `/`), drop
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`) and SORT the
+    * survivors so parameter order can't split a key. Pure declarative
+    * string/array expressions (regex + split/filter/sort/join), so the
+    * canonicalization replays hash-exactly in ANSI SQL — and it is
+    * idempotent (spec-pinned law). Contract: input is a well-formed
+    * absolute URL with a scheme; percent-encoding is preserved as-is
+    * (unescaping is a VALIDATION concern, not a key concern). */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val normPort = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val stripped = regexp_replace(path, "/+$", "")
+    val normPath = when(stripped === "", lit("/")).otherwise(stripped)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, normPort, normPath,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
   /** Word k-shingles: overlapping k-grams of the token stream, the unit of
     * MinHash / Jaccard document similarity. Empty array when < k tokens.
     * Codegen-called primitive loop ([[org.apache.spark.sql.graft.Shingles]]);

@@ -242,4 +242,34 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
     assert(planned.where($"v" >= 0).count() > 0)
   }
+
+  test("urlCanonicalize: hand-checked normalizations, idempotence, and " +
+    "non-default ports/params survive") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.urlCanonicalize
+    val cases = Seq(
+      // default ports drop per scheme; host case-folds; fragment drops
+      ("HTTP://WWW.Example.COM:80/Path/?b=2&a=1#frag",
+        "http://www.example.com/Path?a=1&b=2"),
+      ("https://Ex.com:443/x", "https://ex.com/x"),
+      // explicit non-default port survives; utm_/fbclid/gclid drop
+      ("https://ex.com:8443/x?utm_source=tw&id=7&fbclid=zz&gclid=q",
+        "https://ex.com:8443/x?id=7"),
+      // trailing slashes strip; empty path normalizes to /
+      ("http://ex.com///", "http://ex.com/"),
+      ("http://ex.com", "http://ex.com/"),
+      // only-tracking query vanishes entirely
+      ("http://ex.com/p?utm_medium=m", "http://ex.com/p"),
+      // path CASE is preserved (paths are case-sensitive, hosts are not)
+      ("http://EX.com/CaseSensitive", "http://ex.com/CaseSensitive"))
+    val got = cases.map(_._1).toDF("u")
+      .select(urlCanonicalize($"u")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // idempotence: canonicalizing a canonical URL is the identity
+    val twice = cases.map(_._1).toDF("u")
+      .select(urlCanonicalize(urlCanonicalize($"u")).as("a"),
+        urlCanonicalize($"u").as("b"))
+      .where($"a" =!= $"b").count()
+    assert(twice === 0L)
+  }
 }
