@@ -3419,6 +3419,28 @@ object SparkEntry {
     "text_c4_filters" -> ((s, dir) =>
       TextAnalysis.c4Filters(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Cross-document LINE dedup (RefinedWeb's line-wise pass): the
+    // corpus text is single-line, so the fixture builds 4-line pages —
+    // a content prefix, a planted cookie banner (1 in 3 docs), a
+    // share-footer variant (df ≈ n/5), and a content tail; lines seen
+    // in > 10 distinct docs drop, text reassembles in original order.
+    // The oracle replays fixture, df count, and the order-pinned
+    // reassembly
+    "text_line_dedup" -> ((s, dir) => {
+      val i = col("doc_id")
+      val page = concat(
+        substring(col("text"), 1, 40), lit("\n"),
+        when(pmod(i, lit(3)) === 0,
+          lit("COOKIE NOTICE: we use cookies."))
+          .otherwise(concat(lit("unique middle "), i.cast("string"))),
+        lit("\n"),
+        lit("Follow variant "), pmod(i, lit(5)).cast("string"),
+        lit("\nTail "), substring(col("text"), 41, 40))
+      graft.operators.TextAnalysis.lineDedup(
+        t(s, dir, "documents").select(i, page.as("page")),
+        "doc_id", "page", maxDocFreq = 10L)
+    }),
+
     // URL canonicalization + dedup — the crawl-pipeline key dedup that
     // runs BEFORE content dedup: deterministic messy-URL fixtures from
     // doc_id (mixed-case hosts, default/explicit ports, trailing

@@ -4226,6 +4226,35 @@ private[graft] object SparkEntryOracles {
         |    - CAST(sum(least(n, bucket_cap)) AS BIGINT) AS padded_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // line-dedup twin: the 4-line fixture pages rebuild from doc_id +
+    // text, hot lines are the > 10-distinct-doc exact contents, and the
+    // reassembly is an order-pinned null-skipping string_agg (COALESCE
+    // to '' so an all-lines-dropped page matches Spark's empty join)
+    "text_line_dedup" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: we use cookies.'
+        |          ELSE 'unique middle ' || doc_id END) || chr(10) ||
+        |    'Follow variant ' || (doc_id % 5) || chr(10) ||
+        |    'Tail ' || substr(text, 41, 40) AS page
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(page, chr(10)) AS l FROM d2),
+        |ln AS (
+        |  SELECT ls.doc_id, r.i AS pos, list_extract(ls.l, r.i + 1) AS line
+        |  FROM ls CROSS JOIN range(0, 4) r(i)),
+        |hot AS (
+        |  SELECT line FROM ln WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10)
+        |SELECT ln.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN hot.line IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN hot.line IS NULL THEN ln.line END,
+        |    chr(10) ORDER BY ln.pos), '') AS clean_text
+        |FROM ln LEFT JOIN hot ON ln.line = hot.line
+        |GROUP BY 1""".stripMargin,
+
     // URL dedup twin: fixture URLs rebuild from doc_id, then the same
     // canonicalization — anchored regexes (single-match, so DuckDB's
     // first-match regexp_replace equals Spark's replace-all), list

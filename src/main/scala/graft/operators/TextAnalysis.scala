@@ -1396,6 +1396,50 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Cross-document LINE dedup (the RefinedWeb/CCNet line-level pass —
+    * Penedo et al. 2023 §"line-wise corrections"): a nonempty line whose
+    * EXACT content appears in more than `maxDocFreq` distinct documents
+    * is boilerplate (cookie banners, nav bars, share footers) and is
+    * removed from every document; whitespace-only lines are structure,
+    * not candidates, and are always kept. Complements the row-local
+    * [[boilerplate]] rules: those judge each line alone, this one
+    * judges a line against the CORPUS.
+    *
+    * Output per document: `n_lines`, `n_dropped`, and `clean_text` —
+    * the surviving lines rejoined in original order, hash-replayable in
+    * SQL (the reassembly is an order-pinned string_agg).
+    *
+    * Scale shape: one posexplode scan → a line-keyed distinct-doc count
+    * (map-side combining; only lines ABOVE the threshold return — a set
+    * bounded by corpus_line_occurrences / maxDocFreq, which AQE
+    * broadcasts when small and shuffle-joins when not) → one
+    * doc-keyed reassembly. Two keyed exchanges of the line table, never
+    * a pairwise comparison; the hot-line table is the natural at-rest
+    * artifact for incremental re-cleaning. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Long = 10L): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq >= 1")
+    val lines = docs.select(col(idCol).as("_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("_pos", "_line")))
+    val hot = lines.where(trim(col("_line")) =!= "")
+      .groupBy(col("_line"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .where(col("_df") > maxDocFreq)
+      .select(col("_line"), lit(1L).as("_hot"))
+    lines.join(hot, Seq("_line"), "left_outer")
+      .withColumn("_keep", col("_hot").isNull)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("_keep"), struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line")), "\n").as("clean_text"))
+      .select(col("_id").as(idCol), col("n_lines"), col("n_dropped"),
+        col("clean_text"))
+  }
+
   /** Top collocations (candidate multiword expressions) by pointwise
     * mutual information over ADJACENT word pairs:
     * `pmi(x,y) = ln(c_xy·n1² / (n2·c_x·c_y))`, quantized to integer

@@ -1264,6 +1264,29 @@ class TextAnalysisSpec extends SparkSpec {
       declC4(docs).except(cGot).count() === 0L, "c4 kernel drift")
   }
 
+  test("lineDedup: corpus-hot lines drop everywhere, order and " +
+    "whitespace structure survive, all-dropped pages go empty") {
+    import spark.implicits._
+    val banner = "COOKIE BANNER"
+    // 12 docs carry the banner (> maxDocFreq 10); 2 carry a rare line
+    val docs = ((1 to 12).map(i =>
+      (i.toLong, s"$banner\nbody $i\n\n$banner")) ++ Seq(
+      (20L, "rare shared\nown text"),
+      (21L, "rare shared\nmore text"),
+      (22L, s"$banner\n$banner")) // every nonempty line hot
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text",
+      maxDocFreq = 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // banner dropped twice, body + the EMPTY structural line kept in order
+    assert(got(1L) === ((4L, 2L, "body 1\n")))
+    // df=2 <= 10: rare lines survive
+    assert(got(20L) === ((2L, 0L, "rare shared\nown text")))
+    // all nonempty lines hot -> empty clean_text, counts still honest
+    assert(got(22L) === ((2L, 2L, "")))
+  }
+
   test("kneserNeyBigrams: exact BigInt recompute on a planted corpus, " +
     "and probabilities over the full vocabulary sum to EXACTLY 1") {
     import spark.implicits._
