@@ -3419,6 +3419,29 @@ object SparkEntry {
     "text_c4_filters" -> ((s, dir) =>
       TextAnalysis.c4Filters(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Encoding repair (the ftfy mojibake dictionary, UTF-8-as-cp1252):
+    // planted damage is COMPUTED with the exact damage model at plan
+    // build (never hand-typed — C1/NBSP members are invisible), the
+    // count is the per-sequence replace-length delta, and the repair is
+    // the longest-first replace cascade; the oracle is GENERATED from
+    // the same dictionary (single source of truth), chr()-encoding the
+    // awkward characters. Round-trip + fixed-point laws spec-pinned
+    "text_fix_encoding" -> ((s, dir) => {
+      val i = col("doc_id")
+      import graft.functions.GraftFunctions.{mojibake => mj}
+      val page = concat(col("text"), lit(" "),
+        when(pmod(i, lit(4)) === 0,
+          lit(mj("café “menu” – à la carte…")))
+          .when(pmod(i, lit(4)) === 1,
+            lit(mj("’s résumé «Señor» 30° • ça")))
+          .otherwise(lit("clean tail")))
+      t(s, dir, "documents").select(i, page.as("page"))
+        .select(i, mojibakeCount(col("page")).as("n_bad"),
+          fixMojibake(col("page")).as("fixed"))
+        .withColumn("repaired",
+          (mojibakeCount(col("fixed")) === 0L).cast("long"))
+    }),
+
     // Cross-document LINE dedup (RefinedWeb's line-wise pass): the
     // corpus text is single-line, so the fixture builds 4-line pages —
     // a content prefix, a planted cookie banner (1 in 3 docs), a

@@ -4226,6 +4226,46 @@ private[graft] object SparkEntryOracles {
         |    - CAST(sum(least(n, bucket_cap)) AS BIGINT) AS padded_tokens
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // encoding-repair twin: GENERATED from the same MojibakePairs
+    // dictionary the engine repairs with (single source of truth) —
+    // the planted damage, the per-sequence count deltas, and the
+    // longest-first replace cascade all rebuild in SQL, with chr()
+    // encoding for characters a SQL literal can't carry readably
+    // (C1 controls, NBSP, quotes)
+    "text_fix_encoding" -> {
+      import graft.functions.GraftFunctions.{MojibakePairs, mojibake}
+      def sqlLit(s: String): String =
+        if (s.nonEmpty &&
+          s.forall(c => c >= 0x20 && c < 0x7f && c != '\''))
+          s"'$s'"
+        else s.map(c => s"chr(${c.toInt})").mkString("(", " || ", ")")
+      def countExpr(colName: String): String = MojibakePairs.map {
+        case (bad, _) =>
+          s"(length($colName) - length(replace($colName, " +
+            s"${sqlLit(bad)}, ''))) // ${bad.length}"
+      }.mkString("(", " + ", ")")
+      val fixedExpr = MojibakePairs.foldLeft("page") {
+        case (e, (bad, good)) =>
+          s"replace($e, ${sqlLit(bad)}, ${sqlLit(good)})"
+      }
+      val p0 = sqlLit(mojibake("café “menu” – à la carte…"))
+      val p1 = sqlLit(mojibake("’s résumé «Señor» 30° • ça"))
+      s"""WITH d2 AS (
+         |  SELECT doc_id, text || ' ' ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN $p0
+         |          WHEN doc_id % 4 = 1 THEN $p1
+         |          ELSE 'clean tail' END) AS page
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, page, $fixedExpr AS fixed FROM d2)
+         |SELECT doc_id,
+         |  CAST(${countExpr("page")} AS BIGINT) AS n_bad,
+         |  fixed,
+         |  CAST(CASE WHEN ${countExpr("fixed")} = 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS repaired
+         |FROM f""".stripMargin
+    },
+
     // line-dedup twin: the 4-line fixture pages rebuild from doc_id +
     // text, hot lines are the > 10-distinct-doc exact contents, and the
     // reassembly is an order-pinned null-skipping string_agg (COALESCE

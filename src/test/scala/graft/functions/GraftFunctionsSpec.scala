@@ -272,4 +272,29 @@ class GraftFunctionsSpec extends SparkSpec {
       .where($"a" =!= $"b").count()
     assert(twice === 0L)
   }
+
+  test("mojibake repair: computed round-trip over the whole dictionary, " +
+    "fixed point on once-damaged text, counts match the damage") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{mojibake, MojibakePairs,
+      fixMojibake, mojibakeCount}
+    // every dictionary character round-trips through the damage model
+    val cleans = MojibakePairs.map(_._2).map(g => s"x${g}y ${g}${g}")
+    val df = cleans.map(c => (c, mojibake(c))).toDF("clean", "damaged")
+    assert(df.where(fixMojibake($"damaged") =!= $"clean").count() === 0L)
+    // fixed point: repairing repaired text changes nothing
+    assert(df.where(
+      fixMojibake(fixMojibake($"damaged")) =!= fixMojibake($"damaged"))
+      .count() === 0L)
+    // counts: 3 dictionary hits per fixture row; clean text counts zero
+    assert(df.where(mojibakeCount($"damaged") =!= 3L).count() === 0L)
+    assert(df.where(mojibakeCount($"clean") =!= 0L).count() === 0L)
+    // mixed sentence with several distinct damages
+    val s = mojibake("caf\u00e9 \u201cmenu\u201d \u2013 30\u00b0\u2026")
+    val got = Seq(s).toDF("d")
+      .select(fixMojibake($"d"), mojibakeCount($"d"))
+      .as[(String, Long)].head()
+    assert(got._1 === "caf\u00e9 \u201cmenu\u201d \u2013 30\u00b0\u2026")
+    assert(got._2 === 6L) // é “ ” – ° …
+  }
 }
