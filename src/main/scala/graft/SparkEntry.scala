@@ -3436,8 +3436,8 @@ object SparkEntry {
             lit(mj("’s résumé «Señor» 30° • ça")))
           .otherwise(lit("clean tail")))
       t(s, dir, "documents").select(i, page.as("page"))
-        .select(i, mojibakeCount(col("page")).as("n_bad"),
-          fixMojibake(col("page")).as("fixed"))
+        .select(i, mojibakeRepair(col("page")).as("m"))
+        .select(i, col("m.n_bad").as("n_bad"), col("m.fixed").as("fixed"))
         .withColumn("repaired",
           (mojibakeCount(col("fixed")) === 0L).cast("long"))
     }),

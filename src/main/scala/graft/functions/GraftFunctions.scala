@@ -159,53 +159,56 @@ object GraftFunctions {
   /** Whitespace tokens of lowercased text. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** UTF-8 bytes of `s` decoded as Windows-1252 — the exact damage model
-    * of the classic mojibake (a UTF-8 document read under the wrong
-    * charset). Java's cp1252 maps the five undefined byte positions to
-    * their C1 controls, which is precisely what lenient real-world
-    * decoders emit — so `mojibake(clean)` is byte-for-byte the string a
-    * damaged corpus contains. */
+  /** UTF-8 bytes of `s` decoded as Windows-1252 — the exact mojibake
+    * damage model; single source of truth lives in the kernel object
+    * ([[org.apache.spark.sql.graft.MojibakeRepair.mojibake]]). */
   private[graft] def mojibake(s: String): String =
-    new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.charset.Charset.forName("windows-1252"))
+    org.apache.spark.sql.graft.MojibakeRepair.mojibake(s)
 
-  /** The repair dictionary: the characters that account for the
-    * overwhelming bulk of real-corpus encoding damage (curly quotes,
-    * dashes, ellipsis, bullet, the Latin-1 accent block, guillemets,
-    * degree, NBSP), each keyed by its COMPUTED mojibake form (see
-    * [[mojibake]] — never hand-typed, so invisible C1/NBSP members are
-    * exact). Longest keys first so the replace cascade can never eat a
-    * longer key's prefix; no key's first character (â/Ã/Â) appears in
-    * any replacement, so once-damaged text reaches a fixed point. */
+  /** The repair dictionary (computed damage form -> intended character,
+    * longest keys first) — [[org.apache.spark.sql.graft.MojibakeRepair
+    * .Pairs]], re-exported for the oracle generator and specs. */
   private[graft] val MojibakePairs: Seq[(String, String)] =
-    Seq("\u2019", "\u2018", "\u201C", "\u201D", "\u2013", "\u2014",
-      "\u2026", "\u2022",
-      "\u00E9", "\u00E8", "\u00E1", "\u00E0", "\u00F3", "\u00F1",
-      "\u00FC", "\u00F6", "\u00E4", "\u00E7", "\u00ED", "\u00FA",
-      "\u00C9", "\u00AB", "\u00BB", "\u00B0", "\u00A0")
-      .map(g => mojibake(g) -> g)
-      .sortBy(-_._1.length)
+    org.apache.spark.sql.graft.MojibakeRepair.Pairs
+
+  /** Mojibake detection + repair in ONE compiled pass —
+    * struct<fixed: string, n_bad: bigint> (see
+    * [[org.apache.spark.sql.graft.MojibakeRepair]]; equivalence with
+    * the declarative cascade is spec-pinned). */
+  def mojibakeRepair(c: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.MojibakeRepair(
+      GraftBridge.expression(c)))
 
   /** Count of mojibake-dictionary hits in `c` — the detection signal
-    * (per-document evidence for an encoding-damage gate). Counting uses
-    * the replace-length delta per sequence (left-to-right non-overlapping
-    * in both engines), summed over the dictionary — row-local, exact,
-    * SQL-replayable. */
+    * (per-document evidence for an encoding-damage gate). Kernel-backed;
+    * [[mojibakeCountCascade]] is the declarative spec twin. */
   def mojibakeCount(c: Column): Column =
+    mojibakeRepair(c).getField("n_bad")
+
+  /** Repair the dictionary's mojibake sequences in `c`. Kernel-backed
+    * single pass; NOT a general transcoder: sequences outside the
+    * dictionary pass through untouched (repair what is certain, count
+    * the evidence via [[mojibakeCount]]); on once-damaged text
+    * `fixMojibake(mojibake(clean)) == clean` and the result is a fixed
+    * point — both spec-pinned laws. [[fixMojibakeCascade]] is the
+    * declarative spec twin. */
+  def fixMojibake(c: Column): Column =
+    mojibakeRepair(c).getField("fixed")
+
+  /** The readable declarative form of [[mojibakeCount]] — one
+    * replace-length delta per key, summed; kept as the reference the
+    * kernel is property-pinned against. */
+  private[graft] def mojibakeCountCascade(c: Column): Column =
     MojibakePairs.map { case (bad, _) =>
       ((length(c) - length(replace(c, lit(bad), lit(""))))
         / bad.length).cast("long")
     }.reduce(_ + _)
 
-  /** Repair the dictionary's mojibake sequences in `c` — a replace
-    * cascade in dictionary order (longest keys first). NOT a general
-    * transcoder: sequences outside the dictionary pass through untouched
-    * (repair what is certain, count the evidence via [[mojibakeCount]]);
-    * on once-damaged text `fixMojibake(mojibake(clean)) == clean` and
-    * the result is a fixed point — both spec-pinned laws (adversarial
-    * nestings like a stray `Ã` ABUTTING damage are out of contract,
-    * documented rather than defended, same as ftfy's own limits). */
-  def fixMojibake(c: Column): Column =
+  /** The readable declarative form of [[fixMojibake]] — the
+    * longest-first replace cascade (also what the DuckDB oracle
+    * generates); kept as the reference the kernel is property-pinned
+    * against. */
+  private[graft] def fixMojibakeCascade(c: Column): Column =
     MojibakePairs.foldLeft(c) { case (acc, (bad, good)) =>
       replace(acc, lit(bad), lit(good))
     }

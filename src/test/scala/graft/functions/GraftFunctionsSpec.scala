@@ -297,4 +297,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got._1 === "caf\u00e9 \u201cmenu\u201d \u2013 30\u00b0\u2026")
     assert(got._2 === 6L) // é “ ” – ° …
   }
+
+  test("MojibakeRepair kernel == the declarative replace cascade, " +
+    "count-for-count and char-for-char, over the corpus + damage") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{mojibake, fixMojibake,
+      mojibakeCount, mojibakeCountCascade, fixMojibakeCascade}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat($"text", lit(" "),
+        lit(mojibake("caf\u00e9 \u201cx\u201d \u2013 \u2026 30\u00b0")),
+        lit(" plain \u00c3 tail \u00e2\u20ac")).as("page"))
+    assert(docs.where(
+      fixMojibake($"page") =!= fixMojibakeCascade($"page") ||
+      mojibakeCount($"page") =!= mojibakeCountCascade($"page"))
+      .count() === 0L)
+    // adversarial boundary soup: partial keys, abutting damage, lone
+    // family heads -- kernel and cascade must still agree exactly
+    val soup = Seq(
+      "\u00e2\u20ac", "\u00e2\u20ac\u00e2\u20ac\u2122",
+      "\u00c3", "\u00c3\u00c3\u00a9\u00a9", "\u00c2",
+      mojibake("\u2019") * 3, mojibake("\u00e9") + "\u00c3",
+      "", "ascii only").toDF("page")
+    assert(soup.where(
+      fixMojibake($"page") =!= fixMojibakeCascade($"page") ||
+      mojibakeCount($"page") =!= mojibakeCountCascade($"page"))
+      .count() === 0L)
+  }
 }
