@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `repetition_signals(str)` — struct of the 4 Gopher repetition stats
   *   - `gopher_stats(str)` — the 9 Gopher rule evidence counts in one pass
   *   - `c4_stats(str)` — the 7 C4 cleaning counts in one pass
+  *   - `mojibake_repair(str)` — struct<fixed, n_bad>: encoding repair +
+  *     detection in one pass (UTF-8-as-cp1252 dictionary)
   *   - `dup_ngram_stats(tokens)` — the 10 Gopher duplicate-n-gram values
   *     (top-gram count/mass n=2..4, duplicate mass n=5..8) in one pass
   *   - `winnow_fingerprints(str, k, w)` — the MOSS winnowing fingerprint
@@ -120,6 +122,10 @@ object GraftSql {
     "gopher_stats" -> { es =>
       arity("gopher_stats", es, 1)
       org.apache.spark.sql.graft.GopherStats(es.head)
+    },
+    "mojibake_repair" -> { es =>
+      arity("mojibake_repair", es, 1)
+      org.apache.spark.sql.graft.MojibakeRepair(es.head)
     },
     "c4_stats" -> { es =>
       arity("c4_stats", es, 1)

@@ -70,6 +70,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT c4_stats('Lorem ipsum makes five words here.\nshort') AS v")
       .as[Seq[Long]].head() === Seq(2L, 1L, 34L, 1L, 1L, 0L, 0L))
+    // mojibake: damaged e-acute (C3 A9 as cp1252) repairs, count 1
+    assert(spark.sql(
+      "SELECT mojibake_repair('caf' || chr(195) || chr(169) || '!') AS v")
+      .select("v.fixed", "v.n_bad").as[(String, Long)].head()
+      === (("caf\u00e9!", 1L)))
     assert(spark.sql(
       "SELECT int8_cosine(int8_codes(CAST(array(1.0, 2.0) AS array<float>)), " +
         "int8_codes(CAST(array(2.0, 4.0) AS array<float>))) AS v")
