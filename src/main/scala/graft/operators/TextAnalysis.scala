@@ -431,7 +431,13 @@ object TextAnalysis {
     * filter: df-uncapped, common-vocabulary grams make the ≥ minShared
     * relation degenerate (7.5M of 12.5M possible pairs on the test
     * corpus), which is why df-culling is part of the published
-    * winnowing method rather than an optimization. Join
+    * winnowing method rather than an optimization.
+    *
+    * `maxDfPerMille` (> 0) is the sizing rule OPERATIONALIZED: the
+    * effective cap becomes `max(maxDf, n_docs·perMille/1000)` with the
+    * corpus size derived in-plan from the same pinned scan (no driver
+    * action) — a relative cap survives corpus growth where the absolute
+    * one degenerates (the CapBench finding). Join
     * fan-out is bounded by df² per fingerprint; the winnowed table is
     * ~2/(w+1) the size of the all-grams table for the same ≥ k+w−1
     * substring guarantee. Output: (id_a < id_b, n_shared). */
@@ -439,7 +445,8 @@ object TextAnalysis {
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20,
                   metric: String = "winnow_df_cap",
-                  cacheScan: Boolean = true): DataFrame = {
+                  cacheScan: Boolean = true,
+                  maxDfPerMille: Int = 0): DataFrame = {
     // the exploded fingerprint table is consumed three times (df agg +
     // both sides of the pair join) — materialize the winnow scan once.
     // HOW it materializes is the round-14 A/B finding (min-of-5, sf0.1):
@@ -470,13 +477,23 @@ object TextAnalysis {
     // production run must be able to see the recall it traded —
     // `dropped_fingerprints` distinct fps dropped, `dropped_postings`
     // exploded rows they carried (the share of the index shed)
-    val hot = ex.groupBy("f").agg(count(lit(1)).as("df"))
+    // effective cap: the absolute literal, or (relative mode) its max
+    // with n_docs·perMille/1000 — n_docs from the SAME pinned scan via a
+    // broadcast 1-row cross join, so the relative cap stays fully lazy
+    val grouped0 = ex.groupBy("f").agg(count(lit(1)).as("df"))
+    val (grouped, cap) =
+      if (maxDfPerMille <= 0) (grouped0, lit(maxDf.toLong))
+      else (grouped0.crossJoin(broadcast(
+        ex.agg(countDistinct(col("doc")).as("_ndocs")))),
+        greatest(lit(maxDf.toLong),
+          expr(s"_ndocs * $maxDfPerMille div 1000")))
+    val hot = grouped
       .observe(metric,
-        sum(when(col("df") > maxDf, 1L).otherwise(0L))
+        sum(when(col("df") > cap, 1L).otherwise(0L))
           .as("dropped_fingerprints"),
-        sum(when(col("df") > maxDf, col("df")).otherwise(0L))
+        sum(when(col("df") > cap, col("df")).otherwise(0L))
           .as("dropped_postings"))
-      .where(col("df") > maxDf).select("f")
+      .where(col("df") > cap).select("f")
     val cold = ex.join(hot, Seq("f"), "left_anti")
     cold.select(col("f"), col("doc").as("id_a"))
       .join(cold.select(col("f"), col("doc").as("id_b")), "f")

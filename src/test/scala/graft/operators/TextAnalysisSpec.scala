@@ -1430,4 +1430,28 @@ class TextAnalysisSpec extends SparkSpec {
     val empty = Seq((1L, ""), (2L, " ")).toDF("doc_id", "text")
     assert(TextAnalysis.zipfFit(empty, "text").count() === 0L)
   }
+
+  test("winnowPairs maxDfPerMille: the relative cap keeps the pairs a " +
+    "grown corpus's absolute cap would drop — the CapBench sizing rule " +
+    "operationalized") {
+    import spark.implicits._
+    val hotRun = "thisboilerplatefooterisrepeatedverbatimacrosseverysingle" +
+      "documentinthecorpusandkeepsgoingonforawhile"
+    // 30 docs share the run: df = 30 > the absolute default 20
+    val docs = (1 to 30)
+      .map(i => (i.toLong, ('a' + (i - 1) % 26).toChar.toString * 12 +
+        i.toString * 3 + " " + hotRun))
+      .toDF("doc_id", "text")
+    val absolute = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 8, maxDf = 20).count()
+    assert(absolute === 0L) // the r15 CapBench degeneration, reproduced
+    // relative cap: max(20, 30 docs * 1000/1000) = 30 -> the run survives
+    val relative = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 8, maxDf = 20, maxDfPerMille = 1000).count()
+    assert(relative === 435L) // all C(30,2) true clone pairs
+    // perMille below the duplication factor still drops (it IS a cap)
+    val tight = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 8, maxDf = 20, maxDfPerMille = 500).count()
+    assert(tight === 0L)
+  }
 }
