@@ -71,11 +71,20 @@ object SkewJoin {
     require(sampleFraction > 0 && sampleFraction <= 1, "bad sampleFraction")
     require(hotSampleMin >= 2, "hotSampleMin >= 2")
     import graft.Checkpoints.PinOps
+    // internal helper columns must not shadow (or ambiguate with) user
+    // columns on EITHER side — derive names outside both schemas
+    val taken = (big.columns ++ dim.columns).toSet
+    def fresh(base: String): String =
+      if (!taken(base)) base
+      else Iterator.from(1).map(base + _).filterNot(taken).next()
+    val hotCol = fresh("_hot")
+    val saltCol = fresh("_salt")
+    val cntCol = fresh("_cnt")
     val hot = big.select(col(key))
       .sample(withReplacement = false, sampleFraction, seed = 42)
-      .groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
-      .where(col("_cnt") >= hotSampleMin)
-      .select(col(key), lit(true).as("_hot"))
+      .groupBy(col(key)).agg(count(lit(1)).as(cntCol))
+      .where(col(cntCol) >= hotSampleMin)
+      .select(col(key), lit(true).as(hotCol))
       .pinLazy() // bounded table, two consumers — never recomputed
     val spread =
       if (saltCols.nonEmpty) saltCols
@@ -83,16 +92,16 @@ object SkewJoin {
     // _hot is true or null after the outer join; when(null, …) takes the
     // otherwise branch, so cold keys land on salt 0 on both sides
     val salted = big.join(broadcast(hot), Seq(key), "left_outer")
-      .withColumn("_salt",
-        when(col("_hot"),
+      .withColumn(saltCol,
+        when(col(hotCol),
           pmod(xxhash64(spread: _*), lit(saltBuckets.toLong)))
           .otherwise(lit(0L)).cast("int"))
-      .drop("_hot")
+      .drop(hotCol)
     val replicated = dim.join(broadcast(hot), Seq(key), "left_outer")
-      .withColumn("_salt", explode(
-        when(col("_hot"), sequence(lit(0), lit(saltBuckets - 1)))
+      .withColumn(saltCol, explode(
+        when(col(hotCol), sequence(lit(0), lit(saltBuckets - 1)))
           .otherwise(sequence(lit(0), lit(0)))))
-      .drop("_hot")
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+      .drop(hotCol)
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -2020,13 +2020,17 @@ object TextAnalysis {
     // rebase on min(id): slices cover the OBSERVED id span, so negative
     // or high-based id ranges slice evenly instead of collapsing (and
     // the rebased spread is non-negative, so `div` == the oracle's `//`
-    // and max-id = −1 can't divide by zero); least() clamps the top id
+    // and max-id = −1 can't divide by zero); least() clamps the top id.
+    // The rebased offset × buckets product runs in decimal(38,0): a
+    // full-Long id span (spread up to 2^64−1) would wrap a bigint
+    // multiply into negative slices — decimal keeps it exact for ANY
+    // long ids, and `div` on decimal still returns bigint
     val ids = docs.agg(min(col(idCol)).cast("long").as("_min"),
       max(col(idCol)).cast("long").as("_max"))
     val toks = docs.crossJoin(broadcast(ids))
       .select(least(lit(buckets - 1L),
-        expr(s"(cast($idCol as bigint) - _min) * $buckets" +
-          " div (_max - _min + 1)"))
+        expr(s"(cast(cast($idCol as bigint) as decimal(38,0)) - _min) " +
+          s"* $buckets div (cast(_max as decimal(38,0)) - _min + 1)"))
         .as("slice"),
         explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)

@@ -4,13 +4,17 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Cross-table ATOMIC generation publish (SURVEY §2.1 S9's last
-  * reference-semantics delta, closed).
+/** Cross-table ATOMIC generation publish (SURVEY §2.1 S9).
   *
-  * The reference commits backup + TRUNCATE + append for ALL knowledge-base
-  * tables in ONE MySQL transaction (ref `src/batch_train.py:154-176`) — a
-  * reader never observes table A's new rows next to table B's old ones.
-  * The per-table [[Sinks.snapshotOverwrite]] staged-rename protocol is
+  * The reference INTENDS transactional refresh: backup + TRUNCATE +
+  * append inside an `engine.begin()` block (ref
+  * `src/batch_train.py:154-176`) — but that block covers ONE table
+  * (`standard_knowledge_base`), and MySQL's TRUNCATE/CREATE TABLE are
+  * DDL that implicitly commit, so even the single-table refresh is not
+  * actually atomic there. This object provides the guarantee the
+  * reference only approximates, and extends it across tables: a reader
+  * never observes table A's new rows next to table B's old ones. The
+  * per-table [[Sinks.snapshotOverwrite]] staged-rename protocol is
   * crash-safe per table but cannot give that cross-table guarantee: a
   * reader arriving between two tables' swaps sees a MIXED generation.
   *

@@ -13,15 +13,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * count/fix/recount: 64 s at the 100× corpus; this kernel does the
   * same work in one scan per call).
   *
-  * Equivalence to the cascade is STRUCTURAL, not hoped-for: dictionary
-  * keys never overlap in any input (the â-family keys are exactly 3
-  * chars whose tails contain no key-starting character, the Ã/Â
-  * families exactly 2 — no key is a prefix of another and no match can
-  * start inside another match) and no replacement character starts or
-  * completes a key, so sequential per-key replacement and a single
-  * leftmost scan produce identical output and identical counts — and
-  * the equivalence is additionally property-pinned against the
-  * declarative cascade in `GraftFunctionsSpec`.
+  * Equivalence to the cascade is STRUCTURAL, not hoped-for. Two facts
+  * carry it: (1) dictionary keys never overlap in any input (the
+  * â-family keys are exactly 3 chars whose tails contain no
+  * key-starting character, the Ã/Â families exactly 2 — no key is a
+  * prefix of another and no match can start inside another match), and
+  * (2) no replacement character STARTS a key, and every replacement
+  * that can COMPLETE a key (NBSP, «, », ° are all key tails) is
+  * produced at-or-after the key it could complete in `Pairs` order —
+  * e.g. the `Ã`+NBSP→à pass runs before the `Â`+NBSP→NBSP pass that
+  * could manufacture its match, so the cascade never consumes a
+  * replacement-formed match, matching the kernel's single leftmost
+  * scan (which never rescans replaced output). Fact (2) is ORDER-
+  * dependent: a new dictionary pair could silently break it, so it is
+  * asserted at class-load in [[MojibakeRepair.Pairs]]'s companion
+  * check below, and the kernel==cascade equivalence is additionally
+  * property-pinned against the declarative cascade in
+  * `GraftFunctionsSpec`.
   *
   * Output: struct<fixed: string, n_bad: bigint>. */
 case class MojibakeRepair(child: Expression) extends UnaryExpression {
@@ -62,13 +70,39 @@ object MojibakeRepair {
     * first). Every intended character is a single char, which the
     * kernel's lookup tables below rely on. */
   val Pairs: Seq[(String, String)] =
-    Seq("\u2019", "\u2018", "\u201C", "\u201D", "\u2013", "\u2014",
+    // \u2013 and \u2014 BEFORE " and ": the \u2013/\u2014 damage forms end in "/" (cp1252
+    // of 0x93/0x94), which are themselves replacements \u2014 the consuming
+    // pass must run before the pass that could manufacture its match
+    // (class-load guard below; see the ordering argument in the
+    // class scaladoc)
+    Seq("\u2019", "\u2018", "\u2013", "\u2014", "\u201C", "\u201D",
       "\u2026", "\u2022",
       "\u00E9", "\u00E8", "\u00E1", "\u00E0", "\u00F3", "\u00F1",
       "\u00FC", "\u00F6", "\u00E4", "\u00E7", "\u00ED", "\u00FA",
       "\u00C9", "\u00AB", "\u00BB", "\u00B0", "\u00A0")
       .map(g => mojibake(g) -> g)
       .sortBy(-_._1.length)
+
+  // Class-load guard for the ordering fact the kernel==cascade proof
+  // rests on (see the class scaladoc): a replacement char must never
+  // START a key or sit in a key's interior, and any key a replacement
+  // could COMPLETE must be processed at-or-before the pass that
+  // produces that replacement — otherwise the cascade would consume a
+  // replacement-formed match the single scan never sees.
+  locally {
+    Pairs.zipWithIndex.foreach { case ((_, rep), j) =>
+      require(rep.length == 1, s"multi-char replacement $rep")
+      val r = rep.charAt(0)
+      Pairs.zipWithIndex.foreach { case ((key, _), i) =>
+        require(!key.dropRight(1).contains(r),
+          s"replacement $rep starts/continues key $key")
+        if (key.last == r)
+          require(i <= j,
+            s"replacement of pair $j could form key $key (pair $i) " +
+              "for a later cascade pass — reorder Pairs")
+      }
+    }
+  }
 
   // per-family tables: the â-family keys are "â€" + tail char; the
   // Ã/Â families are first char + tail char. Tail char -> replacement.
