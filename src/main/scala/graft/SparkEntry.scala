@@ -2189,12 +2189,23 @@ object SparkEntry {
         .groupBy((floor(col("n_chars") / 50) * 50).as("bin_lo"))
         .agg(count(lit(1)).as("n_docs"))),
 
-    // ---------- multimodal plumbing (stub codec; see Multimodal) ----------
+    // ---------- multimodal plumbing (see Multimodal) ----------
+    // EXACT ORACLE: text payloads take the deterministic stub path, whose
+    // metadata is md5-derived end to end (checksum = md5 hex, pseudo-dims
+    // = md5-prefix ints) — DuckDB recomputes the whole record from the
+    // text; the REAL image/audio decode branches stay pinned on true
+    // fixtures in MultimodalSpec
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeAssets(
         t(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "doc_id", "payload").toDF()),
+        "doc_id", "payload").toDF()
+        .select(col("asset_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("format"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("duration_ms"), col("checksum"))),
 
     // FULL raster decode + pixel features (mean RGB milli-units, 8-bucket
     // luma histogram) — real ImageIO decode proven on generated PNGs in
@@ -2218,11 +2229,6 @@ object SparkEntry {
         "doc_id", "payload", n = 3, frameBytes = 16)
         .withColumn("frame_hex", hex(col("frame"))).drop("frame")),
 
-    // REAL video frame decode: deterministic synthetic MJPEG-AVIs (solid-
-    // color JPEG frames keyed by doc_id) are generated executor-side, then
-    // the RIFF walk + per-frame ImageIO decode runs as the partition-mapped
-    // batch (rows-only: JPEG decode has no SQL twin; dims/colors/spacing
-    // pinned in MultimodalSpec)
     // Landmark constellation fingerprints (the Shazam mechanic) over 8
     // deterministic tone-sequence WAVs; EXACT ORACLE — the integer-DFT
     // landmark chain replays in DuckDB (clip-matches-source laws are
@@ -2281,11 +2287,16 @@ object SparkEntry {
         Multimodal.audioFrameEnergies(assets, "doc_id", "payload"))
     }),
 
+    // EXACT ORACLE: lossless PNG frames (MPNG-in-AVI) instead of JPEG —
+    // the decoded raster IS the integer color formula, so RIFF walk +
+    // frame sampling + BT.601 luma all replay in SQL (the pHash
+    // lossless-fixture treatment); the JPEG variant of the same
+    // walk+decode path stays pinned in MultimodalSpec
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
       val assets = t(s, dir, "documents")
         .select(col("doc_id")).where(col("doc_id") < 8).as[Long]
-        .map(id => (id, Multimodal.syntheticMjpegAvi(id, nFrames = 5,
+        .map(id => (id, Multimodal.syntheticPngAvi(id, nFrames = 5,
           w = 16, h = 12)))
         .toDF("doc_id", "payload")
       Multimodal.videoFrames(assets, "doc_id", "payload", n = 3).toDF()

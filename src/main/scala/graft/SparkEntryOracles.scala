@@ -2292,6 +2292,46 @@ private[graft] object SparkEntryOracles {
           |  CAST(coalesce(n_audio_kept, 0) AS BIGINT) AS n_audio_kept
           |FROM imgroll FULL OUTER JOIN audroll USING (source)""".stripMargin),
 
+    // decode twin: text payloads take the deterministic stub path, whose
+    // record is md5-derived end to end — checksum = md5 hex (DuckDB md5()
+    // hashes the same UTF-8 bytes Spark's binary cast yields), pseudo-dims
+    // = md5-prefix 28-bit ints (house hex-parse idiom), n_bytes = strlen
+    // (DuckDB strlen counts BYTES; Spark length(binary) likewise); the
+    // REAL image/audio decode branches are pinned on true fixtures in
+    // MultimodalSpec
+    "mm_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  'unknown' AS format,
+        |  CAST(64 + CAST(concat('0x', substr(md5(text), 1, 7)) AS BIGINT)
+        |    % 1024 AS BIGINT) AS width,
+        |  CAST(64 + CAST(concat('0x', substr(md5(text), 8, 7)) AS BIGINT)
+        |    % 1024 AS BIGINT) AS height,
+        |  CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS channels,
+        |  CAST(0 AS BIGINT) AS duration_ms,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    // video twin: the fixtures are LOSSLESS PNG frames (MPNG-in-AVI), so
+    // the decoded raster equals the integer color formula and the whole
+    // chain replays — 5 chunks, k = 3 sampled at frame_idx = i*5//3
+    // (operands non-negative, // == Spark div), solid color r/g/b =
+    // (doc_id*37+fi*11, *59+*23, *83+*43) % 256, per-pixel BT.601 luma
+    // (299r+587g+114b)//1000, and the w*h mean of a constant raster is
+    // lumaSum*1000/(w*h) = per-pixel luma * 1000 exactly
+    "mm_video_frames" ->
+      """SELECT d.doc_id AS asset_id, TRUE AS ok,
+        |  CAST(5 AS BIGINT) AS n_frames,
+        |  CAST(f.i AS BIGINT) AS frame_no,
+        |  CAST((f.i * 5) // 3 AS BIGINT) AS frame_idx,
+        |  CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+        |  CAST(((299 * ((d.doc_id * 37 + ((f.i * 5) // 3) * 11) % 256)
+        |       + 587 * ((d.doc_id * 59 + ((f.i * 5) // 3) * 23) % 256)
+        |       + 114 * ((d.doc_id * 83 + ((f.i * 5) // 3) * 43) % 256))
+        |      // 1000) * 1000 AS BIGINT) AS mean_luma_milli
+        |FROM documents d, range(0, 3) f(i)
+        |WHERE d.doc_id < 8""".stripMargin,
+
     // pixel-features twin: the corpus payloads are text bytes, so the
     // contract is "no false decode" — every row must be the ok=false stub
     // (the true-decode path is pinned on generated PNGs in MultimodalSpec)

@@ -24,32 +24,39 @@ object Multimodal {
 
   /** A decoded-asset record. Images fill width/height; audio fills
     * sample_rate/channels/duration_ms (0 where the modality doesn't apply,
-    * -1 for an audio duration the header doesn't state). */
+    * -1 for an audio duration the header doesn't state). `checksum` is
+    * the payload's md5 hex digest — the house content-hash convention
+    * (same digest DuckDB's `md5()` computes over the UTF-8 bytes, which
+    * is what gives `mm_decode` its exact oracle). */
   case class AssetMeta(asset_id: Long, n_bytes: Int, format: String,
                        width: Int, height: Int,
                        sample_rate: Int, channels: Int, duration_ms: Long,
                        checksum: String)
 
-  private def crc32(bytes: Array[Byte]): java.util.zip.CRC32 = {
-    val crc = new java.util.zip.CRC32
-    crc.update(bytes)
-    crc
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xF, 16))
+      .append(Character.forDigit(b & 0xF, 16)))
+    sb.toString
   }
 
   /** Fallback for payloads neither ImageIO nor the sampled-audio readers
     * recognize (true video stays here — the JDK ships no video codec):
-    * deterministic pseudo-dimensions from the checksum, format flagged
-    * `unknown` so downstream filters can separate real decodes. */
+    * deterministic pseudo-dimensions from md5-prefix integers (the house
+    * md5-prefix idiom: 7 hex chars = a 28-bit non-negative int, so `%`
+    * agrees across engines), format flagged `unknown` so downstream
+    * filters can separate real decodes. */
   def decodeStub(assetId: Long, bytes: Array[Byte]): AssetMeta = {
-    val crc = crc32(bytes)
+    val d = md5Hex(bytes)
     AssetMeta(
       asset_id = assetId,
       n_bytes = bytes.length,
       format = "unknown",
-      width = 64 + (crc.getValue % 1024).toInt,
-      height = 64 + ((crc.getValue >> 10) % 1024).toInt,
+      width = 64 + (java.lang.Long.parseLong(d.substring(0, 7), 16) % 1024).toInt,
+      height = 64 + (java.lang.Long.parseLong(d.substring(7, 14), 16) % 1024).toInt,
       sample_rate = 0, channels = 0, duration_ms = 0L,
-      checksum = java.lang.Long.toHexString(crc.getValue))
+      checksum = d)
   }
 
   /** Magic-byte sniff for the three container types the JDK's sampled-audio
@@ -90,7 +97,7 @@ object Multimodal {
         sample_rate = math.round(fmt.getSampleRate),
         channels = fmt.getChannels,
         duration_ms = durationMs,
-        checksum = java.lang.Long.toHexString(crc32(bytes).getValue)))
+        checksum = md5Hex(bytes)))
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None // truncated/corrupt container
@@ -126,7 +133,7 @@ object Multimodal {
             width = r.getWidth(0),
             height = r.getHeight(0),
             sample_rate = 0, channels = 0, duration_ms = 0L,
-            checksum = java.lang.Long.toHexString(crc32(bytes).getValue))
+            checksum = md5Hex(bytes))
         } catch {
           case _: java.io.IOException => decodeStub(assetId, bytes) // truncated/corrupt
         } finally r.dispose()
@@ -342,17 +349,20 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic synthetic MJPEG-AVI: `nFrames` solid-color JPEG frames
-    * whose RGB derives from (seed, frame index) — the payload generator
-    * for specs and the registry query (real container, real JPEG encode,
-    * real decode on the read side). */
-  def syntheticMjpegAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+  /** The synthetic-AVI frame color: RGB derived from (seed, frame index)
+    * by an all-integer formula — the SQL-replayable half of the video
+    * fixtures (non-negative operands, so `%` agrees across engines). */
+  def syntheticFrameRgb(seed: Long, f: Int): (Int, Int, Int) =
+    (((seed * 37 + f * 11) % 256).toInt,
+      ((seed * 59 + f * 23) % 256).toInt,
+      ((seed * 83 + f * 43) % 256).toInt)
+
+  private def syntheticAvi(seed: Long, nFrames: Int, w: Int, h: Int,
+                           fmt: String): Array[Byte] = {
     val frames = (0 until nFrames).map { f =>
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val r = ((seed * 37 + f * 11) % 256).toInt
-      val g = ((seed * 59 + f * 23) % 256).toInt
-      val b = ((seed * 83 + f * 43) % 256).toInt
+      val (r, g, b) = syntheticFrameRgb(seed, f)
       val rgb = (r << 16) | (g << 8) | b
       var y = 0
       while (y < h) {
@@ -361,11 +371,29 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
+      javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
     buildMjpegAvi(frames, w, h)
   }
+
+  /** Deterministic synthetic MJPEG-AVI: `nFrames` solid-color JPEG frames
+    * whose RGB derives from (seed, frame index) — the payload generator
+    * for specs (real container, real JPEG encode, real decode on the
+    * read side). JPEG is lossy and codec-specific, so THIS variant has
+    * no SQL twin — the registry query uses [[syntheticPngAvi]]. */
+  def syntheticMjpegAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+    syntheticAvi(seed, nFrames, w, h, "jpg")
+
+  /** Deterministic synthetic MPNG-AVI: the same container and color
+    * formula with LOSSLESS PNG frames (the real `MPNG` codec layout —
+    * PNG files in the `00dc` chunks; ImageIO sniffs the frame format
+    * from content, so [[videoFramesOne]] decodes both variants through
+    * the identical walk+decode path). Losslessness is what promotes
+    * `mm_video_frames` to an exact oracle: decoded RGB == the integer
+    * formula, the pHash/lossless-PNG treatment applied to video. */
+  def syntheticPngAvi(seed: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+    syntheticAvi(seed, nFrames, w, h, "png")
 
   // ---- audio: PCM decode + spectral features (JDK-only) ----
   // WAV decode is real (`javax.sound.sampled` ships a PCM codec); the

@@ -185,6 +185,26 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.length === 1 && !bad(0).ok && bad(0).n_frames === 0)
   }
 
+  test("MPNG-AVI: lossless PNG frames decode to the EXACT formula luma (the mm_video_frames oracle law)") {
+    import spark.implicits._
+    // same container + walk + decode path as MJPEG, but PNG is lossless:
+    // the decoded luma must equal the integer formula EXACTLY, which is
+    // precisely what makes the registry query's DuckDB twin valid
+    val rows = Seq(3L, 6L)
+      .map(id => (id, Multimodal.syntheticPngAvi(id, nFrames = 5, w = 16, h = 12)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoFrames(rows, "doc_id", "payload", n = 3).collect()
+    assert(got.length === 6)
+    got.foreach { f =>
+      assert(f.ok && f.n_frames === 5 && f.width === 16 && f.height === 12)
+      assert(f.frame_idx === f.frame_no * 5 / 3) // even spacing over 5
+      val (r, g, b) = Multimodal.syntheticFrameRgb(f.asset_id, f.frame_idx)
+      val expect = ((299 * r + 587 * g + 114 * b) / 1000) * 1000L
+      assert(f.mean_luma_milli === expect,
+        s"asset ${f.asset_id} frame ${f.frame_idx}: ${f.mean_luma_milli} != $expect")
+    }
+  }
+
   test("audio spectrum: sine at a band center dominates that band, RMS and crossings check out") {
     import spark.implicits._
     val sr = 8000
