@@ -1666,6 +1666,18 @@ object SparkEntry {
       TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4, minShared = 8, maxDf = 20)),
 
+    // The relative-cap arm of the same join — the CapBench sizing rule
+    // operationalized AND oracled: effective cap = max(20, n_docs·2%)
+    // with n_docs derived in-plan from the same pinned scan, so the cap
+    // tracks corpus growth where the absolute default degenerates
+    // (SCALE.md round-15 caps A/B; spec law in TextAnalysisSpec). 2%
+    // models the expected duplication factor; 10% was measured 5.5x
+    // slower at sf0.1 for pairs no dedup policy would act on
+    "dedup_winnowing_rel" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 8, maxDf = 20,
+        metric = "winnow_df_cap_rel", maxDfPerMille = 20)),
+
     // Capstone #3 — DATA SELECTION end to end: quality gate -> winnow
     // near-dup survivors (min-id per MOSS cluster) -> winnow benchmark
     // decontamination -> DSIR top-k selection. Every stage is an

@@ -830,14 +830,15 @@ private[graft] object SparkEntryOracles {
     * for MATERIALIZED (measured 15.6 s → ~8 s at sf0.01). */
   private def winnowPairCtes(materialized: Boolean = false,
                              from: String = "documents",
-                             prefix: String = ""): String = {
+                             prefix: String = "",
+                             capSql: String = "20"): String = {
     val mat = if (materialized) "MATERIALIZED " else ""
     val p = prefix
     s"""${winnowCtesFor(5, 4, from, p)},
        |${p}ex AS (SELECT doc_id AS doc, unnest(fp) AS f FROM ${p}fp),
        |${p}cold AS (
        |  SELECT * FROM ${p}ex WHERE f NOT IN (
-       |    SELECT f FROM ${p}ex GROUP BY 1 HAVING count(*) > 20)),
+       |    SELECT f FROM ${p}ex GROUP BY 1 HAVING count(*) > $capSql)),
        |${p}pairs AS $mat(
        |  SELECT a.doc AS id_a, b.doc AS id_b,
        |    CAST(count(*) AS BIGINT) AS n_shared
@@ -848,6 +849,17 @@ private[graft] object SparkEntryOracles {
   /** Twin of [[TextAnalysis.winnowPairs]]. */
   private lazy val winnowPairsSql: String =
     s"""WITH ${winnowPairCtes()}
+       |SELECT id_a, id_b, n_shared FROM pairs""".stripMargin
+
+  /** Twin of the relative-cap winnowPairs (`maxDfPerMille = 20`): the
+    * effective cap is max(20, n_docs·20/1000) with n_docs the document
+    * count — Spark derives it as countDistinct(doc) over the
+    * explode_outer'd scan (one row per doc even when fp is empty), which
+    * equals count(*) over the unique-keyed documents table; operands
+    * non-negative, so `//` == Spark's `div`. */
+  private lazy val winnowPairsRelSql: String =
+    s"""WITH ${winnowPairCtes(capSql =
+      "greatest(20, (SELECT count(*) FROM documents) * 20 // 1000)")}
        |SELECT id_a, id_b, n_shared FROM pairs""".stripMargin
 
   /** Twin of the winnow cluster closure: the dedup_clusters recursive
@@ -3072,6 +3084,7 @@ private[graft] object SparkEntryOracles {
     "text_winnowing" -> winnowFingerprintsSql,
 
     "dedup_winnowing" -> winnowPairsSql,
+    "dedup_winnowing_rel" -> winnowPairsRelSql,
 
     "dedup_winnow_clusters" -> winnowClustersSql,
 

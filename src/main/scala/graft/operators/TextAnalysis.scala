@@ -303,11 +303,13 @@ object TextAnalysis {
     * ascending by the kernel's contract — the digest below relies on it. */
   private[operators] def winnowFp(docs: DataFrame, idCol: String,
                                   textCol: String,
-                                  k: Int, w: Int): DataFrame =
-    docs.select(col(idCol), org.apache.spark.sql.GraftBridge.column(
-      org.apache.spark.sql.graft.WinnowFingerprints(
-        org.apache.spark.sql.GraftBridge.expression(
-          coalesce(col(textCol), lit(""))), k, w)).as("fp"))
+                                  k: Int, w: Int,
+                                  extra: Seq[String] = Nil): DataFrame =
+    docs.select((col(idCol) +: extra.map(col)) :+
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.WinnowFingerprints(
+          org.apache.spark.sql.GraftBridge.expression(
+            coalesce(col(textCol), lit(""))), k, w)).as("fp"): _*)
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * algorithm): per document, the distinct set of window-minimum char
@@ -437,16 +439,44 @@ object TextAnalysis {
     * effective cap becomes `max(maxDf, n_docs·perMille/1000)` with the
     * corpus size derived in-plan from the same pinned scan (no driver
     * action) — a relative cap survives corpus growth where the absolute
-    * one degenerates (the CapBench finding). Join
-    * fan-out is bounded by df² per fingerprint; the winnowed table is
-    * ~2/(w+1) the size of the all-grams table for the same ≥ k+w−1
-    * substring guarantee. Output: (id_a < id_b, n_shared). */
+    * one degenerates (the CapBench finding). Identical texts are
+    * exact-collapsed before the join (r16; see the body comment), so
+    * join fan-out is bounded by DISTINCT-TEXT df² per fingerprint —
+    * duplication inflates only the expanded output, never the join; the
+    * winnowed table is ~2/(w+1) the size of the all-grams table for the
+    * same ≥ k+w−1 substring guarantee. Output: (id_a < id_b, n_shared). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20,
                   metric: String = "winnow_df_cap",
                   cacheScan: Boolean = true,
                   maxDfPerMille: Int = 0): DataFrame = {
+    // EXACT-COLLAPSE first (the PPJoin treatment, applied here in r16):
+    // identical texts form one group keyed by md5(text) — the winnow
+    // kernel runs once per DISTINCT text, the pair join runs on group
+    // representatives with document-weighted df, and clone pairs
+    // re-expand from group membership afterward. Output-identical to the
+    // uncollapsed form (fp is a function of the text, so same text ⟹
+    // same fingerprint set ⟹ same cold-shared count), but the join cost
+    // no longer grows with duplication: at the 100× identical-copy
+    // blowup the uncollapsed relative-cap join is df²-per-fingerprint
+    // (≥10⁸ rows per kept clone gram — unrunnable), while the collapsed
+    // form pairs 5k distinct texts and cross-expands members, which is
+    // the true output size and nothing more. Costs one extra scan of the
+    // input (members + groups) and one text-keyed exchange with map-side
+    // partial aggregation (≈ one copy of each distinct text shuffles).
+    val norm = coalesce(col(textCol).cast("string"), lit(""))
+    val keyed = docs.select(col(idCol).as("doc"), norm.as("_t"),
+      md5(norm.cast("binary")).as("tkey"))
+    // membership is consumed by both expansion joins — pin it (same
+    // persist-vs-pin discipline as `ex` below; 2 small columns per doc)
+    val members0 = keyed.select(col("tkey"), col("doc"))
+    val members = if (cacheScan) members0.persist() else members0.pin()
+    // first(_t) is order-agnostic here: every row under a tkey carries
+    // the identical text (md5 equality = content identity, the house
+    // convention); n = document weight of the group
+    val groups = keyed.groupBy(col("tkey"))
+      .agg(first(col("_t")).as("_t"), count(lit(1)).as("n"))
     // the exploded fingerprint table is consumed three times (df agg +
     // both sides of the pair join) — materialize the winnow scan once.
     // HOW it materializes is the round-14 A/B finding (min-of-5, sf0.1):
@@ -465,26 +495,29 @@ object TextAnalysis {
     // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
     // window minima) once more per row — the inferred-generator-filter
     // class PlanQualitySpec sweeps for. The null f rows outer emits for
-    // short docs die at the pair equi-join (and never match `hot`).
+    // short texts die at the pair equi-join (and never match `hot`).
     // hot is NOT force-broadcast (it grows with corpus boilerplate; let
     // AQE broadcast only while it fits — measured free at sf0.1 either
     // way in the same A/B).
-    val raw = winnowFp(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("doc"), explode_outer(col("fp")).as("f"))
+    val raw = winnowFp(groups, "tkey", "_t", k, w, extra = Seq("n"))
+      .select(col("tkey"), col("n"), explode_outer(col("fp")).as("f"))
     val ex = if (cacheScan) raw.persist() else raw.pin()
     // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
     // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
     // production run must be able to see the recall it traded —
     // `dropped_fingerprints` distinct fps dropped, `dropped_postings`
-    // exploded rows they carried (the share of the index shed)
+    // the DOCUMENT-weighted posting rows they carried (the share of the
+    // uncollapsed index shed — weighting by n keeps the metric's meaning
+    // identical to the pre-collapse form)
     // effective cap: the absolute literal, or (relative mode) its max
-    // with n_docs·perMille/1000 — n_docs from the SAME pinned scan via a
-    // broadcast 1-row cross join, so the relative cap stays fully lazy
-    val grouped0 = ex.groupBy("f").agg(count(lit(1)).as("df"))
+    // with n_docs·perMille/1000 — n_docs = Σ group weights from the SAME
+    // pinned scan via a broadcast 1-row cross join, fully lazy
+    val grouped0 = ex.groupBy("f").agg(sum(col("n")).as("df"))
     val (grouped, cap) =
       if (maxDfPerMille <= 0) (grouped0, lit(maxDf.toLong))
       else (grouped0.crossJoin(broadcast(
-        ex.agg(countDistinct(col("doc")).as("_ndocs")))),
+        ex.select(col("tkey"), col("n")).distinct()
+          .agg(sum(col("n")).as("_ndocs")))),
         greatest(lit(maxDf.toLong),
           expr(s"_ndocs * $maxDfPerMille div 1000")))
     val hot = grouped
@@ -495,12 +528,38 @@ object TextAnalysis {
           .as("dropped_postings"))
       .where(col("df") > cap).select("f")
     val cold = ex.join(hot, Seq("f"), "left_anti")
-    cold.select(col("f"), col("doc").as("id_a"))
-      .join(cold.select(col("f"), col("doc").as("id_b")), "f")
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    // representative-level shared-cold counts: cross-group pairs from
+    // the equi-join (tkey order dedupes the unordered pair), same-group
+    // counts from a plain per-key aggregate (two identical texts share
+    // exactly the text's cold fingerprint set; null f = empty fp rows
+    // are excluded, matching the equi-join's null semantics)
+    val repPairs = cold.select(col("f"), col("tkey").as("ka"))
+      .join(cold.select(col("f"), col("tkey").as("kb")), "f")
+      .where(col("ka") < col("kb"))
+      .groupBy("ka", "kb")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+    val selfShared = cold.where(col("f").isNotNull)
+      .groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    // expansion: members × members per qualifying group/pair — the true
+    // clone-pair relation, generated directly instead of through the
+    // fingerprint join
+    val crossPairs = repPairs
+      .join(members.select(col("tkey").as("ka"), col("doc").as("doc_a")),
+        Seq("ka"))
+      .join(members.select(col("tkey").as("kb"), col("doc").as("doc_b")),
+        Seq("kb"))
+      .select(least(col("doc_a"), col("doc_b")).as("id_a"),
+        greatest(col("doc_a"), col("doc_b")).as("id_b"), col("n_shared"))
+    val withinPairs = selfShared
+      .join(members.select(col("tkey"), col("doc").as("doc_a")), Seq("tkey"))
+      .join(members.select(col("tkey"), col("doc").as("doc_b")), Seq("tkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("n_shared"))
+    crossPairs.unionAll(withinPairs)
   }
 
   // ---- decision columns shared with the curation funnel ----------------
