@@ -96,6 +96,52 @@ class GenerationsSpec extends SparkSpec {
     }
   }
 
+  test("a reader RACING live publish churn always sees one generation " +
+    "per read set (the guarantee the module exists for, now pinned " +
+    "against concurrency, not just crashes)") {
+    import spark.implicits._
+    val root = tmp()
+    Generations.publish(spark, gen(Seq("o1"), Seq("l1")), root)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // the reader loops the documented protocol — resolve the pointer
+    // ONCE, then read every table at that version — while the writer
+    // churns; any cross-generation mix or read failure is a violation.
+    // (Violations queue instead of asserting: a failed assertion in a
+    // spawned thread would vanish, not fail the test.)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val v = Generations.openVersion(spark, root)
+          val ord = Generations.readTableAt(spark, root, v, "ord")
+            .as[String].collect().toSeq
+          val li = Generations.readTableAt(spark, root, v, "li")
+            .as[String].collect().toSeq
+          if (ord != Seq(s"o$v") || li != Seq(s"l$v"))
+            bad.add(s"v$v read ord=$ord li=$li")
+          reads.incrementAndGet()
+        } catch {
+          case e: Exception => bad.add(s"read failed: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try {
+      var v = 1L
+      while (v < 7L) // 6 publishes churning under the reader
+        v = Generations.publish(spark,
+          gen(Seq(s"o${v + 1}"), Seq(s"l${v + 1}")), root)
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(bad.isEmpty, s"racing reader violations: ${bad.toArray.mkString("; ")}")
+    // the race must have actually exercised concurrent reads
+    assert(reads.get() >= 3, s"only ${reads.get()} reads completed")
+    assert(readPair(root) === ((7L, Seq("o7"), Seq("l7"))))
+  }
+
   test("no committed generation -> openVersion refuses loudly; a torn " +
     "marker temp never commits") {
     val root = tmp()
