@@ -34,7 +34,14 @@ package graft
   * Both gates share the quiesced-re-run confirmation discipline.
   *
   * SPARK_GRAFT_BENCH_ONLY=<name,name,...> restricts the run to a subset —
-  * the triage loop for exactly such regressions. */
+  * the triage loop for exactly such regressions.
+  *
+  * Box-load canary: full runs bracket the battery with a fixed 3-query
+  * best-of-3 pass (`canary_before`/`canary_after` maps in
+  * BENCH_FULL.json, summed `canary_before_sec`/`canary_after_sec` on
+  * stdout). A drifted canary means the box, not the code — the r15 sf1
+  * noise-attribution argument, measured per artifact instead of argued
+  * from history. */
 object Bench {
 
   /** Median and the p25/p75 order statistics of the rep times. */
@@ -122,6 +129,37 @@ object Bench {
       .getOrElse("other")
   }
 
+  /** Deny-filter for ONE known-benign log pattern (root-caused r16, see
+    * SCALE.md): `DAGScheduler: Failed to update accumulator N (Unknown
+    * class)` + its `attempted to access non-existent accumulator` stack.
+    * A task-completion event can arrive after its query already returned
+    * and its accumulators were unregistered (stages cancelled mid-flight
+    * — AQE replans, limits); the update targets a finished query, so
+    * results are unaffected (rc=0, n_failed=0 in the same runs). The
+    * bench artifact's tail is the regression-signal log, and this racy
+    * burst landing near process exit (BENCH_r15) buries real signal —
+    * so the BENCH session denies exactly this message on exactly this
+    * logger. Real executor/scheduler failures still surface: a failed
+    * query reports -1.0 + a [bench] FAILED stderr line regardless of
+    * logging. Filter scope: this JVM only; the library never touches
+    * log config. */
+  private[graft] def denyBenignAccumulatorRace(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val name = "org.apache.spark.scheduler.DAGScheduler"
+    val lc = new LoggerConfig(name, Level.WARN, true)
+    lc.addFilter(RegexFilter.createFilter(
+      ".*Failed to update accumulator \\d+ \\(Unknown class\\).*",
+      null, java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL))
+    cfg.addLogger(name, lc)
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the graded environment (local[32]); SPARK_GRAFT_CPUS
@@ -132,6 +170,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    denyBenignAccumulatorRace()
     // JIT/codegen warmup so the alphabetically-first query doesn't absorb
     // first-run compilation cost (~4s of noise on a sub-second query)
     Tables(spark, sfDir, "lineitem")
@@ -151,6 +190,29 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       else None
+    // Box-load canary (r15 advice #6): a fixed fast 3-query subset runs
+    // best-of-3 BEFORE and AFTER the battery, so "the +10% was machine
+    // load" is measured in the artifact instead of argued from history —
+    // a loaded box slows the canary too; a plan change doesn't touch it.
+    // best-of-N because the canary asks about the box, not the queries.
+    val canaryNames = Seq("q1_pricing_summary", "j3_semi_join",
+      "events_sessionize")
+    def canary(): Seq[(String, Double)] =
+      canaryNames.map { n =>
+        val fn = SparkEntry.queries(n)
+        val ts = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+    def canaryJson(c: Seq[(String, Double)]): String =
+      c.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val canaryBefore = if (only.isEmpty) canary() else Seq.empty
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // Reps interleave ROUND-ROBIN across queries (pass 1 of every query,
@@ -288,9 +350,20 @@ object Bench {
     // A SPARK_GRAFT_BENCH_ONLY triage run must NOT clobber the full
     // artifact — it would shrink the next run's regression baseline to the
     // triaged subset.
+    // closing canary: after the battery AND the confirm re-runs, so it
+    // brackets everything the totals above absorbed
+    val canaryAfter = if (only.isEmpty) canary() else Seq.empty
+    val canaryFull =
+      if (only.isEmpty)
+        s""","canary_before":${canaryJson(canaryBefore)},"canary_after":${canaryJson(canaryAfter)}"""
+      else ""
+    val canaryCompact =
+      if (only.isEmpty)
+        f""","canary_before_sec":${canaryBefore.map(_._2).sum}%.3f,"canary_after_sec":${canaryAfter.map(_._2).sum}%.3f"""
+      else ""
     if (only.isEmpty) {
       val fullJson =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"queries":${jmap(_._2._1)},"queries_lo":${jmap(_._2._2)},"queries_hi":${jmap(_._2._3)},"queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))},"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild$canaryFull,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -320,7 +393,7 @@ object Bench {
       if (only.isEmpty) ""
       else s""","queries_min":${jmap(p => mins.getOrElse(p._1, p._2._1))}"""
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline$minsInline,"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":${results.size - ok.size},"cpus":$cpus,"families":$families,"queries":$headline$minsInline,"regressions":$regs,"regressions_min":$regsMin$ingest$ivfBuild$canaryCompact,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // print AFTER spark.stop(): the shutdown's INFO flood otherwise lands
     // between this line and process exit, displacing it from a harness
     // that keeps only the output tail (BENCH_r11 "parsed": null)

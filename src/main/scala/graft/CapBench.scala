@@ -74,6 +74,17 @@ object CapBench {
       docs, "doc_id", "text", k = 5, w = 4, minShared = 8, maxDf = c),
       cap = 20)
 
+    // relative-cap arm (r16): the operationalized sizing rule at the
+    // registry's 2% setting vs the same uncapped ground truth. The `cap`
+    // knob here routes to maxDfPerMille (Int.MaxValue perMille ⟹
+    // effectively uncapped, same containment law: relative-capped ⊆
+    // uncapped since the rel cap only RAISES the absolute 20)
+    ab("winnow_maxdf_rel", c => operators.TextAnalysis.winnowPairs(
+      docs, "doc_id", "text", k = 5, w = 4, minShared = 8, maxDf = 20,
+      metric = "winnow_df_cap_rel",
+      maxDfPerMille = if (c == Int.MaxValue) 1000000 else c),
+      cap = 20)
+
     spark.stop()
   }
 }

@@ -468,15 +468,31 @@ object TextAnalysis {
     val norm = coalesce(col(textCol).cast("string"), lit(""))
     val keyed = docs.select(col(idCol).as("doc"), norm.as("_t"),
       md5(norm.cast("binary")).as("tkey"))
-    // membership is consumed by both expansion joins — pin it (same
-    // persist-vs-pin discipline as `ex` below; 2 small columns per doc)
-    val members0 = keyed.select(col("tkey"), col("doc"))
-    val members = if (cacheScan) members0.persist() else members0.pin()
+    // The md5 key exists ONLY inside the two collapse aggregates below;
+    // every downstream relation is keyed by the group REPRESENTATIVE
+    // (min doc id) instead. The first cut kept the 32-char hex key on
+    // the pair relation and its expansion joins — on a degenerate
+    // corpus (CapBench's uncapped 45M-pair arm) those three fat
+    // exchanges carried 3-4x the bytes of long keys and exhausted the
+    // box's spill disk; rep-long keys put the uncapped ground-truth arm
+    // back inside the budget and shrink every production shuffle too.
     // first(_t) is order-agnostic here: every row under a tkey carries
     // the identical text (md5 equality = content identity, the house
     // convention); n = document weight of the group
     val groups = keyed.groupBy(col("tkey"))
-      .agg(first(col("_t")).as("_t"), count(lit(1)).as("n"))
+      .agg(min(col("doc")).as("rep"), first(col("_t")).as("_t"),
+        count(lit(1)).as("n"))
+      .drop("tkey")
+    // membership (rep, doc) — a LIGHT second aggregate over (tkey, doc)
+    // + self-join recovers each doc's representative without re-running
+    // the heavy text-carrying aggregate; consumed by both expansion
+    // joins, so pin it (same persist-vs-pin discipline as `ex` below)
+    val light = keyed.select(col("tkey"), col("doc"))
+    val members0 = light
+      .join(light.groupBy(col("tkey")).agg(min(col("doc")).as("rep")),
+        Seq("tkey"))
+      .select(col("rep"), col("doc"))
+    val members = if (cacheScan) members0.persist() else members0.pin()
     // the exploded fingerprint table is consumed three times (df agg +
     // both sides of the pair join) — materialize the winnow scan once.
     // HOW it materializes is the round-14 A/B finding (min-of-5, sf0.1):
@@ -499,8 +515,8 @@ object TextAnalysis {
     // hot is NOT force-broadcast (it grows with corpus boilerplate; let
     // AQE broadcast only while it fits — measured free at sf0.1 either
     // way in the same A/B).
-    val raw = winnowFp(groups, "tkey", "_t", k, w, extra = Seq("n"))
-      .select(col("tkey"), col("n"), explode_outer(col("fp")).as("f"))
+    val raw = winnowFp(groups, "rep", "_t", k, w, extra = Seq("n"))
+      .select(col("rep"), col("n"), explode_outer(col("fp")).as("f"))
     val ex = if (cacheScan) raw.persist() else raw.pin()
     // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
     // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
@@ -516,7 +532,7 @@ object TextAnalysis {
     val (grouped, cap) =
       if (maxDfPerMille <= 0) (grouped0, lit(maxDf.toLong))
       else (grouped0.crossJoin(broadcast(
-        ex.select(col("tkey"), col("n")).distinct()
+        ex.select(col("rep"), col("n")).distinct()
           .agg(sum(col("n")).as("_ndocs")))),
         greatest(lit(maxDf.toLong),
           expr(s"_ndocs * $maxDfPerMille div 1000")))
@@ -533,29 +549,29 @@ object TextAnalysis {
     // counts from a plain per-key aggregate (two identical texts share
     // exactly the text's cold fingerprint set; null f = empty fp rows
     // are excluded, matching the equi-join's null semantics)
-    val repPairs = cold.select(col("f"), col("tkey").as("ka"))
-      .join(cold.select(col("f"), col("tkey").as("kb")), "f")
-      .where(col("ka") < col("kb"))
-      .groupBy("ka", "kb")
+    val repPairs = cold.select(col("f"), col("rep").as("ra"))
+      .join(cold.select(col("f"), col("rep").as("rb")), "f")
+      .where(col("ra") < col("rb"))
+      .groupBy("ra", "rb")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
     val selfShared = cold.where(col("f").isNotNull)
-      .groupBy(col("tkey"))
+      .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
     // expansion: members × members per qualifying group/pair — the true
     // clone-pair relation, generated directly instead of through the
     // fingerprint join
     val crossPairs = repPairs
-      .join(members.select(col("tkey").as("ka"), col("doc").as("doc_a")),
-        Seq("ka"))
-      .join(members.select(col("tkey").as("kb"), col("doc").as("doc_b")),
-        Seq("kb"))
+      .join(members.select(col("rep").as("ra"), col("doc").as("doc_a")),
+        Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc").as("doc_b")),
+        Seq("rb"))
       .select(least(col("doc_a"), col("doc_b")).as("id_a"),
         greatest(col("doc_a"), col("doc_b")).as("id_b"), col("n_shared"))
     val withinPairs = selfShared
-      .join(members.select(col("tkey"), col("doc").as("doc_a")), Seq("tkey"))
-      .join(members.select(col("tkey"), col("doc").as("doc_b")), Seq("tkey"))
+      .join(members.select(col("rep"), col("doc").as("doc_a")), Seq("rep"))
+      .join(members.select(col("rep"), col("doc").as("doc_b")), Seq("rep"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         col("n_shared"))

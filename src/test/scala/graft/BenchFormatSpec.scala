@@ -57,6 +57,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(unbucketed.isEmpty, s"unbucketed queries: $unbucketed")
   }
 
+  test("the benign-accumulator-race deny filter drops EXACTLY the known " +
+    "message and nothing else on the DAGScheduler logger") {
+    Bench.denyBenignAccumulatorRace()
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.impl.Log4jLogEvent
+    import org.apache.logging.log4j.message.SimpleMessage
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val lc = ctx.getConfiguration
+      .getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+    assert(lc.getName === "org.apache.spark.scheduler.DAGScheduler")
+    val f = lc.getFilter
+    assert(f != null, "filter not installed")
+    def ev(msg: String) = Log4jLogEvent.newBuilder()
+      .setLoggerName("org.apache.spark.scheduler.DAGScheduler")
+      .setLevel(Level.ERROR).setMessage(new SimpleMessage(msg)).build()
+    assert(f.filter(ev(
+      "Failed to update accumulator 383846 (Unknown class) for task 0"))
+      === Result.DENY)
+    // a REAL scheduler error must pass through untouched
+    assert(f.filter(ev("Shuffle files lost for executor 3")) === Result.NEUTRAL)
+    // and a named-class accumulator failure (not the benign race) too
+    assert(f.filter(ev(
+      "Failed to update accumulator 12 (SQLMetric) for task 4"))
+      === Result.NEUTRAL)
+  }
+
   test("compact headline stays within the harness tail budget") {
     // 113 query names at ~24 chars each overflowed the 2000-char tail in
     // r4/r5; the compact line carries ≤ 10 slowest + 8 core + families.
