@@ -1293,15 +1293,28 @@ object SparkEntry {
         refKey = Some(s"$dir#incr-ref"))
     }),
 
+    // EXACT ORACLE (r16): the DuckDB twin replays the WHOLE xxhash64
+    // machinery — token hashes (XxhSql string recursion), ShingleHashes'
+    // 2-fold hashLong chains, MinHashSignature's salted hashLong minima
+    // (salts from the SAME XXH64.hashInt generator the kernel uses), the
+    // lshBands bucket hash (per-band seed + joined-decimal-string hash),
+    // exact-Jaccard confirm and group expansion
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsFromGroups(
         Dedup.shingleGroupsFor(t(s, dir, "documents"), "doc_id", "text",
           k = 2, key = dir),
-        numHashes = 32, bands = 8, minJaccard = 0.8)),
+        numHashes = 32, bands = 8, minJaccard = 0.8)
+        .select(col("id_a"), col("id_b"),
+          col("intersection").cast("long"))),
 
+    // EXACT ORACLE (r16): the DuckDB twin replays the xxhash64 kernel
+    // itself — XXH64 in HUGEINT mod-2^64 arithmetic (graft.XxhSql), per
+    // distinct token, then the same ±1 bit votes / sign packing and the
+    // brute hamming<=3 pair relation (blocked==brute pinned in DedupSpec)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+        maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))),
 
     // Portable-hash twins of the two signature machines (md5-derived
     // integers both engines compute identically): the simhash/minhash

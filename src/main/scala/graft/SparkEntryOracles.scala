@@ -6936,6 +6936,204 @@ private[graft] object SparkEntryOracles {
         .stripMargin
     },
 
+    // hashed-decontamination twin for the XXHASH64 kernel (r16): token
+    // hashes via the XxhSql string recursion (distinct tokens across
+    // corpus AND benchmark), per-doc ordered hash lists, then each
+    // 4-gram's ShingleHashes chain — g = 42 folded through 4
+    // hashLong steps (closed-form layered projections, no recursion) —
+    // per-doc DISTINCT, benchmark set distinct, inner join + count
+    "decontaminate_hashed" -> {
+      import graft.XxhSql
+      val n = 4
+      // chain g0=42 -> g4 over the slice elements sl[1..4]
+      val chain = (1 to n).foldLeft(
+        "(SELECT doc_id, side, sl FROM grams)") { (from, j) =>
+        XxhSql.hashLong(from, s"sl[$j]",
+          if (j == 1) "CAST(42 AS HUGEINT)" else s"g${j - 1}",
+          s"g$j", s"c$j")
+      }
+      s"""WITH RECURSIVE
+         |sides AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 7 THEN 'b' ELSE 'c' END AS side,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS tl
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ0 AS (
+         |  SELECT doc_id, side, unnest(list_transform(range(1, len(tl) + 1),
+         |    i -> {'i': i, 't': tl[i]})) AS r
+         |  FROM sides),
+         |occ AS (SELECT doc_id, side, r.i AS i, r.t AS tok FROM occ0),
+         |inp AS (SELECT tok AS key, tok AS s
+         |        FROM (SELECT DISTINCT tok FROM occ) dt),
+         |${XxhSql.stringHashCtes("inp")},
+         |hl AS (
+         |  SELECT doc_id, side, list(x.h ORDER BY o.i) AS hs
+         |  FROM occ o JOIN xxout x ON x.key = o.tok
+         |  GROUP BY 1, 2
+         |  HAVING len(list(x.h)) >= $n),
+         |grams AS (
+         |  SELECT doc_id, side, unnest(list_transform(
+         |    range(1, len(hs) - ${n - 2}), i -> hs[i:i+${n - 1}])) AS sl
+         |  FROM hl),
+         |gset AS (
+         |  SELECT DISTINCT doc_id, side, g$n FROM $chain ch),
+         |bset AS (SELECT DISTINCT g$n FROM gset WHERE side = 'b')
+         |SELECT g.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_hits
+         |FROM gset g JOIN bset b USING (g$n)
+         |WHERE g.side = 'c'
+         |GROUP BY 1""".stripMargin
+    },
+
+    // simhash twin for the XXHASH64 kernel itself (r16): graft.XxhSql
+    // replays Spark's XXH64 bit-for-bit in HUGEINT mod-2^64 arithmetic —
+    // per DISTINCT token (multiset votes re-expand through the
+    // occurrence join), then the same ±1 votes / sign packing as the
+    // kernel and the BRUTE hamming<=3 pair relation (the engine's
+    // pigeonhole blocking is exact for <=maxHamming by construction and
+    // pinned blocked==brute in DedupSpec)
+    "dedup_simhash" -> {
+      val votes = (0 until 64).map(i =>
+        s"SUM(CASE WHEN (x.h // ${BigInt(1) << i}) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) AS b$i")
+        .mkString(",\n    ")
+      val pack = (0 until 64).map(i =>
+        s"CASE WHEN b$i > 0 THEN CAST(${BigInt(1) << i} AS HUGEINT) ELSE 0 END")
+        .mkString(" +\n    ")
+      s"""WITH RECURSIVE
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |inp AS (SELECT tok AS key, tok AS s
+         |        FROM (SELECT DISTINCT tok FROM occ) dt),
+         |${graft.XxhSql.stringHashCtes("inp")},
+         |v AS (
+         |  SELECT o.doc_id,
+         |    $votes
+         |  FROM occ o JOIN xxout x ON x.key = o.tok
+         |  GROUP BY 1),
+         |sh AS (
+         |  SELECT doc_id, ${graft.XxhSql.signed(s"($pack)")} AS f FROM v)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin
+    },
+
+    // minhash-LSH twin for the XXHASH64 kernels (r16): token hashes via
+    // the XxhSql recursion; 2-gram ShingleHashes = two hashLong folds;
+    // per-doc distinct sorted sets collapse to groups; MinHashSignature =
+    // per-salt hashLong minima over set elements (salts from the SAME
+    // XXH64.hashInt generator the kernel reads — they cannot drift);
+    // lshBands' bucket = xxhash64(band, joined decimal strings) replayed
+    // with a per-row seed recursion; candidates from shared (band,
+    // bucket), exact-Jaccard >= 0.8 confirm on the hash sets, member
+    // expansion + intra pairs. Signed/unsigned forms tracked explicitly:
+    // minima compare SIGNED longs (the kernel's Long compare), hashes
+    // compute in unsigned HUGEINT
+    "dedup_minhash_lsh" -> {
+      import graft.XxhSql
+      val uSalt: Int => BigInt = i => {
+        val s0 = XxhSql.hashInt(i, 42L)
+        BigInt(s0) + (if (s0 < 0) BigInt(2).pow(64) else BigInt(0))
+      }
+      val saltRows = (0 until 32)
+        .map(i => s"($i, CAST(${uSalt(i)} AS HUGEINT))").mkString(", ")
+      val bandSeed = (0 until 8)
+        .map(i => s"WHEN $i THEN CAST(${uSalt(i)} AS HUGEINT)")
+        .mkString(" ")
+      // ShingleHashes chain over the 2-element slice
+      val g1 = XxhSql.hashLong("(SELECT doc_id, sl FROM gr)", "sl[1]",
+        "CAST(42 AS HUGEINT)", "g1", "s1")
+      val g2 = XxhSql.hashLong(g1, "sl[2]", "g1", "g2", "s2")
+      // MinHashSignature inner hash over (element, salt) rows
+      val hv = XxhSql.hashLong(
+        s"(SELECT e, ${XxhSql.unsigned("e")} AS l, si, salt" +
+          " FROM (SELECT DISTINCT e FROM elems) de CROSS JOIN salts)",
+        "l", "salt", "hh", "mh")
+      s"""WITH RECURSIVE
+         |tl AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tl
+         |  FROM documents WHERE text IS NOT NULL),
+         |occ0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tl) + 1),
+         |    i -> {'i': i, 't': tl[i]})) AS r
+         |  FROM tl),
+         |occ AS (SELECT doc_id, r.i AS i, r.t AS tok FROM occ0),
+         |inp AS (SELECT tok AS key, tok AS s
+         |        FROM (SELECT DISTINCT tok FROM occ) dt),
+         |${XxhSql.stringHashCtes("inp")},
+         |hl AS (
+         |  SELECT doc_id, list(x.h ORDER BY o.i) AS hs
+         |  FROM occ o JOIN xxout x ON x.key = o.tok
+         |  GROUP BY 1 HAVING len(list(x.h)) >= 2),
+         |gr AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(hs)), i -> hs[i:i+1])) AS sl
+         |  FROM hl),
+         |shs AS (
+         |  SELECT doc_id,
+         |    list_sort(list(DISTINCT ${XxhSql.signed("g2")})) AS sh
+         |  FROM $g2 ch GROUP BY 1),
+         |grp AS MATERIALIZED (
+         |  SELECT sh AS key, min(doc_id) AS rep, list(doc_id) AS ids,
+         |    count(*) AS n_same
+         |  FROM shs GROUP BY 1),
+         |elems AS (SELECT rep, unnest(key) AS e FROM grp),
+         |salts(si, salt) AS (VALUES $saltRows),
+         |eh AS MATERIALIZED (
+         |  SELECT e, si, ${XxhSql.signed("hh")} AS hs FROM $hv hz),
+         |sigm AS (
+         |  SELECT el.rep, eh.si, min(eh.hs) AS m
+         |  FROM elems el JOIN eh ON eh.e = el.e GROUP BY 1, 2),
+         |sigl AS (SELECT rep, list(m ORDER BY si) AS sig FROM sigm
+         |         GROUP BY 1),
+         |bst AS (
+         |  SELECT {'r': rep, 'b': b} AS key,
+         |    array_to_string(list_transform(sig[4*b+1:4*b+4],
+         |      x -> CAST(x AS VARCHAR)), ',') AS s,
+         |    CASE b $bandSeed END AS bs
+         |  FROM sigl CROSS JOIN range(0, 8) rb(b)),
+         |inp2 AS (SELECT key, s, bs FROM bst),
+         |${XxhSql.stringHashCtes("inp2", seed = "bs", prefix = "bk")},
+         |buck AS MATERIALIZED (
+         |  SELECT key.r AS rep, key.b AS band, h AS bucket
+         |  FROM bkxxout),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+         |  FROM buck a JOIN buck b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.rep < b.rep),
+         |ver AS (
+         |  SELECT c.ra, c.rb,
+         |    len(list_intersect(ga.key, gb.key)) AS inter,
+         |    len(ga.key) + len(gb.key) - len(list_intersect(ga.key, gb.key))
+         |      AS un
+         |  FROM cand c
+         |  JOIN grp ga ON ga.rep = c.ra
+         |  JOIN grp gb ON gb.rep = c.rb),
+         |keep AS (
+         |  SELECT ra, rb, inter FROM ver
+         |  WHERE CAST(inter AS DOUBLE) / un >= 0.8),
+         |mem AS (SELECT rep, unnest(ids) AS m FROM grp),
+         |crossp AS (
+         |  SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b,
+         |    k.inter AS intersection
+         |  FROM keep k
+         |  JOIN mem ma ON ma.rep = k.ra
+         |  JOIN mem mb ON mb.rep = k.rb),
+         |intra AS (
+         |  SELECT m1.m AS id_a, m2.m AS id_b, len(g.key) AS intersection
+         |  FROM grp g
+         |  JOIN mem m1 ON m1.rep = g.rep
+         |  JOIN mem m2 ON m2.rep = g.rep AND m1.m < m2.m
+         |  WHERE g.n_same > 1)
+         |SELECT id_a, id_b, CAST(intersection AS BIGINT) AS intersection
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra) u"""
+        .stripMargin
+    },
+
     // minhash-md5 twin: the (a, b) constants come from the SAME Scala
     // generator the Spark plan uses — the literals can't drift
     "dedup_minhash_md5" -> {

@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 341)
-    assert(SparkEntry.oracleSql.size === 322)
+    assert(SparkEntry.oracleSql.size === 325)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -30,8 +30,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly === Set(
       "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
-      "decontaminate_hashed", "dedup_minhash_lsh", "dedup_simhash",
-      "emb_pca_project", "events_trailing_distinct_sketch",
+            "emb_pca_project", "events_trailing_distinct_sketch",
       "events_user_overlap_sketch", "knn_ivf",
       "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
       "text_fingerprints",

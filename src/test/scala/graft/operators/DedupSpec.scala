@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpec {
     assert(expected.subsetOf(found))
   }
 
+  test("simhash: pigeonhole blocking == brute force (the dedup_simhash " +
+    "oracle's brute pair relation is the engine's answer)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val brute = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty) // non-trivial: the corpus has near-dup pairs
+  }
+
   test("simhash blocking survives the width-64 edge (maxHamming=0 mask)") {
     import org.apache.spark.sql.functions._
     // regression for (1L << 64) - 1 == 0: with maxHamming=0 all keys were 0
