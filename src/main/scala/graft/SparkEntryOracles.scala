@@ -3182,10 +3182,41 @@ private[graft] object SparkEntryOracles {
          |GROUP BY 1""".stripMargin,
 
     // the md5 fingerprint half replays exactly (same normalize as
-    // dedup_exact; the rolling xxhash64 half stays rows-only)
+    // dedup_exact); kept as the parameter-simplified twin of the full
+    // row below
     "text_fingerprints_md5" ->
       s"""SELECT doc_id, md5(${normSql("text")}) AS md5_fp
          |FROM documents""".stripMargin,
+
+    // FULL fingerprints twin (r16): the rolling xxhash64 fold
+    // `aggregate(tokens, 0L, (acc, t) => xxhash64(acc, t))` is strictly
+    // sequential per doc — XxhSql.rollingHashCtes runs the token-boundary
+    // phase machine (hashString with the previous accumulator folded
+    // through hashLong(·, 42) as each next token's seed); the md5 half is
+    // the twin above. LEFT JOIN keeps Spark's NULL fingerprints for NULL
+    // text (no tokens to fold)
+    "text_fingerprints" ->
+      s"""WITH RECURSIVE
+         |tl AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS tl
+         |  FROM documents),
+         |occ0 AS (
+         |  SELECT doc_id, len(tl) AS ntok,
+         |    unnest(list_transform(range(1, len(tl) + 1),
+         |      i -> {'i': i, 't': tl[i]})) AS r
+         |  FROM tl WHERE tl IS NOT NULL),
+         |ftok AS MATERIALIZED (
+         |  SELECT doc_id, CAST(r.i AS BIGINT) AS ti,
+         |    hex(encode(r.t)) AS hx,
+         |    CAST(octet_length(encode(r.t)) AS HUGEINT) AS n,
+         |    CAST(ntok AS BIGINT) AS ntok
+         |  FROM occ0),
+         |${graft.XxhSql.rollingHashCtes("ftok")}
+         |SELECT d.doc_id, md5(${normSql("text")}) AS md5_fp,
+         |  ${graft.XxhSql.signed("r.h")} AS rolling_fp
+         |FROM documents d LEFT JOIN rout r ON r.doc_id = d.doc_id"""
+        .stripMargin,
 
     // ranking replay: order by the same tf*ln((N+1)/(df+1)) key with the
     // same term tie-break, but OUTPUT only integers (tf, df) so the

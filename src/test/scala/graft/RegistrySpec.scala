@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 341)
-    assert(SparkEntry.oracleSql.size === 325)
+    assert(SparkEntry.oracleSql.size === 326)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -33,7 +33,6 @@ class RegistrySpec extends AnyFunSuite {
             "emb_pca_project", "events_trailing_distinct_sketch",
       "events_user_overlap_sketch", "knn_ivf",
       "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
-      "text_fingerprints",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))
