@@ -2099,15 +2099,22 @@ object TextAnalysis {
     // The rebased offset × buckets product runs in decimal(38,0): a
     // full-Long id span (spread up to 2^64−1) would wrap a bigint
     // multiply into negative slices — decimal keeps it exact for ANY
-    // long ids, and `div` on decimal still returns bigint
+    // long ids, and `div` on decimal still returns bigint. The slice is
+    // computed in its OWN projection BELOW the explode: in a combined
+    // select the analyzer hoists non-generator expressions above the
+    // Generate, re-evaluating the decimal arithmetic once per TOKEN —
+    // the r16 sf1 gate caught that as a confirmed 3.9× regression
+    // (1.7 → 5.7 s); per-doc it is free
     val ids = docs.agg(min(col(idCol)).cast("long").as("_min"),
       max(col(idCol)).cast("long").as("_max"))
-    val toks = docs.crossJoin(broadcast(ids))
+    val sliced = docs.crossJoin(broadcast(ids))
       .select(least(lit(buckets - 1L),
         expr(s"(cast(cast($idCol as bigint) as decimal(38,0)) - _min) " +
           s"* $buckets div (cast(_max as decimal(38,0)) - _min + 1)"))
         .as("slice"),
-        explode(tokens(col(textCol))).as("tok"))
+        col(textCol))
+    val toks = sliced
+      .select(col("slice"), explode(tokens(col(textCol))).as("tok"))
       .where(length(col("tok")) > 0)
     val types = toks.groupBy(col("tok"))
       .agg(min(col("slice")).as("slice"))

@@ -19,18 +19,22 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
-    // Every key here is rows-only for a REASON recorded in SURVEY §2:
-    // sketch/hash internals with a green md5/exact twin, learned-codebook
-    // ANN with a green fixed twin + recall pins, driver-loop BPE with the
-    // green head oracle, stub-codec multimodal with fixture-law pins, or
-    // the Jacobi eigensolve behind the green fixed-basis projection twin.
+    // Every key here is rows-only for a REASON recorded in SURVEY §2 —
+    // after r16 replayed XXH64 itself in SQL (graft.XxhSql), what
+    // remains is genuinely un-oracle-able: DataSketches serialized
+    // internals (HLL/KLL/CMS/theta rollups — each with a green exact
+    // twin or pinned error/merge laws), learned float codebooks (k-means
+    // IVF/PQ — IEEE accumulation order differs across engines; the
+    // fixed-codebook twins are green with recall pins), the 50-deep
+    // driver-loop BPE (green head oracle), the Jacobi eigensolve behind
+    // the green fixed-basis projection twin, and zlib bytes (below).
     // Adding a query WITHOUT an oracle must be a deliberate edit here —
     // the round-9 lesson was a registry row silently reporting nothing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
-            "emb_pca_project", "events_trailing_distinct_sketch",
+      "emb_pca_project", "events_trailing_distinct_sketch",
       "events_user_overlap_sketch", "knn_ivf",
       "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
       // zlib output bytes aren't pinned across builds; ordering laws
