@@ -41,7 +41,12 @@ package graft
   * BENCH_FULL.json, summed `canary_before_sec`/`canary_after_sec` on
   * stdout). A drifted canary means the box, not the code — the r15 sf1
   * noise-attribution argument, measured per artifact instead of argued
-  * from history. */
+  * from history. Since r17 the canary also NORMALIZES the gates: both
+  * flag ratios scale by `canary_load_factor` = this run's opening canary
+  * over the previous artifact's quietest canary pass, clamped to
+  * [1.0, 2.0] (a quiet box never tightens below the base ratios; a
+  * broken canary can never more than double them). The confirm re-runs
+  * stay at base ratios. */
 object Bench {
 
   /** Median and the p25/p75 order statistics of the rep times. */
@@ -74,6 +79,24 @@ object Bench {
     * which disables the min gate rather than fabricating a baseline). */
   private[graft] def previousMins(text: String): Map[String, Double] =
     previousMap(text, "queries_min")
+
+  /** Canary-normalized gate scaling as a pure seam: this run's opening
+    * canary sum over the PREVIOUS artifact's quietest canary pass
+    * (min of its before/after sums), clamped to [1.0, 2.0]. 1.0 when
+    * either side is missing or non-positive (pre-r16 artifacts carry no
+    * canary fields; triage runs skip the canary). */
+  private[graft] def canaryLoadFactor(prevText: Option[String],
+                                      curCanarySum: Double): Double = {
+    val prevQuiet = prevText.flatMap { t =>
+      val sums = Seq("canary_before", "canary_after")
+        .map(f => previousMap(t, f).values.filter(_ >= 0))
+        .filter(_.nonEmpty).map(_.sum).filter(_ > 0)
+      if (sums.isEmpty) None else Some(sums.min)
+    }
+    prevQuiet.filter(_ => curCanarySum > 0)
+      .map(p => math.min(2.0, math.max(1.0, curCanarySum / p)))
+      .getOrElse(1.0)
+  }
 
   /** The regression rule as a pure seam: flag (name, prev, cur) when the
     * current statistic is both `ratio`× and `abs` seconds slower than the
@@ -198,16 +221,24 @@ object Bench {
     val canaryNames = Seq("q1_pricing_summary", "j3_semi_join",
       "events_sessionize")
     def canary(): Seq[(String, Double)] =
-      canaryNames.map { n =>
-        val fn = SparkEntry.queries(n)
-        val ts = (1 to 3).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
+      canaryNames.flatMap { n =>
+        // get, not apply: a renamed canary query must degrade to a logged
+        // skip, never abort the whole battery before results are written
+        SparkEntry.queries.get(n) match {
+          case None =>
+            System.err.println(s"[bench] canary query $n not in the " +
+              "registry — skipped (update canaryNames)")
+            None
+          case Some(fn) =>
+            val ts = (1 to 3).flatMap { _ =>
+              val t0 = System.nanoTime()
+              try {
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => None }
+            }
+            Some(n -> (if (ts.isEmpty) -1.0 else ts.min))
         }
-        n -> (if (ts.isEmpty) -1.0 else ts.min)
       }
     def canaryJson(c: Seq[(String, Double)]): String =
       c.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
@@ -265,17 +296,37 @@ object Bench {
     val curMed = ok.map { case (name, (med, _, _)) => name -> med }
     val curMin = ok.map { case (name, (med, _, _)) =>
       name -> mins.getOrElse(name, med) }
+    // Canary-normalized gate thresholds (r16 advice #3): when THIS run's
+    // opening canary is slower than the previous artifact's quietest
+    // canary pass, the whole battery inflates with it — scale the flag
+    // ratios by that measured box-load ratio instead of adjudicating the
+    // phantom flags after the fact. Clamped to [1.0, 2.0]: a quieter box
+    // never TIGHTENS below the documented base ratios (prev-run load is
+    // the confirm pass's job to sort out), and a broken/drifted canary
+    // can never more than double the ratio, so the gate cannot be
+    // silently disabled. Triage (BENCH_ONLY) runs skip the canary and
+    // keep factor 1. The confirm re-runs below stay at BASE ratios —
+    // they run after the battery quiesces and are themselves the
+    // load-control.
+    val curCanarySum = canaryBefore.map(_._2).filter(_ >= 0).sum
+    val loadFactor: Double =
+      canaryLoadFactor(prevText, curCanarySum)
+    if (loadFactor > 1.0)
+      System.err.println(
+        f"[bench] canary load factor $loadFactor%.2f (opening canary " +
+          f"$curCanarySum%.3fs vs the previous artifact's quietest pass)" +
+          " — gate ratios scaled accordingly")
     // Median gate: flagged only when MEDIAN and MIN both regress vs the
     // previous MEDIAN (the median alone trips on concurrent-load noise,
     // while a real regression — a worse plan — slows the best rep too).
     val minAlsoSlow =
-      flagRegressions(curMin, prev, 1.5, 0.3).map(_._1).toSet
-    val flagged = flagRegressions(curMed, prev, 1.5, 0.3)
+      flagRegressions(curMin, prev, 1.5 * loadFactor, 0.3).map(_._1).toSet
+    val flagged = flagRegressions(curMed, prev, 1.5 * loadFactor, 0.3)
       .filter { case (name, _, _) => minAlsoSlow(name) }
     // Min gate: best-of-N vs previous best-of-N, tighter ratio — the
     // cleanest signal on a noisy 32-core box (r13 lesson: a 2.06x min
     // drift shipped because the median table alone was consulted).
-    val minFlagged = flagRegressions(curMin, prevMin, 1.3, 0.3)
+    val minFlagged = flagRegressions(curMin, prevMin, 1.3 * loadFactor, 0.3)
     // Confirmation pass (the r9 lesson: four ≥1.6x phantom rows shipped
     // unexplained): every flagged query is re-run `reps` more times AFTER
     // the full interleaved pass has quiesced, and the flag survives only
@@ -355,11 +406,12 @@ object Bench {
     val canaryAfter = if (only.isEmpty) canary() else Seq.empty
     val canaryFull =
       if (only.isEmpty)
-        s""","canary_before":${canaryJson(canaryBefore)},"canary_after":${canaryJson(canaryAfter)}"""
+        s""","canary_before":${canaryJson(canaryBefore)},"canary_after":${canaryJson(canaryAfter)}""" +
+          f""","canary_load_factor":$loadFactor%.3f"""
       else ""
     val canaryCompact =
       if (only.isEmpty)
-        f""","canary_before_sec":${canaryBefore.map(_._2).sum}%.3f,"canary_after_sec":${canaryAfter.map(_._2).sum}%.3f"""
+        f""","canary_before_sec":${canaryBefore.map(_._2).sum}%.3f,"canary_after_sec":${canaryAfter.map(_._2).sum}%.3f,"canary_load_factor":$loadFactor%.3f"""
       else ""
     if (only.isEmpty) {
       val fullJson =

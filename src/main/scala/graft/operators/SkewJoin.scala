@@ -72,11 +72,15 @@ object SkewJoin {
     require(hotSampleMin >= 2, "hotSampleMin >= 2")
     import graft.Checkpoints.PinOps
     // internal helper columns must not shadow (or ambiguate with) user
-    // columns on EITHER side — derive names outside both schemas
-    val taken = (big.columns ++ dim.columns).toSet
+    // columns on EITHER side — derive names outside both schemas.
+    // Lower-cased comparison: Spark resolves column names
+    // case-INsensitively by default, so a user column `_HOT` would
+    // ambiguate with a generated `_hot` even though the strings differ
+    val taken = (big.columns ++ dim.columns).map(_.toLowerCase).toSet
     def fresh(base: String): String =
-      if (!taken(base)) base
-      else Iterator.from(1).map(base + _).filterNot(taken).next()
+      if (!taken(base.toLowerCase)) base
+      else Iterator.from(1).map(base + _)
+        .filterNot(n => taken(n.toLowerCase)).next()
     val hotCol = fresh("_hot")
     val saltCol = fresh("_salt")
     val cntCol = fresh("_cnt")

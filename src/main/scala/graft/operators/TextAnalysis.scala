@@ -445,6 +445,38 @@ object TextAnalysis {
     * duplication inflates only the expanded output, never the join; the
     * winnowed table is ~2/(w+1) the size of the all-grams table for the
     * same ≥ k+w−1 substring guarantee. Output: (id_a < id_b, n_shared). */
+  /** One cached-plan GENERATION of [[winnowPairs]]' two persisted
+    * intermediates per session: each new `cacheScan=true` call unpersists
+    * the previous call's entries before registering its own, so repeated
+    * calls in one long-lived session hold at most one generation of
+    * cached blocks instead of accumulating CacheManager entries forever
+    * (persist entries are never GC'd — the r16 review finding).
+    * Unpersisting an earlier generation only drops its cache: an
+    * un-consumed earlier result stays CORRECT (recomputes from lineage),
+    * it just loses the scan reuse. Dead-session entries prune on every
+    * rotation (the [[graft.SessionMemo]] contract). */
+  private val winnowCacheGen = new java.util.concurrent.ConcurrentHashMap[
+    Int, (org.apache.spark.sql.SparkSession, Seq[DataFrame])]()
+
+  private[operators] def rotateWinnowCaches(
+      session: org.apache.spark.sql.SparkSession,
+      next: Seq[DataFrame]): Unit = {
+    val it = winnowCacheGen.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    val prev =
+      winnowCacheGen.put(System.identityHashCode(session), (session, next))
+    // `eq` guard: an identity-hash collision between a dead and a live
+    // session must not unpersist the live one's plans (SessionMemo rule 1)
+    if (prev != null && (prev._1 eq session))
+      prev._2.foreach(df => scala.util.Try(df.unpersist(false)))
+  }
+
+  private[operators] def winnowLiveCacheCount(
+      session: org.apache.spark.sql.SparkSession): Int =
+    Option(winnowCacheGen.get(System.identityHashCode(session)))
+      .filter(_._1 eq session).map(_._2.size).getOrElse(0)
+
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20,
@@ -462,9 +494,12 @@ object TextAnalysis {
     // blowup the uncollapsed relative-cap join is df²-per-fingerprint
     // (≥10⁸ rows per kept clone gram — unrunnable), while the collapsed
     // form pairs 5k distinct texts and cross-expands members, which is
-    // the true output size and nothing more. Costs one extra scan of the
-    // input (members + groups) and one text-keyed exchange with map-side
-    // partial aggregation (≈ one copy of each distinct text shuffles).
+    // the true output size and nothing more. Costs ~three extra
+    // PROJECTED scans of the input (`keyed` feeds the heavy `groups`
+    // aggregate once and the light membership self-join twice — the two
+    // light scans read only (id, md5) column slices) and one text-keyed
+    // exchange with map-side partial aggregation (≈ one copy of each
+    // distinct text shuffles).
     val norm = coalesce(col(textCol).cast("string"), lit(""))
     val keyed = docs.select(col(idCol).as("doc"), norm.as("_t"),
       md5(norm.cast("binary")).as("tkey"))
@@ -518,6 +553,9 @@ object TextAnalysis {
     val raw = winnowFp(groups, "rep", "_t", k, w, extra = Seq("n"))
       .select(col("rep"), col("n"), explode_outer(col("fp")).as("f"))
     val ex = if (cacheScan) raw.persist() else raw.pin()
+    // release the PREVIOUS call's cached generation (see winnowCacheGen)
+    if (cacheScan)
+      rotateWinnowCaches(docs.sparkSession, Seq(members, ex))
     // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
     // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
     // production run must be able to see the recall it traded —

@@ -52,6 +52,30 @@ class BenchFormatSpec extends AnyFunSuite {
       1.3, 0.3).isEmpty)
   }
 
+  test("canary load factor: quietest previous pass, clamped [1,2], " +
+    "1.0 on missing fields") {
+    val prev = Some(
+      """{"metric":"total","queries":{"q1":1.0},"canary_before":{"a":1.000,"b":0.640},"canary_after":{"a":0.700,"b":0.380},"sf":"x"}""")
+    // prev quiet = min(1.64, 1.08) = 1.08; an at-or-under current clamps
+    // to exactly 1.0
+    assert(Bench.canaryLoadFactor(prev, 1.0) === 1.0)
+    assert(math.abs(Bench.canaryLoadFactor(prev, 1.62) - 1.5) < 1e-9)
+    // clamp: a 5x-drifted canary never more than doubles the ratio
+    assert(Bench.canaryLoadFactor(prev, 5.4) === 2.0)
+    // a QUIETER box never tightens below the base ratios
+    assert(Bench.canaryLoadFactor(prev, 0.5) === 1.0)
+    // pre-r16 artifact (no canary fields) and missing current → 1.0
+    assert(Bench.canaryLoadFactor(
+      Some("""{"metric":"total","queries":{"q1":1.0},"sf":"x"}"""), 1.5)
+      === 1.0)
+    assert(Bench.canaryLoadFactor(prev, 0.0) === 1.0)
+    assert(Bench.canaryLoadFactor(None, 1.5) === 1.0)
+    // a canary pass of all-failed (-1) entries is not a baseline
+    assert(Bench.canaryLoadFactor(Some(
+      """{"canary_before":{"a":-1.000},"canary_after":{"a":-1.000}}"""),
+      9.9) === 1.0)
+  }
+
   test("every registered query maps to a named family (no 'other')") {
     val unbucketed = SparkEntry.queries.keys.filter(Bench.familyOf(_) == "other")
     assert(unbucketed.isEmpty, s"unbucketed queries: $unbucketed")

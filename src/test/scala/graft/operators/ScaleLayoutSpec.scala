@@ -101,6 +101,21 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(missed.except(plain).count() === 0L)
   }
 
+  test("salted join helper names dodge user columns CASE-INSENSITIVELY " +
+    "(Spark resolves `_HOT` == `_hot` by default)") {
+    import spark.implicits._
+    val big = Seq((1L, "x"), (1L, "y"), (2L, "z"))
+      .toDF("k", "_HOT") // differs from the generated `_hot` only by case
+      .withColumn("_salt", lit(9)) // forces the numbered fallback...
+      .withColumn("_Salt1", lit(0)) // ...whose first candidate also case-collides
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val joined = SkewJoin.saltedJoinHot(big, dim, "k",
+      saltBuckets = 4, sampleFraction = 1.0, hotSampleMin = 2)
+    assert(joined.count() === 3L)
+    assert(joined.columns.map(_.toLowerCase).count(_ == "_hot") === 1,
+      "user _HOT must survive; no case-colliding helper column may leak")
+  }
+
   test("z-ordered layout bounds BOTH columns' per-file spans; single sort does not") {
     import spark.implicits._
     import graft.sources.Layouts

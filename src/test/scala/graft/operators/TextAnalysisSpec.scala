@@ -868,6 +868,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cm.isEmpty, "cacheScan=false must not register a cache entry")
   }
 
+  test("winnowPairs cache rotation: a new cacheScan call releases the " +
+    "previous generation's persist entries (bounded CacheManager growth " +
+    "in a long session), same-session only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+      (2L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj")
+    ).toDF("doc_id", "text")
+    // a cacheScan call registers exactly its two intermediates
+    TextAnalysis.winnowPairs(docs, "doc_id", "text", minShared = 1).count()
+    assert(TextAnalysis.winnowLiveCacheCount(spark) === 2)
+    // the rotation seam itself: gen-1 releases when gen-2 registers
+    val a = Seq(1).toDF("x").persist()
+    a.count()
+    assert(a.storageLevel.useMemory)
+    TextAnalysis.rotateWinnowCaches(spark, Seq(a))
+    val b = Seq(2).toDF("x").persist()
+    TextAnalysis.rotateWinnowCaches(spark, Seq(b))
+    assert(a.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "the previous generation must unpersist")
+    assert(b.storageLevel.useMemory, "the live generation must stay cached")
+    assert(TextAnalysis.winnowLiveCacheCount(spark) === 1)
+    b.unpersist()
+  }
+
   test("substringCut: earliest doc keeps its copy; later docs lose the " +
     "interval UNION of marked spans (identical and overlapping marks " +
     "never double-count); short and null docs zeroed") {

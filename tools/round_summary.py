@@ -72,16 +72,27 @@ def bench(n):
 
 
 def commits_since_round_close(n):
-    """Subjects after the driver's closing commit of round n-1."""
+    """Subjects after the driver's closing commit of round n-1.
+
+    Fails loudly when the sentinel commit is missing (e.g. the driver's
+    subject wording changed): silently returning the WHOLE history would
+    misstate the round's commit list.
+    """
     log = subprocess.run(
         ["git", "-C", ROOT, "log", "--format=%H %s"],
         capture_output=True, text=True, check=True).stdout.splitlines()
     out = []
+    found = n <= 1  # round 1 has no prior closing commit by definition
     for line in log:  # newest first
         h, _, subj = line.partition(" ")
         if re.match(rf"round {n - 1}: verdict", subj):
+            found = True
             break
         out.append(subj)
+    if not found:
+        sys.exit(f"round_summary: sentinel commit 'round {n - 1}: verdict' "
+                 "not found in git log — refusing to report the entire "
+                 "history as this round's commits")
     return list(reversed(out))
 
 
