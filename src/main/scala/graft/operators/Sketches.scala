@@ -180,8 +180,14 @@ object Sketches {
       .agg(cmsMergeAgg(col("fsketch"), depth, width).as("m"))
     val probes = explode(array(probeKeys.map(lit): _*)).as("probe_key")
     merged
+      // n is computed in its OWN projection BELOW the probe explode: in a
+      // shared select the analyzer hoists it above the Generate and the
+      // sketch-total kernel re-runs once per PROBE (the explode-hoist
+      // class PlanQualitySpec sweeps for). cmsEstimate legitimately sits
+      // above — it consumes the generated probe_key.
       .select(rollupCols.map(col) ++
-        Seq(cmsN(col("m")).as("n"), col("m"), probes): _*)
+        Seq(cmsN(col("m")).as("n"), col("m")): _*)
+      .select(rollupCols.map(col) ++ Seq(col("n"), col("m"), probes): _*)
       .select(rollupCols.map(col) ++ Seq(col("n"),
         col("probe_key").cast("long").as("probe_key"),
         cmsEstimate(col("m"), col("probe_key")).as("est_count")): _*)

@@ -273,6 +273,103 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  // ---- explode-hoist guard (the r16 lm_vocab_growth lesson, made ----
+  // ---- structural): a select that shares a Generate with a non- ----
+  // ---- trivial expression gets that expression HOISTED above the ----
+  // ---- Generate by the analyzer and re-evaluated once per GENERATED ----
+  // ---- row — a per-token cost invisible at sf0.1 that the sf1 gate ----
+  // ---- caught as a confirmed 3.9x regression (f2f9bfe). The fix at ----
+  // ---- each site is a separate projection BELOW the explode; this ----
+  // ---- sweep makes the class a test failure instead of a bench find. ----
+
+  /** Expensive-expression subtrees sitting in a `Project` above a
+    * `Generate` (through pushed-down Filters) that do NOT consume the
+    * generator's output — i.e. they could have been computed once per
+    * input row below the Generate, but run once per generated row
+    * instead. Descends Filter chains only: an intermediate Project's
+    * aliases would make the reference check unsound. */
+  private def hoistedExpensive(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Generate, LogicalPlan, Project}
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DecimalType
+    def isExpensive(e: Expression): Boolean = e match {
+      case _: RegExpExtract | _: RegExpExtractAll | _: RegExpReplace |
+           _: RLike | _: StringSplit => true
+      case _: XxHash64 | _: Murmur3Hash | _: Md5 | _: Sha1 | _: Sha2 |
+           _: Crc32 => true
+      // decimal arithmetic (the vocabGrowth slice was a decimal(38,0)
+      // multiply/divide chain) — cheap long/double arithmetic stays out
+      case b: BinaryArithmetic if b.dataType.isInstanceOf[DecimalType] =>
+        true
+      // every custom kernel (winnow/shingle/simhash/...) is expensive by
+      // construction — they exist because the per-row work is heavy
+      case e if e.getClass.getName.startsWith(
+        "org.apache.spark.sql.graft.") => true
+      case _ => false
+    }
+    def generateBelow(p: LogicalPlan): Option[Generate] = p match {
+      case g: Generate => Some(g)
+      case f: LFilter => generateBelow(f.child)
+      case _ => None
+    }
+    plan.collect { case p: Project =>
+      generateBelow(p.child).toSeq.flatMap { g =>
+        val genOut = AttributeSet(g.generatorOutput)
+        p.projectList.flatMap { ne =>
+          ne.collect {
+            case e: Expression if isExpensive(e) &&
+                e.references.intersect(genOut).isEmpty =>
+              e.getClass.getSimpleName
+          }
+        }
+      }
+    }.flatten
+  }
+
+  test("explode-hoist detector catches the pre-f2f9bfe vocabGrowth shape " +
+    "(decimal slice sharing a select with the tokenize explode)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val ids = docs.agg(min(col("doc_id")).cast("long").as("_min"),
+      max(col("doc_id")).cast("long").as("_max"))
+    // the EXACT pre-fix shape: slice expression and explode in ONE select
+    val bad = docs.crossJoin(broadcast(ids))
+      .select(
+        least(lit(15L), expr(
+          "(cast(cast(doc_id as bigint) as decimal(38,0)) - _min) * 16 " +
+            "div (cast(_max as decimal(38,0)) - _min + 1)")).as("slice"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    assert(hoistedExpensive(bad.queryExecution.optimizedPlan).nonEmpty,
+      "the detector must flag the decimal slice hoisted above the Generate")
+    // and the POST-fix shape (slice projected below the explode) is clean
+    val good = docs.crossJoin(broadcast(ids))
+      .select(least(lit(15L), expr(
+        "(cast(cast(doc_id as bigint) as decimal(38,0)) - _min) * 16 " +
+          "div (cast(_max as decimal(38,0)) - _min + 1)")).as("slice"),
+        col("text"))
+      .select(col("slice"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    assert(hoistedExpensive(good.queryExecution.optimizedPlan).isEmpty,
+      "the below-the-explode projection must not flag")
+  }
+
+  test("no expensive expression is hoisted above a Generate it doesn't " +
+    "consume (registry-wide explode-hoist sweep)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // plan-build failures are owned by the correctness gate, not here
+        scala.util.Try(fn(spark, sfDir).queryExecution.optimizedPlan)
+          .toOption.toSeq
+          .flatMap(p => hoistedExpensive(p).distinct.map(h => s"$name: $h"))
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("curation funnel is one corpus scan, no joins of report outputs") {
     val plan = formatted(SparkEntry.queries("text_funnel")(spark, sfDir))
     val scans = plan.linesIterator
