@@ -207,9 +207,9 @@ object Bench {
       if (only.forall(_.contains("knn_ivf_at_rest")))
         try {
           val t0 = System.nanoTime()
-          graft.operators.Similarity.ivfLayoutFor(
+          graft.operators.Similarity.ivfExactLayoutFor(
             Tables(spark, sfDir, "embeddings"), "vec_id", "embedding",
-            key = sfDir)
+            key = sfDir, dim = 64)
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       else None

@@ -1505,11 +1505,6 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dims = 32)
     }),
 
-    // IVF ANN (k-means codebook, cosine cells) — rows-only: the learned
-    // codebook has no SQL replay; recall vs brute force is pinned by
-    // SimilaritySpec instead. Codebook training is driver-side over a
-    // bounded sample (never a distributed fit), so the query costs one
-    // corpus scan plus the broadcast probe join.
     // IVF,SQ8 composed: cell pruning x int8 scoring x fp32 re-rank (the
     // FAISS index as a dataflow; rows-only, recall pinned in spec)
     "knn_ivf_sq8" -> ((s, dir) => {
@@ -1548,27 +1543,37 @@ object SparkEntry {
           col("neighbor_id"))
     }),
 
+    // TRAINED IVF under a FULL hash oracle (r17; previously rows-only):
+    // the codebook is the exact-arithmetic k-means' (integer milli-space,
+    // seed-free init, floor-average updates — Embeddings.exactCentroids),
+    // so DuckDB re-derives the training bit-for-bit and replays
+    // assign/probe/score/top-k end-to-end. Training cost per call: iters
+    // scan-side assignment passes + k-row driver aggregates — bounded
+    // driver state at any corpus size. The float-trained knnIvf (sampled
+    // k-means++) remains the library's sampled-training scale path,
+    // recall-pinned in SimilaritySpec.
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnIvf(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"))
+      val cb = graft.operators.Embeddings.exactCentroids(
+        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+      Similarity.knnIvfExact(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, centroids = cb, nprobe = 4)
     }),
 
     // IVF over the PERSISTED at-rest layout — the pattern to copy at
-    // corpus scale: the cell-partitioned corpus + parquet codebook are
-    // built once per dataset (ivfLayoutFor caches per key) and every
-    // query pays only the partition-pruned probe-cell read. Pruning is
-    // pinned by ScaleLayoutSpec; rows-only for the driver (learned cells
-    // have no SQL replay).
+    // corpus scale: the cell-partitioned corpus + integer-codebook
+    // parquet are built once per dataset (ivfExactLayoutFor caches per
+    // key) and every query pays only the partition-pruned probe-cell
+    // read. Pruning pinned by ScaleLayoutSpec; the SAME oracle as
+    // knn_ivf — a hash match proves the at-rest layout is invisible to
+    // queries (the knn_ivf_append contract, now on the TRAINED tier).
     "knn_ivf_at_rest" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val path = Similarity.ivfLayoutFor(emb, "vec_id", "embedding", key = dir)
-      Similarity.knnIvfPartitioned(s, path, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"))
+      val path = Similarity.ivfExactLayoutFor(emb, "vec_id", "embedding",
+        key = dir, dim = 64)
+      Similarity.knnIvfExactPartitioned(s, path,
+        emb.where(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+        nprobe = 4)
     }),
 
     // ---------- text analysis ----------

@@ -584,6 +584,103 @@ private[graft] object SparkEntryOracles {
        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  /** Exact-k-means CTE chain, shared by `emb_kmeans` and the TRAINED IVF
+    * oracle (`knn_ivf` / `knn_ivf_at_rest` — r17): `iq` milli-quantizes
+    * the embeddings, `c0` seeds from the `k` smallest vec_ids in id
+    * order, then each iteration runs an argmin assignment (full squared-
+    * L2 via list_zip — same argmin and ties as the engine's expanded
+    * −2·q·c+|c|² form, which differs only by the per-vector |q|²
+    * constant) and an integer floor-average update where empty cells
+    * keep their previous centroid. Returns (ctes, finalAssign,
+    * finalCentroids): finalAssign(vec_id, q, cell) is the corpus
+    * assignment under the trained codebook finalCentroids(j, c).
+    * MATERIALIZED on iq and every centroid table: DuckDB inlines CTEs
+    * referenced more than once (each c_i feeds the next assign AND the
+    * next update), which would re-derive the whole training chain per
+    * reference — the XxhSql lesson. */
+  private def exactKmeansCtes(k: Int, iters: Int,
+                              dim: Int = 64): (String, String, String) = {
+    // floor division (round toward -inf) on BIGINT — numerator is an
+    // exact multiple, so the double quotient is exact
+    def fdiv(s: String, c: String): String =
+      s"CAST((($s) - ((($s) % ($c) + ($c)) % ($c))) / ($c) AS BIGINT)"
+    val centroidList = (1 to dim)
+      .map(d => fdiv(s"SUM(q[$d])", "COUNT(*)"))
+      .mkString("list_value(", ", ", ")")
+    def assign(cTab: String, out: String, mat: Boolean): String = {
+      val as = if (mat) "AS MATERIALIZED" else "AS"
+      s"""$out $as (
+         |  SELECT vec_id, q, j AS cell FROM (
+         |    SELECT a.vec_id, a.q, c.j,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(a.q, c.c),
+         |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS rn
+         |    FROM iq a CROSS JOIN $cTab c)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    def update(assigned: String, prevC: String, out: String): String =
+      s"""${out}_agg AS (
+         |  SELECT cell AS j, $centroidList AS c
+         |  FROM $assigned GROUP BY cell),
+         |$out AS MATERIALIZED (
+         |  SELECT p.j, COALESCE(u.c, p.c) AS c
+         |  FROM $prevC p LEFT JOIN ${out}_agg u ON u.j = p.j)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assign(s"c${i - 1}", s"a$i", mat = false) + ",\n" +
+        update(s"a$i", s"c${i - 1}", s"c$i")
+    }
+    val aF = s"a${iters + 1}"
+    val ctes =
+      s"""iq AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |    AS j, q AS c
+         |  FROM (SELECT vec_id, q FROM iq ORDER BY vec_id LIMIT $k)),
+         |${steps.mkString(",\n")},
+         |${assign(s"c$iters", aF, mat = true)}""".stripMargin
+    (ctes, aF, s"c$iters")
+  }
+
+  /** Shared twin of `knn_ivf` AND `knn_ivf_at_rest` (r17): the trained-
+    * exact IVF replay — re-derive the integer k-means codebook (the
+    * [[exactKmeansCtes]] chain, bit-identical to the engine's
+    * Embeddings.exactCentroids), rank each query's 4 probe cells by
+    * squared-L2 ties-to-smallest-cell, then score candidates with the
+    * exact integer dot and take the top 5 (ties to the smallest
+    * neighbor). The at-rest layout must be result-identical to the
+    * in-memory query over the same corpus, so ONE oracle serves both
+    * keys — a hash match on the partitioned path proves the layout is
+    * invisible to queries (the knn_ivf_append contract on the trained
+    * tier). */
+  private lazy val knnIvfExactSql: String = {
+    val (ctes, aF, cF) = exactKmeansCtes(k = 16, iters = 2)
+    s"""WITH $ctes,
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, q AS qq, cell FROM (
+       |    SELECT a.vec_id, a.q, c.j AS cell, row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(a.q, c.c),
+       |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
+       |    FROM iq a CROSS JOIN $cF c WHERE a.vec_id < 20)
+       |  WHERE pr <= 4),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
+       |      z -> z[1]*z[2])) AS BIGINT) AS score
+       |  FROM qprobe p JOIN $aF c ON p.cell = c.cell
+       |  WHERE p.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+       |FROM (
+       |  SELECT query_id, neighbor_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM cand)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Temperature-allocation CTE chain (ends at `talloc`): sqrt(n) weight
     * in integer micro-units, Hamilton apportionment of `budget`, clamp
     * to group size — the Spark side's decimal(38,0) products become
@@ -2962,6 +3059,14 @@ private[graft] object SparkEntryOracles {
     // predicate (the probe side stays unfiltered, exactly like the engine)
     "knn_ivf_filtered" -> knnIvfFixedSqlWhere("\n    AND c.label <= 4"),
 
+    // the TRAINED tier under a full hash oracle (r17): DuckDB re-derives
+    // the exact-arithmetic k-means codebook and replays the whole IVF
+    // dataflow; the at-rest partitioned layout must answer identically,
+    // so one SQL serves both keys (the append-invisibility claim, on the
+    // trained tier)
+    "knn_ivf" -> knnIvfExactSql,
+    "knn_ivf_at_rest" -> knnIvfExactSql,
+
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
 
     "emb_negative_samples" -> negativeSamplesSql,
@@ -3346,46 +3451,11 @@ private[graft] object SparkEntryOracles {
     // engine), assignment = squared-L2 argmin with ties to the smallest
     // cell — every step integer-exact, so the full clustering hash-matches
     "emb_kmeans" -> {
-      val dim = 64
-      // floor division (round toward -inf) on BIGINT — numerator is an
-      // exact multiple, so the double quotient is exact
-      def fdiv(s: String, c: String): String =
-        s"CAST((($s) - ((($s) % ($c) + ($c)) % ($c))) / ($c) AS BIGINT)"
-      val centroidList = (1 to dim)
-        .map(d => fdiv(s"SUM(q[$d])", "COUNT(*)"))
-        .mkString("list_value(", ", ", ")")
-      def assign(cTab: String, out: String): String =
-        s"""$out AS (
-           |  SELECT vec_id, q, j AS cell FROM (
-           |    SELECT a.vec_id, a.q, c.j,
-           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-           |        list_sum(list_transform(list_zip(a.q, c.c),
-           |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS rn
-           |    FROM iq a CROSS JOIN $cTab c)
-           |  WHERE rn = 1)""".stripMargin
-      def update(assigned: String, prevC: String, out: String): String =
-        s"""${out}_agg AS (
-           |  SELECT cell AS j, $centroidList AS c
-           |  FROM $assigned GROUP BY cell),
-           |$out AS (
-           |  SELECT p.j, COALESCE(u.c, p.c) AS c
-           |  FROM $prevC p LEFT JOIN ${out}_agg u ON u.j = p.j)""".stripMargin
-      s"""WITH iq AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-         |    AS j, q AS c
-         |  FROM (SELECT vec_id, q FROM iq ORDER BY vec_id LIMIT 4)),
-         |${assign("c0", "a1")},
-         |${update("a1", "c0", "c1")},
-         |${assign("c1", "a2")},
-         |${update("a2", "c1", "c2")},
-         |${assign("c2", "a3")}
-         |SELECT a3.vec_id, CAST(a3.cell AS BIGINT) AS cell, cnt.n AS cluster_n
-         |FROM a3 JOIN (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
-         |              FROM a3 GROUP BY cell) cnt ON a3.cell = cnt.cell""".stripMargin
+      val (ctes, aF, _) = exactKmeansCtes(k = 4, iters = 2)
+      s"""WITH $ctes
+         |SELECT $aF.vec_id, CAST($aF.cell AS BIGINT) AS cell, cnt.n AS cluster_n
+         |FROM $aF JOIN (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |              FROM $aF GROUP BY cell) cnt ON $aF.cell = cnt.cell""".stripMargin
     },
 
     // gram twin: the explode form — quantize to thousandths, self-join

@@ -112,43 +112,69 @@ object Embeddings {
                   dim: Int, k: Int = 4, iters: Int = 2,
                   scale: Int = 1000): DataFrame = {
     require(k >= 1 && iters >= 0 && dim >= 1)
-    // KnownNoNullElements: every element is provably floor(x·scale) of a
-    // present float — keeps dot_long's assignment loop guard-free (the
-    // quantizeMilli treatment; transform() always infers containsNull)
-    val base = embs.select(col(idCol).cast("long").as("vec_id"),
+    val base = quantizedBase(embs, idCol, vecCol, scale)
+    val cents = trainExactCentroids(base, dim, k, iters)
+    val cellCol = l2ArgminCell(col("q"), cents.toSeq.map(_.toSeq))
+      .cast("long")
+    val assigned = base.withColumn("cell", cellCol).select("vec_id", "cell")
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_n"))
+    assigned.join(broadcast(counts), Seq("cell"))
+      .select("vec_id", "cell", "cluster_n")
+  }
+
+  /** The quantized training base of [[kmeansExact]]: (vec_id, q) with
+    * q = floor(component·scale) per element. KnownNoNullElements: every
+    * element is provably floor(x·scale) of a present float — keeps
+    * dot_long's assignment loop guard-free (the quantizeMilli treatment;
+    * transform() always infers containsNull). */
+  private def quantizedBase(embs: DataFrame, idCol: String, vecCol: String,
+                            scale: Int): DataFrame =
+    embs.select(col(idCol).cast("long").as("vec_id"),
       org.apache.spark.sql.GraftBridge.column(
         org.apache.spark.sql.graft.KnownNoNullElements(
           org.apache.spark.sql.GraftBridge.expression(
             transform(col(vecCol),
               x => floor(x.cast("double") * scale).cast("long"))))).as("q"))
 
+  /** (squared-distance, cell) argmin as ONE least-of-structs expression:
+    * lexicographic struct order = min distance, ties to min cell id
+    * (k=1: least() needs two args — every row is trivially cell 0).
+    * The distance is the EXPANDED form −2·q·c + |c|² (the common |q|²
+    * cannot change an argmin or its ties): each cell is one fused
+    * dot_long loop against a literal vector instead of `dim`
+    * element_at-diff-square nodes — the k×dim-node tree version blew
+    * past what whole-stage codegen compiles into tight code (measured
+    * 2x slower at k=4, dim=64). Shared with the trained-exact IVF tier
+    * ([[graft.operators.Similarity.knnIvfExact]]), whose cell assignment
+    * must be the SAME rule the training loop optimized. */
+  private[operators] def l2ArgminCell(q: Column,
+                                      cents: Seq[Seq[Long]]): Column = {
+    import graft.functions.GraftFunctions.dotLong
+    if (cents.size == 1) lit(0)
+    else least(cents.zipWithIndex.map { case (c, j) =>
+      val score = lit(-2L) * dotLong(q, typedLit(c)) +
+        lit(c.map(x => x * x).sum)
+      struct(score.as("d"), lit(j).as("j"))
+    }: _*).getField("j")
+  }
+
+  /** The Lloyd's loop of [[kmeansExact]], returning the trained integer
+    * centroids: init = the `k` smallest vec_id rows in id order, argmin
+    * assignment via [[l2ArgminCell]], integer floor-average updates,
+    * empty cells keep their previous centroid. Per iteration: one
+    * scan-side codegen'd assignment pass + one hash aggregate collecting
+    * k rows of dim+2 longs to the driver — bounded driver state at any
+    * corpus size. */
+  private def trainExactCentroids(base: DataFrame, dim: Int, k: Int,
+                                  iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = base.orderBy("vec_id").limit(k)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
     require(cents.length == k, s"need at least $k input rows")
-
-    // (squared-distance, cell) argmin as ONE least-of-structs expression:
-    // lexicographic struct order = min distance, ties to min cell id
-    // (k=1: least() needs two args — every row is trivially cell 0).
-    // The distance is the EXPANDED form −2·q·c + |c|² (the common |q|²
-    // cannot change an argmin or its ties): each cell is one fused
-    // dot_long loop against a literal vector instead of `dim`
-    // element_at-diff-square nodes — the k×dim-node tree version blew
-    // past what whole-stage codegen compiles into tight code (measured
-    // 2x slower at k=4, dim=64)
-    def cellCol: Column = {
-      import graft.functions.GraftFunctions.dotLong
-      if (k == 1) lit(0L)
-      else least(cents.zipWithIndex.map { case (c, j) =>
-        val score = lit(-2L) * dotLong(col("q"), typedLit(c.toSeq)) +
-          lit(c.map(x => x * x).sum)
-        struct(score.as("d"), lit(j).as("j"))
-      }: _*).getField("j").cast("long")
-    }
-
     for (_ <- 1 to iters) {
       val aggs = count(lit(1)).as("n") +: (0 until dim).map(d =>
         sum(element_at(col("q"), d + 1)).as(s"s$d"))
-      val rows = base.withColumn("cell", cellCol)
+      val rows = base.withColumn("cell",
+          l2ArgminCell(col("q"), cents.toSeq.map(_.toSeq)).cast("long"))
         .groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect() // bounded: k rows of dim+2 longs
       val byCell = rows.map(r => r.getLong(0) -> r).toMap
@@ -159,11 +185,22 @@ object Embeddings {
         }.getOrElse(old)
       }
     }
+    cents
+  }
 
-    val assigned = base.withColumn("cell", cellCol).select("vec_id", "cell")
-    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_n"))
-    assigned.join(broadcast(counts), Seq("cell"))
-      .select("vec_id", "cell", "cluster_n")
+  /** The trained integer codebook of [[kmeansExact]] as centroid rows —
+    * the EXACT-arithmetic coarse quantizer the trained IVF tier
+    * ([[graft.operators.Similarity.knnIvfExact]]) searches under. Because
+    * every training step is integer-exact and seed-free, the returned
+    * codebook is a pure function of the data: a second engine (the DuckDB
+    * oracle) re-derives it bit-for-bit, which is what promotes the
+    * TRAINED ANN tier from rows-only to a full hash oracle (r17). */
+  def exactCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, k: Int = 16, iters: Int = 2,
+                     scale: Int = 1000): Seq[Seq[Long]] = {
+    require(k >= 1 && iters >= 0 && dim >= 1)
+    trainExactCentroids(quantizedBase(embs, idCol, vecCol, scale),
+      dim, k, iters).map(_.toSeq).toSeq
   }
 
   // ---- PCA: distributed second moments -> driver eigensolve -> ----

@@ -1311,6 +1311,129 @@ object Similarity {
     ivfFixedRank(assigned, probes, k, excludeSelf)
   }
 
+  // ---- trained-exact IVF: the k-means tier under a FULL hash oracle ----
+  // ---- (r17). The codebook comes from Embeddings.exactCentroids — ----
+  // ---- integer-exact, seed-free Lloyd's — so unlike the float-trained ----
+  // ---- knnIvf the whole dataflow (train, assign, probe, score, top-k) ----
+  // ---- is a pure function of the data that ANSI SQL replays. ----
+
+  /** Probe set under a TRAINED integer codebook: each query's `nprobe`
+    * cells by smallest exact squared-L2 distance (expanded form
+    * −2·q·c + |c|²; the per-query |q|² constant cannot change a ranking
+    * or its ties), ties to the smallest cell id — the same metric the
+    * exact k-means trained with, so probes walk the trained geometry. */
+  private def exactProbes(queries: DataFrame, idCol: String, vecCol: String,
+                          centroids: Seq[Seq[Long]],
+                          nprobe: Int): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        quantizeMilli(col(vecCol)).as("q_iq"))
+      .select(col("query_id"), col("q_iq"),
+        posexplode(array(centroids.map(c =>
+          lit(-2L) * intDotLit(col("q_iq"), c) +
+            lit(c.map(x => x * x).sum)): _*))
+          .as(Seq("cell", "d2")))
+      .withColumn("_pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("cell").asc)))
+      .where(col("_pr") <= nprobe)
+      .select("query_id", "q_iq", "cell")
+
+  /** IVF over a TRAINED integer codebook ([[Embeddings.exactCentroids]]
+    * — exact-arithmetic Lloyd's k-means in milli-quantized space): cell
+    * assignment and probe ranking use the squared-L2 argmin the training
+    * optimized (ties to the smallest cell), candidate scoring and the
+    * top-k use the exact integer dot — every step deterministic and
+    * SQL-replayable, so the TRAINED tier carries the same full hash
+    * oracle as the fixed-codebook twin (previously rows-only; the
+    * float-trained [[knnIvf]] stays as the sampled-training scale path).
+    * Same scale shape as [[knnIvf]]: scan-side assignment against the
+    * literal codebook, candidates from corpus ⋈ broadcast(probes), the
+    * corpus never shuffles. Output shape of [[knnIvfFixed]]. */
+  def knnIvfExact(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  centroids: Seq[Seq[Long]], nprobe: Int = 4,
+                  excludeSelf: Boolean = true): DataFrame = {
+    require(centroids.size >= 2, "at least two cells")
+    val assigned = fannedCorpus(corpus, idCol)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"))
+      .withColumn("cell", Embeddings.l2ArgminCell(col("c_iq"), centroids))
+    ivfFixedRank(assigned, exactProbes(queries, idCol, vecCol,
+      centroids, nprobe), k, excludeSelf)
+  }
+
+  /** Materialize the corpus partitioned by TRAINED-exact cell — the
+    * at-rest layout of [[knnIvfExact]]: `<path>/data` partitioned by
+    * cell, `<path>/centroids` as a tiny integer-codebook parquet. */
+  def writeIvfExact(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, centroids: Seq[Seq[Long]]): Unit = {
+    import corpus.sparkSession.implicits._
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell",
+        Embeddings.l2ArgminCell(quantizeMilli(col(vecCol)), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** The persisted integer codebook of a [[writeIvfExact]] layout,
+    * cell-ordered. */
+  def readIvfExactCodebook(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[Seq[Long]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => r.getSeq[Long](1))
+      .toSeq
+
+  private val ivfExactLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The [[writeIvfExact]] layout for `corpus` under dataset key `key`,
+    * training the exact codebook and building the layout at most once per
+    * key per JVM ([[ivfLayoutFor]]'s contract for the trained-exact
+    * tier). */
+  def ivfExactLayoutFor(corpus: DataFrame, idCol: String, vecCol: String,
+                        key: String, dim: Int, nlist: Int = 16,
+                        iters: Int = 2,
+                        baseDir: String =
+                          sys.props("java.io.tmpdir") + "/graft-ivf-exact")
+      : String =
+    ivfExactLayouts.computeIfAbsent(key, { _ =>
+      val safe = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(key).toLong & 0xffffffffL)
+      val path = s"$baseDir/$safe"
+      val cents = Embeddings.exactCentroids(corpus.select(
+        col(idCol), col(vecCol)), idCol, vecCol, dim, nlist, iters)
+      writeIvfExact(corpus, idCol, vecCol, path, cents)
+      path
+    })
+
+  /** [[knnIvfExact]] over a [[writeIvfExact]] layout: probe cells become
+    * a partition filter — only those cells' files are read. Identical
+    * output to the in-memory form on the same corpus (shared ranking
+    * tail + the same trained codebook persisted at build time), which is
+    * what lets the at-rest tier answer under the SAME SQL oracle as
+    * `knn_ivf`. */
+  def knnIvfExactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             nprobe: Int = 4,
+                             excludeSelf: Boolean = true): DataFrame = {
+    val centroids = readIvfExactCodebook(spark, path)
+    // pinned: executed twice (cell list + ranking broadcast side)
+    val probes = exactProbes(queries, idCol, vecCol, centroids, nprobe)
+      .pin()
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/data")
+      .where(col("cell").isin(probeCells: _*)) // partition pruning
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("c_iq"), col("cell"))
+    ivfFixedRank(assigned, probes, k, excludeSelf)
+  }
+
   /** Partition-pruned RADIUS search over the at-rest fixed-codebook IVF
     * layout — [[knnRadius]]'s scale form: only the queries' `nprobe`
     * nearest cells are READ from disk (cell partition pruning), then the

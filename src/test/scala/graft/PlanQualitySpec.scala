@@ -62,11 +62,14 @@ class PlanQualitySpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("knn_ivf_fixed: probes broadcast, the corpus never shuffles for the cell join") {
-    val plan = formatted(SparkEntry.queries("knn_ivf_fixed")(spark, sfDir))
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("Exchange hashpartitioning(cell"),
-      s"corpus must not shuffle on cell:\n$plan")
+  test("knn_ivf_fixed AND the trained-exact knn_ivf: probes broadcast, " +
+    "the corpus never shuffles for the cell join") {
+    for (name <- Seq("knn_ivf_fixed", "knn_ivf")) {
+      val plan = formatted(SparkEntry.queries(name)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"$name corpus must not shuffle on cell:\n$plan")
+    }
   }
 
   test("fixed PQ/SQ8 tiers: probes broadcast, the corpus never shuffles on cell") {

@@ -15,28 +15,31 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 341)
-    assert(SparkEntry.oracleSql.size === 326)
+    assert(SparkEntry.oracleSql.size === 328)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
     // Every key here is rows-only for a REASON recorded in SURVEY §2 —
-    // after r16 replayed XXH64 itself in SQL (graft.XxhSql), what
-    // remains is genuinely un-oracle-able: DataSketches serialized
+    // after r16 replayed XXH64 itself in SQL (graft.XxhSql) and r17
+    // promoted the trained IVF tier via the exact-arithmetic k-means
+    // codebook (knn_ivf / knn_ivf_at_rest now carry full hash oracles),
+    // what remains is genuinely un-oracle-able: DataSketches serialized
     // internals (HLL/KLL/CMS/theta rollups — each with a green exact
-    // twin or pinned error/merge laws), learned float codebooks (k-means
-    // IVF/PQ — IEEE accumulation order differs across engines; the
-    // fixed-codebook twins are green with recall pins), the 50-deep
-    // driver-loop BPE (green head oracle), the Jacobi eigensolve behind
-    // the green fixed-basis projection twin, and zlib bytes (below).
-    // Adding a query WITHOUT an oracle must be a deliberate edit here —
-    // the round-9 lesson was a registry row silently reporting nothing.
+    // twin or pinned error/merge laws), learned FLOAT codebooks (the
+    // sampled-k-means++ SQ8/PQ tiers — IEEE accumulation order differs
+    // across engines; the fixed-codebook twins are green with recall
+    // pins), the 50-deep driver-loop BPE (green head oracle), the Jacobi
+    // eigensolve behind the green fixed-basis projection twin, and zlib
+    // bytes (below). Adding a query WITHOUT an oracle must be a
+    // deliberate edit here — the round-9 lesson was a registry row
+    // silently reporting nothing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
       "emb_pca_project", "events_trailing_distinct_sketch",
-      "events_user_overlap_sketch", "knn_ivf",
-      "knn_ivf_at_rest", "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
+      "events_user_overlap_sketch",
+      "knn_ivf_pq", "knn_ivf_sq8", "knn_pq_adc",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))

