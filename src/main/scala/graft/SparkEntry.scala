@@ -217,6 +217,38 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
         .withColumn("avg_qty", col("sum_qty") / col("n_rows"))),
 
+    // The SURVEY §1.3 correctness upgrade COMPLETED (r17; the plain
+    // decimal-sum row above was the first step): the full pricing money
+    // chain in DecimalType(18,4) with LEDGER semantics — inputs quantize
+    // to the money scale, every per-line product rounds back to scale 4
+    // (Spark decimal cast = HALF_UP, replayed in the oracle as
+    // (p8+5000)//10000 on exact integers), sums are exact and
+    // combine-order-free. sum_charge_float_e4 carries the SAME chain in
+    // double (the reference's float money) with a portable per-line
+    // floor(x·1e4+0.5) round — its delta vs sum_charge_e4 IS the drift
+    // float money incurs, measured per group (see README).
+    "q1_pricing_decimal_ledger" -> ((s, dir) => {
+      val one4 = lit(1).cast("decimal(5,4)")
+      val price = col("l_extendedprice").cast("decimal(18,4)")
+      val discPrice = (price *
+        (one4 - col("l_discount").cast("decimal(5,4)")))
+        .cast("decimal(18,4)")
+      val charge = (discPrice *
+        (one4 + col("l_tax").cast("decimal(5,4)")))
+        .cast("decimal(18,4)")
+      val chargeF = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+        (lit(1.0) + col("l_tax"))
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        (sum(price) * 10000).cast("long").as("sum_base_e4"),
+        (sum(discPrice) * 10000).cast("long").as("sum_disc_e4"),
+        (sum(charge) * 10000).cast("long").as("sum_charge_e4"),
+        sum(floor(chargeF * 10000 + 0.5).cast("long"))
+          .as("sum_charge_float_e4"),
+        count(lit(1)).as("n_rows"))
+        .withColumn("float_drift_e4",
+          col("sum_charge_float_e4") - col("sum_charge_e4"))
+    }),
+
     "a_distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(count_distinct(col("l_partkey")).as("n_parts"),

@@ -1510,6 +1510,44 @@ private[graft] object SparkEntryOracles {
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
+    // decimal-money twin: Spark's DecimalType arithmetic replayed on
+    // exact integers — inputs quantize to e4 via the (safe on 2-decimal
+    // data) double->decimal cast, each product is exact in e8 units, and
+    // the per-line round-to-money-scale is Spark's HALF_UP cast =
+    // (p8+5000)//10000 on non-negative integers. The float shadow uses
+    // floor(x*1e4+0.5) — same IEEE ops both engines, no shortest-repr
+    // round() trap.
+    "q1_pricing_decimal_ledger" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS price_e4,
+        |    CAST(CAST(l_discount AS DECIMAL(5,4)) * 10000 AS BIGINT)
+        |      AS disc_e4,
+        |    CAST(CAST(l_tax AS DECIMAL(5,4)) * 10000 AS BIGINT) AS tax_e4,
+        |    floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+        |      * 10000 + 0.5) AS charge_f_e4
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, price_e4, charge_f_e4,
+        |    (price_e4 * (10000 - disc_e4) + 5000) // 10000 AS dp_e4,
+        |    tax_e4
+        |  FROM m),
+        |c AS (
+        |  SELECT l_returnflag, l_linestatus, price_e4, dp_e4, charge_f_e4,
+        |    (dp_e4 * (10000 + tax_e4) + 5000) // 10000 AS ch_e4
+        |  FROM r)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_base_e4,
+        |  CAST(sum(dp_e4) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(ch_e4) AS BIGINT) AS sum_charge_e4,
+        |  CAST(sum(CAST(charge_f_e4 AS BIGINT)) AS BIGINT)
+        |    AS sum_charge_float_e4,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(charge_f_e4 AS BIGINT)) - sum(ch_e4) AS BIGINT)
+        |    AS float_drift_e4
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "a_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts,

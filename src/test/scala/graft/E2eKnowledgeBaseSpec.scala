@@ -86,4 +86,45 @@ class E2eKnowledgeBaseSpec extends SparkSpec {
     assert(furniture.exists(r => r._2 === "家具零件" &&
       r._3 === "9403.99.00.00-7" && r._4 > 0))
   }
+
+  test("decimal-money ledger chain (q1_pricing_decimal_ledger): per-line " +
+    "HALF_UP at the money scale, hand-computed; the float shadow measures " +
+    "the drift float money incurs") {
+    import spark.implicits._
+    // Line 1 exercises INTERMEDIATE ledger rounding: 12.3456*(1-0.05) =
+    // 11.72832 -> HALF_UP@4 = 11.7283 (the .2 fraction drops), then
+    // *1.10 = 12.90113 -> 12.9011; the float chain never rounds the
+    // intermediate (11.728319..*1.1 = 12.9011519..) and lands at 12.9012
+    // — one drift unit HIGH. Line 2 exercises the EXACT .5 half:
+    // 100.0001*(1+0.5) = 150.00015 -> HALF_UP rounds UP to 150.0002;
+    // the float shadow agrees there.
+    val li = Seq(
+      ("A", "F", 12.3456, 0.05, 0.10),
+      ("A", "F", 100.0001, 0.00, 0.50)
+    ).toDF("l_returnflag", "l_linestatus", "l_extendedprice",
+      "l_discount", "l_tax")
+      // Tables' lineitem loader normalizes l_shipdate — give it one
+      .withColumn("l_shipdate",
+        lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-money").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q1_pricing_decimal_ledger")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out.length === 1)
+    val (_, _, base, disc, charge, chargeF, n, drift) = out.head
+    assert(n === 2L)
+    assert(base === 123456L + 1000001L)
+    assert(disc === 117283L + 1000001L)
+    assert(charge === 129011L + 1500002L, // .5 half rounds UP on line 2
+      s"decimal ledger charge: $charge")
+    // the float shadow lands one e4-unit HIGH on the intermediate-
+    // rounding line — this delta, summed per group, is the registry
+    // row's float_drift_e4 (measured −2067 e4-units over the 600k-line
+    // sf0.1 corpus)
+    assert(drift === chargeF - charge)
+    assert(drift === 1L,
+      s"float money must drift exactly the intermediate-rounding line: $drift")
+  }
 }
