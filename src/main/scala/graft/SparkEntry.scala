@@ -3305,7 +3305,7 @@ object SparkEntry {
     // the oracle also proves re-segmentation feeds selection correctly);
     // the 50-deep table above stays rows-only (spec-pinned)
     "bpe_merges_head" -> ((s, dir) =>
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)),
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 16)),
 
     // CAPSTONE — the whole corpus-curation pipeline in one query: quality
     // gate -> near-dup survivor selection -> benchmark decontamination,

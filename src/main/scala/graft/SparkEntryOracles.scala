@@ -1277,14 +1277,18 @@ private[graft] object SparkEntryOracles {
     * ([[graft.operators.TextAnalysis.bpeMerges]]); symbol boundaries on
     * both sides of the pattern kill suffix false-matches ('xa  b' never
     * matches ' a  b '), and adjacent occurrences don't share pattern
-    * characters, so 'a a a' merges to 'aa a' on both engines. Depth 8
-    * covers the merge-interaction regime (winners built FROM earlier
-    * merge products). Each sp_i is referenced twice (next round's pair
+    * characters, so 'a a a' merges to 'aa a' on both engines. Depth 16
+    * (r17; was 8) doubles the merge-interaction regime under oracle —
+    * the measured unroll cost is LINEAR and trivial (0.08/0.11/0.16/0.21
+    * s at depth 8/16/24/32 on sf0.01, SCALE.md round-17), so the cap is
+    * readability of the unrolled SQL, not cost; the 50-deep trained
+    * table stays rows-only with its head half now exactly replayed.
+    * Each sp_i is referenced twice (next round's pair
     * count + apply), so they are AS MATERIALIZED — DuckDB would
     * otherwise inline the whole growing replace() chain per reference
     * and the unroll would go exponential in the optimizer. */
   private lazy val bpeHeadSql: String = {
-    val depth = 8
+    val depth = 16
     def pairsCte(src: String, out: String) =
       s"""$out AS (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
