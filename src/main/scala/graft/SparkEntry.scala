@@ -1538,11 +1538,19 @@ object SparkEntry {
     }),
 
     // IVF,SQ8 composed: cell pruning x int8 scoring x fp32 re-rank (the
-    // FAISS index as a dataflow; rows-only, recall pinned in spec)
+    // FAISS index as a dataflow). EXACT as of r17: cells come from the
+    // integer-exact k-means codebook (the knn_ivf promotion), and the
+    // int8/re-rank stages were already SQL-replayable (knn_int8_rerank /
+    // knn_ivf_sq8_fixed) — so the composed TRAINED tier now carries a
+    // full hash oracle; the float sampled-training knnIvfSq8 stays
+    // recall-pinned in SimilaritySpec.
     "knn_ivf_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnIvfSq8(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5, candidates = 25)
+      val cb = graft.operators.Embeddings.exactCentroids(
+        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+      Similarity.knnIvfSq8Exact(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, centroids = cb, nprobe = 4,
+        candidates = 25)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
     }),

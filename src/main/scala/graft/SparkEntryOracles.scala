@@ -681,6 +681,71 @@ private[graft] object SparkEntryOracles {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Trained IVF,SQ8 replay (r17): the [[exactKmeansCtes]] codebook
+    * derivation composed with `knn_ivf_sq8_fixed`'s proven int8-score /
+    * fp32-re-rank tail — cells and probes come from the trained integer
+    * k-means (L2 argmin / L2 probe ranking), candidate scoring is the
+    * integer-ratio int8 cosine (same IEEE divide/sqrt both engines),
+    * re-rank is fp32 cosine with ties by neighbor. */
+  private lazy val knnIvfSq8ExactSql: String = {
+    val (ctes, aF, cF) = exactKmeansCtes(k = 16, iters = 2)
+    s"""WITH $ctes,
+       |base AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+       |    list_max(list_transform(embedding,
+       |      e -> abs(CAST(e AS DOUBLE)))) AS m
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, embedding, v,
+       |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(v,
+       |           x -> CAST(round(x * 127 / m) AS BIGINT)) END AS c8
+       |  FROM base),
+       |corpus AS (
+       |  SELECT c.vec_id, c.v, c.c8, a.cell
+       |  FROM codes c JOIN $aF a USING (vec_id)
+       |  WHERE len(list_filter(c.embedding, x -> x <> 0)) > 0),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT a.vec_id, c.j AS cell, row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(a.q, c.c),
+       |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
+       |    FROM iq a CROSS JOIN $cF c WHERE a.vec_id < 20)
+       |  WHERE pr <= 4),
+       |qside AS (
+       |  SELECT vec_id AS query_id, v AS qv, c8 AS q8 FROM codes
+       |  WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT p.query_id, s.qv, c.vec_id AS neighbor_id, c.v AS cv,
+       |    list_sum(list_transform(list_zip(s.q8, c.c8),
+       |      z -> z[1]*z[2])) AS dot,
+       |    list_sum(list_transform(s.q8, x -> x*x)) AS na,
+       |    list_sum(list_transform(c.c8, x -> x*x)) AS nb
+       |  FROM qprobe p JOIN qside s USING (query_id)
+       |       JOIN corpus c USING (cell)
+       |  WHERE c.vec_id <> p.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, qv, cv,
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |         ELSE CAST(dot AS DOUBLE) /
+       |           sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS ic
+       |  FROM pairs),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qv, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ic DESC, neighbor_id) AS cr
+       |    FROM approx) WHERE cr <= 25),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   /** Temperature-allocation CTE chain (ends at `talloc`): sqrt(n) weight
     * in integer micro-units, Hamilton apportionment of `budget`, clamp
     * to group size — the Spark side's decimal(38,0) products become
@@ -3108,6 +3173,10 @@ private[graft] object SparkEntryOracles {
     // trained tier)
     "knn_ivf" -> knnIvfExactSql,
     "knn_ivf_at_rest" -> knnIvfExactSql,
+
+    // trained IVF,SQ8 (r17): exact-kmeans cells composed with the proven
+    // int8/fp32 tail of knn_ivf_sq8_fixed
+    "knn_ivf_sq8" -> knnIvfSq8ExactSql,
 
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
 

@@ -1434,6 +1434,37 @@ object Similarity {
     ivfFixedRank(assigned, probes, k, excludeSelf)
   }
 
+  /** IVF,SQ8 over the TRAINED exact codebook (r17): cell pruning from
+    * [[Embeddings.exactCentroids]]' integer k-means (the [[knnIvfExact]]
+    * assignment/probe rules) composed with the int8 code scan and fp32
+    * re-rank of [[knnIvfSq8]] — every stage already SQL-replayable in
+    * isolation, so the composed TRAINED tier carries a full hash oracle
+    * (the float sampled-training form stays recall-pinned). Same scale
+    * shape: scan-side assignment, broadcast probes, int8-bandwidth
+    * corpus scan, candidates-only fp32 fetch. */
+  def knnIvfSq8Exact(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     centroids: Seq[Seq[Long]], nprobe: Int = 4,
+                     candidates: Int = 25,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val assigned = fannedCorpus(corpus, idCol)
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        int8Codes(col(vecCol)).as("c8"),
+        Embeddings.l2ArgminCell(quantizeMilli(col(vecCol)), centroids)
+          .as("cell"))
+    val qFull = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"), int8Codes(col(vecCol)).as("q8"))
+    val probes = exactProbes(queries, idCol, vecCol, centroids, nprobe)
+      .select("query_id", "cell")
+      .join(broadcast(qFull.select(col("query_id"), col("q8"))), "query_id")
+    val joined = assigned.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    int8CutAndRerank(kept, corpus, qFull, idCol, vecCol, k, candidates)
+  }
+
   /** Partition-pruned RADIUS search over the at-rest fixed-codebook IVF
     * layout — [[knnRadius]]'s scale form: only the queries' `nprobe`
     * nearest cells are READ from disk (cell partition pruning), then the

@@ -201,6 +201,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5 && recall <= 1.0)
   }
 
+  test("trained-exact IVF,SQ8: int8 cut + fp32 re-rank over exact-kmeans " +
+    "cells recalls the brute-force top-k") {
+    import spark.implicits._
+    val cb = Embeddings.exactCentroids(emb, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    val q = emb.where($"vec_id" < 20)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.knnIvfSq8Exact(emb, q, "vec_id", "embedding",
+      k = 5, centroids = cb, nprobe = 4, candidates = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(f"trained-exact IVF,SQ8 recall@5 = $recall%.3f")
+    assert(recall >= 0.5 && recall <= 1.0)
+    assert(got.size <= truth.size)
+  }
+
   test("IVF cell compaction: small files merge, results identical, " +
       "crash-safe at every protocol step") {
     import spark.implicits._
