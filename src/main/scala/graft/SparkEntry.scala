@@ -3691,16 +3691,37 @@ object SparkEntry {
 
     // ---------- PQ/ADC similarity tier (rows-only: learned codebooks;
     // recall vs brute force pinned in SimilaritySpec) ----------
+    // TRAINED PQ under a full hash oracle (r17): per-subspace sub-books
+    // from the integer-exact k-means (slice-then-train — a pure function
+    // of the data SQL re-derives), ADC by exact integer squared-L2,
+    // fp32 re-rank. The float sampled-training knnPqAdc/knnIvfPq stay as
+    // the scale paths, recall-pinned in SimilaritySpec.
     "knn_pq_adc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnPqAdc(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
+      val books = Similarity.exactPqBooksFor(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 16, key = dir)
+      Similarity.knnPqAdcExact(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, books = books, dim = 64,
+        candidates = 25)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
     }),
 
+    // the full TRAINED FAISS "IVF,PQ" composition, exactly oracled:
+    // coarse exact-kmeans cell pruning (the knn_ivf codebook, shared via
+    // the same per-dataset memo) x exact PQ/ADC code scoring x fp32
+    // re-rank
     "knn_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnIvfPq(emb, emb.where(col("vec_id") < 20),
-        "vec_id", "embedding", k = 5)
+      val coarse = graft.operators.Embeddings.exactCentroidsFor(
+        emb, "vec_id", "embedding", dim = 64, k = 16, iters = 2, key = dir)
+      val books = Similarity.exactPqBooksFor(emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 16, key = dir)
+      Similarity.knnIvfPqExact(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, coarse = coarse, books = books,
+        dim = 64, nprobe = 4, candidates = 25)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
     }),
 
     // FIXED-codebook twins of the PQ tier (the knn_ivf_fixed trick one

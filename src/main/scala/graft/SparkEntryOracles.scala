@@ -599,7 +599,9 @@ private[graft] object SparkEntryOracles {
     * next update), which would re-derive the whole training chain per
     * reference — the XxhSql lesson. */
   private def exactKmeansCtes(k: Int, iters: Int,
-                              dim: Int = 64): (String, String, String) = {
+                              dim: Int = 64, prefix: String = "",
+                              vecSql: String = "embedding")
+      : (String, String, String) = {
     // floor division (round toward -inf) on BIGINT — numerator is an
     // exact multiple, so the double quotient is exact
     def fdiv(s: String, c: String): String =
@@ -615,7 +617,7 @@ private[graft] object SparkEntryOracles {
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |        list_sum(list_transform(list_zip(a.q, c.c),
          |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS rn
-         |    FROM iq a CROSS JOIN $cTab c)
+         |    FROM ${prefix}iq a CROSS JOIN $cTab c)
          |  WHERE rn = 1)""".stripMargin
     }
     def update(assigned: String, prevC: String, out: String): String =
@@ -626,22 +628,22 @@ private[graft] object SparkEntryOracles {
          |  SELECT p.j, COALESCE(u.c, p.c) AS c
          |  FROM $prevC p LEFT JOIN ${out}_agg u ON u.j = p.j)""".stripMargin
     val steps = (1 to iters).map { i =>
-      assign(s"c${i - 1}", s"a$i", mat = false) + ",\n" +
-        update(s"a$i", s"c${i - 1}", s"c$i")
+      assign(s"${prefix}c${i - 1}", s"${prefix}a$i", mat = false) + ",\n" +
+        update(s"${prefix}a$i", s"${prefix}c${i - 1}", s"${prefix}c$i")
     }
-    val aF = s"a${iters + 1}"
+    val aF = s"${prefix}a${iters + 1}"
     val ctes =
-      s"""iq AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
+      s"""${prefix}iq AS MATERIALIZED (
+         |  SELECT vec_id, list_transform($vecSql,
          |    x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c0 AS MATERIALIZED (
+         |${prefix}c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
          |    AS j, q AS c
-         |  FROM (SELECT vec_id, q FROM iq ORDER BY vec_id LIMIT $k)),
+         |  FROM (SELECT vec_id, q FROM ${prefix}iq ORDER BY vec_id LIMIT $k)),
          |${steps.mkString(",\n")},
-         |${assign(s"c$iters", aF, mat = true)}""".stripMargin
-    (ctes, aF, s"c$iters")
+         |${assign(s"${prefix}c$iters", aF, mat = true)}""".stripMargin
+    (ctes, aF, s"${prefix}c$iters")
   }
 
   /** Shared twin of `knn_ivf` AND `knn_ivf_at_rest` (r17): the trained-
@@ -745,6 +747,96 @@ private[graft] object SparkEntryOracles {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
+
+  /** Trained PQ/ADC replay (r17), optionally under the coarse IVF cells:
+    * m per-subspace [[exactKmeansCtes]] chains (prefix `p{j}_`, source =
+    * the j-th list slice — slice-then-quantize == quantize-then-slice
+    * elementwise) re-derive the sub-books; corpus codes are each chain's
+    * final assignment, the per-pair ADC distance is the summed
+    * `−2·q_j·c(code_j) + |c(code_j)|²` over subspaces (the per-(query,
+    * subspace) `|q_j|²` constant cannot change a per-query ranking), the
+    * shortlist cut is ADC ascending ties-to-neighbor (the engine ranks
+    * the NEGATED distance descending — identical order), and the fp32
+    * cosine re-rank is the proven `knn_brute` form. The IVF variant adds
+    * the `g_`-prefixed coarse chain and the [[knnIvfExactSql]] probe
+    * ranking as a candidate filter. */
+  private def pqAdcExactSqlFor(ivf: Boolean): String = {
+    val m = 16; val dsub = 4; val ksub = 16
+    val chains = (0 until m).map { j =>
+      exactKmeansCtes(k = ksub, iters = 2, dim = dsub, prefix = s"p${j}_",
+        vecSql = s"embedding[${j * dsub + 1}:${(j + 1) * dsub}]")
+    }
+    val coarse =
+      if (ivf) Some(exactKmeansCtes(k = 16, iters = 2, prefix = "g_"))
+      else None
+    val allChains = (chains.map(_._1) ++ coarse.map(_._1)).mkString(",\n")
+    val subsCorpus = (0 until m).map(j =>
+      s"SELECT $j AS sub, vec_id, cell FROM ${chains(j)._2}")
+      .mkString("\n    UNION ALL ")
+    val subsQ = (0 until m).map(j =>
+      s"SELECT $j AS sub, vec_id, q FROM p${j}_iq WHERE vec_id < 20")
+      .mkString("\n    UNION ALL ")
+    val subsCb = (0 until m).map(j =>
+      s"SELECT $j AS sub, j AS cell, c FROM ${chains(j)._3}")
+      .mkString("\n    UNION ALL ")
+    val ivfCtes = coarse.map { case (_, gaF, gcF) =>
+      s""",
+         |gprobe AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT a.vec_id, c.j AS cell, row_number() OVER (
+         |      PARTITION BY a.vec_id ORDER BY
+         |        list_sum(list_transform(list_zip(a.q, c.c),
+         |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
+         |    FROM g_iq a CROSS JOIN $gcF c WHERE a.vec_id < 20)
+         |  WHERE pr <= 4),
+         |gcell AS (SELECT vec_id, cell FROM $gaF)""".stripMargin
+    }.getOrElse("")
+    val ivfJoin =
+      if (ivf)
+        "\n  JOIN gcell gc ON gc.vec_id = n.vec_id" +
+          "\n  JOIN gprobe pr ON pr.query_id = q.vec_id AND pr.cell = gc.cell"
+      else ""
+    s"""WITH $allChains$ivfCtes,
+       |nz AS (SELECT vec_id FROM embeddings
+       |       WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+       |subs_corpus AS (
+       |    $subsCorpus),
+       |subs_q AS (
+       |    $subsQ),
+       |subs_cb AS (
+       |    $subsCb),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(SUM(-2 * list_sum(list_transform(list_zip(q.q, cb.c),
+       |          z -> z[1]*z[2]))
+       |        + list_sum(list_transform(cb.c, x -> x*x))) AS BIGINT) AS adc
+       |  FROM subs_q q
+       |  JOIN subs_corpus n USING (sub)
+       |  JOIN subs_cb cb ON cb.sub = n.sub AND cb.cell = n.cell
+       |  JOIN nz ON nz.vec_id = n.vec_id$ivfJoin
+       |  WHERE n.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS cr
+       |    FROM adc) WHERE cr <= 25),
+       |vecs AS (SELECT vec_id,
+       |    list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT c.query_id, c.neighbor_id, row_number() OVER (
+       |    PARTITION BY c.query_id ORDER BY
+       |      list_cosine_similarity(qv.v, nv.v) DESC, c.neighbor_id) AS rank
+       |  FROM cand c
+       |  JOIN vecs qv ON qv.vec_id = c.query_id
+       |  JOIN vecs nv ON nv.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  private lazy val knnPqAdcExactSql: String = pqAdcExactSqlFor(ivf = false)
+  private lazy val knnIvfPqExactSql: String = pqAdcExactSqlFor(ivf = true)
 
   /** Temperature-allocation CTE chain (ends at `talloc`): sqrt(n) weight
     * in integer micro-units, Hamilton apportionment of `budget`, clamp
@@ -3177,6 +3269,11 @@ private[graft] object SparkEntryOracles {
     // trained IVF,SQ8 (r17): exact-kmeans cells composed with the proven
     // int8/fp32 tail of knn_ivf_sq8_fixed
     "knn_ivf_sq8" -> knnIvfSq8ExactSql,
+
+    // trained PQ tiers (r17): per-subspace exact-kmeans sub-books,
+    // integer ADC, fp32 re-rank — the IVF variant adds the coarse chain
+    "knn_pq_adc" -> knnPqAdcExactSql,
+    "knn_ivf_pq" -> knnIvfPqExactSql,
 
     "emb_matryoshka_recall" -> matryoshkaRecallSql,
 

@@ -1465,6 +1465,141 @@ object Similarity {
     int8CutAndRerank(kept, corpus, qFull, idCol, vecCol, k, candidates)
   }
 
+  private val exactPqBookCache =
+    new graft.SessionMemo[(String, Int, Int, Int, Int), Seq[Seq[Seq[Long]]]]()
+
+  /** TRAINED-exact PQ sub-codebooks (r17): subspace `j`'s book is
+    * [[Embeddings.exactCentroids]] over the j-th `dim/m`-component slice
+    * of the embedding — integer milli-space, seed-free init, L2 argmin,
+    * floor-average updates — so the whole m-book set is a pure function
+    * of the data that SQL re-derives (slice-then-quantize ==
+    * quantize-then-slice, elementwise floor). Unlike the float
+    * [[trainPqCodebooks]] there is NO normalization: codes quantize the
+    * raw vector and ADC ranks by exact integer squared-L2, the metric
+    * the books were trained with (the fp32 cosine re-rank restores the
+    * cosine semantics on the shortlist, as in every quantized tier).
+    * Memoized per dataset (the [[Embeddings.exactCentroidsFor]]
+    * contract). */
+  def exactPqBooksFor(embs: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int, ksub: Int = 16, iters: Int = 2,
+                      key: String): Seq[Seq[Seq[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    exactPqBookCache.getOrCompute(embs.sparkSession,
+        (key, dim, m, ksub, iters)) {
+      (0 until m).map { j =>
+        Embeddings.exactCentroids(
+          embs.select(col(idCol),
+            slice(col(vecCol), j * dsub + 1, dsub).as("_sub")),
+          idCol, "_sub", dsub, ksub, iters)
+      }
+    }
+  }
+
+  /** PQ/ADC search over TRAINED-exact sub-codebooks (r17): encode =
+    * per-subspace integer L2 argmin against book `j` (ties to the
+    * smallest code — [[Embeddings.l2ArgminCell]]), ADC LUT per query =
+    * `−2·q_j·c + |c|²` per codeword (the per-(query, subspace) `|q_j|²`
+    * constant cannot change a ranking), candidates ranked by summed ADC
+    * distance ascending, fp32 cosine re-rank of the shortlist — every
+    * stage integer-exact or IEEE-portable, so the TRAINED PQ tier
+    * carries a full hash oracle (the float sampled-training
+    * [[knnPqAdc]] stays recall-pinned). Same scale shape: the corpus
+    * scans m-byte-ish codes, LUTs broadcast, fp32 touches only
+    * |queries|×candidates rows. */
+  def knnPqAdcExact(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    books: Seq[Seq[Seq[Long]]], dim: Int,
+                    candidates: Int = 25,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(books.nonEmpty && dim % books.size == 0)
+    val m = books.size
+    val dsub = dim / m
+    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
+    // encode via the codegen'd one-loop kernel: the Column form
+    // (per-subspace least over ksub structs) fell out of whole-stage
+    // codegen at m=16 and ran interpreted — measured as the dominant
+    // cost of the exact PQ scan (see PqCodesLong's scaladoc)
+    val encoded = fannedCorpus(corpus, idCol)
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        pqCodesLong(quantizeMilli(col(vecCol)), books, dsub).as("_codes"))
+    val qFull = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"), quantizeMilli(col(vecCol)).as("q_iq"))
+    // LUTs are |queries|-bounded — the Column form is fine on this side
+    val luts = qFull
+      .select(col("query_id") +: books.indices.map(j =>
+        sub(col("q_iq"), j).as(s"_s$j")): _*)
+      .select(col("query_id") +: books.indices.map(j =>
+        array(books(j).map(c =>
+          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
+            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
+    val joined = encoded.crossJoin(broadcast(luts))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val adc = books.indices.map(j =>
+      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    // cutAndRerank orders approx DESC — negate the (ascending) distance
+    cutAndRerank(kept.withColumn("approx", -adc), corpus,
+      qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
+  }
+
+  /** [[org.apache.spark.sql.graft.PqCodesLong]] as a DSL Column. */
+  private def pqCodesLong(iq: Column, books: Seq[Seq[Seq[Long]]],
+                          dsub: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.graft.PqCodesLong(
+        org.apache.spark.sql.GraftBridge.expression(iq),
+        books.flatten.flatten.toArray, books.size, books.head.size, dsub))
+
+  /** IVF + PQ/ADC over TRAINED-exact codebooks (r17): [[knnIvfExact]]'s
+    * coarse cell pruning composed with [[knnPqAdcExact]]'s code scoring —
+    * the FAISS "IVF,PQ" matrix closed in its TRAINED form under one hash
+    * oracle (the float [[knnIvfPq]] stays recall-pinned). */
+  def knnIvfPqExact(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    coarse: Seq[Seq[Long]], books: Seq[Seq[Seq[Long]]],
+                    dim: Int, nprobe: Int = 4, candidates: Int = 25,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(books.nonEmpty && dim % books.size == 0)
+    val m = books.size
+    val dsub = dim / m
+    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
+    // the coarse cell rides the SAME one-loop kernel as an m=1 book
+    // (full-L2 strict-< argmin == the least-struct expanded argmin,
+    // ties to the smallest index on both)
+    val encoded = fannedCorpus(corpus, idCol)
+      .where(exists(col(vecCol), x => x =!= lit(0.0f)))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        quantizeMilli(col(vecCol)).as("_iq"))
+      .select(col("neighbor_id"),
+        element_at(pqCodesLong(col("_iq"), Seq(coarse), dim), 1).as("cell"),
+        pqCodesLong(col("_iq"), books, dsub).as("_codes"))
+    val qFull = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"), quantizeMilli(col(vecCol)).as("q_iq"))
+    val luts = qFull
+      .select(col("query_id") +: books.indices.map(j =>
+        sub(col("q_iq"), j).as(s"_s$j")): _*)
+      .select(col("query_id") +: books.indices.map(j =>
+        array(books(j).map(c =>
+          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
+            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
+    val probes = exactProbes(queries, idCol, vecCol, coarse, nprobe)
+      .select("query_id", "cell")
+      .join(broadcast(luts), "query_id")
+    val joined = encoded.join(broadcast(probes), "cell")
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
+      else joined
+    val adc = books.indices.map(j =>
+      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    cutAndRerank(kept.withColumn("approx", -adc), corpus,
+      qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
+  }
+
   /** Partition-pruned RADIUS search over the at-rest fixed-codebook IVF
     * layout — [[knnRadius]]'s scale form: only the queries' `nprobe`
     * nearest cells are READ from disk (cell partition pruning), then the

@@ -15,32 +15,29 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 342)
-    assert(SparkEntry.oracleSql.size === 330)
+    assert(SparkEntry.oracleSql.size === 332)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
     // Every key here is rows-only for a REASON recorded in SURVEY §2 —
     // after r16 replayed XXH64 itself in SQL (graft.XxhSql) and r17
-    // promoted the trained IVF tiers via the exact-arithmetic k-means
-    // codebook (knn_ivf / knn_ivf_at_rest / knn_ivf_sq8 now carry full
-    // hash oracles),
-    // what remains is genuinely un-oracle-able: DataSketches serialized
-    // internals (HLL/KLL/CMS/theta rollups — each with a green exact
-    // twin or pinned error/merge laws), learned FLOAT PQ sub-codebooks
-    // (per-subspace sampled k-means — IEEE accumulation order differs
-    // across engines; the fixed-codebook twins are green with recall
-    // pins), the 50-deep driver-loop BPE (green head oracle), the Jacobi
-    // eigensolve behind the green fixed-basis projection twin, and zlib
-    // bytes (below). Adding a query WITHOUT an oracle must be a
-    // deliberate edit here — the round-9 lesson was a registry row
-    // silently reporting nothing.
+    // promoted EVERY trained ANN tier via the exact-arithmetic k-means
+    // (knn_ivf / knn_ivf_at_rest / knn_ivf_sq8 / knn_pq_adc / knn_ivf_pq
+    // now carry full hash oracles; the float sampled-training paths
+    // remain as operators with recall pins), what remains is genuinely
+    // un-oracle-able: DataSketches serialized internals (HLL/KLL/CMS/
+    // theta rollups — each with a green exact twin or pinned error/merge
+    // laws), the 50-deep driver-loop BPE (green 16-round head oracle),
+    // the Jacobi eigensolve behind the green fixed-basis projection
+    // twin, and zlib bytes (below). Adding a query WITHOUT an oracle
+    // must be a deliberate edit here — the round-9 lesson was a registry
+    // row silently reporting nothing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
       "emb_pca_project", "events_trailing_distinct_sketch",
       "events_user_overlap_sketch",
-      "knn_ivf_pq", "knn_pq_adc",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))

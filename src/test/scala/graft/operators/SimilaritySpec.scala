@@ -224,6 +224,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size <= truth.size)
   }
 
+  test("trained-exact PQ tiers: integer ADC over per-subspace exact " +
+    "sub-books recalls the brute-force top-k; IVF composition only prunes") {
+    import spark.implicits._
+    val q = emb.where($"vec_id" < 20)
+    val books = Similarity.exactPqBooksFor(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 16, key = "spec-pq-exact")
+    assert(books.size === 16 && books.forall(b =>
+      b.size === 16 && b.forall(_.size === 4)))
+    // memo-hit returns the identical books (training is deterministic)
+    assert(Similarity.exactPqBooksFor(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 16, key = "spec-pq-exact") === books)
+    val truth = Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.knnPqAdcExact(emb, q, "vec_id", "embedding",
+      k = 5, books = books, dim = 64, candidates = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = pq.intersect(truth).size.toDouble / truth.size
+    info(f"trained-exact PQ/ADC recall@5 = $pqRecall%.3f")
+    assert(pqRecall >= 0.5 && pqRecall <= 1.0)
+    val coarse = Embeddings.exactCentroids(emb, "vec_id", "embedding",
+      dim = 64, k = 16, iters = 2)
+    val ivfPq = Similarity.knnIvfPqExact(emb, q, "vec_id", "embedding",
+      k = 5, coarse = coarse, books = books, dim = 64, nprobe = 4,
+      candidates = 25)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = ivfPq.intersect(truth).size.toDouble / truth.size
+    info(f"trained-exact IVF,PQ recall@5 = $ivfRecall%.3f")
+    assert(ivfRecall >= 0.4 && ivfRecall <= 1.0)
+  }
+
   test("IVF cell compaction: small files merge, results identical, " +
       "crash-safe at every protocol step") {
     import spark.implicits._
