@@ -1130,9 +1130,13 @@ object SparkEntry {
     // difference). One kilobyte sketch per segment, built in one fact
     // scan and persisted; the matrix is |segments|² sketch set-ops with
     // ZERO fact reads — the presence-table twin above rescans the corpus
-    // per run and its self-join grows with |users|. Rows-only (sketch
-    // internals have no SQL twin); exact-mode equality with the twin and
-    // the estimation-mode error law are pinned in SketchesSpec
+    // per run and its self-join grows with |users|. Fully hash-oracled
+    // (r17): theta sketches below k=4096 distinct ids are in EXACT mode
+    // by the DataSketches contract — intersections/differences are
+    // exactly the set cardinalities — so at oracle scale the DuckDB twin
+    // is the exact pair matrix itself (the scaladoc claim in
+    // segmentOverlapFromSketches, operationalized). The estimation-mode
+    // error law above k stays pinned in SketchesSpec
     "events_user_overlap_sketch" -> ((s, dir) => {
       val path = graft.operators.Sketches.thetaSketchTableFor(
         t(s, dir, "events")
@@ -4595,9 +4599,13 @@ object SparkEntry {
     // (flag, status) built in one fact scan, persisted; any point
     // "how often did partkey X occur" over any rollup of the keys is
     // answered by EXACT counter-wise merges + a probe, zero fact reads.
-    // Rows-only (sketch internals); never-undercount, the e/width·N
-    // bound, and the byte-exact disjoint-merge law are pinned in
-    // SketchesSpec; the exact twin below answers the same probes green
+    // Fully hash-oracled (r17): CMS is deterministic multiply-shift
+    // hashing with FIXED constants, so the DuckDB twin rebuilds every
+    // probed counter from the raw keys — same arithmetic, no sketch
+    // bytes cross the engines (the j_join_size_estimate precedent at
+    // width 2048). The never-undercount / e/width·N / byte-exact-merge
+    // laws stay pinned in SketchesSpec; the exact twin below remains
+    // the accuracy yardstick
     "a_freq_sketch_rollup" -> ((s, dir) => {
       val path = graft.operators.Sketches.cmsTableFor(
         t(s, dir, "lineitem").select(col("l_returnflag"),

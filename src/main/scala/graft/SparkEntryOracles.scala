@@ -6956,6 +6956,50 @@ private[graft] object SparkEntryOracles {
         |FROM lineitem WHERE l_partkey IN (1, 2, 3, 4, 5)
         |GROUP BY 1, 2""".stripMargin,
 
+    // the CMS probe rollup replayed exactly (r17): same fixed
+    // multiply-shift constants as j_join_size_estimate but at the
+    // sketch-table width 2048 (shift 53). The flag-level merge is
+    // counter-wise exact, so each probed counter equals the count of
+    // flag-group keys landing in the probe's bucket — rebuilt here from
+    // the raw keys; the estimate is the min over the 4 hash rows
+    "a_freq_sketch_rollup" -> {
+      val ab = Seq(
+        (0, "7960286522194355701", "16082621929211679388"),
+        (1, "487617019471545679", "17937901347196855910"),
+        (2, "17909611376780542445", "4643173642831778313"),
+        (3, "1961750202426094747", "18073946290115961679"))
+        .map { case (r, a, b) =>
+          s"SELECT $r AS r, $a::HUGEINT AS a, $b::HUGEINT AS b"
+        }
+        .mkString(" UNION ALL ")
+      val probes = (1 to 5)
+        .map(k => s"SELECT $k::BIGINT AS probe_key")
+        .mkString(" UNION ALL ")
+      s"""WITH ab AS ($ab),
+         |probes AS ($probes),
+         |lc AS (
+         |  SELECT l_returnflag, r,
+         |    (a * l_partkey + b) % $K64 // 9007199254740992 AS cell,
+         |    count(*) AS c
+         |  FROM lineitem CROSS JOIN ab GROUP BY 1, 2, 3),
+         |pb AS (
+         |  SELECT probe_key, r,
+         |    (a * probe_key + b) % $K64 // 9007199254740992 AS cell
+         |  FROM probes CROSS JOIN ab),
+         |n AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |cnt AS (
+         |  SELECT n.l_returnflag, n.n, pb.probe_key, pb.r,
+         |    coalesce(lc.c, 0) AS counter
+         |  FROM n CROSS JOIN pb
+         |  LEFT JOIN lc ON lc.l_returnflag = n.l_returnflag
+         |    AND lc.r = pb.r AND lc.cell = pb.cell)
+         |SELECT l_returnflag, n, probe_key,
+         |  CAST(min(counter) AS BIGINT) AS est_count
+         |FROM cnt GROUP BY 1, 2, 3""".stripMargin
+    },
+
     // rule suite replayed with identical NOT coalesce(pred, false) logic
     "dq_rule_violations" -> {
       val rules = Seq(
@@ -7482,6 +7526,36 @@ private[graft] object SparkEntryOracles {
     // overlap twin: presence-table self-join; zero-overlap pairs emit
     // with 0 via the crossed segment list (matches the Spark shape)
     "events_user_overlap" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT event_type AS seg, user_id FROM events
+        |), both_c AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM seg a JOIN seg b USING (user_id)
+        |  WHERE a.seg < b.seg GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT seg AS seg_a, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM seg GROUP BY 1
+        |), pairs AS (
+        |  SELECT s1.seg AS seg_a, s2.seg AS seg_b
+        |  FROM (SELECT DISTINCT seg FROM seg) s1,
+        |       (SELECT DISTINCT seg FROM seg) s2
+        |  WHERE s1.seg < s2.seg
+        |)
+        |SELECT p.seg_a, p.seg_b,
+        |  COALESCE(b.n_both, 0) AS n_both,
+        |  z.n_a - COALESCE(b.n_both, 0) AS n_a_only
+        |FROM pairs p
+        |LEFT JOIN both_c b ON p.seg_a = b.seg_a AND p.seg_b = b.seg_b
+        |JOIN sizes z ON p.seg_a = z.seg_a""".stripMargin,
+
+    // the theta-sketch overlap matrix replayed exactly (r17): below
+    // k=4096 distinct ids per segment a theta sketch is in EXACT mode by
+    // the DataSketches contract — intersection/AnotB results ARE the set
+    // cardinalities and floor() is the identity on them — so the oracle
+    // is the exact pair matrix (same SQL as the presence-table twin; the
+    // estimation-mode error law above k stays spec-pinned)
+    "events_user_overlap_sketch" ->
       """WITH seg AS (
         |  SELECT DISTINCT event_type AS seg, user_id FROM events
         |), both_c AS (

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * and any GROUP BY over a SUBSET of the sketch keys is answerable by
   * union-merging — one sketch table serves the whole rollup lattice.
   * Same determinism contract as `a_approx_distinct`: the estimate is a
-  * pure function of the input multiset, but no SQL oracle can replay
-  * the sketch internals, so registry queries over sketches are
-  * rows-only and the error/merge laws are spec-pinned instead
-  * (`SketchesSpec`). */
+  * pure function of the input multiset. Oracle status varies by family
+  * (r17): the DataSketches HLL/KLL estimator internals (coupon and
+  * compaction modes) have no SQL replay — those registry rows stay
+  * rows-only with error/merge laws spec-pinned (`SketchesSpec`) — but
+  * the deterministic CMS rollup and the exact-mode theta overlap are
+  * fully hash-oracled in DuckDB, and the bitmap family is exact by
+  * construction. */
 object Sketches {
 
   /** One sketch per `groupCols` tuple over `valueCol`, `lgK` per the

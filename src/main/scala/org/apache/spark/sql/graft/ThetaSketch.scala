@@ -33,8 +33,9 @@ import org.apache.spark.sql.types._
   * EXACT mode: estimates (including intersection/difference results) are
   * exactly right, which `SketchesSpec` pins against `COUNT(DISTINCT)`;
   * above k the relative standard error is ~1/sqrt(k) (k=4096 → ~1.6%).
-  * No SQL oracle can replay sketch internals → registry queries over
-  * sketches are rows-only with a green exact twin. */
+  * The exact-mode contract is strong enough to ORACLE: below k the
+  * overlap matrix is hash-verified against the exact pair matrix in
+  * DuckDB (r17); the estimation-mode error law stays spec-pinned. */
 case class ThetaSketchAgg(
     child: Expression,
     lgK: Int,

@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 342)
-    assert(SparkEntry.oracleSql.size === 332)
+    assert(SparkEntry.oracleSql.size === 334)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -25,19 +25,20 @@ class RegistrySpec extends AnyFunSuite {
     // (knn_ivf / knn_ivf_at_rest / knn_ivf_sq8 / knn_pq_adc / knn_ivf_pq
     // now carry full hash oracles; the float sampled-training paths
     // remain as operators with recall pins), what remains is genuinely
-    // un-oracle-able: DataSketches serialized internals (HLL/KLL/CMS/
-    // theta rollups — each with a green exact twin or pinned error/merge
-    // laws), the 50-deep driver-loop BPE (green 16-round head oracle),
+    // un-oracle-able: DataSketches serialized HLL/KLL estimator internals
+    // (coupon/compaction modes — each with a green exact twin or pinned
+    // error/merge laws; the deterministic CMS rollup and the exact-mode
+    // theta overlap were promoted to full hash oracles in r17), the
+    // 50-deep driver-loop BPE (green 16-round head oracle),
     // the Jacobi eigensolve behind the green fixed-basis projection
     // twin, and zlib bytes (below). Adding a query WITHOUT an oracle
     // must be a deliberate edit here — the round-9 lesson was a registry
     // row silently reporting nothing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "a_approx_distinct", "a_approx_quantiles", "a_freq_sketch_rollup",
+      "a_approx_distinct", "a_approx_quantiles",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
       "emb_pca_project", "events_trailing_distinct_sketch",
-      "events_user_overlap_sketch",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
       "text_compress_ratio"))
