@@ -254,9 +254,11 @@ object SparkEntry {
         .agg(count_distinct(col("l_partkey")).as("n_parts"),
           count_distinct(col("l_suppkey"), col("l_partkey")).as("n_sp_pairs"))),
 
-    // HLL sketch cardinality — rows-only for the driver (sketch estimates
-    // are engine-specific); the 2% relative-error bound vs exact distinct
-    // is pinned by ScalaTest instead.
+    // HLL++ cardinality — fully hash-oracled (r17): Spark's native
+    // approx_count_distinct replays bit-for-bit in DuckDB (registers via
+    // the XXH64 closed form, the harmonic sum as the same in-order IEEE
+    // fold, the bias kNN from Spark's own tables — graft.HllSql). The 2%
+    // relative-error bound vs exact distinct stays pinned by ScalaTest.
     "a_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),

@@ -7000,6 +7000,16 @@ private[graft] object SparkEntryOracles {
          |FROM cnt GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // Spark's native HLL++ replayed bit-for-bit (r17): registers from
+    // the XxhSql XXH64 closed form, the harmonic sum as the same
+    // in-order IEEE fold (list_reduce over an ORDER BY idx list), and
+    // the bias-correction kNN over the published interpolation tables —
+    // read from Spark's own HyperLogLogPlusPlusHelper at generation
+    // time. All three estimator regimes validated against pyspark 4.1.2
+    // (linear-counting / bias-corrected / raw E). See graft.HllSql.
+    "a_approx_distinct" -> HllSql.approxCountDistinctSql(
+      "lineitem", "l_returnflag", "l_partkey", "approx_parts", 0.02),
+
     // rule suite replayed with identical NOT coalesce(pred, false) logic
     "dq_rule_violations" -> {
       val rules = Seq(

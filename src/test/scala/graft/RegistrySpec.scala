@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 342)
-    assert(SparkEntry.oracleSql.size === 334)
+    assert(SparkEntry.oracleSql.size === 335)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -27,8 +27,11 @@ class RegistrySpec extends AnyFunSuite {
     // remain as operators with recall pins), what remains is genuinely
     // un-oracle-able: DataSketches serialized HLL/KLL estimator internals
     // (coupon/compaction modes — each with a green exact twin or pinned
-    // error/merge laws; the deterministic CMS rollup and the exact-mode
-    // theta overlap were promoted to full hash oracles in r17), the
+    // error/merge laws; r17 promoted the deterministic CMS rollup, the
+    // exact-mode theta overlap, AND Spark's own HLL++ — graft.HllSql
+    // replays approx_count_distinct bit-for-bit, so only the
+    // DataSketches-library rows remain), the merge-order-dependent GK
+    // quantile summaries (a_approx_quantiles), the
     // 50-deep driver-loop BPE (green 16-round head oracle),
     // the Jacobi eigensolve behind the green fixed-basis projection
     // twin, and zlib bytes (below). Adding a query WITHOUT an oracle
@@ -36,7 +39,7 @@ class RegistrySpec extends AnyFunSuite {
     // row silently reporting nothing.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
-      "a_approx_distinct", "a_approx_quantiles",
+      "a_approx_quantiles",
       "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
       "emb_pca_project", "events_trailing_distinct_sketch",
       // zlib output bytes aren't pinned across builds; ordering laws
