@@ -4626,6 +4626,29 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_partkey").as("probe_key"))
         .agg(count(lit(1)).as("n_exact"))),
 
+    // The same at-rest rollup contract with SPARK-NATIVE HLL++ registers
+    // (r17): where a_sketch_rollup's DataSketches estimator cannot be
+    // SQL-replayed (interpolated non-integer estimates even at n=400;
+    // HIP/KxQ float accumulators updated in merge order), Spark's own
+    // approx_count_distinct registers are order-insensitive slot maxes —
+    // serialized words are RUN-IDENTICAL, disjoint-batch merges are
+    // BYTE-EXACT (the CMS discipline), and the estimate replays
+    // bit-for-bit in DuckDB (graft.HllSql) — so this row carries a full
+    // hash oracle. Slot maxes commute with the rollup, so merging the
+    // per-(status,month) sketches equals approx_count_distinct over
+    // status directly (pinned in SketchesSpec)
+    "a_hllpp_rollup" -> ((s, dir) => {
+      val path = graft.operators.Sketches.hllppSketchTableFor(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("yyyymm"),
+          col("o_custkey")),
+        Seq("o_orderstatus", "yyyymm"), "o_custkey",
+        key = s"orders-hpp-$dir", spark = s)
+      graft.operators.Sketches.distinctFromHllpp(s, path,
+        Seq("o_orderstatus"))
+    }),
+
     // At-rest EXACT distinct tables (Roaring64 bitmaps, from Spark's own
     // jars): the HLL table's contract — build per-(status, month) once,
     // answer any rollup by kilobyte merges, zero fact reads — but the

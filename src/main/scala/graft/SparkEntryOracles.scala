@@ -7010,6 +7010,12 @@ private[graft] object SparkEntryOracles {
     "a_approx_distinct" -> HllSql.approxCountDistinctSql(
       "lineitem", "l_returnflag", "l_partkey", "approx_parts", 0.02),
 
+    // the at-rest HLL++ register rollup: slot maxes commute with the
+    // rollup, so the merged-sketch estimate equals the direct
+    // approx_count_distinct over the rollup key — same HllSql replay
+    "a_hllpp_rollup" -> HllSql.approxCountDistinctSql(
+      "orders", "o_orderstatus", "o_custkey", "approx_distinct", 0.02),
+
     // rule suite replayed with identical NOT coalesce(pred, false) logic
     "dq_rule_violations" -> {
       val rules = Seq(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{ElementAt, Expression, Literal, Lower, RegExpReplace, StringSplit, StringTrim, Upper}
 import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSignature, NfkcNormalize, ShingleHashes, SimHash64}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType}
 
 /** SQL-text registration for the engine's custom Catalyst expressions
   * (SURVEY §2.8): after `GraftSql.register(spark)` they are callable from
@@ -44,6 +44,9 @@ import org.apache.spark.sql.types.IntegerType
   *   - `bitmap_agg(k)` / `graft_bitmap_or_agg(bm)` /
   *     `graft_bitmap_count(bm)` —
   *     EXACT mergeable distinct bitmaps (Roaring64)
+  *   - `hllpp_sketch_agg(v, rsd)` / `hllpp_merge_agg(sk, rsd)` /
+  *     `hllpp_estimate(sk, rsd)` — Spark-native HLL++ registers at
+  *     rest: byte-exact merges, DuckDB-replayable estimates (HllSql)
   *
   * Integer parameters (`k`, `n`) must be integer LITERALS: they are
   * structural (codegen'd loop bounds), not per-row data.
@@ -55,6 +58,14 @@ object GraftSql {
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
+
+  private def doubleLit(e: Expression, fn: String, pos: Int): Double =
+    e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Decimal, _: DecimalType) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a double literal, got $other")
+    }
 
   private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
     require(es.length == n, s"$fn expects $n arguments, got ${es.length}")
@@ -247,6 +258,24 @@ object GraftSql {
     "theta_anotb" -> { es =>
       arity("theta_anotb", es, 2)
       org.apache.spark.sql.graft.ThetaAnotBSketch(es.head, es(1))
+    },
+    // Spark-native HLL++ register sketches — the oracle-replayable
+    // at-rest distinct family (see org.apache.spark.sql.graft
+    // .HllPpSketch); rsd is structural (sizes the register words)
+    "hllpp_sketch_agg" -> { es =>
+      arity("hllpp_sketch_agg", es, 2)
+      org.apache.spark.sql.graft.HllPpSketchAgg(es.head,
+        doubleLit(es(1), "hllpp_sketch_agg", 1))
+    },
+    "hllpp_merge_agg" -> { es =>
+      arity("hllpp_merge_agg", es, 2)
+      org.apache.spark.sql.graft.HllPpMergeAgg(es.head,
+        doubleLit(es(1), "hllpp_merge_agg", 1))
+    },
+    "hllpp_estimate" -> { es =>
+      arity("hllpp_estimate", es, 2)
+      org.apache.spark.sql.graft.HllPpEstimate(es.head,
+        doubleLit(es(1), "hllpp_estimate", 1))
     })
 
   /** Register every custom function in the session's FunctionRegistry as a

@@ -201,6 +201,61 @@ object Sketches {
     GraftBridge.column(org.apache.spark.sql.graft.CmsInnerProduct(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  // ---- Spark-native HLL++ register tables — the DataSketches HLL
+  // ---- table's contract with RUN-IDENTICAL bytes (registers are
+  // ---- order-insensitive slot maxes) and a DuckDB-replayable
+  // ---- estimator (graft.HllSql), so the rollup row carries a full
+  // ---- hash oracle where the DataSketches twin is rows-only
+
+  import org.apache.spark.sql.graft.{HllPpEstimate, HllPpMergeAgg, HllPpSketchAgg}
+
+  /** `hllpp_sketch_agg(key, rsd)` as a DSL Column (keys cast to long —
+    * the `approx_count_distinct` register build, exposed as bytes). */
+  def hllppSketchAgg(value: Column, rsd: Double = 0.02): Column =
+    GraftBridge.column(
+      HllPpSketchAgg(GraftBridge.expression(value.cast("long")), rsd)
+        .toAggregateExpression())
+
+  /** `hllpp_merge_agg(sketchBytes, rsd)` — register-wise max (EXACT:
+    * disjoint-batch merges are byte-identical to a whole-input build). */
+  def hllppMergeAgg(sketch: Column, rsd: Double = 0.02): Column =
+    GraftBridge.column(
+      HllPpMergeAgg(GraftBridge.expression(sketch), rsd)
+        .toAggregateExpression())
+
+  /** The exact `HyperLogLogPlusPlusHelper.query` estimate. */
+  def hllppEstimate(sketch: Column, rsd: Double = 0.02): Column =
+    GraftBridge.column(HllPpEstimate(GraftBridge.expression(sketch), rsd))
+
+  private val builtH = new graft.SessionMemo[String, String]()
+
+  /** Build the HLL++ register table ONCE per dataset key and persist it
+    * as parquet — same at-rest contract as [[sketchTableFor]]. */
+  def hllppSketchTableFor(df: => DataFrame, groupCols: Seq[String],
+                          valueCol: String, key: String,
+                          spark: SparkSession, rsd: Double = 0.02): String =
+    builtH.getOrCompute(spark, key) {
+      val path = graft.TmpArtifacts.path("graft-hppsketches", key)
+      df.groupBy(groupCols.map(col): _*)
+        .agg(hllppSketchAgg(col(valueCol), rsd).as("sketch"))
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Distinct-count estimates for any GROUP BY over a subset of the
+    * register table's keys: kilobyte max-merges, zero fact reads —
+    * and the estimate equals `approx_count_distinct(value, rsd)` over
+    * the rolled-up group EXACTLY (slot maxes commute with the rollup),
+    * which is what lets `a_hllpp_rollup` verify under the graft.HllSql
+    * hash oracle. */
+  def distinctFromHllpp(spark: SparkSession, path: String,
+                        rollupCols: Seq[String],
+                        rsd: Double = 0.02): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(rollupCols.map(col): _*)
+      .agg(hllppEstimate(hllppMergeAgg(col("sketch"), rsd), rsd)
+        .as("approx_distinct"))
+
   // ---- roaring bitmaps — the EXACT mergeable distinct structure: the
   // ---- at-rest contract of the HLL tables with a hash-verifiable
   // ---- answer; size grows with distinct keys (HLL stays kilobytes)

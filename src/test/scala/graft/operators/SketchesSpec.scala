@@ -311,4 +311,61 @@ class SketchesSpec extends SparkSpec {
     val slack = math.ceil(2.7182818 / w * na * nb).toLong
     assert(est - truth <= slack, s"est $est true $truth slack $slack")
   }
+
+  test("HLL++ register rollup EQUALS direct approx_count_distinct " +
+    "(slot maxes commute with the rollup)") {
+    import spark.implicits._
+    val orders = Tables(spark, sfDir, "orders").select(
+      col("o_orderstatus"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("yyyymm"),
+      col("o_custkey"))
+    val path = Sketches.hllppSketchTableFor(orders,
+      Seq("o_orderstatus", "yyyymm"), "o_custkey",
+      key = "spec-orders-hpp", spark = spark)
+    val rolled = Sketches.distinctFromHllpp(spark, path,
+        Seq("o_orderstatus"))
+      .as[(String, Long)].collect().toMap
+    // NOT within-error: the merged registers are bitwise the registers
+    // of a direct per-status build, so the estimates are IDENTICAL
+    val direct = orders.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(rolled === direct)
+    // and inside the 2% rsd envelope of the exact count (sanity that
+    // identical != identically-wrong)
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(rolled(k).toDouble - n) <= math.max(2.0, 0.05 * n),
+        s"$k: est=${rolled(k)} exact=$n")
+    }
+  }
+
+  test("HLL++ merge is EXACT: disjoint halves merge to the " +
+    "byte-identical whole-input registers, in the DSL and from SQL") {
+    import spark.implicits._
+    val df = (1L to 30000L).map(v => ("g", v * 2654435761L % (1L << 40)))
+      .toDF("g", "k")
+    val whole = df.groupBy("g")
+      .agg(Sketches.hllppSketchAgg(col("k")).as("sk"))
+      .select("sk").as[Array[Byte]].head()
+    val halves = df.where(col("k") % 2 === 0)
+      .groupBy("g").agg(Sketches.hllppSketchAgg(col("k")).as("sk"))
+      .unionByName(df.where(col("k") % 2 === 1)
+        .groupBy("g").agg(Sketches.hllppSketchAgg(col("k")).as("sk")))
+    val merged = halves.agg(Sketches.hllppMergeAgg(col("sk")).as("m"))
+      .select("m").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(whole, merged))
+    // SQL surface round-trips and equals the built-in aggregate
+    df.createOrReplaceTempView("hpp_in")
+    val viaSketch = spark.sql(
+      """SELECT hllpp_estimate(hllpp_merge_agg(sk, 0.02), 0.02) FROM (
+        |  SELECT hllpp_sketch_agg(k, 0.02) AS sk FROM hpp_in GROUP BY g)
+        |""".stripMargin).as[Long].head()
+    val builtin = spark.sql(
+      "SELECT approx_count_distinct(k, 0.02) FROM hpp_in").as[Long].head()
+    assert(viaSketch === builtin)
+  }
 }
