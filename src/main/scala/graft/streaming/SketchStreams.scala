@@ -60,6 +60,53 @@ object SketchStreams {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the AT-REST HLL++ register tables
+    * (`Sketches.hllppSketchTableFor`'s artifact, maintained
+    * incrementally): register merge is a slot-wise MAX — idempotent like
+    * the bitmap OR, so no applied-batch watermark is needed — and the
+    * merge law is BYTE-EXACT (order-insensitive slot maxes), so the
+    * streamed table is byte-identical to a one-shot whole-input build,
+    * pinned in `SketchStreamsSpec`. The r17 point: this is the one
+    * ESTIMATING sketch family whose streaming maintenance needs neither
+    * the marker discipline (idempotent) nor an estimate-level tolerance
+    * (byte-exact state, DuckDB-replayable estimates via graft.HllSql). */
+  def hllppIngest(newRows: DataFrame, target: String, backupRoot: String,
+                  checkpoint: String, groupCols: Seq[String],
+                  keyCol: String, rsd: Double = 0.02,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    newRows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHllppBatch(batch, target, backupRoot, groupCols, keyCol, rsd)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One HLL++ micro-batch — max-merge the batch's own per-group
+    * registers into the persisted table (replay-idempotent by algebra:
+    * max(a, a) = a). */
+  def applyHllppBatch(batch: DataFrame, target: String, backupRoot: String,
+                      groupCols: Seq[String], keyCol: String,
+                      rsd: Double = 0.02): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Sinks.recover(spark, target)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
+    val batchSk = batch.groupBy(groupCols.map(col): _*)
+      .agg(Sketches.hllppSketchAgg(col(keyCol), rsd).as("sketch"))
+    val union =
+      if (exists)
+        spark.read.parquet(target)
+          .select((groupCols.map(col) :+ col("sketch")): _*)
+          .unionByName(batchSk)
+      else batchSk
+    val merged = union
+      .groupBy(groupCols.map(col): _*)
+      .agg(Sketches.hllppMergeAgg(col("sketch"), rsd).as("sketch"))
+    graft.sources.Sinks.snapshotOverwrite(spark, merged, target, backupRoot)
+  }
+
   /** One bitmap micro-batch — OR the batch's own per-group bitmaps into
     * the persisted table. Applying the same batch twice is a set-algebra
     * no-op (A ∪ B ∪ B = A ∪ B), pinned count-exactly in

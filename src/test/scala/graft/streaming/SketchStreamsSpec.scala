@@ -123,4 +123,50 @@ class SketchStreamsSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, whole(k)), s"group $k differs")
     }
   }
+
+  test("streamed HLL++ register table is BYTE-identical to a one-shot " +
+    "build; a replayed batch is an algebraic no-op (max-merge, no " +
+    "marker); estimates equal the direct aggregate") {
+    import spark.implicits._
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey")).cache()
+    val tmp = Files.createTempDirectory("hpp-stream").toString
+    val target = s"$tmp/hpp"
+    val parts = Seq(
+      orders.where(col("o_custkey") % 3 === 0),
+      orders.where(col("o_custkey") % 3 === 1),
+      orders.where(col("o_custkey") % 3 === 2))
+    parts.foreach { b =>
+      SketchStreams.applyHllppBatch(b, target, s"$tmp/backups",
+        Seq("o_orderstatus"), "o_custkey")
+    }
+    val streamed = SketchStreams.readSketchTable(spark, target)
+      .as[(String, Array[Byte])].collect().toMap
+    val whole = orders.groupBy("o_orderstatus")
+      .agg(Sketches.hllppSketchAgg(col("o_custkey")).as("sketch"))
+      .as[(String, Array[Byte])].collect().toMap
+    assert(streamed.keySet === whole.keySet)
+    streamed.foreach { case (k, bytes) =>
+      assert(java.util.Arrays.equals(bytes, whole(k)),
+        s"group $k streamed != whole-input")
+    }
+    // replay batch 1 WITHOUT any watermark: max(a, a) = a, so the table
+    // must not move a byte (the idempotence contrast with CMS)
+    SketchStreams.applyHllppBatch(parts(1), target, s"$tmp/backups",
+      Seq("o_orderstatus"), "o_custkey")
+    SketchStreams.readSketchTable(spark, target)
+      .as[(String, Array[Byte])].collect().toMap
+      .foreach { case (k, bytes) =>
+        assert(java.util.Arrays.equals(bytes, whole(k)), s"replay mutated $k")
+      }
+    // estimates from the maintained table equal the direct aggregate
+    val est = SketchStreams.readSketchTable(spark, target)
+      .select(col("o_orderstatus"),
+        Sketches.hllppEstimate(col("sketch")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = orders.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est === direct)
+  }
 }
