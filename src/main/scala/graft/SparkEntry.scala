@@ -1098,6 +1098,33 @@ object SparkEntry {
         .select(col("d").as("day"), col("n_users_7d_approx"))
     }),
 
+    // The trailing-distinct swap re-based on the HLL++ register family
+    // (r17): same anchor-explode + kilobyte-union shape as the
+    // DataSketches twin above, but register max-merges are byte-exact
+    // and the estimator replays in DuckDB — so THIS windowed-sketch form
+    // carries a full hash oracle (graft.HllSql over the (anchor, user)
+    // pair table; merging per-day registers over the window equals the
+    // direct aggregate over the window's users because slot maxes
+    // commute with the union)
+    "events_trailing_distinct_hllpp" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(graft.operators.Sketches.hllppSketchAgg(col("user_id"))
+          .as("sk"))
+      val days = daily.select(col("day").as("d"))
+      daily
+        .select(col("sk"),
+          explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .join(broadcast(days), "d")
+        .groupBy(col("d"))
+        .agg(graft.operators.Sketches.hllppEstimate(
+          graft.operators.Sketches.hllppMergeAgg(col("sk")))
+          .as("n_users_7d_hllpp"))
+        .select(col("d").as("day"), col("n_users_7d_hllpp"))
+    }),
+
     // Segment-overlap matrix, EXACT: for each event-type pair (a < b),
     // users who did both and users who did only A. The scalable shape
     // reduces events to the (segment, user) PRESENCE table first, then

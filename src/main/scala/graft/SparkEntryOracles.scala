@@ -7539,6 +7539,19 @@ private[graft] object SparkEntryOracles {
         |FROM pres JOIN days ON pres.day BETWEEN d - 6 AND d
         |GROUP BY 1""".stripMargin,
 
+    // the HLL++ windowed swap replayed exactly: the same (anchor, user)
+    // pair table fed to the graft.HllSql estimator replay — merging
+    // per-day registers over [d-6, d] equals approx_count_distinct over
+    // the window's users (slot maxes commute with the union)
+    "events_trailing_distinct_hllpp" -> HllSql.approxCountDistinctSql(
+      """(SELECT w.d AS day, p.user_id AS user_id
+        | FROM (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS day, user_id FROM events) p
+        | JOIN (SELECT DISTINCT CAST(datediff('day', DATE '1970-01-01',
+        |    CAST(ts AS DATE)) AS BIGINT) AS d FROM events) w
+        |   ON p.day BETWEEN w.d - 6 AND w.d) tw""".stripMargin,
+      "day", "user_id", "n_users_7d_hllpp", 0.02),
+
     // overlap twin: presence-table self-join; zero-overlap pairs emit
     // with 0 via the crossed segment list (matches the Spark shape)
     "events_user_overlap" ->

@@ -14,8 +14,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
-    assert(SparkEntry.queries.size === 343)
-    assert(SparkEntry.oracleSql.size === 336)
+    assert(SparkEntry.queries.size === 344)
+    assert(SparkEntry.oracleSql.size === 337)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {

@@ -343,6 +343,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL++ trailing-window union equals the direct aggregate over " +
+    "the window's users and tracks the exact trailing distinct") {
+    import spark.implicits._
+    val windowed = graft.SparkEntry
+      .queries("events_trailing_distinct_hllpp")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // direct: approx_count_distinct over each window's presence rows —
+    // register max-merge over days must give the IDENTICAL estimate
+    val pres = Tables(spark, sfDir, "events")
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("day"), col("user_id")).distinct()
+    val days = pres.select(col("day").as("d")).distinct()
+    val direct = pres.join(broadcast(days),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy("d")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(windowed === direct)
+    val exact = pres.join(broadcast(days),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy("d").agg(countDistinct(col("user_id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (d, n) =>
+      assert(math.abs(windowed(d).toDouble - n) <= math.max(2.0, 0.05 * n),
+        s"day $d: est=${windowed(d)} exact=$n")
+    }
+  }
+
   test("HLL++ merge is EXACT: disjoint halves merge to the " +
     "byte-identical whole-input registers, in the DSL and from SQL") {
     import spark.implicits._
