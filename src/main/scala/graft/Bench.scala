@@ -81,21 +81,35 @@ object Bench {
     previousMap(text, "queries_min")
 
   /** Canary-normalized gate scaling as a pure seam: this run's opening
-    * canary sum over the PREVIOUS artifact's quietest canary pass
-    * (min of its before/after sums), clamped to [1.0, 2.0]. 1.0 when
-    * either side is missing or non-positive (pre-r16 artifacts carry no
-    * canary fields; triage runs skip the canary). */
-  private[graft] def canaryLoadFactor(prevText: Option[String],
-                                      curCanarySum: Double): Double = {
-    val prevQuiet = prevText.flatMap { t =>
-      val sums = Seq("canary_before", "canary_after")
-        .map(f => previousMap(t, f).values.filter(_ >= 0))
-        .filter(_.nonEmpty).map(_.sum).filter(_ > 0)
-      if (sums.isEmpty) None else Some(sums.min)
+    * canary over the PREVIOUS artifact's quietest values, compared
+    * per-NAME over the INTERSECTION of canaries positive on both sides
+    * — a canary that failed (recorded < 0) or was renamed on either
+    * side drops out of BOTH sums, so a mismatched canary set can never
+    * masquerade as box load (r17 review: the old sum-over-whatever-
+    * each-side-had comparison let one failed previous canary inflate
+    * the factor toward 2x on an idle box, loosening both gates for
+    * nothing). Clamped to [1.0, 2.0]; 1.0 when no common canary
+    * survives (pre-r16 artifacts carry no canary fields; triage runs
+    * skip the canary). */
+  private[graft] def canaryLoadFactor(
+      prevText: Option[String],
+      curCanary: Seq[(String, Double)]): Double = {
+    val prevQuiet: Map[String, Double] = prevText.map { t =>
+      val maps = Seq("canary_before", "canary_after")
+        .map(f => previousMap(t, f))
+      maps.flatMap(_.keys).distinct.flatMap { n =>
+        val vs = maps.flatMap(_.get(n)).filter(_ > 0)
+        if (vs.isEmpty) None else Some(n -> vs.min)
+      }.toMap
+    }.getOrElse(Map.empty)
+    val common = curCanary.filter { case (n, v) =>
+      v > 0 && prevQuiet.contains(n)
     }
-    prevQuiet.filter(_ => curCanarySum > 0)
-      .map(p => math.min(2.0, math.max(1.0, curCanarySum / p)))
-      .getOrElse(1.0)
+    val curSum = common.map(_._2).sum
+    val prevSum = common.map { case (n, _) => prevQuiet(n) }.sum
+    if (curSum > 0 && prevSum > 0)
+      math.min(2.0, math.max(1.0, curSum / prevSum))
+    else 1.0
   }
 
   /** The regression rule as a pure seam: flag (name, prev, cur) when the
@@ -310,7 +324,7 @@ object Bench {
     // load-control.
     val curCanarySum = canaryBefore.map(_._2).filter(_ >= 0).sum
     val loadFactor: Double =
-      canaryLoadFactor(prevText, curCanarySum)
+      canaryLoadFactor(prevText, canaryBefore)
     if (loadFactor > 1.0)
       System.err.println(
         f"[bench] canary load factor $loadFactor%.2f (opening canary " +

@@ -40,7 +40,14 @@ import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
   *
   * Scale note: the oracle hashes DISTINCT keys only and touches
   * `m = 2^p` register slots per group — the register rebuild is one
-  * hash-aggregate, the fold one `m`-element list per group. */
+  * hash-aggregate, the fold one `m`-element list per group.
+  *
+  * Generic-helper edges (r17 review): keys reach the mod-2^64 machine
+  * in UNSIGNED form so negative longs hash like Spark's signed bit
+  * pattern; groups enumerate from the SOURCE (not the hashed rows) so
+  * an all-NULL-key group still emits estimate 0 the way Spark's groupBy
+  * does; group joins are null-safe (`IS NOT DISTINCT FROM`) so a NULL
+  * group key aggregates its rows instead of losing them. */
 object HllSql {
 
   /** DuckDB SQL computing `approx_count_distinct(keyExpr, rsd)` per
@@ -67,9 +74,14 @@ object HllSql {
     val pow64mp = BigInt(1) << (64 - p) // idx = h // 2^(64-p)
     val maxRank = 64 - p + 1
 
-    // XXH64.hashLong(key, 42) over the distinct (group, key) pairs
+    // XXH64.hashLong(key, 42) over the distinct (group, key) pairs.
+    // Spark hashes the signed two's-complement bit pattern, so negative
+    // keys must reach the mod-2^64 arithmetic in UNSIGNED form
+    // (XxhSql.unsigned); current registry keys are non-negative, but the
+    // helper is the GENERIC approx_count_distinct replay.
     val hashed = XxhSql.hashLong(
-      s"""(SELECT DISTINCT $groupCol AS g, CAST(($keyExpr) AS HUGEINT) AS k
+      s"""(SELECT DISTINCT $groupCol AS g,
+         |     ${XxhSql.unsigned(s"CAST(($keyExpr) AS BIGINT)")} AS k
          |   FROM $table WHERE ($keyExpr) IS NOT NULL)""".stripMargin,
       "k", "CAST(42 AS HUGEINT)", "h", "ad")
 
@@ -80,8 +92,14 @@ object HllSql {
        |             ELSE $maxRank - length(bin(CAST(h % $pow64mp AS BIGINT)))
        |        END) AS mreg
        |  FROM hh GROUP BY 1, 2),
-       |gs AS (SELECT DISTINCT g FROM rg),
-       |vv AS (SELECT g, $m - count(*) AS v FROM rg GROUP BY 1),
+       |-- every group of the source, not just groups with non-null keys:
+       |-- an all-NULL group keeps zero registers and must still emit
+       |-- (V = m -> H = m*ln(1) = 0 -> estimate 0, Spark's behavior)
+       |gs AS (SELECT DISTINCT $groupCol AS g FROM $table),
+       |vv AS (
+       |  SELECT gs.g, $m - count(rg.idx) AS v
+       |  FROM gs LEFT JOIN rg ON rg.g IS NOT DISTINCT FROM gs.g
+       |  GROUP BY 1),
        |zf AS (
        |  SELECT g, list_reduce(list(t ORDER BY i), (a, b) -> a + b) AS zinv
        |  FROM (
@@ -89,13 +107,14 @@ object HllSql {
        |      COALESCE(1.0::DOUBLE / CAST(1::BIGINT << rg.mreg AS DOUBLE),
        |               1.0::DOUBLE) AS t
        |    FROM gs CROSS JOIN range(0, $m) ii(i)
-       |    LEFT JOIN rg ON rg.g = gs.g AND rg.idx = ii.i) s
+       |    LEFT JOIN rg ON rg.g IS NOT DISTINCT FROM gs.g
+       |      AND rg.idx = ii.i) s
        |  GROUP BY 1),
        |bt(i, raw, bias) AS (VALUES
        |    $bt),
        |ee AS (
        |  SELECT vv.g, CAST(vv.v AS DOUBLE) AS v, $alphaM2::DOUBLE / zf.zinv AS e
-       |  FROM vv JOIN zf USING (g)),
+       |  FROM vv JOIN zf ON vv.g IS NOT DISTINCT FROM zf.g),
        |hc AS (
        |  SELECT g, v, e,
        |    CASE WHEN v > 0 THEN $m.0 * ln($m.0 / v) END AS hval

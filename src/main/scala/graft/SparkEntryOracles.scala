@@ -48,6 +48,17 @@ private[graft] object SparkEntryOracles {
       .mkString("[", ",", "]")
 
   private val K64 = "18446744073709551616::HUGEINT" // 2^64
+
+  /** The CMS multiply-shift (a, b) constants CTE — generated from the
+    * very `CmsState.hashConstants` the engine's bucket math reads, so
+    * the oracle literals can never drift (the XxhSql.hashInt rule);
+    * shared by the inner-product and probe-rollup replays. */
+  private def cmsAbCte(rows: Int): String =
+    org.apache.spark.sql.graft.CmsState.hashConstants(rows).zipWithIndex
+      .map { case ((a, b), r) =>
+        s"SELECT $r AS r, $a::HUGEINT AS a, $b::HUGEINT AS b"
+      }
+      .mkString(" UNION ALL ")
   private val S63 = "9223372036854775808::HUGEINT" // 2^63
 
   /** CTE chain replaying the IMAGE pHash table end to end in SQL: the
@@ -646,6 +657,24 @@ private[graft] object SparkEntryOracles {
     (ctes, aF, s"${prefix}c$iters")
   }
 
+
+  /** The trained-tier probe-cell ranking block (r17 review: ONE copy
+    * for all three trained-ANN oracles): each query's cells ranked by
+    * squared-L2 against the trained centroids, ties to the smallest
+    * cell, keeping `nprobe` — the exact twin of the engine's
+    * `Similarity.exactProbes`. `extra` forwards query-side columns. */
+  private def probeRankSql(iqTable: String, centroidTable: String,
+                           extra: String = "", nprobe: Int = 4): String = {
+    val keepExtra = if (extra.isEmpty) "" else s", $extra"
+    s"""SELECT vec_id AS query_id$keepExtra, cell FROM (
+       |    SELECT a.*, c.j AS cell, row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(a.q, c.c),
+       |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
+       |    FROM $iqTable a CROSS JOIN $centroidTable c WHERE a.vec_id < 20)
+       |  WHERE pr <= $nprobe""".stripMargin
+  }
+
   /** Shared twin of `knn_ivf` AND `knn_ivf_at_rest` (r17): the trained-
     * exact IVF replay — re-derive the integer k-means codebook (the
     * [[exactKmeansCtes]] chain, bit-identical to the engine's
@@ -661,13 +690,7 @@ private[graft] object SparkEntryOracles {
     val (ctes, aF, cF) = exactKmeansCtes(k = 16, iters = 2)
     s"""WITH $ctes,
        |qprobe AS (
-       |  SELECT vec_id AS query_id, q AS qq, cell FROM (
-       |    SELECT a.vec_id, a.q, c.j AS cell, row_number() OVER (
-       |      PARTITION BY a.vec_id ORDER BY
-       |        list_sum(list_transform(list_zip(a.q, c.c),
-       |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
-       |    FROM iq a CROSS JOIN $cF c WHERE a.vec_id < 20)
-       |  WHERE pr <= 4),
+       |  ${probeRankSql("iq", cF, extra = "q AS qq")}),
        |cand AS (
        |  SELECT p.query_id, c.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(p.qq, c.q),
@@ -709,13 +732,7 @@ private[graft] object SparkEntryOracles {
        |  FROM codes c JOIN $aF a USING (vec_id)
        |  WHERE len(list_filter(c.embedding, x -> x <> 0)) > 0),
        |qprobe AS (
-       |  SELECT vec_id AS query_id, cell FROM (
-       |    SELECT a.vec_id, c.j AS cell, row_number() OVER (
-       |      PARTITION BY a.vec_id ORDER BY
-       |        list_sum(list_transform(list_zip(a.q, c.c),
-       |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
-       |    FROM iq a CROSS JOIN $cF c WHERE a.vec_id < 20)
-       |  WHERE pr <= 4),
+       |  ${probeRankSql("iq", cF)}),
        |qside AS (
        |  SELECT vec_id AS query_id, v AS qv, c8 AS q8 FROM codes
        |  WHERE vec_id < 20),
@@ -782,13 +799,7 @@ private[graft] object SparkEntryOracles {
     val ivfCtes = coarse.map { case (_, gaF, gcF) =>
       s""",
          |gprobe AS (
-         |  SELECT vec_id AS query_id, cell FROM (
-         |    SELECT a.vec_id, c.j AS cell, row_number() OVER (
-         |      PARTITION BY a.vec_id ORDER BY
-         |        list_sum(list_transform(list_zip(a.q, c.c),
-         |          z -> (z[1]-z[2])*(z[1]-z[2]))), c.j) AS pr
-         |    FROM g_iq a CROSS JOIN $gcF c WHERE a.vec_id < 20)
-         |  WHERE pr <= 4),
+         |  ${probeRankSql("g_iq", gcF)}),
          |gcell AS (SELECT vec_id, cell FROM $gaF)""".stripMargin
     }.getOrElse("")
     val ivfJoin =
@@ -6919,22 +6930,14 @@ private[graft] object SparkEntryOracles {
 
     // CMS inner-product join-size estimate replayed exactly: the sketch
     // is deterministic (multiply-shift rows with FIXED constants — the
-    // first 4 splitmix64 outputs of CmsState.A/B, embedded here as
-    // literals), so each row's bucket counts rebuild from the raw keys
+    // first 4 splitmix64 outputs of CmsState.A/B, generated into SQL by
+    // cmsAbCte from the engine's own hashConstants, r17: no literal
+    // copies to drift), so each row's bucket counts rebuild from the raw keys
     // ((a·x + b) mod 2^64 >> 48 at width 65536) and the estimate is the
     // min over rows of the bucket-count dot product — no sketch bytes
     // cross the engines, just the same integer arithmetic
     "j_join_size_estimate" -> {
-      val ab = Seq(
-        (0, "7960286522194355701", "16082621929211679388"),
-        (1, "487617019471545679", "17937901347196855910"),
-        (2, "17909611376780542445", "4643173642831778313"),
-        (3, "1961750202426094747", "18073946290115961679"))
-        .map { case (r, a, b) =>
-          s"SELECT $r AS r, $a::HUGEINT AS a, $b::HUGEINT AS b"
-        }
-        .mkString(" UNION ALL ")
-      s"""WITH ab AS ($ab),
+      s"""WITH ab AS (${cmsAbCte(4)}),
          |la AS (
          |  SELECT r, (a * l_orderkey + b) % $K64 // 281474976710656
          |    AS cell, count(*) AS c
@@ -6963,15 +6966,7 @@ private[graft] object SparkEntryOracles {
     // flag-group keys landing in the probe's bucket — rebuilt here from
     // the raw keys; the estimate is the min over the 4 hash rows
     "a_freq_sketch_rollup" -> {
-      val ab = Seq(
-        (0, "7960286522194355701", "16082621929211679388"),
-        (1, "487617019471545679", "17937901347196855910"),
-        (2, "17909611376780542445", "4643173642831778313"),
-        (3, "1961750202426094747", "18073946290115961679"))
-        .map { case (r, a, b) =>
-          s"SELECT $r AS r, $a::HUGEINT AS a, $b::HUGEINT AS b"
-        }
-        .mkString(" UNION ALL ")
+      val ab = cmsAbCte(4)
       val probes = (1 to 5)
         .map(k => s"SELECT $k::BIGINT AS probe_key")
         .mkString(" UNION ALL ")

@@ -1515,7 +1515,6 @@ object Similarity {
     require(books.nonEmpty && dim % books.size == 0)
     val m = books.size
     val dsub = dim / m
-    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
     // encode via the codegen'd one-loop kernel: the Column form
     // (per-subspace least over ksub structs) fell out of whole-stage
     // codegen at m=16 and ran interpreted — measured as the dominant
@@ -1527,22 +1526,13 @@ object Similarity {
     val qFull = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("q_vec"), quantizeMilli(col(vecCol)).as("q_iq"))
     // LUTs are |queries|-bounded — the Column form is fine on this side
-    val luts = qFull
-      .select(col("query_id") +: books.indices.map(j =>
-        sub(col("q_iq"), j).as(s"_s$j")): _*)
-      .select(col("query_id") +: books.indices.map(j =>
-        array(books(j).map(c =>
-          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
-            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
+    val luts = pqAdcLuts(qFull, books, dsub)
     val joined = encoded.crossJoin(broadcast(luts))
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
-    val adc = books.indices.map(j =>
-      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
-      .reduce(_ + _)
     // cutAndRerank orders approx DESC — negate the (ascending) distance
-    cutAndRerank(kept.withColumn("approx", -adc), corpus,
+    cutAndRerank(kept.withColumn("approx", -pqAdcSum(books)), corpus,
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 
@@ -1553,6 +1543,29 @@ object Similarity {
       org.apache.spark.sql.graft.PqCodesLong(
         org.apache.spark.sql.GraftBridge.expression(iq),
         books.flatten.flatten.toArray, books.size, books.head.size, dsub))
+
+  /** ADC LUT table per query — one `|ksub|`-array column `_lj` per
+    * subspace holding the exact integer terms `−2·q_j·c + |c|²` — and
+    * its summed-lookup twin below: ONE copy shared by the flat-PQ and
+    * IVF-PQ trained tiers so the LUT indexing and the ADC sum can never
+    * drift between them (r17 review). */
+  private def pqAdcLuts(qFull: DataFrame, books: Seq[Seq[Seq[Long]]],
+                        dsub: Int): DataFrame = {
+    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
+    qFull
+      .select(col("query_id") +: books.indices.map(j =>
+        sub(col("q_iq"), j).as(s"_s$j")): _*)
+      .select(col("query_id") +: books.indices.map(j =>
+        array(books(j).map(c =>
+          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
+            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
+  }
+
+  /** Summed integer ADC distance of `_codes` against the `_lj` LUTs. */
+  private def pqAdcSum(books: Seq[Seq[Seq[Long]]]): Column =
+    books.indices.map(j =>
+      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
 
   /** IVF + PQ/ADC over TRAINED-exact codebooks (r17): [[knnIvfExact]]'s
     * coarse cell pruning composed with [[knnPqAdcExact]]'s code scoring —
@@ -1566,7 +1579,6 @@ object Similarity {
     require(books.nonEmpty && dim % books.size == 0)
     val m = books.size
     val dsub = dim / m
-    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
     // the coarse cell rides the SAME one-loop kernel as an m=1 book
     // (full-L2 strict-< argmin == the least-struct expanded argmin,
     // ties to the smallest index on both)
@@ -1579,13 +1591,7 @@ object Similarity {
         pqCodesLong(col("_iq"), books, dsub).as("_codes"))
     val qFull = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("q_vec"), quantizeMilli(col(vecCol)).as("q_iq"))
-    val luts = qFull
-      .select(col("query_id") +: books.indices.map(j =>
-        sub(col("q_iq"), j).as(s"_s$j")): _*)
-      .select(col("query_id") +: books.indices.map(j =>
-        array(books(j).map(c =>
-          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
-            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
+    val luts = pqAdcLuts(qFull, books, dsub)
     val probes = exactProbes(queries, idCol, vecCol, coarse, nprobe)
       .select("query_id", "cell")
       .join(broadcast(luts), "query_id")
@@ -1593,10 +1599,7 @@ object Similarity {
     val kept =
       if (excludeSelf) joined.where(col("query_id") =!= col("neighbor_id"))
       else joined
-    val adc = books.indices.map(j =>
-      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
-      .reduce(_ + _)
-    cutAndRerank(kept.withColumn("approx", -adc), corpus,
+    cutAndRerank(kept.withColumn("approx", -pqAdcSum(books)), corpus,
       qFull.select("query_id", "q_vec"), idCol, vecCol, k, candidates)
   }
 

@@ -87,23 +87,40 @@ object SketchStreams {
     * max(a, a) = a). */
   def applyHllppBatch(batch: DataFrame, target: String, backupRoot: String,
                       groupCols: Seq[String], keyCol: String,
-                      rsd: Double = 0.02): Unit = {
+                      rsd: Double = 0.02): Unit =
+    applyIdempotentSketchBatch(batch, target, backupRoot, groupCols,
+      sketchCol = "sketch",
+      buildAgg = Sketches.hllppSketchAgg(col(keyCol), rsd),
+      mergeAgg = sk => Sketches.hllppMergeAgg(sk, rsd))
+
+  /** The shared recover / read / union / merge / snapshot protocol of
+    * the two IDEMPOTENT sketch families (bitmap OR, HLL++ register max)
+    * — one copy so a crash-safety fix can never reach one family and
+    * miss the other (r17 review). The CMS path stays separate: its sum
+    * merge needs the applied-batch watermark this protocol deliberately
+    * omits. */
+  private def applyIdempotentSketchBatch(
+      batch: DataFrame, target: String, backupRoot: String,
+      groupCols: Seq[String], sketchCol: String,
+      buildAgg: org.apache.spark.sql.Column,
+      mergeAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    : Unit = {
     val spark = batch.sparkSession
     graft.sources.Sinks.recover(spark, target)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
     val batchSk = batch.groupBy(groupCols.map(col): _*)
-      .agg(Sketches.hllppSketchAgg(col(keyCol), rsd).as("sketch"))
+      .agg(buildAgg.as(sketchCol))
     val union =
       if (exists)
         spark.read.parquet(target)
-          .select((groupCols.map(col) :+ col("sketch")): _*)
+          .select((groupCols.map(col) :+ col(sketchCol)): _*)
           .unionByName(batchSk)
       else batchSk
     val merged = union
       .groupBy(groupCols.map(col): _*)
-      .agg(Sketches.hllppMergeAgg(col("sketch"), rsd).as("sketch"))
+      .agg(mergeAgg(col(sketchCol)).as(sketchCol))
     graft.sources.Sinks.snapshotOverwrite(spark, merged, target, backupRoot)
   }
 
@@ -112,24 +129,11 @@ object SketchStreams {
     * no-op (A ∪ B ∪ B = A ∪ B), pinned count-exactly in
     * `SketchStreamsSpec`. */
   def applyBitmapBatch(batch: DataFrame, target: String, backupRoot: String,
-                       groupCols: Seq[String], keyCol: String): Unit = {
-    val spark = batch.sparkSession
-    graft.sources.Sinks.recover(spark, target)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(target))
-    val batchBm = Sketches.bitmapTable(batch, groupCols, keyCol)
-    val union =
-      if (exists)
-        spark.read.parquet(target)
-          .select((groupCols.map(col) :+ col("bm")): _*)
-          .unionByName(batchBm)
-      else batchBm
-    val merged = union
-      .groupBy(groupCols.map(col): _*)
-      .agg(Sketches.bitmapOrAgg(col("bm")).as("bm"))
-    graft.sources.Sinks.snapshotOverwrite(spark, merged, target, backupRoot)
-  }
+                       groupCols: Seq[String], keyCol: String): Unit =
+    applyIdempotentSketchBatch(batch, target, backupRoot, groupCols,
+      sketchCol = "bm",
+      buildAgg = Sketches.bitmapAgg(col(keyCol)),
+      mergeAgg = Sketches.bitmapOrAgg)
 
   /** One micro-batch — separated so replay idempotence is directly
     * testable (the `applyAggBatch` pattern). */

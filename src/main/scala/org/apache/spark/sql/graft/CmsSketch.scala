@@ -98,6 +98,16 @@ object CmsState {
     }
   }
 
+  /** The first `rows` (a, b) multiply-shift constants as unsigned
+    * BigInts — the ONE generator feeding both the engine's bucket math
+    * and the DuckDB oracles' HUGEINT literals (the XxhSql.hashInt
+    * discipline: oracle constants that cannot drift from the kernel). */
+  def hashConstants(rows: Int): Seq[(BigInt, BigInt)] = {
+    def u(v: Long): BigInt =
+      BigInt(v) + (if (v < 0) BigInt(2).pow(64) else BigInt(0))
+    (0 until rows).map(r => (u(A(r)), u(B(r))))
+  }
+
   def deserialize(bytes: Array[Byte]): CmsState = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val s = new CmsState(bb.getInt, bb.getInt)

@@ -52,28 +52,39 @@ class BenchFormatSpec extends AnyFunSuite {
       1.3, 0.3).isEmpty)
   }
 
-  test("canary load factor: quietest previous pass, clamped [1,2], " +
-    "1.0 on missing fields") {
+  test("canary load factor: per-name quietest over the intersection, " +
+    "clamped [1,2], 1.0 on missing fields") {
     val prev = Some(
       """{"metric":"total","queries":{"q1":1.0},"canary_before":{"a":1.000,"b":0.640},"canary_after":{"a":0.700,"b":0.380},"sf":"x"}""")
-    // prev quiet = min(1.64, 1.08) = 1.08; an at-or-under current clamps
-    // to exactly 1.0
-    assert(Bench.canaryLoadFactor(prev, 1.0) === 1.0)
-    assert(math.abs(Bench.canaryLoadFactor(prev, 1.62) - 1.5) < 1e-9)
+    // prev quiet per name: a -> 0.7, b -> 0.38 (sum 1.08 on the common
+    // set); an at-or-under current clamps to exactly 1.0
+    assert(Bench.canaryLoadFactor(prev, Seq("a" -> 0.6, "b" -> 0.4)) === 1.0)
+    assert(math.abs(Bench.canaryLoadFactor(prev,
+      Seq("a" -> 1.0, "b" -> 0.62)) - 1.5) < 1e-9)
     // clamp: a 5x-drifted canary never more than doubles the ratio
-    assert(Bench.canaryLoadFactor(prev, 5.4) === 2.0)
+    assert(Bench.canaryLoadFactor(prev, Seq("a" -> 4.0, "b" -> 1.4)) === 2.0)
     // a QUIETER box never tightens below the base ratios
-    assert(Bench.canaryLoadFactor(prev, 0.5) === 1.0)
+    assert(Bench.canaryLoadFactor(prev, Seq("a" -> 0.3, "b" -> 0.2)) === 1.0)
     // pre-r16 artifact (no canary fields) and missing current → 1.0
     assert(Bench.canaryLoadFactor(
-      Some("""{"metric":"total","queries":{"q1":1.0},"sf":"x"}"""), 1.5)
-      === 1.0)
-    assert(Bench.canaryLoadFactor(prev, 0.0) === 1.0)
-    assert(Bench.canaryLoadFactor(None, 1.5) === 1.0)
+      Some("""{"metric":"total","queries":{"q1":1.0},"sf":"x"}"""),
+      Seq("a" -> 1.5)) === 1.0)
+    assert(Bench.canaryLoadFactor(prev, Seq.empty) === 1.0)
+    assert(Bench.canaryLoadFactor(None, Seq("a" -> 1.5)) === 1.0)
     // a canary pass of all-failed (-1) entries is not a baseline
     assert(Bench.canaryLoadFactor(Some(
       """{"canary_before":{"a":-1.000},"canary_after":{"a":-1.000}}"""),
-      9.9) === 1.0)
+      Seq("a" -> 9.9)) === 1.0)
+    // r17 review: a FAILED previous canary must drop that name from BOTH
+    // sums — one failed prev canary on an idle box must NOT read as load
+    assert(Bench.canaryLoadFactor(Some(
+      """{"canary_before":{"a":1.000,"b":-1.0},"canary_after":{"a":0.900,"b":-1.0}}"""),
+      Seq("a" -> 0.9, "b" -> 0.5)) === 1.0)
+    // a renamed canary shares no names with the previous artifact → 1.0
+    assert(Bench.canaryLoadFactor(prev, Seq("c" -> 5.0)) === 1.0)
+    // a FAILED current canary contributes nothing either
+    assert(math.abs(Bench.canaryLoadFactor(prev,
+      Seq("a" -> 1.05, "b" -> -1.0)) - 1.5) < 1e-9)
   }
 
   test("every registered query maps to a named family (no 'other')") {
