@@ -3333,13 +3333,16 @@ object SparkEntry {
 
     // BPE merge training: distributed word-frequency aggregation, then the
     // merge loop on the bounded dictionary driver-side (the same shape
-    // real BPE trainers use; rows-only — iterative merges aren't
-    // SQL-expressible — pinned by a hand-computed corpus in spec)
+    // real BPE trainers use). Fully hash-oracled as of r17: the head
+    // oracle's unroll extends to all 50 trained rounds at trivial cost
+    // (~0.5 s — the symbol tables SHRINK as merges apply), so "iterative
+    // merges aren't SQL-expressible" is retired; also spec-pinned on a
+    // hand-computed corpus
     "bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 50)),
 
-    // The HEAD of the merge table under a full hash oracle: 8 unrolled
-    // merge rounds replay in SQL (the graph_kcore unroll treatment) —
+    // The head rows of the same merge table — kept as the cheap
+    // regression probe now that the full table is oracled (r17) —
     // words as double-space-delimited symbol strings, pair counts via
     // adjacent-symbol explode, the winning merge applied with left-to-
     // right non-overlapping replace(' l  r ' -> ' lr '), which is exactly

@@ -1437,7 +1437,7 @@ private[graft] object SparkEntryOracles {
        |FROM prk""".stripMargin
   }
 
-  /** 8-round unrolled BPE-head twin (the graph_kcore unroll treatment):
+  /** Unrolled BPE merge-table twin (the graph_kcore unroll treatment):
     * words live as double-space-delimited symbol strings bounded by
     * single spaces (' a  b  c '), so a pair occurrence is the literal
     * ' l  r ' and DuckDB's replace() — left-to-right, non-overlapping —
@@ -1445,18 +1445,18 @@ private[graft] object SparkEntryOracles {
     * ([[graft.operators.TextAnalysis.bpeMerges]]); symbol boundaries on
     * both sides of the pattern kill suffix false-matches ('xa  b' never
     * matches ' a  b '), and adjacent occurrences don't share pattern
-    * characters, so 'a a a' merges to 'aa a' on both engines. Depth 16
-    * (r17; was 8) doubles the merge-interaction regime under oracle —
-    * the measured unroll cost is LINEAR and trivial (0.08/0.11/0.16/0.21
-    * s at depth 8/16/24/32 on sf0.01, SCALE.md round-17), so the cap is
-    * readability of the unrolled SQL, not cost; the 50-deep trained
-    * table stays rows-only with its head half now exactly replayed.
+    * characters, so 'a a a' merges to 'aa a' on both engines. The
+    * measured unroll cost is LINEAR and trivial (0.08/0.11/0.16/0.21 s
+    * at depth 8/16/24/32 on sf0.01, SCALE.md round-17) — which is why
+    * r17 finishes the job: `bpe_merges` itself (the 50-round trained
+    * table, "iterative merges aren't SQL-expressible" retired) now
+    * carries the SAME oracle at depth 50, and the 16-round head row
+    * stays as the cheap regression probe.
     * Each sp_i is referenced twice (next round's pair
     * count + apply), so they are AS MATERIALIZED — DuckDB would
     * otherwise inline the whole growing replace() chain per reference
     * and the unroll would go exponential in the optimizer. */
-  private lazy val bpeHeadSql: String = {
-    val depth = 16
+  private def bpeMergesSql(depth: Int): String = {
     def pairsCte(src: String, out: String) =
       s"""$out AS (
          |  SELECT u.l AS l, u.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -3296,7 +3296,8 @@ private[graft] object SparkEntryOracles {
 
     "knn_ivf_pq_fixed" -> knnIvfPqFixedSql,
 
-    "bpe_merges_head" -> bpeHeadSql,
+    "bpe_merges_head" -> bpeMergesSql(16),
+    "bpe_merges" -> bpeMergesSql(50),
 
     "text_language_id" -> {
       val markers = TextAnalysis.markers

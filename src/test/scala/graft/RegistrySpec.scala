@@ -15,7 +15,7 @@ class RegistrySpec extends AnyFunSuite {
   test("registry counts are pinned (an accidental drop in a refactor fails loudly)") {
     // update BOTH literals deliberately when adding/removing queries
     assert(SparkEntry.queries.size === 344)
-    assert(SparkEntry.oracleSql.size === 337)
+    assert(SparkEntry.oracleSql.size === 338)
   }
 
   test("rows-only keys (no oracle) are a deliberate, pinned set") {
@@ -30,9 +30,10 @@ class RegistrySpec extends AnyFunSuite {
     // error/merge laws; r17 promoted the deterministic CMS rollup, the
     // exact-mode theta overlap, AND Spark's own HLL++ — graft.HllSql
     // replays approx_count_distinct bit-for-bit, so only the
-    // DataSketches-library rows remain), the merge-order-dependent GK
-    // quantile summaries (a_approx_quantiles), the
-    // 50-deep driver-loop BPE (green 16-round head oracle),
+    // DataSketches-library rows remain; bpe_merges left too — the
+    // 16-round head unroll extends to the full 50 trained rounds at
+    // trivial oracle cost), the merge-order-dependent GK
+    // quantile summaries (a_approx_quantiles),
     // the Jacobi eigensolve behind the green fixed-basis projection
     // twin, and zlib bytes (below). Adding a query WITHOUT an oracle
     // must be a deliberate edit here — the round-9 lesson was a registry
@@ -40,7 +41,7 @@ class RegistrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "a_approx_quantiles",
-      "a_quantile_sketch_rollup", "a_sketch_rollup", "bpe_merges",
+      "a_quantile_sketch_rollup", "a_sketch_rollup",
       "emb_pca_project", "events_trailing_distinct_sketch",
       // zlib output bytes aren't pinned across builds; ordering laws
       // spec-pinned in TextAnalysisSpec
