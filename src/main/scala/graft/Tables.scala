@@ -31,16 +31,29 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      d.schema(c).dataType.typeName match {
-        case "long" => // TIMESTAMP(NANOS) read via nanosAsLong
-          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-        case "timestamp_ntz" if c == "ts" => // instant-typed consumers
-          d.withColumn(c, col(c).cast("timestamp"))
-        case _ => d
+  /** Per-(session, path) memo of the ANALYZED base-table DataFrame — the
+    * catalog-metadata reuse a real deployment gets from its metastore
+    * (guide §6: file-listing caches). `spark.read.parquet` on a bare path
+    * re-lists the directory and re-reads footers for schema inference on
+    * EVERY call; the bench resolves these ten static tables thousands of
+    * times per run, all pure metadata overhead. The memo holds a LAZY
+    * plan handle only — no rows are cached; every query still scans the
+    * parquet (the no-result-caching bench contract). Keyed by directory
+    * so distinct scale factors never collide; dead sessions evicted by
+    * [[SessionMemo]]. */
+  private val relations = new SessionMemo[String, DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    relations.getOrCompute(spark, s"$sfDir/$name") {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+        d.schema(c).dataType.typeName match {
+          case "long" => // TIMESTAMP(NANOS) read via nanosAsLong
+            d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+          case "timestamp_ntz" if c == "ts" => // instant-typed consumers
+            d.withColumn(c, col(c).cast("timestamp"))
+          case _ => d
+        }
       }
     }
-  }
 }

@@ -289,6 +289,18 @@ object GraftFunctions {
     GraftBridge.column(org.apache.spark.sql.graft.SortedIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** `|A ∩ B| >= need` with two-sided early exit (success the moment the
+    * count reaches `need`; abandonment the moment the best case cannot)
+    * — the threshold pre-filter of the dedup verify joins, equivalent to
+    * `sortedIntersectCount(a, b) >= need` but it stops walking once the
+    * verdict is decided, so the ~99.99% non-matching candidate pairs pay
+    * a handful of comparisons instead of a full merge walk. Arrays MUST
+    * be sorted ascending. */
+  def sortedIntersectAtLeast(a: Column, b: Column, need: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.SortedIntersectAtLeast(
+      GraftBridge.expression(a), GraftBridge.expression(b),
+      GraftBridge.expression(need)))
+
   /** Σ aᵢ·bᵢ of two `array<long>` columns as one fused codegen'd loop —
     * the quantized-vector scoring inner loop (semantic dedup, fixed-
     * codebook IVF); replaces `aggregate(zip_with(a, b, _*_), 0, _+_)`

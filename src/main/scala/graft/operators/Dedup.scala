@@ -190,6 +190,14 @@ object Dedup {
         col("n").as("size_a")), "id_a")
       .join(hashed.select(col("doc").as("id_b"), col("hs").as("hs_b"),
         col("n").as("size_b")), "id_b")
+      // early-exit threshold pre-filter: J ≥ t ⟺ i ≥ t/(1+t)·(na+nb);
+      // the −1 slack keeps the prefilter strictly NECESSARY under any
+      // IEEE boundary disagreement with the exact division test below,
+      // so no true pair can be lost — non-matching pairs (the vast
+      // majority) abandon the merge walk after a few comparisons (r18)
+      .where(sortedIntersectAtLeast(col("hs_a"), col("hs_b"),
+        (ceil(lit(alphaFactor) * (col("size_a") + col("size_b"))) - 1)
+          .cast("long")))
       .withColumn("intersection",
         sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
@@ -314,9 +322,14 @@ object Dedup {
       .join(hashed.select(col("doc").as("b"), col("hs").as("hs_b"),
         col("n").as("size_b")), "b")
       .where(col("size_b") >= ceil(lit(t) * col("size_a")))
+      // threshold pre-filter with two-sided early exit: identical verdict
+      // to `count >= ceil(t·|A|)`, but the ~10⁴:1 non-matching candidate
+      // majority abandons the merge walk in a few comparisons; only the
+      // survivors pay the full count the output schema needs (r18)
+      .where(sortedIntersectAtLeast(col("hs_a"), col("hs_b"),
+        ceil(lit(t) * col("size_a")).cast("long")))
       .withColumn("intersection",
         sortedIntersectCount(col("hs_a"), col("hs_b")))
-      .where(col("intersection") >= ceil(lit(t) * col("size_a")))
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("intersection"), col("size_a"), col("size_b"))
     // members: every member of rep a is contained in every member of rep
@@ -475,10 +488,14 @@ object Dedup {
         explode(sequence(lit(1L), lit(window.toLong))).as("off"))
       .withColumn("seq_b", col("seq") + col("off"))
       .join(right, "seq_b")
-      .withColumn("intersection",
-        sortedIntersectCount(col("sh"), col("sh_b")))
       .withColumn("sa", size(col("sh")).cast("long"))
       .withColumn("sb", size(col("sh_b")).cast("long"))
+      // early-exit pre-filter (−1 slack, see ngramJaccardPairsFromGroups)
+      .where(sortedIntersectAtLeast(col("sh"), col("sh_b"),
+        (ceil(lit(minJaccard / (1.0 + minJaccard)) *
+          (col("sa") + col("sb"))) - 1).cast("long")))
+      .withColumn("intersection",
+        sortedIntersectCount(col("sh"), col("sh_b")))
       .where(col("intersection") / (col("sa") + col("sb") -
         col("intersection")) >= minJaccard)
       .select(least(col("doc_id"), col("doc_b")).as("id_a"),
@@ -541,6 +558,11 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
+      // early-exit pre-filter (−1 slack, see ngramJaccardPairsFromGroups)
+      .where(sortedIntersectAtLeast(col("sh_a"), col("sh_b"),
+        (ceil(lit(minJaccard / (1.0 + minJaccard)) *
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long")) - 1)
+          .cast("long")))
       .withColumn("intersection",
         sortedIntersectCount(col("sh_a"), col("sh_b")).cast("int"))
       .withColumn("union_size",
@@ -1202,10 +1224,14 @@ object Dedup {
         "new_id")
       .join(rSets.select(col("doc").as("ref_id"), col("sh").as("sh_r")),
         "ref_id")
-      .withColumn("intersection",
-        sortedIntersectCount(col("sh_n"), col("sh_r")))
       .withColumn("size_new", size(col("sh_n")).cast("long"))
       .withColumn("size_ref", size(col("sh_r")).cast("long"))
+      // early-exit pre-filter (−1 slack, see ngramJaccardPairsFromGroups)
+      .where(sortedIntersectAtLeast(col("sh_n"), col("sh_r"),
+        (ceil(lit(alphaFactor) * (col("size_new") + col("size_ref"))) - 1)
+          .cast("long")))
+      .withColumn("intersection",
+        sortedIntersectCount(col("sh_n"), col("sh_r")))
       .where(col("intersection") /
         (col("size_new") + col("size_ref") - col("intersection")) >=
         minJaccard)

@@ -163,15 +163,40 @@ object Multimodal {
                            mean_r_milli: Long, mean_g_milli: Long,
                            mean_b_milli: Long, luma_hist: Array[Long])
 
+  /** Full raster decode of an in-memory payload through a MEMORY-backed
+    * image input stream. `ImageIO.read(InputStream)` wraps its input in
+    * the default disk-backed cache — one temp FILE created and deleted in
+    * `java.io.tmpdir` per image — which couples every decode to tmp-dir
+    * I/O load (measured in r18: the same 6k-payload battery query ran
+    * 0.26s on a quiet tmp dir and 2.3s mid-battery purely from that
+    * churn). Same rationale as [[decodeOne]]'s header probe; null on
+    * undecodable payloads, matching `ImageIO.read`. */
+  private def readImageInMemory(bytes: Array[Byte], off: Int,
+                                len: Int): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    // ImageIO.read(ImageInputStream) closes the stream itself whenever a
+    // reader claimed it (success OR decode error) — only the no-reader
+    // null return leaves it open, so close exactly that path ourselves
+    // (a second close() on an ImageInputStreamImpl THROWS, not no-ops)
+    try {
+      val img = javax.imageio.ImageIO.read(iis)
+      if (img == null) iis.close()
+      img
+    } catch {
+      case _: Exception =>
+        try iis.close() catch { case _: Exception => () }
+        null
+    }
+  }
+
   /** FULL raster decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP readers
     * ship with the JVM — this is a real decode, not a header probe) +
     * feature extraction, as the same `mapPartitions` batch shape as
     * [[decodeAssets]]. Sums are exact integers, so the features are
     * bit-reproducible anywhere. */
   def pixelFeaturesOne(assetId: Long, bytes: Array[Byte]): PixelFeatures = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImageInMemory(bytes, 0, bytes.length)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
       PixelFeatures(assetId, ok = false, 0, 0, 0L, 0L, 0L, new Array[Long](8))
     else {
@@ -275,10 +300,7 @@ object Multimodal {
     (0 until k).map { i =>
       val fi = (i.toLong * m / k).toInt // even spacing across the stream
       val (off, len) = chunks(fi)
-      val img =
-        try javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes, off, len))
-        catch { case _: Exception => null }
+      val img = readImageInMemory(bytes, off, len)
       if (img == null || img.getWidth <= 0)
         VideoFrame(assetId, ok = false, m, i, fi, 0, 0, 0L)
       else {
@@ -843,9 +865,7 @@ object Multimodal {
     * pixels give near-identical bits, pinned in `MultimodalSpec`.
     * Undecodable payloads return ok = false, phash = 0. */
   def perceptualHashOne(assetId: Long, bytes: Array[Byte]): PHashRow = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImageInMemory(bytes, 0, bytes.length)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
       PHashRow(assetId, ok = false, 0L)
     else {

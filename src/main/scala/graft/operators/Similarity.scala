@@ -1544,28 +1544,34 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(iq),
         books.flatten.flatten.toArray, books.size, books.head.size, dsub))
 
-  /** ADC LUT table per query — one `|ksub|`-array column `_lj` per
-    * subspace holding the exact integer terms `−2·q_j·c + |c|²` — and
+  /** ADC LUT table per query — ONE flat `array<long>` column `_lut` of
+    * m·ksub exact integer terms `lut[j·ksub + c] = −2·q_j·c + |c|²` — and
     * its summed-lookup twin below: ONE copy shared by the flat-PQ and
     * IVF-PQ trained tiers so the LUT indexing and the ADC sum can never
-    * drift between them (r17 review). */
+    * drift between them (r17 review). The previous per-subspace Column
+    * form (m array columns × ksub inlined dot_long kernels) generated a
+    * >10k-line codegen fragment that failed Janino and ran interpreted
+    * after a doomed ~1 s compile attempt PER EXECUTION (r18); the
+    * [[org.apache.spark.sql.graft.PqAdcLutLong]] kernel is the same
+    * integers as one compact loop. */
   private def pqAdcLuts(qFull: DataFrame, books: Seq[Seq[Seq[Long]]],
-                        dsub: Int): DataFrame = {
-    def sub(iq: Column, j: Int): Column = slice(iq, j * dsub + 1, dsub)
-    qFull
-      .select(col("query_id") +: books.indices.map(j =>
-        sub(col("q_iq"), j).as(s"_s$j")): _*)
-      .select(col("query_id") +: books.indices.map(j =>
-        array(books(j).map(c =>
-          lit(-2L) * dotLong(col(s"_s$j"), typedLit(c)) +
-            lit(c.map(x => x * x).sum)): _*).as(s"_l$j")): _*)
-  }
+                        dsub: Int): DataFrame =
+    qFull.select(col("query_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.PqAdcLutLong(
+          org.apache.spark.sql.GraftBridge.expression(col("q_iq")),
+          books.flatten.flatten.toArray, books.size, books.head.size, dsub))
+        .as("_lut"))
 
-  /** Summed integer ADC distance of `_codes` against the `_lj` LUTs. */
-  private def pqAdcSum(books: Seq[Seq[Seq[Long]]]): Column =
+  /** Summed integer ADC distance of `_codes` against the flat `_lut`:
+    * Σ_j lut[j·ksub + code_j] — m element_at lookups, codegen-compact. */
+  private def pqAdcSum(books: Seq[Seq[Seq[Long]]]): Column = {
+    val ksub = books.head.size
     books.indices.map(j =>
-      element_at(col(s"_l$j"), element_at(col("_codes"), j + 1) + 1))
+      element_at(col("_lut"),
+        element_at(col("_codes"), j + 1) + lit(j * ksub + 1)))
       .reduce(_ + _)
+  }
 
   /** IVF + PQ/ADC over TRAINED-exact codebooks (r17): [[knnIvfExact]]'s
     * coarse cell pruning composed with [[knnPqAdcExact]]'s code scoring —
