@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.InternalRows
 import org.apache.spark.sql.types.LongType
@@ -75,7 +76,11 @@ object Ranking {
     * group total is `max(_gi) − min(_gx)` — no second scan of the input,
     * no pin (the second consumption of the scanned table re-runs only
     * the reduce-side sort over reused shuffle output — cheaper than a
-    * checkpoint write of the whole run table).
+    * checkpoint write of the whole run table). The |groups|-row
+    * statistics table is explicitly BROADCAST back (r18): the RDD-backed
+    * scan carries no stats, so without the hint the planner planned a
+    * shuffle join and AQE converted it to broadcast only after the whole
+    * run table had already been exchanged.
     *
     * Output: groupCols…, `valueCol`, `_c` (run weight), `n` (group
     * total), `_cum` (inclusive cumulative weight at the END of this
@@ -104,11 +109,18 @@ object Ranking {
       .agg(sum(col("_c")).as("_c"))
     val inc = PrefixScan.runningLong(counts, gv, "_c",
       PrefixScan.Sum, "_gx", "_gi")
-    // one row per group, from the SAME scanned table — AQE broadcasts it
+    // one row per group, from the SAME scanned table (re-consuming inc
+    // re-runs only the reduce-side sort over reused shuffle output —
+    // cheaper than re-aggregating the input). BROADCAST explicitly: the
+    // RDD-backed scan carries no stats, so without the hint the planner
+    // shuffle-joins the whole run table against the |groups|-row side
+    // and AQE only converts to broadcast AFTER that exchange has
+    // materialized (measured: a full extra shuffle of every run per
+    // consumer, r18).
     val gstats = inc.groupBy(groupCols.map(col): _*)
       .agg(min(col("_gx")).as("_off"),
         (max(col("_gi")) - min(col("_gx"))).as("n"))
-    nullSafeEquiJoin(inc, gstats, groupCols)
+    nullSafeEquiJoin(inc, broadcast(gstats), groupCols)
       .withColumn("_cum", col("_gi") - col("_off"))
       .drop("_gx", "_gi", "_off")
   }
