@@ -564,14 +564,16 @@ object TextAnalysis {
     // uncollapsed index shed — weighting by n keeps the metric's meaning
     // identical to the pre-collapse form)
     // effective cap: the absolute literal, or (relative mode) its max
-    // with n_docs·perMille/1000 — n_docs = Σ group weights from the SAME
-    // pinned scan via a broadcast 1-row cross join, fully lazy
+    // with n_docs·perMille/1000 — n_docs = one COUNT of the materialized
+    // membership table (exactly one row per document, so count(*) ≡ the
+    // Σ-of-group-weights the first cut derived by DISTINCTing the
+    // exploded 424k-row fingerprint table: a full dedup exchange paid
+    // for a 1-row answer, r18) via a broadcast 1-row cross join, lazy
     val grouped0 = ex.groupBy("f").agg(sum(col("n")).as("df"))
     val (grouped, cap) =
       if (maxDfPerMille <= 0) (grouped0, lit(maxDf.toLong))
       else (grouped0.crossJoin(broadcast(
-        ex.select(col("rep"), col("n")).distinct()
-          .agg(sum(col("n")).as("_ndocs")))),
+        members.agg(count(lit(1)).as("_ndocs")))),
         greatest(lit(maxDf.toLong),
           expr(s"_ndocs * $maxDfPerMille div 1000")))
     val hot = grouped
