@@ -308,11 +308,19 @@ object Dedup {
     val full = sets.select(col("doc").as("b"), col("n").as("nb"),
       posexplode(transform(col("es"), e => e.getField("h")))
         .as(Seq("pb", "h")))
+    // NO distinct on the raw candidates (r18): deduping 6M prefix-match
+    // rows before the verify cost a corpus-scale exchange + two hash
+    // aggregates (peak 0.5 GB at sf0.1) only to shrink 8.4M rows to 6M —
+    // with the early-exit prefilter below, verifying the duplicates
+    // directly is a few comparisons each, and the dedup moves to the
+    // ~500-row survivor set where it is free. Identical output: a pair's
+    // intersection/sizes are functions of the pair, so duplicate
+    // candidate rows collapse to one identical row.
     val cand = prefixes.join(full, "h")
       .where(col("a") =!= col("b") &&
         least(col("na") - col("pa"), col("nb") - col("pb")) >=
           ceil(lit(t) * col("na")))
-      .select("a", "b").distinct()
+      .select("a", "b")
     // hs is precomputed in the memoized sets table (one sort per set per
     // corpus, not per threshold query)
     val hashed = sets.select(col("doc"), col("hs"), col("n"))
@@ -332,6 +340,7 @@ object Dedup {
         sortedIntersectCount(col("hs_a"), col("hs_b")))
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("intersection"), col("size_a"), col("size_b"))
+      .distinct()
     // members: every member of rep a is contained in every member of rep
     // b; identical sets (same rep, n_same > 1) contain each other BOTH
     // ways — emit ordered pairs in both directions
@@ -557,7 +566,6 @@ object Dedup {
       .where(col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
       // early-exit pre-filter (−1 slack, see ngramJaccardPairsFromGroups)
       .where(sortedIntersectAtLeast(col("sh_a"), col("sh_b"),
         (ceil(lit(minJaccard / (1.0 + minJaccard)) *
@@ -570,6 +578,14 @@ object Dedup {
       .withColumn("jaccard", col("intersection") / col("union_size"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "intersection")
+      // dedup AFTER the verify (r18, same move as containment): a pair
+      // colliding in several bands verifies once per collision — a few
+      // comparisons each under the early-exit walk — while the old
+      // band-level dropDuplicates shuffled every candidate row WITH both
+      // shingle arrays aboard just to save those re-walks; here the
+      // distinct moves only the (id, id, n) survivor rows. Identical
+      // output: intersection is a function of the pair.
+      .distinct()
     val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
     val cross = repPairs
       .join(memb.select(col("rep").as("id_a"), col("m").as("ma")), "id_a")
@@ -709,7 +725,6 @@ object Dedup {
       .where(col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         col("a.shs").as("sh_a"), col("b.shs").as("sh_b"))
-      .dropDuplicates("ra", "rb")
       .withColumn("intersection",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_size",
@@ -717,6 +732,14 @@ object Dedup {
           - col("intersection"))
       .where(col("intersection") / col("union_size") >= minJaccard)
       .select("ra", "rb", "intersection", "union_size")
+      // dedup AFTER the verify (r18, the containment move): the old
+      // band-level dropDuplicates exchanged every candidate row with
+      // BOTH string shingle arrays aboard just to avoid re-verifying a
+      // pair that collided in several bands; verifying the few
+      // collisions costs less than shuffling the arrays, and the
+      // distinct now moves only (id, id, n, n) survivor rows. Identical
+      // output: intersection/union are functions of the pair.
+      .distinct()
     val memb = groups.select(col("rep"), explode(col("ids")).as("m"))
     val cross = repPairs
       .join(memb.select(col("rep").as("ra"), col("m").as("ma")), "ra")
