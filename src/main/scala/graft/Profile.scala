@@ -37,6 +37,32 @@ object Profile {
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()
     })
+    // SPARK_GRAFT_PROFILE_JOBS=1: per-JOB wall times with the job's first
+    // stage callsite — the timeline view for RDD-backed phases (prefix
+    // scans, eager pins, broadcast collects) that the SQL-metrics dump of
+    // the final plan cannot attribute
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")) {
+      val t0 = System.nanoTime()
+      val starts = new java.util.concurrent.ConcurrentHashMap[
+        Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = j.stageInfos.lastOption.map(_.details.linesIterator
+              .find(l => l.contains("graft") && !l.contains("Profile"))
+              .getOrElse(j.stageInfos.last.name)).getOrElse("?")
+            starts.put(j.jobId, (System.nanoTime(), site))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(starts.remove(j.jobId)).foreach { case (s, site) =>
+              System.err.println(f"[job ${j.jobId}%4d " +
+                f"@${(s - t0) / 1e9}%7.2fs ${(System.nanoTime() - s) / 1e9}%6.3fs] $site")
+            }
+          }
+        })
+    }
 
     // warmup: JIT + codegen cache
     Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count()
@@ -50,13 +76,18 @@ object Profile {
           val w0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val warmSec = (System.nanoTime() - w0) / 1e9
-          val times = (1 to reps).map { _ =>
+          val times = (1 to reps).map { r =>
+            // null out before the LAST rep and spin until the listener
+            // delivers it: a fixed sleep raced a slow listener bus and
+            // could render a PREVIOUS query's execution (r18 advice)
+            if (r == reps) lastQe = null
             val t0 = System.nanoTime()
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
-          // the listener fires asynchronously after the action returns
-          Thread.sleep(500)
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (lastQe == null && System.nanoTime() < deadline)
+            Thread.sleep(20)
           println(f"%n=== $qn: warm=$warmSec%.2fs reps=${times.map(t => f"$t%.2f").mkString(",")} ===")
           if (lastQe != null)
             println(org.apache.spark.sql.graft.PlanMetricsDump

@@ -2,9 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.InternalRows
+import org.apache.spark.sql.graft.{InternalRows, SpillableRowBuffer}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed prefix scan: running aggregates in a GLOBAL total order
@@ -120,5 +120,224 @@ object PrefixScan {
       sorted.schema
         .add(exclCol, LongType, nullable = false)
         .add(inclCol, LongType, nullable = false))
+  }
+
+  /** SEGMENTED prefix scan: per-GROUP inclusive running sum (`cumCol`)
+    * and per-group TOTAL (`totCol`) of LONG `valueCol`, in the total
+    * order `groupCols ++ orderCols` — one range-sort, one bounded driver
+    * roll-up, one emit pass. The grouped twin of [[runningLong]], built
+    * so [[Ranking.groupedRuns]] needs NO per-group statistics
+    * aggregation and NO join back (r19: that branch cost a re-sort of
+    * the run table, two aggregate stages and a broadcast join per call —
+    * and the broadcast was unbounded in the group count, the r18 advice
+    * risk).
+    *
+    * How the carries generalize: groups are CONTIGUOUS in the global
+    * order, so only each partition's FIRST and LAST group can straddle a
+    * partition boundary. Pass 1 collects per partition (first-group key,
+    * its partial sum, last-group key, its partial sum) — group keys as
+    * UnsafeRow bytes, so driver state stays ≤ 2 rows per partition
+    * regardless of group cardinality. The driver walks partitions in
+    * order, stitching straddling groups into: the first group's carry-in
+    * (weight in earlier partitions), the first group's GLOBAL total, and
+    * the last group's global total. The emit pass streams the first
+    * segment (carry + known total) and the last segment (identified by
+    * its group key, known total), and buffers only INTERIOR segments —
+    * which by construction lie entirely inside one partition — in a
+    * spill-capable buffer to learn their local totals.
+    *
+    * Same contracts as [[runningLong]]: `groupCols ++ orderCols` must be
+    * a total order, `valueCol` must be non-null LONG, sums overflow
+    * loudly. Output: the input columns + `cumCol` + `totCol`. */
+  def groupedRunningLong(df: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[String], valueCol: String,
+                         cumCol: String = "_cum",
+                         totCol: String = "n"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(orderCols.nonEmpty, "at least one order column")
+    require(!df.columns.contains(cumCol) && !df.columns.contains(totCol),
+      s"output columns $cumCol/$totCol already exist")
+    val allOrder = (groupCols ++ orderCols).map(col)
+    val sorted = df
+      .repartitionByRange(allOrder: _*)
+      .sortWithinPartitions(allOrder: _*)
+    val rdd = InternalRows.toRdd(sorted)
+    val schema = sorted.schema
+    val idx = schema.fieldIndex(valueCol)
+    require(schema(idx).dataType == LongType,
+      s"$valueCol must be LONG (cast upstream)")
+    val gRefs = groupCols.map { c =>
+      val i = schema.fieldIndex(c)
+      BoundReference(i, schema(i).dataType, schema(i).nullable)
+    }
+    val vCol = valueCol
+    def valueAt(r: InternalRow): Long = {
+      if (r.isNullAt(idx)) throw new IllegalArgumentException(
+        s"$vCol contains NULL — filter or coalesce upstream of PrefixScan")
+      r.getLong(idx)
+    }
+    // pass 1: per-partition boundary-group partials (empty partitions
+    // emit nothing and are transparent to the driver walk)
+    val boundaries = rdd.mapPartitionsWithIndex { (p, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val proj = UnsafeProjection.create(gRefs)
+        var firstKey: Array[Byte] = null
+        var firstSum = 0L
+        var curKey: UnsafeRow = null
+        var acc = 0L
+        it.foreach { r =>
+          val g = proj(r)
+          if (curKey == null) curKey = g.copy()
+          else if (g != curKey) {
+            if (firstKey == null) { firstKey = curKey.getBytes; firstSum = acc }
+            curKey = g.copy(); acc = 0L
+          }
+          acc = Sum.combine(acc, valueAt(r))
+        }
+        val lastKey = curKey.getBytes
+        if (firstKey == null) { firstKey = lastKey; firstSum = acc }
+        Iterator.single((p, firstKey, firstSum, lastKey, acc))
+      }
+    }.collect().sortBy(_._1)
+    // driver roll-up: carry-in for the first group, global totals for
+    // the boundary groups. Bounded state: the open-group membership list
+    // holds at most one (partition, role) pair per partition.
+    val numParts = rdd.getNumPartitions
+    val carryF = new Array[Long](numParts)
+    val totFirst = new Array[Long](numParts)
+    val totLast = new Array[Long](numParts)
+    val lastKeys = new Array[Array[Byte]](numParts)
+    locally {
+      val open = scala.collection.mutable.ArrayBuffer[(Int, Boolean, Boolean)]()
+      var curG: Array[Byte] = null
+      var curAcc = 0L
+      def finalizeGroup(total: Long): Unit = {
+        open.foreach { case (p, asFirst, asLast) =>
+          if (asFirst) totFirst(p) = total
+          if (asLast) totLast(p) = total
+        }
+        open.clear(); curG = null
+      }
+      boundaries.foreach { case (p, fg, aF, lg, aL) =>
+        lastKeys(p) = lg
+        val single = java.util.Arrays.equals(fg, lg)
+        val cont = curG != null && java.util.Arrays.equals(fg, curG)
+        if (cont) carryF(p) = curAcc
+        else if (curG != null) finalizeGroup(curAcc)
+        if (single) {
+          if (cont) { open += ((p, true, true)); curAcc = Sum.combine(curAcc, aF) }
+          else { curG = fg; curAcc = aF; open += ((p, true, true)) }
+        } else {
+          if (cont) { open += ((p, true, false)); finalizeGroup(Sum.combine(curAcc, aF)) }
+          else totFirst(p) = aF // group opens and closes inside p's head
+          curG = lg; curAcc = aL; open += ((p, false, true))
+        }
+      }
+      if (curG != null) finalizeGroup(curAcc)
+    }
+    val bc = df.sparkSession.sparkContext
+      .broadcast((carryF, totFirst, totLast, lastKeys))
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      if (it.isEmpty) Iterator.empty
+      else new Iterator[InternalRow] {
+        private val (cF, tF, tL, lK) = bc.value
+        private val proj = UnsafeProjection.create(gRefs)
+        private val extra = new GenericInternalRow(2)
+        private val joined = new JoinedRow
+        private val lastKey = lK(p)
+        // the row/group held over from detecting a segment boundary
+        private var pendingRow: InternalRow = _
+        private var pendingGroup: UnsafeRow = _
+        private var firstSegment = true
+        private var srcDone = false
+        private var seg: Iterator[InternalRow] = Iterator.empty
+
+        private def emit(r: InternalRow, cum: Long, tot: Long): InternalRow = {
+          extra.update(0, cum); extra.update(1, tot)
+          joined(r, extra)
+        }
+        /** Streaming segment: emits `first` then source rows while they
+          * stay in `g`; a row of the next group parks in `pending*`. */
+        private def streaming(first: InternalRow, g: UnsafeRow, base: Long,
+                              tot: Long): Iterator[InternalRow] =
+          new Iterator[InternalRow] {
+            private var acc = base
+            private var head: InternalRow = first
+            def hasNext: Boolean = {
+              if (head != null) return true
+              if (srcDone) return false
+              if (!it.hasNext) { srcDone = true; return false }
+              val r = it.next()
+              val rg = proj(r)
+              if (rg == g) { head = r; true }
+              else {
+                pendingRow = r.copy(); pendingGroup = rg.copy()
+                false
+              }
+            }
+            def next(): InternalRow = {
+              val r = head; head = null
+              acc = Sum.combine(acc, valueAt(r))
+              emit(r, acc, tot)
+            }
+          }
+        /** Interior segment: wholly inside this partition — buffer it
+          * (spill-capable) to learn its local total, then emit. */
+        private def buffered(first: InternalRow,
+                             g: UnsafeRow): Iterator[InternalRow] = {
+          val buf = new SpillableRowBuffer
+          var tot = valueAt(first)
+          buf.add(first)
+          var open = true
+          while (open) {
+            if (!it.hasNext) { srcDone = true; open = false }
+            else {
+              val r = it.next()
+              val rg = proj(r)
+              if (rg == g) { tot = Sum.combine(tot, valueAt(r)); buf.add(r) }
+              else {
+                pendingRow = r.copy(); pendingGroup = rg.copy()
+                open = false
+              }
+            }
+          }
+          val totF = tot
+          var acc = 0L
+          buf.iterator.map { r =>
+            acc = Sum.combine(acc, valueAt(r))
+            emit(r, acc, totF)
+          }
+        }
+        private def advance(): Unit = {
+          // next segment's head: the parked row, or (only at the very
+          // start) the first source row
+          val (head, g) =
+            if (pendingRow != null) {
+              val h = (pendingRow, pendingGroup)
+              pendingRow = null; pendingGroup = null
+              h
+            } else if (firstSegment && it.hasNext) {
+              val r = it.next()
+              (r.copy(), proj(r).copy())
+            } else { srcDone = true; return }
+          seg =
+            if (firstSegment) { firstSegment = false
+              streaming(head, g, cF(p), tF(p)) }
+            else if (java.util.Arrays.equals(g.getBytes, lastKey))
+              streaming(head, g, 0L, tL(p))
+            else buffered(head, g)
+        }
+        def hasNext: Boolean = {
+          while (!seg.hasNext && !(srcDone && pendingRow == null)) advance()
+          seg.hasNext
+        }
+        def next(): InternalRow = seg.next()
+      }
+    }
+    InternalRows.toDataFrame(df, out,
+      schema
+        .add(cumCol, LongType, nullable = false)
+        .add(totCol, LongType, nullable = false))
   }
 }

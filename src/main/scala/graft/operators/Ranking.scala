@@ -64,42 +64,52 @@ object Ranking {
   /** Collapsed value runs with per-group cumulative weights, computed
     * WITHOUT a per-group window: one map-side-combining aggregation to
     * distinct (group, value) runs (each carrying its total `weight` as
-    * `_c`), then a [[PrefixScan]] running sum over the GLOBAL (group,
-    * value) order, rebased per group into the group-local `_cum`.
+    * `_c`), then [[PrefixScan.groupedRunningLong]]'s SEGMENTED running
+    * sum over the GLOBAL (group, value) order — group-local `_cum` and
+    * the group total `n` fall out of the same two-pass scan.
     * Every pass is distributed; the per-group "sort" happens
     * inside the range shuffle across ALL tasks, so three 2-billion-row
     * groups cost the same as six million small ones.
     *
-    * Everything derives from ONE scanned run table: the group's start
-    * offset is `min(_gx)` over the group (runs sort group-first, so the
-    * group's first run carries the sum of all earlier groups) and the
-    * group total is `max(_gi) − min(_gx)` — no second scan of the input,
-    * no pin (the second consumption of the scanned table re-runs only
-    * the reduce-side sort over reused shuffle output — cheaper than a
-    * checkpoint write of the whole run table). The |groups|-row
-    * statistics table is explicitly BROADCAST back (r18): the RDD-backed
-    * scan carries no stats, so without the hint the planner planned a
-    * shuffle join and AQE converted it to broadcast only after the whole
-    * run table had already been exchanged.
+    * r18 shipped this as a GLOBAL prefix scan rebased per group through
+    * a per-group statistics aggregation joined back by an explicit
+    * broadcast. r19 replaced that with the segmented scan: the stats
+    * branch re-sorted the run table, paid two aggregate stages and a
+    * broadcast build per call — and the broadcast was unbounded in the
+    * group count (a near-unique grouping could blow the 8 GB broadcast
+    * cap, the r18 advice risk). Now there is no join at all.
     *
     * Output: groupCols…, `valueCol`, `_c` (run weight), `n` (group
     * total), `_cum` (inclusive cumulative weight at the END of this
     * value's run, in ascending value order). NULL values collapse into
     * one run that sorts first — identical to a window's asc-nulls-first.
     */
-  private def groupedRuns(df: DataFrame, groupCols: Seq[String],
-                          valueCol: String, weight: Column): DataFrame = {
+  private[operators] def groupedRuns(df: DataFrame, groupCols: Seq[String],
+                                     valueCol: String,
+                                     weight: Column): DataFrame =
+    groupedRunsFromCounts(
+      runCounts(df, groupCols, valueCol, weight), groupCols, valueCol)
+
+  /** The run-collapse half of [[groupedRuns]]: one map-side-combining
+    * aggregation to distinct (group, value) rows carrying their total
+    * weight as `_c`. Exposed within the package so operators that need
+    * TWO selections over related value columns (MAD) can derive the
+    * second run table from the first instead of re-aggregating the
+    * input. */
+  private[operators] def runCounts(df: DataFrame, groupCols: Seq[String],
+                                   valueCol: String,
+                                   weight: Column): DataFrame = {
     val gv = groupCols :+ valueCol
     // coalesce(0): a NULL weight contributes nothing to any cumulative
     // (the window form's sum-skips-nulls behavior); without it a run of
     // only-null weights would reach PrefixScan's loud null check
     val w = coalesce(weight.cast("long"), lit(0L))
-    val counts = df
-      // NON-NEGATIVE weight contract, enforced loudly: the group offset/
-      // total derivation below (min(_gx) / max(_gi) − min(_gx)) is only
-      // valid when prefix sums are monotone — a negative weight would
-      // silently corrupt offsets for every group sorting after it. For
-      // the internal lit(1L) callers the branch constant-folds away.
+    df
+      // NON-NEGATIVE weight contract, enforced loudly: the segmented
+      // scan's carry stitching is only valid when prefix sums are
+      // monotone — a negative weight would silently corrupt cumulative
+      // weights for every run sorting after it. For the internal
+      // lit(1L) callers the branch constant-folds away.
       .select(gv.map(col) :+
         when(w < 0, raise_error(concat(
           lit("groupedRuns: negative weight "), w.cast("string"),
@@ -107,23 +117,17 @@ object Ranking {
           .otherwise(w).as("_c"): _*)
       .groupBy(gv.map(col): _*)
       .agg(sum(col("_c")).as("_c"))
-    val inc = PrefixScan.runningLong(counts, gv, "_c",
-      PrefixScan.Sum, "_gx", "_gi")
-    // one row per group, from the SAME scanned table (re-consuming inc
-    // re-runs only the reduce-side sort over reused shuffle output —
-    // cheaper than re-aggregating the input). BROADCAST explicitly: the
-    // RDD-backed scan carries no stats, so without the hint the planner
-    // shuffle-joins the whole run table against the |groups|-row side
-    // and AQE only converts to broadcast AFTER that exchange has
-    // materialized (measured: a full extra shuffle of every run per
-    // consumer, r18).
-    val gstats = inc.groupBy(groupCols.map(col): _*)
-      .agg(min(col("_gx")).as("_off"),
-        (max(col("_gi")) - min(col("_gx"))).as("n"))
-    nullSafeEquiJoin(inc, broadcast(gstats), groupCols)
-      .withColumn("_cum", col("_gi") - col("_off"))
-      .drop("_gx", "_gi", "_off")
   }
+
+  /** [[groupedRuns]] over a pre-collapsed run table (`groupCols…,
+    * valueCol, _c` with `_c` the non-negative run weight): the segmented
+    * prefix scan appends `_cum` and `n`. */
+  private[operators] def groupedRunsFromCounts(counts: DataFrame,
+                                               groupCols: Seq[String],
+                                               valueCol: String): DataFrame =
+    PrefixScan.groupedRunningLong(counts, groupCols, Seq(valueCol), "_c",
+      cumCol = "_cum", totCol = "n")
+      .select((groupCols :+ valueCol :+ "_c" :+ "n" :+ "_cum").map(col): _*)
 
   /** Inner equi-join on `keys` that MATCHES null keys (`<=>`), keeping
     * the left side's key columns — a grouped-statistics join must not
@@ -244,7 +248,11 @@ object Ranking {
                   scoreCol: String): DataFrame = {
     require(k >= 1, "k >= 1")
     val withSeq = globalRowNumbers(df, orderCols)
-    val tot = withSeq.agg(count(lit(1)).as("_n"))
+    // count the INPUT, not the sequenced table: globalRowNumbers preserves
+    // cardinality, and counting its output re-ran the whole range-sort +
+    // zipWithIndex lineage (a full extra pass) for a number the un-sorted
+    // scan yields with column pruning (r19)
+    val tot = df.agg(count(lit(1)).as("_n"))
     withSeq.crossJoin(broadcast(tot))
       .withColumn(scoreCol, expr(s"(seq * $k) div _n + 1"))
       .drop("seq", "_n")
