@@ -81,6 +81,42 @@ object Checkpoints {
     }
   }
 
+  /** Eagerly pin `ds` HASH-PARTITIONED on `keys`, preserving the
+    * partitioning in the pinned plan so later equi-joins/aggregations on
+    * `keys` read it WITHOUT re-exchanging — the co-partitioned loop-table
+    * pattern (guide §2.4): an iterative operator that joins the same
+    * materialized table on the same key every round should pay that
+    * table's shuffle once, at pin time, not once per round.
+    *
+    * Why AQE flips off around the pin: `Dataset.checkpoint` captures the
+    * physical plan's `outputPartitioning` into the pinned `LogicalRDD`,
+    * but an adaptively-executed plan reports it through
+    * `AdaptiveSparkPlanExec` where it is not statically resolvable, so
+    * the capture degrades to Unknown and every consumer re-exchanges
+    * (measured, Spark 4.1). With AQE off for just this one shuffle the
+    * partitioning captures exactly, and AQE-on consumers then match the
+    * other join side to it (verified: the pinned side joins with zero
+    * Exchange). The flip is session-visible for the pin's duration —
+    * confine concurrent-query drivers to per-thread sessions or accept
+    * one non-adaptive shuffle.
+    *
+    * The partition count defaults to the session's shuffle partitions
+    * (scale-configured, never a local constant); consumers' other sides
+    * exchange to the same count. */
+  def pinPartitioned[T](ds: Dataset[T], keys: Seq[String],
+                        numPartitions: Option[Int] = None): Dataset[T] = {
+    require(keys.nonEmpty, "at least one partitioning key")
+    val spark = ds.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try pin(ds.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*),
+      eager = true)
+    finally spark.conf.set(aqeKey, prev)
+  }
+
   implicit final class PinOps[T](private val ds: Dataset[T])
       extends AnyVal {
     /** Eager lineage pin (materializes now). */

@@ -1082,7 +1082,15 @@ object Dedup {
     // already distinct and min() is idempotent to duplicates — a dedup
     // shuffle here is pure overhead.
     val fwd = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
-    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+    // co-partitioned pin (r19): the loop joins `edges` on u every
+    // iteration; pinning the symmetrized list hash-partitioned on u
+    // moves that corpus-scale exchange out of the loop (the label side
+    // still exchanges — it changes per round). The eager pin also lets
+    // fwd's cache go immediately instead of at loop exit.
+    val edges = graft.Checkpoints.pinPartitioned(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))),
+      Seq("u"))
+    fwd.unpersist()
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label")).persist()
     var cached = labels // the DataFrame actually holding the cache entry
@@ -1115,7 +1123,6 @@ object Dedup {
         f"[cc] iter $it changed=$changed ${(System.nanoTime() - itT0) / 1e9}%.2fs")
       it += 1
     }
-    fwd.unpersist()
     // materialize the result OUT of the loop caches (eager checkpoint —
     // the label table is small: one row per paired node), then drop the
     // last persisted frame: a CacheManager entry is never GC'd, so

@@ -61,10 +61,19 @@ object Graph {
     def build(): (DataFrame, DataFrame) = {
       val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val ed = e.join(deg, "src").pin()
-      val nd = ed.select(col("src").as("node"))
-        .unionByName(ed.select(col("dst").as("node")))
-        .distinct().pin()
+      // co-partitioned pins (r19): every iteration joins `ed` on src and
+      // outer-joins `nd` on node, and a plain pin loses the partitioning
+      // — each round re-exchanged BOTH loop constants (measured: 4
+      // Exchanges per round, 2 of them these tables). Pinning them
+      // hash-partitioned on their join keys moves those two exchanges
+      // out of the loop; per round only the rank side and the combined
+      // contribution partials still shuffle.
+      val ed = graft.Checkpoints.pinPartitioned(
+        e.join(deg, "src"), Seq("src"))
+      val nd = graft.Checkpoints.pinPartitioned(
+        ed.select(col("src").as("node"))
+          .unionByName(ed.select(col("dst").as("node")))
+          .distinct(), Seq("node"))
       (ed, nd)
     }
     val (edgesDeg, nodes) = memoKey match {
@@ -115,6 +124,11 @@ object Graph {
     require(iters >= 1, "at least one iteration")
     val e0 = edges.select(col(uCol).as("u"), col(vCol).as("v"),
       col(wCol).as("w"))
+    // plain pin, deliberately NOT the co-partitioned one (r19 A/B): sym
+    // is rebuilt per call (no dataset memo here), so the extra fixed-N
+    // exchange before the pin cost more than the 3 per-round join
+    // exchanges it saved (best-of-5 2.10 -> 2.65 s); pageRankInt's build
+    // IS memoized, which is why the same treatment wins there
     val sym = e0.unionByName(
       e0.select(col("v").as("u"), col("u").as("v"), col("w")))
       .pin() // read every round
@@ -250,6 +264,10 @@ object Graph {
     require(maxHops >= 1, "at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
+    // NOT co-partition-pinned (r19 A/B): like labelPropagation, this
+    // projection is rebuilt per call, and at 3-hop depth the extra
+    // fixed-N exchange+materialization cost what the per-level join
+    // exchanges saved (flat-to-worse best-of-5)
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
     var settled = seeds.distinct.toDF("node")
