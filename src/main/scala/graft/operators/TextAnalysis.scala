@@ -350,12 +350,7 @@ object TextAnalysis {
     winnowClusterCache.getOrCompute(docs.sparkSession,
       (key, k, w, minShared, maxDf)) {
       Dedup.connectedComponents(
-        // cacheScan=false: the pair graph is consumed ONCE (this CC
-        // build, memoized per corpus key) and then discarded — lineage
-        // pins free with the RDD on GC, a persist() entry would hold the
-        // exploded corpus table for the whole session per generation
-        winnowPairs(docs, idCol, textCol, k, w, minShared, maxDf,
-          cacheScan = false)
+        winnowPairs(docs, idCol, textCol, k, w, minShared, maxDf)
           .select(col("id_a"), col("id_b")), "id_a", "id_b")
     }
 
@@ -445,43 +440,10 @@ object TextAnalysis {
     * duplication inflates only the expanded output, never the join; the
     * winnowed table is ~2/(w+1) the size of the all-grams table for the
     * same ≥ k+w−1 substring guarantee. Output: (id_a < id_b, n_shared). */
-  /** One cached-plan GENERATION of [[winnowPairs]]' two persisted
-    * intermediates per session: each new `cacheScan=true` call unpersists
-    * the previous call's entries before registering its own, so repeated
-    * calls in one long-lived session hold at most one generation of
-    * cached blocks instead of accumulating CacheManager entries forever
-    * (persist entries are never GC'd — the r16 review finding).
-    * Unpersisting an earlier generation only drops its cache: an
-    * un-consumed earlier result stays CORRECT (recomputes from lineage),
-    * it just loses the scan reuse. Dead-session entries prune on every
-    * rotation (the [[graft.SessionMemo]] contract). */
-  private val winnowCacheGen = new java.util.concurrent.ConcurrentHashMap[
-    Int, (org.apache.spark.sql.SparkSession, Seq[DataFrame])]()
-
-  private[operators] def rotateWinnowCaches(
-      session: org.apache.spark.sql.SparkSession,
-      next: Seq[DataFrame]): Unit = {
-    val it = winnowCacheGen.entrySet().iterator()
-    while (it.hasNext)
-      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-    val prev =
-      winnowCacheGen.put(System.identityHashCode(session), (session, next))
-    // `eq` guard: an identity-hash collision between a dead and a live
-    // session must not unpersist the live one's plans (SessionMemo rule 1)
-    if (prev != null && (prev._1 eq session))
-      prev._2.foreach(df => scala.util.Try(df.unpersist(false)))
-  }
-
-  private[operators] def winnowLiveCacheCount(
-      session: org.apache.spark.sql.SparkSession): Int =
-    Option(winnowCacheGen.get(System.identityHashCode(session)))
-      .filter(_._1 eq session).map(_._2.size).getOrElse(0)
-
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Int = 8,
                   maxDf: Int = 20,
                   metric: String = "winnow_df_cap",
-                  cacheScan: Boolean = true,
                   maxDfPerMille: Int = 0): DataFrame = {
     // EXACT-COLLAPSE first (the PPJoin treatment, applied here in r16):
     // identical texts form one group keyed by md5(text) — the winnow
@@ -520,28 +482,35 @@ object TextAnalysis {
       .drop("tkey")
     // membership (rep, doc) — a LIGHT second aggregate over (tkey, doc)
     // + self-join recovers each doc's representative without re-running
-    // the heavy text-carrying aggregate; consumed by both expansion
-    // joins, so pin it (same persist-vs-pin discipline as `ex` below)
+    // the heavy text-carrying aggregate. NOT materialized (r19 A/B):
+    // this table is one row per DOCUMENT, so pinning it scales with the
+    // corpus, while its recompute is two column-sliced scans that AQE
+    // overlaps with the kernel — pinning it measured worse at the 100×
+    // identical-copy blowup and bought nothing below it.
     val light = keyed.select(col("tkey"), col("doc"))
-    val members0 = light
+    val members = light
       .join(light.groupBy(col("tkey")).agg(min(col("doc")).as("rep")),
         Seq("tkey"))
       .select(col("rep"), col("doc"))
-    val members = if (cacheScan) members0.persist() else members0.pin()
-    // the exploded fingerprint table is consumed three times (df agg +
-    // both sides of the pair join) — materialize the winnow scan once.
-    // HOW it materializes is the round-14 A/B finding (min-of-5, sf0.1):
-    // Dataset persist() 0.74 s, lazy localCheckpoint 1.22 s, eager 1.33 s,
-    // no materialization 1.58 s (kernel re-runs) — the columnar cache
-    // reads ~2x faster than serialized checkpoint blocks here, and
-    // cached blocks are RECOMPUTABLE from lineage (safe under executor
-    // loss, which localCheckpoint is not). So the default is persist().
-    // The one place persist loses: a CacheManager entry is never GC'd,
-    // so a long-lived STREAMING driver calling this per micro-batch
-    // accumulates entries without bound (the r12 review finding) —
-    // those call sites pass cacheScan=false and take the leak-free
-    // lineage pin (conf-routed: spark.graft.checkpoint.mode=reliable
-    // survives executor loss) at the measured +0.6 s/batch.
+    // the exploded fingerprint table is consumed by the df aggregate and
+    // both pair-join sides — materialize the winnow scan once, as a LAZY
+    // LINEAGE PIN (localCheckpoint; conf-routed to reliable checkpoints
+    // via spark.graft.checkpoint.mode). History: r14 chose persist() for
+    // this table, r16 added a per-session generation rotation so a
+    // long-lived driver would not accumulate CacheManager entries
+    // (they are never GC'd), and r18 found the rotation was a no-op that
+    // actually DROPPED the cache from the second call per session on
+    // (identical plans: CacheManager registers by plan, so each call's
+    // persist was "already cached" and the rotation then unpersisted the
+    // only entry). r19 re-measured all the arms back-to-back — persist+
+    // rotation (≈ uncached from call 2 on), eager pin, lazy pin, none —
+    // at sf0.1, 10× and 100× identical-copy blowups: the lazy pin of
+    // THIS collapsed-size table won at every scale (sf0.1 best-of-5
+    // 1.79→1.27 s winnowing, 10× 2.23→1.33 s; 100× within noise), with
+    // no CacheManager state at all, so the whole rotation machinery is
+    // gone. Unlike a working persist, a per-call pin also cannot leak
+    // scan reuse ACROSS bench reps (each call materializes its own
+    // blocks, GC'd with the plan reference).
     // explode_OUTER: the inner form lets InferFiltersFromGenerate plant a
     // size(fp)>0 Filter that re-runs the whole winnow kernel (L md5s + L
     // window minima) once more per row — the inferred-generator-filter
@@ -552,10 +521,7 @@ object TextAnalysis {
     // way in the same A/B).
     val raw = winnowFp(groups, "rep", "_t", k, w, extra = Seq("n"))
       .select(col("rep"), col("n"), explode_outer(col("fp")).as("f"))
-    val ex = if (cacheScan) raw.persist() else raw.pin()
-    // release the PREVIOUS call's cached generation (see winnowCacheGen)
-    if (cacheScan)
-      rotateWinnowCaches(docs.sparkSession, Seq(members, ex))
+    val ex = raw.pinLazy()
     // the df>maxDf drop is OBSERVED, never silent (the capBuckets rule):
     // at 100× every clone/boilerplate fingerprint exceeds the cap, so a
     // production run must be able to see the recall it traded —
@@ -576,6 +542,15 @@ object TextAnalysis {
         members.agg(count(lit(1)).as("_ndocs")))),
         greatest(lit(maxDf.toLong),
           expr(s"_ndocs * $maxDfPerMille div 1000")))
+    // the hot list pins EAGERLY: `cold` is consumed by three downstream
+    // branches, and an unpinned `hot` would replicate its CollectMetrics
+    // subtree per branch — the duplicated same-name observe nodes stop
+    // delivering the metric once `ex` is a lineage pin (measured r19).
+    // Eager, not lazy, because the observed-metric row is read when the
+    // pin's QueryExecution completes — a lazy pin fires that event
+    // before any task has updated the aggregation (metric reads 0). The
+    // eager pin materializes the winnow kernel + df aggregate at call
+    // time and delivers the metric exactly once, on this execution.
     val hot = grouped
       .observe(metric,
         sum(when(col("df") > cap, 1L).otherwise(0L))
@@ -583,6 +558,7 @@ object TextAnalysis {
         sum(when(col("df") > cap, col("df")).otherwise(0L))
           .as("dropped_postings"))
       .where(col("df") > cap).select("f")
+      .pin()
     val cold = ex.join(hot, Seq("f"), "left_anti")
     // representative-level shared-cold counts: cross-group pairs from
     // the equi-join (tkey order dedupes the unordered pair), same-group

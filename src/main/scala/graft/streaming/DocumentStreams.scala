@@ -60,12 +60,11 @@ object DocumentStreams {
       : StreamingQuery = {
     import graft.operators.TextAnalysis
     dedupIngestWith(newDocs, refDir, outDir, checkpointDir, idCol, trigger,
-      // cacheScan=false: this runs once per MICRO-BATCH for the stream's
-      // whole lifetime, and a persist() entry is never GC'd — the
-      // leak-free lineage pin is worth its measured +0.6s/batch here
-      // (the batch registry path keeps the faster columnar cache)
+      // winnowPairs materializes only through leak-free lineage pins
+      // (r19) — safe to call once per micro-batch for the stream's whole
+      // lifetime; no CacheManager entry is ever registered
       pairsOf = b => TextAnalysis.winnowPairs(b, idCol, textCol, k, w,
-        minShared, maxDf, cacheScan = false)
+        minShared, maxDf)
         .select(col("id_a"), col("id_b")),
       verdictOf = (kept, ref) => TextAnalysis.winnowIncrementalVerdict(
         kept, ref, idCol, textCol, k, w, minShared, maxDf))

@@ -847,50 +847,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!cl.contains(4L), cl.toString)
   }
 
-  test("winnowPairs cacheScan: both materialization strategies return " +
-    "identical pairs; cacheScan=false adds NO CacheManager entry (the " +
-    "streaming per-micro-batch leak-free form)") {
+  test("winnowPairs materialization is leak-free: repeated calls return " +
+    "identical pairs and register NO CacheManager entry (lineage pins " +
+    "only — safe for long-lived sessions and per-micro-batch streaming; " +
+    "the r16-r18 persist+rotation machinery is gone)") {
     import spark.implicits._
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "THE QUICK  brown fox... jumps over the lazy dog AGAIN and again"),
       (3L, "completely different content that pairs with nothing here")
     ).toDF("doc_id", "text")
-    val cached = TextAnalysis.winnowPairs(docs, "doc_id", "text",
-      minShared = 1, maxDf = 20)
-      .as[(Long, Long, Long)].collect().sorted.toSeq
     val cm = spark.sharedState.cacheManager
     cm.clearCache()
-    val pinned = TextAnalysis.winnowPairs(docs, "doc_id", "text",
-      minShared = 1, maxDf = 20, cacheScan = false)
+    val first = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 20)
       .as[(Long, Long, Long)].collect().sorted.toSeq
-    assert(pinned === cached)
-    assert(cm.isEmpty, "cacheScan=false must not register a cache entry")
-  }
-
-  test("winnowPairs cache rotation: a new cacheScan call releases the " +
-    "previous generation's persist entries (bounded CacheManager growth " +
-    "in a long session), same-session only") {
-    import spark.implicits._
-    val docs = Seq(
-      (1L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
-      (2L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj")
-    ).toDF("doc_id", "text")
-    // a cacheScan call registers exactly its two intermediates
-    TextAnalysis.winnowPairs(docs, "doc_id", "text", minShared = 1).count()
-    assert(TextAnalysis.winnowLiveCacheCount(spark) === 2)
-    // the rotation seam itself: gen-1 releases when gen-2 registers
-    val a = Seq(1).toDF("x").persist()
-    a.count()
-    assert(a.storageLevel.useMemory)
-    TextAnalysis.rotateWinnowCaches(spark, Seq(a))
-    val b = Seq(2).toDF("x").persist()
-    TextAnalysis.rotateWinnowCaches(spark, Seq(b))
-    assert(a.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
-      "the previous generation must unpersist")
-    assert(b.storageLevel.useMemory, "the live generation must stay cached")
-    assert(TextAnalysis.winnowLiveCacheCount(spark) === 1)
-    b.unpersist()
+    val second = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 20)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(second === first)
+    assert(first.nonEmpty)
+    assert(cm.isEmpty, "winnowPairs must not register a cache entry")
   }
 
   test("substringCut: earliest doc keeps its copy; later docs lose the " +
