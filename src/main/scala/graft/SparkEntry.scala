@@ -1962,10 +1962,14 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      // tf pinned lazily: the df branch and the scoring join consume it
+      // with different pruned projections, so exchange reuse never fired
+      // and the corpus tokenized twice (r19)
       val tf = docs
         .select(col("doc_id"),
           explode(expr("filter(split(text, ' '), x -> x != '')")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .pinLazy()
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")

@@ -178,7 +178,12 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
+    // pinned lazily: the df branch and the scoring join both consume the
+    // (doc, term) counts, and column pruning gives the two subtrees
+    // DIFFERENT exchange projections, so exchange reuse never fired and
+    // the corpus tokenized twice (r19; one tokenize pass now)
     val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+      .pinLazy()
     val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy("_id")
@@ -869,6 +874,11 @@ object TextAnalysis {
     * window). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int): DataFrame = {
+    // deliberately NOT pinned anywhere (r19 A/B): materializing the
+    // exploded token strings cost more than the second tokenize pass it
+    // saved, and even the tiny filtered query-term pin measured flat-to-
+    // worse — unlike the tf/df rankers, every derived table here is
+    // cheap relative to its pin
     val toks = docs
       .select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
